@@ -1,0 +1,139 @@
+"""k-NN search operators (reference parity: A1/A2, vector_field.py:291-345).
+
+Reference behavior to preserve:
+- score ALL candidates after optional equality pre-filters on glyph_id /
+  outer_context_id (vector_field.py:316-322), sort by score descending,
+  take k (vector_field.py:324-326).
+- The reference relies on Python's stable sort for ties; a distributed
+  engine must declare a total order instead: (score DESC, id ASC).
+
+Spark plan shape:
+- single query → filter (pushed to Parquet / pruned partitions) → score
+  Column expr (whole-stage codegen) → ORDER BY + LIMIT, which Spark
+  executes as TakeOrderedAndProject: a per-partition top-k heap plus a
+  driver merge — no global sort, no full shuffle. This is the plan that
+  survives a 100 TB corpus: the only data movement is k rows per partition.
+- query batch → broadcast the (small) query set, crossJoin against the
+  corpus (scored in one pass), then row_number() over a window partitioned
+  by query id. The corpus is scanned once for ALL queries — this is how
+  Spark beats the reference's per-query rescans.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from aeuc_vector_db_spark.functions.similarity import phi_weighted_pandas, similarity_col
+from aeuc_vector_db_spark.functions.vector import as_double, lit_vector
+
+
+def knn_search(
+    corpus: DataFrame,
+    query: Sequence[float],
+    top_k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    glyph_id_filter: int | None = None,
+    glyph_col: str | None = None,
+    outer_context_filter: int | None = None,
+    ctx_col: str | None = None,
+    impl: str = "sql",
+) -> DataFrame:
+    """Single-query exact k-NN (vector_field.py:291-326).
+
+    Returns (id_col, score) ordered by score DESC, id ASC, limited to k.
+    """
+    df = corpus
+    if glyph_id_filter is not None:
+        df = df.filter(F.col(glyph_col or "glyph_id") == F.lit(glyph_id_filter))
+    if outer_context_filter is not None:
+        df = df.filter(F.col(ctx_col or "outer_context_id") == F.lit(outer_context_filter))
+
+    emb = as_double(vec_col)
+    if impl == "pandas" and metric == "phi_weighted":
+        score: Column = phi_weighted_pandas(query)(emb)
+    else:
+        score = similarity_col(emb, lit_vector(query), metric)
+
+    return (
+        df.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
+def knn_search_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """Batched exact k-NN: one corpus scan scores every query.
+
+    The query set is broadcast (it is small by construction); the corpus
+    never shuffles — the only movement is k rows per (query, partition)
+    into the window's top-k. Returns (query_id, id_col, score, rank).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid__"),
+            as_double(query_vec_col).alias("__qvec__"),
+        )
+    )
+    scored = corpus.crossJoin(q).select(
+        F.col("__qid__").alias(query_id_col),
+        F.col(id_col),
+        similarity_col(as_double(vec_col), F.col("__qvec__"), metric).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(top_k))
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def search_pglyphs(
+    pglyphs: DataFrame,
+    query: Sequence[float],
+    top_k: int = 5,
+    metric: str = "cosine",
+    id_col: str = "pglyph_id",
+    vec_col: str = "centroid",
+) -> DataFrame:
+    """Coarse prototype-level search (vector_field.py:328-345)."""
+    return knn_search(pglyphs, query, top_k=top_k, metric=metric, id_col=id_col, vec_col=vec_col)
+
+
+def two_level_search(
+    corpus: DataFrame,
+    pglyphs: DataFrame,
+    membership: DataFrame,
+    query: Sequence[float],
+    top_k: int = 10,
+    nprobe: int = 2,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style coarse→fine search: A2 then A1 within the winning clusters.
+
+    The centroid scan is tiny; the fine scan touches only the members of
+    the nprobe best clusters (a broadcast semi-join — at scale this is the
+    partition-pruned path when the corpus is written partitioned by
+    cluster id).
+    """
+    best = search_pglyphs(pglyphs, query, top_k=nprobe, metric=metric)
+    member_ids = membership.join(
+        F.broadcast(best.select("pglyph_id")), "pglyph_id", "inner"
+    ).select(F.col("iglyph_id").alias(id_col))
+    pruned = corpus.join(F.broadcast(member_ids), id_col, "left_semi")
+    return knn_search(pruned, query, top_k=top_k, metric=metric, id_col=id_col, vec_col=vec_col)

@@ -1,0 +1,41 @@
+"""Declared query registry — the driver-facing contract.
+
+Each entry pairs a Spark callable `(spark, sf_dir) -> DataFrame` with an
+equivalent DuckDB oracle SQL string (or None for genuinely
+non-SQL-expressible ops, which get a weaker rows-only check).
+
+Determinism rules (FIXTURES.md): float outputs rounded at the end, all
+vector math in DOUBLE with identical left-to-right fold order on both
+sides (verified bit-identical), total ORDER BY with a unique key wherever
+a LIMIT exists, surrogate ids via sha2 of sorted member ids, timestamps
+exported as epoch microseconds.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+from aeuc_vector_db_spark.queries import core, relational  # noqa: E402
+
+REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {}
+REGISTRY.update(core.QUERIES)
+REGISTRY.update(relational.QUERIES)
+
+try:
+    from aeuc_vector_db_spark.queries import textops
+
+    REGISTRY.update(textops.QUERIES)
+except ImportError:  # pragma: no cover - textops lands in a later milestone
+    pass
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,559 @@
+"""Vector-engine declared queries (SURVEY.md §2.A rows) with DuckDB oracles.
+
+Every oracle mirrors the Spark expression term by term — same DOUBLE
+widening, same left-to-right fold order, same epsilon guards, same
+literals — so unrounded doubles are bit-identical (verified) and the
+final rounding can't diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aeuc_vector_db_spark.functions.similarity import PHI_POWERS
+from aeuc_vector_db_spark.functions.vector import as_double
+from aeuc_vector_db_spark.operators import clustering as C
+from aeuc_vector_db_spark.operators.search import knn_search_batch
+from aeuc_vector_db_spark.operators.clustering import _phi_break_fracs
+from aeuc_vector_db_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragment builders (mirror functions/vector.py + similarity.py)
+# ---------------------------------------------------------------------------
+
+def _dk_double(arr: str) -> str:
+    return f"list_transform({arr}, x -> CAST(x AS DOUBLE))"
+
+
+def _dk_dot(a: str, b: str) -> str:
+    return f"list_reduce(list_transform(list_zip({a}, {b}), p -> p[1]*p[2]), (s, x) -> s + x)"
+
+
+def _dk_sqnorm(a: str) -> str:
+    return f"list_reduce(list_transform({a}, x -> x*x), (s, x) -> s + x)"
+
+
+def _dk_cosine(a: str, b: str) -> str:
+    return (
+        f"({_dk_dot(a, b)} / (sqrt({_dk_sqnorm(a)}) * sqrt({_dk_sqnorm(b)}) + 1e-12))"
+    )
+
+
+def _dk_euclid_sim(a: str, b: str) -> str:
+    d = (
+        f"sqrt(list_reduce(list_transform(list_zip({a}, {b}),"
+        f" p -> (p[1]-p[2])*(p[1]-p[2])), (s, x) -> s + x))"
+    )
+    return f"(1.0 / (1.0 + {d}))"
+
+
+def _dk_least_phi(m: str) -> str:
+    terms = ", ".join(f"abs({m} - {p!r})" for p in PHI_POWERS)
+    return f"least({terms})"
+
+
+QUERY_FILTER = "vec_id % 100 = 3"  # 5 query vectors at sf0.01 (vec_id 3..403)
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.filter(F.expr(QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+
+
+def _knn_query(metric: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load_table(spark, "embeddings", sf_dir)
+        res = knn_search_batch(emb, _queries_df(spark, sf_dir), top_k=10, metric=metric)
+        return res.select(
+            "query_id",
+            "vec_id",
+            F.round("score", 9).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    return fn
+
+
+def _knn_oracle(score_expr_fn) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {_dk_double('embedding')} AS qv
+  FROM embeddings WHERE {QUERY_FILTER}
+), c AS (
+  SELECT vec_id, {_dk_double('embedding')} AS cv FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.vec_id, {score_expr_fn('cv', 'qv')} AS s
+  FROM c CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(s, 9) AS score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+_PHI_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {_dk_double('embedding')} AS qv
+  FROM embeddings WHERE {QUERY_FILTER}
+), c AS (
+  SELECT vec_id, {_dk_double('embedding')} AS cv FROM embeddings
+), z AS (
+  SELECT query_id, c.vec_id, cv, qv,
+    list_transform(list_zip(cv, qv), p -> (abs(p[1]) + abs(p[2])) / 2.0 + 1e-12) AS am
+  FROM c CROSS JOIN q
+), w1 AS (
+  SELECT *, list_transform(am, m -> 1.0 / ({_dk_least_phi('m')} + 1e-8)) AS w FROM z
+), w2 AS (
+  SELECT *, list_reduce(w, (s, x) -> s + x) + 1e-12 AS ws FROM w1
+), w3 AS (
+  SELECT query_id, vec_id,
+    list_transform(list_zip(cv, w), p -> p[1] * (p[2] / ws)) AS wa,
+    list_transform(list_zip(qv, w), p -> p[1] * (p[2] / ws)) AS wb
+  FROM w2
+), scored AS (
+  SELECT query_id, vec_id, {_dk_cosine('wa', 'wb')} AS s FROM w3
+), ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(s, 9) AS score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 with the outer-context pre-filter: each query only scores
+    candidates sharing its label (ctx analog, FIXTURES.md). The filter is
+    applied before scoring — at scale it prunes partitions."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = _queries_df(spark, sf_dir).join(
+        load_table(spark, "embeddings", sf_dir).select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+        ),
+        "query_id",
+    )
+    joined = emb.join(F.broadcast(q), emb["label"] == q["qlabel"], "inner")
+    from aeuc_vector_db_spark.functions.similarity import similarity_col
+
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        similarity_col(as_double("embedding"), as_double("query_embedding"), "cosine").alias(
+            "s"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", F.round("s", 9).alias("score"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_KNN_FILTERED_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel, {_dk_double('embedding')} AS qv
+  FROM embeddings WHERE {QUERY_FILTER}
+), scored AS (
+  SELECT q.query_id, e.vec_id, {_dk_cosine(_dk_double('e.embedding'), 'qv')} AS s
+  FROM embeddings e JOIN q ON e.label = q.qlabel
+), ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(s, 9) AS score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Clustering queries (A8-A12)
+# ---------------------------------------------------------------------------
+
+def _centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    exploded = emb.select("label", F.posexplode(as_double("embedding")).alias("pos", "val"))
+    return exploded.groupBy("label", "pos").agg(F.round(F.avg("val"), 9).alias("c"))
+
+
+_CENTROIDS_ORACLE = """
+SELECT label, pos, ROUND(AVG(val), 9) AS c
+FROM (
+  SELECT label,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+)
+GROUP BY label, pos
+"""
+
+
+def _inertia_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = C.centroids(emb, ["label"])
+    return C.inertia(emb, cents, ["label"]).select(
+        "label", F.round("inertia", 6).alias("inertia")
+    )
+
+
+_INERTIA_ORACLE = """
+WITH pts AS (
+  SELECT label, vec_id,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+), cent AS (
+  SELECT label, pos, AVG(val) AS c FROM pts GROUP BY label, pos
+)
+SELECT pts.label, ROUND(SUM((val - c) * (val - c)), 6) AS inertia
+FROM pts JOIN cent ON pts.label = cent.label AND pts.pos = cent.pos
+GROUP BY pts.label
+"""
+
+
+def _form_pglyphs_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    pg = C.form_pglyphs(emb, ["label"], id_col="vec_id")
+    return pg.select("label", "pglyph_id", "member_count",
+                     F.round("inertia", 6).alias("inertia"))
+
+
+_FORM_PGLYPHS_ORACLE = """
+WITH pts AS (
+  SELECT label, vec_id,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+), cent AS (
+  SELECT label, pos, AVG(val) AS c FROM pts GROUP BY label, pos
+), inert AS (
+  SELECT pts.label, SUM((val - c) * (val - c)) AS inertia
+  FROM pts JOIN cent ON pts.label = cent.label AND pts.pos = cent.pos
+  GROUP BY pts.label
+), ids AS (
+  SELECT label,
+         sha256(string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY CAST(vec_id AS VARCHAR)))
+           AS pglyph_id,
+         CAST(COUNT(*) AS BIGINT) AS member_count
+  FROM embeddings GROUP BY label
+)
+SELECT ids.label, pglyph_id, member_count, ROUND(inertia, 6) AS inertia
+FROM ids JOIN inert ON ids.label = inert.label
+"""
+
+
+def _phi_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    banded = C.with_phi_band(emb, levels=3)
+    return banded.select("vec_id", F.col("band").cast("int").alias("band"),
+                         F.round("norm", 9).alias("norm"))
+
+
+def _phi_bands_oracle(levels: int = 3) -> str:
+    fracs = _phi_break_fracs(levels)
+    case = " ".join(
+        f"WHEN n < mn + (mx - mn + 1e-12) * {f!r} THEN {i}" for i, f in enumerate(fracs)
+    )
+    return f"""
+WITH norms AS (
+  SELECT vec_id, sqrt({_dk_sqnorm(_dk_double('embedding'))}) AS n FROM embeddings
+), mm AS (
+  SELECT MIN(n) AS mn, MAX(n) AS mx FROM norms
+)
+SELECT vec_id, CAST(CASE {case} ELSE {levels - 1} END AS INTEGER) AS band,
+       ROUND(n, 9) AS norm
+FROM norms CROSS JOIN mm
+"""
+
+
+def _auto_cluster_phi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    pg = C.auto_cluster_phi(emb, outer_context_id=None, levels=3)
+    return pg.select(
+        F.col("band").cast("int").alias("band"), "cluster_tag", "pglyph_id",
+        "member_count", F.round("inertia", 6).alias("inertia"),
+    )
+
+
+def _auto_cluster_oracle(levels: int = 3) -> str:
+    fracs = _phi_break_fracs(levels)
+    case = " ".join(
+        f"WHEN n < mn + (mx - mn + 1e-12) * {f!r} THEN {i}" for i, f in enumerate(fracs)
+    )
+    return f"""
+WITH norms AS (
+  SELECT vec_id, embedding, sqrt({_dk_sqnorm(_dk_double('embedding'))}) AS n FROM embeddings
+), mm AS (
+  SELECT MIN(n) AS mn, MAX(n) AS mx FROM norms
+), banded AS (
+  SELECT vec_id, embedding, CASE {case} ELSE {levels - 1} END AS band
+  FROM norms CROSS JOIN mm
+), pts AS (
+  SELECT band, vec_id,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val,
+         unnest(range(len(embedding))) AS pos
+  FROM banded
+), cent AS (
+  SELECT band, pos, AVG(val) AS c FROM pts GROUP BY band, pos
+), inert AS (
+  SELECT pts.band, SUM((val - c) * (val - c)) AS inertia
+  FROM pts JOIN cent ON pts.band = cent.band AND pts.pos = cent.pos
+  GROUP BY pts.band
+), ids AS (
+  SELECT band,
+         sha256(string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY CAST(vec_id AS VARCHAR)))
+           AS pglyph_id,
+         CAST(COUNT(*) AS BIGINT) AS member_count
+  FROM banded GROUP BY band
+)
+SELECT CAST(ids.band AS INTEGER) AS band, 'phi_band_' || CAST(ids.band AS VARCHAR) AS cluster_tag,
+       pglyph_id, member_count, ROUND(inertia, 6) AS inertia
+FROM ids JOIN inert ON ids.band = inert.band
+"""
+
+
+def _search_pglyphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: coarse search over label-cluster centroids for query vec_id=3."""
+    from aeuc_vector_db_spark.functions.similarity import similarity_col
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = C.centroids(emb, ["label"])
+    q = emb.filter(F.col("vec_id") == 3).select(as_double("embedding").alias("qv"))
+    scored = cents.crossJoin(F.broadcast(q)).select(
+        "label", similarity_col(F.col("centroid"), F.col("qv"), "cosine").alias("s")
+    )
+    return scored.select("label", F.round("s", 9).alias("score"))
+
+
+_SEARCH_PGLYPHS_ORACLE = f"""
+WITH pts AS (
+  SELECT label,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+), cent AS (
+  SELECT label, pos, AVG(val) AS c FROM pts GROUP BY label, pos
+), cvec AS (
+  SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label
+), q AS (
+  SELECT {_dk_double('embedding')} AS qv FROM embeddings WHERE vec_id = 3
+)
+SELECT label, ROUND({_dk_cosine('centroid', 'qv')}, 9) AS score
+FROM cvec CROSS JOIN q
+"""
+
+
+# ---------------------------------------------------------------------------
+# CRUD / digest / stats / import-export queries (A13-A24)
+# ---------------------------------------------------------------------------
+
+def _dataset_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.agg(
+        F.sha2(
+            F.concat_ws(",", F.sort_array(F.collect_list(F.col("vec_id").cast("string")))),
+            256,
+        ).alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_DIGEST_ORACLE = """
+SELECT sha256(string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY CAST(vec_id AS VARCHAR)))
+         AS digest,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM embeddings
+"""
+
+
+def _stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23 over the corpus; glyph_id/ctx derived per FIXTURES.md
+    (vec_id % 144000, label % 10)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.agg(
+        F.count(F.lit(1)).alias("iglyph_count"),
+        F.count_distinct(F.col("vec_id") % 144000).alias("glyph_addresses_used"),
+        F.count_distinct(F.col("label") % 10).alias("outer_contexts_used"),
+    )
+
+
+_STATS_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS iglyph_count,
+       CAST(COUNT(DISTINCT vec_id % 144000) AS BIGINT) AS glyph_addresses_used,
+       CAST(COUNT(DISTINCT label % 10) AS BIGINT) AS outer_contexts_used
+FROM embeddings
+"""
+
+
+def _point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.filter(F.col("vec_id") == 42).select(
+        "vec_id", "label", F.size("embedding").cast("long").alias("dim")
+    )
+
+
+_POINT_LOOKUP_ORACLE = """
+SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim
+FROM embeddings WHERE vec_id = 42
+"""
+
+
+def _validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24 as data: project synthetic glyph ids (vec_id*400 — some exceed
+    143,999) and count pass/fail per constraint."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    checked = emb.select(
+        ((F.col("vec_id") * 400 >= 0) & (F.col("vec_id") * 400 <= 143999)).alias("glyph_ok"),
+        ((F.col("label") >= 0) & (F.col("label") <= 9)).alias("ctx_ok"),
+        (F.size("embedding") == 64).alias("dim_ok"),
+    )
+    return checked.agg(
+        F.sum(F.when(F.col("glyph_ok"), 1).otherwise(0)).cast("long").alias("glyph_pass"),
+        F.sum(F.when(F.col("ctx_ok"), 1).otherwise(0)).cast("long").alias("ctx_pass"),
+        F.sum(F.when(F.col("dim_ok"), 1).otherwise(0)).cast("long").alias("dim_pass"),
+        F.count(F.lit(1)).alias("total"),
+    )
+
+
+_VALIDATION_ORACLE = """
+SELECT CAST(SUM(CASE WHEN vec_id * 400 BETWEEN 0 AND 143999 THEN 1 ELSE 0 END) AS BIGINT)
+         AS glyph_pass,
+       CAST(SUM(CASE WHEN label BETWEEN 0 AND 9 THEN 1 ELSE 0 END) AS BIGINT) AS ctx_pass,
+       CAST(SUM(CASE WHEN len(embedding) = 64 THEN 1 ELSE 0 END) AS BIGINT) AS dim_pass,
+       CAST(COUNT(*) AS BIGINT) AS total
+FROM embeddings
+"""
+
+
+def _import_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 dup-skip semantics: incoming batch = every 5th row re-imported
+    plus 10 genuinely-new ids (vec_id+1000); left_anti against the corpus
+    keeps only the new ones."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    incoming = emb.filter(F.col("vec_id") % 5 == 0).unionByName(
+        emb.filter(F.col("vec_id") % 50 == 0).withColumn("vec_id", F.col("vec_id") + 1000)
+    )
+    imported = incoming.join(emb.select("vec_id"), "vec_id", "left_anti")
+    return imported.groupBy("label").agg(F.count(F.lit(1)).alias("imported")).orderBy("label")
+
+
+_IMPORT_DEDUP_ORACLE = """
+WITH incoming AS (
+  SELECT vec_id, label FROM embeddings WHERE vec_id % 5 = 0
+  UNION ALL
+  SELECT vec_id + 1000 AS vec_id, label FROM embeddings WHERE vec_id % 50 = 0
+), imported AS (
+  SELECT i.* FROM incoming i ANTI JOIN embeddings e ON i.vec_id = e.vec_id
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS imported FROM imported GROUP BY label
+"""
+
+
+def _delete_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16+A19: delete vec_id % 7 = 0, then recompute per-label cluster
+    stats from the survivors."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    doomed = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    remaining = emb.join(doomed, "vec_id", "left_anti")
+    cents = C.centroids(remaining, ["label"])
+    inert = C.inertia(remaining, cents, ["label"])
+    counts = remaining.groupBy("label").agg(F.count(F.lit(1)).alias("member_count"))
+    return counts.join(inert, "label").select(
+        "label", "member_count", F.round("inertia", 6).alias("inertia")
+    )
+
+
+_DELETE_RECOMPUTE_ORACLE = """
+WITH remaining AS (
+  SELECT * FROM embeddings WHERE vec_id % 7 <> 0
+), pts AS (
+  SELECT label, vec_id,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val,
+         unnest(range(len(embedding))) AS pos
+  FROM remaining
+), cent AS (
+  SELECT label, pos, AVG(val) AS c FROM pts GROUP BY label, pos
+), inert AS (
+  SELECT pts.label, SUM((val - c) * (val - c)) AS inertia
+  FROM pts JOIN cent ON pts.label = cent.label AND pts.pos = cent.pos
+  GROUP BY pts.label
+), counts AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS member_count FROM remaining GROUP BY label
+)
+SELECT counts.label, member_count, ROUND(inertia, 6) AS inertia
+FROM counts JOIN inert ON counts.label = inert.label
+"""
+
+
+def _export_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 ordered-export semantics over the events table (ts-sorted scan
+    with a unique tiebreak), timestamps as epoch micros."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .limit(100)
+        .select("event_id", F.unix_micros("ts").alias("ts_us"), "event_type")
+    )
+
+
+_EXPORT_ORDERED_ORACLE = """
+SELECT event_id, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us, event_type
+FROM events ORDER BY ts ASC, event_id ASC LIMIT 100
+"""
+
+
+def _embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 hygiene: L2-normalize, report per-row norm before/after."""
+    from aeuc_vector_db_spark.functions.vector import l2_norm_col, l2_normalize_col
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm_col(as_double("embedding")), 9).alias("norm"),
+        F.round(l2_norm_col(l2_normalize_col(as_double("embedding"))), 6).alias("unit_norm"),
+    )
+
+
+_NORMALIZE_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_dk_double('embedding')} AS a FROM embeddings
+), n AS (
+  SELECT vec_id, a, sqrt({_dk_sqnorm('a')}) AS nrm FROM base
+), u AS (
+  SELECT vec_id, nrm, list_transform(a, x -> x / (nrm + 1e-12)) AS ua FROM n
+)
+SELECT vec_id, ROUND(nrm, 9) AS norm, ROUND(sqrt({_dk_sqnorm('ua')}), 6) AS unit_norm
+FROM u
+"""
+
+
+QUERIES = {
+    "knn_cosine_topk": (_knn_query("cosine"), _knn_oracle(_dk_cosine)),
+    "knn_euclidean_topk": (_knn_query("euclidean"), _knn_oracle(_dk_euclid_sim)),
+    "knn_dot_topk": (_knn_query("dot"), _knn_oracle(_dk_dot)),
+    "knn_phi_topk": (_knn_query("phi_weighted"), _PHI_ORACLE),
+    "knn_cosine_filtered": (_knn_filtered, _KNN_FILTERED_ORACLE),
+    "centroids_by_label": (_centroids_by_label, _CENTROIDS_ORACLE),
+    "inertia_by_label": (_inertia_by_label, _INERTIA_ORACLE),
+    "form_pglyphs_by_label": (_form_pglyphs_by_label, _FORM_PGLYPHS_ORACLE),
+    "phi_bands": (_phi_bands, _phi_bands_oracle(3)),
+    "auto_cluster_phi": (_auto_cluster_phi, _auto_cluster_oracle(3)),
+    "search_pglyphs": (_search_pglyphs, _SEARCH_PGLYPHS_ORACLE),
+    "dataset_digest": (_dataset_digest, _DIGEST_ORACLE),
+    "stats": (_stats, _STATS_ORACLE),
+    "point_lookup": (_point_lookup, _POINT_LOOKUP_ORACLE),
+    "validation_counts": (_validation_counts, _VALIDATION_ORACLE),
+    "import_dedup": (_import_dedup, _IMPORT_DEDUP_ORACLE),
+    "delete_recompute": (_delete_recompute, _DELETE_RECOMPUTE_ORACLE),
+    "export_ordered": (_export_ordered, _EXPORT_ORDERED_ORACLE),
+    "embedding_normalize": (_embedding_normalize, _NORMALIZE_ORACLE),
+}

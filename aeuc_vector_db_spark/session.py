@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test substrate; the config choices (AQE on, shuffle
+partitions sized to cores, Arrow on, UTC timezone) are the same ones that
+matter on a real cluster — only the numbers change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "aeuc-vector-db-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Defaults follow the local[32] test substrate; on a real cluster the
+    caller overrides master/memory via spark-submit and only the SQL conf
+    below carries over.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        # Broadcast threshold: dim tables / query batches / centroid sets
+        # are all tiny relative to the corpus — make sure they broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Fixture parquet stores TIMESTAMP(NANOS); Spark has no nanos type.
+        # Read them as epoch-nanos longs; sources.tables converts to
+        # TimestampType (values are µs-granular, so the cast is lossless).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

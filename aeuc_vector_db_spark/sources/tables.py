@@ -1,0 +1,75 @@
+"""Fixture/table loaders and Parquet read/write helpers.
+
+The driver fixtures (TESTDATA.md) are one Parquet file per table under
+/root/testdata/sf{0.001,0.01,0.1}/. Parquet is the engine's canonical
+storage: columnar, predicate-pushdown and column-pruning friendly, and
+partitionable (partitionBy('outer_context_id') replaces the reference's
+inverted indices — SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Fixture columns written as parquet TIMESTAMP(NANOS). With
+# spark.sql.legacy.parquet.nanosAsLong=true they arrive as epoch-nanos
+# longs; all fixture values are µs-granular (verified), so nanos→micros
+# is lossless.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        field = df.schema[col]
+        if isinstance(field.dataType, T.LongType):
+            df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {t: load_table(spark, t, sf_dir) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every fixture table as a temp view for the SQL entry point."""
+    for t in TABLES:
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a table partitioned for downstream pruning (e.g. by
+    outer_context_id or centroid id — the scale path for filtered search)."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
