@@ -92,6 +92,56 @@ def similarity_col(a: Column | str, b: Column | str, metric: str = "cosine") -> 
         ) from None
 
 
+def _phi_scores_sequential(mat: np.ndarray, qmat: np.ndarray) -> np.ndarray:
+    """φ-weighted cosine for row-aligned (B, d) float64 matrices.
+
+    Reductions are explicit left-to-right loops over the d axis (vectorized
+    across the batch), NOT np.sum — np.sum uses pairwise summation, which
+    differs in low-order bits from the SQL `aggregate` sequential fold.
+    Keeping the fold order identical makes this path bit-identical to
+    phi_weighted_col and to the DuckDB list_reduce oracle (verified).
+    d is small (64 in the fixtures) so the Python-level loop costs nothing
+    relative to the (B, d) vector ops inside it.
+    """
+    powers = np.asarray(PHI_POWERS, dtype=np.float64)
+    avg_mag = (np.abs(mat) + np.abs(qmat)) / 2.0 + 1e-12
+    min_d = np.abs(avg_mag[..., None] - powers).min(axis=-1)
+    w = 1.0 / (min_d + 1e-8)
+    b, d = mat.shape
+    w_sum = np.zeros(b)
+    for j in range(d):
+        w_sum = w_sum + w[:, j]
+    w_sum = w_sum + 1e-12
+    wa = mat * (w / w_sum[:, None])
+    wb = qmat * (w / w_sum[:, None])
+    dot = np.zeros(b)
+    na = np.zeros(b)
+    nb = np.zeros(b)
+    for j in range(d):
+        dot = dot + wa[:, j] * wb[:, j]
+        na = na + wa[:, j] * wa[:, j]
+        nb = nb + wb[:, j] * wb[:, j]
+    denom = np.sqrt(na) * np.sqrt(nb) + 1e-12
+    return dot / denom
+
+
+def phi_weighted_pair_pandas():
+    """Arrow-vectorized φ-weighted scorer over (embedding, query) column
+    pairs — the batch-search hot path (replaces the interpreted SQL-lambda
+    expression, which is a ~200× scale-killer because higher-order
+    functions are CodegenFallback). Bit-identical to phi_weighted_col via
+    _phi_scores_sequential."""
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def score(a: pd.Series, b: pd.Series) -> pd.Series:
+        mat = np.vstack(a.to_numpy()).astype(np.float64, copy=False)
+        qmat = np.vstack(b.to_numpy()).astype(np.float64, copy=False)
+        return pd.Series(_phi_scores_sequential(mat, qmat))
+
+    return score
+
+
 def phi_weighted_pandas(query: Sequence[float]):
     """Arrow-vectorized φ-weighted scorer against a fixed query vector.
 
@@ -102,18 +152,11 @@ def phi_weighted_pandas(query: Sequence[float]):
     from pyspark.sql.types import DoubleType
 
     q = np.asarray(query, dtype=np.float64)
-    powers = np.asarray(PHI_POWERS, dtype=np.float64)
 
     @F.pandas_udf(DoubleType())
     def score(col: pd.Series) -> pd.Series:
-        mat = np.vstack(col.to_numpy())  # (B, dim) float64
-        avg_mag = (np.abs(mat) + np.abs(q)) / 2.0 + 1e-12
-        min_d = np.abs(avg_mag[..., None] - powers).min(axis=-1)
-        w = 1.0 / (min_d + 1e-8)
-        w /= w.sum(axis=1, keepdims=True) + 1e-12
-        wa = mat * w
-        wb = q * w
-        denom = np.linalg.norm(wa, axis=1) * np.linalg.norm(wb, axis=1) + 1e-12
-        return pd.Series((wa * wb).sum(axis=1) / denom)
+        mat = np.vstack(col.to_numpy()).astype(np.float64, copy=False)
+        qmat = np.broadcast_to(q, mat.shape)
+        return pd.Series(_phi_scores_sequential(mat, qmat))
 
     return score

@@ -26,8 +26,24 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from aeuc_vector_db_spark.functions.similarity import phi_weighted_pandas, similarity_col
+from aeuc_vector_db_spark.functions.similarity import (
+    phi_weighted_pair_pandas,
+    phi_weighted_pandas,
+    similarity_col,
+)
 from aeuc_vector_db_spark.functions.vector import as_double, lit_vector
+
+
+def _ensure_parallel(df: DataFrame, min_partitions: int | None) -> DataFrame:
+    """Repartition ONLY if the scan is under-parallel (e.g. a single small
+    parquet file → 1 task, serializing O(N·d·Q) scoring on 1 of 32 cores).
+
+    At cluster scale the file source already yields many partitions and
+    this is a no-op — we never add a shuffle to an already-parallel scan.
+    """
+    if min_partitions and df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df
 
 
 def knn_search(
@@ -75,23 +91,34 @@ def knn_search_batch(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_embedding",
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """Batched exact k-NN: one corpus scan scores every query.
 
     The query set is broadcast (it is small by construction); the corpus
     never shuffles — the only movement is k rows per (query, partition)
     into the window's top-k. Returns (query_id, id_col, score, rank).
+
+    φ-weighted scoring goes through an Arrow-batched pandas UDF: the SQL
+    higher-order-function expression is CodegenFallback (interpreted per
+    row) and measured ~200× slower than the reference at sf0.1; the NumPy
+    path is bit-identical (sequential folds) and vectorized.
     """
+    corpus = _ensure_parallel(corpus, min_partitions)
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("__qid__"),
             as_double(query_vec_col).alias("__qvec__"),
         )
     )
+    if metric == "phi_weighted":
+        score_col = phi_weighted_pair_pandas()(as_double(vec_col), F.col("__qvec__"))
+    else:
+        score_col = similarity_col(as_double(vec_col), F.col("__qvec__"), metric)
     scored = corpus.crossJoin(q).select(
         F.col("__qid__").alias(query_id_col),
         F.col(id_col),
-        similarity_col(as_double(vec_col), F.col("__qvec__"), metric).alias("score"),
+        score_col.alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (

@@ -19,18 +19,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-from aeuc_vector_db_spark.queries import core, relational  # noqa: E402
-
 REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {}
+
+# Defense in depth: one broken module must never zero out the whole
+# registry (round-1 failure mode — a missing module made the package
+# unimportable and the driver saw zero queries). Core is imported
+# unguarded (if it breaks, nothing works anyway and the error should be
+# loud); the rest degrade gracefully.
+from aeuc_vector_db_spark.queries import core  # noqa: E402
+
 REGISTRY.update(core.QUERIES)
-REGISTRY.update(relational.QUERIES)
 
-try:
-    from aeuc_vector_db_spark.queries import textops
-
-    REGISTRY.update(textops.QUERIES)
-except ImportError:  # pragma: no cover - textops lands in a later milestone
-    pass
+for _mod_name in ("relational", "textops", "ann", "streaming_q", "multimodal_q"):
+    try:
+        _mod = __import__(
+            f"aeuc_vector_db_spark.queries.{_mod_name}", fromlist=["QUERIES"]
+        )
+        REGISTRY.update(_mod.QUERIES)
+    except ImportError:  # pragma: no cover - module lands in a later milestone
+        pass
 
 
 def queries() -> dict[str, QueryFn]:

@@ -66,7 +66,13 @@ def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _knn_query(metric: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, "embeddings", sf_dir)
-        res = knn_search_batch(emb, _queries_df(spark, sf_dir), top_k=10, metric=metric)
+        res = knn_search_batch(
+            emb,
+            _queries_df(spark, sf_dir),
+            top_k=10,
+            metric=metric,
+            min_partitions=spark.sparkContext.defaultParallelism,
+        )
         return res.select(
             "query_id",
             "vec_id",

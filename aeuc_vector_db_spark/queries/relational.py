@@ -1,0 +1,378 @@
+"""Relational declared queries over the TPC-H-ish fixtures (SURVEY.md §2.B).
+
+The reference has no relational surface (it is a vector store), but the
+engine's Spark substrate must supply joins / aggregations / windows / set
+ops / top-k as first-class operators (SURVEY §2.B "what Spark must
+supply"). Each query here exercises one category and is oracled against
+DuckDB.
+
+Determinism strategy for float aggregates: money columns are 2-decimal
+doubles (FIXTURES.md); we cast per-row to DECIMAL before summing so the
+aggregation is exact integer arithmetic — order-independent across any
+partitioning, and identical between Spark and DuckDB. Averages divide the
+exact decimal sum by the exact count in double at the end.
+
+Plan-shape notes (the 100 TB design points, visible in .explain):
+- dimension joins (region/nation/customer) broadcast — no shuffle of the
+  fact table for the dim side;
+- aggregations are partial+final HashAggregate (map-side combine);
+- top-k is TakeOrderedAndProject (per-partition heap, driver merge), not
+  a global sort;
+- semi/anti joins never materialize the probe side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aeuc_vector_db_spark.sources.tables import load_table
+
+
+def _dec(col, prec: int = 18, scale: int = 2):
+    return F.col(col).cast(f"decimal({prec},{scale})") if isinstance(col, str) else col.cast(
+        f"decimal({prec},{scale})"
+    )
+
+
+_ONE = "CAST(1.00 AS DECIMAL(3,2))"
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: full-scan groupBy agg (partial+final), the
+# canonical "does map-side combine happen" probe.
+# ---------------------------------------------------------------------------
+
+def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    disc = F.expr(f"CAST(l_discount AS DECIMAL(3,2))")
+    tax = F.expr(f"CAST(l_tax AS DECIMAL(3,2))")
+    price = F.expr("CAST(l_extendedprice AS DECIMAL(18,2))")
+    qty = F.expr("CAST(l_quantity AS DECIMAL(18,2))")
+    one = F.expr(_ONE)
+    agg = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("_sq"),
+            F.sum(price).alias("_sp"),
+            F.sum(price * (one - disc)).alias("_sd"),
+            F.sum(price * (one - disc) * (one + tax)).alias("_sc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    n = F.col("count_order")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sp").cast("double").alias("sum_base_price"),
+        F.round(F.col("_sd").cast("double"), 2).alias("sum_disc_price"),
+        F.round(F.col("_sc").cast("double"), 2).alias("sum_charge"),
+        F.round(F.col("_sq").cast("double") / n, 6).alias("avg_qty"),
+        F.round(F.col("_sp").cast("double") / n, 6).alias("avg_price"),
+        "count_order",
+    )
+
+
+_PRICING_ORACLE = f"""
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * ({_ONE} - CAST(l_discount AS DECIMAL(3,2)))) AS sd,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * ({_ONE} - CAST(l_discount AS DECIMAL(3,2)))
+             * ({_ONE} + CAST(l_tax AS DECIMAL(3,2)))) AS sc,
+         CAST(COUNT(*) AS BIGINT) AS count_order
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sq AS DOUBLE) AS sum_qty,
+       CAST(sp AS DOUBLE) AS sum_base_price,
+       ROUND(CAST(sd AS DOUBLE), 2) AS sum_disc_price,
+       ROUND(CAST(sc AS DOUBLE), 2) AS sum_charge,
+       ROUND(CAST(sq AS DOUBLE) / count_order, 6) AS avg_qty,
+       ROUND(CAST(sp AS DOUBLE) / count_order, 6) AS avg_price,
+       count_order
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3-style: fact⋈fact⋈dim with a selective dim filter, grouped revenue,
+# top-10. customer is broadcast; top-k is TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+def _top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = F.expr(
+        f"CAST(l_extendedprice AS DECIMAL(18,2)) * ({_ONE} - CAST(l_discount AS DECIMAL(3,2)))"
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.sum(rev).alias("_rev"))
+        .select(
+            "o_orderkey",
+            F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+_TOP_REVENUE_ORACLE = f"""
+SELECT o_orderkey,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * ({_ONE} - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS revenue,
+       o_orderpriority
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5-style: snowflake join through two broadcast dims, revenue per nation.
+# ---------------------------------------------------------------------------
+
+def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, "nation", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = F.expr(
+        f"CAST(l_extendedprice AS DECIMAL(18,2)) * ({_ONE} - CAST(l_discount AS DECIMAL(3,2)))"
+    )
+    dims = F.broadcast(
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("c_custkey", "n_name")
+    )
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).join(
+        dims, orders["o_custkey"] == dims["c_custkey"]
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(rev).alias("_rev"), F.count(F.lit(1)).alias("n_lineitems"))
+        .select("n_name", F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+                "n_lineitems")
+    )
+
+
+_REVENUE_NATION_ORACLE = f"""
+SELECT n_name,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * ({_ONE} - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window: top-3 orders per customer by totalprice (row_number per group).
+# ---------------------------------------------------------------------------
+
+def _top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            F.col("rn").cast("long").alias("rn"),
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+
+
+_TOP_PER_CUSTOMER_ORACLE = """
+SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice AS totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Anti join (set op): parts never ordered at near-max quantity (>= 48),
+# counted by brand. (Plain "never ordered" is degenerate on the fixtures —
+# every part has 14+ lineitems — so the probe side is filtered to keep the
+# anti join non-trivially selective.)
+# ---------------------------------------------------------------------------
+
+def _parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_quantity") >= 48)
+    never = part.join(li.select("l_partkey"), part["p_partkey"] == li["l_partkey"], "left_anti")
+    return never.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+_PARTS_NEVER_ORACLE = """
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM part ANTI JOIN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48) li
+  ON p_partkey = l_partkey
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi join + EXISTS semantics (Q4-style): orders with at least one late
+# lineitem, counted by priority.
+# ---------------------------------------------------------------------------
+
+def _late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    late = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate")).select("l_orderkey").distinct()
+    hit = orders.join(late, orders["o_orderkey"] == late["l_orderkey"], "left_semi")
+    return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+_LATE_PRIORITY_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped agg with HAVING: customers whose total spend clears a threshold.
+# ---------------------------------------------------------------------------
+
+def _high_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))")).alias("_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("_spend") > 2_000_000)
+    )
+    return spend.join(F.broadcast(cust), spend["o_custkey"] == cust["c_custkey"]).select(
+        "c_custkey",
+        "c_name",
+        F.col("_spend").cast("double").alias("total_spend"),
+        "n_orders",
+    )
+
+
+_HIGH_VALUE_ORACLE = """
+SELECT c_custkey, c_name, CAST(spend AS DOUBLE) AS total_spend, n_orders
+FROM (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+  HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 2000000
+) JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-dim rollup: average account balance per (region, nation).
+# ---------------------------------------------------------------------------
+
+def _acctbal_by_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, "region", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    joined = cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]).join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    )
+    agg = joined.groupBy("r_name", "n_name").agg(
+        F.sum(F.expr("CAST(c_acctbal AS DECIMAL(18,2))")).alias("_s"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+    return agg.select(
+        "r_name",
+        "n_name",
+        F.round(F.col("_s").cast("double") / F.col("n_customers"), 6).alias("avg_acctbal"),
+        "n_customers",
+    )
+
+
+_ACCTBAL_ORACLE = """
+SELECT r_name, n_name,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_acctbal,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Date/scalar functions + distinct counting: monthly order stats.
+# ---------------------------------------------------------------------------
+
+def _orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_custkey",
+            F.expr("CAST(o_totalprice AS DECIMAL(18,2))").alias("_p"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.sum("_p").cast("double").alias("total_price"),
+        )
+    )
+
+
+_ORDERS_MONTH_ORACLE = """
+SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY month
+"""
+
+
+QUERIES = {
+    "rel_pricing_summary": (_pricing_summary, _PRICING_ORACLE),
+    "rel_top_revenue_orders": (_top_revenue_orders, _TOP_REVENUE_ORACLE),
+    "rel_revenue_by_nation": (_revenue_by_nation, _REVENUE_NATION_ORACLE),
+    "rel_top_orders_per_customer": (_top_orders_per_customer, _TOP_PER_CUSTOMER_ORACLE),
+    "rel_parts_never_ordered": (_parts_never_ordered, _PARTS_NEVER_ORACLE),
+    "rel_late_order_priority": (_late_order_priority_counts, _LATE_PRIORITY_ORACLE),
+    "rel_high_value_customers": (_high_value_customers, _HIGH_VALUE_ORACLE),
+    "rel_acctbal_by_region_nation": (_acctbal_by_region_nation, _ACCTBAL_ORACLE),
+    "rel_orders_by_month": (_orders_by_month, _ORDERS_MONTH_ORACLE),
+}

@@ -32,8 +32,8 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Fixture columns written as parquet TIMESTAMP(NANOS). With
 # spark.sql.legacy.parquet.nanosAsLong=true they arrive as epoch-nanos
-# longs; all fixture values are µs-granular (verified), so nanos→micros
-# is lossless.
+# longs; all fixture values are µs-granular (verified), so integer
+# nanos→micros division is lossless (double division is NOT — see below).
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -47,7 +47,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     for col in _NANOS_TS_COLS.get(name, ()):
         field = df.schema[col]
         if isinstance(field.dataType, T.LongType):
-            df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+            # Integer division: epoch-nanos (~1.7e18) exceed double's 2^53
+            # exact range, so `/ 1000` + cast can land 1 µs low. `div` stays
+            # in exact 64-bit integer arithmetic (values are µs-granular).
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
 
 

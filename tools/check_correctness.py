@@ -1,0 +1,102 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every declared query at sf0.01 in Spark AND its DuckDB oracle,
+compares row count, column names, and an order-insensitive value hash
+(columns sorted by name, rows sorted by all columns, values stringified).
+
+Usage: python tools/check_correctness.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    cols = sorted(df.columns)
+    df = df[cols].copy()
+    for c in cols:
+        # stringify deterministically; floats via repr (shortest round-trip)
+        df[c] = df[c].map(lambda v: repr(v) if isinstance(v, float) else str(v))
+    rows = sorted(df.itertuples(index=False, name=None))
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return len(rows), cols, h.hexdigest()
+
+
+def main() -> int:
+    import __spark_entry__ as E
+    from aeuc_vector_db_spark.session import get_spark
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    only = set(sys.argv[1:])
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark query raised")
+            traceback.print_exc()
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception:
+            print(f"FAIL  {name}: oracle SQL raised")
+            traceback.print_exc()
+            failures += 1
+            continue
+        sn, sc, sh = canon(sdf)
+        on, oc, oh = canon(odf)
+        status = "ok" if (sn, sc, sh) == (on, oc, oh) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+            print(f"FAIL  {name}: rows {sn}/{on} cols {sc}/{oc} hash {'=' if sh==oh else '≠'}")
+            if sc == oc and sn == on:
+                # show first differing rows for debugging
+                merged = sdf[sorted(sdf.columns)].round(9)
+                omerged = odf[sorted(odf.columns)].round(9)
+                key = sorted(sdf.columns)
+                a = merged.sort_values(key).reset_index(drop=True)
+                b = omerged.sort_values(key).reset_index(drop=True)
+                neq = (a.astype(str) != b.astype(str)).any(axis=1)
+                print(a[neq].head(3))
+                print(b[neq].head(3))
+        else:
+            print(f"ok    {name}  ({sn} rows, {time.time()-t0:.1f}s)")
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
