@@ -70,12 +70,26 @@ def form_pglyphs(
     group_cols: list[str],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = True,
 ) -> DataFrame:
     """Form one PGlyph row per group (A10): deterministic pglyph_id =
     sha2(sorted member ids), centroid, inertia, member_count.
 
     Output: group_cols + (pglyph_id, centroid, inertia, member_count).
+
+    materialize=True persists the (projected) input before the three
+    aggregate passes (centroid, members, inertia) — otherwise the whole
+    upstream pipeline (e.g. auto_cluster's norm + min/max + banding)
+    re-executes once per pass. The projection keeps only the columns the
+    aggregates read, so the cached footprint is minimal; at cluster scale
+    this is the standard persist-before-multi-pass pattern (StorageLevel
+    MEMORY_AND_DISK spills instead of OOMing).
     """
+    df = df.select(*group_cols, id_col, vec_col)
+    if materialize:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     cents = centroids(df, group_cols, vec_col)
     inert = inertia(df, cents, group_cols, vec_col)
     members = df.groupBy(*group_cols).agg(

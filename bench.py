@@ -53,9 +53,13 @@ def main() -> None:
     spark = get_spark("bench")
     registry = Q.queries()
 
-    # Warm the JVM/codegen/Arrow paths once with a trivial job so the
-    # first measured query doesn't pay session bring-up.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Warm the JVM/codegen/Arrow/python-worker paths once with real code
+    # paths at the smallest sf so the first measured query doesn't pay
+    # session bring-up (the baseline numbers are warm-loop measurements).
+    warm_dir = "/root/testdata/sf0.001"
+    for warm_q in ("knn_cosine_topk", "knn_phi_topk"):
+        if warm_q in registry:
+            registry[warm_q](spark, warm_dir).collect()
 
     per_query: dict[str, float] = {}
     total = 0.0
