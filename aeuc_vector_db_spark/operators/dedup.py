@@ -1,0 +1,204 @@
+"""Deduplication operators (SURVEY.md §2.C E3 — charter LLM-pipeline ops).
+
+Four families, each a different cost/recall point, all bucketed (never
+all-pairs) so the plan survives 100 TB:
+
+- exact:    sha2(text) groupBy — one shuffle on the hash, keep min id.
+- minhash:  shingle → k MinHash sigs → band buckets → candidate pairs
+            (join on band key) → exact Jaccard verify. The classic
+            LSH pipeline: candidate generation is a shuffle on band
+            keys; only candidates are verified. Skewed buckets (boiler-
+            plate shingles) are the known hazard — AQE skew-join or
+            salting the band key handles it.
+- simhash:  16-bit fingerprint, bucket by fingerprint (or fingerprint
+            bands for hamming>0 tolerance).
+- embedding: cosine near-dup over a blocking key (label/cluster id) —
+            the brute-force-within-bucket baseline; the ANN module
+            (operators/ann.py) is the scale path.
+
+Hashes are the cross-engine polyhash (operators/text.py) so every stage
+is oracle-checkable in DuckDB. MLlib's MinHashLSH implements the same
+algorithm JVM-side; this SQL formulation is preferred because its
+signatures are reproducible outside Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aeuc_vector_db_spark.operators.text import (
+    jaccard_col,
+    minhash_signature_col,
+    shingle_hashes_pandas,
+)
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup: group identical texts by sha2, keep the smallest id.
+
+    Returns (id_col, text_hash, dup_count) — one row per distinct text,
+    keeper id = min(id). One shuffle on the 256-bit hash; at 100 TB the
+    text itself never shuffles, only (hash, id) pairs.
+    """
+    hashed = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("text_hash"))
+    return hashed.groupBy("text_hash").agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def shingle_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sh) — distinct shingle-hash set per doc, computed once via the
+    Arrow fast path and persisted: the signature pass AND the verify pass
+    both read it, so the expensive text→hashes work runs a single time."""
+    from pyspark import StorageLevel
+
+    return df.select(
+        F.col(id_col), shingle_hashes_pandas(shingle_n)(F.col(text_col)).alias("sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _candidates_from_sigs(
+    sigs: DataFrame, id_col: str, k: int, band_size: int
+) -> DataFrame:
+    n_bands = k // band_size
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice("sig", b * band_size + 1, band_size).alias("vals"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.vals").alias("vals"))
+    a = bands.select(F.col(id_col).alias("a_id"), "band", "vals")
+    b = bands.select(F.col(id_col).alias("b_id"), "band", "vals")
+    return (
+        a.join(b, ["band", "vals"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 MinHash band.
+
+    Output: (a_id, b_id) with a_id < b_id, distinct. The join key is
+    (band_index, band signature values) — a real bucketed plan: the
+    corpus shuffles once on band keys, never crossJoins.
+    """
+    sets_ = shingle_sets(df, id_col, text_col, shingle_n)
+    sigs = sets_.filter(F.size("sh") > 0).select(
+        F.col(id_col), minhash_signature_col(F.col("sh"), k).alias("sig")
+    )
+    return _candidates_from_sigs(sigs, id_col, k, band_size)
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup: candidates → exact shingle-set Jaccard
+    verify ≥ threshold. Returns (a_id, b_id, jaccard).
+
+    The shingle sets are computed once (Arrow fast path, persisted) and
+    reused by the signature pass and the verify joins; verification only
+    touches the candidate pairs — never all pairs.
+    """
+    sets_ = shingle_sets(df, id_col, text_col, shingle_n)
+    sigs = sets_.filter(F.size("sh") > 0).select(
+        F.col(id_col), minhash_signature_col(F.col("sh"), k).alias("sig")
+    )
+    cands = _candidates_from_sigs(sigs, id_col, k, band_size)
+    a_sets = sets_.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
+    b_sets = sets_.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
+    return (
+        cands.join(a_sets, "a_id")
+        .join(b_sets, "b_id")
+        .select("a_id", "b_id", jaccard_col(F.col("a_sh"), F.col("b_sh")).alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_col: Column | str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """n-gram Jaccard near-dup within explicit blocks (e.g. same source /
+    same first token): pairs only form inside a block — the blocked
+    baseline when a natural partition key exists."""
+    blk = F.col(block_col) if isinstance(block_col, str) else block_col
+    sets_ = df.select(
+        blk.alias("block"),
+        F.col(id_col),
+        shingle_hashes_pandas(shingle_n)(F.col(text_col)).alias("sh"),
+    )
+    a = sets_.select(F.col("block"), F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
+    b = sets_.select(F.col("block"), F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "block", "a_id", "b_id", jaccard_col(F.col("a_sh"), F.col("b_sh")).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding-cosine near-dup within blocks. Returns
+    (block, a_id, b_id, cos). Blocking keeps the pair count at
+    Σ nᵢ² instead of N²; at scale the block key is a trained cluster id
+    (operators/ann.py) rather than a label."""
+    from aeuc_vector_db_spark.functions.similarity import cosine_col
+    from aeuc_vector_db_spark.functions.vector import as_double
+
+    base = df.select(
+        F.col(block_col).alias("block"), F.col(id_col), as_double(vec_col).alias("v")
+    )
+    a = base.select("block", F.col(id_col).alias("a_id"), F.col("v").alias("a_v"))
+    b = base.select("block", F.col(id_col).alias("b_id"), F.col("v").alias("b_v"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("block", "a_id", "b_id", cosine_col(F.col("a_v"), F.col("b_v")).alias("cos"))
+        .filter(F.col("cos") >= F.lit(threshold))
+    )

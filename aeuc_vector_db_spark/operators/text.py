@@ -1,0 +1,302 @@
+"""Text-analysis operators over a documents table (SURVEY.md §2.C E4).
+
+The reference has no text surface; these are the charter's LLM-data-
+pipeline operators (BASELINE.json north star: "text analysis"), built
+from public Spark SQL primitives. Everything here is a pure Column
+expression (higher-order functions over token arrays) so the same
+formula can be mirrored term-for-term in a DuckDB oracle.
+
+Cross-engine hash primitive: `polyhash_col` — the classic Java-style
+rolling hash h = (31·h + char) mod (2³¹−1), expressible identically in
+Spark (`aggregate`) and DuckDB (`list_reduce`; its first-element-init
+quirk is neutral because 0·31 + c = c). xxhash64/sha2 are available and
+JVM-fast, but their outputs can't be reproduced by DuckDB SQL, so every
+fingerprint that the oracle must verify goes through polyhash.
+
+Scale notes (100 TB design point):
+- token/shingle work is per-row (narrow) — no shuffle; it parallelizes
+  with the scan and pushes column pruning down to (doc_id, text).
+- term/document frequencies are groupBy aggs — partial aggregation
+  (map-side combine) keeps shuffle volume at #distinct-terms, not
+  #token-occurrences.
+- HOF expressions are CodegenFallback (interpreted). At real scale the
+  same formulas drop into an Arrow-batched pandas UDF (see
+  similarity._phi_scores_sequential for the pattern); the declared
+  queries keep the SQL form because bit-identical oracle parity matters
+  more at test scale than constant-factor speed.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aeuc_vector_db_spark.functions.vector import _c
+
+#: mod for the rolling hash — the Mersenne prime 2³¹ − 1.
+HASH_MOD = 2_147_483_647
+
+#: Fixed affine rehash constants (aᵢ·h + bᵢ mod HASH_MOD) for MinHash
+#: signatures — literals so Spark and DuckDB share the exact same family.
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
+    (1_103_515_245, 12_345),
+    (214_013, 2_531_011),
+    (69_069, 362_437),
+    (134_775_813, 1),
+    (22_695_477, 7_777_777),
+    (48_271, 39_916_801),
+    (65_539, 999_983),
+    (16_807, 104_729),
+)
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+#: Small fixed stopword list (public-domain common English function words).
+STOPWORDS: tuple[str, ...] = ("the", "a", "an", "of", "to", "in", "and", "is", "on", "for")
+
+#: Keyword profiles for the n-gram/stopword language-ID heuristic.
+#: Deterministic argmax (score desc, lang asc); docs matching nothing → 'und'.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "an", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "los", "de", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est", "un"),
+}
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Lowercased word tokens: split on non-alphanumeric runs, drop empties.
+
+    This is the whitespace+punctuation tokenizer; `token_count_bpe_ish`
+    adds the subword-style estimate.
+    """
+    return F.filter(F.split(F.lower(_c(text)), TOKEN_SPLIT_RE), lambda x: x != F.lit(""))
+
+
+def polyhash_col(s: Column | str) -> Column:
+    """Rolling hash of a string: fold (31·h + ascii(char)) mod 2³¹−1.
+
+    Sequential left-to-right over characters — DuckDB mirror:
+    list_reduce(list_transform(range(1, length(s)+1),
+                i -> ascii(substr(s, i, 1))), (h, c) -> (h*31 + c) % m).
+    """
+    s_ = _c(s)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(s_)), lambda i: F.ascii(s_.substr(i, F.lit(1)))
+    )
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda h, c: (h * F.lit(31) + c.cast("long")) % F.lit(HASH_MOD),
+    )
+
+
+def shingles_col(tokens: Column | str, n: int = 3) -> Column:
+    """n-word shingles as space-joined strings; < n tokens → empty array."""
+    t = _c(tokens)
+    idx = F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
+    make = F.transform(
+        idx,
+        lambda j: F.concat_ws(" ", *[F.element_at(t, (j + F.lit(k)).cast("int")) for k in range(n)]),
+    )
+    return F.when(F.size(t) >= n, make).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_hashes_col(text: Column | str, n: int = 3) -> Column:
+    """Distinct polyhashes of the text's n-word shingles (the MinHash input set)."""
+    return F.array_distinct(F.transform(shingles_col(tokens_col(text), n), polyhash_col))
+
+
+def _py_tokens(s: str) -> list[str]:
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+
+def _py_polyhash(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % HASH_MOD
+    return h
+
+
+def shingle_hashes_pandas(n: int = 3):
+    """Arrow-batched twin of shingle_hashes_col — identical values (integer
+    arithmetic is exact on both paths; ord == ascii code point), ~100×
+    faster than the interpreted nested-HOF expression. The hot path for
+    the dedup operators; element order differs from the SQL form but all
+    consumers (array_min, array_intersect) are order-insensitive.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def f(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            toks = _py_tokens(s)
+            hs = {
+                _py_polyhash(" ".join(toks[i : i + n]))
+                for i in range(len(toks) - n + 1)
+            }
+            out.append(list(hs))
+        return pd.Series(out)
+
+    return f
+
+
+def minhash_signature_col(hash_set: Column, k: int = 8) -> Column:
+    """k-element MinHash signature: min over the set of (aᵢ·h + bᵢ) mod m.
+
+    aᵢ·h < 2⁶² so the arithmetic stays exact in 64-bit integers in both
+    engines. Empty sets yield nulls (callers filter docs with no shingles).
+    """
+    def affine(a: int, b: int):
+        # closure factory: a 1-arg lambda (a default-arg 2nd param would make
+        # pyspark treat it as the (element, index) two-arg transform form)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_MOD)
+
+    sigs = [
+        F.array_min(F.transform(hash_set, affine(a, b))) for a, b in MINHASH_COEFFS[:k]
+    ]
+    return F.array(*sigs)
+
+
+def simhash16_col(tokens: Column | str) -> Column:
+    """16-bit SimHash over token polyhashes.
+
+    bit b of the fingerprint is 1 iff Σ_tokens (2·((h ≫ b) & 1) − 1) > 0.
+    The shift is floor(h / 2ᵇ) — h < 2³¹ so double division is exact.
+    """
+    hashes = F.transform(_c(tokens), polyhash_col)
+
+    def bit_contrib(b: Column) -> Column:
+        pw = F.floor(F.pow(F.lit(2.0), b.cast("double"))).cast("long")
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.lit(2) * (F.floor(h / pw) % F.lit(2)) - F.lit(1)),
+        )
+        return F.when(vote > 0, pw).otherwise(F.lit(0).cast("long"))
+
+    return F.aggregate(
+        F.transform(F.sequence(F.lit(0), F.lit(15)), bit_contrib),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def jaccard_col(a: Column, b: Column) -> Column:
+    """|A∩B| / |A∪B| for pre-distincted arrays (exact integer counts,
+    double division at the end — order-independent)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))
+    return inter / union.cast("double")
+
+
+def language_id_col(tokens: Column | str) -> Column:
+    """Keyword-profile language ID: argmax profile hit-count, ties broken
+    by language code ascending; zero hits everywhere → 'und'."""
+    t = _c(tokens)
+    scored = []
+    for lang in sorted(LANG_PROFILES):
+        prof = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+        score = F.size(F.filter(t, lambda x: F.array_contains(prof, x)))
+        scored.append(F.struct(score.alias("s"), F.lit(lang).alias("lang")))
+    # array_max on (score, lang) structs picks highest score; for equal
+    # scores it picks the LAST lang lexicographically, so order langs
+    # descending and flip: use array_sort and take the element that wins
+    # (score DESC, lang ASC) — encode as (-score, lang) sorted ascending.
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct((-s["s"]).alias("neg"), s["lang"].alias("lang"), s["s"].alias("s"))
+                for s in scored
+            ]
+        )
+    )
+    best = F.element_at(ranked, 1)
+    return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score_col(text: Column | str) -> Column:
+    """Heuristic doc-quality score in [0,1]: blends length, stopword
+    ratio, and mean token length (the classic cheap pre-filters a
+    training-data pipeline runs before expensive model scoring).
+
+    score = 0.4·min(n_tokens/100, 1)
+          + 0.3·min(stopword_ratio/0.1, 1)
+          + 0.3·(1 − |mean_len − 5| / 5, floored at 0)
+    """
+    t = tokens_col(text)
+    n = F.size(t).cast("double")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    sw_ratio = F.size(F.filter(t, lambda x: F.array_contains(sw, x))).cast("double") / n
+    total_len = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    )
+    mean_len = total_len.cast("double") / n
+    len_term = F.greatest(F.lit(0.0), F.lit(1.0) - F.abs(mean_len - F.lit(5.0)) / F.lit(5.0))
+    return (
+        F.lit(0.4) * F.least(n / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * F.least(sw_ratio / F.lit(0.1), F.lit(1.0))
+        + F.lit(0.3) * len_term
+    )
+
+
+def token_count_bpe_ish(text: Column | str) -> Column:
+    """Subword-style token-count estimate: words plus an extra token per
+    started 4-char chunk beyond the first (a cheap BPE proxy —
+    ⌈len/4⌉ per word, summed)."""
+    t = tokens_col(text)
+    return F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.ceil(F.length(x).cast("double") / F.lit(4.0)).cast("long"),
+    )
+
+
+def token_stats_pandas():
+    """Arrow-batched one-pass token stats: struct(n_tokens, n_distinct,
+    total_len, est_bpe_tokens) per text. Integer-exact, so identical to
+    the four separate HOF expressions (which re-tokenize per expression —
+    measured 27 s vs ~2 s at sf0.1)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("n_tokens", LongType()),
+            StructField("n_distinct", LongType()),
+            StructField("total_len", LongType()),
+            StructField("est_bpe_tokens", LongType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def f(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for s in texts:
+            toks = _py_tokens(s)
+            rows.append(
+                (
+                    len(toks),
+                    len(set(toks)),
+                    sum(len(t) for t in toks),
+                    sum(-(-len(t) // 4) for t in toks),
+                )
+            )
+        return pd.DataFrame(rows, columns=["n_tokens", "n_distinct", "total_len", "est_bpe_tokens"])
+
+    return f
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach the standard feature columns to a documents df."""
+    t = tokens_col(text_col)
+    return (
+        df.withColumn("tokens", t)
+        .withColumn("n_tokens", F.size("tokens").cast("long"))
+        .withColumn("quality", quality_score_col(text_col))
+        .withColumn("lang_pred", language_id_col("tokens"))
+        .withColumn("fingerprint", polyhash_col(F.concat_ws(" ", F.col("tokens"))))
+    )

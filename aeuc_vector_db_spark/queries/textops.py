@@ -1,0 +1,453 @@
+"""Declared text-analysis + dedup queries over `documents` (E3/E4) and
+embedding near-dup over `embeddings`, each with a DuckDB oracle.
+
+The fixtures contain no natural duplicates (all 500 texts distinct, max
+same-label embedding cosine 0.47), so the dedup queries plant
+deterministic duplicates in-query (union with id-shifted copies) — the
+same pattern import_dedup uses. Everything is exact integer arithmetic
+until a final rounded division, so hashes are order-independent.
+
+The cross-engine hash is operators.text.polyhash_col: Spark `aggregate`
+and DuckDB `list_reduce` produce identical values (DuckDB's
+first-element-init quirk is neutral for this fold — 0·31 + c = c).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aeuc_vector_db_spark.operators import dedup as D
+from aeuc_vector_db_spark.operators import text as TX
+from aeuc_vector_db_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# DuckDB fragment builders mirroring operators/text.py
+# ---------------------------------------------------------------------------
+
+_TOKENS = "list_filter(string_split_regex(lower({t}), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _dk_tokens(t: str = "text") -> str:
+    return _TOKENS.format(t=t)
+
+
+def _dk_polyhash(s: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, length({s})+1),"
+        f" i -> CAST(ascii(substr({s}, i, 1)) AS BIGINT)),"
+        f" (h, c) -> (h*31 + c) % {TX.HASH_MOD})"
+    )
+
+
+def _dk_shingles(toks: str, n: int = 3) -> str:
+    joined = " || ' ' || ".join(f"{toks}[j+{k}]" if k else f"{toks}[j]" for k in range(n))
+    # duckdb range(a, b) is half-open [a, b): last shingle start = len-n+1
+    return f"list_transform(range(1, greatest(len({toks})-{n-2}, 1)), j -> {joined})"
+
+
+def _dk_shingle_hashes(text: str = "text", n: int = 3) -> str:
+    return f"list_distinct(list_transform({_dk_shingles(_dk_tokens(text), n)}, s -> {_dk_polyhash('s')}))"
+
+
+def _dk_minhash(shset: str, k: int = 8) -> str:
+    sigs = ", ".join(
+        f"list_min(list_transform({shset}, h -> ({a}*h + {b}) % {TX.HASH_MOD}))"
+        for a, b in TX.MINHASH_COEFFS[:k]
+    )
+    return f"[{sigs}]"
+
+
+def _dk_jaccard(a: str, b: str) -> str:
+    inter = f"len(list_filter({a}, x -> list_contains({b}, x)))"
+    return f"(CAST({inter} AS DOUBLE) / CAST(len({a}) + len({b}) - {inter} AS DOUBLE))"
+
+
+def _dk_lang_score(toks: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TX.LANG_PROFILES[lang])
+    return f"len(list_filter({toks}, x -> list_contains([{words}], x)))"
+
+
+# ---------------------------------------------------------------------------
+# E4: token stats / term frequencies / TF-IDF / n-grams / language / quality
+# ---------------------------------------------------------------------------
+
+def _doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    st = docs.select("doc_id", TX.token_stats_pandas()(F.col("text")).alias("st"))
+    return st.select(
+        "doc_id",
+        F.col("st.n_tokens").alias("n_tokens"),
+        F.col("st.n_distinct").alias("n_distinct"),
+        F.round(
+            F.col("st.total_len").cast("double") / F.col("st.n_tokens").cast("double"), 6
+        ).alias("avg_token_len"),
+        F.col("st.est_bpe_tokens").alias("est_bpe_tokens"),
+    )
+
+
+_TOKEN_STATS_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_dk_tokens()} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       ROUND(CAST(list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
+                              (a, b) -> a + b) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len,
+       CAST(list_reduce(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT)),
+                        (a, b) -> a + b) AS BIGINT) AS est_bpe_tokens
+FROM t
+"""
+
+
+def _doc_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(F.explode(TX.tokens_col("text")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("token", "cnt", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_TERM_FREQ_ORACLE = f"""
+WITH tok AS (SELECT unnest({_dk_tokens()}) AS token FROM documents),
+counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+ranked AS (
+  SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank FROM counts
+)
+SELECT token, cnt, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 50
+"""
+
+
+def _doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(TX.tokens_col("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        (
+            F.log((F.col("n_docs").cast("double") + F.lit(1.0)) / (F.col("df").cast("double") + F.lit(1.0)))
+            + F.lit(1.0)
+        ).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "token").select(
+        "doc_id", "token", (F.col("tf").cast("double") * F.col("idf")).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token").asc())
+    return (
+        scored.filter(F.col("doc_id") < 50)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", F.round("score", 9).alias("score"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({_dk_tokens()}) AS token FROM documents),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+idf AS (
+  SELECT token, ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0 AS idf
+  FROM dfreq CROSS JOIN n
+),
+scored AS (
+  SELECT doc_id, tf.token, CAST(tf AS DOUBLE) * idf AS score
+  FROM tf JOIN idf ON tf.token = idf.token WHERE doc_id < 50
+),
+ranked AS (
+  SELECT doc_id, token, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, token, ROUND(score, 9) AS score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def _doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    grams = docs.select(
+        F.explode(TX.shingles_col(TX.tokens_col("text"), n=2)).alias("bigram")
+    )
+    counts = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("bigram", "cnt", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_BIGRAM_ORACLE = f"""
+WITH g AS (
+  SELECT unnest({_dk_shingles(_dk_tokens(), 2)}) AS bigram FROM documents
+),
+counts AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY bigram),
+ranked AS (
+  SELECT bigram, cnt, row_number() OVER (ORDER BY cnt DESC, bigram ASC) AS rank FROM counts
+)
+SELECT bigram, cnt, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 20
+"""
+
+
+def _doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", "lang", TX.language_id_col(TX.tokens_col("text")).alias("lang_pred")
+    )
+
+
+# Tie-break must match language_id_col: (score desc, lang asc) — the CASE
+# chain tests languages in ascending code order with >= comparisons.
+_LANG_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, {_dk_tokens()} AS toks FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         {_dk_lang_score('toks', 'de')} AS s_de,
+         {_dk_lang_score('toks', 'en')} AS s_en,
+         {_dk_lang_score('toks', 'es')} AS s_es,
+         {_dk_lang_score('toks', 'fr')} AS s_fr
+  FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM s
+"""
+
+
+def _doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(TX.tokens_col("text")).cast("long").alias("n_tokens"),
+        F.round(TX.quality_score_col("text"), 9).alias("quality"),
+    )
+
+
+_SW = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+_QUALITY_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_dk_tokens()} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CAST(len(list_filter(toks, x -> list_contains([{_SW}], x))) AS DOUBLE) AS sw,
+         CAST(list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
+                          (a, b) -> a + b) AS DOUBLE) AS total_len
+  FROM t
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       ROUND(0.4 * least(n / 100.0, 1.0)
+           + 0.3 * least((sw / n) / 0.1, 1.0)
+           + 0.3 * greatest(0.0, 1.0 - abs(total_len / n - 5.0) / 5.0), 9) AS quality
+FROM m
+"""
+
+
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    norm = F.concat_ws(" ", TX.tokens_col("text"))
+    return docs.select("doc_id", TX.polyhash_col(norm).alias("fingerprint"))
+
+
+_FINGERPRINT_ORACLE = f"""
+WITH t AS (SELECT doc_id, array_to_string({_dk_tokens()}, ' ') AS norm FROM documents)
+SELECT doc_id, {_dk_polyhash('norm')} AS fingerprint FROM t
+"""
+
+
+def _doc_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", TX.simhash16_col(TX.tokens_col("text")).alias("simhash"))
+
+
+_SIMHASH_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_dk_tokens()} AS toks FROM documents),
+h AS (SELECT doc_id, list_transform(toks, s -> {_dk_polyhash('s')}) AS th FROM t)
+SELECT doc_id,
+       CAST(list_reduce(list_transform(range(0, 16), b ->
+         CASE WHEN list_reduce(
+                list_transform(th, h ->
+                  2 * (CAST(floor(h / CAST(pow(2, b) AS DOUBLE)) AS BIGINT) % 2) - 1),
+                (x, y) -> x + y) > 0
+              THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END),
+         (x, y) -> x + y) AS BIGINT) AS simhash
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# E3: dedup — planted duplicates (fixtures have none), then the real ops
+# ---------------------------------------------------------------------------
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (doc_id % 5 = 0) shifted by +100000."""
+    docs = load_table(spark, "documents", sf_dir)
+    copies = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return docs.unionByName(copies)
+
+
+_DUP_CORPUS_SQL = """
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    groups = D.exact_dedup(_dup_corpus(spark, sf_dir))
+    return groups.filter(F.col("dup_count") > 1).select(
+        F.col("doc_id").alias("keeper_id"), "dup_count"
+    )
+
+
+_EXACT_DEDUP_ORACLE = f"""
+WITH corpus AS ({_DUP_CORPUS_SQL})
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM corpus GROUP BY sha256(text) HAVING COUNT(*) > 1
+"""
+
+
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-dup copies: doc_id % 10 = 0, last 20 chars cut."""
+    docs = load_table(spark, "documents", sf_dir)
+    copies = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.expr("substring(text, 1, length(text) - 20)"))
+    )
+    return docs.unionByName(copies)
+
+
+_NEAR_DUP_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, substr(text, 1, length(text) - 20) AS text
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _doc_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.minhash_near_dup(
+        _near_dup_corpus(spark, sf_dir), threshold=0.5, k=8, band_size=2, shingle_n=3
+    )
+    return pairs.select("a_id", "b_id", F.round("jaccard", 9).alias("jaccard"))
+
+
+_MINHASH_ORACLE = f"""
+WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}),
+sh AS (
+  SELECT doc_id, {_dk_shingle_hashes('text', 3)} AS shset FROM corpus
+),
+sig AS (
+  SELECT doc_id, shset, {_dk_minhash('shset', 8)} AS sig FROM sh WHERE len(shset) > 0
+),
+bands AS (
+  SELECT doc_id, 0 AS band, sig[1] AS v1, sig[2] AS v2 FROM sig
+  UNION ALL SELECT doc_id, 1, sig[3], sig[4] FROM sig
+  UNION ALL SELECT doc_id, 2, sig[5], sig[6] FROM sig
+  UNION ALL SELECT doc_id, 3, sig[7], sig[8] FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT a_id, b_id, {_dk_jaccard('sa.shset', 'sb.shset')} AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = a_id
+  JOIN sh sb ON sb.doc_id = b_id
+)
+SELECT a_id, b_id, ROUND(jaccard, 9) AS jaccard FROM verified WHERE jaccard >= 0.5
+"""
+
+
+def _doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.ngram_jaccard_pairs(
+        _near_dup_corpus(spark, sf_dir).withColumn("block", F.col("doc_id") % 100000 % 50),
+        block_col="block",
+        threshold=0.6,
+        shingle_n=2,
+    )
+    return pairs.select(
+        F.col("block").cast("long").alias("block"), "a_id", "b_id",
+        F.round("jaccard", 9).alias("jaccard"),
+    )
+
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}),
+sh AS (
+  SELECT doc_id % 100000 % 50 AS block, doc_id, {_dk_shingle_hashes('text', 2)} AS shset
+  FROM corpus
+),
+pairs AS (
+  SELECT a.block, a.doc_id AS a_id, b.doc_id AS b_id,
+         {_dk_jaccard('a.shset', 'b.shset')} AS jaccard
+  FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+)
+SELECT CAST(block AS BIGINT) AS block, a_id, b_id, ROUND(jaccard, 9) AS jaccard
+FROM pairs WHERE jaccard >= 0.6
+"""
+
+
+def _emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    copies = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    pairs = D.embedding_near_dup(emb.unionByName(copies), threshold=0.99)
+    return pairs.select(
+        F.col("block").cast("long").alias("label"), "a_id", "b_id",
+        F.round("cos", 9).alias("cos"),
+    )
+
+
+_EMB_NEAR_DUP_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+pairs AS (
+  SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+         list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]), (s, x) -> s + x)
+         / (sqrt(list_reduce(list_transform(a.v, x -> x*x), (s, x) -> s + x))
+            * sqrt(list_reduce(list_transform(b.v, x -> x*x), (s, x) -> s + x)) + 1e-12) AS cos
+  FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT CAST(label AS BIGINT) AS label, a_id, b_id, ROUND(cos, 9) AS cos
+FROM pairs WHERE cos >= 0.99
+"""
+
+
+QUERIES = {
+    "doc_token_stats": (_doc_token_stats, _TOKEN_STATS_ORACLE),
+    "doc_term_frequencies": (_doc_term_frequencies, _TERM_FREQ_ORACLE),
+    "doc_tfidf_topk": (_doc_tfidf_topk, _TFIDF_ORACLE),
+    "doc_bigram_topk": (_doc_bigram_topk, _BIGRAM_ORACLE),
+    "doc_language_id": (_doc_language_id, _LANG_ORACLE),
+    "doc_quality_score": (_doc_quality_score, _QUALITY_ORACLE),
+    "doc_fingerprint": (_doc_fingerprint, _FINGERPRINT_ORACLE),
+    "doc_simhash16": (_doc_simhash16, _SIMHASH_ORACLE),
+    "doc_exact_dedup": (_doc_exact_dedup, _EXACT_DEDUP_ORACLE),
+    "doc_minhash_near_dup": (_doc_minhash_near_dup, _MINHASH_ORACLE),
+    "doc_ngram_jaccard": (_doc_ngram_jaccard, _NGRAM_JACCARD_ORACLE),
+    "emb_near_dup_cosine": (_emb_near_dup, _EMB_NEAR_DUP_ORACLE),
+}

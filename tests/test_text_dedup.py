@@ -1,0 +1,134 @@
+"""Unit tests for text-analysis (E4) and dedup (E3) operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aeuc_vector_db_spark.operators import dedup as D
+from aeuc_vector_db_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "The quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "The quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different text about spark engines and tables"),
+        (5, "a an of to in and is on for the"),  # all stopwords
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tokens_lowercase_and_split(spark):
+    df = spark.createDataFrame([("Hello, World! 42x",)], "text string")
+    out = df.select(TX.tokens_col("text").alias("t")).collect()[0]["t"]
+    assert out == ["hello", "world", "42x"]
+
+
+def test_polyhash_matches_python(spark):
+    df = spark.createDataFrame([("abc",), ("hello world",)], "s string")
+    got = [r["h"] for r in df.select(TX.polyhash_col("s").alias("h")).collect()]
+    assert got == [TX._py_polyhash("abc"), TX._py_polyhash("hello world")]
+
+
+def test_shingles_and_edge_cases(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    out = df.select(TX.shingles_col(TX.tokens_col("text"), 3).alias("s")).collect()
+    assert out[0]["s"] == ["a b c", "b c d"]
+    assert out[1]["s"] == []  # fewer than n tokens
+
+
+def test_shingle_hashes_sql_vs_pandas_identical(docs):
+    sql_side = docs.select(
+        "doc_id", F.array_sort(TX.shingle_hashes_col("text", 3)).alias("h")
+    )
+    arrow_side = docs.select(
+        "doc_id", F.array_sort(TX.shingle_hashes_pandas(3)(F.col("text"))).alias("h")
+    )
+    a = {r["doc_id"]: r["h"] for r in sql_side.collect()}
+    b = {r["doc_id"]: r["h"] for r in arrow_side.collect()}
+    assert a == b
+
+
+def test_minhash_signature_deterministic(docs):
+    sig = docs.filter("doc_id = 1").select(
+        TX.minhash_signature_col(TX.shingle_hashes_col("text", 3), 8).alias("sig")
+    )
+    s1 = sig.collect()[0]["sig"]
+    s2 = sig.collect()[0]["sig"]
+    assert s1 == s2 and len(s1) == 8 and all(v >= 0 for v in s1)
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    groups = D.exact_dedup(docs)
+    dup = groups.filter(F.col("dup_count") > 1).collect()
+    assert len(dup) == 1
+    assert dup[0]["doc_id"] == 1 and dup[0]["dup_count"] == 2
+
+
+def test_minhash_near_dup_finds_planted_pair(docs):
+    pairs = D.minhash_near_dup(docs, threshold=0.4).collect()
+    found = {(r["a_id"], r["b_id"]) for r in pairs}
+    assert (1, 2) in found  # exact dup → jaccard 1.0
+    assert (1, 3) in found or (2, 3) in found  # near dup shares most shingles
+    assert all(r["jaccard"] >= 0.4 for r in pairs)
+    assert not any(4 in (a, b) for a, b in found)  # unrelated doc untouched
+
+
+def test_jaccard_exact_value(spark):
+    df = spark.createDataFrame([(1,)], "x int")
+    a = F.array(*[F.lit(i).cast("long") for i in [1, 2, 3, 4]])
+    b = F.array(*[F.lit(i).cast("long") for i in [3, 4, 5, 6]])
+    j = df.select(TX.jaccard_col(a, b).alias("j")).collect()[0]["j"]
+    assert j == pytest.approx(2 / 6)
+
+
+def test_language_id_und_and_en(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is happy"), (2, "xyzzy plugh qwerty")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["l"]
+        for r in df.select(
+            "doc_id", TX.language_id_col(TX.tokens_col("text")).alias("l")
+        ).collect()
+    }
+    assert out[1] == "en"
+    assert out[2] == "und"
+
+
+def test_quality_score_range(docs):
+    vals = [
+        r["q"] for r in docs.select(TX.quality_score_col("text").alias("q")).collect()
+    ]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_simhash_close_for_near_dup(docs):
+    out = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", TX.simhash16_col(TX.tokens_col("text")).alias("s")
+        ).collect()
+    }
+    assert out[1] == out[2]  # identical text → identical fingerprint
+    ham_near = bin(out[1] ^ out[3]).count("1")
+    ham_far = bin(out[1] ^ out[4]).count("1")
+    assert ham_near <= ham_far  # near-dup at least as close as unrelated
+    assert all(0 <= v < 2**16 for v in out.values())
+
+
+def test_embedding_near_dup_blocked(spark):
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [1.0, 0.001, 0.0]),  # near-identical, same block
+        (3, 0, [0.0, 1.0, 0.0]),  # orthogonal, same block
+        (4, 1, [1.0, 0.0, 0.0]),  # identical to 1 but different block
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    pairs = D.embedding_near_dup(df, threshold=0.99).collect()
+    found = {(r["a_id"], r["b_id"]) for r in pairs}
+    assert found == {(1, 2)}  # blocking prevents (1,4); orthogonal filtered
