@@ -1,0 +1,221 @@
+"""Approximate-nearest-neighbor index build + pruned search (E1/E2).
+
+The reference's PGlyph two-level search (vector_field.py:328-345: coarse
+scan over prototypes, then fine scan within winners) generalizes at scale
+to IVF: a trained coarse quantizer (KMeans centroids = learned PGlyphs),
+the corpus stored partitioned by centroid id, and search that reads only
+the nprobe best partitions.
+
+Three layers:
+- build_ivf_index / assign_centroids — KMeans fit (MLlib, fixed seed) and
+  centroid assignment. The distributed generalization of
+  auto_cluster_phi (reference clustering.py:42-79).
+- write_ivf_corpus / read_pruned — corpus persisted with
+  partitionBy("centroid_id"); a probe filter on centroid_id prunes
+  whole directories (PartitionFilters in .explain), so a 100 TB corpus
+  reads only nprobe/k of its files. This is the piece that makes
+  "pruned" honest: without partitioned storage the scan still touches
+  every file.
+- ivf_search_batch — coarse scoring against the (tiny, broadcast)
+  centroid table picks nprobe cells per query; the fine scan is an
+  ordinary exact batch k-NN over the pruned corpus.
+- recall_at_k — evaluation against exact search (the accuracy/cost knob
+  is nprobe; recall=1.0 when nprobe=k).
+
+MLlib's BucketedRandomProjectionLSH / MinHashLSH cover the same need
+with hash families instead of trained centroids; see
+`lsh_bucket_assignments` below for the random-projection variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from aeuc_vector_db_spark.functions.similarity import similarity_col
+from aeuc_vector_db_spark.functions.vector import as_double
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    k: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit KMeans and return (centroids, assignments).
+
+    centroids: (centroid_id INT, centroid ARRAY<DOUBLE>) — k rows, tiny.
+    assignments: (id_col, centroid_id) — one row per corpus vector.
+
+    The fit itself is MLlib's distributed Lloyd iterations (each pass is
+    a map + reduceByKey over the corpus); with a fixed seed the result is
+    deterministic for a given Spark version and partitioning.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vec = corpus.select(
+        F.col(id_col), array_to_vector(as_double(vec_col)).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="features").fit(vec)
+    assignments = (
+        model.transform(vec)
+        .select(F.col(id_col), F.col("prediction").alias("centroid_id"))
+    )
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "centroid_id int, centroid array<double>",
+    )
+    return centroids, assignments
+
+
+def write_ivf_corpus(
+    corpus: DataFrame,
+    assignments: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the corpus partitioned by centroid_id.
+
+    Directory-per-centroid layout is what turns nprobe selection into
+    file pruning: `read_pruned` produces PartitionFilters, not a full
+    scan. At 100 TB, also bucket within partitions by id for join
+    locality."""
+    from aeuc_vector_db_spark.sources.tables import write_partitioned
+
+    write_partitioned(corpus.join(assignments, id_col), path, ["centroid_id"])
+
+
+def read_pruned(spark, path: str, centroid_ids: list[int]) -> DataFrame:
+    """Read only the named centroid partitions (partition pruning — check
+    .explain('formatted') for PartitionFilters: [centroid_id IN ...])."""
+    return spark.read.parquet(path).filter(F.col("centroid_id").isin(centroid_ids))
+
+
+def coarse_probe(
+    centroids: DataFrame,
+    queries: DataFrame,
+    nprobe: int = 4,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """Pick each query's nprobe best cells: (query_id, centroid_id).
+
+    The centroid table is k rows — broadcast; the 'scan' is k·Q scores.
+    Total order (score DESC, centroid_id ASC) keeps results deterministic.
+    """
+    q = queries.select(
+        F.col(query_id_col), as_double(query_vec_col).alias("__qv__")
+    )
+    scored = q.crossJoin(F.broadcast(centroids)).select(
+        query_id_col,
+        "centroid_id",
+        similarity_col(F.col("centroid"), F.col("__qv__"), metric).alias("__s__"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__s__").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("__r__", F.row_number().over(w))
+        .filter(F.col("__r__") <= nprobe)
+        .select(query_id_col, "centroid_id")
+    )
+
+
+def ivf_search_batch(
+    corpus_with_cells: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    nprobe: int = 4,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """IVF search: coarse probe → fine exact k-NN within selected cells.
+
+    The fine join key is centroid_id, so each query only scores vectors
+    in its nprobe cells (with partitioned storage: only reads them).
+    Returns (query_id, id, score, rank) like knn_search_batch.
+    """
+    cells = coarse_probe(centroids, queries, nprobe, metric, query_id_col, query_vec_col)
+    q = queries.select(
+        F.col(query_id_col), as_double(query_vec_col).alias("__qv__")
+    ).join(cells, query_id_col)
+    joined = corpus_with_cells.join(
+        F.broadcast(q), "centroid_id"
+    )
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        similarity_col(as_double(vec_col), F.col("__qv__"), metric).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall: |approx ∩ exact| / |exact| over the top-k sets."""
+    a = approx.select(query_id_col, id_col)
+    e = exact.select(query_id_col, id_col)
+    hits = a.join(e, [query_id_col, id_col]).groupBy(query_id_col).agg(
+        F.count(F.lit(1)).alias("__hits__")
+    )
+    totals = e.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("__total__"))
+    return (
+        totals.join(hits, query_id_col, "left")
+        .select(
+            query_id_col,
+            (F.coalesce(F.col("__hits__"), F.lit(0)).cast("double") / F.col("__total__"))
+            .alias("recall"),
+        )
+    )
+
+
+def lsh_bucket_assignments(
+    corpus: DataFrame,
+    bucket_length: float = 2.0,
+    num_tables: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E1 hash-family variant: BucketedRandomProjectionLSH bucket ids.
+
+    Returns (id, hashes ARRAY<ARRAY<DOUBLE>>) — one bucket id per table.
+    Near-dup / ANN candidates share a bucket in ≥1 table; the join is on
+    (table_idx, bucket), the same bucketed shape as MinHash banding.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vec = corpus.select(
+        F.col(id_col), array_to_vector(as_double(vec_col)).alias("features")
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=seed,
+    ).fit(vec)
+    out = model.transform(vec)
+    return out.select(
+        F.col(id_col),
+        F.transform(F.col("hashes"), lambda v: vector_to_array(v)).alias("hashes"),
+    )

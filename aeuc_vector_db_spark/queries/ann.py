@@ -1,0 +1,98 @@
+"""Declared ANN queries (E1/E2).
+
+`ivf_pruned_search` uses a deterministic coarse quantizer (per-label
+centroids — the engine's PGlyph analog) so the whole two-level plan is
+SQL-expressible and DuckDB-oracled. `ann_ivf_recall` swaps in a trained
+KMeans quantizer (MLlib, fixed seed) — not SQL-expressible, so it's a
+rows-only check; its semantics are pinned by tests/test_ann.py instead
+(recall = 1.0 at nprobe = k, partition pruning visible in the plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aeuc_vector_db_spark.operators import ann as A
+from aeuc_vector_db_spark.operators import clustering as C
+from aeuc_vector_db_spark.queries.core import QUERY_FILTER, _queries_df
+from aeuc_vector_db_spark.sources.tables import load_table
+
+
+def _ivf_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level search with label-centroid cells, nprobe=3, top-10."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = C.centroids(emb, ["label"]).select(
+        F.col("label").cast("int").alias("centroid_id"), "centroid"
+    )
+    corpus = emb.withColumn("centroid_id", F.col("label").cast("int"))
+    res = A.ivf_search_batch(
+        corpus, cents, _queries_df(spark, sf_dir), top_k=10, nprobe=3
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("score", 9).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_IVF_ORACLE = f"""
+WITH pts AS (
+  SELECT label,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+), cent AS (
+  SELECT label, pos, AVG(val) AS c FROM pts GROUP BY label, pos
+), cvec AS (
+  SELECT label AS centroid_id, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label
+), q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE {QUERY_FILTER}
+), coarse AS (
+  SELECT query_id, centroid_id, qv,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY list_reduce(list_transform(list_zip(centroid, qv), p -> p[1]*p[2]), (s,x)->s+x)
+                    / (sqrt(list_reduce(list_transform(centroid, x -> x*x), (s,x)->s+x))
+                       * sqrt(list_reduce(list_transform(qv, x -> x*x), (s,x)->s+x)) + 1e-12) DESC,
+                    centroid_id ASC
+         ) AS r
+  FROM cvec CROSS JOIN q
+), cells AS (
+  SELECT query_id, centroid_id, qv FROM coarse WHERE r <= 3
+), fine AS (
+  SELECT cells.query_id, e.vec_id,
+         list_reduce(list_transform(list_zip(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qv),
+                                    p -> p[1]*p[2]), (s,x)->s+x)
+         / (sqrt(list_reduce(list_transform(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                            x -> x*x), (s,x)->s+x))
+            * sqrt(list_reduce(list_transform(qv, x -> x*x), (s,x)->s+x)) + 1e-12) AS s
+  FROM embeddings e JOIN cells ON e.label = cells.centroid_id
+), ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+  FROM fine
+)
+SELECT query_id, vec_id, ROUND(s, 9) AS score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-KMeans IVF recall@10 vs exact search (rows-only check)."""
+    from aeuc_vector_db_spark.operators.search import knn_search_batch
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = _queries_df(spark, sf_dir)
+    centroids, assignments = A.build_ivf_index(emb, k=8, seed=42)
+    corpus = emb.join(assignments, "vec_id")
+    approx = A.ivf_search_batch(corpus, centroids, queries, top_k=10, nprobe=2)
+    exact = knn_search_batch(emb, queries, top_k=10)
+    rec = A.recall_at_k(approx, exact)
+    return rec.select("query_id", F.round("recall", 3).alias("recall")).orderBy("query_id")
+
+
+QUERIES = {
+    "ivf_pruned_search": (_ivf_pruned_search, _IVF_ORACLE),
+    "ann_ivf_recall": (_ann_ivf_recall, None),
+}

@@ -1,0 +1,99 @@
+"""Tests for the IVF/LSH ANN layer (E1/E2): trained index, partitioned
+storage with pruning, recall semantics."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from aeuc_vector_db_spark.operators import ann as A
+from aeuc_vector_db_spark.operators.search import knn_search_batch
+from aeuc_vector_db_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, "embeddings", SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    return emb.filter(F.col("vec_id") % 100 == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+
+
+@pytest.fixture(scope="module")
+def index(emb):
+    return A.build_ivf_index(emb, k=8, seed=42)
+
+
+def test_kmeans_index_shape_and_determinism(emb, index):
+    centroids, assignments = index
+    assert centroids.count() == 8
+    assert assignments.count() == emb.count()
+    # fixed seed → same assignment on refit
+    _, again = A.build_ivf_index(emb, k=8, seed=42)
+    diff = assignments.join(
+        again.withColumnRenamed("centroid_id", "c2"), "vec_id"
+    ).filter(F.col("centroid_id") != F.col("c2"))
+    assert diff.count() == 0
+
+
+def test_ivf_full_probe_equals_exact(emb, queries, index):
+    """nprobe = k ⇒ IVF scans everything ⇒ identical to exact search."""
+    centroids, assignments = index
+    corpus = emb.join(assignments, "vec_id")
+    approx = A.ivf_search_batch(corpus, centroids, queries, top_k=10, nprobe=8)
+    exact = knn_search_batch(emb, queries, top_k=10)
+    rec = A.recall_at_k(approx, exact).collect()
+    assert rec and all(r["recall"] == 1.0 for r in rec)
+
+
+def test_ivf_partial_probe_recall_reasonable(emb, queries, index):
+    centroids, assignments = index
+    corpus = emb.join(assignments, "vec_id")
+    approx = A.ivf_search_batch(corpus, centroids, queries, top_k=10, nprobe=2)
+    exact = knn_search_batch(emb, queries, top_k=10)
+    rows = A.recall_at_k(approx, exact).collect()
+    avg = sum(r["recall"] for r in rows) / len(rows)
+    assert 0.2 <= avg <= 1.0  # pruned search trades recall for 4× less scan
+
+
+def test_partitioned_write_prunes_files(spark, emb, index):
+    """The scale claim: nprobe selection must become PartitionFilters on
+    the parquet scan, not a full read."""
+    centroids, assignments = index
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/ivf_corpus"
+        A.write_ivf_corpus(emb, assignments, path)
+        pruned = A.read_pruned(spark, path, [0, 1])
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "centroid_id" in plan
+        # pruned read returns exactly the rows assigned to cells 0 and 1
+        expected = assignments.filter(F.col("centroid_id").isin([0, 1])).count()
+        assert pruned.count() == expected
+        # and reads fewer files than a full scan
+        full = spark.read.parquet(path)
+        assert pruned.count() < full.count()
+
+
+def test_lsh_buckets_shape(emb):
+    out = A.lsh_bucket_assignments(emb, num_tables=3)
+    row = out.limit(1).collect()[0]
+    assert len(row["hashes"]) == 3
+    assert out.count() == emb.count()
+
+
+def test_recall_handles_missing_queries(spark):
+    approx = spark.createDataFrame([(1, 10)], "query_id long, vec_id long")
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], "query_id long, vec_id long"
+    )
+    rec = {r["query_id"]: r["recall"] for r in A.recall_at_k(approx, exact).collect()}
+    assert rec[1] == 0.5
+    assert rec[2] == 0.0  # query absent from approx → recall 0, not missing
