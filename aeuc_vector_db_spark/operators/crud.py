@@ -43,15 +43,23 @@ def dataset_digest(df: DataFrame, id_col: str = "iglyph_id") -> str:
 
 
 def dataset_digest_scalable(df: DataFrame, id_col: str = "iglyph_id") -> int:
-    """Commutative digest: sum of xxhash64(id) in modular i64 arithmetic.
+    """Commutative digest: sum of pmod(xxhash64(id), 2³¹−1), reduced
+    mod 2⁶³ driver-side.
 
     Order-insensitive by construction (addition commutes), needs no global
     sort/collect_list — a single partial+final aggregate even at 100 TB.
+    pmod keeps terms non-negative (Spark's % preserves the dividend sign)
+    and the decimal(38,0) sum cannot overflow long (needs > ~4×10²⁸ rows),
+    so the arithmetic is identical with ANSI mode on or off.
     """
     row = df.agg(
-        F.sum(F.xxhash64(F.col(id_col).cast("string")) % F.lit(2**31 - 1)).alias("digest")
+        F.sum(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(2**31 - 1)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("digest")
     ).collect()[0]
-    return int(row["digest"]) if row["digest"] is not None else 0
+    return int(row["digest"]) % (2**63) if row["digest"] is not None else 0
 
 
 def insert_rows(existing: DataFrame, new_rows: DataFrame, id_col: str = "iglyph_id",
@@ -62,6 +70,12 @@ def insert_rows(existing: DataFrame, new_rows: DataFrame, id_col: str = "iglyph_
         dup = existing.join(new_rows.select(id_col), id_col, "inner").limit(1).count()
         if dup:
             raise ValueError(f"duplicate {id_col} in insert batch")
+        # the PK contract also rejects duplicates WITHIN the batch
+        internal = (
+            new_rows.groupBy(id_col).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if internal:
+            raise ValueError(f"duplicate {id_col} within insert batch")
         return existing.unionByName(new_rows, allowMissingColumns=True)
     if on_duplicate == "skip":
         fresh = new_rows.join(existing.select(id_col), id_col, "left_anti")
@@ -81,6 +95,11 @@ def update_embeddings(existing: DataFrame, updates: DataFrame, id_col: str = "ig
         missing = updates.join(existing.select(id_col), id_col, "left_anti").limit(1).count()
         if missing:
             raise KeyError(f"update contains unknown {id_col}")
+    # a repeated update id would fan out the left join and duplicate
+    # corpus rows — reject instead of silently multiplying data
+    repeated = updates.groupBy(id_col).count().filter(F.col("count") > 1).limit(1).count()
+    if repeated:
+        raise ValueError(f"repeated {id_col} in update batch")
     upd = updates.select(
         F.col(id_col),
         F.col(vec_col).alias("__new_vec__"),

@@ -113,6 +113,15 @@ def valid_row(dim: int, glyph_col: str = "glyph_id", ctx_col: str = "outer_conte
     )
 
 
+def entry_fingerprint_col(vec_col: Column | str = "embedding") -> Column:
+    """VectorEntry.fingerprint analog (types.py:68-71): 256-bit hex digest
+    of the JSON-serialized embedding. The reference uses Blake2b; the
+    contract is 'same embedding ⇒ same 64-hex fingerprint', which sha2
+    preserves JVM-side (no Python in the ingest path)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.sha2(F.to_json(c), 256)
+
+
 def assert_valid(df, dim: int, **cols):
     """add/update semantics: raise on the first invalid row (ValueError analog,
     vector_field.py:119-127 / types.py __post_init__).

@@ -1,0 +1,107 @@
+"""Tests for batch CRUD / digest operators (A13-A19, A23) including the
+PK-contract edge cases: internal batch duplicates, repeated update ids,
+and the ANSI-safe commutative digest."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aeuc_vector_db_spark.operators import crud
+
+
+@pytest.fixture
+def base(spark):
+    return spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("b", [3.0, 4.0])], "iglyph_id string, embedding array<float>"
+    )
+
+
+def test_insert_error_on_existing_dup(spark, base):
+    new = spark.createDataFrame([("a", [9.0, 9.0])], "iglyph_id string, embedding array<float>")
+    with pytest.raises(ValueError, match="duplicate"):
+        crud.insert_rows(base, new, on_duplicate="error")
+
+
+def test_insert_error_on_internal_dup(spark, base):
+    new = spark.createDataFrame(
+        [("c", [9.0, 9.0]), ("c", [8.0, 8.0])], "iglyph_id string, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="within insert batch"):
+        crud.insert_rows(base, new, on_duplicate="error")
+
+
+def test_insert_skip_and_overwrite(spark, base):
+    new = spark.createDataFrame(
+        [("a", [9.0, 9.0]), ("c", [5.0, 5.0])], "iglyph_id string, embedding array<float>"
+    )
+    skipped = crud.insert_rows(base, new, on_duplicate="skip")
+    assert skipped.count() == 3  # 'a' kept as-is, 'c' added
+    assert skipped.filter("iglyph_id = 'a'").collect()[0]["embedding"] == [1.0, 2.0]
+    over = crud.insert_rows(base, new, on_duplicate="overwrite")
+    assert over.count() == 3
+    assert over.filter("iglyph_id = 'a'").collect()[0]["embedding"] == [9.0, 9.0]
+
+
+def test_update_missing_id_raises(spark, base):
+    upd = spark.createDataFrame([("ghost", [0.0, 0.0])], "iglyph_id string, embedding array<float>")
+    with pytest.raises(KeyError):
+        crud.update_embeddings(base, upd)
+
+
+def test_update_repeated_id_raises(spark, base):
+    upd = spark.createDataFrame(
+        [("a", [0.0, 0.0]), ("a", [1.0, 1.0])], "iglyph_id string, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="repeated"):
+        crud.update_embeddings(base, upd)
+
+
+def test_update_replaces_only_matched(spark, base):
+    upd = spark.createDataFrame([("a", [7.0, 7.0])], "iglyph_id string, embedding array<float>")
+    out = crud.update_embeddings(base, upd, ts_col=None)
+    got = {r["iglyph_id"]: r["embedding"] for r in out.collect()}
+    assert got["a"] == [7.0, 7.0] and got["b"] == [3.0, 4.0]
+
+
+def test_delete_strict_and_cleanup(spark, base):
+    ids = spark.createDataFrame([("ghost",)], "iglyph_id string")
+    with pytest.raises(KeyError):
+        crud.delete_rows(base, ids)
+    ids = spark.createDataFrame([("a",)], "iglyph_id string")
+    assert crud.delete_rows(base, ids).count() == 1
+
+
+def test_digest_order_insensitive(spark):
+    a = spark.createDataFrame([("x",), ("y",), ("z",)], "iglyph_id string")
+    b = spark.createDataFrame([("z",), ("x",), ("y",)], "iglyph_id string")
+    assert crud.dataset_digest(a) == crud.dataset_digest(b)
+    assert crud.dataset_digest_scalable(a) == crud.dataset_digest_scalable(b)
+
+
+def test_digest_changes_on_membership_change(spark):
+    a = spark.createDataFrame([("x",), ("y",)], "iglyph_id string")
+    b = spark.createDataFrame([("x",), ("w",)], "iglyph_id string")
+    assert crud.dataset_digest(a) != crud.dataset_digest(b)
+    assert crud.dataset_digest_scalable(a) != crud.dataset_digest_scalable(b)
+
+
+def test_digest_scalable_ansi_mode(spark):
+    """The commutative digest must behave identically under ANSI mode
+    (no silent wraparound path)."""
+    df = spark.createDataFrame([(f"id{i}",) for i in range(100)], "iglyph_id string")
+    before = spark.conf.get("spark.sql.ansi.enabled", None)
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        on = crud.dataset_digest_scalable(df)
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        off = crud.dataset_digest_scalable(df)
+    finally:
+        if before is not None:
+            spark.conf.set("spark.sql.ansi.enabled", before)
+    assert on == off >= 0
+
+
+def test_digest_empty_dataset(spark):
+    empty = spark.createDataFrame([], "iglyph_id string")
+    assert crud.dataset_digest_scalable(empty) == 0
