@@ -1,0 +1,91 @@
+"""Declared queries for streaming-semantics operators, run in batch mode
+over the `events` fixture (batch ≡ streaming for these plans — same
+windowing semantics Structured Streaming executes incrementally; the
+incremental/watermark behavior itself is covered by
+tests/test_streaming.py, which drives a real readStream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aeuc_vector_db_spark.sources.tables import load_table
+from aeuc_vector_db_spark.streaming.ingest import hourly_window_counts, user_sessions
+
+
+def _events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return hourly_window_counts(ev)
+
+
+_HOURLY_ORACLE = """
+SELECT CAST(epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+         AS window_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY window_start_us, event_type
+"""
+
+
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return user_sessions(ev, gap="30 minutes")
+
+
+# Session windows = gaps-and-islands: a new session starts when the gap
+# from the previous event of the same user exceeds 30 minutes.
+_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id,
+       CAST(epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS BIGINT) AS session_start_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY user_id, session_no
+"""
+
+
+def _events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON access over the props column (meta-map analog)."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
+_JSON_PROPS_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INTEGER) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INTEGER) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "events_hourly_window": (_events_hourly_window, _HOURLY_ORACLE),
+    "events_sessionize": (_events_sessionize, _SESSION_ORACLE),
+    "events_json_props": (_events_json_props, _JSON_PROPS_ORACLE),
+}

@@ -1,0 +1,158 @@
+"""Structured Streaming ingest for VectorEntry records (SURVEY.md §2.B
+streaming row; reference types.py:7,31 — "for streaming / bulk use").
+
+The reference only gestures at streaming (VectorEntry is exported but
+never consumed, types.py:7). Here it becomes a real pipeline:
+
+    file/kafka source → explicit schema → watermark(ts) →
+    validate (A24 predicates) → foreachBatch: dedup-append + audit
+
+Design points that carry to a real cluster:
+- `readStream` with an explicit schema (never inference on a stream).
+- Watermark on `ts` bounds state for any downstream windowed aggs and
+  defines the late-data cutoff.
+- Validation splits the batch into accepted/quarantined instead of
+  failing the stream — bad rows land in a quarantine sink with the
+  reason attached (the streaming analog of import_jsonl's silent-skip,
+  made observable).
+- `foreachBatch` gives exactly-once-per-epoch batch semantics for the
+  dedup-append (left_anti against the current corpus) using the same
+  batch operators as the rest of the engine — one code path for batch
+  and streaming (the kappa-architecture property Structured Streaming
+  is built around).
+- Windowed aggregation with watermark (event-time tumbling windows) and
+  session windows are exposed as plan builders usable in BOTH batch and
+  streaming mode — identical semantics, which is what makes them
+  oracle-checkable in batch and reusable on the stream.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from aeuc_vector_db_spark import schemas
+
+
+def read_vector_entry_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """File-source stream of VectorEntry JSONL with event-time watermark."""
+    reader = (
+        spark.readStream.schema(schemas.VECTOR_ENTRY_SCHEMA)
+        .option("multiLine", "false")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path).withWatermark("ts", watermark)
+
+
+def split_valid(entries: DataFrame, dim: int) -> tuple[DataFrame, DataFrame]:
+    """(accepted, quarantined): A24 validation as a stream-safe split.
+
+    Quarantined rows keep a `reject_reason` so the quarantine sink is
+    auditable — the observable version of the reference's silent skip
+    (vector_field.py:439-440).
+    """
+    pred = schemas.valid_row(dim)
+    accepted = entries.filter(pred)
+    quarantined = entries.filter(~pred).withColumn(
+        "reject_reason",
+        F.when(~schemas.valid_glyph_id("glyph_id"), F.lit("glyph_id_range"))
+        .when(~schemas.valid_outer_context("outer_context_id"), F.lit("ctx_range"))
+        .otherwise(F.lit("embedding_dim_or_nan")),
+    )
+    return accepted, quarantined
+
+
+def start_ingest(
+    spark: SparkSession,
+    source_path: str,
+    corpus_path: str,
+    quarantine_path: str,
+    checkpoint_path: str,
+    dim: int,
+    id_col: str = "entry_id",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Validated, deduplicating streaming append into a parquet corpus.
+
+    Each epoch: validate → split → left_anti the accepted rows against
+    the current corpus (PK dedup across epochs AND within the corpus) →
+    append; quarantined rows append to their own sink. Restarts resume
+    from the checkpoint (file-source offsets + epoch id).
+    """
+    stream = read_vector_entry_stream(spark, source_path)
+
+    def process_batch(batch: DataFrame, epoch_id: int) -> None:
+        accepted, quarantined = split_valid(batch, dim)
+        accepted = accepted.dropDuplicates([id_col])
+        try:
+            existing = spark.read.parquet(corpus_path).select(id_col)
+            accepted = accepted.join(existing, id_col, "left_anti")
+        except Exception:
+            pass  # first epoch: corpus doesn't exist yet
+        accepted.write.mode("append").parquet(corpus_path)
+        if quarantined.limit(1).count() > 0:
+            quarantined.write.mode("append").parquet(quarantine_path)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Event-time windowed aggregation plan builders (batch ≡ streaming)
+# ---------------------------------------------------------------------------
+
+def hourly_window_counts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Tumbling 1-hour event-time windows: counts + value sums per type.
+
+    In streaming mode, chain .withWatermark(ts_col, ...) upstream and the
+    same plan runs incrementally with bounded state; in batch mode it is
+    an ordinary groupBy — identical results, which the DuckDB oracle
+    checks (queries/streaming_q.py).
+    """
+    return (
+        events.groupBy(F.window(F.col(ts_col), "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sv"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            F.col("_sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
+def user_sessions(
+    events: DataFrame, gap: str = "30 minutes", ts_col: str = "ts"
+) -> DataFrame:
+    """Session windows per user: events within `gap` of each other merge.
+
+    Uses session_window (stateful merging windows in streaming; plain agg
+    in batch). Output: user_id, session_start_us, n_events.
+    """
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,169 @@
+"""Integration tests: Structured Streaming VectorEntry ingest (real
+readStream → foreachBatch, availableNow trigger) and multimodal binary
+plumbing (binaryFile source, mapInPandas stubs)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aeuc_vector_db_spark.sources import multimodal as MM
+from aeuc_vector_db_spark.streaming import ingest as SI
+
+DIM = 4
+
+
+def _entry(i: int, dim: int = DIM, glyph: int | None = None, ctx: int = 0) -> str:
+    return json.dumps(
+        {
+            "entry_id": f"e{i}",
+            "glyph_id": glyph if glyph is not None else i,
+            "outer_context_id": ctx,
+            "embedding": [0.1 * i] * dim,
+            "source_tag": "test",
+            "version": "0.1.0",
+            "ts": "2024-01-01T00:00:%02d.000Z" % (i % 60),
+        }
+    )
+
+
+def _run_ingest(spark, tmp, lines_by_file: dict[str, list[str]]) -> tuple[int, int]:
+    src = f"{tmp}/src"
+    os.makedirs(src, exist_ok=True)
+    for fname, lines in lines_by_file.items():
+        with open(f"{src}/{fname}", "w") as f:
+            f.write("\n".join(lines))
+    q = SI.start_ingest(
+        spark, src, f"{tmp}/corpus", f"{tmp}/quarantine", f"{tmp}/ckpt",
+        dim=DIM, available_now=True,
+    )
+    q.awaitTermination(120)
+    corpus = spark.read.parquet(f"{tmp}/corpus").count()
+    try:
+        quarantined = spark.read.parquet(f"{tmp}/quarantine").count()
+    except Exception:
+        quarantined = 0
+    return corpus, quarantined
+
+
+def test_stream_ingest_validates_and_appends(spark, tmp_path):
+    good = [_entry(i) for i in range(5)]
+    bad = [
+        _entry(100, dim=DIM + 2),          # wrong dim → quarantine
+        _entry(101, glyph=144_000),        # glyph range → quarantine
+        _entry(102, ctx=10),               # ctx range → quarantine
+    ]
+    corpus, quarantined = _run_ingest(spark, str(tmp_path), {"a.jsonl": good + bad})
+    assert corpus == 5
+    assert quarantined == 3
+    reasons = {
+        r["reject_reason"]
+        for r in spark.read.parquet(f"{tmp_path}/quarantine").collect()
+    }
+    assert reasons == {"embedding_dim_or_nan", "glyph_id_range", "ctx_range"}
+
+
+def test_stream_ingest_dedups_across_epochs(spark, tmp_path):
+    tmp = str(tmp_path)
+    c1, _ = _run_ingest(spark, tmp, {"a.jsonl": [_entry(i) for i in range(3)]})
+    assert c1 == 3
+    # second run: overlapping ids e1,e2 + new e3 → only e3 appended
+    c2, _ = _run_ingest(spark, tmp, {"b.jsonl": [_entry(i) for i in range(1, 4)]})
+    assert c2 == 4
+    ids = {r["entry_id"] for r in spark.read.parquet(f"{tmp}/corpus").collect()}
+    assert ids == {"e0", "e1", "e2", "e3"}
+
+
+def test_windowed_agg_streaming_matches_batch(spark, tmp_path):
+    """The same hourly_window_counts plan run as a stream (availableNow)
+    and as a batch query over identical data must agree — the batch ≡
+    streaming property the declared queries rely on."""
+    src = f"{tmp_path}/src"
+    os.makedirs(src)
+    rows = [
+        {"entry_id": f"e{i}", "glyph_id": 1, "outer_context_id": 0,
+         "embedding": [0.1] * DIM, "source_tag": "t", "version": "1",
+         "ts": f"2024-01-01T{i % 3:02d}:10:00.000Z"}
+        for i in range(9)
+    ]
+    with open(f"{src}/x.jsonl", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+
+    stream = SI.read_vector_entry_stream(spark, src).withColumn(
+        "event_type", F.lit("ingest")
+    ).withColumn("value", F.lit(1.0))
+    agg = SI.hourly_window_counts(stream)
+    # complete mode: emit ALL windows at end-of-stream (append mode would
+    # correctly hold back the last window until the watermark passes it —
+    # that per-window finalization is exercised implicitly by the
+    # ingest tests; here we compare totals against batch)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("win_test")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["window_start_us"], r["n_events"])
+        for r in spark.sql("select * from win_test").collect()
+    }
+    batch_df = spark.read.schema(
+        "entry_id string, glyph_id long, outer_context_id int,"
+        " embedding array<float>, source_tag string, version string, ts timestamp"
+    ).json(src).withColumn("event_type", F.lit("ingest")).withColumn("value", F.lit(1.0))
+    batched = {
+        (r["window_start_us"], r["n_events"])
+        for r in SI.hourly_window_counts(batch_df).collect()
+    }
+    assert streamed == batched and len(batched) == 3
+
+
+def test_multimodal_binary_roundtrip(spark, tmp_path):
+    blob_dir = f"{tmp_path}/blobs"
+    os.makedirs(blob_dir)
+    payloads = {"a.png": b"\x89PNG-fake-1", "b.jpg": b"fake-jpeg-2", "c.wav": b"RIFF-fake"}
+    for name, data in payloads.items():
+        with open(f"{blob_dir}/{name}", "wb") as f:
+            f.write(data)
+    blobs = MM.read_binary_dir(spark, blob_dir)
+    rows = {r["blob_id"]: r for r in blobs.collect()}
+    assert rows["a.png"]["modality"] == "image"
+    assert rows["c.wav"]["modality"] == "audio"
+    assert bytes(rows["b.jpg"]["content"]) == b"fake-jpeg-2"
+    assert rows["a.png"]["meta"]["length"] == str(len(payloads["a.png"]))
+
+
+def test_image_decode_stub_deterministic(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("x", "image", bytearray(b"payload-1"), None),
+         ("y", "image", bytearray(b"payload-2"), None)],
+        MM.MULTIMODAL_SCHEMA,
+    )
+    feats1 = {r["blob_id"]: r for r in MM.decode_image_features_stub(df, 8).collect()}
+    feats2 = {r["blob_id"]: r for r in MM.decode_image_features_stub(df, 8).collect()}
+    assert feats1["x"]["features"] == feats2["x"]["features"]  # deterministic
+    assert feats1["x"]["features"] != feats1["y"]["features"]
+    assert len(feats1["x"]["features"]) == 8
+    assert 16 <= feats1["x"]["width"] <= 255
+
+
+def test_image_decode_stub_strict_raises(spark):
+    df = spark.createDataFrame([("x", "image", bytearray(b"p"), None)], MM.MULTIMODAL_SCHEMA)
+    with pytest.raises(Exception) as exc:
+        MM.decode_image_features_stub(df, strict=True).collect()
+    assert "NotImplementedError" in str(exc.value) or "image decode stub" in str(exc.value)
+
+
+def test_frame_sampling_expands_rows(spark):
+    df = spark.createDataFrame(
+        [("v1", "video", bytearray(b"video-bytes"), None)], MM.MULTIMODAL_SCHEMA
+    )
+    frames = MM.sample_frames_stub(df, every_ms=500, max_frames=3).collect()
+    assert len(frames) == 3
+    assert [f["frame_ts_ms"] for f in frames] == [0, 500, 1000]
+    assert len({bytes(f["frame_bytes"]) for f in frames}) == 3  # distinct per idx
