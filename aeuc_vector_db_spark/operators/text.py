@@ -219,6 +219,30 @@ def language_id_col(tokens: Column | str) -> Column:
     return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def language_id_pandas():
+    """Arrow-batched twin of language_id_col — same argmax/tie-break
+    semantics ((score desc, lang asc), zero hits → 'und') in exact
+    integer logic; the interpreted HOF form measured 2 s at sf0.1."""
+    from pyspark.sql.types import StringType
+
+    profiles = {lang: set(words) for lang, words in LANG_PROFILES.items()}
+
+    @F.pandas_udf(StringType())
+    def f(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            toks = _py_tokens(s)
+            best_lang, best_score = "und", 0
+            for lang in sorted(profiles):
+                score = sum(1 for t in toks if t in profiles[lang])
+                if score > best_score:
+                    best_lang, best_score = lang, score
+            out.append(best_lang)
+        return pd.Series(out)
+
+    return f
+
+
 def quality_score_col(text: Column | str) -> Column:
     """Heuristic doc-quality score in [0,1]: blends length, stopword
     ratio, and mean token length (the classic cheap pre-filters a

@@ -200,7 +200,7 @@ SELECT bigram, cnt, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 20
 def _doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return docs.select(
-        "doc_id", "lang", TX.language_id_col(TX.tokens_col("text")).alias("lang_pred")
+        "doc_id", "lang", TX.language_id_pandas()(F.col("text")).alias("lang_pred")
     )
 
 

@@ -100,6 +100,16 @@ def test_language_id_und_and_en(spark):
     assert out[2] == "und"
 
 
+def test_language_id_sql_vs_pandas_identical(spark, documents):
+    sql_side = documents.select(
+        "doc_id", TX.language_id_col(TX.tokens_col("text")).alias("l")
+    )
+    arrow_side = documents.select("doc_id", TX.language_id_pandas()(F.col("text")).alias("l"))
+    a = {r["doc_id"]: r["l"] for r in sql_side.collect()}
+    b = {r["doc_id"]: r["l"] for r in arrow_side.collect()}
+    assert a == b
+
+
 def test_quality_score_range(docs):
     vals = [
         r["q"] for r in docs.select(TX.quality_score_col("text").alias("q")).collect()
