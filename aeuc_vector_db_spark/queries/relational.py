@@ -365,6 +365,91 @@ FROM orders GROUP BY month
 """
 
 
+# ---------------------------------------------------------------------------
+# Rollup: region → nation hierarchy totals (NULL levels tagged 'ALL' so the
+# output is engine-agnostic — grouping_id bit conventions differ).
+# ---------------------------------------------------------------------------
+
+def _rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, "region", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    joined = cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]).join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    )
+    agg = joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.expr("CAST(c_acctbal AS DECIMAL(18,2))")).alias("_s"),
+    )
+    return agg.select(
+        F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+        F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+        "n_customers",
+        F.col("_s").cast("double").alias("total_acctbal"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cube over two low-cardinality dims.
+# ---------------------------------------------------------------------------
+
+def _cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    agg = orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return agg.select(
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+        "n_orders",
+    )
+
+
+_CUBE_ORACLE = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set ops: INTERSECT / EXCEPT on customer-activity sets across years.
+# ---------------------------------------------------------------------------
+
+def _customers_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    y = F.year("o_orderdate")
+    c95 = orders.filter(y == 1995).select("o_custkey")
+    c96 = orders.filter(y == 1996).select("o_custkey")
+    both = c95.intersect(c96)          # INTERSECT (distinct semantics)
+    only95 = c95.subtract(c96)         # EXCEPT DISTINCT
+    return both.agg(F.count(F.lit(1)).alias("both_years")).crossJoin(
+        only95.agg(F.count(F.lit(1)).alias("only_1995"))
+    )
+
+
+_SET_OPS_ORACLE = """
+WITH c95 AS (SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS TIMESTAMP)) = 1995),
+c96 AS (SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS TIMESTAMP)) = 1996),
+both_y AS (SELECT DISTINCT o_custkey FROM c95 INTERSECT SELECT DISTINCT o_custkey FROM c96),
+only95 AS (SELECT DISTINCT o_custkey FROM c95 EXCEPT SELECT DISTINCT o_custkey FROM c96)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM both_y) AS both_years,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM only95) AS only_1995
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (_pricing_summary, _PRICING_ORACLE),
     "rel_top_revenue_orders": (_top_revenue_orders, _TOP_REVENUE_ORACLE),
@@ -375,4 +460,7 @@ QUERIES = {
     "rel_high_value_customers": (_high_value_customers, _HIGH_VALUE_ORACLE),
     "rel_acctbal_by_region_nation": (_acctbal_by_region_nation, _ACCTBAL_ORACLE),
     "rel_orders_by_month": (_orders_by_month, _ORDERS_MONTH_ORACLE),
+    "rel_rollup_acctbal": (_rollup_acctbal, _ROLLUP_ORACLE),
+    "rel_cube_order_status": (_cube_order_status, _CUBE_ORACLE),
+    "rel_customers_both_years": (_customers_both_years, _SET_OPS_ORACLE),
 }

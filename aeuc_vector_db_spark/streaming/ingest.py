@@ -137,6 +137,46 @@ def hourly_window_counts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def running_counts_stateful(
+    entries: DataFrame,
+    key_col: str = "glyph_id",
+    ts_col: str = "ts",
+    timeout_minutes: int | None = None,
+):
+    """Custom stateful operator: running per-key totals across micro-batches
+    via applyInPandasWithState (arbitrary stateful processing — the escape
+    hatch when built-in windowed aggs can't express the semantics).
+
+    State per key: (total_count, last_seen epoch seconds). Each
+    micro-batch emits one row per touched key with the UPDATED running
+    total — the streaming analog of a continuously-maintained stats
+    table. State is bounded by key cardinality; with a timeout it
+    self-expires idle keys (timeout requires a watermark upstream).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "key long, total_count long, last_seen_s long"
+    state_schema = "total long, last_s long"
+
+    def update(key, pdfs, state: GroupState):
+        total, last_s = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            total += len(pdf)
+            if len(pdf):
+                ts_max = pdf[ts_col].max()
+                last_s = max(last_s, int(ts_max.timestamp()))
+        state.update((total, last_s))
+        yield pd.DataFrame({"key": [key[0]], "total_count": [total], "last_seen_s": [last_s]})
+
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout if timeout_minutes else GroupStateTimeout.NoTimeout
+    )
+    return entries.groupBy(F.col(key_col)).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
+
+
 def user_sessions(
     events: DataFrame, gap: str = "30 minutes", ts_col: str = "ts"
 ) -> DataFrame:

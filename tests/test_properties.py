@@ -1,0 +1,167 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5 item 3.
+
+Algebraic invariants the engine must hold for ANY input, not just the
+fixtures: metric symmetry/bounds, φ-band partition totality, digest
+order-invariance, normalization idempotence, jaccard bounds, minhash
+containment. Vectors go through one shared Spark round-trip per case
+batch to keep runtime sane (hypothesis drives Python-side generation;
+Spark evaluates the same expressions the queries use).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from aeuc_vector_db_spark.functions.similarity import (
+    METRICS,
+    cosine_col,
+    euclidean_similarity_col,
+    phi_weighted_col,
+)
+from aeuc_vector_db_spark.functions.vector import l2_norm_col, l2_normalize_col, lit_vector
+from aeuc_vector_db_spark.operators.clustering import _phi_break_fracs
+from aeuc_vector_db_spark.operators.text import _py_polyhash, _py_tokens
+
+FINITE = st.floats(min_value=-100.0, max_value=100.0, allow_nan=False, allow_infinity=False)
+VEC = st.lists(FINITE, min_size=2, max_size=8)
+
+SETTINGS = settings(
+    max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+
+def _eval(spark, cols: dict):
+    row = spark.range(1).select(*[c.alias(k) for k, c in cols.items()]).collect()[0]
+    return row
+
+
+@SETTINGS
+@given(a=VEC)
+def test_metrics_self_similarity_and_bounds(spark, a):
+    pairs = {
+        name: fn(lit_vector(a), lit_vector(a)) for name, fn in METRICS.items()
+    }
+    row = _eval(spark, pairs)
+    # cosine/φ self-similarity ≈ 1 for non-degenerate vectors; ∈ [-1, 1+ε] always
+    norm = math.sqrt(sum(x * x for x in a))
+    if norm > 1e-3:
+        assert row["cosine"] == pytest.approx(1.0, abs=1e-6)
+        assert row["phi_weighted"] == pytest.approx(1.0, abs=1e-6)
+    assert -1.0 - 1e-9 <= row["cosine"] <= 1.0 + 1e-9
+    # euclidean similarity of identical vectors is exactly 1/(1+0)
+    assert row["euclidean"] == pytest.approx(1.0)
+
+
+@SETTINGS
+@given(a=VEC, b=VEC)
+def test_metrics_symmetry(spark, a, b):
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    cols = {}
+    for name, fn in METRICS.items():
+        cols[f"{name}_ab"] = fn(lit_vector(a), lit_vector(b))
+        cols[f"{name}_ba"] = fn(lit_vector(b), lit_vector(a))
+    row = _eval(spark, cols)
+    for name in METRICS:
+        assert row[f"{name}_ab"] == pytest.approx(row[f"{name}_ba"], rel=1e-12), name
+
+
+@SETTINGS
+@given(a=VEC)
+def test_normalize_idempotent_and_unit(spark, a):
+    v = lit_vector(a)
+    row = _eval(
+        spark,
+        {
+            "n1": l2_norm_col(l2_normalize_col(v)),
+            "n2": l2_norm_col(l2_normalize_col(l2_normalize_col(v))),
+        },
+    )
+    norm = math.sqrt(sum(x * x for x in a))
+    if norm > 1e-6:
+        assert row["n1"] == pytest.approx(1.0, abs=1e-6)
+        assert row["n2"] == pytest.approx(1.0, abs=1e-6)
+    else:
+        assert row["n1"] <= 1.0  # zero vector stays near-zero, never NaN/inf
+
+
+def test_phi_band_fracs_monotone_partition():
+    for levels in range(2, 8):
+        fracs = _phi_break_fracs(levels)
+        assert len(fracs) == levels - 1
+        assert all(0 < f < 1 for f in fracs)
+        assert fracs == sorted(fracs)  # breakpoints strictly increasing
+        assert all(b - a > 1e-9 for a, b in zip(fracs, fracs[1:]))
+
+
+@SETTINGS
+@given(
+    norms=st.lists(
+        st.floats(min_value=0.0, max_value=50.0, allow_nan=False), min_size=1, max_size=30
+    ),
+    levels=st.integers(min_value=2, max_value=5),
+)
+def test_phi_banding_is_total_partition(spark, norms, levels):
+    """Every row lands in exactly one band ∈ [0, levels)."""
+    from aeuc_vector_db_spark.operators.clustering import with_phi_band
+
+    df = spark.createDataFrame(
+        [(i, [float(n), 0.0]) for i, n in enumerate(norms)], "id long, embedding array<double>"
+    )
+    rows = with_phi_band(df, levels=levels).select("id", "band").collect()
+    assert len(rows) == len(norms)  # no row lost or duplicated
+    assert {r["id"] for r in rows} == set(range(len(norms)))
+    assert all(0 <= r["band"] < levels for r in rows)
+
+
+@SETTINGS
+@given(ids=st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=20, unique=True))
+def test_digest_invariant_under_permutation(spark, ids):
+    from aeuc_vector_db_spark.operators import crud
+
+    fwd = spark.createDataFrame([(i,) for i in ids], "iglyph_id string")
+    rev = spark.createDataFrame([(i,) for i in reversed(ids)], "iglyph_id string")
+    assert crud.dataset_digest(fwd) == crud.dataset_digest(rev)
+    assert crud.dataset_digest_scalable(fwd) == crud.dataset_digest_scalable(rev)
+
+
+@given(s=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=64))
+@settings(max_examples=100, deadline=None)
+def test_polyhash_range_and_determinism(s):
+    h1, h2 = _py_polyhash(s), _py_polyhash(s)
+    assert h1 == h2
+    assert 0 <= h1 < 2_147_483_647
+
+
+@given(s=st.text(alphabet="abc XYZ,.!123", max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_tokens_lowercase_alnum_only(s):
+    toks = _py_tokens(s)
+    assert all(t and t == t.lower() for t in toks)
+    assert all(all(c.isalnum() for c in t) for t in toks)
+
+
+@SETTINGS
+@given(
+    a=st.sets(st.integers(min_value=0, max_value=1000), min_size=1, max_size=20),
+    b=st.sets(st.integers(min_value=0, max_value=1000), min_size=1, max_size=20),
+)
+def test_jaccard_bounds_and_identity(spark, a, b):
+    from aeuc_vector_db_spark.operators.text import jaccard_col
+
+    mk = lambda s: F.array(*[F.lit(int(x)).cast("long") for x in sorted(s)])
+    row = _eval(
+        spark,
+        {"jab": jaccard_col(mk(a), mk(b)), "jaa": jaccard_col(mk(a), mk(a))},
+    )
+    assert row["jaa"] == pytest.approx(1.0)
+    assert 0.0 <= row["jab"] <= 1.0
+    if a == b:
+        assert row["jab"] == pytest.approx(1.0)
+    if not (a & b):
+        assert row["jab"] == 0.0
