@@ -177,6 +177,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_lsh_mllib(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_tables: int = 8,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """E1/E3 MLlib variant: HashingTF shingle features → MinHashLSH fit →
+    approxSimilarityJoin. Same algorithm as the SQL formulation but with
+    JVM hash families (not reproducible outside Spark — use the SQL
+    form when oracle parity matters; use this one for raw throughput).
+
+    Returns (a_id, b_id, jaccard_distance) with a_id < b_id.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from aeuc_vector_db_spark.operators.text import shingles_col, tokens_col
+
+    shingled = df.select(
+        F.col(id_col), shingles_col(tokens_col(text_col), 3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
+    )
+    feats = tf.transform(shingled)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=seed
+    ).fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="jaccard_distance")
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("a_id"),
+            F.col(f"datasetB.{id_col}").alias("b_id"),
+            "jaccard_distance",
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     block_col: str = "label",

@@ -282,12 +282,39 @@ class VectorField:
 
     def snapshot(self, path: str) -> dict:
         """A22: multi-table checkpoint + manifest."""
+        import json
+
         self.iglyphs.write.mode("overwrite").parquet(f"{path}/iglyphs")
         self.pglyphs.write.mode("overwrite").parquet(f"{path}/pglyphs")
         self.membership.write.mode("overwrite").parquet(f"{path}/membership")
         self.audit.write.mode("overwrite").parquet(f"{path}/audit")
-        return {"version": VERSION, "dim": self.dim, "current_hash": self.current_hash,
-                "path": path}
+        manifest = {"version": VERSION, "dim": self.dim,
+                    "current_hash": self.current_hash, "path": path}
+        # manifest written driver-side: tiny, and must be a single file
+        with open(f"{path}/manifest.json", "w") as f:
+            json.dump(manifest, f)
+        return manifest
+
+    @classmethod
+    def load_snapshot(cls, spark: SparkSession, path: str) -> "VectorField":
+        """Restore a VectorField from snapshot(); verifies the dataset
+        digest against the manifest (tamper/corruption check)."""
+        import json
+
+        with open(f"{path}/manifest.json") as f:
+            manifest = json.load(f)
+        db = cls(spark, dim=manifest["dim"])
+        db.iglyphs = spark.read.parquet(f"{path}/iglyphs")
+        db.pglyphs = spark.read.parquet(f"{path}/pglyphs")
+        db.membership = spark.read.parquet(f"{path}/membership")
+        db.audit = spark.read.parquet(f"{path}/audit")
+        db.current_hash = db._digest()
+        if db.current_hash != manifest["current_hash"]:
+            raise ValueError(
+                "snapshot digest mismatch: stored "
+                f"{manifest['current_hash'][:12]}…, recomputed {db.current_hash[:12]}…"
+            )
+        return db
 
     def stats(self) -> dict:
         out = crud.stats(self.iglyphs, self.pglyphs, self.audit)

@@ -142,3 +142,10 @@ def test_embedding_near_dup_blocked(spark):
     pairs = D.embedding_near_dup(df, threshold=0.99).collect()
     found = {(r["a_id"], r["b_id"]) for r in pairs}
     assert found == {(1, 2)}  # blocking prevents (1,4); orthogonal filtered
+
+
+def test_minhash_lsh_mllib_finds_planted_pair(docs):
+    pairs = D.minhash_lsh_mllib(docs, threshold=0.4).collect()
+    found = {(r["a_id"], r["b_id"]) for r in pairs}
+    assert (1, 2) in found  # exact dup
+    assert not any(4 in (a, b) and 5 in (a, b) for a, b in found)

@@ -296,3 +296,29 @@ def test_stats(db):
 def test_repr(db):
     r = repr(db)
     assert "VectorField" in r and f"dim={DIM}" in r
+
+
+def test_snapshot_load_round_trip(db, spark):
+    a = db.add_iglyph(1, 0, emb(0.2))
+    ids = [a, db.add_iglyph(2, 1, emb(0.5))]
+    db.form_cluster(ids, 1, 0, "snap")
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        db.snapshot(f"{d}/s")
+        db2 = VectorField.load_snapshot(spark, f"{d}/s")
+        assert db2.iglyphs.count() == 2
+        assert db2.pglyphs.count() == 1
+        assert db2.current_hash == db.current_hash
+        assert db2.get_iglyph(a)["embedding"][0] == pytest.approx(0.2)
+
+
+def test_snapshot_load_detects_tamper(db, spark):
+    db.add_iglyph(1, 0, emb())
+    import json, tempfile
+    with tempfile.TemporaryDirectory() as d:
+        db.snapshot(f"{d}/s")
+        m = json.load(open(f"{d}/s/manifest.json"))
+        m["current_hash"] = "0" * 64
+        json.dump(m, open(f"{d}/s/manifest.json", "w"))
+        with pytest.raises(ValueError, match="digest mismatch"):
+            VectorField.load_snapshot(spark, f"{d}/s")
