@@ -157,6 +157,27 @@ def audit_record(
     )
 
 
+def verify_audit_chain(audit: DataFrame, ts_col: str = "ts") -> dict:
+    """A18 integrity check: the audit log is a hash chain — each record's
+    hash_before must equal the previous record's hash_after (ordered by
+    ts). Returns {'entries': n, 'breaks': k, 'ok': bool}.
+
+    Implemented with a lag window over the (small) audit table; at scale
+    the chain property is per-partition-checkable after a range partition
+    on ts.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(ts_col).asc())
+    chained = audit.withColumn("__prev_after__", F.lag("hash_after").over(w))
+    breaks = chained.filter(
+        F.col("__prev_after__").isNotNull()
+        & (F.col("hash_before") != F.col("__prev_after__"))
+    ).count()
+    entries = audit.count()
+    return {"entries": entries, "breaks": breaks, "ok": breaks == 0}
+
+
 def stats(
     iglyphs: DataFrame,
     pglyphs: DataFrame | None = None,

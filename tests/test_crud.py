@@ -105,3 +105,24 @@ def test_digest_scalable_ansi_mode(spark):
 def test_digest_empty_dataset(spark):
     empty = spark.createDataFrame([], "iglyph_id string")
     assert crud.dataset_digest_scalable(empty) == 0
+
+
+def test_audit_chain_verification(spark):
+    from aeuc_vector_db_spark.vector_field import VectorField
+
+    db = VectorField(spark, dim=4)
+    db.add_iglyph(1, 0, [0.1] * 4)
+    db.add_iglyph(2, 1, [0.2] * 4)
+    db.delete_iglyph(db.iglyphs.limit(1).collect()[0]["iglyph_id"])
+    res = crud.verify_audit_chain(db.audit)
+    assert res == {"entries": 3, "breaks": 0, "ok": True}
+    # corrupt one link → detected
+    from pyspark.sql import functions as F
+    broken = db.audit.withColumn(
+        "hash_before",
+        F.when(F.col("action") == "DELETE_IGLYPH", F.lit("deadbeef")).otherwise(
+            F.col("hash_before")
+        ),
+    )
+    res2 = crud.verify_audit_chain(broken)
+    assert res2["breaks"] == 1 and not res2["ok"]
