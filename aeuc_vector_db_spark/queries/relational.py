@@ -450,6 +450,59 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM both_y) AS both_years,
 """
 
 
+# ---------------------------------------------------------------------------
+# As-of join (charter custom-operator example — Spark has no native ASOF):
+# for each event, the customer's most recent order at event time.
+# Composition: equi-join on the key, anti-time filter, then a row_number
+# window picking the latest (the per-key order count is bounded, so the
+# join fan-out is modest; at scale, bucket both sides by the key and use
+# a range-partitioned sort within buckets).
+# ---------------------------------------------------------------------------
+
+def _asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") < 500)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    joined = ev.join(orders, ev["user_id"] == orders["o_custkey"], "inner").filter(
+        F.col("o_orderdate") <= F.col("ts")
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "o_orderkey",
+            # o_orderdate may arrive TIMESTAMP_NTZ; session TZ is UTC so
+            # the cast to TIMESTAMP is identity
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("order_date_us"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+
+
+# Same explicit formulation (not DuckDB's native ASOF) so the tie-break
+# (o_orderdate DESC, o_orderkey DESC) is pinned identically.
+_ASOF_ORACLE = """
+WITH j AS (
+  SELECT e.event_id, e.user_id, o.o_orderkey,
+         CAST(o.o_orderdate AS TIMESTAMP) AS od, o.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o ON e.user_id = o.o_custkey
+  WHERE e.event_id < 500 AND CAST(o.o_orderdate AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)
+)
+SELECT event_id, user_id, o_orderkey,
+       CAST(epoch_us(od) AS BIGINT) AS order_date_us,
+       o_totalprice AS totalprice
+FROM j WHERE rn = 1
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (_pricing_summary, _PRICING_ORACLE),
     "rel_top_revenue_orders": (_top_revenue_orders, _TOP_REVENUE_ORACLE),
@@ -463,4 +516,5 @@ QUERIES = {
     "rel_rollup_acctbal": (_rollup_acctbal, _ROLLUP_ORACLE),
     "rel_cube_order_status": (_cube_order_status, _CUBE_ORACLE),
     "rel_customers_both_years": (_customers_both_years, _SET_OPS_ORACLE),
+    "rel_asof_latest_order": (_asof_latest_order, _ASOF_ORACLE),
 }
