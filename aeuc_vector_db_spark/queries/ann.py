@@ -84,7 +84,9 @@ def _ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     queries = _queries_df(spark, sf_dir)
-    centroids, assignments = A.build_ivf_index(emb, k=8, seed=42)
+    # maxIter=5: the recall gate needs a stable coarse quantizer, not a
+    # converged one — halves the cold fit time
+    centroids, assignments = A.build_ivf_index(emb, k=8, seed=42, max_iter=5)
     corpus = emb.join(assignments, "vec_id")
     approx = A.ivf_search_batch(corpus, centroids, queries, top_k=10, nprobe=2)
     exact = knn_search_batch(emb, queries, top_k=10)

@@ -503,6 +503,34 @@ FROM j WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles per group (deterministic in both engines:
+# same sorted-order linear interpolation).
+# ---------------------------------------------------------------------------
+
+def _price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
+        )
+    )
+
+
+_PERCENTILES_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (_pricing_summary, _PRICING_ORACLE),
     "rel_top_revenue_orders": (_top_revenue_orders, _TOP_REVENUE_ORACLE),
@@ -517,4 +545,5 @@ QUERIES = {
     "rel_cube_order_status": (_cube_order_status, _CUBE_ORACLE),
     "rel_customers_both_years": (_customers_both_years, _SET_OPS_ORACLE),
     "rel_asof_latest_order": (_asof_latest_order, _ASOF_ORACLE),
+    "rel_price_percentiles": (_price_percentiles, _PERCENTILES_ORACLE),
 }
