@@ -128,6 +128,112 @@ def knn_search_batch(
     )
 
 
+def knn_search_batch_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Arrow-vectorized batch k-NN — the 100 TB hot path.
+
+    The query set is collected to a (Q, d) matrix (small by construction)
+    and closed over; the corpus is scanned ONCE as Arrow batches via
+    mapInPandas, scored with NumPy matrix math, and reduced to a
+    per-partition top-k heap per query — only k·Q rows leave each
+    partition, then a final window picks the global top-k. Compare
+    knn_search_batch (SQL expression path): same results rank-for-rank,
+    but the crossJoin ships (embedding, query) pairs and the higher-order
+    functions evaluate interpreted — measured ~8 s vs ~0.5 s for
+    2M pair-scores at N=100k. The SQL path remains the oracle-pinned
+    form (sequential fold bit-parity); this one uses np.dot (pairwise
+    summation — scores differ in low-order bits but ranks agree, see
+    tests/test_search_arrow.py).
+
+    Returns (query_id, id, score, rank) like knn_search_batch.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from aeuc_vector_db_spark.functions.similarity import _phi_scores_sequential
+
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    q_ids = np.array([r[query_id_col] for r in q_rows])
+    q_mat = np.asarray([list(r[query_vec_col]) for r in q_rows], dtype=np.float64)
+
+    def score_block(mat: np.ndarray) -> np.ndarray:
+        """(B, d) corpus block → (B, Q) score matrix."""
+        if metric == "cosine":
+            dots = mat @ q_mat.T
+            denom = (
+                np.linalg.norm(mat, axis=1)[:, None] * np.linalg.norm(q_mat, axis=1)[None, :]
+                + 1e-12
+            )
+            return dots / denom
+        if metric == "dot":
+            return mat @ q_mat.T
+        if metric == "euclidean":
+            # direct differences per query — the ‖a‖²−2ab+‖b‖² expansion
+            # cancels catastrophically for near-identical vectors
+            out = np.empty((mat.shape[0], q_mat.shape[0]))
+            for j in range(q_mat.shape[0]):
+                diff = mat - q_mat[j]
+                out[:, j] = 1.0 / (1.0 + np.sqrt((diff * diff).sum(axis=1)))
+            return out
+        if metric == "phi_weighted":
+            out = np.empty((mat.shape[0], q_mat.shape[0]))
+            for j in range(q_mat.shape[0]):
+                out[:, j] = _phi_scores_sequential(
+                    mat, np.broadcast_to(q_mat[j], mat.shape)
+                )
+            return out
+        raise ValueError(f"Unknown metric {metric!r}")
+
+    out_schema = f"{query_id_col} long, {id_col} long, score double"
+
+    def partition_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # accumulate the per-partition top-k per query across Arrow batches
+        best: dict[int, list[tuple[float, int]]] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            scores = score_block(mat)  # (B, Q)
+            for j, qid in enumerate(q_ids):
+                col = scores[:, j]
+                take = min(top_k, len(col))
+                # argpartition: O(B) candidate cut, exact order fixed later
+                idx = np.argpartition(-col, take - 1)[:take]
+                cand = best.setdefault(int(qid), [])
+                cand.extend((float(col[i]), int(ids[i])) for i in idx)
+                if len(cand) > 4 * top_k:  # keep the running set bounded
+                    cand.sort(key=lambda t: (-t[0], t[1]))
+                    del cand[top_k:]
+        rows = []
+        for qid, cand in best.items():
+            cand.sort(key=lambda t: (-t[0], t[1]))
+            rows.extend((qid, vid, s) for s, vid in cand[:top_k])
+        yield pd.DataFrame(rows, columns=[query_id_col, id_col, "score"])
+
+    corpus = _ensure_parallel(corpus, min_partitions)
+    partial = corpus.select(id_col, vec_col).mapInPandas(partition_topk, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(top_k))
+        .orderBy(query_id_col, "rank")
+    )
+
+
 def search_pglyphs(
     pglyphs: DataFrame,
     query: Sequence[float],
