@@ -20,9 +20,51 @@ Design rules (see SURVEY.md):
   rounding, sha2 surrogate ids) so results hash-match a DuckDB oracle.
 """
 
+from aeuc_vector_db_spark.functions.similarity import similarity_col
+from aeuc_vector_db_spark.operators.clustering import (
+    auto_cluster_phi,
+    centroids,
+    form_pglyphs,
+    inertia,
+    with_phi_band,
+)
+from aeuc_vector_db_spark.operators.search import (
+    knn_search,
+    knn_search_batch,
+    knn_search_batch_arrow,
+    search_pglyphs,
+    two_level_search,
+)
+from aeuc_vector_db_spark.schemas import (
+    IGLYPH_SCHEMA,
+    PGLYPH_SCHEMA,
+    VECTOR_ENTRY_SCHEMA,
+)
 from aeuc_vector_db_spark.session import get_spark
 from aeuc_vector_db_spark.vector_field import VectorField
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "VectorField", "__version__"]
+# Public API mirrors the reference's __init__ re-exports
+# (/root/reference/aeuc_vector_db/__init__.py:11-28): record types →
+# StructTypes, similarity dispatch → Column builder, clustering
+# primitives → DataFrame operators, VectorFieldDB → VectorField.
+__all__ = [
+    "IGLYPH_SCHEMA",
+    "PGLYPH_SCHEMA",
+    "VECTOR_ENTRY_SCHEMA",
+    "VectorField",
+    "similarity_col",
+    "form_pglyphs",
+    "with_phi_band",
+    "auto_cluster_phi",
+    "centroids",
+    "inertia",
+    "knn_search",
+    "knn_search_batch",
+    "knn_search_batch_arrow",
+    "search_pglyphs",
+    "two_level_search",
+    "get_spark",
+    "__version__",
+]

@@ -91,13 +91,15 @@ def start_ingest(
     stream = read_vector_entry_stream(spark, source_path)
 
     def process_batch(batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         accepted, quarantined = split_valid(batch, dim)
         accepted = accepted.dropDuplicates([id_col])
         try:
             existing = spark.read.parquet(corpus_path).select(id_col)
             accepted = accepted.join(existing, id_col, "left_anti")
-        except Exception:
-            pass  # first epoch: corpus doesn't exist yet
+        except AnalysisException:
+            pass  # first epoch: corpus path doesn't exist yet
         accepted.write.mode("append").parquet(corpus_path)
         if quarantined.limit(1).count() > 0:
             quarantined.write.mode("append").parquet(quarantine_path)
