@@ -177,6 +177,83 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Undirected connected components by min-label propagation.
+
+    Each node's label converges to the minimum id reachable from it;
+    one join+aggregate per iteration, stopping at fixpoint (iteration
+    count bounded by graph diameter — near-dup graphs are shallow).
+    Returns (node, component) where component = min id in the component.
+
+    This is the keep-one resolution step after pair-generating dedup:
+    the canonical representative of each duplicate cluster is its
+    component id. GraphFrames/Pregel does the same thing; this stays in
+    pure DataFrame ops so it needs no extra package.
+    """
+    from pyspark import StorageLevel
+
+    # persist the edge list: the iteration loop joins it repeatedly, and
+    # upstream edge generation (e.g. the whole minhash pipeline) must not
+    # re-execute per iteration
+    fwd = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    undirected = fwd.unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        undirected.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            undirected.join(labels, undirected["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("component").alias("__nbr_min__"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__nbr_min__"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # cut the iterative lineage
+        changed = (
+            labels.join(updated.withColumnRenamed("component", "__new__"), "node")
+            .filter(F.col("component") != F.col("__new__"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def keep_one(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Resolve duplicate pairs into per-cluster keep/drop decisions:
+    (component keeper id, member id, keep flag). Singletons (docs with no
+    dup edge) are untouched by construction — only edge-connected nodes
+    appear."""
+    comp = connected_components(pairs, a_col, b_col)
+    return comp.select(
+        F.col("component").alias("keeper_id"),
+        F.col("node").alias("doc_id"),
+        (F.col("node") == F.col("component")).alias("keep"),
+    )
+
+
 def minhash_lsh_mllib(
     df: DataFrame,
     threshold: float = 0.5,

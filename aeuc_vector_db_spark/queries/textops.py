@@ -437,6 +437,57 @@ FROM pairs WHERE cos >= 0.99
 """
 
 
+def _doc_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 end-to-end: minhash pairs → connected components → keep-one.
+    Output: one row per duplicate-cluster member with its keeper."""
+    pairs = D.minhash_near_dup(
+        _near_dup_corpus(spark, sf_dir), threshold=0.5, k=8, band_size=2, shingle_n=3
+    )
+    return D.keep_one(pairs).orderBy("keeper_id", "doc_id")
+
+
+# Transitive closure via recursive CTE over the same verified pair set:
+# component id = min reachable doc_id (UNION dedups, so the recursion
+# terminates at the closure).
+_KEEP_ONE_ORACLE = f"""
+WITH RECURSIVE corpus AS ({_NEAR_DUP_CORPUS_SQL}),
+sh AS MATERIALIZED (
+  SELECT doc_id, {_dk_shingle_hashes('text', 3)} AS shset FROM corpus
+),
+sig AS (
+  SELECT doc_id, shset, {_dk_minhash('shset', 8)} AS sig FROM sh WHERE len(shset) > 0
+),
+bands AS (
+  SELECT doc_id, 0 AS band, sig[1] AS v1, sig[2] AS v2 FROM sig
+  UNION ALL SELECT doc_id, 1, sig[3], sig[4] FROM sig
+  UNION ALL SELECT doc_id, 2, sig[5], sig[6] FROM sig
+  UNION ALL SELECT doc_id, 3, sig[7], sig[8] FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id
+),
+pairs AS MATERIALIZED (
+  SELECT a_id, b_id FROM (
+    SELECT a_id, b_id, {_dk_jaccard('sa.shset', 'sb.shset')} AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = a_id
+    JOIN sh sb ON sb.doc_id = b_id
+  ) WHERE jaccard >= 0.5
+),
+reach(src, dst) AS (
+  SELECT a_id, a_id FROM pairs
+  UNION SELECT b_id, b_id FROM pairs
+  UNION
+  SELECT r.src, CASE WHEN p.a_id = r.dst THEN p.b_id ELSE p.a_id END
+  FROM reach r JOIN pairs p ON r.dst = p.a_id OR r.dst = p.b_id
+)
+SELECT MIN(dst) AS keeper_id, src AS doc_id, (src = MIN(dst)) AS keep
+FROM reach GROUP BY src
+"""
+
+
 QUERIES = {
     "doc_token_stats": (_doc_token_stats, _TOKEN_STATS_ORACLE),
     "doc_term_frequencies": (_doc_term_frequencies, _TERM_FREQ_ORACLE),
@@ -450,4 +501,5 @@ QUERIES = {
     "doc_minhash_near_dup": (_doc_minhash_near_dup, _MINHASH_ORACLE),
     "doc_ngram_jaccard": (_doc_ngram_jaccard, _NGRAM_JACCARD_ORACLE),
     "emb_near_dup_cosine": (_emb_near_dup, _EMB_NEAR_DUP_ORACLE),
+    "doc_dedup_keep_one": (_doc_dedup_keep_one, _KEEP_ONE_ORACLE),
 }

@@ -149,3 +149,19 @@ def test_minhash_lsh_mllib_finds_planted_pair(docs):
     found = {(r["a_id"], r["b_id"]) for r in pairs}
     assert (1, 2) in found  # exact dup
     assert not any(4 in (a, b) and 5 in (a, b) for a, b in found)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain must collapse to one component (transitivity), and
+    a separate pair must stay its own component."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a_id long, b_id long"
+    )
+    comp = {r["node"]: r["component"] for r in D.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_keep_one_marks_min_id(spark):
+    edges = spark.createDataFrame([(5, 9), (9, 7)], "a_id long, b_id long")
+    rows = {r["doc_id"]: (r["keeper_id"], r["keep"]) for r in D.keep_one(edges).collect()}
+    assert rows == {5: (5, True), 7: (5, False), 9: (5, False)}
