@@ -488,6 +488,103 @@ FROM reach GROUP BY src
 """
 
 
+def _doc_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: the training-data prep pipeline as one plan —
+    near-dup removal (minhash → components → drop non-keepers) then
+    quality filtering, reporting per-language corpus accounting.
+    Every stage is the operator the dedicated queries already check;
+    this pins their composition."""
+    corpus = _near_dup_corpus(spark, sf_dir)  # documents ∪ planted copies
+    pairs = D.minhash_near_dup(corpus, threshold=0.5, k=8, band_size=2, shingle_n=3)
+    drops = D.keep_one(pairs).filter(~F.col("keep")).select("doc_id")
+    with_q = corpus.withColumn("q", TX.quality_score_col("text"))
+    deduped = with_q.join(drops, "doc_id", "left_anti")
+    clean = deduped.filter(F.col("q") >= 0.5)
+    return (
+        with_q.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_input"))
+        .join(
+            deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_deduped")), "lang"
+        )
+        .join(
+            clean.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n_clean"),
+                # decimal sum: partition-order-independent (q doubles are
+                # bit-identical cross-engine, so the cast agrees too)
+                F.round(
+                    F.sum(F.col("q").cast("decimal(28,15)")).cast("double"), 9
+                ).alias("sum_quality"),
+            ),
+            "lang",
+        )
+        .select("lang", "n_input", "n_deduped", "n_clean", "sum_quality")
+    )
+
+
+_CLEAN_PIPELINE_ORACLE = f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, substr(text, 1, length(text) - 20) AS text, lang
+  FROM documents WHERE doc_id % 10 = 0
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, {_dk_shingle_hashes('text', 3)} AS shset FROM corpus
+),
+sig AS (
+  SELECT doc_id, shset, {_dk_minhash('shset', 8)} AS sig FROM sh WHERE len(shset) > 0
+),
+bands AS (
+  SELECT doc_id, 0 AS band, sig[1] AS v1, sig[2] AS v2 FROM sig
+  UNION ALL SELECT doc_id, 1, sig[3], sig[4] FROM sig
+  UNION ALL SELECT doc_id, 2, sig[5], sig[6] FROM sig
+  UNION ALL SELECT doc_id, 3, sig[7], sig[8] FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id
+),
+pairs AS MATERIALIZED (
+  SELECT a_id, b_id FROM (
+    SELECT a_id, b_id, {_dk_jaccard('sa.shset', 'sb.shset')} AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = a_id
+    JOIN sh sb ON sb.doc_id = b_id
+  ) WHERE jaccard >= 0.5
+),
+reach(src, dst) AS (
+  SELECT a_id, a_id FROM pairs
+  UNION SELECT b_id, b_id FROM pairs
+  UNION
+  SELECT r.src, CASE WHEN p.a_id = r.dst THEN p.b_id ELSE p.a_id END
+  FROM reach r JOIN pairs p ON r.dst = p.a_id OR r.dst = p.b_id
+),
+drops AS (
+  SELECT src AS doc_id FROM reach GROUP BY src HAVING src <> MIN(dst)
+),
+q AS (
+  SELECT doc_id, lang,
+         0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+       + 0.3 * least((CAST(len(list_filter(toks, x -> list_contains([{_SW}], x))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE)) / 0.1, 1.0)
+       + 0.3 * greatest(0.0, 1.0 - abs(
+             CAST(list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
+                              (a, b) -> a + b) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) - 5.0) / 5.0) AS q
+  FROM (SELECT doc_id, lang, {_dk_tokens()} AS toks FROM corpus)
+),
+deduped AS (SELECT * FROM q ANTI JOIN drops USING (doc_id)),
+clean AS (SELECT * FROM deduped WHERE q >= 0.5)
+SELECT q.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_input,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deduped d WHERE d.lang = q.lang) AS n_deduped,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM clean c WHERE c.lang = q.lang) AS n_clean,
+       (SELECT ROUND(CAST(SUM(CAST(c.q AS DECIMAL(28,15))) AS DOUBLE), 9) FROM clean c WHERE c.lang = q.lang) AS sum_quality
+FROM q GROUP BY q.lang
+"""
+
+
 QUERIES = {
     "doc_token_stats": (_doc_token_stats, _TOKEN_STATS_ORACLE),
     "doc_term_frequencies": (_doc_term_frequencies, _TERM_FREQ_ORACLE),
@@ -502,4 +599,5 @@ QUERIES = {
     "doc_ngram_jaccard": (_doc_ngram_jaccard, _NGRAM_JACCARD_ORACLE),
     "emb_near_dup_cosine": (_emb_near_dup, _EMB_NEAR_DUP_ORACLE),
     "doc_dedup_keep_one": (_doc_dedup_keep_one, _KEEP_ONE_ORACLE),
+    "doc_clean_corpus_pipeline": (_doc_clean_corpus_pipeline, _CLEAN_PIPELINE_ORACLE),
 }
