@@ -531,6 +531,77 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# Pivot: order counts by priority × status (explicit value list so the
+# output schema is static — required for plan caching and the oracle).
+# ---------------------------------------------------------------------------
+
+def _pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range join (charter custom-op example): orders from the same customer
+# within 30 days of each other. Equi-join on the key bounds the fan-out;
+# the range predicate filters within each key group (at scale: bucket by
+# key, range-partition by date within buckets).
+# ---------------------------------------------------------------------------
+
+def _orders_within_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    a = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_orderdate").alias("a_date"),
+    )
+    b = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderdate").alias("b_date"),
+    )
+    pairs = (
+        a.join(b, "custkey")
+        .filter(
+            (F.col("a_key") < F.col("b_key"))
+            & (F.abs(F.datediff(F.col("a_date"), F.col("b_date"))) <= 30)
+        )
+    )
+    return pairs.groupBy("custkey").agg(F.count(F.lit(1)).alias("n_close_pairs"))
+
+
+_RANGE_JOIN_ORACLE = """
+SELECT a.o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_close_pairs
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderkey < b.o_orderkey
+ AND abs(date_diff('day', CAST(b.o_orderdate AS TIMESTAMP),
+                   CAST(a.o_orderdate AS TIMESTAMP))) <= 30
+GROUP BY a.o_custkey
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (_pricing_summary, _PRICING_ORACLE),
     "rel_top_revenue_orders": (_top_revenue_orders, _TOP_REVENUE_ORACLE),
@@ -546,4 +617,6 @@ QUERIES = {
     "rel_customers_both_years": (_customers_both_years, _SET_OPS_ORACLE),
     "rel_asof_latest_order": (_asof_latest_order, _ASOF_ORACLE),
     "rel_price_percentiles": (_price_percentiles, _PERCENTILES_ORACLE),
+    "rel_pivot_status_by_priority": (_pivot_status_by_priority, _PIVOT_ORACLE),
+    "rel_orders_within_30d": (_orders_within_30d, _RANGE_JOIN_ORACLE),
 }
