@@ -78,11 +78,18 @@ def insert_rows(existing: DataFrame, new_rows: DataFrame, id_col: str = "iglyph_
             raise ValueError(f"duplicate {id_col} within insert batch")
         return existing.unionByName(new_rows, allowMissingColumns=True)
     if on_duplicate == "skip":
-        fresh = new_rows.join(existing.select(id_col), id_col, "left_anti")
+        # PK holds within the batch too: one row per id survives. Which
+        # copy wins among in-batch duplicates is unspecified (they are
+        # byte-identical in the import use case); the corpus never ends
+        # up with two rows sharing an id either way.
+        fresh = new_rows.dropDuplicates([id_col]).join(
+            existing.select(id_col), id_col, "left_anti"
+        )
         return existing.unionByName(fresh, allowMissingColumns=True)
     if on_duplicate == "overwrite":
-        kept = existing.join(new_rows.select(id_col), id_col, "left_anti")
-        return kept.unionByName(new_rows, allowMissingColumns=True)
+        deduped = new_rows.dropDuplicates([id_col])
+        kept = existing.join(deduped.select(id_col), id_col, "left_anti")
+        return kept.unionByName(deduped, allowMissingColumns=True)
     raise ValueError(f"unknown on_duplicate mode {on_duplicate!r}")
 
 
@@ -146,29 +153,39 @@ def audit_record(
     hash_before: str,
     hash_after: str,
     payload: dict[str, str] | None = None,
+    seq: int = 0,
 ) -> DataFrame:
     """A18: one hash-chained audit row (vector_field.py:105-117), computed
-    once per batch commit instead of once per row."""
+    once per batch commit instead of once per row. `seq` is the commit
+    sequence number — the chain's total order (wall-clock ts alone can
+    collide at µs resolution and would make chain verification
+    order-ambiguous)."""
     return spark.createDataFrame(
-        [(action, hash_before, hash_after, payload or {})],
-        "action string, hash_before string, hash_after string, payload map<string,string>",
+        [(action, hash_before, hash_after, payload or {}, seq)],
+        "action string, hash_before string, hash_after string,"
+        " payload map<string,string>, seq long",
     ).withColumn("ts", F.current_timestamp()).select(
-        "action", "ts", "hash_before", "hash_after", "payload"
+        "action", "ts", "hash_before", "hash_after", "payload", "seq"
     )
 
 
 def verify_audit_chain(audit: DataFrame, ts_col: str = "ts") -> dict:
     """A18 integrity check: the audit log is a hash chain — each record's
-    hash_before must equal the previous record's hash_after (ordered by
-    ts). Returns {'entries': n, 'breaks': k, 'ok': bool}.
+    hash_before must equal the previous record's hash_after, ordered by
+    the commit sequence (`seq` if present; ts with a hash tiebreak
+    otherwise — bare ts can collide at µs resolution and report
+    nondeterministic false breaks). Returns {'entries', 'breaks', 'ok'}.
 
     Implemented with a lag window over the (small) audit table; at scale
     the chain property is per-partition-checkable after a range partition
-    on ts.
+    on the sequence.
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col(ts_col).asc())
+    if "seq" in audit.columns:
+        w = Window.orderBy(F.col("seq").asc())
+    else:
+        w = Window.orderBy(F.col(ts_col).asc(), F.col("hash_before").asc())
     chained = audit.withColumn("__prev_after__", F.lag("hash_after").over(w))
     breaks = chained.filter(
         F.col("__prev_after__").isNotNull()

@@ -60,7 +60,11 @@ def shingle_sets(
 ) -> DataFrame:
     """(id, sh) — distinct shingle-hash set per doc, computed once via the
     Arrow fast path and persisted: the signature pass AND the verify pass
-    both read it, so the expensive text→hashes work runs a single time."""
+    both read it, so the expensive text→hashes work runs a single time.
+
+    The persist lives until the session drops it (LRU) — long-lived
+    sessions running many dedup jobs should unpersist the returned
+    handle after the final consuming action."""
     from pyspark import StorageLevel
 
     return df.select(
@@ -234,6 +238,14 @@ def connected_components(
         labels = updated
         if changed == 0:
             break
+    else:
+        # exhausted max_iter without fixpoint: labels are WRONG (a
+        # component would split); the caller must raise the budget,
+        # not silently keep multiple "keepers" in one true cluster
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(graph diameter exceeds the budget); raise max_iter"
+        )
     return labels
 
 

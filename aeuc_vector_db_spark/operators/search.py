@@ -211,10 +211,14 @@ def knn_search_batch_arrow(
             for j, qid in enumerate(q_ids):
                 col = scores[:, j]
                 take = min(top_k, len(col))
-                # argpartition: O(B) candidate cut, exact order fixed later
-                idx = np.argpartition(-col, take - 1)[:take]
+                # lexsort on (id asc secondary, score desc primary): a bare
+                # argpartition on score would cut arbitrarily through TIED
+                # scores at the k-th place (e.g. planted duplicate vectors)
+                # and could drop the id the (score DESC, id ASC) contract
+                # keeps — O(B log B) per batch is noise next to the scoring
+                order = np.lexsort((ids, -col))[:take]
                 cand = best.setdefault(int(qid), [])
-                cand.extend((float(col[i]), int(ids[i])) for i in idx)
+                cand.extend((float(col[i]), int(ids[i])) for i in order)
                 if len(cand) > 4 * top_k:  # keep the running set bounded
                     cand.sort(key=lambda t: (-t[0], t[1]))
                     del cand[top_k:]

@@ -48,7 +48,16 @@ def salted_join(
     `unique_cols` default to [key] — pass the row's unique id when many
     rows share the key (the point of salting) so the salt actually
     spreads them. Output columns = plain join's (salt dropped).
+
+    Only large-side-preserving joins are allowed: under right/full outer,
+    an unmatched small-side row would surface once per salt replica —
+    `buckets` copies instead of one.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "right/full outer would duplicate unmatched small-side rows per salt"
+        )
     uniq = unique_cols or [key]
     salted_large = with_salt(large, buckets, uniq)
     salts = small.sparkSession.range(buckets).select(F.col("id").cast("long").alias("__salt__"))

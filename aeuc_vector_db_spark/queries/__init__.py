@@ -36,8 +36,19 @@ for _mod_name in ("relational", "textops", "ann", "streaming_q", "multimodal_q")
             f"aeuc_vector_db_spark.queries.{_mod_name}", fromlist=["QUERIES"]
         )
         REGISTRY.update(_mod.QUERIES)
-    except ImportError:  # pragma: no cover - module lands in a later milestone
-        pass
+    except ModuleNotFoundError as _exc:
+        # tolerate only the module itself being absent (not-yet-built);
+        # a transitive import failure inside an EXISTING module must be
+        # loud, or whole query families silently vanish from the driver
+        if _exc.name != f"aeuc_vector_db_spark.queries.{_mod_name}":
+            raise
+        import sys as _sys
+
+        print(
+            f"warning: query module {_mod_name!r} not found — its queries "
+            "are not registered",
+            file=_sys.stderr,
+        )
 
 
 def queries() -> dict[str, QueryFn]:

@@ -36,7 +36,11 @@ def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Session windows = gaps-and-islands: a new session starts when the gap
-# from the previous event of the same user exceeds 30 minutes.
+# from the previous event of the same user EXCEEDS 30 minutes. The strict
+# > is deliberate and empirically verified: Spark's session_window merges
+# an event at exactly prev+gap into the SAME session (touching windows
+# merge), matching `gap > interval` here — a >= would diverge on
+# round-timestamped data.
 _SESSION_ORACLE = """
 WITH marked AS (
   SELECT user_id, ts,

@@ -71,7 +71,9 @@ VECTOR_ENTRY_SCHEMA = T.StructType(
     ]
 )
 
-# Audit record shape (vector_field.py:109-117)
+# Audit record shape (vector_field.py:109-117); `seq` is the commit
+# sequence — the chain's total order (ts alone can collide at µs
+# resolution).
 AUDIT_SCHEMA = T.StructType(
     [
         T.StructField("action", T.StringType(), False),
@@ -79,6 +81,7 @@ AUDIT_SCHEMA = T.StructType(
         T.StructField("hash_before", T.StringType(), False),
         T.StructField("hash_after", T.StringType(), False),
         T.StructField("payload", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("seq", T.LongType(), True),
     ]
 )
 

@@ -60,12 +60,17 @@ def split_valid(entries: DataFrame, dim: int) -> tuple[DataFrame, DataFrame]:
     auditable — the observable version of the reference's silent skip
     (vector_field.py:439-440).
     """
-    pred = schemas.valid_row(dim)
+    # coalesce(pred, False): a NULL predicate (corrupt line → null fields)
+    # must land in quarantine, not vanish — filter(pred) and filter(~pred)
+    # BOTH drop NULL rows otherwise (three-valued logic).
+    pred = F.coalesce(schemas.valid_row(dim), F.lit(False))
     accepted = entries.filter(pred)
     quarantined = entries.filter(~pred).withColumn(
         "reject_reason",
-        F.when(~schemas.valid_glyph_id("glyph_id"), F.lit("glyph_id_range"))
-        .when(~schemas.valid_outer_context("outer_context_id"), F.lit("ctx_range"))
+        F.when(~F.coalesce(schemas.valid_glyph_id("glyph_id"), F.lit(False)),
+               F.lit("glyph_id_range"))
+        .when(~F.coalesce(schemas.valid_outer_context("outer_context_id"), F.lit(False)),
+              F.lit("ctx_range"))
         .otherwise(F.lit("embedding_dim_or_nan")),
     )
     return accepted, quarantined
@@ -162,6 +167,11 @@ def running_counts_stateful(
     state_schema = "total long, last_s long"
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # idle key expired: drop state, emit nothing — the bounded-
+            # state contract the timeout parameter exists for
+            state.remove()
+            return
         total, last_s = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             total += len(pdf)
@@ -169,6 +179,10 @@ def running_counts_stateful(
                 ts_max = pdf[ts_col].max()
                 last_s = max(last_s, int(ts_max.timestamp()))
         state.update((total, last_s))
+        if timeout_minutes:
+            # expire this key once the event-time watermark passes
+            # last-seen + timeout
+            state.setTimeoutTimestamp((last_s + timeout_minutes * 60) * 1000)
         yield pd.DataFrame({"key": [key[0]], "total_count": [total], "last_seen_s": [last_s]})
 
     timeout = (

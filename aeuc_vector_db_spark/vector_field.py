@@ -42,6 +42,7 @@ class VectorField:
         self.pglyphs: DataFrame = spark.createDataFrame([], schemas.PGLYPH_SCHEMA)
         self.membership: DataFrame = spark.createDataFrame([], schemas.MEMBERSHIP_SCHEMA)
         self.audit: DataFrame = spark.createDataFrame([], schemas.AUDIT_SCHEMA)
+        self._audit_seq = 0
         self.current_hash = self._digest()
 
     # ------------------------------------------------------------------
@@ -54,11 +55,12 @@ class VectorField:
     def _log(self, action: str, **payload: Any) -> None:
         old = self.current_hash
         self.current_hash = self._digest()
+        self._audit_seq += 1
         rec = crud.audit_record(
             self.spark, action, old, self.current_hash,
-            {k: str(v) for k, v in payload.items()},
+            {k: str(v) for k, v in payload.items()}, seq=self._audit_seq,
         )
-        self.audit = self.audit.unionByName(rec)
+        self.audit = self.audit.unionByName(rec, allowMissingColumns=True)
 
     def _validate_vec(self, embedding: Sequence[float]) -> list[float]:
         vec = [float(x) for x in embedding]

@@ -126,3 +126,13 @@ def test_audit_chain_verification(spark):
     )
     res2 = crud.verify_audit_chain(broken)
     assert res2["breaks"] == 1 and not res2["ok"]
+
+
+def test_insert_skip_dedups_within_batch(spark, base):
+    dup = spark.createDataFrame(
+        [("c", [1.0, 1.0]), ("c", [2.0, 2.0])], "iglyph_id string, embedding array<float>"
+    )
+    out = crud.insert_rows(base, dup, on_duplicate="skip")
+    assert out.filter("iglyph_id = 'c'").count() == 1
+    out2 = crud.insert_rows(base, dup, on_duplicate="overwrite")
+    assert out2.groupBy("iglyph_id").count().filter("count > 1").count() == 0

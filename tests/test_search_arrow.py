@@ -48,3 +48,16 @@ def test_arrow_path_empty_queries_raises(emb, spark):
     empty = spark.createDataFrame([], "query_id long, query_embedding array<float>")
     with pytest.raises(ValueError, match="empty query set"):
         knn_search_batch_arrow(emb, empty)
+
+
+def test_arrow_path_tied_scores_break_by_id(spark):
+    """Identical vectors (all scores tied) must yield ids ascending —
+    the per-batch candidate cut may not drop a lower id in favor of a
+    higher one that appeared earlier in the batch."""
+    rows = [(i, [1.0, 2.0, 3.0]) for i in (50, 7, 99, 1, 23, 64, 8, 31)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], "query_id long, query_embedding array<double>")
+    res = knn_search_batch_arrow(corpus, q, top_k=4).collect()
+    assert [r["vec_id"] for r in res] == [1, 7, 8, 23]
+    sql = knn_search_batch(corpus, q, top_k=4).collect()
+    assert [r["vec_id"] for r in sql] == [r["vec_id"] for r in res]

@@ -167,3 +167,18 @@ def test_frame_sampling_expands_rows(spark):
     assert len(frames) == 3
     assert [f["frame_ts_ms"] for f in frames] == [0, 500, 1000]
     assert len({bytes(f["frame_bytes"]) for f in frames}) == 3  # distinct per idx
+
+
+def test_null_field_rows_are_quarantined_not_dropped(spark):
+    """Rows whose validity predicate evaluates to NULL (corrupt lines →
+    null fields) must reach the quarantine split, not vanish."""
+    df = spark.createDataFrame(
+        [("ok", 1, 0, [0.1] * DIM, None, None, None),
+         ("corrupt", None, None, [0.1] * DIM, None, None, None)],
+        "entry_id string, glyph_id long, outer_context_id int,"
+        " embedding array<float>, source_tag string, version string, ts timestamp",
+    )
+    accepted, quarantined = SI.split_valid(df, DIM)
+    assert accepted.count() == 1
+    rows = quarantined.collect()
+    assert len(rows) == 1 and rows[0]["entry_id"] == "corrupt"
