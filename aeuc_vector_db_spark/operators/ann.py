@@ -72,6 +72,82 @@ def build_ivf_index(
     return centroids, assignments
 
 
+def fit_centroids_sample(
+    corpus: DataFrame,
+    k: int = 8,
+    seed: int = 42,
+    iters: int = 10,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Driver-side Lloyd fit on a deterministic sample — the FAISS-style
+    IVF training recipe: the coarse quantizer trains on a bounded sample
+    (k is small; the quantizer needs shape, not the full corpus), then
+    assignment runs distributed (assign_centroids).
+
+    sample_mod=None uses every row (small corpora); sample_mod=m keeps
+    ~1/m of rows via pmod(xxhash64(id), m)=0 — deterministic,
+    filter-pushdown-friendly, no sort, no full-corpus collect at scale.
+
+    Returns (centroid_id INT, centroid ARRAY<DOUBLE>) — k rows.
+    Deterministic for a given (seed, sample): pure NumPy, no partition-
+    order dependence, unlike the MLlib fit.
+    """
+    import numpy as np
+
+    df = corpus.select(F.col(id_col), as_double(vec_col).alias("__v__"))
+    if sample_mod and sample_mod > 1:
+        df = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+    rows = df.orderBy(id_col).collect()  # deterministic sample order
+    if len(rows) < k:
+        raise ValueError(f"sample has {len(rows)} rows < k={k}")
+    mat = np.asarray([list(r["__v__"]) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=k, replace=False)].copy()
+    for _ in range(iters):
+        # squared-euclidean assignment; ties break to the lowest centroid id
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):  # empty cell keeps its previous centroid
+                cent[c] = members.mean(axis=0)
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
+        "centroid_id int, centroid array<double>",
+    )
+
+
+def assign_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed nearest-centroid assignment: (id_col, centroid_id).
+
+    Broadcast the k-row centroid table, score k candidates per vector
+    map-side, reduce with min_by on (distance, centroid_id) — one narrow
+    shuffle on id for the aggregate, no window. Ties break to the lowest
+    centroid id (total order ⇒ reproducible partitioning of the corpus).
+    """
+    v = corpus.select(F.col(id_col), as_double(vec_col).alias("__v__"))
+    diff = F.zip_with(F.col("__v__"), F.col("centroid"), lambda x, y: (x - y) * (x - y))
+    d2 = F.aggregate(diff, F.lit(0.0), lambda s, x: s + x)
+    scored = v.join(F.broadcast(centroids), how="cross").select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        d2.alias("__d2__"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.min_by(
+            F.col("centroid_id"), F.struct(F.col("__d2__"), F.col("centroid_id"))
+        ).alias("centroid_id")
+    )
+
+
 def write_ivf_corpus(
     corpus: DataFrame,
     assignments: DataFrame,

@@ -70,37 +70,63 @@ def form_pglyphs(
     group_cols: list[str],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Form one PGlyph row per group (A10): deterministic pglyph_id =
     sha2(sorted member ids), centroid, inertia, member_count.
 
     Output: group_cols + (pglyph_id, centroid, inertia, member_count).
 
-    materialize=True persists the (projected) input before the three
-    aggregate passes (centroid, members, inertia) — otherwise the whole
-    upstream pipeline (e.g. auto_cluster's norm + min/max + banding)
-    re-executes once per pass. The projection keeps only the columns the
-    aggregates read, so the cached footprint is minimal; at cluster scale
-    this is the standard persist-before-multi-pass pattern (StorageLevel
-    MEMORY_AND_DISK spills instead of OOMing).
-    """
-    df = df.select(*group_cols, id_col, vec_col)
-    if materialize:
-        from pyspark import StorageLevel
+    FUSED single-scan plan: one posexplode → one (group, pos) aggregate
+    carrying avg, Σx², count, AND the member-id digest (collected only at
+    pos 0 — `when(pos=0, id)` nulls elsewhere, collect_list drops nulls),
+    then one group-level aggregate reassembling the centroid and summing
+    per-dim inertia via the algebraic identity Σ(x−c)² = Σx² − n·c².
+    Two shuffles total (both keyed narrower than the data), no join, no
+    persist — the previous 3-pass + broadcast-join shape cost 2× the
+    jobs and needed a persist to avoid re-running upstream per pass.
+    The `materialize` parameter is retained for API compatibility and
+    ignored (single-scan plans have nothing to re-run).
 
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    cents = centroids(df, group_cols, vec_col)
-    inert = inertia(df, cents, group_cols, vec_col)
-    members = df.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("member_count"),
+    Numeric note: the algebraic inertia differs from the subtract-then-
+    square form only in low-order float bits (means are O(1), no
+    catastrophic cancellation for embedding-like data); declared queries
+    round inertia to 6 dp and their oracles use the same algebraic form.
+    """
+    exploded = df.select(
+        *group_cols,
+        F.col(id_col),
+        F.posexplode(as_double(vec_col)).alias("__pos__", "__val__"),
+    )
+    per_dim = exploded.groupBy(*group_cols, "__pos__").agg(
+        F.avg("__val__").alias("__avg__"),
+        F.sum(F.col("__val__") * F.col("__val__")).alias("__ss__"),
+        F.count(F.lit(1)).alias("__n__"),
         F.sha2(
-            F.concat_ws(",", F.sort_array(F.collect_list(F.col(id_col).cast("string")))), 256
-        ).alias("pglyph_id"),
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("__pos__") == 0, F.col(id_col).cast("string"))
+                    )
+                ),
+            ),
+            256,
+        ).alias("__digest__"),
     )
     return (
-        members.join(cents, group_cols, "inner")
-        .join(inert, group_cols, "inner")
+        per_dim.groupBy(*group_cols)
+        .agg(
+            F.max(F.when(F.col("__pos__") == 0, F.col("__digest__"))).alias("pglyph_id"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos__", "__avg__"))),
+                lambda s: s["__avg__"],
+            ).alias("centroid"),
+            F.sum(
+                F.col("__ss__") - F.col("__n__") * F.col("__avg__") * F.col("__avg__")
+            ).alias("inertia"),
+            F.max("__n__").alias("member_count"),
+        )
         .select(*group_cols, "pglyph_id", "centroid", "inertia", "member_count")
     )
 

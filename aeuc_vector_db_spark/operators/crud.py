@@ -62,6 +62,67 @@ def dataset_digest_scalable(df: DataFrame, id_col: str = "iglyph_id") -> int:
     return int(row["digest"]) % (2**63) if row["digest"] is not None else 0
 
 
+def dataset_digest_blake2b(
+    iglyphs: DataFrame,
+    pglyphs: DataFrame | None = None,
+    iglyph_id_col: str = "iglyph_id",
+    pglyph_id_col: str = "pglyph_id",
+) -> str:
+    """Bit-compatible twin of the reference _compute_hash
+    (vector_field.py:95-103): Blake2b-256 over the sort_keys JSON of the
+    sorted iglyph + pglyph id sets.
+
+    The id lists collect to the driver — this is the byte-parity tool
+    for validating against a reference DB dump, not a scale path; the
+    scale digests are dataset_digest (sorted sha2) and
+    dataset_digest_scalable (commutative, single aggregate).
+    """
+    import hashlib
+    import json
+
+    ig = sorted(r[0] for r in iglyphs.select(iglyph_id_col).collect())
+    pg = (
+        sorted(r[0] for r in pglyphs.select(pglyph_id_col).collect())
+        if pglyphs is not None
+        else []
+    )
+    payload = json.dumps({"iglyphs": ig, "pglyphs": pg}, sort_keys=True).encode()
+    return hashlib.blake2b(payload, digest_size=32).hexdigest()
+
+
+def commit_with_digest(
+    df: DataFrame,
+    path: str,
+    id_col: str = "iglyph_id",
+    mode: str = "overwrite",
+) -> int:
+    """Write a batch AND compute its scalable digest in the SAME job.
+
+    `observe` attaches the commutative digest aggregate as an accumulator
+    on the write action, so the commit costs exactly one pass over the
+    data — no second digest job re-executing the ingest pipeline (the
+    reference's per-mutation digest is the O(N²) hazard; a per-batch
+    digest that re-runs the batch is the milder sibling, still 2× the
+    work at 100 TB).
+
+    Returns the same value as dataset_digest_scalable(df).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(
+        obs,
+        F.sum(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(2**31 - 1)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("__digest__"),
+    )
+    observed.write.mode(mode).parquet(path)
+    val = obs.get["__digest__"]
+    return int(val) % (2**63) if val is not None else 0
+
+
 def insert_rows(existing: DataFrame, new_rows: DataFrame, id_col: str = "iglyph_id",
                 on_duplicate: str = "error") -> DataFrame:
     """A13: batch insert. on_duplicate: 'error' (reference ValueError,

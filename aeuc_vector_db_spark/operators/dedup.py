@@ -73,8 +73,22 @@ def shingle_sets(
 
 
 def _candidates_from_sigs(
-    sigs: DataFrame, id_col: str, k: int, band_size: int
+    sigs: DataFrame, id_col: str, k: int, band_size: int,
+    max_band_size: int | None = None,
 ) -> DataFrame:
+    """Band-bucket self-join → candidate pairs.
+
+    max_band_size bounds the hot-band hazard: a band bucket shared by n
+    docs emits n(n−1)/2 pairs, so one boilerplate bucket (empty docs, a
+    shared template) turns the join quadratic AND concentrates it on one
+    reducer. Buckets over the cap are dropped from pair generation — the
+    standard LSH treatment: a mega-bucket means near-identical
+    boilerplate, which exact_dedup already groups in O(n) by full-text
+    hash; pairwise verification inside it is quadratic work for no new
+    information. AQE skew-join (on in session.py) splits the residual
+    moderate skew. Default None = exact LSH semantics (oracle-checked
+    queries use None; scale pipelines set a cap).
+    """
     n_bands = k // band_size
     bands = sigs.select(
         F.col(id_col),
@@ -90,6 +104,14 @@ def _candidates_from_sigs(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.vals").alias("vals"))
+    if max_band_size is not None:
+        w_cnt = (
+            bands.groupBy("band", "vals")
+            .agg(F.count(F.lit(1)).alias("__bn__"))
+            .filter(F.col("__bn__") <= max_band_size)
+            .select("band", "vals")
+        )
+        bands = bands.join(w_cnt, ["band", "vals"], "left_semi")
     a = bands.select(F.col(id_col).alias("a_id"), "band", "vals")
     b = bands.select(F.col(id_col).alias("b_id"), "band", "vals")
     return (
@@ -107,6 +129,7 @@ def minhash_candidates(
     k: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 MinHash band.
 
@@ -118,7 +141,12 @@ def minhash_candidates(
     sigs = sets_.filter(F.size("sh") > 0).select(
         F.col(id_col), minhash_signature_col(F.col("sh"), k).alias("sig")
     )
-    return _candidates_from_sigs(sigs, id_col, k, band_size)
+    cands = _candidates_from_sigs(sigs, id_col, k, band_size, max_band_size)
+    # materialize the (small) pair list, then release the cached shingle
+    # sets — otherwise every dedup call leaks a MEMORY_AND_DISK block
+    cands = cands.localCheckpoint(eager=True)
+    sets_.unpersist()
+    return cands
 
 
 def minhash_near_dup(
@@ -129,27 +157,34 @@ def minhash_near_dup(
     k: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup: candidates → exact shingle-set Jaccard
     verify ≥ threshold. Returns (a_id, b_id, jaccard).
 
     The shingle sets are computed once (Arrow fast path, persisted) and
     reused by the signature pass and the verify joins; verification only
-    touches the candidate pairs — never all pairs.
+    touches the candidate pairs — never all pairs. max_band_size: see
+    _candidates_from_sigs (hot-band cap for skewed corpora).
     """
     sets_ = shingle_sets(df, id_col, text_col, shingle_n)
     sigs = sets_.filter(F.size("sh") > 0).select(
         F.col(id_col), minhash_signature_col(F.col("sh"), k).alias("sig")
     )
-    cands = _candidates_from_sigs(sigs, id_col, k, band_size)
+    cands = _candidates_from_sigs(sigs, id_col, k, band_size, max_band_size)
     a_sets = sets_.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
     b_sets = sets_.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
-    return (
+    verified = (
         cands.join(a_sets, "a_id")
         .join(b_sets, "b_id")
         .select("a_id", "b_id", jaccard_col(F.col("a_sh"), F.col("b_sh")).alias("jaccard"))
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
+    # materialize the verified pairs (small), then release the cached
+    # shingle sets so repeated dedup calls don't accumulate storage
+    verified = verified.localCheckpoint(eager=True)
+    sets_.unpersist()
+    return verified
 
 
 def ngram_jaccard_pairs(
@@ -242,10 +277,14 @@ def connected_components(
         # exhausted max_iter without fixpoint: labels are WRONG (a
         # component would split); the caller must raise the budget,
         # not silently keep multiple "keepers" in one true cluster
+        undirected.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
             "(graph diameter exceeds the budget); raise max_iter"
         )
+    # labels is an eager localCheckpoint; the cached edge list is no
+    # longer needed once the fixpoint is reached
+    undirected.unpersist()
     return labels
 
 

@@ -166,7 +166,7 @@ def knn_search_batch_arrow(
     q_rows = queries.select(query_id_col, query_vec_col).collect()
     if not q_rows:
         raise ValueError("empty query set")
-    q_ids = np.array([r[query_id_col] for r in q_rows])
+    q_ids = [r[query_id_col] for r in q_rows]
     q_mat = np.asarray([list(r[query_vec_col]) for r in q_rows], dtype=np.float64)
 
     def score_block(mat: np.ndarray) -> np.ndarray:
@@ -197,15 +197,22 @@ def knn_search_batch_arrow(
             return out
         raise ValueError(f"Unknown metric {metric!r}")
 
-    out_schema = f"{query_id_col} long, {id_col} long, score double"
+    # id column types follow the inputs — string iglyph ids work the same
+    # as long vec_ids (the id never enters the arithmetic, only the sort)
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{query_id_col} {qid_type}, {id_col} {id_type}, score double"
 
     def partition_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # accumulate the per-partition top-k per query across Arrow batches
-        best: dict[int, list[tuple[float, int]]] = {}
+        best: dict = {}
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf[id_col].to_numpy()
+            ids_py = pdf[id_col].tolist()
+            # np.asarray over the python list: string ids become '<U' dtype
+            # (lexsort-able), where pandas .to_numpy() would yield object
+            ids = np.asarray(ids_py)
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
             scores = score_block(mat)  # (B, Q)
             for j, qid in enumerate(q_ids):
@@ -217,8 +224,8 @@ def knn_search_batch_arrow(
                 # and could drop the id the (score DESC, id ASC) contract
                 # keeps — O(B log B) per batch is noise next to the scoring
                 order = np.lexsort((ids, -col))[:take]
-                cand = best.setdefault(int(qid), [])
-                cand.extend((float(col[i]), int(ids[i])) for i in order)
+                cand = best.setdefault(qid, [])
+                cand.extend((float(col[i]), ids_py[i]) for i in order)
                 if len(cand) > 4 * top_k:  # keep the running set bounded
                     cand.sort(key=lambda t: (-t[0], t[1]))
                     del cand[top_k:]

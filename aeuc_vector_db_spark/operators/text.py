@@ -189,8 +189,10 @@ def simhash16_col(tokens: Column | str) -> Column:
 def jaccard_col(a: Column, b: Column) -> Column:
     """|A∩B| / |A∪B| for pre-distincted arrays (exact integer counts,
     double division at the end — order-independent)."""
+    # one intersect + one union — the previous |A|+|B|−|A∩B| form evaluated
+    # array_intersect twice, and these run interpreted (no codegen CSE)
     inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
     return inter / union.cast("double")
 
 

@@ -239,12 +239,13 @@ WITH pts AS (
          unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val,
          unnest(range(len(embedding))) AS pos
   FROM embeddings
-), cent AS (
-  SELECT label, pos, AVG(val) AS c FROM pts GROUP BY label, pos
 ), inert AS (
-  SELECT pts.label, SUM((val - c) * (val - c)) AS inertia
-  FROM pts JOIN cent ON pts.label = cent.label AND pts.pos = cent.pos
-  GROUP BY pts.label
+  -- algebraic form Σx² − n·c² per dim, mirroring the engine's fused
+  -- single-scan aggregate (operators/clustering.py form_pglyphs)
+  SELECT label, SUM(ss - n * c * c) AS inertia FROM (
+    SELECT label, pos, SUM(val * val) AS ss, COUNT(*) AS n, AVG(val) AS c
+    FROM pts GROUP BY label, pos
+  ) GROUP BY label
 ), ids AS (
   SELECT label,
          sha256(string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY CAST(vec_id AS VARCHAR)))
@@ -308,12 +309,11 @@ WITH norms AS (
          unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val,
          unnest(range(len(embedding))) AS pos
   FROM banded
-), cent AS (
-  SELECT band, pos, AVG(val) AS c FROM pts GROUP BY band, pos
 ), inert AS (
-  SELECT pts.band, SUM((val - c) * (val - c)) AS inertia
-  FROM pts JOIN cent ON pts.band = cent.band AND pts.pos = cent.pos
-  GROUP BY pts.band
+  SELECT band, SUM(ss - n * c * c) AS inertia FROM (
+    SELECT band, pos, SUM(val * val) AS ss, COUNT(*) AS n, AVG(val) AS c
+    FROM pts GROUP BY band, pos
+  ) GROUP BY band
 ), ids AS (
   SELECT band,
          sha256(string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY CAST(vec_id AS VARCHAR)))

@@ -1,13 +1,16 @@
-"""Declared multimodal query (E5) — rows-only check (the decode kernels
-are deterministic stubs; their sha256-derived outputs aren't expressible
-in DuckDB SQL, so the driver verifies rows/schema and the unit tests pin
-the values).
+"""Declared multimodal query (E5) — rows-only check.
 
-The query materializes a small binary corpus under /tmp (binary blobs
-derived deterministically from the documents fixture), reads it back
-through the binaryFile source, runs the mapInPandas decode kernel, and
-aggregates per-modality feature stats — the full multimodal plumbing
-end-to-end: bytes → typed rows → Arrow batches → features → agg.
+The corpus is REAL files now: valid PNGs (pure-stdlib encoder, pixels
+derived deterministically from the documents fixture) and valid PCM16
+WAVs, plus fake mp4 payloads exercising the declared-stub path. The
+query reads them back through the binaryFile source, runs the unified
+mapInPandas decode kernel (real PNG/WAV parsing, stub for video), and
+aggregates per-modality feature stats — bytes → typed rows → Arrow
+batches → features → agg, end-to-end.
+
+Not DuckDB-oracled: the oracle has no PNG/WAV decoder; the kernels'
+values are pinned by unit tests on known files instead
+(tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -21,12 +24,45 @@ from pyspark.sql import functions as F
 from aeuc_vector_db_spark.sources import multimodal as MM
 from aeuc_vector_db_spark.sources.tables import load_table
 
+# repo-local cache (driver may sandbox /tmp); gitignored
+_CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+                           ".cache", "multimodal")
+
+
+def _blob_bytes(doc_id: int, text: str) -> tuple[str, bytes]:
+    """Deterministic blob for one documents row: real PNG / real WAV /
+    fake mp4, cycling by doc_id. Returns (filename, payload)."""
+    h = hashlib.sha256(text.encode()).digest()
+    kind = doc_id % 3
+    if kind == 0:
+        # real 8x8 RGB PNG; pixel stream = sha256 chain over the text
+        w = hgt = 8
+        need = w * hgt * 3
+        buf = bytearray()
+        cur = h
+        while len(buf) < need:
+            buf += cur
+            cur = hashlib.sha256(cur).digest()
+        return f"blob_{doc_id}.png", MM.png_encode(bytes(buf[:need]), w, hgt, color_type=2)
+    if kind == 1:
+        # real PCM16 mono WAV, 64 samples @ 8 kHz from the hash stream
+        samples = []
+        cur = h
+        while len(samples) < 64:
+            samples += [
+                int.from_bytes(cur[i : i + 2], "little", signed=True)
+                for i in range(0, 32, 2)
+            ]
+            cur = hashlib.sha256(cur).digest()
+        return f"blob_{doc_id}.wav", MM.wav_encode(samples[:64], sample_rate=8000)
+    # fake mp4 → exercises the declared-stub path
+    return f"blob_{doc_id}.mp4", h * 4
+
 
 def _blob_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Deterministic binary corpus: one blob per documents row (doc_id %
-    25 == 0), bytes = sha256(text) repeated, extension cycles modalities."""
+    """Materialize the binary corpus once per sf (marker-cached)."""
     tag = os.path.basename(sf_dir.rstrip("/"))
-    d = f"/tmp/aeuc_multimodal_{tag}"
+    d = os.path.join(_CACHE_ROOT, tag)
     marker = f"{d}/.complete"
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)
@@ -36,10 +72,9 @@ def _blob_dir(spark: SparkSession, sf_dir: str) -> str:
             .select("doc_id", "text")
             .collect()
         )
-        exts = ("png", "wav", "mp4")
         for r in rows:
-            payload = hashlib.sha256(r["text"].encode()).digest() * 4
-            with open(f"{d}/blob_{r['doc_id']}.{exts[r['doc_id'] % 3]}", "wb") as f:
+            name, payload = _blob_bytes(r["doc_id"], r["text"])
+            with open(os.path.join(d, name), "wb") as f:
                 f.write(payload)
         with open(marker, "w") as f:
             f.write("ok")
@@ -48,16 +83,16 @@ def _blob_dir(spark: SparkSession, sf_dir: str) -> str:
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = MM.read_binary_dir(spark, _blob_dir(spark, sf_dir))
-    feats = MM.decode_image_features_stub(blobs, feature_dim=8)
-    rejoined = feats.join(blobs.select("blob_id", "modality"), "blob_id")
+    feats = MM.decode_features(blobs, feature_dim=8)
     return (
-        rejoined.groupBy("modality")
+        feats.groupBy("modality", "decode_status")
         .agg(
             F.count(F.lit(1)).alias("n_blobs"),
             F.round(F.avg("width"), 6).alias("avg_width"),
+            F.round(F.avg("duration_ms"), 6).alias("avg_duration_ms"),
             F.round(F.avg(F.element_at("features", 1)), 9).alias("avg_f0"),
         )
-        .orderBy("modality")
+        .orderBy("modality", "decode_status")
     )
 
 

@@ -125,6 +125,42 @@ def entry_fingerprint_col(vec_col: Column | str = "embedding") -> Column:
     return F.sha2(F.to_json(c), 256)
 
 
+def entry_fingerprint_blake2b(vec_col: Column | str = "embedding") -> Column:
+    """Bit-compatible twin of VectorEntry.fingerprint (types.py:68-71):
+    Blake2b-256 hex digest of the compact-JSON-serialized embedding.
+
+    Arrow-batched pandas_udf (Blake2b isn't a Spark builtin): each value
+    is serialized with Python's json.dumps(separators=(",", ":")) —
+    byte-identical to the reference when the embedding holds the same
+    doubles (pass ARRAY<DOUBLE>; float32 storage widens to different
+    doubles and is the caller's parity bug, not this function's).
+    Use entry_fingerprint_col (sha2, JVM-side) when only the
+    'same embedding ⇒ same digest' contract matters; use this twin when
+    byte-level parity with reference exports does.
+    """
+    import hashlib
+    import json
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fp(v):
+        return v.map(
+            lambda arr: hashlib.blake2b(
+                json.dumps([float(x) for x in arr], separators=(",", ":")).encode(),
+                digest_size=32,
+            ).hexdigest()
+        )
+
+    # real type objects, not strings — `from __future__ import annotations`
+    # would stringify inline hints, which pandas_udf can't introspect
+    _fp.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    fp_udf = pandas_udf(_fp, "string")
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return fp_udf(c.cast("array<double>"))
+
+
 def assert_valid(df, dim: int, **cols):
     """add/update semantics: raise on the first invalid row (ValueError analog,
     vector_field.py:119-127 / types.py __post_init__).

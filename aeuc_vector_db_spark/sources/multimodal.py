@@ -5,13 +5,20 @@ metadata bag; heavy per-item work (decode, resize, feature-extract,
 frame-sample) runs in Arrow-batched `mapInPandas` so bytes stay in
 columnar batches and the work scales with partitions, never the driver.
 
-The decode kernels themselves are STUBBED: the image/audio libraries are
-not in this container, so each `*_stub` either raises a clearly-marked
-NotImplementedError (strict mode) or produces a deterministic fake
-derived from the payload bytes (test mode). The Spark-side plumbing —
-schemas, batch iteration shape, partition-parallelism, binaryFile
-source, metadata propagation — is real and tested; swapping a stub for
-Pillow/ffmpeg changes only the body of one function.
+Decode kernels:
+- PNG: REAL — pure-stdlib decoder (zlib is in the standard library and
+  the PNG spec is public): signature + IHDR parse for width/height/
+  bit-depth/channels, full IDAT inflate + scanline unfilter (filter
+  types 0-4) for per-channel pixel statistics as features.
+- WAV: REAL — RIFF chunk walk for the fmt/data chunks (channels, sample
+  rate, bit depth, duration) and PCM16 sample decode via NumPy for
+  amplitude features.
+- video and other formats: STUBBED — container parsers (mp4 boxes,
+  codecs) need ffmpeg, absent here; the stub raises a clearly-marked
+  NotImplementedError (strict) or emits a deterministic fake derived
+  from the payload bytes. The Spark-side plumbing — schemas, batch
+  iteration shape, partition-parallelism, binaryFile source, metadata
+  propagation — is identical for real and stubbed kernels.
 
 Scale notes: `binaryFile` splits at file granularity — fine for many
 small/medium objects; huge objects should be sharded upstream. Column
@@ -23,6 +30,8 @@ shuffle).
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -86,6 +95,156 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
     )
 
 
+# ---------------------------------------------------------------------------
+# Real pure-stdlib codecs (public formats: PNG spec, RIFF/WAVE spec)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → samples per pixel (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def png_encode(pixels: bytes, width: int, height: int, color_type: int = 2) -> bytes:
+    """Minimal valid PNG writer (8-bit depth): used by tests and corpus
+    builders to produce REAL files the decoder below round-trips.
+
+    `pixels` is raw scanline data, row-major, `channels` bytes per pixel,
+    len == width*height*channels."""
+    channels = _PNG_CHANNELS[color_type]
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match width*height*channels")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )  # filter type 0 per scanline
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-stdlib PNG decode: (width, height, channels, raw pixel bytes).
+
+    Parses the signature + IHDR, inflates the IDAT stream, and reverses
+    scanline filters 0-4 (None/Sub/Up/Average/Paeth). 8-bit depth,
+    non-interlaced only — raises ValueError otherwise (honest about the
+    subset; the feature-extraction contract needs dims + pixel stats,
+    not full spec coverage)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, width, height, channels, bit_depth, interlace = 8, 0, 0, 0, 0, 0
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bit_depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {bit_depth} (8 only)")
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"bad PNG color type {color_type}")
+            channels = _PNG_CHANNELS[color_type]
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + data + crc
+    if not width or not idat:
+        raise ValueError("truncated PNG: missing IHDR or IDAT")
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out += line
+        prev = line
+    return width, height, channels, bytes(out)
+
+
+def wav_encode(samples: "list[int]", sample_rate: int = 8000, channels: int = 1) -> bytes:
+    """Minimal valid PCM16 RIFF/WAVE writer (canonical 44-byte header)."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def wav_decode(payload: bytes) -> tuple[int, int, int, float, bytes]:
+    """RIFF chunk walk: (channels, sample_rate, bits, duration_ms, pcm).
+
+    PCM (format 1) only — raises ValueError on compressed codecs."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos = 12
+    channels = rate = bits = 0
+    pcm = b""
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        data = payload[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            audio_format, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", data[:16])
+            if audio_format != 1:
+                raise ValueError(f"unsupported WAV format {audio_format} (PCM only)")
+        elif tag == b"data":
+            pcm = data
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if not channels or not pcm:
+        raise ValueError("truncated WAV: missing fmt or data chunk")
+    n_frames = len(pcm) // (channels * bits // 8)
+    return channels, rate, bits, n_frames * 1000.0 / rate, pcm
+
+
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     """Deterministic fake (width, height, channels) from the payload hash."""
     h = hashlib.sha256(payload or b"").digest()
@@ -122,6 +281,92 @@ def decode_image_features_stub(
             )
 
     return blobs.select("blob_id", "content").mapInPandas(decode, IMAGE_FEATURES_SCHEMA)
+
+
+MULTIMODAL_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("decode_status", T.StringType(), False),  # real|stub|error
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.DoubleType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def decode_features(blobs: DataFrame, feature_dim: int = 8) -> DataFrame:
+    """Unified multimodal feature extraction over mapInPandas.
+
+    Real kernels where the format is decodable with the standard library
+    (PNG via png_decode, WAV via wav_decode — `decode_status='real'`,
+    features are true pixel/amplitude statistics); declared stub for
+    video/unknown formats (`decode_status='stub'`, sha256-derived fake).
+    Corrupt payloads land as `decode_status='error'` rows instead of
+    failing the job — the quarantine philosophy of streaming/ingest.py
+    applied to decode.
+
+    One input row → one output row; modality rides through the kernel so
+    no join is needed afterwards. Bytes stay inside the Arrow batches.
+    """
+    import numpy as np
+
+    def decode_one(blob_id: str, modality: str, content) -> tuple:
+        payload = bytes(content) if content is not None else b""
+        try:
+            if modality == "image" and payload[:8] == _PNG_SIG:
+                w, h, c, pix = png_decode(payload)
+                arr = np.frombuffer(pix, dtype=np.uint8).reshape(-1, c)
+                # per-channel mean/std interleaved, padded to feature_dim
+                feats = []
+                for ch in range(c):
+                    col = arr[:, ch].astype(np.float64)
+                    feats += [float(col.mean()) / 255.0, float(col.std()) / 255.0]
+                feats = (feats + [0.0] * feature_dim)[:feature_dim]
+                return (blob_id, modality, "real", w, h, c, None, None, feats)
+            if modality == "audio" and payload[:4] == b"RIFF":
+                c, rate, bits, dur_ms, pcm = wav_decode(payload)
+                if bits == 16:
+                    samp = np.frombuffer(
+                        pcm[: len(pcm) // 2 * 2], dtype="<i2"
+                    ).astype(np.float64) / 32768.0
+                else:
+                    samp = np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) / 255.0
+                feats = [
+                    float(samp.mean()) if len(samp) else 0.0,
+                    float(np.sqrt((samp**2).mean())) if len(samp) else 0.0,
+                    float(samp.min()) if len(samp) else 0.0,
+                    float(samp.max()) if len(samp) else 0.0,
+                ]
+                feats = (feats + [0.0] * feature_dim)[:feature_dim]
+                return (blob_id, modality, "real", None, None, c, rate, dur_ms, feats)
+            if modality in ("image", "audio"):
+                # right modality, undecodable payload → error row
+                raise ValueError("unrecognized container for modality")
+            # video/unknown: declared stub (needs ffmpeg) — deterministic fake
+            w, h, c = _fake_dims(payload)
+            digest = hashlib.sha256(payload).digest()
+            feats = [float(digest[i % 32]) / 255.0 for i in range(feature_dim)]
+            return (blob_id, modality, "stub", w, h, c, None, None, feats)
+        except (ValueError, zlib.error, struct.error):
+            return (blob_id, modality, "error", None, None, None, None, None, None)
+
+    cols = [f.name for f in MULTIMODAL_FEATURES_SCHEMA.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                decode_one(b, m, c)
+                for b, m, c in zip(pdf["blob_id"], pdf["modality"], pdf["content"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return blobs.select("blob_id", "modality", "content").mapInPandas(
+        decode, MULTIMODAL_FEATURES_SCHEMA
+    )
 
 
 def sample_frames_stub(

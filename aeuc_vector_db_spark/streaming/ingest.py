@@ -65,15 +65,54 @@ def split_valid(entries: DataFrame, dim: int) -> tuple[DataFrame, DataFrame]:
     # BOTH drop NULL rows otherwise (three-valued logic).
     pred = F.coalesce(schemas.valid_row(dim), F.lit(False))
     accepted = entries.filter(pred)
+    # Reason labels must distinguish "field is NULL" (corrupt/missing JSON
+    # line) from "field fails its range check": without the leading branch,
+    # coalesce(pred, False) would tag every null-field row with the first
+    # range label, misdirecting quarantine triage.
     quarantined = entries.filter(~pred).withColumn(
         "reject_reason",
-        F.when(~F.coalesce(schemas.valid_glyph_id("glyph_id"), F.lit(False)),
-               F.lit("glyph_id_range"))
-        .when(~F.coalesce(schemas.valid_outer_context("outer_context_id"), F.lit(False)),
-              F.lit("ctx_range"))
+        F.when(
+            F.col("glyph_id").isNull()
+            | F.col("outer_context_id").isNull()
+            | F.col("embedding").isNull(),
+            F.lit("null_fields"),
+        )
+        .when(~schemas.valid_glyph_id("glyph_id"), F.lit("glyph_id_range"))
+        .when(~schemas.valid_outer_context("outer_context_id"), F.lit("ctx_range"))
         .otherwise(F.lit("embedding_dim_or_nan")),
     )
     return accepted, quarantined
+
+
+#: default id-bucket fan-out for the corpus layout. Sized so a micro-batch
+#: of B distinct ids reads at most min(B, N_ID_BUCKETS)/N_ID_BUCKETS of
+#: the corpus for its dedup anti-join; at 100 TB raise it (buckets are
+#: directories — cheap) so each bucket stays executor-memory-sized.
+N_ID_BUCKETS = 64
+
+
+def id_bucket_col(id_col: str = "entry_id", n_buckets: int = N_ID_BUCKETS):
+    """Stable id → bucket mapping (xxhash64, engine-internal only — never
+    compared cross-engine, so no polyhash needed)."""
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
+
+
+def pruned_existing_ids(
+    spark: SparkSession,
+    corpus_path: str,
+    buckets: list[int],
+    id_col: str = "entry_id",
+) -> DataFrame:
+    """The ids already in the corpus, reading ONLY the id-bucket
+    partitions in `buckets` — the scan carries
+    `PartitionFilters: [id_bucket IN (...)]` (asserted in
+    tests/test_streaming.py), so per-epoch dedup cost is bounded by the
+    batch's bucket fan-out, not the corpus size."""
+    return (
+        spark.read.parquet(corpus_path)
+        .filter(F.col("id_bucket").isin([int(b) for b in buckets]))
+        .select(id_col)
+    )
 
 
 def start_ingest(
@@ -85,13 +124,20 @@ def start_ingest(
     dim: int,
     id_col: str = "entry_id",
     available_now: bool = False,
+    n_buckets: int = N_ID_BUCKETS,
 ) -> StreamingQuery:
     """Validated, deduplicating streaming append into a parquet corpus.
 
-    Each epoch: validate → split → left_anti the accepted rows against
-    the current corpus (PK dedup across epochs AND within the corpus) →
-    append; quarantined rows append to their own sink. Restarts resume
-    from the checkpoint (file-source offsets + epoch id).
+    Each epoch: validate → split → PK-dedup the accepted rows against
+    the corpus → append; quarantined rows append to their own sink.
+    Restarts resume from the checkpoint (file-source offsets + epoch id).
+
+    The corpus is laid out partitioned by a stable id bucket
+    (pmod(xxhash64(id), n_buckets)), and each epoch's anti-join reads
+    only the buckets the batch touches (partition pruning). Without
+    this, the dedup scan is O(corpus) per micro-batch — a real
+    scale-killer at 100 TB; with it, per-epoch cost is proportional to
+    (touched buckets / n_buckets) × corpus, bounded by the batch size.
     """
     stream = read_vector_entry_stream(spark, source_path)
 
@@ -99,13 +145,22 @@ def start_ingest(
         from pyspark.errors import AnalysisException
 
         accepted, quarantined = split_valid(batch, dim)
-        accepted = accepted.dropDuplicates([id_col])
+        accepted = accepted.dropDuplicates([id_col]).withColumn(
+            "id_bucket", id_bucket_col(id_col, n_buckets)
+        )
+        # small local materialization: ≤ n_buckets ints + the batch rows
+        # (micro-batches are bounded by maxFilesPerTrigger upstream)
+        accepted = accepted.localCheckpoint(eager=True)
         try:
-            existing = spark.read.parquet(corpus_path).select(id_col)
-            accepted = accepted.join(existing, id_col, "left_anti")
+            buckets = [
+                r["id_bucket"] for r in accepted.select("id_bucket").distinct().collect()
+            ]
+            if buckets:
+                existing = pruned_existing_ids(spark, corpus_path, buckets, id_col)
+                accepted = accepted.join(existing, id_col, "left_anti")
         except AnalysisException:
             pass  # first epoch: corpus path doesn't exist yet
-        accepted.write.mode("append").parquet(corpus_path)
+        accepted.write.mode("append").partitionBy("id_bucket").parquet(corpus_path)
         if quarantined.limit(1).count() > 0:
             quarantined.write.mode("append").parquet(quarantine_path)
 

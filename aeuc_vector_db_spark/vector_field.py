@@ -268,7 +268,13 @@ class VectorField:
     # Import / export / snapshot / stats (A20-A23)
     # ------------------------------------------------------------------
 
-    def export_jsonl(self) -> str:
+    def export_jsonl(self, path: str | None = None) -> str:
+        """A20. With `path`, writes ts-ordered JSONL distributed (the scale
+        path) and returns the path; without, returns the corpus as one
+        string (reference string contract — small collections only)."""
+        if path is not None:
+            jsonl_src.export_jsonl(self.iglyphs, path)
+            return path
         return jsonl_src.export_jsonl_string(self.iglyphs)
 
     def import_jsonl(self, lines: str | list[str], overwrite: bool = False) -> int:
@@ -310,6 +316,12 @@ class VectorField:
         db.pglyphs = spark.read.parquet(f"{path}/pglyphs")
         db.membership = spark.read.parquet(f"{path}/membership")
         db.audit = spark.read.parquet(f"{path}/audit")
+        # Resume the audit sequence where the snapshot left off; otherwise
+        # post-restore mutations would re-issue seq 1..N and make
+        # verify_audit_chain's orderBy(seq) ambiguous.
+        if "seq" in db.audit.columns:
+            max_seq = db.audit.agg(F.max("seq")).collect()[0][0]
+            db._audit_seq = int(max_seq) if max_seq is not None else 0
         db.current_hash = db._digest()
         if db.current_hash != manifest["current_hash"]:
             raise ValueError(

@@ -96,6 +96,8 @@ def main() -> None:
 
     ingest_rate = _bench_ingest(spark)
     knn_scale = _bench_knn_scale(spark)
+    cluster_scale = _bench_cluster_scale(spark)
+    dedup_skew = _bench_dedup_skew(spark)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -113,6 +115,8 @@ def main() -> None:
                 "cold_queries": cold_query,
                 "ingest_rows_per_s": ingest_rate,
                 "knn_scale": knn_scale,
+                "cluster_scale": cluster_scale,
+                "dedup_skew": dedup_skew,
             }
         )
     )
@@ -156,8 +160,8 @@ def _bench_ingest(spark) -> dict:
             # import semantics (A21): dedup-skip fuses into the write as a
             # single anti-join — no separate dup-count jobs
             merged = crud.insert_rows(existing, validated, on_duplicate="skip")
-            merged.write.mode("overwrite").parquet(f"{out_dir}/iglyphs")
-            crud.dataset_digest_scalable(merged)  # one digest per batch commit
+            # digest observed ON the write: the whole commit is ONE job
+            crud.commit_with_digest(merged, f"{out_dir}/iglyphs")
             return time.time() - t0
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
@@ -192,6 +196,91 @@ def _bench_ingest(spark) -> dict:
     rate_big = 100_000 / dt_big if dt_big > 0 else 0.0
     print(f"# ingest_batch_100k: {dt_big:.3f}s = {rate_big:.0f} rows/s", file=sys.stderr)
     return {"fixture": round(rate, 1), "n100k": round(rate_big, 1)}
+
+
+def _bench_cluster_scale(spark) -> dict:
+    """auto_cluster_phi at 50× the fixture: 100k synthetic vectors
+    (dim=64). The point (PLANS.md): the engine's clustering time is
+    flat/overhead-bound while the reference's per-pass O(N·d) Python
+    loop grows linearly (6.6 ms at N=199 ⇒ ~3.3 s at N=100k) — Spark's
+    ~55 ms action floor buys a curve that doesn't grow.
+    """
+    from pyspark.sql import functions as F
+
+    from aeuc_vector_db_spark.operators.clustering import auto_cluster_phi
+
+    n = 100_000
+    corpus = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            (F.col("id") % 10).cast("int").alias("outer_context_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: ((F.col("id") % 89 + i * 3) % 19).cast("double") / 19.0,
+            ).alias("embedding"),
+        )
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .persist()
+    )
+    corpus.count()  # materialize the synthetic corpus outside the timing
+    df = auto_cluster_phi(corpus, outer_context_id=None, levels=3)
+    df.collect()  # cold: plan compile
+    t0 = time.time()
+    rows = df.collect()
+    dt = time.time() - t0
+    corpus.unpersist()
+    print(f"# cluster_scale_100k: {len(rows)} bands in {dt:.3f}s", file=sys.stderr)
+    return {"n": n, "sec": round(dt, 3), "bands": len(rows)}
+
+
+def _bench_dedup_skew(spark) -> dict:
+    """MinHash-LSH candidate generation under a planted hot band.
+
+    Two corpora at N=50k: `uniform` (all-distinct synthetic texts) and
+    `skewed` (same, plus 1% of rows replaced by ONE boilerplate text —
+    a mega band-bucket ~500× the typical bucket). With the
+    max_band_size cap the skewed run must stay within ~2× of the
+    uniform run (flat per-row cost, no quadratic bucket, no straggler);
+    uncapped, the mega-bucket alone is ~125k pairs on one reducer.
+    """
+    from pyspark.sql import functions as F
+
+    from aeuc_vector_db_spark.operators.dedup import minhash_candidates
+
+    n = 50_000
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("document number "), F.col("id").cast("string"),
+            F.lit(" talks about topic "), (F.col("id") % 997).cast("string"),
+            F.lit(" in some detail with unique suffix "),
+            F.sha2(F.col("id").cast("string"), 256),
+        ).alias("text"),
+    )
+    uniform = base.repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).persist()
+    skewed = base.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 100 == 0,
+               F.lit("standard legal boilerplate disclaimer text shared by all"))
+        .otherwise(F.col("text")),
+    ).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).persist()
+    uniform.count(), skewed.count()
+
+    def run(df):
+        t0 = time.time()
+        n_pairs = minhash_candidates(df, max_band_size=64).count()
+        return time.time() - t0, n_pairs
+
+    run(uniform)  # warm python workers + plans
+    dt_u, pairs_u = run(uniform)
+    dt_s, pairs_s = run(skewed)
+    uniform.unpersist(); skewed.unpersist()
+    ratio = dt_s / dt_u if dt_u > 0 else 0.0
+    print(f"# dedup_skew_50k: uniform {dt_u:.2f}s ({pairs_u} pairs) vs "
+          f"skewed {dt_s:.2f}s ({pairs_s} pairs) — ratio {ratio:.2f}", file=sys.stderr)
+    return {"n": n, "uniform_sec": round(dt_u, 3), "skewed_sec": round(dt_s, 3),
+            "ratio": round(ratio, 3), "uniform_pairs": pairs_u, "skewed_pairs": pairs_s}
 
 
 def _bench_knn_scale(spark) -> dict:

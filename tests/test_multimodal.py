@@ -1,0 +1,138 @@
+"""Real multimodal decode kernels (E5): pure-stdlib PNG/WAV codecs with
+pinned known-file values, plus the unified decode_features kernel over
+the binaryFile source (real / stub / error row taxonomy)."""
+
+import struct
+import zlib
+
+import pytest
+
+from aeuc_vector_db_spark.sources import multimodal as MM
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (pure python, no Spark)
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_rgb():
+    # 2x2 RGB, known pixels
+    pixels = bytes([255, 0, 0,  0, 255, 0,
+                    0, 0, 255,  10, 20, 30])
+    payload = MM.png_encode(pixels, 2, 2, color_type=2)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h, c, out = MM.png_decode(payload)
+    assert (w, h, c) == (2, 2, 3)
+    assert out == pixels
+
+
+def test_png_roundtrip_grayscale():
+    pixels = bytes(range(16))
+    payload = MM.png_encode(pixels, 4, 4, color_type=0)
+    w, h, c, out = MM.png_decode(payload)
+    assert (w, h, c) == (4, 4, 1)
+    assert out == pixels
+
+
+def _png_with_filters(width, height, channels, filtered_rows, color_type):
+    """Hand-build a PNG whose scanlines use explicit filter types."""
+    raw = b"".join(bytes([ft]) + bytes(row) for ft, row in filtered_rows)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_unfilter_sub_up_average_paeth():
+    # grayscale 4x5, one scanline per filter type; expected pixels derived
+    # by applying the spec's reconstruction functions by hand
+    rows = [
+        (0, [10, 20, 30, 40]),           # None → 10 20 30 40
+        (1, [5, 5, 5, 5]),               # Sub  → 5 10 15 20
+        (2, [1, 1, 1, 1]),               # Up   → 6 11 16 21
+        (3, [4, 4, 4, 4]),               # Average: left/up halves
+        (4, [2, 2, 2, 2]),               # Paeth
+    ]
+    payload = _png_with_filters(4, 5, 1, rows, color_type=0)
+    w, h, c, out = MM.png_decode(payload)
+    assert (w, h, c) == (4, 5, 1)
+    got = list(out)
+    assert got[0:4] == [10, 20, 30, 40]
+    assert got[4:8] == [5, 10, 15, 20]
+    assert got[8:12] == [6, 11, 16, 21]
+    # Average row: x=4+floor((left+up)/2); left(0)=0,up=6 → 7; then
+    # left=7,up=11 → 13; left=13,up=16 → 18; left=18,up=21 → 23
+    assert got[12:16] == [7, 13, 18, 23]
+    # Paeth row: predictor of (left, up, upleft)
+    # x0: a=0,b=7,c=0 → p=7 pa=7 pb=0 → pred=b=7 → 9
+    # x1: a=9,b=13,c=7 → p=15 pa=6 pb=2 pc=8 → pred=13 → 15
+    # x2: a=15,b=18,c=13 → p=20 pa=5 pb=2 pc=7 → pred=18 → 20
+    # x3: a=20,b=23,c=18 → p=25 pa=5 pb=2 pc=7 → pred=23 → 25
+    assert got[16:20] == [9, 15, 20, 25]
+
+
+def test_png_rejects_garbage():
+    with pytest.raises(ValueError):
+        MM.png_decode(b"not a png at all")
+    # valid signature, truncated body
+    with pytest.raises(ValueError):
+        MM.png_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)
+
+
+# ---------------------------------------------------------------------------
+# WAV codec
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip_pinned():
+    samples = [0, 1000, -1000, 32767, -32768, 5, -5, 0]
+    payload = MM.wav_encode(samples, sample_rate=8000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    channels, rate, bits, dur_ms, pcm = MM.wav_decode(payload)
+    assert (channels, rate, bits) == (1, 8000, 16)
+    assert dur_ms == pytest.approx(1.0)  # 8 frames @ 8 kHz = 1 ms
+    assert list(struct.unpack("<8h", pcm)) == samples
+
+
+def test_wav_rejects_non_pcm():
+    payload = bytearray(MM.wav_encode([0, 0], sample_rate=8000))
+    payload[20] = 2  # audio_format: PCM→ADPCM
+    with pytest.raises(ValueError):
+        MM.wav_decode(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# Unified decode kernel over the binaryFile source
+# ---------------------------------------------------------------------------
+
+def test_decode_features_real_stub_error(spark, tmp_path):
+    # real PNG: constant gray 100 → mean=100/255, std=0
+    (tmp_path / "a.png").write_bytes(MM.png_encode(bytes([100] * 9), 3, 3, color_type=0))
+    # real WAV
+    (tmp_path / "b.wav").write_bytes(MM.wav_encode([0, 16384, -16384, 0], sample_rate=4000))
+    # fake mp4 → declared stub
+    (tmp_path / "c.mp4").write_bytes(b"\x00" * 64)
+    # corrupt "png" → error row, job must not fail
+    (tmp_path / "d.png").write_bytes(b"\x89PNG\r\n\x1a\n" + b"junk")
+
+    blobs = MM.read_binary_dir(spark, str(tmp_path))
+    rows = {r["blob_id"]: r for r in MM.decode_features(blobs, feature_dim=4).collect()}
+    assert len(rows) == 4
+
+    png = rows["a.png"]
+    assert png["decode_status"] == "real"
+    assert (png["width"], png["height"], png["channels"]) == (3, 3, 1)
+    assert png["features"][0] == pytest.approx(100 / 255, abs=1e-6)
+    assert png["features"][1] == pytest.approx(0.0, abs=1e-6)
+
+    wav = rows["b.wav"]
+    assert wav["decode_status"] == "real"
+    assert (wav["channels"], wav["sample_rate"]) == (1, 4000)
+    assert wav["duration_ms"] == pytest.approx(1.0)  # 4 frames @ 4 kHz
+    assert wav["features"][0] == pytest.approx(0.0, abs=1e-6)  # symmetric samples
+
+    assert rows["c.mp4"]["decode_status"] == "stub"
+    assert rows["d.png"]["decode_status"] == "error"
+    assert rows["d.png"]["width"] is None

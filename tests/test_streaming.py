@@ -77,6 +77,30 @@ def test_stream_ingest_dedups_across_epochs(spark, tmp_path):
     assert ids == {"e0", "e1", "e2", "e3"}
 
 
+def test_stream_dedup_scan_is_partition_pruned(spark, tmp_path):
+    """The per-epoch dedup anti-join must NOT scan the whole corpus:
+    the corpus is laid out partitioned by id bucket and the existing-ids
+    read carries PartitionFilters on id_bucket — bounded per-epoch cost
+    at 100 TB (PLANS.md)."""
+    tmp = str(tmp_path)
+    c1, _ = _run_ingest(spark, tmp, {"a.jsonl": [_entry(i) for i in range(8)]})
+    assert c1 == 8
+    # the corpus landed bucketed
+    corpus = spark.read.parquet(f"{tmp}/corpus")
+    assert "id_bucket" in corpus.columns
+    present = sorted(r["id_bucket"] for r in corpus.select("id_bucket").distinct().collect())
+    assert present, "corpus should have id buckets"
+    probe = present[:2]
+    df = SI.pruned_existing_ids(spark, f"{tmp}/corpus", probe)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    scan_part = plan.split("PartitionFilters", 1)[1][:300]
+    assert "id_bucket" in scan_part, f"no id_bucket partition filter: {scan_part}"
+    # pruned read returns exactly the rows of those buckets
+    expected = corpus.filter(F.col("id_bucket").isin(probe)).count()
+    assert df.count() == expected > 0
+
+
 def test_windowed_agg_streaming_matches_batch(spark, tmp_path):
     """The same hourly_window_counts plan run as a stream (availableNow)
     and as a batch query over identical data must agree — the batch ≡

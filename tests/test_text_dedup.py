@@ -77,6 +77,36 @@ def test_minhash_near_dup_finds_planted_pair(docs):
     assert not any(4 in (a, b) for a, b in found)  # unrelated doc untouched
 
 
+def test_minhash_hot_band_cap(spark):
+    """A boilerplate mega-bucket (identical text on many docs) must not
+    go quadratic: with max_band_size set, its pairs are excluded from
+    candidate generation while genuinely distinct near-dups still pair.
+    (Boilerplate groups are exact_dedup's job — O(n) by full-text hash.)"""
+    import pyspark.sql.functions as F
+
+    boiler = [(i, "the same legal disclaimer text appears everywhere") for i in range(50)]
+    near = [
+        (1000, "a quick brown fox jumps over the lazy dog tonight"),
+        (1001, "a quick brown fox jumps over the lazy dog today"),
+    ]
+    docs = spark.createDataFrame(boiler + near, "doc_id long, text string")
+
+    capped = D.minhash_candidates(docs, max_band_size=10)
+    pairs = {(r["a_id"], r["b_id"]) for r in capped.collect()}
+    # the planted near-dup pair survives the cap
+    assert (1000, 1001) in pairs
+    # no pair touches the boilerplate cluster (every band bucket it
+    # occupies exceeds the cap)
+    assert not any(a < 1000 or b < 1000 for a, b in pairs)
+
+    # uncapped = exact LSH semantics: the mega-bucket pairs quadratically
+    uncapped_n = D.minhash_candidates(docs).count()
+    assert uncapped_n >= 50 * 49 / 2
+    # and exact_dedup handles that cluster in O(n): one group of 50
+    groups = D.exact_dedup(docs).filter(F.col("dup_count") == 50).count()
+    assert groups == 1
+
+
 def test_jaccard_exact_value(spark):
     df = spark.createDataFrame([(1,)], "x int")
     a = F.array(*[F.lit(i).cast("long") for i in [1, 2, 3, 4]])
