@@ -128,23 +128,35 @@ def assign_centroids(
 ) -> DataFrame:
     """Distributed nearest-centroid assignment: (id_col, centroid_id).
 
-    Broadcast the k-row centroid table, score k candidates per vector
-    map-side, reduce with min_by on (distance, centroid_id) — one narrow
-    shuffle on id for the aggregate, no window. Ties break to the lowest
-    centroid id (total order ⇒ reproducible partitioning of the corpus).
+    Entirely map-side: the k-row centroid table is collected to a (k, d)
+    matrix and closed over an Arrow pandas_udf that computes the
+    squared-euclidean argmin per vector — NO shuffle, no join (the
+    earlier crossJoin+groupBy formulation exchanged N·k rows for an
+    aggregate a projection can do). Ties break to the lowest centroid id
+    (np.argmin returns the first minimum) — a total order, so corpus
+    partitioning is reproducible.
     """
-    v = corpus.select(F.col(id_col), as_double(vec_col).alias("__v__"))
-    diff = F.zip_with(F.col("__v__"), F.col("centroid"), lambda x, y: (x - y) * (x - y))
-    d2 = F.aggregate(diff, F.lit(0.0), lambda s, x: s + x)
-    scored = v.join(F.broadcast(centroids), how="cross").select(
-        F.col(id_col),
-        F.col("centroid_id"),
-        d2.alias("__d2__"),
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = sorted(
+        ((r["centroid_id"], list(r["centroid"])) for r in centroids.collect()),
+        key=lambda t: t[0],
     )
-    return scored.groupBy(id_col).agg(
-        F.min_by(
-            F.col("centroid_id"), F.struct(F.col("__d2__"), F.col("centroid_id"))
-        ).alias("centroid_id")
+    cids = np.array([c for c, _ in cent_rows])
+    cmat = np.asarray([v for _, v in cent_rows], dtype=np.float64)  # (k, d)
+
+    def _assign(v):
+        mat = np.vstack(v.to_numpy()).astype(np.float64, copy=False)  # (B, d)
+        d2 = ((mat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)  # (B, k)
+        return pd.Series(cids[d2.argmin(axis=1)])
+
+    _assign.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    assign_udf = pandas_udf(_assign, "int")
+
+    return corpus.select(
+        F.col(id_col), assign_udf(as_double(vec_col)).alias("centroid_id")
     )
 
 

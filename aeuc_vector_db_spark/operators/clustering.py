@@ -92,7 +92,13 @@ def form_pglyphs(
     square form only in low-order float bits (means are O(1), no
     catastrophic cancellation for embedding-like data); declared queries
     round inertia to 6 dp and their oracles use the same algebraic form.
+
+    Rows with NULL/empty embeddings are excluded EXPLICITLY (posexplode
+    would drop them from the digest silently while membership() kept
+    them, desynchronizing pglyph_id between the two — see membership()'s
+    matching filter). Validated pipelines never carry such rows anyway.
     """
+    df = df.filter(F.size(as_double(vec_col)) > 0)
     exploded = df.select(
         *group_cols,
         F.col(id_col),
@@ -135,9 +141,14 @@ def membership(
     df: DataFrame,
     group_cols: list[str],
     id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Normalized (pglyph_id, member id) relation — replaces the reference's
-    mutable member_ids list / proto_id back-pointer (vector_field.py:256-257)."""
+    mutable member_ids list / proto_id back-pointer (vector_field.py:256-257).
+
+    Applies the same NULL/empty-embedding filter as form_pglyphs so both
+    derive the pglyph_id digest from the identical member set."""
+    df = df.filter(F.size(as_double(vec_col)) > 0)
     ids = df.groupBy(*group_cols).agg(
         F.sha2(
             F.concat_ws(",", F.sort_array(F.collect_list(F.col(id_col).cast("string")))), 256

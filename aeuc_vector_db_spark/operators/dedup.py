@@ -57,19 +57,25 @@ def shingle_sets(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    persist: bool = False,
 ) -> DataFrame:
-    """(id, sh) — distinct shingle-hash set per doc, computed once via the
-    Arrow fast path and persisted: the signature pass AND the verify pass
-    both read it, so the expensive text→hashes work runs a single time.
+    """(id, sh) — distinct shingle-hash set per doc via the Arrow fast path.
 
-    The persist lives until the session drops it (LRU) — long-lived
-    sessions running many dedup jobs should unpersist the returned
-    handle after the final consuming action."""
-    from pyspark import StorageLevel
-
-    return df.select(
+    persist=False (default): fully lazy; a pipeline that reads the sets
+    twice (signature + verify) recomputes the shingle kernel twice.
+    That is the deliberate scale default — at corpus scale a cached
+    shingle-set table is itself corpus-sized (memory pressure and an
+    unpersist obligation), while the Arrow kernel is cheap to re-run.
+    persist=True opts in for small corpora; the CALLER owns the handle
+    and must unpersist after its final action."""
+    out = df.select(
         F.col(id_col), shingle_hashes_pandas(shingle_n)(F.col(text_col)).alias("sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    return out
 
 
 def _candidates_from_sigs(
@@ -141,12 +147,7 @@ def minhash_candidates(
     sigs = sets_.filter(F.size("sh") > 0).select(
         F.col(id_col), minhash_signature_col(F.col("sh"), k).alias("sig")
     )
-    cands = _candidates_from_sigs(sigs, id_col, k, band_size, max_band_size)
-    # materialize the (small) pair list, then release the cached shingle
-    # sets — otherwise every dedup call leaks a MEMORY_AND_DISK block
-    cands = cands.localCheckpoint(eager=True)
-    sets_.unpersist()
-    return cands
+    return _candidates_from_sigs(sigs, id_col, k, band_size, max_band_size)
 
 
 def minhash_near_dup(
@@ -162,10 +163,11 @@ def minhash_near_dup(
     """Full MinHash-LSH near-dup: candidates → exact shingle-set Jaccard
     verify ≥ threshold. Returns (a_id, b_id, jaccard).
 
-    The shingle sets are computed once (Arrow fast path, persisted) and
-    reused by the signature pass and the verify joins; verification only
-    touches the candidate pairs — never all pairs. max_band_size: see
-    _candidates_from_sigs (hot-band cap for skewed corpora).
+    Fully lazy: the shingle kernel is re-evaluated by the signature pass
+    and each verify join (recompute-over-persist — the scale default,
+    see shingle_sets); verification only touches the candidate pairs —
+    never all pairs. max_band_size: see _candidates_from_sigs (hot-band
+    cap for skewed corpora).
     """
     sets_ = shingle_sets(df, id_col, text_col, shingle_n)
     sigs = sets_.filter(F.size("sh") > 0).select(
@@ -174,17 +176,12 @@ def minhash_near_dup(
     cands = _candidates_from_sigs(sigs, id_col, k, band_size, max_band_size)
     a_sets = sets_.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
     b_sets = sets_.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
-    verified = (
+    return (
         cands.join(a_sets, "a_id")
         .join(b_sets, "b_id")
         .select("a_id", "b_id", jaccard_col(F.col("a_sh"), F.col("b_sh")).alias("jaccard"))
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
-    # materialize the verified pairs (small), then release the cached
-    # shingle sets so repeated dedup calls don't accumulate storage
-    verified = verified.localCheckpoint(eager=True)
-    sets_.unpersist()
-    return verified
 
 
 def ngram_jaccard_pairs(

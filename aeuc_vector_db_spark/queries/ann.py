@@ -98,7 +98,68 @@ def _ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rec.select("query_id", F.round("recall", 3).alias("recall")).orderBy("query_id")
 
 
+def _two_level_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2→A1 two-level search (the reference's coarse-then-fine pattern,
+    vector_field.py:328-345 + 291-326): PGlyph centroids from the label
+    grouping, coarse top-nprobe by cosine, fine exact scan over the
+    winning clusters' members via the membership relation. Single query
+    vec_id=7, nprobe=2, top-10."""
+    from aeuc_vector_db_spark.operators import clustering as C2
+    from aeuc_vector_db_spark.operators.search import two_level_search
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pg = C2.form_pglyphs(emb, ["label"], id_col="vec_id").select("pglyph_id", "centroid")
+    mem = C2.membership(emb, ["label"], id_col="vec_id")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]]
+    res = two_level_search(emb, pg, mem, qvec, top_k=10, nprobe=2)
+    return res.select("vec_id", F.round("score", 9).alias("score"))
+
+
+_TWO_LEVEL_ORACLE = f"""
+WITH pts AS (
+  SELECT label, vec_id,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+), cent AS (
+  SELECT label, pos, AVG(val) AS c FROM pts GROUP BY label, pos
+), cvec AS (
+  SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label
+), pid AS (
+  SELECT label,
+         sha256(string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY CAST(vec_id AS VARCHAR)))
+           AS pglyph_id
+  FROM embeddings GROUP BY label
+), q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 7
+), coarse AS (
+  SELECT cvec.label,
+         row_number() OVER (
+           ORDER BY list_reduce(list_transform(list_zip(centroid, qv), p -> p[1]*p[2]), (s,x)->s+x)
+                    / (sqrt(list_reduce(list_transform(centroid, x -> x*x), (s,x)->s+x))
+                       * sqrt(list_reduce(list_transform(qv, x -> x*x), (s,x)->s+x)) + 1e-12) DESC,
+                    pglyph_id ASC
+         ) AS r
+  FROM cvec JOIN pid ON cvec.label = pid.label CROSS JOIN q
+), fine AS (
+  SELECT e.vec_id,
+         list_reduce(list_transform(list_zip(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qv),
+                                    p -> p[1]*p[2]), (s,x)->s+x)
+         / (sqrt(list_reduce(list_transform(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                            x -> x*x), (s,x)->s+x))
+            * sqrt(list_reduce(list_transform(qv, x -> x*x), (s,x)->s+x)) + 1e-12) AS s
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label IN (SELECT label FROM coarse WHERE r <= 2)
+)
+SELECT vec_id, ROUND(s, 9) AS score
+FROM fine ORDER BY s DESC, vec_id ASC LIMIT 10
+"""
+
+
 QUERIES = {
     "ivf_pruned_search": (_ivf_pruned_search, _IVF_ORACLE),
     "ann_ivf_recall": (_ann_ivf_recall, None),
+    "two_level_search": (_two_level_search, _TWO_LEVEL_ORACLE),
 }

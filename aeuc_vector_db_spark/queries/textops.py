@@ -376,6 +376,45 @@ SELECT a_id, b_id, ROUND(jaccard, 9) AS jaccard FROM verified WHERE jaccard >= 0
 """
 
 
+def _doc_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate generation with the hot-band cap (max_band_size=4):
+    band buckets holding more than 4 docs are excluded from pair
+    generation (boilerplate guard — the skew story of dedup.py, here
+    oracle-checked end to end)."""
+    cands = D.minhash_candidates(
+        _near_dup_corpus(spark, sf_dir), k=8, band_size=2, shingle_n=3,
+        max_band_size=4,
+    )
+    return cands.select("a_id", "b_id")
+
+
+_MINHASH_CAPPED_ORACLE = f"""
+WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}),
+sh AS (
+  SELECT doc_id, {_dk_shingle_hashes('text', 3)} AS shset FROM corpus
+),
+sig AS (
+  SELECT doc_id, shset, {_dk_minhash('shset', 8)} AS sig FROM sh WHERE len(shset) > 0
+),
+bands AS (
+  SELECT doc_id, 0 AS band, sig[1] AS v1, sig[2] AS v2 FROM sig
+  UNION ALL SELECT doc_id, 1, sig[3], sig[4] FROM sig
+  UNION ALL SELECT doc_id, 2, sig[5], sig[6] FROM sig
+  UNION ALL SELECT doc_id, 3, sig[7], sig[8] FROM sig
+),
+ok AS (
+  SELECT band, v1, v2 FROM bands GROUP BY band, v1, v2 HAVING COUNT(*) <= 4
+),
+capped AS (
+  SELECT bands.doc_id, bands.band, bands.v1, bands.v2
+  FROM bands JOIN ok ON bands.band = ok.band AND bands.v1 = ok.v1 AND bands.v2 = ok.v2
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id
+"""
+
+
 def _doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.ngram_jaccard_pairs(
         _near_dup_corpus(spark, sf_dir).withColumn("block", F.col("doc_id") % 100000 % 50),
@@ -596,6 +635,7 @@ QUERIES = {
     "doc_simhash16": (_doc_simhash16, _SIMHASH_ORACLE),
     "doc_exact_dedup": (_doc_exact_dedup, _EXACT_DEDUP_ORACLE),
     "doc_minhash_near_dup": (_doc_minhash_near_dup, _MINHASH_ORACLE),
+    "doc_minhash_capped": (_doc_minhash_capped, _MINHASH_CAPPED_ORACLE),
     "doc_ngram_jaccard": (_doc_ngram_jaccard, _NGRAM_JACCARD_ORACLE),
     "emb_near_dup_cosine": (_emb_near_dup, _EMB_NEAR_DUP_ORACLE),
     "doc_dedup_keep_one": (_doc_dedup_keep_one, _KEEP_ONE_ORACLE),

@@ -145,11 +145,15 @@ def entry_fingerprint_blake2b(vec_col: Column | str = "embedding") -> Column:
     from pyspark.sql.functions import pandas_udf
 
     def _fp(v):
+        # NULL embedding → NULL fingerprint, matching the sha2 twin's
+        # null propagation (a crashed task is not a contract)
         return v.map(
             lambda arr: hashlib.blake2b(
                 json.dumps([float(x) for x in arr], separators=(",", ":")).encode(),
                 digest_size=32,
             ).hexdigest()
+            if arr is not None
+            else None
         )
 
     # real type objects, not strings — `from __future__ import annotations`

@@ -169,9 +169,15 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length  # length + tag + data + crc
     if not width or not idat:
         raise ValueError("truncated PNG: missing IHDR or IDAT")
-    raw = zlib.decompress(idat)
+    if width * height > 1 << 26:  # 64M pixels — far beyond any training blob
+        raise ValueError(f"PNG dimensions implausible: {width}x{height}")
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # bounded inflate: a decompression-bomb IDAT must produce an error row,
+    # not an executor OOM — cap output at the size IHDR promises
+    d = zlib.decompressobj()
+    raw = d.decompress(idat, expected)
+    if len(raw) != expected or d.decompress(b"", 1):
         raise ValueError("PNG pixel data length mismatch")
     out = bytearray()
     prev = bytearray(stride)
@@ -241,6 +247,10 @@ def wav_decode(payload: bytes) -> tuple[int, int, int, float, bytes]:
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if not channels or not pcm:
         raise ValueError("truncated WAV: missing fmt or data chunk")
+    # corrupt fmt values must raise ValueError (quarantine-able), never
+    # divide by zero downstream
+    if rate == 0 or bits not in (8, 16, 24, 32):
+        raise ValueError(f"corrupt WAV fmt: rate={rate} bits={bits}")
     n_frames = len(pcm) // (channels * bits // 8)
     return channels, rate, bits, n_frames * 1000.0 / rate, pcm
 
@@ -314,6 +324,23 @@ def decode_features(blobs: DataFrame, feature_dim: int = 8) -> DataFrame:
     """
     import numpy as np
 
+    def _known_unsupported(modality: str, payload: bytes) -> bool:
+        """Healthy container of a format this stdlib-only kernel can't
+        decode (needs Pillow/ffmpeg) — stub territory, not corruption."""
+        if modality == "image":
+            return (
+                payload[:3] == b"\xff\xd8\xff"      # JPEG
+                or payload[:2] == b"BM"              # BMP
+                or payload[:6] in (b"GIF87a", b"GIF89a")
+            )
+        if modality == "audio":
+            return (
+                payload[:3] == b"ID3"                # MP3 w/ ID3 tag
+                or payload[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2")  # MP3 sync
+                or payload[:4] in (b"fLaC", b"OggS")
+            )
+        return modality not in ("image", "audio")    # video/unknown → stub
+
     def decode_one(blob_id: str, modality: str, content) -> tuple:
         payload = bytes(content) if content is not None else b""
         try:
@@ -343,15 +370,18 @@ def decode_features(blobs: DataFrame, feature_dim: int = 8) -> DataFrame:
                 ]
                 feats = (feats + [0.0] * feature_dim)[:feature_dim]
                 return (blob_id, modality, "real", None, None, c, rate, dur_ms, feats)
-            if modality in ("image", "audio"):
-                # right modality, undecodable payload → error row
-                raise ValueError("unrecognized container for modality")
-            # video/unknown: declared stub (needs ffmpeg) — deterministic fake
+            # 'stub' = healthy container of a format needing external libs
+            # (JPEG/MP3/video/...); 'error' = bytes no codec recognizes or
+            # a recognized container whose contents fail to parse.
+            # Conflating healthy-but-unsupported with corrupt would let
+            # error-rate monitoring drown in false positives.
+            if not _known_unsupported(modality, payload):
+                raise ValueError("unrecognized container bytes for modality")
             w, h, c = _fake_dims(payload)
             digest = hashlib.sha256(payload).digest()
             feats = [float(digest[i % 32]) / 255.0 for i in range(feature_dim)]
             return (blob_id, modality, "stub", w, h, c, None, None, feats)
-        except (ValueError, zlib.error, struct.error):
+        except (ValueError, zlib.error, struct.error, MemoryError):
             return (blob_id, modality, "error", None, None, None, None, None, None)
 
     cols = [f.name for f in MULTIMODAL_FEATURES_SCHEMA.fields]

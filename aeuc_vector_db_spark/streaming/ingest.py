@@ -138,6 +138,12 @@ def start_ingest(
     this, the dedup scan is O(corpus) per micro-batch — a real
     scale-killer at 100 TB; with it, per-epoch cost is proportional to
     (touched buckets / n_buckets) × corpus, bounded by the batch size.
+
+    n_buckets is part of the corpus layout: it must stay FIXED for the
+    lifetime of a corpus (changing it re-maps ids to different buckets
+    and breaks pruned dedup for pre-existing rows). A corpus written by
+    the pre-bucket layout is detected (no id_bucket column) and handled
+    with a correct-but-unpruned full anti-join plus flat appends.
     """
     stream = read_vector_entry_stream(spark, source_path)
 
@@ -151,16 +157,34 @@ def start_ingest(
         # small local materialization: ≤ n_buckets ints + the batch rows
         # (micro-batches are bounded by maxFilesPerTrigger upstream)
         accepted = accepted.localCheckpoint(eager=True)
+        # the ONLY condition the try may swallow is "corpus doesn't exist
+        # yet"; any other AnalysisException (schema drift, perms) must
+        # surface — a swallowed dedup failure means silent duplicates
         try:
-            buckets = [
-                r["id_bucket"] for r in accepted.select("id_bucket").distinct().collect()
-            ]
-            if buckets:
-                existing = pruned_existing_ids(spark, corpus_path, buckets, id_col)
-                accepted = accepted.join(existing, id_col, "left_anti")
+            base = spark.read.parquet(corpus_path)
         except AnalysisException:
-            pass  # first epoch: corpus path doesn't exist yet
-        accepted.write.mode("append").partitionBy("id_bucket").parquet(corpus_path)
+            base = None  # first epoch
+        bucketed = base is None or "id_bucket" in base.columns
+        if base is not None:
+            if bucketed:
+                buckets = [
+                    r["id_bucket"]
+                    for r in accepted.select("id_bucket").distinct().collect()
+                ]
+                existing = base.filter(
+                    F.col("id_bucket").isin([int(b) for b in buckets])
+                ).select(id_col)
+            else:
+                # legacy flat corpus (pre-bucket layout): dedup stays
+                # CORRECT via a full-scan anti-join, just unbounded —
+                # and we must keep appending flat: mixing partitioned
+                # subdirectories into a flat layout corrupts the dataset
+                existing = base.select(id_col)
+            accepted = accepted.join(existing, id_col, "left_anti")
+        if bucketed:
+            accepted.write.mode("append").partitionBy("id_bucket").parquet(corpus_path)
+        else:
+            accepted.drop("id_bucket").write.mode("append").parquet(corpus_path)
         if quarantined.limit(1).count() > 0:
             quarantined.write.mode("append").parquet(quarantine_path)
 

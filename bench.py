@@ -85,9 +85,14 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         rows = df.collect()
         cold = time.time() - t0
-        t0 = time.time()
-        rows = df.collect()
-        hot = time.time() - t0
+        # min of 3 re-collects: single-run timings at the ~50 ms action
+        # floor carry ±30 ms scheduler jitter (PLANS.md), which previously
+        # produced phantom per-metric regressions (e.g. "dot 2× cosine")
+        hot = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            rows = df.collect()
+            hot = min(hot, time.time() - t0)
         per_query[name] = round(hot, 4)
         cold_query[name] = round(cold, 4)
         total += hot
@@ -167,7 +172,9 @@ def _bench_ingest(spark) -> dict:
             shutil.rmtree(out_dir, ignore_errors=True)
 
     run(rows, 64)  # warm: plan compilation + codegen (baseline is warm-loop)
-    dt = run(rows, 64)
+    # best of 3: a concurrent process on the box can inflate one run 5×
+    # (observed — the source of r02's phantom ingest regression)
+    dt = min(run(rows, 64) for _ in range(3))
     rate = n / dt if dt > 0 else 0.0
     print(f"# ingest_batch: {n} rows in {dt:.3f}s = {rate:.0f} rows/s", file=sys.stderr)
 
@@ -192,7 +199,7 @@ def _bench_ingest(spark) -> dict:
         )
     )
     big.count()  # materialize-warm
-    dt_big = run(big, 64)
+    dt_big = min(run(big, 64) for _ in range(2))
     rate_big = 100_000 / dt_big if dt_big > 0 else 0.0
     print(f"# ingest_batch_100k: {dt_big:.3f}s = {rate_big:.0f} rows/s", file=sys.stderr)
     return {"fixture": round(rate, 1), "n100k": round(rate_big, 1)}
@@ -226,9 +233,11 @@ def _bench_cluster_scale(spark) -> dict:
     corpus.count()  # materialize the synthetic corpus outside the timing
     df = auto_cluster_phi(corpus, outer_context_id=None, levels=3)
     df.collect()  # cold: plan compile
-    t0 = time.time()
-    rows = df.collect()
-    dt = time.time() - t0
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        rows = df.collect()
+        dt = min(dt, time.time() - t0)
     corpus.unpersist()
     print(f"# cluster_scale_100k: {len(rows)} bands in {dt:.3f}s", file=sys.stderr)
     return {"n": n, "sec": round(dt, 3), "bands": len(rows)}
@@ -273,8 +282,8 @@ def _bench_dedup_skew(spark) -> dict:
         return time.time() - t0, n_pairs
 
     run(uniform)  # warm python workers + plans
-    dt_u, pairs_u = run(uniform)
-    dt_s, pairs_s = run(skewed)
+    dt_u, pairs_u = min(run(uniform) for _ in range(2))
+    dt_s, pairs_s = min(run(skewed) for _ in range(2))
     uniform.unpersist(); skewed.unpersist()
     ratio = dt_s / dt_u if dt_u > 0 else 0.0
     print(f"# dedup_skew_50k: uniform {dt_u:.2f}s ({pairs_u} pairs) vs "
@@ -315,9 +324,11 @@ def _bench_knn_scale(spark) -> dict:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
     )
     knn_search_batch_arrow(corpus, queries, top_k=10).collect()  # warm workers
-    t0 = time.time()
-    knn_search_batch_arrow(corpus, queries, top_k=10).collect()  # fresh plan
-    dt = time.time() - t0
+    dt = float("inf")
+    for _ in range(2):  # best-of: fresh plan each run, contention-resistant
+        t0 = time.time()
+        knn_search_batch_arrow(corpus, queries, top_k=10).collect()
+        dt = min(dt, time.time() - t0)
     corpus.unpersist()
     rate = (n * 20) / dt if dt > 0 else 0.0
     print(f"# knn_scale_100k: 20 queries in {dt:.3f}s = {rate:.0f} pair-scores/s",

@@ -54,6 +54,20 @@ def test_fingerprint_blake2b_is_64_hex(spark):
     assert len(fp) == 64 and int(fp, 16) >= 0
 
 
+def test_fingerprint_blake2b_null_propagates(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None)], "id int, embedding array<double>"
+    )
+    out = {
+        r["id"]: r["fp"]
+        for r in df.select(
+            "id", schemas.entry_fingerprint_blake2b("embedding").alias("fp")
+        ).collect()
+    }
+    assert out[0] == _ref_fingerprint([1.0, 2.0])
+    assert out[1] is None  # NULL in, NULL out — like the sha2 twin
+
+
 def test_dataset_digest_blake2b_bit_parity(spark):
     ig_ids = ["b-2", "a-1", "c-3"]
     pg_ids = ["p-9", "p-1"]

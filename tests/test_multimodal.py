@@ -107,6 +107,51 @@ def test_wav_rejects_non_pcm():
 # Unified decode kernel over the binaryFile source
 # ---------------------------------------------------------------------------
 
+def test_wav_rejects_zero_rate_and_bad_bits():
+    # corrupt fmt values must raise ValueError (quarantine-able), not
+    # divide by zero downstream
+    payload = bytearray(MM.wav_encode([0, 0], sample_rate=8000))
+    z = bytes(payload[:24]) + b"\x00\x00\x00\x00" + bytes(payload[28:])  # rate=0
+    with pytest.raises(ValueError):
+        MM.wav_decode(z)
+    b0 = bytearray(MM.wav_encode([0, 0], sample_rate=8000))
+    b0[34] = 0  # bits_per_sample = 0
+    with pytest.raises(ValueError):
+        MM.wav_decode(bytes(b0))
+
+
+def test_png_decompression_bomb_bounded():
+    # IDAT inflating beyond what IHDR promises must be a ValueError, not
+    # an unbounded allocation
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # 2x2 gray → 12 bytes raw
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    bomb = zlib.compress(b"\x00" * 10_000_000)  # inflates far past 12 bytes
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        MM.png_decode(payload)
+
+
+def test_decode_features_unsupported_vs_corrupt(spark, tmp_path):
+    # healthy JPEG named .jpg → stub (needs Pillow), NOT an error row
+    (tmp_path / "ok.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    # unrecognizable bytes under an image extension → error
+    (tmp_path / "junk.png").write_bytes(b"\x00\x01\x02\x03" * 8)
+    # corrupt WAV fmt (rate=0) → error row, job survives
+    wav = bytearray(MM.wav_encode([0, 0], sample_rate=8000))
+    wav[24:28] = b"\x00\x00\x00\x00"
+    (tmp_path / "bad.wav").write_bytes(bytes(wav))
+    blobs = MM.read_binary_dir(spark, str(tmp_path))
+    rows = {r["blob_id"]: r for r in MM.decode_features(blobs, feature_dim=4).collect()}
+    assert rows["ok.jpg"]["decode_status"] == "stub"
+    assert rows["junk.png"]["decode_status"] == "error"
+    assert rows["bad.wav"]["decode_status"] == "error"
+
+
 def test_decode_features_real_stub_error(spark, tmp_path):
     # real PNG: constant gray 100 → mean=100/255, std=0
     (tmp_path / "a.png").write_bytes(MM.png_encode(bytes([100] * 9), 3, 3, color_type=0))

@@ -101,6 +101,27 @@ def test_stream_dedup_scan_is_partition_pruned(spark, tmp_path):
     assert df.count() == expected > 0
 
 
+def test_stream_ingest_legacy_flat_corpus_still_dedups(spark, tmp_path):
+    """A corpus written before the bucketed layout (no id_bucket column)
+    must keep correct PK dedup (full anti-join fallback) and keep its
+    flat layout — bucketed subdirectories must not be mixed in."""
+    tmp = str(tmp_path)
+    # seed a legacy flat corpus by hand
+    legacy = spark.createDataFrame(
+        [("e0", 0, 0, [0.0] * DIM, "t", None, "1", None)],
+        "entry_id string, glyph_id long, outer_context_id int,"
+        " embedding array<float>, source_tag string,"
+        " meta map<string,string>, version string, ts timestamp",
+    )
+    legacy.write.parquet(f"{tmp}/corpus")
+    # stream e0 (dup) + e1 (new)
+    c, _ = _run_ingest(spark, tmp, {"a.jsonl": [_entry(0), _entry(1)]})
+    assert c == 2  # e0 NOT duplicated
+    corpus = spark.read.parquet(f"{tmp}/corpus")
+    assert "id_bucket" not in corpus.columns  # layout stayed flat
+    assert {r["entry_id"] for r in corpus.collect()} == {"e0", "e1"}
+
+
 def test_windowed_agg_streaming_matches_batch(spark, tmp_path):
     """The same hourly_window_counts plan run as a stream (availableNow)
     and as a batch query over identical data must agree — the batch ≡
