@@ -94,12 +94,33 @@ def fit_centroids_sample(
     Deterministic for a given (seed, sample): pure NumPy, no partition-
     order dependence, unlike the MLlib fit.
     """
+    return corpus.sparkSession.createDataFrame(
+        fit_centroids_sample_local(corpus, k, seed, iters, sample_mod, id_col, vec_col),
+        "centroid_id int, centroid array<double>",
+    )
+
+
+def fit_centroids_sample_local(
+    corpus: DataFrame,
+    k: int = 8,
+    seed: int = 42,
+    iters: int = 10,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """fit_centroids_sample's driver-side core: returns the k centroids
+    as a plain [(centroid_id, vector)] list. Useful when the caller also
+    needs the centroids locally (assign_centroids closes over the matrix)
+    — fetching the list here and building the DataFrame from it avoids a
+    second collect job. The sample is sorted driver-side (no orderBy
+    shuffle; it is bounded by construction)."""
     import numpy as np
 
     df = corpus.select(F.col(id_col), as_double(vec_col).alias("__v__"))
     if sample_mod and sample_mod > 1:
         df = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
-    rows = df.orderBy(id_col).collect()  # deterministic sample order
+    rows = sorted(df.collect(), key=lambda r: r[id_col])  # deterministic order
     if len(rows) < k:
         raise ValueError(f"sample has {len(rows)} rows < k={k}")
     mat = np.asarray([list(r["__v__"]) for r in rows], dtype=np.float64)
@@ -113,16 +134,12 @@ def fit_centroids_sample(
             members = mat[assign == c]
             if len(members):  # empty cell keeps its previous centroid
                 cent[c] = members.mean(axis=0)
-    spark = corpus.sparkSession
-    return spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
-        "centroid_id int, centroid array<double>",
-    )
+    return [(i, [float(x) for x in c]) for i, c in enumerate(cent)]
 
 
 def assign_centroids(
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -135,15 +152,20 @@ def assign_centroids(
     aggregate a projection can do). Ties break to the lowest centroid id
     (np.argmin returns the first minimum) — a total order, so corpus
     partitioning is reproducible.
+
+    `centroids` may be the k-row DataFrame or an already-local
+    [(centroid_id, vector)] list (fit_centroids_sample_local) — the
+    latter skips the collect job entirely.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    cent_rows = sorted(
-        ((r["centroid_id"], list(r["centroid"])) for r in centroids.collect()),
-        key=lambda t: t[0],
-    )
+    if isinstance(centroids, DataFrame):
+        cent_iter = ((r["centroid_id"], list(r["centroid"])) for r in centroids.collect())
+    else:
+        cent_iter = ((cid, list(vec)) for cid, vec in centroids)
+    cent_rows = sorted(cent_iter, key=lambda t: t[0])
     cids = np.array([c for c, _ in cent_rows])
     cmat = np.asarray([v for _, v in cent_rows], dtype=np.float64)  # (k, d)
 
@@ -273,6 +295,59 @@ def recall_at_k(
             .alias("recall"),
         )
     )
+
+
+def ivf_recall_eval(
+    corpus_with_cells: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    nprobe: int = 4,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """recall@k of IVF search vs exact search, from ONE scored scan.
+
+    Recall evaluation inherently pays a full exact scan for the
+    baseline, so running ivf_search_batch separately would score every
+    probed (query, vector) pair a second time. Here every pair is
+    scored once; the exact top-k ranks over all pairs and the IVF
+    top-k ranks over the pairs whose centroid_id the coarse probe
+    selected — the same (score DESC, id ASC) total order
+    ivf_search_batch uses, so the sets are identical to running the
+    production path. Returns (query_id, recall).
+
+    Evaluation tool only: the production search path stays
+    ivf_search_batch, which never scores unprobed cells.
+    """
+    cells = coarse_probe(
+        centroids, queries, nprobe, metric, query_id_col, query_vec_col
+    )
+    q = queries.select(F.col(query_id_col), as_double(query_vec_col).alias("__qv__"))
+    scored = corpus_with_cells.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        "centroid_id",
+        similarity_col(as_double(vec_col), F.col("__qv__"), metric).alias("__s__"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__s__").desc(), F.col(id_col).asc()
+    )
+    exact = (
+        scored.withColumn("__r__", F.row_number().over(w))
+        .filter(F.col("__r__") <= top_k)
+        .select(query_id_col, id_col)
+    )
+    approx = (
+        scored.join(F.broadcast(cells), [query_id_col, "centroid_id"])
+        .withColumn("__r__", F.row_number().over(w))
+        .filter(F.col("__r__") <= top_k)
+        .select(query_id_col, id_col)
+    )
+    return recall_at_k(approx, exact, query_id_col, id_col)
 
 
 def lsh_bucket_assignments(

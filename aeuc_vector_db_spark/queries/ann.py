@@ -81,20 +81,22 @@ FROM ranked WHERE rank <= 10
 def _ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-quantizer IVF recall@10 vs exact search (rows-only check).
 
-    The quantizer is the sample-fit Lloyd's (fit_centroids_sample — the
-    FAISS IVF training recipe, deterministic NumPy) rather than the MLlib
-    fit: same IVF semantics, ~20× cheaper cold (the MLlib fit alone cost
-    14.6 s at a 500-row sf, blowing the per-query verification budget)."""
-    from aeuc_vector_db_spark.operators.search import knn_search_batch
-
+    The quantizer is the sample-fit Lloyd's (fit_centroids_sample_local —
+    the FAISS IVF training recipe, deterministic NumPy) rather than the
+    MLlib fit: same IVF semantics, ~20× cheaper cold (the MLlib fit alone
+    cost 14.6 s at a 500-row sf, blowing the per-query verification
+    budget). The evaluation itself is the shared-scan ivf_recall_eval —
+    exact baseline and IVF ranking from one scored pass (scoring
+    everything twice is pure waste when the baseline already pays the
+    full scan)."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = _queries_df(spark, sf_dir)
-    centroids = A.fit_centroids_sample(emb, k=8, seed=42, iters=10)
-    assignments = A.assign_centroids(emb, centroids)
-    corpus = emb.join(assignments, "vec_id")
-    approx = A.ivf_search_batch(corpus, centroids, queries, top_k=10, nprobe=2)
-    exact = knn_search_batch(emb, queries, top_k=10)
-    rec = A.recall_at_k(approx, exact)
+    cent_local = A.fit_centroids_sample_local(emb, k=8, seed=42, iters=10)
+    centroids = spark.createDataFrame(
+        cent_local, "centroid_id int, centroid array<double>"
+    )
+    corpus = emb.join(A.assign_centroids(emb, cent_local), "vec_id")
+    rec = A.ivf_recall_eval(corpus, centroids, queries, top_k=10, nprobe=2)
     return rec.select("query_id", F.round("recall", 3).alias("recall")).orderBy("query_id")
 
 

@@ -97,3 +97,33 @@ def test_recall_handles_missing_queries(spark):
     rec = {r["query_id"]: r["recall"] for r in A.recall_at_k(approx, exact).collect()}
     assert rec[1] == 0.5
     assert rec[2] == 0.0  # query absent from approx → recall 0, not missing
+
+
+def test_ivf_recall_eval_matches_two_pass(emb, queries, index):
+    """The shared-scan evaluator must report exactly what running
+    ivf_search_batch + knn_search_batch through recall_at_k reports."""
+    centroids, assignments = index
+    corpus = emb.join(assignments, "vec_id")
+    fused = {
+        r["query_id"]: r["recall"]
+        for r in A.ivf_recall_eval(
+            corpus, centroids, queries, top_k=10, nprobe=2
+        ).collect()
+    }
+    approx = A.ivf_search_batch(corpus, centroids, queries, top_k=10, nprobe=2)
+    exact = knn_search_batch(emb, queries, top_k=10)
+    two_pass = {
+        r["query_id"]: r["recall"] for r in A.recall_at_k(approx, exact).collect()
+    }
+    assert fused == two_pass
+
+
+def test_assign_centroids_accepts_local_list(spark, emb):
+    """DataFrame and pre-collected-list centroid inputs must assign
+    identically (the list path skips a collect job)."""
+    local = A.fit_centroids_sample_local(emb, k=4, seed=7, iters=5)
+    cdf = spark.createDataFrame(local, "centroid_id int, centroid array<double>")
+    via_df = A.assign_centroids(emb, cdf)
+    via_list = A.assign_centroids(emb, local).withColumnRenamed("centroid_id", "c2")
+    diff = via_df.join(via_list, "vec_id").filter(F.col("centroid_id") != F.col("c2"))
+    assert diff.count() == 0
