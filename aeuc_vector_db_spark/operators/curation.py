@@ -1,0 +1,252 @@
+"""Training-data curation operators: benchmark decontamination,
+deterministic stratified sampling, PII scrubbing, sequence packing, and
+int8 embedding quantization.
+
+These extend the engine beyond the reference's surface (charter §2.C:
+"the operations a large-scale training-data pipeline would need"). No
+reference analog — the semantics follow standard pretraining-pipeline
+practice:
+
+- decontamination: flag corpus documents sharing n-gram overlap with an
+  evaluation/benchmark set (the GPT-3 appendix-C recipe: 13-gram
+  collision ⇒ contaminated; n is a knob here).
+- stratified sampling: per-stratum keep-rates applied via a
+  deterministic content hash, so the sample is reproducible across runs
+  and engines — never `rand()`.
+- PII scrubbing: regex redaction of emails/phone numbers with per-doc
+  redaction counts (patterns kept RE2-and-Java-compatible so the DuckDB
+  oracle runs the identical regex).
+- sequence packing: concat-then-chunk assignment of documents to
+  fixed-token-budget training chunks (a document's chunk is where its
+  first token lands in the per-stratum concatenated stream).
+- int8 quantization: per-vector symmetric scale (max|x|/127), explicit
+  half-up rounding so Spark and the oracle agree bit-for-bit.
+
+Scale notes (100 TB):
+- Decontamination broadcasts the benchmark shingle-hash set (benchmarks
+  are small by construction — MBs, not TBs), so the corpus pass is
+  map-side: no shuffle of corpus text, only the per-doc hit counts.
+- Stratified sampling is a pure map-side filter (hash + literal rate
+  lookup) — fully pushdown-friendly, zero shuffle.
+- PII scrubbing is per-row regex — narrow, no shuffle; at scale the
+  regex runs inside whole-stage codegen (built-in regexp_*, no UDF).
+- Sequence packing needs a per-stratum running sum — one shuffle on the
+  stratum key; the stream order is an explicit column (not partition
+  luck), so chunk ids are deterministic under any parallelism.
+- Quantization is per-row HOF arithmetic — narrow; quantized vectors
+  are 4× smaller on disk, which is the point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from aeuc_vector_db_spark.functions.vector import as_double
+from aeuc_vector_db_spark.operators.text import (
+    polyhash_col,
+    shingle_hashes_col,
+    tokens_col,
+)
+
+# RE2-and-Java-compatible (no backreferences, no lookaround): the DuckDB
+# oracle must be able to run the IDENTICAL pattern.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9][0-9() -]{6,}[0-9]"
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    shingle_n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """(id, n_hits): corpus docs sharing ≥ min_overlap distinct n-gram
+    hashes with ANY benchmark text.
+
+    The benchmark's distinct shingle-hash set is broadcast; the corpus
+    side explodes its (already distinct per doc) shingle hashes and
+    semi-joins map-side, so n_hits = |doc's shingles ∩ benchmark
+    shingles| with no corpus shuffle of text — only (id, count) pairs
+    reach the aggregate.
+    """
+    from aeuc_vector_db_spark.operators.text import shingle_hashes_pandas
+
+    # corpus side: Arrow batch kernel (the HOF SQL form is interpreted —
+    # fine for the small benchmark side, ~10× slower on the corpus side)
+    c = corpus.select(
+        F.col(id_col),
+        F.explode(shingle_hashes_pandas(shingle_n)(F.col(text_col))).alias("__sh__"),
+    )
+    b = (
+        benchmark.select(
+            F.explode(shingle_hashes_col(F.col(bench_text_col), shingle_n)).alias("__sh__")
+        )
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(b), "__sh__")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_overlap)
+    )
+
+
+SAMPLE_SPREAD = 2654435761  # Knuth's multiplicative constant, ⌊2³²/φ⌋
+
+
+def sample_bucket_col(id_col: Column | str, salt: int = 0, buckets: int = 10000) -> Column:
+    """Deterministic per-row sample bucket in [0, buckets):
+    Fibonacci-spread polyhash of "<salt>:<id>" — content-addressed,
+    reproducible across engines (the oracle computes the identical
+    arithmetic), unlike rand(seed) which is partition-order-dependent.
+
+    The raw polyhash of sequential numeric ids is a low-avalanche
+    polynomial (ids 0..299 all bucket into one ~25% span — a rate-0.2
+    sample would draw NOTHING); multiplying by ⌊2³²/φ⌋ mod 2³²
+    equidistributes consecutive hashes across the bucket space
+    (multiplicative hashing). polyhash < 2³¹ keeps the product under
+    2⁶³ — exact in BIGINT on both engines."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    # salt goes FIRST: the fold is h = h*31 + char, so a trailing salt
+    # would only shift every hash by a constant (salt 0 and 1 would draw
+    # near-identical samples); a leading salt multiplies through every
+    # subsequent character and fully decorrelates the draws
+    key = F.concat_ws(":", F.lit(str(salt)), c.cast("string"))
+    spread = F.pmod(polyhash_col(key) * F.lit(SAMPLE_SPREAD), F.lit(4294967296))
+    return F.pmod(spread, F.lit(buckets))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff its deterministic sample bucket falls under its
+    stratum's rate: bucket(id, salt) < rate[stratum] * 10000.
+
+    Map-side only — the rate table is a literal CASE chain (strata are
+    few by definition), the hash is a per-row fold: no join, no shuffle,
+    survives predicate pushdown reordering. Re-running with the same
+    salt reproduces the exact sample; changing salt draws a fresh one.
+    """
+    rate = None
+    for k, v in sorted(rates.items()):
+        cond = F.col(stratum_col) == F.lit(k)
+        rate = F.when(cond, F.lit(v)) if rate is None else rate.when(cond, F.lit(v))
+    rate = F.lit(default_rate) if rate is None else rate.otherwise(F.lit(default_rate))
+    bucket = sample_bucket_col(id_col, salt)
+    return df.filter(bucket < (rate * F.lit(10000.0)).cast("bigint"))
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_scrubbed",
+) -> DataFrame:
+    """Redact emails/phones; adds (out_col, n_emails, n_phones).
+
+    Counts are taken BEFORE replacement (a phone inside an email would
+    otherwise be double-handled); emails are replaced first, then
+    phones, so the redaction tokens themselves can't match the phone
+    pattern. Pure built-in regexp_* — whole-stage codegen, no UDF.
+    """
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_emails", F.regexp_count(t, F.lit(EMAIL_RE)))
+        .withColumn("n_phones", F.regexp_count(t, F.lit(PHONE_RE)))
+        .withColumn(
+            out_col,
+            F.regexp_replace(
+                F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+            ),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    part_col: str = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: Column | None = None,
+) -> DataFrame:
+    """Concat-then-chunk packing: within each stratum, documents are laid
+    out in `order_col` order as one token stream; a document's chunk_id
+    is floor(stream_offset / budget_tokens) — where its first token
+    lands. Adds (n_tokens, stream_offset, chunk_id).
+
+    One shuffle (the per-stratum window). The stream order is an
+    explicit column, so chunk assignment is deterministic under any
+    partitioning — never rely on arrival order. At 100 TB you pack
+    within natural shards (date, source) rather than one global stream;
+    part_col IS that shard key, so no global sort exists anywhere.
+    """
+    n_tok = (
+        token_count_col
+        if token_count_col is not None
+        else F.size(tokens_col(F.col(text_col)))
+    )
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.withColumn("n_tokens", n_tok.cast("bigint"))
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return out.withColumn("stream_offset", offset).withColumn(
+        "chunk_id", F.floor(F.col("stream_offset") / F.lit(budget_tokens))
+    )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale_col: str = "q_scale",
+    q_col: str = "q_vec",
+) -> DataFrame:
+    """Adds (scale_col DOUBLE, q_col ARRAY<INT>): symmetric per-vector
+    int8 quantization. scale = max|x| / 127 (1.0 for the all-zero vector
+    so dequantization is total); q = clamp(floor(x/scale + 0.5), -127,
+    127) — floor(x+0.5) is EXPLICIT half-up rounding, chosen over
+    round() because Spark and DuckDB disagree on banker's rounding of
+    doubles.
+
+    DataFrame-level on purpose: the scale must be materialized as a
+    column BEFORE the per-element transform references it — embedding
+    the max-abs aggregate inside the element lambda would re-fold the
+    whole array per element (O(d²); HOFs are interpreted, no CSE rescue
+    — the jaccard_col lesson).
+    """
+    v = as_double(vec_col)
+    amax = F.aggregate(v, F.lit(0.0), lambda s, x: F.greatest(s, F.abs(x)))
+    out = df.withColumn(
+        scale_col, F.when(amax > 0.0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    )
+    s = F.col(scale_col)
+    return out.withColumn(
+        q_col,
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.floor(x / s + F.lit(0.5)).cast("int")),
+            ),
+        ),
+    )
+
+
+def dequantize_col(q_col: Column | str, scale_col: Column | str) -> Column:
+    """ARRAY<DOUBLE> back from quantize_int8's (q_vec, q_scale) pair.
+    scale_col must be a plain column reference (see quantize_int8's
+    note on embedding aggregates in element lambdas)."""
+    q = F.col(q_col) if isinstance(q_col, str) else q_col
+    s = F.col(scale_col) if isinstance(scale_col, str) else scale_col
+    return F.transform(q, lambda x: x.cast("double") * s)

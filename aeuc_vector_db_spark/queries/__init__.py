@@ -30,7 +30,14 @@ from aeuc_vector_db_spark.queries import core  # noqa: E402
 
 REGISTRY.update(core.QUERIES)
 
-for _mod_name in ("relational", "textops", "ann", "streaming_q", "multimodal_q"):
+for _mod_name in (
+    "relational",
+    "textops",
+    "ann",
+    "streaming_q",
+    "multimodal_q",
+    "curation_q",
+):
     try:
         _mod = __import__(
             f"aeuc_vector_db_spark.queries.{_mod_name}", fromlist=["QUERIES"]

@@ -1,0 +1,260 @@
+"""Declared training-data curation queries (charter §2.C extensions):
+benchmark decontamination, deterministic stratified sampling, PII
+scrubbing, sequence packing, int8 quantization — each DuckDB-oracled.
+
+No reference analog (the reference stops at vector CRUD+search); these
+are the standard pretraining-pipeline operations the charter adds. All
+arithmetic is exact integers or order-independent float reductions
+(max / single divisions), rounded at the end — hash-stable across
+engines per FIXTURES.md rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aeuc_vector_db_spark.operators import curation as CU
+from aeuc_vector_db_spark.queries.textops import (
+    _dk_polyhash,
+    _dk_shingle_hashes,
+    _dk_tokens,
+)
+from aeuc_vector_db_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Decontamination
+# ---------------------------------------------------------------------------
+
+def _doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus docs sharing ≥2 trigram-shingle hashes with the benchmark
+    set (docs where doc_id % 97 = 5 stand in for an eval benchmark —
+    they live in the corpus, so they flag themselves plus any true
+    overlaps, which is exactly what decontamination must catch)."""
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 5).select("text")
+    out = CU.contaminated_docs(docs, bench, shingle_n=3, min_overlap=2)
+    return out.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+
+
+_DECONTAMINATE_ORACLE = f"""
+WITH bsh AS (
+  SELECT DISTINCT unnest({_dk_shingle_hashes('text', 3)}) AS sh
+  FROM documents WHERE doc_id % 97 = 5
+),
+csh AS (
+  SELECT doc_id, unnest({_dk_shingle_hashes('text', 3)}) AS sh FROM documents
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM csh JOIN bsh USING (sh)
+GROUP BY doc_id HAVING COUNT(*) >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling
+# ---------------------------------------------------------------------------
+
+_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1, "es": 0.75}  # zh → default 0.0
+
+
+def _doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling; the aggregate (count + id
+    sum per stratum) pins the exact membership, not just the rate."""
+    docs = load_table(spark, "documents", sf_dir)
+    sampled = CU.stratified_sample(docs, _RATES, stratum_col="lang", salt=0)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in sorted(_RATES.items())
+    )
+    return f"(CASE lang {whens} ELSE 0.0 END)"
+
+
+_STRATIFIED_ORACLE = f"""
+WITH b AS (
+  SELECT lang, doc_id,
+         (({_dk_polyhash("('0:' || CAST(doc_id AS VARCHAR))")}
+           * 2654435761) % 4294967296) % 10000 AS bucket
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM b WHERE bucket < CAST({_rate_case_sql()} * 10000.0 AS BIGINT)
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture texts carry no PII, so plant deterministic emails
+    (doc_id % 7 = 0) and phone numbers (doc_id % 11 = 0) — the same
+    in-query planting pattern the dedup queries use."""
+    docs = load_table(spark, "documents", sf_dir)
+    with_email = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ),
+    ).otherwise(F.col("text"))
+    docs = docs.withColumn("text", with_email)
+    with_phone = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" call +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    return docs.withColumn("text", with_phone)
+
+
+_PII_CORPUS_SQL = """
+  SELECT doc_id,
+         (CASE WHEN doc_id % 7 = 0
+               THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+               ELSE text END)
+         || (CASE WHEN doc_id % 11 = 0
+                  THEN ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END) AS text
+  FROM documents
+"""
+
+
+def _doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = CU.scrub_pii(_pii_corpus(spark, sf_dir))
+    return out.filter((F.col("n_emails") > 0) | (F.col("n_phones") > 0)).select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.length("text_scrubbed").cast("long").alias("scrubbed_len"),
+    )
+
+
+_PII_ORACLE = f"""
+WITH corpus AS ({_PII_CORPUS_SQL}),
+scrubbed AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{CU.EMAIL_RE}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '{CU.PHONE_RE}')) AS BIGINT) AS n_phones,
+         regexp_replace(regexp_replace(text, '{CU.EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{CU.PHONE_RE}', '<PHONE>', 'g') AS t
+  FROM corpus
+)
+SELECT doc_id, n_emails, n_phones, CAST(length(t) AS BIGINT) AS scrubbed_len
+FROM scrubbed WHERE n_emails > 0 OR n_phones > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+def _doc_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack each language's doc stream into 256-token chunks; the
+    per-chunk (n_docs, token sum) aggregate pins every assignment."""
+    docs = load_table(spark, "documents", sf_dir)
+    packed = CU.pack_sequences(docs, budget_tokens=256, part_col="lang")
+    return packed.groupBy("lang", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("chunk_tokens"),
+    )
+
+
+_SEQUENCE_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT lang, doc_id, CAST(len({_dk_tokens('text')}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strm_off
+  FROM t
+)
+SELECT lang, CAST(FLOOR(strm_off / 256.0) AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
+FROM o GROUP BY lang, chunk_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+def _emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantize → dequantize → report per-vector scale, integer checksum
+    of the quantized codes, and max reconstruction error. Exact max /
+    single-division float ops only — order-independent, hash-stable."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = CU.quantize_int8(emb)
+    deq = CU.dequantize_col("q_vec", "q_scale")
+    err = F.zip_with(
+        F.col("embedding").cast("array<double>"), deq, lambda a, b: F.abs(a - b)
+    )
+    # max_err is computed BEFORE the select that aliases the rounded
+    # scale as "q_scale" — inside that select, lateral column alias
+    # resolution would silently rebind deq's q_scale reference to the
+    # ROUNDED value and shift the reconstruction error by ~1e-8
+    q = q.withColumn(
+        "__max_err__", F.aggregate(err, F.lit(0.0), lambda s, x: F.greatest(s, x))
+    )
+    return q.select(
+        "vec_id",
+        F.round("q_scale", 9).alias("q_scale"),
+        F.aggregate("q_vec", F.lit(0).cast("long"), lambda s, x: s + x).alias("sum_q"),
+        F.round("__max_err__", 9).alias("max_err"),
+    )
+
+
+_QUANTIZE_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, ve,
+         list_reduce(list_transform(ve, x -> abs(x)), (a, b) -> greatest(a, b)) AS amax
+  FROM v
+),
+sc AS (
+  SELECT vec_id, ve,
+         CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS scale
+  FROM s
+),
+q AS (
+  SELECT vec_id, ve, scale,
+         list_transform(ve, x ->
+           greatest(-127, least(127, CAST(floor(x / scale + 0.5) AS INT)))) AS qv
+  FROM sc
+)
+SELECT vec_id, ROUND(scale, 9) AS q_scale,
+       CAST(list_reduce(qv, (a, b) -> a + b) AS BIGINT) AS sum_q,
+       ROUND(list_reduce(
+         list_transform(list_zip(ve, qv), p -> abs(p[1] - p[2] * scale)),
+         (a, b) -> greatest(a, b)), 9) AS max_err
+FROM q
+"""
+
+
+QUERIES = {
+    "doc_decontaminate": (_doc_decontaminate, _DECONTAMINATE_ORACLE),
+    "doc_stratified_sample": (_doc_stratified_sample, _STRATIFIED_ORACLE),
+    "doc_pii_scrub": (_doc_pii_scrub, _PII_ORACLE),
+    "doc_sequence_pack": (_doc_sequence_pack, _SEQUENCE_PACK_ORACLE),
+    "emb_quantize_int8": (_emb_quantize_int8, _QUANTIZE_ORACLE),
+}

@@ -46,6 +46,11 @@ HEADLINE = (
     "ivf_pruned_search",
     "events_hourly_window",
     "events_sessionize",
+    # training-data curation (round 3)
+    "doc_decontaminate",
+    "doc_stratified_sample",
+    "doc_sequence_pack",
+    "emb_quantize_int8",
 )
 
 

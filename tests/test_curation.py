@@ -1,0 +1,187 @@
+"""Tests for the training-data curation operators (operators/curation.py):
+decontamination, stratified sampling, PII scrubbing, sequence packing,
+int8 quantization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aeuc_vector_db_spark.operators import curation as CU
+
+
+# ---------------------------------------------------------------------------
+# Decontamination
+# ---------------------------------------------------------------------------
+
+def test_contaminated_docs_counts_shared_shingles(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely different sentence entirely here now"),
+            (3, "quick brown fox appears again in this text"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("benchmark says the quick brown fox jumps high",)], "text string"
+    )
+    hits = {
+        r["doc_id"]: r["n_hits"]
+        for r in CU.contaminated_docs(corpus, bench, shingle_n=3).collect()
+    }
+    # doc 1 shares "the quick brown", "quick brown fox", "quick brown fox
+    # jumps" → 3 trigram hashes; doc 3 shares only "quick brown fox"
+    assert hits[1] == 3
+    assert hits[3] == 1
+    assert 2 not in hits
+
+
+def test_contaminated_docs_min_overlap_filters(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("zzz alpha beta gamma zzz",)], "text string")
+    out = CU.contaminated_docs(corpus, bench, shingle_n=3, min_overlap=2)
+    assert out.count() == 0  # each doc shares exactly one trigram
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def strat_df(spark):
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(300)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_stratified_sample_deterministic(strat_df):
+    a = sorted(r["doc_id"] for r in CU.stratified_sample(strat_df, {"en": 0.5, "de": 0.2}).collect())
+    b = sorted(r["doc_id"] for r in CU.stratified_sample(strat_df, {"en": 0.5, "de": 0.2}).collect())
+    assert a == b and len(a) > 0
+
+
+def test_stratified_sample_default_rate_excludes(strat_df):
+    out = CU.stratified_sample(strat_df, {"en": 1.0})
+    langs = {r["lang"] for r in out.collect()}
+    assert langs == {"en"}  # de/zh fall to default_rate=0.0
+    assert out.count() == 100  # rate 1.0 keeps every en row
+
+
+def test_stratified_sample_salt_changes_draw(strat_df):
+    a = {r["doc_id"] for r in CU.stratified_sample(strat_df, {"en": 0.3}, salt=0).collect()}
+    b = {r["doc_id"] for r in CU.stratified_sample(strat_df, {"en": 0.3}, salt=1).collect()}
+    assert a != b  # a fresh salt draws a fresh sample
+
+
+def test_stratified_sample_rate_roughly_holds(strat_df):
+    n = CU.stratified_sample(strat_df, {"en": 0.5, "de": 0.5, "zh": 0.5}).count()
+    assert 100 <= n <= 200  # 0.5 of 300 with hash noise
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+def test_scrub_pii_email_and_phone(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "write to alice.smith+spam@corp.example.org for info"),
+            (2, "call +1 (555) 010-4242 tonight"),
+            (3, "no pii here at all"),
+            (4, "both bob@x.io and +44 20 7946 0958 appear"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in CU.scrub_pii(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 0
+    assert "<EMAIL>" in out[1]["text_scrubbed"]
+    assert "alice" not in out[1]["text_scrubbed"]
+    assert out[2]["n_phones"] == 1 and "<PHONE>" in out[2]["text_scrubbed"]
+    assert out[3]["n_emails"] == 0 and out[3]["n_phones"] == 0
+    assert out[3]["text_scrubbed"] == "no pii here at all"
+    assert out[4]["n_emails"] == 1 and out[4]["n_phones"] == 1
+    assert "<EMAIL>" in out[4]["text_scrubbed"] and "<PHONE>" in out[4]["text_scrubbed"]
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_chunk_assignment(spark):
+    # en stream in doc_id order: 60, 60, 60 tokens with budget 100:
+    # offsets 0, 60, 120 → chunks 0, 0, 1
+    rows = [
+        (1, "en", "w " * 60),
+        (2, "en", "w " * 60),
+        (3, "en", "w " * 60),
+        (4, "de", "w " * 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        r["doc_id"]: (r["stream_offset"], r["chunk_id"])
+        for r in CU.pack_sequences(df, budget_tokens=100).collect()
+    }
+    assert out[1] == (0, 0)
+    assert out[2] == (60, 0)
+    assert out[3] == (120, 1)
+    assert out[4] == (0, 0)  # de is its own stream
+
+
+def test_pack_sequences_order_is_explicit_not_partition_luck(spark):
+    rows = [(i, "en", "tok " * 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    a = {r["doc_id"]: r["chunk_id"] for r in CU.pack_sequences(df, 64).collect()}
+    b = {
+        r["doc_id"]: r["chunk_id"]
+        for r in CU.pack_sequences(df.repartition(7), 64).collect()
+    }
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+def test_quantize_int8_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0, 0.5, 0.0])], "vec_id long, embedding array<double>"
+    )
+    row = CU.quantize_int8(df).collect()[0]
+    assert row["q_scale"] == pytest.approx(1.0 / 127.0)
+    # x/scale = 127, -127, 63.5, 0 → half-up: 127, -127, 64, 0
+    assert row["q_vec"] == [127, -127, 64, 0]
+
+
+def test_quantize_int8_zero_vector_total(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    row = CU.quantize_int8(df).collect()[0]
+    assert row["q_scale"] == 1.0
+    assert row["q_vec"] == [0, 0, 0]
+
+
+def test_quantize_roundtrip_error_bounded(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-3, 3) for _ in range(16)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = CU.quantize_int8(df)
+    err = q.select(
+        "q_scale",
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                CU.dequantize_col("q_vec", "q_scale"),
+                lambda a, b: F.abs(a - b),
+            ),
+            F.lit(0.0),
+            lambda s, x: F.greatest(s, x),
+        ).alias("max_err"),
+    )
+    bad = err.filter(F.col("max_err") > F.col("q_scale") * 0.5 + 1e-12)
+    assert bad.count() == 0  # reconstruction error ≤ scale/2 per element
