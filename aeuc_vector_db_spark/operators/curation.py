@@ -243,6 +243,38 @@ def quantize_int8(
     )
 
 
+def pca_project(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> tuple[DataFrame, list[float]]:
+    """MLlib PCA projection of an embedding column to k dims.
+
+    Returns (df + out_col ARRAY<DOUBLE>, explained-variance ratios,
+    length k, non-increasing). The fit is MLlib's distributed
+    covariance + local eigendecomposition — one pass over the corpus;
+    the projection afterwards is a map-side matrix multiply. The other
+    compression lever next to quantize_int8: 64→8 dims is 8× smaller
+    and keeps the top-variance structure for coarse search/clustering.
+
+    Not SQL-expressible (eigendecomposition), so declared queries over
+    this are rows-only checks; semantics are pinned by unit tests
+    (dimension, variance ordering, energy bound, refit determinism).
+    """
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vec = df.withColumn("__features__", array_to_vector(as_double(vec_col)))
+    model = PCA(k=k, inputCol="__features__", outputCol="__pca__").fit(vec)
+    out = (
+        model.transform(vec)
+        .withColumn(out_col, vector_to_array("__pca__"))
+        .drop("__features__", "__pca__")
+    )
+    return out, [float(v) for v in model.explainedVariance]
+
+
 def dequantize_col(q_col: Column | str, scale_col: Column | str) -> Column:
     """ARRAY<DOUBLE> back from quantize_int8's (q_vec, q_scale) pair.
     scale_col must be a plain column reference (see quantize_int8's

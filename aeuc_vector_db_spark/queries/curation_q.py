@@ -251,8 +251,31 @@ FROM q
 """
 
 
+# ---------------------------------------------------------------------------
+# PCA projection (rows-only: eigendecomposition is not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+def _emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project embeddings 64→8 dims; per-vector projected L2 norm plus
+    the model's cumulative explained-variance (a constant column) make
+    the transform's effect visible row by row. Rows-only check —
+    variance ordering/energy bounds are pinned in test_curation.py."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    out, variance = CU.pca_project(emb, k=8)
+    cum_var = float(sum(variance))
+    norm = F.sqrt(
+        F.aggregate("pca", F.lit(0.0), lambda s, x: s + x * x)
+    )
+    return out.select(
+        "vec_id",
+        F.round(norm, 6).alias("pca_norm"),
+        F.round(F.lit(cum_var), 4).alias("explained_var"),
+    )
+
+
 QUERIES = {
     "doc_decontaminate": (_doc_decontaminate, _DECONTAMINATE_ORACLE),
+    "emb_pca_project": (_emb_pca_project, None),
     "doc_stratified_sample": (_doc_stratified_sample, _STRATIFIED_ORACLE),
     "doc_pii_scrub": (_doc_pii_scrub, _PII_ORACLE),
     "doc_sequence_pack": (_doc_sequence_pack, _SEQUENCE_PACK_ORACLE),

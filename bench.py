@@ -104,6 +104,15 @@ def main() -> None:
         print(f"# {name}: hot {hot:.3f}s / cold {cold:.3f}s ({len(rows)} rows)",
               file=sys.stderr)
 
+    # The scale probes run in a FRESH session: ~30 headline queries leave
+    # the reused Arrow python workers heap-bloated, which measured as a
+    # 4× slowdown on the mapInPandas matmul probe (567k pair-scores/s
+    # in-session vs 2.2M standalone) and 2× on the shingle kernel —
+    # session state, not plan cost. A restart gives the probes the same
+    # conditions a dedicated scale job would have.
+    spark.stop()
+    spark = get_spark("bench-probes")
+
     ingest_rate = _bench_ingest(spark)
     knn_scale = _bench_knn_scale(spark)
     cluster_scale = _bench_cluster_scale(spark)

@@ -185,3 +185,40 @@ def test_quantize_roundtrip_error_bounded(spark):
     )
     bad = err.filter(F.col("max_err") > F.col("q_scale") * 0.5 + 1e-12)
     assert bad.count() == 0  # reconstruction error ≤ scale/2 per element
+
+
+# ---------------------------------------------------------------------------
+# PCA projection
+# ---------------------------------------------------------------------------
+
+def test_pca_project_shape_variance_energy(spark):
+    import random
+
+    rng = random.Random(11)
+    # anisotropic data: first dims carry most variance
+    rows = [
+        (i, [rng.gauss(0, 10), rng.gauss(0, 5)] + [rng.gauss(0, 0.5) for _ in range(6)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out, var = CU.pca_project(df, k=3)
+    assert len(var) == 3
+    assert all(var[i] >= var[i + 1] for i in range(2))  # non-increasing
+    assert sum(var) > 0.9  # two dominant axes out of 8 → top-3 capture most
+    sample = out.limit(5).collect()
+    assert all(len(r["pca"]) == 3 for r in sample)
+    # projection is an isometry onto a subspace: |proj(x)| <= |x| (+centering slack)
+    from pyspark.sql import functions as FF
+    sq = lambda c: FF.aggregate(c, FF.lit(0.0), lambda s, x: s + x * x)
+    bad = out.filter(
+        sq(FF.col("pca")) > sq(FF.col("embedding").cast("array<double>")) * 1.5 + 1e-6
+    )
+    assert bad.count() == 0
+
+
+def test_pca_project_refit_deterministic(spark):
+    rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(6)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, v1 = CU.pca_project(df, k=2)
+    _, v2 = CU.pca_project(df, k=2)
+    assert v1 == v2
