@@ -169,10 +169,25 @@ def assign_centroids(
     cids = np.array([c for c, _ in cent_rows])
     cmat = np.asarray([v for _, v in cent_rows], dtype=np.float64)  # (k, d)
 
+    dim = cmat.shape[1]
+
     def _assign(v):
-        mat = np.vstack(v.to_numpy()).astype(np.float64, copy=False)  # (B, d)
-        d2 = ((mat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)  # (B, k)
-        return pd.Series(cids[d2.argmin(axis=1)])
+        # NULL / wrong-dimension embeddings assign to NULL, not a crashed
+        # task (np.vstack over a ragged batch raises and aborts the whole
+        # job after retries) — mirroring the null tolerance of the
+        # join-based formulation this replaced
+        vals = v.tolist()
+        ok = np.array(
+            [x is not None and len(x) == dim for x in vals], dtype=bool
+        )
+        out = np.full(len(vals), None, dtype=object)
+        if ok.any():
+            mat = np.asarray(
+                [vals[i] for i in np.flatnonzero(ok)], dtype=np.float64
+            )  # (B_ok, d)
+            d2 = ((mat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            out[ok] = cids[d2.argmin(axis=1)]
+        return pd.Series(out, dtype="Int64")
 
     _assign.__annotations__ = {"v": pd.Series, "return": pd.Series}
     assign_udf = pandas_udf(_assign, "int")
@@ -333,6 +348,16 @@ def ivf_recall_eval(
         "centroid_id",
         similarity_col(as_double(vec_col), F.col("__qv__"), metric).alias("__s__"),
     )
+    # The exact and approx branches are separate plan subtrees — without
+    # materialization Catalyst recomputes the full N·Q scoring once per
+    # branch (ReusedExchange can't dedupe across the differing exchange
+    # children), which would be WORSE than the two-pass form this
+    # replaces. A lazy localCheckpoint computes the skinny (qid, id,
+    # cell, score) table once on first use and serves both branches;
+    # blocks are released when the RDD is garbage-collected. N·Q skinny
+    # rows is the evaluation job's inherent footprint (the exact
+    # baseline needs them all) — bound Q, not the corpus.
+    scored = scored.localCheckpoint(eager=False)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("__s__").desc(), F.col(id_col).asc()
     )

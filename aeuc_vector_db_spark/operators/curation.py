@@ -135,14 +135,23 @@ def stratified_sample(
     few by definition), the hash is a per-row fold: no join, no shuffle,
     survives predicate pushdown reordering. Re-running with the same
     salt reproduces the exact sample; changing salt draws a fresh one.
+
+    The per-stratum keep-threshold is computed ONCE in Python as an
+    integer (round(rate·10000)) and embedded as a literal: deriving it
+    in-engine from the float rate diverges between engines (Spark's
+    double 0.043*10000.0 = 429.99…994 truncates to 429; DuckDB
+    evaluates the literal in exact DECIMAL and gets 430), which would
+    break oracle parity for most three-decimal rates.
     """
-    rate = None
+    thr = None
     for k, v in sorted(rates.items()):
         cond = F.col(stratum_col) == F.lit(k)
-        rate = F.when(cond, F.lit(v)) if rate is None else rate.when(cond, F.lit(v))
-    rate = F.lit(default_rate) if rate is None else rate.otherwise(F.lit(default_rate))
+        t = F.lit(int(round(v * 10000)))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    default_t = F.lit(int(round(default_rate * 10000)))
+    thr = default_t if thr is None else thr.otherwise(default_t)
     bucket = sample_bucket_col(id_col, salt)
-    return df.filter(bucket < (rate * F.lit(10000.0)).cast("bigint"))
+    return df.filter(bucket < thr)
 
 
 def scrub_pii(

@@ -108,9 +108,15 @@ def shingle_hashes_col(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.transform(shingles_col(tokens_col(text), n), polyhash_col))
 
 
-def _py_tokens(s: str) -> list[str]:
+def _py_tokens(s: str | None) -> list[str]:
     import re
 
+    # NULL text → no tokens: every Arrow kernel built on this
+    # (shingles, language-ID, token stats) must degrade per-row like its
+    # SQL HOF twin (which null-propagates) instead of crashing the task —
+    # dirty corpora carry null text and a crashed task is not a contract
+    if s is None:
+        return []
     return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
 
 

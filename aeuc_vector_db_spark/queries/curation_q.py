@@ -70,11 +70,15 @@ def _doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rate_case_sql() -> str:
+def _threshold_case_sql() -> str:
+    """Integer keep-thresholds, precomputed in Python exactly as the
+    operator does — deriving them in-engine from float rates diverges
+    (Spark truncates 0.043*10000.0=429.99…994 to 429, DuckDB's exact
+    DECIMAL literal math gives 430)."""
     whens = " ".join(
-        f"WHEN '{k}' THEN {v!r}" for k, v in sorted(_RATES.items())
+        f"WHEN '{k}' THEN {int(round(v * 10000))}" for k, v in sorted(_RATES.items())
     )
-    return f"(CASE lang {whens} ELSE 0.0 END)"
+    return f"(CASE lang {whens} ELSE 0 END)"
 
 
 _STRATIFIED_ORACLE = f"""
@@ -86,7 +90,7 @@ WITH b AS (
 )
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
        CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
-FROM b WHERE bucket < CAST({_rate_case_sql()} * 10000.0 AS BIGINT)
+FROM b WHERE bucket < {_threshold_case_sql()}
 GROUP BY lang
 """
 

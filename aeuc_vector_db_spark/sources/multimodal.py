@@ -167,7 +167,10 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         elif tag == b"IEND":
             break
         pos += 12 + length  # length + tag + data + crc
-    if not width or not idat:
+    # height==0 must be rejected HERE: expected would be 0, and
+    # zlib's decompress(data, max_length=0) means UNLIMITED — the
+    # decompression-bomb bound below would silently not apply
+    if not width or not height or not idat:
         raise ValueError("truncated PNG: missing IHDR or IDAT")
     if width * height > 1 << 26:  # 64M pixels — far beyond any training blob
         raise ValueError(f"PNG dimensions implausible: {width}x{height}")

@@ -158,11 +158,16 @@ def start_ingest(
         # (micro-batches are bounded by maxFilesPerTrigger upstream)
         accepted = accepted.localCheckpoint(eager=True)
         # the ONLY condition the try may swallow is "corpus doesn't exist
-        # yet"; any other AnalysisException (schema drift, perms) must
-        # surface — a swallowed dedup failure means silent duplicates
+        # yet" (PATH_NOT_FOUND); any other AnalysisException — e.g.
+        # UNABLE_TO_INFER_SCHEMA from a corpus directory whose parquet
+        # files were lost, schema drift, permissions — must surface: a
+        # swallowed dedup failure means silent duplicates appended over
+        # a corpus that DOES exist
         try:
             base = spark.read.parquet(corpus_path)
-        except AnalysisException:
+        except AnalysisException as exc:
+            if exc.getErrorClass() != "PATH_NOT_FOUND":
+                raise
             base = None  # first epoch
         bucketed = base is None or "id_bucket" in base.columns
         if base is not None:

@@ -127,3 +127,22 @@ def test_assign_centroids_accepts_local_list(spark, emb):
     via_list = A.assign_centroids(emb, local).withColumnRenamed("centroid_id", "c2")
     diff = via_df.join(via_list, "vec_id").filter(F.col("centroid_id") != F.col("c2"))
     assert diff.count() == 0
+
+
+def test_assign_centroids_null_and_ragged_rows_yield_null(spark):
+    """A dirty corpus row (NULL or wrong-dim embedding) must assign to
+    NULL, not crash the task (np.vstack over a ragged Arrow batch
+    raises and aborts the whole job)."""
+    df = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, None),
+            (2, [5.0]),          # wrong dimension
+            (3, [10.0, 10.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(0, [0.0, 0.0]), (1, [10.0, 10.0])]
+    out = {r["vec_id"]: r["centroid_id"] for r in A.assign_centroids(df, cents).collect()}
+    assert out[0] == 0 and out[3] == 1
+    assert out[1] is None and out[2] is None

@@ -222,3 +222,28 @@ def test_pca_project_refit_deterministic(spark):
     _, v1 = CU.pca_project(df, k=2)
     _, v2 = CU.pca_project(df, k=2)
     assert v1 == v2
+
+
+def test_stratified_sample_threshold_matches_python_rounding(strat_df):
+    """rate 0.043: double math gives 429.99…994 — truncation would keep
+    bucket<429 while exact rounding keeps bucket<430. The operator must
+    use the Python-rounded integer threshold (430) so the sampled set
+    matches a driver-side recomputation exactly."""
+    from aeuc_vector_db_spark.operators.text import _py_polyhash
+
+    got = {r["doc_id"] for r in CU.stratified_sample(strat_df, {"en": 0.043}).collect()}
+    expected = {
+        i for i in range(300) if i % 3 == 0  # en stratum
+        and ((_py_polyhash(f"0:{i}") * CU.SAMPLE_SPREAD) % 4294967296) % 10000
+        < round(0.043 * 10000)
+    }
+    assert got == expected
+
+
+def test_contaminated_docs_null_text_is_harmless(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([("alpha beta gamma",)], "text string")
+    hits = {r["doc_id"]: r["n_hits"] for r in CU.contaminated_docs(corpus, bench).collect()}
+    assert hits == {1: 1}  # null-text row contributes nothing, crashes nothing

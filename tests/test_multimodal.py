@@ -181,3 +181,19 @@ def test_decode_features_real_stub_error(spark, tmp_path):
     assert rows["c.mp4"]["decode_status"] == "stub"
     assert rows["d.png"]["decode_status"] == "error"
     assert rows["d.png"]["width"] is None
+
+
+def test_png_zero_height_rejected_before_inflate():
+    # height=0 would make the bomb bound max_length=0, which zlib treats
+    # as UNLIMITED — must be rejected before any inflate happens
+    ihdr = struct.pack(">IIBBBBB", 2, 0, 8, 0, 0, 0, 0)
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    bomb = zlib.compress(b"\x00" * 10_000_000)
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        MM.png_decode(payload)
