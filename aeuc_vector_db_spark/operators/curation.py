@@ -154,6 +154,100 @@ def stratified_sample(
     return df.filter(bucket < thr)
 
 
+def repetition_ratio_col(text_col: Column | str, n: int = 2) -> Column:
+    """Intra-document repetition: 1 − distinct-n-grams / total-n-grams
+    (0.0 for docs with no n-grams). The Gopher/C4-style quality signal —
+    boilerplate and looping generations repeat n-grams heavily. Pure
+    per-row HOF arithmetic: narrow, no shuffle, oracle-expressible.
+    """
+    from aeuc_vector_db_spark.operators.text import shingles_col
+
+    sh = shingles_col(tokens_col(text_col), n)
+    total = F.size(sh).cast("double")
+    distinct = F.size(F.array_distinct(sh)).cast("double")
+    return F.when(total > 0.0, F.lit(1.0) - distinct / total).otherwise(F.lit(0.0))
+
+
+def repetition_ratio_pandas(n: int = 2):
+    """Arrow twin of repetition_ratio_col — identical values (the ratio
+    is 1 − distinct/total over exact integer counts; one IEEE division
+    both paths). The interpreted HOF form costs ~10× more per row; this
+    is the corpus-scale path, the Column form is the oracle-parity
+    documentation."""
+    import pandas as pd
+
+    from aeuc_vector_db_spark.operators.text import _py_tokens
+
+    def f(texts):
+        out = []
+        for s in texts:
+            toks = _py_tokens(s)
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            out.append(1.0 - len(set(grams)) / len(grams) if grams else 0.0)
+        return pd.Series(out)
+
+    # real type objects, not strings — `from __future__ import
+    # annotations` would stringify inline hints and break inference
+    f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(f, "double")
+
+
+def rebalance_thresholds(
+    counts: dict[str, int], target: dict[str, float], buckets: int = 10000
+) -> dict[str, int]:
+    """Per-stratum sample thresholds that reshape observed counts to a
+    target mix, keeping ALL of the scarcest (relative to its target
+    share) stratum: budget B = min over strata of count/share; stratum s
+    keeps rate share_s·B/count_s (≤ 1 by construction of B).
+
+    Thresholds are floor(rate·buckets) as INTEGERS, computed driver-side
+    with the exact IEEE sequence ((share · B) / count) · buckets that
+    the oracle SQL spells out — floor, not round(), because Python
+    rounds half-to-even and SQL rounds half-away (the stratified_sample
+    lesson, with data-derived rates this time).
+
+    Strata absent from `target` get threshold 0 (excluded); target
+    entries absent from the data are ignored.
+    """
+    import math
+
+    present = [s for s in counts if s in target and target[s] > 0]
+    if not present:
+        return {s: 0 for s in counts}
+    budget = min(float(counts[s]) / target[s] for s in present)
+    return {
+        s: math.floor(((target[s] * budget) / float(counts[s])) * buckets)
+        if s in target and target[s] > 0
+        else 0
+        for s in counts
+    }
+
+
+def source_rebalance(
+    df: DataFrame,
+    target: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Sample the corpus to a target stratum mix (deterministic
+    content-hash draw). One aggregate collect (|strata| rows) to derive
+    thresholds, then the same map-side filter as stratified_sample —
+    no join, no shuffle of the data itself."""
+    counts = {
+        r[stratum_col]: r["count"]
+        for r in df.groupBy(stratum_col).count().collect()
+    }
+    thrs = rebalance_thresholds(counts, target)
+    thr = None
+    for k, t in sorted(thrs.items()):
+        cond = F.col(stratum_col) == F.lit(k)
+        lit = F.lit(int(t))
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    thr = F.lit(0) if thr is None else thr.otherwise(F.lit(0))
+    return df.filter(sample_bucket_col(id_col, salt) < thr)
+
+
 def scrub_pii(
     df: DataFrame,
     text_col: str = "text",

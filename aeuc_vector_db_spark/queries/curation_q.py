@@ -18,6 +18,7 @@ from aeuc_vector_db_spark.operators import curation as CU
 from aeuc_vector_db_spark.queries.textops import (
     _dk_polyhash,
     _dk_shingle_hashes,
+    _dk_shingles,
     _dk_tokens,
 )
 from aeuc_vector_db_spark.sources.tables import load_table
@@ -256,6 +257,87 @@ FROM q
 
 
 # ---------------------------------------------------------------------------
+# Repetition ratio (intra-doc quality signal)
+# ---------------------------------------------------------------------------
+
+def _doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram repetition (1 − distinct/total), the Gopher-style
+    boilerplate signal; docs ranked most-repetitive-first pin the exact
+    per-doc values, not just an aggregate."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.round(CU.repetition_ratio_pandas(2)(F.col("text")), 6).alias("rep_ratio"),
+    )
+
+
+_REPETITION_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_dk_shingles(_dk_tokens('text'), 2)} AS grams FROM documents
+)
+SELECT doc_id,
+       ROUND(CASE WHEN len(grams) > 0
+                  THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                           / CAST(len(grams) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS rep_ratio
+FROM sh
+"""
+
+
+# ---------------------------------------------------------------------------
+# Source rebalancing (sample to a target stratum mix)
+# ---------------------------------------------------------------------------
+
+_TARGET_MIX = {"en": 0.3, "de": 0.2, "fr": 0.2, "es": 0.2, "zh": 0.1}
+
+
+def _doc_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshape the corpus to the target language mix; the per-stratum
+    (count, id-sum) aggregate pins the exact membership. Thresholds are
+    data-derived (floor((share·B)/count·10⁴), B = min count/share) —
+    the oracle recomputes the identical IEEE double sequence in SQL."""
+    docs = load_table(spark, "documents", sf_dir)
+    sampled = CU.source_rebalance(docs, _TARGET_MIX, stratum_col="lang", salt=0)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+def _target_values_sql() -> str:
+    rows = ", ".join(f"('{k}', {v!r})" for k, v in sorted(_TARGET_MIX.items()))
+    return f"(VALUES {rows}) t(lang, share)"
+
+
+_REBALANCE_ORACLE = f"""
+WITH c AS (
+  SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+),
+p AS (SELECT * FROM {_target_values_sql()}),
+b AS (
+  SELECT MIN(CAST(cnt AS DOUBLE) / share) AS budget
+  FROM c JOIN p USING (lang) WHERE share > 0
+),
+thr AS (
+  SELECT c.lang,
+         CAST(FLOOR(((p.share * b.budget) / CAST(c.cnt AS DOUBLE)) * 10000)
+              AS BIGINT) AS t
+  FROM c JOIN p USING (lang) CROSS JOIN b WHERE p.share > 0
+),
+s AS (
+  SELECT lang, doc_id,
+         (({_dk_polyhash("('0:' || CAST(doc_id AS VARCHAR))")}
+           * 2654435761) % 4294967296) % 10000 AS bucket
+  FROM documents
+)
+SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(s.doc_id) AS BIGINT) AS sum_doc_id
+FROM s JOIN thr ON s.lang = thr.lang AND s.bucket < thr.t
+GROUP BY s.lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # PCA projection (rows-only: eigendecomposition is not SQL-expressible)
 # ---------------------------------------------------------------------------
 
@@ -279,6 +361,8 @@ def _emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "doc_decontaminate": (_doc_decontaminate, _DECONTAMINATE_ORACLE),
+    "doc_repetition_ratio": (_doc_repetition_ratio, _REPETITION_ORACLE),
+    "doc_source_rebalance": (_doc_source_rebalance, _REBALANCE_ORACLE),
     "emb_pca_project": (_emb_pca_project, None),
     "doc_stratified_sample": (_doc_stratified_sample, _STRATIFIED_ORACLE),
     "doc_pii_scrub": (_doc_pii_scrub, _PII_ORACLE),

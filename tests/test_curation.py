@@ -247,3 +247,76 @@ def test_contaminated_docs_null_text_is_harmless(spark):
     bench = spark.createDataFrame([("alpha beta gamma",)], "text string")
     hits = {r["doc_id"]: r["n_hits"] for r in CU.contaminated_docs(corpus, bench).collect()}
     assert hits == {1: 1}  # null-text row contributes nothing, crashes nothing
+
+
+# ---------------------------------------------------------------------------
+# Repetition ratio + source rebalancing
+# ---------------------------------------------------------------------------
+
+def test_repetition_ratio_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # bigrams: ab,ba,ab,ba,ab → 5 total, 2 distinct
+            (2, "w x y z"),            # 3 distinct of 3 → 0.0
+            (3, "single"),             # no bigrams → 0.0
+            (4, None),                 # null text → 0.0, no crash
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["r"]
+        for r in df.select(
+            "doc_id", F.round(CU.repetition_ratio_col("text", 2), 6).alias("r")
+        ).collect()
+    }
+    assert out[1] == pytest.approx(1 - 2 / 5)
+    assert out[2] == 0.0
+    assert out[3] == 0.0
+    assert out[4] == 0.0
+
+
+def test_rebalance_thresholds_math():
+    counts = {"en": 218, "de": 70, "fr": 64, "es": 73, "zh": 75}
+    target = {"en": 0.3, "de": 0.2, "fr": 0.2, "es": 0.2, "zh": 0.1}
+    thrs = CU.rebalance_thresholds(counts, target)
+    # fr binds: B = 64/0.2 = 320 → fr keeps everything
+    assert thrs["fr"] == 10000
+    import math
+    assert thrs["en"] == math.floor(((0.3 * 320.0) / 218.0) * 10000)
+    # absent from target → excluded
+    assert CU.rebalance_thresholds({"a": 10, "b": 5}, {"a": 1.0})["b"] == 0
+
+
+def test_source_rebalance_respects_mix(spark):
+    rows = [(i, ["en", "en", "en", "de"][i % 4]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = CU.source_rebalance(df, {"en": 0.5, "de": 0.5}, stratum_col="lang")
+    got = out.groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in got}
+    # de binds (100 rows / 0.5 share = 200 budget): de keeps all 100,
+    # en samples 100/300 — hash noise allowed
+    assert by["de"] == 100
+    assert 70 <= by["en"] <= 130
+
+
+def test_repetition_ratio_arrow_twin_bit_parity(spark):
+    texts = [
+        (1, "a b a b a b c d e a b"),
+        (2, "x " * 30),
+        (3, "one two three four five six"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    sql_v = {
+        r["doc_id"]: r["r"]
+        for r in df.select(
+            "doc_id", CU.repetition_ratio_col("text", 2).alias("r")
+        ).collect()
+    }
+    arrow_v = {
+        r["doc_id"]: r["r"]
+        for r in df.select(
+            "doc_id", CU.repetition_ratio_pandas(2)(F.col("text")).alias("r")
+        ).collect()
+    }
+    assert sql_v == arrow_v  # bit-identical, not approx
