@@ -312,6 +312,59 @@ def recall_at_k(
     )
 
 
+def ivf_search_batch_arrow(
+    corpus_with_cells: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    nprobe: int = 4,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """Arrow IVF search — pruned IO *and* vectorized CPU.
+
+    ivf_search_batch's fine scan evaluates the similarity as an
+    interpreted HOF per (query, candidate): measured 49 s for 20
+    queries × nprobe=4/64 cells at N=1M, while the Arrow FULL scan of
+    all 1M rows took 4.7 s — pruning that drops into the interpreted
+    path costs 10× more CPU than it saves IO. This composes the two
+    properly: the coarse probe's (query → cells) map is collected
+    (Q·nprobe ints), the scan is filtered to the UNION of probed cells
+    (PartitionFilters on ivf-partitioned storage — the IO win stands),
+    and the fine scan is the NumPy-matmul kernel with a per-query cell
+    mask, so each query still ranks exactly its own probed cells.
+
+    Same results rank-for-rank as ivf_search_batch (scores differ in
+    low-order bits, np.dot pairwise summation — the knn_search_batch
+    twin situation, pinned by test_ann.py).
+    """
+    from aeuc_vector_db_spark.operators.search import knn_search_batch_arrow
+
+    cell_rows = coarse_probe(
+        centroids, queries, nprobe, metric, query_id_col, query_vec_col
+    ).collect()
+    query_cells: dict = {}
+    for r in cell_rows:
+        query_cells.setdefault(r[query_id_col], set()).add(r["centroid_id"])
+    union = sorted({c for cs in query_cells.values() for c in cs})
+    pruned = corpus_with_cells.filter(F.col("centroid_id").isin(union))
+    return knn_search_batch_arrow(
+        pruned,
+        queries,
+        top_k=top_k,
+        metric=metric,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        cell_col="centroid_id",
+        query_cells=query_cells,
+    )
+
+
 def ivf_recall_eval(
     corpus_with_cells: DataFrame,
     centroids: DataFrame,

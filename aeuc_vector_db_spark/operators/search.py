@@ -138,8 +138,17 @@ def knn_search_batch_arrow(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_embedding",
     min_partitions: int | None = None,
+    cell_col: str | None = None,
+    query_cells: dict | None = None,
 ) -> DataFrame:
     """Arrow-vectorized batch k-NN — the 100 TB hot path.
+
+    cell_col + query_cells (qid → iterable of allowed cell ids) turn
+    this into the IVF fine scan: rows whose cell is outside a query's
+    probed set are masked out of that query's ranking (ann.py
+    ivf_search_batch_arrow composes this with partition pruning — the
+    interpreted-HOF fine scan measured 10× slower than this kernel's
+    full scan at N=1M, so pruning must not fall back to it).
 
     The query set is collected to a (Q, d) matrix (small by construction)
     and closed over; the corpus is scanned ONCE as Arrow batches via
@@ -203,6 +212,12 @@ def knn_search_batch_arrow(
     id_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"{query_id_col} {qid_type}, {id_col} {id_type}, score double"
 
+    allowed_cells = (
+        {qid: np.asarray(sorted(cs)) for qid, cs in query_cells.items()}
+        if query_cells is not None
+        else None
+    )
+
     def partition_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # accumulate the per-partition top-k per query across Arrow batches
         best: dict = {}
@@ -215,17 +230,31 @@ def knn_search_batch_arrow(
             ids = np.asarray(ids_py)
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
             scores = score_block(mat)  # (B, Q)
+            cells_arr = (
+                pdf[cell_col].to_numpy() if allowed_cells is not None else None
+            )
             for j, qid in enumerate(q_ids):
                 col = scores[:, j]
-                take = min(top_k, len(col))
+                if cells_arr is not None:
+                    # IVF mask: this query ranks only rows in its probed cells
+                    vi = np.flatnonzero(
+                        np.isin(cells_arr, allowed_cells.get(qid, ()))
+                    )
+                    if vi.size == 0:
+                        continue
+                    sub_ids, sub_col = ids[vi], col[vi]
+                else:
+                    vi, sub_ids, sub_col = None, ids, col
+                take = min(top_k, len(sub_col))
                 # lexsort on (id asc secondary, score desc primary): a bare
                 # argpartition on score would cut arbitrarily through TIED
                 # scores at the k-th place (e.g. planted duplicate vectors)
                 # and could drop the id the (score DESC, id ASC) contract
                 # keeps — O(B log B) per batch is noise next to the scoring
-                order = np.lexsort((ids, -col))[:take]
+                order = np.lexsort((sub_ids, -sub_col))[:take]
+                sel = vi[order] if vi is not None else order
                 cand = best.setdefault(qid, [])
-                cand.extend((float(col[i]), ids_py[i]) for i in order)
+                cand.extend((float(col[i]), ids_py[i]) for i in sel)
                 if len(cand) > 4 * top_k:  # keep the running set bounded
                     cand.sort(key=lambda t: (-t[0], t[1]))
                     del cand[top_k:]
@@ -236,7 +265,8 @@ def knn_search_batch_arrow(
         yield pd.DataFrame(rows, columns=[query_id_col, id_col, "score"])
 
     corpus = _ensure_parallel(corpus, min_partitions)
-    partial = corpus.select(id_col, vec_col).mapInPandas(partition_topk, out_schema)
+    proj = [id_col, vec_col] + ([cell_col] if allowed_cells is not None else [])
+    partial = corpus.select(*proj).mapInPandas(partition_topk, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
         partial.withColumn("rank", F.row_number().over(w))

@@ -146,3 +146,19 @@ def test_assign_centroids_null_and_ragged_rows_yield_null(spark):
     out = {r["vec_id"]: r["centroid_id"] for r in A.assign_centroids(df, cents).collect()}
     assert out[0] == 0 and out[3] == 1
     assert out[1] is None and out[2] is None
+
+
+def test_ivf_arrow_matches_sql_path_rank_for_rank(emb, queries, index):
+    """The Arrow IVF path (pruned scan + NumPy matmul + per-query cell
+    mask) must return the same ids per rank as the interpreted-HOF
+    ivf_search_batch (scores differ only in low-order summation bits)."""
+    centroids, assignments = index
+    corpus = emb.join(assignments, "vec_id")
+    sql_res = A.ivf_search_batch(corpus, centroids, queries, top_k=10, nprobe=3)
+    arrow_res = A.ivf_search_batch_arrow(corpus, centroids, queries, top_k=10, nprobe=3)
+    sql_ranks = {(r["query_id"], r["rank"]): r["vec_id"] for r in sql_res.collect()}
+    arrow_ranks = {
+        (r["query_id"], r["rank"]): r["vec_id"] for r in arrow_res.collect()
+    }
+    assert sql_ranks == arrow_ranks
+    assert len(sql_ranks) > 0

@@ -197,3 +197,33 @@ def test_png_zero_height_rejected_before_inflate():
                + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         MM.png_decode(payload)
+
+
+def test_decode_kernels_raise_only_quarantinable_exceptions():
+    """decode_features catches exactly (ValueError, zlib.error,
+    struct.error, MemoryError); any OTHER exception type escaping the
+    parsers would crash the executor task instead of producing an
+    error row. Seeded mutation fuzz over valid files pins the contract."""
+    import random
+
+    rng = random.Random(1)
+    png = MM.png_encode(bytes(range(48)) * 4, 8, 8, color_type=2)
+    wav = MM.wav_encode([rng.randrange(-32768, 32767) for _ in range(64)], 8000)
+    caught = (ValueError, zlib.error, struct.error, MemoryError)
+    for trial in range(1000):
+        b = bytearray(png if trial % 2 == 0 else wav)
+        for _ in range(rng.randrange(1, 6)):
+            op = rng.random()
+            if op < 0.5 and len(b) > 1:
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            elif op < 0.75 and len(b) > 10:
+                del b[rng.randrange(len(b) - 8):][:rng.randrange(1, 8)]
+            else:
+                b[rng.randrange(len(b)):rng.randrange(len(b))] = bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(1, 16))
+                )
+        fn = MM.png_decode if trial % 2 == 0 else MM.wav_decode
+        try:
+            fn(bytes(b))
+        except caught:
+            pass  # quarantinable — becomes an error row
