@@ -103,6 +103,47 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def _knn_arrow_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow scale path (mapInPandas NumPy matmul, per-partition
+    top-k) as a driver-checked query — rank-only output: np.dot's
+    pairwise summation differs from the SQL fold in low-order score
+    bits, but the resulting RANKS are deterministic on both sides and
+    oracle-able (verified identical to the sequential-fold ranking;
+    twin parity also pinned in test_search_arrow.py)."""
+    from aeuc_vector_db_spark.operators.search import knn_search_batch_arrow
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    res = knn_search_batch_arrow(
+        emb,
+        _queries_df(spark, sf_dir),
+        top_k=10,
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
+    return res.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _knn_rank_oracle(score_expr_fn) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {_dk_double('embedding')} AS qv
+  FROM embeddings WHERE {QUERY_FILTER}
+), c AS (
+  SELECT vec_id, {_dk_double('embedding')} AS cv FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.vec_id, {score_expr_fn('cv', 'qv')} AS s
+  FROM c CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 _PHI_ORACLE = f"""
 WITH q AS (
   SELECT vec_id AS query_id, {_dk_double('embedding')} AS qv
@@ -548,6 +589,7 @@ QUERIES = {
     "knn_dot_topk": (_knn_query("dot"), _knn_oracle(_dk_dot)),
     "knn_phi_topk": (_knn_query("phi_weighted"), _PHI_ORACLE),
     "knn_cosine_filtered": (_knn_filtered, _KNN_FILTERED_ORACLE),
+    "knn_cosine_arrow_topk": (_knn_arrow_rank, _knn_rank_oracle(_dk_cosine)),
     "centroids_by_label": (_centroids_by_label, _CENTROIDS_ORACLE),
     "inertia_by_label": (_inertia_by_label, _INERTIA_ORACLE),
     "form_pglyphs_by_label": (_form_pglyphs_by_label, _FORM_PGLYPHS_ORACLE),
