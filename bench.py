@@ -51,6 +51,9 @@ HEADLINE = (
     "doc_stratified_sample",
     "doc_sequence_pack",
     "emb_quantize_int8",
+    # Arrow scale paths as declared queries (round 3)
+    "knn_cosine_arrow_topk",
+    "ivf_arrow_pruned_search",
 )
 
 
