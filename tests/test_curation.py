@@ -320,3 +320,46 @@ def test_repetition_ratio_arrow_twin_bit_parity(spark):
         ).collect()
     }
     assert sql_v == arrow_v  # bit-identical, not approx
+
+
+def test_quantized_storage_roundtrip_size_and_recall(spark, tmp_path):
+    """The point of int8 quantization is storage: the quantized corpus
+    parquet must be materially smaller than the float64 original, and
+    top-10 cosine search on the DEQUANTIZED vectors must agree with
+    exact search on the originals for nearly all of the top-k (planted
+    well-separated vectors; int8 error is ~scale/2 per element)."""
+    import os
+    import random
+
+    from aeuc_vector_db_spark.operators.search import knn_search_batch
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(500)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    orig_path = str(tmp_path / "orig")
+    q_path = str(tmp_path / "quant")
+    df.write.parquet(orig_path)
+    CU.quantize_int8(df).select("vec_id", "q_scale", "q_vec").write.parquet(q_path)
+
+    def tree_size(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p) for f in fs
+        )
+
+    assert tree_size(q_path) < tree_size(orig_path) * 0.5  # ≥2× smaller on disk
+
+    deq = (
+        spark.read.parquet(q_path)
+        .select("vec_id", CU.dequantize_col("q_vec", "q_scale").alias("embedding"))
+    )
+    queries = df.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    exact = knn_search_batch(df, queries, top_k=10)
+    approx = knn_search_batch(deq, queries, top_k=10)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    overlap = len(e & a) / len(e)
+    assert overlap >= 0.9  # int8 error may swap near-ties, not the set
