@@ -56,3 +56,73 @@ def test_pruned_projection_reaches_scan(spark):
     assert scan_lines
     read_schema = scan_lines[0].split("ReadSchema")[1]
     assert "embedding" not in read_schema and "vec_id" in read_schema
+
+
+@pytest.mark.parametrize(
+    "name,required",
+    [
+        # decontamination: the benchmark shingle set must broadcast —
+        # the corpus side never shuffles its text
+        ("doc_decontaminate", ["BroadcastHashJoin", "HashAggregate"]),
+        # Arrow knn: corpus scanned once; ranking is the only window
+        ("knn_cosine_arrow_topk", ["Window"]),
+    ],
+)
+def test_curation_plan_shape(spark, name, required):
+    plan = _plan(spark, name)
+    missing = [r for r in required if r not in plan]
+    assert not missing, f"{name}: missing plan shapes {missing}"
+
+
+def test_stratified_sample_is_pure_map_side(spark):
+    """The sampling filter must not introduce ANY shuffle: the plan up
+    to the (aggregating) declared query's Exchange is scan+filter only.
+    Check the operator directly: filter over the scan, no Exchange, no
+    join."""
+    from aeuc_vector_db_spark.operators.curation import stratified_sample
+    from aeuc_vector_db_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF01)
+    out = stratified_sample(docs, {"en": 0.5, "de": 0.2})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_sequence_pack_single_shuffle(spark):
+    """Packing needs exactly one Exchange (the per-stratum window) —
+    a second would mean the cumsum isn't running over the shard key."""
+    from aeuc_vector_db_spark.operators.curation import pack_sequences
+    from aeuc_vector_db_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF01)
+    out = pack_sequences(docs, budget_tokens=256, part_col="lang")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ivf_arrow_prunes_partitions_on_disk(spark, tmp_path):
+    """ivf_search_batch_arrow over partitionBy(centroid_id) storage must
+    show PartitionFilters — pruned IO is the operator's reason to
+    exist (its CPU half is the masked Arrow kernel)."""
+    from pyspark.sql import functions as F
+
+    from aeuc_vector_db_spark.operators import ann as A
+    from aeuc_vector_db_spark.operators import clustering as C
+    from aeuc_vector_db_spark.sources.tables import load_table, write_partitioned
+
+    emb = load_table(spark, "embeddings", SF01)
+    corpus = emb.withColumn("centroid_id", F.col("label").cast("int"))
+    path = str(tmp_path / "ivf")
+    write_partitioned(corpus, path, ["centroid_id"])
+    cents = C.centroids(emb, ["label"]).select(
+        F.col("label").cast("int").alias("centroid_id"), "centroid"
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    res = A.ivf_search_batch_arrow(
+        spark.read.parquet(path), cents, queries, top_k=5, nprobe=2
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [centroid_id" in plan
