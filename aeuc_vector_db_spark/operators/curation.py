@@ -143,15 +143,34 @@ def stratified_sample(
     evaluates the literal in exact DECIMAL and gets 430), which would
     break oracle parity for most three-decimal rates.
     """
+    thresholds = {k: int(round(v * 10000)) for k, v in rates.items()}
+    return _threshold_filter(
+        df, thresholds, stratum_col, id_col, salt,
+        default_threshold=int(round(default_rate * 10000)),
+    )
+
+
+def _threshold_filter(
+    df: DataFrame,
+    thresholds: dict[str, int],
+    stratum_col: str,
+    id_col: str,
+    salt: int,
+    default_threshold: int = 0,
+) -> DataFrame:
+    """Shared keep-filter: bucket(id, salt) < integer threshold looked up
+    by stratum via a literal CASE chain (used by stratified_sample and
+    source_rebalance — one implementation to keep in sync, not two).
+    None strata (possible when thresholds are data-derived) are skipped
+    in the chain and fall to the default."""
     thr = None
-    for k, v in sorted(rates.items()):
+    for k, t in sorted((k, t) for k, t in thresholds.items() if k is not None):
         cond = F.col(stratum_col) == F.lit(k)
-        t = F.lit(int(round(v * 10000)))
-        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
-    default_t = F.lit(int(round(default_rate * 10000)))
+        lit = F.lit(int(t))
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    default_t = F.lit(int(default_threshold))
     thr = default_t if thr is None else thr.otherwise(default_t)
-    bucket = sample_bucket_col(id_col, salt)
-    return df.filter(bucket < thr)
+    return df.filter(sample_bucket_col(id_col, salt) < thr)
 
 
 def repetition_ratio_col(text_col: Column | str, n: int = 2) -> Column:
@@ -206,19 +225,35 @@ def rebalance_thresholds(
     rounds half-to-even and SQL rounds half-away (the stratified_sample
     lesson, with data-derived rates this time).
 
-    Strata absent from `target` get threshold 0 (excluded); target
-    entries absent from the data are ignored.
+    Binding strata (count/share == B) are clamped to `buckets` exactly:
+    their rate is mathematically 1.0, but the IEEE round trip
+    ((share·(count/share))/count)·buckets can land at 9999.999…, and
+    flooring THAT silently drops rows from precisely the stratum the
+    budget was chosen to keep whole. The oracle replicates the clamp
+    with the same double equality.
+
+    Strata absent from `target` (or None — these keys are data-derived)
+    get threshold 0 (excluded); target entries absent from the data are
+    ignored.
     """
     import math
 
-    present = [s for s in counts if s in target and target[s] > 0]
-    if not present:
+    ratio = {
+        s: float(counts[s]) / target[s]
+        for s in counts
+        if s is not None and s in target and target[s] > 0
+    }
+    if not ratio:
         return {s: 0 for s in counts}
-    budget = min(float(counts[s]) / target[s] for s in present)
+    budget = min(ratio.values())
     return {
-        s: math.floor(((target[s] * budget) / float(counts[s])) * buckets)
-        if s in target and target[s] > 0
-        else 0
+        s: (
+            0
+            if s not in ratio
+            else buckets
+            if ratio[s] == budget
+            else math.floor(((target[s] * budget) / float(counts[s])) * buckets)
+        )
         for s in counts
     }
 
@@ -239,13 +274,7 @@ def source_rebalance(
         for r in df.groupBy(stratum_col).count().collect()
     }
     thrs = rebalance_thresholds(counts, target)
-    thr = None
-    for k, t in sorted(thrs.items()):
-        cond = F.col(stratum_col) == F.lit(k)
-        lit = F.lit(int(t))
-        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
-    thr = F.lit(0) if thr is None else thr.otherwise(F.lit(0))
-    return df.filter(sample_bucket_col(id_col, salt) < thr)
+    return _threshold_filter(df, thrs, stratum_col, id_col, salt)
 
 
 def scrub_pii(

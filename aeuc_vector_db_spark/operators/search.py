@@ -224,11 +224,27 @@ def knn_search_batch_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
+            # NULL / wrong-dimension embeddings are dropped per row, not
+            # crashed on: np.vstack over a ragged batch raises and aborts
+            # the whole job after retries, while the SQL twin
+            # null-propagates (null scores sort last and fall out of the
+            # top-k) — same guard as assign_centroids' kernel
+            dim = q_mat.shape[1]
+            vec_list = pdf[vec_col].tolist()
+            ok = [
+                i for i, v in enumerate(vec_list)
+                if v is not None and len(v) == dim
+            ]
+            if not ok:
+                continue
+            if len(ok) < len(vec_list):
+                pdf = pdf.iloc[ok]
+                vec_list = [vec_list[i] for i in ok]
             ids_py = pdf[id_col].tolist()
             # np.asarray over the python list: string ids become '<U' dtype
             # (lexsort-able), where pandas .to_numpy() would yield object
             ids = np.asarray(ids_py)
-            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            mat = np.asarray(vec_list, dtype=np.float64)
             scores = score_block(mat)  # (B, Q)
             cells_arr = (
                 pdf[cell_col].to_numpy() if allowed_cells is not None else None

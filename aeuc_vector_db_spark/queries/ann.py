@@ -21,13 +21,8 @@ from aeuc_vector_db_spark.sources.tables import load_table
 
 def _ivf_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level search with label-centroid cells, nprobe=3, top-10."""
-    emb = load_table(spark, "embeddings", sf_dir)
-    cents = C.centroids(emb, ["label"]).select(
-        F.col("label").cast("int").alias("centroid_id"), "centroid"
-    )
-    corpus = emb.withColumn("centroid_id", F.col("label").cast("int"))
     res = A.ivf_search_batch(
-        corpus, cents, _queries_df(spark, sf_dir), top_k=10, nprobe=3
+        *_label_cells_setup(spark, sf_dir), top_k=10, nprobe=3
     )
     return res.select(
         "query_id", "vec_id", F.round("score", 9).alias("score"),
@@ -35,7 +30,31 @@ def _ivf_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_ORACLE = f"""
+def _label_cells_setup(spark: SparkSession, sf_dir: str):
+    """(corpus_with_cells, centroids, queries) with deterministic
+    label-derived cells — shared by the HOF and Arrow IVF queries so
+    their setups cannot drift apart."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = C.centroids(emb, ["label"]).select(
+        F.col("label").cast("int").alias("centroid_id"), "centroid"
+    )
+    corpus = emb.withColumn("centroid_id", F.col("label").cast("int"))
+    return corpus, cents, _queries_df(spark, sf_dir)
+
+
+def _ivf_oracle(rank_only: bool) -> str:
+    """One template for both IVF oracles — the coarse/fine CTE chain
+    (centroid AVG, cosine fold, 1e-12 epsilon, tie-breaks) must never
+    drift between the HOF-path and Arrow-path declared queries; only
+    the final projection differs (the Arrow path is rank-only because
+    np.dot score bits differ from the SQL fold)."""
+    proj = (
+        "query_id, vec_id, CAST(rank AS BIGINT) AS rank"
+        if rank_only
+        else "query_id, vec_id, ROUND(s, 9) AS score, CAST(rank AS BIGINT) AS rank"
+    )
+    rank_cols = "query_id, vec_id" if rank_only else "query_id, vec_id, s"
+    return f"""
 WITH pts AS (
   SELECT label,
          unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val,
@@ -69,13 +88,16 @@ WITH pts AS (
             * sqrt(list_reduce(list_transform(qv, x -> x*x), (s,x)->s+x)) + 1e-12) AS s
   FROM embeddings e JOIN cells ON e.label = cells.centroid_id
 ), ranked AS (
-  SELECT query_id, vec_id, s,
+  SELECT {rank_cols},
          row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
   FROM fine
 )
-SELECT query_id, vec_id, ROUND(s, 9) AS score, CAST(rank AS BIGINT) AS rank
+SELECT {proj}
 FROM ranked WHERE rank <= 10
 """
+
+
+_IVF_ORACLE = _ivf_oracle(rank_only=False)
 
 
 def _ivf_arrow_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,60 +105,15 @@ def _ivf_arrow_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     mask) as a driver-checked query — rank-only output like
     knn_cosine_arrow_topk: np.dot score bits differ from the SQL fold,
     ranks don't (both deterministic; HOF-twin parity in test_ann.py)."""
-    emb = load_table(spark, "embeddings", sf_dir)
-    cents = C.centroids(emb, ["label"]).select(
-        F.col("label").cast("int").alias("centroid_id"), "centroid"
-    )
-    corpus = emb.withColumn("centroid_id", F.col("label").cast("int"))
     res = A.ivf_search_batch_arrow(
-        corpus, cents, _queries_df(spark, sf_dir), top_k=10, nprobe=3
+        *_label_cells_setup(spark, sf_dir), top_k=10, nprobe=3
     )
     return res.select(
         "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
     )
 
 
-_IVF_ARROW_ORACLE = f"""
-WITH pts AS (
-  SELECT label,
-         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val,
-         unnest(range(len(embedding))) AS pos
-  FROM embeddings
-), cent AS (
-  SELECT label, pos, AVG(val) AS c FROM pts GROUP BY label, pos
-), cvec AS (
-  SELECT label AS centroid_id, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label
-), q AS (
-  SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-  FROM embeddings WHERE {QUERY_FILTER}
-), coarse AS (
-  SELECT query_id, centroid_id, qv,
-         row_number() OVER (
-           PARTITION BY query_id
-           ORDER BY list_reduce(list_transform(list_zip(centroid, qv), p -> p[1]*p[2]), (s,x)->s+x)
-                    / (sqrt(list_reduce(list_transform(centroid, x -> x*x), (s,x)->s+x))
-                       * sqrt(list_reduce(list_transform(qv, x -> x*x), (s,x)->s+x)) + 1e-12) DESC,
-                    centroid_id ASC
-         ) AS r
-  FROM cvec CROSS JOIN q
-), cells AS (
-  SELECT query_id, centroid_id, qv FROM coarse WHERE r <= 3
-), fine AS (
-  SELECT cells.query_id, e.vec_id,
-         list_reduce(list_transform(list_zip(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qv),
-                                    p -> p[1]*p[2]), (s,x)->s+x)
-         / (sqrt(list_reduce(list_transform(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
-                                            x -> x*x), (s,x)->s+x))
-            * sqrt(list_reduce(list_transform(qv, x -> x*x), (s,x)->s+x)) + 1e-12) AS s
-  FROM embeddings e JOIN cells ON e.label = cells.centroid_id
-), ranked AS (
-  SELECT query_id, vec_id,
-         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
-  FROM fine
-)
-SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
-FROM ranked WHERE rank <= 10
-"""
+_IVF_ARROW_ORACLE = _ivf_oracle(rank_only=True)
 
 
 def _ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -83,7 +83,15 @@ def _knn_query(metric: str):
     return fn
 
 
-def _knn_oracle(score_expr_fn) -> str:
+def _knn_oracle(score_expr_fn, rank_only: bool = False) -> str:
+    """One template for the scored (HOF-path) and rank-only (Arrow-path)
+    k-NN oracles — the scoring CTE chain must never drift between the
+    twins; only the final projection differs."""
+    proj = (
+        "query_id, vec_id, CAST(rank AS BIGINT) AS rank"
+        if rank_only
+        else "query_id, vec_id, ROUND(s, 9) AS score, CAST(rank AS BIGINT) AS rank"
+    )
     return f"""
 WITH q AS (
   SELECT vec_id AS query_id, {_dk_double('embedding')} AS qv
@@ -98,7 +106,7 @@ WITH q AS (
          row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
   FROM scored
 )
-SELECT query_id, vec_id, ROUND(s, 9) AS score, CAST(rank AS BIGINT) AS rank
+SELECT {proj}
 FROM ranked WHERE rank <= 10
 """
 
@@ -122,26 +130,6 @@ def _knn_arrow_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
     )
-
-
-def _knn_rank_oracle(score_expr_fn) -> str:
-    return f"""
-WITH q AS (
-  SELECT vec_id AS query_id, {_dk_double('embedding')} AS qv
-  FROM embeddings WHERE {QUERY_FILTER}
-), c AS (
-  SELECT vec_id, {_dk_double('embedding')} AS cv FROM embeddings
-), scored AS (
-  SELECT q.query_id, c.vec_id, {score_expr_fn('cv', 'qv')} AS s
-  FROM c CROSS JOIN q
-), ranked AS (
-  SELECT query_id, vec_id,
-         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
-  FROM scored
-)
-SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
-FROM ranked WHERE rank <= 10
-"""
 
 
 _PHI_ORACLE = f"""
@@ -589,7 +577,7 @@ QUERIES = {
     "knn_dot_topk": (_knn_query("dot"), _knn_oracle(_dk_dot)),
     "knn_phi_topk": (_knn_query("phi_weighted"), _PHI_ORACLE),
     "knn_cosine_filtered": (_knn_filtered, _KNN_FILTERED_ORACLE),
-    "knn_cosine_arrow_topk": (_knn_arrow_rank, _knn_rank_oracle(_dk_cosine)),
+    "knn_cosine_arrow_topk": (_knn_arrow_rank, _knn_oracle(_dk_cosine, rank_only=True)),
     "centroids_by_label": (_centroids_by_label, _CENTROIDS_ORACLE),
     "inertia_by_label": (_inertia_by_label, _INERTIA_ORACLE),
     "form_pglyphs_by_label": (_form_pglyphs_by_label, _FORM_PGLYPHS_ORACLE),

@@ -319,9 +319,13 @@ b AS (
   FROM c JOIN p USING (lang) WHERE share > 0
 ),
 thr AS (
+  -- binding stratum clamps to 10000: its rate is exactly 1.0 but the
+  -- IEEE round trip can floor to 9999 (same double equality as the
+  -- operator's Python computation)
   SELECT c.lang,
-         CAST(FLOOR(((p.share * b.budget) / CAST(c.cnt AS DOUBLE)) * 10000)
-              AS BIGINT) AS t
+         CASE WHEN CAST(c.cnt AS DOUBLE) / p.share = b.budget THEN 10000
+              ELSE CAST(FLOOR(((p.share * b.budget) / CAST(c.cnt AS DOUBLE)) * 10000)
+                        AS BIGINT) END AS t
   FROM c JOIN p USING (lang) CROSS JOIN b WHERE p.share > 0
 ),
 s AS (

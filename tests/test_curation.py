@@ -363,3 +363,23 @@ def test_quantized_storage_roundtrip_size_and_recall(spark, tmp_path):
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     overlap = len(e & a) / len(e)
     assert overlap >= 0.9  # int8 error may swap near-ties, not the set
+
+
+def test_rebalance_null_stratum_is_excluded_not_crash(spark):
+    rows = [(i, "en" if i % 2 == 0 else None) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = CU.source_rebalance(df, {"en": 1.0}, stratum_col="lang")
+    got = out.collect()
+    assert all(r["lang"] == "en" for r in got)
+    assert len(got) == 20  # binding stratum keeps everything; nulls excluded
+
+
+def test_rebalance_binding_stratum_never_floors_below_full():
+    """The binding stratum's rate is mathematically 1.0 but the IEEE
+    round trip can land at 9999.999…; flooring would drop rows from
+    exactly the stratum the budget protects. Sweep adversarial
+    (count, share) pairs: the binding threshold must be exactly 10000."""
+    for count in (1, 3, 7, 13, 218):
+        for share in (0.013, 0.1, 0.3, 0.7, 1.0):
+            thrs = CU.rebalance_thresholds({"only": count}, {"only": share})
+            assert thrs["only"] == 10000, (count, share, thrs)

@@ -214,14 +214,18 @@ def test_decode_kernels_raise_only_quarantinable_exceptions():
         b = bytearray(png if trial % 2 == 0 else wav)
         for _ in range(rng.randrange(1, 6)):
             op = rng.random()
-            if op < 0.5 and len(b) > 1:
+            if op < 0.4 and len(b) > 1:
                 b[rng.randrange(len(b))] = rng.randrange(256)
             elif op < 0.75 and len(b) > 10:
-                del b[rng.randrange(len(b) - 8):][:rng.randrange(1, 8)]
+                start = rng.randrange(len(b) - 8)
+                del b[start:start + rng.randrange(1, 8)]
             else:
-                b[rng.randrange(len(b)):rng.randrange(len(b))] = bytes(
+                pos = rng.randrange(len(b))
+                b[pos:pos] = bytes(
                     rng.randrange(256) for _ in range(rng.randrange(1, 16))
                 )
+        if trial % 5 == 0:  # hard truncation — the riskiest input class
+            b = b[: rng.randrange(1, len(b))]
         fn = MM.png_decode if trial % 2 == 0 else MM.wav_decode
         try:
             fn(bytes(b))
