@@ -165,3 +165,74 @@ def test_jaccard_bounds_and_identity(spark, a, b):
         assert row["jab"] == pytest.approx(1.0)
     if not (a & b):
         assert row["jab"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: curation + multimodal pure-Python kernels
+# ---------------------------------------------------------------------------
+
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=1, max_value=10_000),
+        min_size=1,
+    ),
+    target=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.floats(min_value=0.001, max_value=1.0, allow_nan=False),
+        min_size=1,
+    ),
+)
+@SETTINGS
+def test_rebalance_thresholds_invariants(counts, target):
+    from aeuc_vector_db_spark.operators.curation import rebalance_thresholds
+
+    thrs = rebalance_thresholds(counts, target)
+    assert set(thrs) == set(counts)
+    assert all(0 <= t <= 10000 for t in thrs.values())
+    shared = [s for s in counts if s in target and target[s] > 0]
+    if shared:
+        # at least one binding stratum keeps everything
+        assert any(thrs[s] == 10000 for s in shared)
+    for s in counts:
+        if s not in target or target.get(s, 0) <= 0:
+            assert thrs[s] == 0  # unlisted strata are excluded
+
+
+@given(
+    w=st.integers(min_value=1, max_value=6),
+    h=st.integers(min_value=1, max_value=6),
+    color=st.sampled_from([0, 2]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@SETTINGS
+def test_png_encode_decode_roundtrip(w, h, color, seed):
+    import random
+
+    from aeuc_vector_db_spark.sources.multimodal import png_decode, png_encode
+
+    rng = random.Random(seed)
+    channels = 1 if color == 0 else 3
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * channels))
+    got_w, got_h, got_c, got_px = png_decode(png_encode(pixels, w, h, color))
+    assert (got_w, got_h, got_c) == (w, h, channels)
+    assert bytes(got_px) == pixels
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=64
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@SETTINGS
+def test_wav_encode_decode_roundtrip(samples, rate):
+    import struct as _struct
+
+    from aeuc_vector_db_spark.sources.multimodal import wav_decode, wav_encode
+
+    ch, got_rate, bits, dur_ms, pcm = wav_decode(wav_encode(samples, rate))
+    assert (ch, got_rate, bits) == (1, rate, 16)
+    decoded = list(_struct.unpack(f"<{len(samples)}h", pcm))
+    assert decoded == samples
+    assert abs(dur_ms - len(samples) * 1000.0 / rate) < 1e-9
