@@ -127,8 +127,12 @@ def fit_centroids_sample_local(
     rng = np.random.default_rng(seed)
     cent = mat[rng.choice(len(mat), size=k, replace=False)].copy()
     for _ in range(iters):
-        # squared-euclidean assignment; ties break to the lowest centroid id
-        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        # squared-euclidean assignment; ties break to the lowest centroid id.
+        # argmin_c ||x−c||² = argmin_c (||c||² − 2x·c): the per-row ||x||²
+        # term is constant under the argmin, so the computation stays at
+        # an (N, k) intermediate instead of materializing (N, k, d)
+        # broadcast differences (the memory hazard at large N·k·d).
+        d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (mat @ cent.T)
         assign = d2.argmin(axis=1)
         for c in range(k):
             members = mat[assign == c]
@@ -185,7 +189,11 @@ def assign_centroids(
             mat = np.asarray(
                 [vals[i] for i in np.flatnonzero(ok)], dtype=np.float64
             )  # (B_ok, d)
-            d2 = ((mat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            # (B, k) intermediate only: argmin_c ||x−c||² = argmin_c
+            # (||c||² − 2x·c). The former (B, k, d) broadcast difference
+            # was an executor-memory hazard (~1.3 GB for a 10k-row batch
+            # at k=256, d=64).
+            d2 = (cmat * cmat).sum(axis=1)[None, :] - 2.0 * (mat @ cmat.T)
             out[ok] = cids[d2.argmin(axis=1)]
         return pd.Series(out, dtype="Int64")
 

@@ -52,7 +52,12 @@ from aeuc_vector_db_spark.operators.text import (
 # RE2-and-Java-compatible (no backreferences, no lookaround): the DuckDB
 # oracle must be able to run the IDENTICAL pattern.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PHONE_RE = r"\+[0-9][0-9() -]{6,}[0-9]"
+# Two alternatives: international ('+' prefix, ≥8 chars of digits and
+# separators) and separator-grouped NANP-style locals — 555-010-4242,
+# (555) 010-4242, 555 010 4242. Deliberately NOT matched: bare digit
+# runs without separators (5550104242) and 7-digit 3-4 locals — both
+# collide with ids/quantities far more often than they catch real PII.
+PHONE_RE = r"\+[0-9][0-9() -]{6,}[0-9]|\(?[0-9]{3}\)?[ -][0-9]{3}[ -][0-9]{4}"
 
 
 def contaminated_docs(

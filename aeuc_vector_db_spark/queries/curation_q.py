@@ -102,8 +102,10 @@ GROUP BY lang
 
 def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture texts carry no PII, so plant deterministic emails
-    (doc_id % 7 = 0) and phone numbers (doc_id % 11 = 0) — the same
-    in-query planting pattern the dedup queries use."""
+    (doc_id % 7 = 0), international phone numbers (doc_id % 11 = 0) and
+    separator-grouped local numbers (doc_id % 13 = 0) — the same
+    in-query planting pattern the dedup queries use. The local plant
+    exercises PHONE_RE's second alternative cross-engine."""
     docs = load_table(spark, "documents", sf_dir)
     with_email = F.when(
         F.col("doc_id") % 7 == 0,
@@ -123,7 +125,16 @@ def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         ),
     ).otherwise(F.col("text"))
-    return docs.withColumn("text", with_phone)
+    docs = docs.withColumn("text", with_phone)
+    with_local = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" or ring (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    return docs.withColumn("text", with_local)
 
 
 _PII_CORPUS_SQL = """
@@ -133,6 +144,9 @@ _PII_CORPUS_SQL = """
                ELSE text END)
          || (CASE WHEN doc_id % 11 = 0
                   THEN ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 13 = 0
+                  THEN ' or ring (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                   ELSE '' END) AS text
   FROM documents
 """

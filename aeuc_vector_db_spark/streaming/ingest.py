@@ -97,6 +97,77 @@ def id_bucket_col(id_col: str = "entry_id", n_buckets: int = N_ID_BUCKETS):
     return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
 
 
+#: Layout-marker filename. Leading underscore ⇒ Spark's parquet reader
+#: skips it (same convention as _SUCCESS/_metadata), so it can live
+#: inside the corpus directory.
+LAYOUT_MARKER = "_layout.json"
+
+
+def write_layout_marker(corpus_path: str, n_buckets: int) -> None:
+    """Record the id-bucket fan-out the corpus was written with.
+
+    n_buckets is part of the on-disk layout: a restart with a different
+    value would prune the WRONG id_bucket partitions and silently append
+    duplicate ids. The marker turns that misconfiguration into a loud
+    error (enforce_layout). Local-FS file IO here; a cloud deployment
+    would go through the Hadoop FileSystem API for s3://'hdfs:// paths.
+    """
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(corpus_path, LAYOUT_MARKER), "w") as fh:
+        _json.dump({"n_buckets": int(n_buckets), "version": 1}, fh)
+
+
+def read_layout_marker(corpus_path: str) -> int | None:
+    """The recorded n_buckets, or None if no marker exists (legacy corpus)."""
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(corpus_path, LAYOUT_MARKER)
+    if not _os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return int(_json.load(fh)["n_buckets"])
+
+
+def enforce_layout(
+    base: DataFrame, corpus_path: str, n_buckets: int, id_col: str
+) -> None:
+    """Raise if `n_buckets` disagrees with the corpus's actual layout.
+
+    Marker present → exact comparison. Marker absent (corpus written
+    before markers existed) → recompute the bucket for a bounded sample
+    of existing rows and compare against the stored id_bucket; on
+    success, backfill the marker so later restarts get the cheap path.
+    """
+    recorded = read_layout_marker(corpus_path)
+    if recorded is not None:
+        if recorded != n_buckets:
+            raise ValueError(
+                f"n_buckets={n_buckets} does not match the corpus layout at "
+                f"{corpus_path!r} (written with n_buckets={recorded}); "
+                "restarting ingest with a different fan-out would prune the "
+                "wrong partitions and silently append duplicate ids"
+            )
+        return
+    sample_bad = (
+        base.select(id_col, "id_bucket")
+        .limit(1000)
+        .filter(id_bucket_col(id_col, n_buckets) != F.col("id_bucket"))
+        .limit(1)
+        .count()
+    )
+    if sample_bad:
+        raise ValueError(
+            f"n_buckets={n_buckets} is inconsistent with the id_bucket values "
+            f"already stored at {corpus_path!r} (no layout marker; sampled "
+            "rows re-bucket differently). Re-run with the fan-out the corpus "
+            "was created with."
+        )
+    write_layout_marker(corpus_path, n_buckets)
+
+
 def pruned_existing_ids(
     spark: SparkSession,
     corpus_path: str,
@@ -141,7 +212,10 @@ def start_ingest(
 
     n_buckets is part of the corpus layout: it must stay FIXED for the
     lifetime of a corpus (changing it re-maps ids to different buckets
-    and breaks pruned dedup for pre-existing rows). A corpus written by
+    and breaks pruned dedup for pre-existing rows). The fan-out is
+    recorded in a `_layout.json` marker at corpus creation and enforced
+    every epoch (enforce_layout) — a restart with a different value
+    raises instead of silently appending duplicates. A corpus written by
     the pre-bucket layout is detected (no id_bucket column) and handled
     with a correct-but-unpruned full anti-join plus flat appends.
     """
@@ -172,6 +246,7 @@ def start_ingest(
         bucketed = base is None or "id_bucket" in base.columns
         if base is not None:
             if bucketed:
+                enforce_layout(base, corpus_path, n_buckets, id_col)
                 buckets = [
                     r["id_bucket"]
                     for r in accepted.select("id_bucket").distinct().collect()
@@ -188,6 +263,11 @@ def start_ingest(
             accepted = accepted.join(existing, id_col, "left_anti")
         if bucketed:
             accepted.write.mode("append").partitionBy("id_bucket").parquet(corpus_path)
+            if base is None:
+                # first epoch created the corpus: pin its layout so any
+                # restart with a different n_buckets fails loudly instead
+                # of silently double-inserting (enforce_layout docstring)
+                write_layout_marker(corpus_path, n_buckets)
         else:
             accepted.drop("id_bucket").write.mode("append").parquet(corpus_path)
         if quarantined.limit(1).count() > 0:

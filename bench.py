@@ -21,6 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: The driver captures only the LAST 2000 chars of stdout and parses the
+#: JSON line out of that window; leave margin for a trailing newline and
+#: any straggler log line.
+MAX_JSON_LINE = 1700
+
 HEADLINE = (
     "knn_cosine_topk",
     "knn_euclidean_topk",
@@ -126,22 +131,54 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf_val,
-                "cold_queries": cold_query,
-                "ingest_rows_per_s": ingest_rate,
-                "knn_scale": knn_scale,
-                "cluster_scale": cluster_scale,
-                "dedup_skew": dedup_skew,
-            }
-        )
-    )
+
+    # Full detail (cold timings etc.) goes to stderr + a side file; the
+    # stdout JSON line must stay SHORT: the driver parses it out of the
+    # last 2000 characters of stdout, and round 3's line outgrew that
+    # window (BENCH_r03.json: rc=0 but parsed=null — a silent total loss
+    # of the round's bench signal).
+    detail = {
+        "cold_queries": cold_query,
+        "ingest_rows_per_s": ingest_rate,
+        "knn_scale": knn_scale,
+        "cluster_scale": cluster_scale,
+        "dedup_skew": dedup_skew,
+    }
+    print("# detail: " + json.dumps(detail), file=sys.stderr)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass  # detail file is a nicety; the stdout line is the contract
+
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in per_query.items()},
+        "sf": sf_val,
+        "ingest_rows_per_s": ingest_rate,
+        "knn_scale": knn_scale,
+        "cluster_scale": cluster_scale,
+        "dedup_skew": dedup_skew,
+    }
+    print(compact_json_line(payload))
+
+
+def compact_json_line(payload: dict, limit: int = MAX_JSON_LINE) -> str:
+    """Serialize the bench payload, dropping optional keys (least
+    important first) until the line fits the driver's tail window. The
+    required contract keys (metric/value/unit/queries/sf) are never
+    dropped; `queries` timings are the headline signal and at 3-decimal
+    rounding ~30 entries stay well under the limit."""
+    line = json.dumps(payload)
+    for droppable in ("dedup_skew", "cluster_scale", "knn_scale", "ingest_rows_per_s"):
+        if len(line) <= limit:
+            break
+        payload.pop(droppable, None)
+        line = json.dumps(payload)
+    return line
 
 
 def _bench_ingest(spark) -> dict:
@@ -298,9 +335,18 @@ def _bench_dedup_skew(spark) -> dict:
         n_pairs = minhash_candidates(df, max_band_size=64).count()
         return time.time() - t0, n_pairs
 
-    run(uniform)  # warm python workers + plans
-    dt_u, pairs_u = min(run(uniform) for _ in range(2))
-    dt_s, pairs_s = min(run(skewed) for _ in range(2))
+    run(uniform); run(skewed)  # warm python workers + both plans
+    # INTERLEAVED min-of-3: back-to-back blocks measured a phantom 3.9×
+    # "skew" ratio (r03) that order-swapping inverted to 0.6× — Python
+    # worker aging and box contention drift the later block, whichever
+    # corpus it is. Alternating runs gives both corpora the same aging
+    # profile; min-of-3 then discards contention outliers.
+    u_runs, s_runs = [], []
+    for _ in range(3):
+        u_runs.append(run(uniform))
+        s_runs.append(run(skewed))
+    dt_u, pairs_u = min(u_runs)
+    dt_s, pairs_s = min(s_runs)
     uniform.unpersist(); skewed.unpersist()
     ratio = dt_s / dt_u if dt_u > 0 else 0.0
     print(f"# dedup_skew_50k: uniform {dt_u:.2f}s ({pairs_u} pairs) vs "

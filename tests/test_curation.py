@@ -92,6 +92,9 @@ def test_scrub_pii_email_and_phone(spark):
             (2, "call +1 (555) 010-4242 tonight"),
             (3, "no pii here at all"),
             (4, "both bob@x.io and +44 20 7946 0958 appear"),
+            (5, "dial 555-010-4242 now"),
+            (6, "or (555) 010-4242 works too"),
+            (7, "account 5550104242 and date 2024-08-13 are not phones"),
         ],
         "doc_id long, text string",
     )
@@ -104,6 +107,11 @@ def test_scrub_pii_email_and_phone(spark):
     assert out[3]["text_scrubbed"] == "no pii here at all"
     assert out[4]["n_emails"] == 1 and out[4]["n_phones"] == 1
     assert "<EMAIL>" in out[4]["text_scrubbed"] and "<PHONE>" in out[4]["text_scrubbed"]
+    # separator-grouped local formats (PHONE_RE's second alternative)
+    assert out[5]["n_phones"] == 1 and "4242" not in out[5]["text_scrubbed"]
+    assert out[6]["n_phones"] == 1 and "<PHONE>" in out[6]["text_scrubbed"]
+    # documented non-matches: bare digit runs and date-like strings
+    assert out[7]["n_phones"] == 0 and out[7]["text_scrubbed"] == out[7]["text"]
 
 
 # ---------------------------------------------------------------------------

@@ -30,7 +30,9 @@ def _entry(i: int, dim: int = DIM, glyph: int | None = None, ctx: int = 0) -> st
     )
 
 
-def _run_ingest(spark, tmp, lines_by_file: dict[str, list[str]]) -> tuple[int, int]:
+def _run_ingest(
+    spark, tmp, lines_by_file: dict[str, list[str]], n_buckets: int = SI.N_ID_BUCKETS
+) -> tuple[int, int]:
     src = f"{tmp}/src"
     os.makedirs(src, exist_ok=True)
     for fname, lines in lines_by_file.items():
@@ -38,7 +40,7 @@ def _run_ingest(spark, tmp, lines_by_file: dict[str, list[str]]) -> tuple[int, i
             f.write("\n".join(lines))
     q = SI.start_ingest(
         spark, src, f"{tmp}/corpus", f"{tmp}/quarantine", f"{tmp}/ckpt",
-        dim=DIM, available_now=True,
+        dim=DIM, available_now=True, n_buckets=n_buckets,
     )
     q.awaitTermination(120)
     corpus = spark.read.parquet(f"{tmp}/corpus").count()
@@ -75,6 +77,44 @@ def test_stream_ingest_dedups_across_epochs(spark, tmp_path):
     assert c2 == 4
     ids = {r["entry_id"] for r in spark.read.parquet(f"{tmp}/corpus").collect()}
     assert ids == {"e0", "e1", "e2", "e3"}
+
+
+def test_stream_ingest_n_buckets_mismatch_raises(spark, tmp_path):
+    """A restart with a different n_buckets would prune the WRONG
+    id_bucket partitions and silently append duplicate ids — the layout
+    marker written at corpus creation must turn that into a loud error
+    (ADVICE r3: nothing previously enforced the docstring's 'must stay
+    fixed' contract)."""
+    tmp = str(tmp_path)
+    c1, _ = _run_ingest(spark, tmp, {"a.jsonl": [_entry(i) for i in range(3)]})
+    assert c1 == 3
+    assert SI.read_layout_marker(f"{tmp}/corpus") == SI.N_ID_BUCKETS
+    from pyspark.sql.streaming import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="n_buckets"):
+        _run_ingest(
+            spark, tmp, {"b.jsonl": [_entry(9)]},
+            n_buckets=SI.N_ID_BUCKETS * 2,
+        )
+    # the corpus is unchanged — the mismatch aborted before any append
+    assert spark.read.parquet(f"{tmp}/corpus").count() == 3
+
+
+def test_layout_marker_backfill_validates_sample(spark, tmp_path):
+    """A bucketed corpus WITHOUT a marker (written before markers
+    existed): enforce_layout re-derives the bucket for a sample and
+    raises on mismatch; on agreement it backfills the marker."""
+    tmp = str(tmp_path)
+    c1, _ = _run_ingest(spark, tmp, {"a.jsonl": [_entry(i) for i in range(4)]})
+    assert c1 == 4
+    os.remove(f"{tmp}/corpus/{SI.LAYOUT_MARKER}")
+    base = spark.read.parquet(f"{tmp}/corpus")
+    # wrong fan-out against real id_bucket values → loud error
+    with pytest.raises(ValueError, match="inconsistent"):
+        SI.enforce_layout(base, f"{tmp}/corpus", SI.N_ID_BUCKETS + 7, "entry_id")
+    # correct fan-out → validates and backfills the marker
+    SI.enforce_layout(base, f"{tmp}/corpus", SI.N_ID_BUCKETS, "entry_id")
+    assert SI.read_layout_marker(f"{tmp}/corpus") == SI.N_ID_BUCKETS
 
 
 def test_stream_dedup_scan_is_partition_pruned(spark, tmp_path):
