@@ -419,3 +419,73 @@ def dequantize_col(q_col: Column | str, scale_col: Column | str) -> Column:
     q = F.col(q_col) if isinstance(q_col, str) else q_col
     s = F.col(scale_col) if isinstance(scale_col, str) else scale_col
     return F.transform(q, lambda x: x.cast("double") * s)
+
+
+def epoch_shuffle_key_col(
+    id_col: Column | str, seed: int = 0
+) -> Column:
+    """Deterministic pseudorandom sort key for training-epoch shuffling:
+    Knuth-finalized polyhash of (seed || ':' || id). Different seeds
+    decorrelate epoch orders; the same seed reproduces the exact order
+    on any engine (polyhash + integer finalizer both have exact DuckDB
+    mirrors — never `rand()`, whose sequence is partitioning-dependent).
+
+    The multiplicative finalizer (× 2654435761 mod 2³²) is REQUIRED, not
+    decoration: the raw rolling polyhash of sequential ids is monotone in
+    the final digit (h("1:41") = h("1:4")·31 + '1'), so sorting by it
+    nearly reproduces id order — the same reason sample_bucket_col
+    finalizes. Ids are short strings, so the per-char HOF fold is O(10)
+    per row — unlike text hashing, no Arrow twin is needed."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    raw = polyhash_col(F.concat(F.lit(f"{seed}:"), c.cast("string")))
+    return (raw * F.lit(2654435761)) % F.lit(4294967296)
+
+
+def epoch_shuffle(
+    df: DataFrame, seed: int = 0, id_col: str = "doc_id", key_col: str = "shuffle_key"
+) -> DataFrame:
+    """Globally shuffled epoch order: adds the seeded key column and
+    sorts by (key, id) — id tie-break keeps the order total.
+
+    Scale shape: `orderBy` is Spark's range-partitioned distributed
+    sort (sampled range boundaries → per-partition sort) — no global
+    row_number/single-partition window anywhere. Writers consume the
+    sorted partitions directly (file order IS epoch order); a global
+    position column is deliberately NOT produced, because materializing
+    one serializes the pipeline through a 1-partition window."""
+    return df.withColumn(key_col, epoch_shuffle_key_col(id_col, seed)).orderBy(
+        key_col, id_col
+    )
+
+
+def source_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    seed: int = 0,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cap each stratum at a token budget: within each source, documents
+    are drawn in seeded-shuffle order (fair, deterministic — not
+    "whatever sorted first") and kept while the running token total of
+    PRIOR kept docs is below the budget; the first doc crossing the
+    budget is the last one in. Adds (n_tokens, budget_offset) and
+    filters to the kept prefix.
+
+    One shuffle (per-stratum window on the shuffle key). This is the
+    mix-control primitive next to source_rebalance: rebalance hits a
+    target DOCUMENT mix, this caps TOKENS — what actually bounds
+    training cost. Skewed strata are fine: the window partitions by
+    stratum, and a stratum's rows sort within their partitions."""
+    out = df.withColumn("n_tokens", F.size(tokens_col(F.col(text_col))).cast("bigint"))
+    out = out.withColumn("__draw__", epoch_shuffle_key_col(id_col, seed))
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy("__draw__", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = out.withColumn(
+        "budget_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return out.filter(F.col("budget_offset") < F.lit(budget_tokens)).drop("__draw__")

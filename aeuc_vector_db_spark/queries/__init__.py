@@ -37,6 +37,7 @@ for _mod_name in (
     "streaming_q",
     "multimodal_q",
     "curation_q",
+    "manifest_q",
 ):
     try:
         _mod = __import__(
@@ -84,6 +85,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_pii_scrub",
     "doc_sequence_pack",
     "emb_quantize_int8",
+    # round-4 additions: new queries must land inside the 50-entry window
+    # in their first round so they get a driver row immediately
+    "manifest_merge_read",
+    "doc_heavy_hitters",
+    "doc_epoch_shuffle",
+    "doc_source_token_budget",
 )
 
 

@@ -377,8 +377,77 @@ def _emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Epoch shuffle (deterministic global training order)
+# ---------------------------------------------------------------------------
+
+def _doc_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 100 documents of epoch 1's shuffled order. The seeded
+    polyhash key makes the permutation engine-independent (DuckDB
+    reproduces it exactly); orderBy+limit plans as
+    TakeOrderedAndProject — a distributed top-k, no global sort
+    materialization for the declared slice."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        CU.epoch_shuffle(docs, seed=1)
+        .select("doc_id", F.col("shuffle_key").cast("long").alias("shuffle_key"))
+        .limit(100)
+    )
+
+
+_EPOCH_SHUFFLE_ORACLE = f"""
+SELECT doc_id,
+       ({_dk_polyhash("('1:' || CAST(doc_id AS VARCHAR))")}
+        * 2654435761) % 4294967296 AS shuffle_key
+FROM documents
+ORDER BY shuffle_key, doc_id
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source token budget (cap each stratum's token mass)
+# ---------------------------------------------------------------------------
+
+def _doc_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at 600 tokens, drawing docs in seeded-shuffle
+    order; the per-source (n_kept, token sum, id sum) pins the exact
+    kept membership."""
+    docs = load_table(spark, "documents", sf_dir)
+    kept = CU.source_token_budget(docs, budget_tokens=600, seed=0)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("kept_tokens"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len({_dk_tokens('text')}) AS BIGINT) AS n_tokens,
+         ({_dk_polyhash("('0:' || CAST(doc_id AS VARCHAR))")}
+          * 2654435761) % 4294967296 AS draw
+  FROM documents
+),
+o AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY draw, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM t
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM o WHERE off < 600 GROUP BY source
+"""
+
+
 QUERIES = {
     "doc_decontaminate": (_doc_decontaminate, _DECONTAMINATE_ORACLE),
+    "doc_epoch_shuffle": (_doc_epoch_shuffle, _EPOCH_SHUFFLE_ORACLE),
+    "doc_source_token_budget": (_doc_source_token_budget, _TOKEN_BUDGET_ORACLE),
     "doc_repetition_ratio": (_doc_repetition_ratio, _REPETITION_ORACLE),
     "doc_source_rebalance": (_doc_source_rebalance, _REBALANCE_ORACLE),
     "emb_pca_project": (_emb_pca_project, None),

@@ -1,0 +1,63 @@
+"""Declared query over the transactional manifest table.
+
+Exercises the full commit protocol end-to-end — overwrite, append,
+MERGE upsert, snapshot read — and checks the RESULT (not just the
+mechanics) against a DuckDB oracle computing the equivalent final state
+directly from the source table. If any commit dropped, duplicated, or
+failed to replace a row, the per-source aggregate hash diverges.
+
+Reference analog: snapshot/restore + audit trail
+(reference vector_field.py:85-117, 448-461), generalized to the
+multi-writer transactional log in sources/manifest.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aeuc_vector_db_spark.sources.manifest import ManifestTable
+from aeuc_vector_db_spark.sources.tables import load_table
+
+
+def _manifest_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v0 = overwrite(even doc_ids), v1 = append(odd doc_ids),
+    v2 = merge_upsert(doc_id < 50 with source='merged') — then read the
+    latest snapshot and aggregate per source.
+
+    The table lives in a fresh temp dir per invocation (the returned
+    DataFrame is lazy: its files must outlive this function, so the dir
+    is NOT cleaned up here — it is tiny at oracle scale and /tmp-scoped).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    t = ManifestTable(tempfile.mkdtemp(prefix="aeuc_manifest_q_"))
+    t.commit_overwrite(docs.filter(F.col("doc_id") % 2 == 0))
+    t.commit_append(docs.filter(F.col("doc_id") % 2 == 1))
+    updates = docs.filter(F.col("doc_id") < 50).withColumn("source", F.lit("merged"))
+    t.merge_upsert(spark, updates, key="doc_id")
+    final = t.read(spark)
+    return final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+_MANIFEST_ORACLE = """
+WITH final AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN doc_id < 50 THEN 'merged' ELSE source END AS source
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM final GROUP BY source
+"""
+
+
+QUERIES = {
+    "manifest_merge_read": (_manifest_merge_read, _MANIFEST_ORACLE),
+}

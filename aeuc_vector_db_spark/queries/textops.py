@@ -624,7 +624,34 @@ FROM q GROUP BY q.lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Heavy hitters (exact two-phase: partition-local candidates → recount)
+# ---------------------------------------------------------------------------
+
+def _doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms with global count ≥ 200 via the two-phase exact heavy-hitter
+    operator (operators/sketch.py): partition-local candidate generation
+    (pigeonhole superset, no shuffle of the token tail) then a broadcast
+    recount of candidates only. The oracle is the plain
+    tokens→GROUP BY→HAVING formulation — phase structure must be
+    invisible in the result."""
+    from aeuc_vector_db_spark.operators.sketch import heavy_hitter_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    return heavy_hitter_terms(docs, min_count=200).select(
+        "term", F.col("term_count").cast("long").alias("term_count")
+    )
+
+
+_HEAVY_HITTERS_ORACLE = f"""
+WITH tok AS (SELECT unnest({_dk_tokens()}) AS term FROM documents)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS term_count
+FROM tok GROUP BY term HAVING COUNT(*) >= 200
+"""
+
+
 QUERIES = {
+    "doc_heavy_hitters": (_doc_heavy_hitters, _HEAVY_HITTERS_ORACLE),
     "doc_token_stats": (_doc_token_stats, _TOKEN_STATS_ORACLE),
     "doc_term_frequencies": (_doc_term_frequencies, _TERM_FREQ_ORACLE),
     "doc_tfidf_topk": (_doc_tfidf_topk, _TFIDF_ORACLE),

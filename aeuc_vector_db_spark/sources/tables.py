@@ -51,6 +51,15 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             # exact range, so `/ 1000` + cast can land 1 µs low. `div` stays
             # in exact 64-bit integer arithmetic (values are µs-granular).
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # Fixtures written as parquet TIMESTAMP(MICROS, adjustedToUTC=
+            # false) arrive as TIMESTAMP_NTZ under Spark 4's NTZ inference.
+            # The engine computes in TimestampType everywhere (unix_micros,
+            # windows); with the session pinned to UTC the NTZ→TZ cast maps
+            # wall-clock to the identical instant, so downstream epoch-µs
+            # outputs match the DuckDB oracle (which reads the same file as
+            # naive µs) bit-for-bit.
+            df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
     return df
 
 

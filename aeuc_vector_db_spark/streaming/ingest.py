@@ -376,3 +376,31 @@ def user_sessions(
             "n_events",
         )
     )
+
+
+def manifest_sink(table, dim: int, quarantine_path: str | None = None):
+    """foreachBatch body: validated, EXACTLY-ONCE append into a
+    transactional ManifestTable (sources/manifest.py).
+
+    Exactly-once here needs no corpus scan at all: Structured Streaming
+    replays a failed epoch with the SAME epoch_id, and
+    `commit_append(epoch_id=...)` absorbs the duplicate delivery in the
+    log — the idempotent-sink half of the end-to-end guarantee. Compare
+    `start_ingest`, whose plain-parquet corpus must anti-join per epoch
+    (bounded by id-bucket pruning): the transaction log replaces that
+    scan when record ids are unique per record (append-only event
+    streams). Cross-epoch PK dedup, if the source can re-mint ids, still
+    needs start_ingest's pruned anti-join.
+
+        stream.writeStream.foreachBatch(manifest_sink(table, dim)).start()
+    """
+
+    def body(batch: DataFrame, epoch_id: int) -> None:
+        accepted, quarantined = split_valid(batch, dim)
+        table.commit_append(
+            accepted.dropDuplicates(["entry_id"]), epoch_id=epoch_id
+        )
+        if quarantine_path is not None and quarantined.limit(1).count() > 0:
+            quarantined.write.mode("append").parquet(quarantine_path)
+
+    return body

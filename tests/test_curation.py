@@ -391,3 +391,63 @@ def test_rebalance_binding_stratum_never_floors_below_full():
         for share in (0.013, 0.1, 0.3, 0.7, 1.0):
             thrs = CU.rebalance_thresholds({"only": count}, {"only": share})
             assert thrs["only"] == 10000, (count, share, thrs)
+
+
+def test_epoch_shuffle_deterministic_and_seed_sensitive(documents):
+    order1 = [r["doc_id"] for r in CU.epoch_shuffle(documents, seed=1).select("doc_id").collect()]
+    order1b = [r["doc_id"] for r in CU.epoch_shuffle(documents, seed=1).select("doc_id").collect()]
+    order2 = [r["doc_id"] for r in CU.epoch_shuffle(documents, seed=2).select("doc_id").collect()]
+    assert order1 == order1b  # reproducible
+    assert sorted(order1) == sorted(order2)  # permutations of the same set
+    assert order1 != order2  # different epochs decorrelate
+    assert order1 != sorted(order1)  # actually shuffled, not id order
+
+
+def test_epoch_shuffle_stable_under_repartitioning(documents):
+    base = [r["doc_id"] for r in CU.epoch_shuffle(documents, seed=3).select("doc_id").collect()]
+    re = [
+        r["doc_id"]
+        for r in CU.epoch_shuffle(documents.repartition(7), seed=3).select("doc_id").collect()
+    ]
+    assert base == re
+
+
+def test_source_token_budget_prefix_semantics(documents):
+    budget = 600
+    kept = CU.source_token_budget(documents, budget_tokens=budget, seed=0)
+    rows = kept.select("source", "doc_id", "n_tokens", "budget_offset").collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    full = {
+        (r["source"], r["doc_id"])
+        for r in CU.source_token_budget(documents, budget_tokens=1 << 40, seed=0)
+        .select("source", "doc_id")
+        .collect()
+    }
+    for src, members in by_src.items():
+        # every kept doc's prior-tokens offset is under budget…
+        assert all(m["budget_offset"] < budget for m in members)
+        # …and the selection is maximal: total kept tokens reach the budget
+        # (the doc that crosses it is included, everything after is cut)
+        assert sum(m["n_tokens"] for m in members) + min(
+            m["budget_offset"] for m in members
+        ) >= 0  # offsets well-formed
+        assert max(m["budget_offset"] + m["n_tokens"] for m in members) >= budget or (
+            # stratum smaller than the budget: everything kept
+            len([f for f in full if f[0] == src]) == len(members)
+        )
+
+
+def test_source_token_budget_deterministic(documents):
+    a = {
+        (r["source"], r["doc_id"])
+        for r in CU.source_token_budget(documents, 600, seed=0).select("source", "doc_id").collect()
+    }
+    b = {
+        (r["source"], r["doc_id"])
+        for r in CU.source_token_budget(
+            documents.repartition(11), 600, seed=0
+        ).select("source", "doc_id").collect()
+    }
+    assert a == b and len(a) > 0
