@@ -168,6 +168,11 @@ class ManifestTable:
         finally:
             os.unlink(tmp)
 
+    def _pop_pending_extra(self) -> dict:
+        """Extra per-file manifest maps staged by the most recent
+        _write_data_dir (bucketed subclass); {} for the plain table."""
+        return {}
+
     def _commit(
         self,
         action: str,
@@ -186,6 +191,7 @@ class ManifestTable:
         a different version won, raise CommitConflictError so the caller
         re-runs its read-modify-write instead of clobbering it.
         """
+        extra = self._pop_pending_extra()
         for _ in range(50):
             parent = self.latest_version()
             if (
@@ -198,10 +204,15 @@ class ManifestTable:
                     f"{action}; re-run the read-modify-write"
                 )
             version = 0 if parent is None else parent + 1
+            per_file = dict(extra)
             if keep_parent_files and parent is not None:
                 pm = self.manifest(parent)
                 files = pm["files"] + new_files
                 n_rows = pm["n_rows"] + n_new
+                # per-file maps accumulate across appends (bucketed layout)
+                for k in ("buckets", "file_rows"):
+                    if k in pm or k in extra:
+                        per_file[k] = {**pm.get(k, {}), **extra.get(k, {})}
             else:
                 files, n_rows = list(new_files), n_new
             manifest = {
@@ -213,6 +224,7 @@ class ManifestTable:
                 "n_rows": n_rows,
                 "epoch_id": epoch_id,
                 "committed_at_s": round(time.time(), 3),
+                **per_file,
             }
             if self._try_publish(manifest, version):
                 return version
@@ -234,6 +246,20 @@ class ManifestTable:
         files, n = self._write_data_dir(df)
         return self._commit("overwrite", files, n, keep_parent_files=False)
 
+    def _assert_unique_keys(self, updates: DataFrame, key: str) -> None:
+        """In-batch duplicate merge keys are ambiguous (which row wins is
+        partition luck) — reject loudly, like the reference's in-batch
+        dup-insert reject (reference vector_field.py:159-160). One cheap
+        job over the (small) update batch."""
+        dup = (
+            updates.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                f"merge_upsert: update batch contains duplicate {key!r} values; "
+                "resolve them upstream (the winner would be partition luck)"
+            )
+
     def merge_upsert(
         self, spark: SparkSession, updates: DataFrame, key: str, max_retries: int = 5
     ) -> int:
@@ -241,12 +267,14 @@ class ManifestTable:
         (A13/A15 batch semantics — `MERGE WHEN [NOT] MATCHED` without a
         lakehouse dependency). Read-modify-write with optimistic retry:
         on a lost race the merge re-runs against the winning snapshot.
+        Update batches must be key-unique (checked).
 
-        Scale note: rewrites the full snapshot. Keyed data-file layout
-        (hash-bucket dirs like streaming ingest's id_bucket) would bound
-        the rewrite to touched buckets; at fixture scale the simple form
-        keeps every byte exercised by the oracle.
+        Scale note: rewrites the full snapshot. BucketedManifestTable
+        bounds the rewrite to the hash-buckets containing updated keys;
+        at fixture scale the simple form keeps every byte exercised by
+        the oracle.
         """
+        self._assert_unique_keys(updates, key)
         last: CommitConflictError | None = None
         for _ in range(max_retries):
             parent = self.latest_version()
@@ -285,6 +313,20 @@ class ManifestTable:
 
     # -- maintenance ---------------------------------------------------
 
+    def compact(self, spark: SparkSession) -> int:
+        """Rewrite the current snapshot into one fresh data dir (small-file
+        compaction after many appends); content identical, old versions
+        stay time-travel readable until vacuumed. Conflicts with an
+        interleaved writer abort (CommitConflictError) — compaction is a
+        maintenance job, it must never clobber a data commit."""
+        parent = self.latest_version()
+        if parent is None:
+            raise FileNotFoundError(f"no committed version at {self.root!r}")
+        files, n = self._write_data_dir(self.read(spark, parent))
+        return self._commit(
+            "compact", files, n, keep_parent_files=False, expected_parent=parent
+        )
+
     def vacuum(self, retain_last: int = 1, min_age_s: float = 0.0) -> dict:
         """Reclaim space: drop manifests older than the last `retain_last`
         and delete data dirs no retained manifest references (covers
@@ -313,3 +355,163 @@ class ManifestTable:
                 shutil.rmtree(p)
                 removed_dirs.append(token)
         return {"removed_versions": removed_manifests, "removed_data_dirs": sorted(removed_dirs)}
+
+
+class BucketedManifestTable(ManifestTable):
+    """Manifest table with a hash-bucketed data layout: every data dir is
+    written `partitionBy(bucket)` where bucket = pmod(xxhash64(key), B).
+
+    What this buys at scale — MERGE stops being O(table):
+    `merge_upsert` rewrites ONLY the buckets that contain updated keys;
+    every other bucket's files carry forward into the new manifest BY
+    REFERENCE (no read, no write, no shuffle). A 100-row upsert against
+    a 10⁹-row table costs ~(touched buckets / B) of a full rewrite —
+    the same pruning idea as streaming ingest's id_bucket layout
+    (streaming/ingest.py), applied to the transaction log.
+
+    The bucket spec (key, B) is part of the on-disk layout and persisted
+    in `_table.json` at creation; a handle opened with a conflicting
+    spec raises instead of silently mis-bucketing (the n_buckets lesson
+    from ADVICE r3). Manifests additionally carry per-file `buckets` and
+    `file_rows` maps so bounded merges can assemble the next snapshot
+    and its exact row count without reading any parquet.
+    """
+
+    TABLE_MARKER = "_table.json"
+
+    def __init__(self, root: str, key: str | None = None, n_buckets: int | None = None):
+        super().__init__(root)
+        marker = os.path.join(root, self.TABLE_MARKER)
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                cfg = json.load(fh)
+            if key is not None and key != cfg["key"]:
+                raise ValueError(
+                    f"table at {root!r} is bucketed by {cfg['key']!r}, not {key!r}"
+                )
+            if n_buckets is not None and n_buckets != cfg["n_buckets"]:
+                raise ValueError(
+                    f"table at {root!r} has n_buckets={cfg['n_buckets']}, "
+                    f"not {n_buckets} — the fan-out is fixed at creation"
+                )
+            self.key, self.n_buckets = cfg["key"], int(cfg["n_buckets"])
+        else:
+            if key is None:
+                raise ValueError(f"no table marker at {root!r}: pass key= to create")
+            self.key, self.n_buckets = key, int(n_buckets or 16)
+            with open(marker, "w") as fh:
+                json.dump({"key": self.key, "n_buckets": self.n_buckets}, fh)
+        self._pending_extra: dict = {}
+
+    def _bucket_col(self):
+        return F.pmod(
+            F.xxhash64(F.col(self.key).cast("string")), F.lit(self.n_buckets)
+        ).cast("int")
+
+    def _pop_pending_extra(self) -> dict:
+        out, self._pending_extra = self._pending_extra, {}
+        return out
+
+    def _write_data_dir(self, df) -> tuple[list[str], int]:
+        """Bucket-partitioned write; stages per-file (bucket, rows) maps
+        for the next _commit. Per-file row counts come from the parquet
+        footers — metadata reads, not data scans."""
+        import pyarrow.parquet as pq
+        from pyspark.sql import Observation
+
+        token = uuid.uuid4().hex[:16]
+        rel_dir = os.path.join(_DATA_DIR, token)
+        out_dir = os.path.join(self.root, rel_dir)
+        obs = Observation()
+        (
+            df.withColumn("__bucket__", self._bucket_col())
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.partitionBy("__bucket__")
+            .parquet(out_dir)
+        )
+        n = int(obs.get["n"] or 0)
+        files, buckets, file_rows = [], {}, {}
+        for sub in sorted(os.listdir(out_dir)):
+            if not sub.startswith("__bucket__="):
+                continue
+            b = int(sub.split("=", 1)[1])
+            for f in sorted(os.listdir(os.path.join(out_dir, sub))):
+                if f.endswith(".parquet"):
+                    rel = os.path.join(rel_dir, sub, f)
+                    files.append(rel)
+                    buckets[rel] = b
+                    file_rows[rel] = pq.ParquetFile(
+                        os.path.join(self.root, rel)
+                    ).metadata.num_rows
+        self._pending_extra = {"buckets": buckets, "file_rows": file_rows}
+        return files, n
+
+    def merge_upsert(
+        self, spark: SparkSession, updates: DataFrame, key: str | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Bounded-rewrite MERGE: rewrite only the buckets containing
+        updated keys; untouched buckets carry forward by reference."""
+        key = key or self.key
+        if key != self.key:
+            raise ValueError(
+                f"merge key {key!r} must be the table's bucket key {self.key!r}"
+            )
+        if updates.filter(F.col(key).isNull()).limit(1).count() > 0:
+            raise ValueError("merge_upsert: null merge keys are invalid")
+        self._assert_unique_keys(updates, key)
+        last: CommitConflictError | None = None
+        for _ in range(max_retries):
+            parent = self.latest_version()
+            if parent is None:
+                files, n = self._write_data_dir(updates)
+                try:
+                    return self._commit(
+                        "merge", files, n, keep_parent_files=False, expected_parent=None
+                    )
+                except CommitConflictError as exc:
+                    last = exc
+                    continue
+            touched = sorted(
+                r["b"]
+                for r in updates.select(self._bucket_col().alias("b")).distinct().collect()
+            )
+            pm = self.manifest(parent)
+            bmap, rmap = pm.get("buckets", {}), pm.get("file_rows", {})
+            # files with no recorded bucket (foreign layout) must be
+            # treated as touched — correctness over pruning
+            untouched = [
+                f for f in pm["files"]
+                if bmap.get(f) is not None and bmap[f] not in touched
+            ]
+            rewrite = [f for f in pm["files"] if f not in set(untouched)]
+            if rewrite:
+                cur = spark.read.parquet(*[os.path.join(self.root, f) for f in rewrite])
+                merged = cur.join(
+                    updates.select(key).distinct(), key, "left_anti"
+                ).unionByName(updates)
+            else:
+                merged = updates  # pure insert: no existing file shares a bucket
+            new_files, n_new = self._write_data_dir(merged)
+            n_untouched = sum(rmap.get(f, 0) for f in untouched)
+            # staged extra must also carry the untouched files' map rows
+            self._pending_extra = {
+                "buckets": {**{f: bmap[f] for f in untouched},
+                            **self._pending_extra["buckets"]},
+                "file_rows": {**{f: rmap.get(f, 0) for f in untouched},
+                              **self._pending_extra["file_rows"]},
+            }
+            try:
+                return self._commit(
+                    "merge",
+                    untouched + new_files,
+                    n_untouched + n_new,
+                    keep_parent_files=False,
+                    expected_parent=parent,
+                )
+            except CommitConflictError as exc:
+                last = exc
+        raise CommitConflictError(f"merge_upsert: {max_retries} retries exhausted") from last
+
+    # compact() is inherited: the overridden _write_data_dir keeps the
+    # rewritten snapshot bucket-partitioned automatically.

@@ -59,6 +59,9 @@ HEADLINE = (
     # Arrow scale paths as declared queries (round 3)
     "knn_cosine_arrow_topk",
     "ivf_arrow_pruned_search",
+    # round 4: exact two-phase heavy hitters + budget/shuffle curation
+    "doc_heavy_hitters",
+    "doc_source_token_budget",
 )
 
 

@@ -198,3 +198,100 @@ def test_streaming_manifest_sink_exactly_once(spark, tmp_path):
     ).json(str(src))
     body(batch, replay_epoch)  # replayed delivery of an already-committed epoch
     assert t.read(spark).count() == 6  # absorbed, not duplicated
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    t = BucketedManifestTable(str(tmp_path / "bt"), key="k", n_buckets=8)
+    t.commit_overwrite(_df(spark, (0, 400), tag="old"))
+    m0 = t.manifest()
+    updates = _df(spark, (10, 13), tag="new")  # 3 keys → ≤3 touched buckets
+    touched = {
+        r["b"]
+        for r in updates.select(t._bucket_col().alias("b")).distinct().collect()
+    }
+    t.merge_upsert(spark, updates)
+    m1 = t.manifest()
+    # untouched buckets: files carried forward BY REFERENCE (same paths)
+    untouched0 = {f for f in m0["files"] if m0["buckets"][f] not in touched}
+    assert untouched0 <= set(m1["files"])
+    # touched buckets: every parent file replaced
+    replaced0 = {f for f in m0["files"] if m0["buckets"][f] in touched}
+    assert replaced0.isdisjoint(set(m1["files"]))
+    # content is a correct MERGE and the manifest row count needed no scan
+    rows = {r["k"]: r["tag"] for r in t.read(spark).collect()}
+    assert len(rows) == 400 and m1["n_rows"] == 400
+    assert rows[10] == rows[11] == rows[12] == "new" and rows[9] == "old"
+
+
+def test_bucketed_append_then_merge_row_counts_exact(spark, tmp_path):
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    t = BucketedManifestTable(str(tmp_path / "bt"), key="k", n_buckets=4)
+    t.commit_append(_df(spark, (0, 50)))
+    t.commit_append(_df(spark, (50, 80)))
+    assert t.manifest()["n_rows"] == 80 == t.read(spark).count()
+    t.merge_upsert(spark, _df(spark, (70, 90), tag="new"))
+    assert t.manifest()["n_rows"] == 90 == t.read(spark).count()
+
+
+def test_bucketed_layout_marker_enforced(spark, tmp_path):
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    root = str(tmp_path / "bt")
+    BucketedManifestTable(root, key="k", n_buckets=8)
+    reopened = BucketedManifestTable(root)  # spec comes from the marker
+    assert (reopened.key, reopened.n_buckets) == ("k", 8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        BucketedManifestTable(root, key="k", n_buckets=16)
+    with pytest.raises(ValueError, match="bucketed by"):
+        BucketedManifestTable(root, key="other")
+    with pytest.raises(ValueError, match="table marker"):
+        BucketedManifestTable(str(tmp_path / "fresh"))  # create needs key
+
+
+def test_bucketed_merge_rejects_null_keys(spark, tmp_path):
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    t = BucketedManifestTable(str(tmp_path / "bt"), key="k", n_buckets=4)
+    t.commit_overwrite(_df(spark, (0, 10)))
+    bad = spark.createDataFrame([(None, "x")], "k long, tag string")
+    with pytest.raises(ValueError, match="null merge keys"):
+        t.merge_upsert(spark, bad)
+
+
+def test_compact_shrinks_files_preserves_content_and_history(spark, tmp_path):
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    t = BucketedManifestTable(str(tmp_path / "bt"), key="k", n_buckets=2)
+    for i in range(4):  # many small appends → many small files
+        t.commit_append(_df(spark, (i * 10, i * 10 + 10)))
+    before = t.manifest()
+    t.compact(spark)
+    after = t.manifest()
+    assert after["action"] == "compact"
+    assert len(after["files"]) < len(before["files"])
+    assert after["n_rows"] == before["n_rows"] == 40
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(40))
+    # pre-compaction version still time-travel readable
+    assert t.read(spark, version=before["version"]).count() == 40
+
+
+def test_merge_rejects_in_batch_duplicate_keys(spark, root):
+    t = ManifestTable(root)
+    t.commit_append(_df(spark, (0, 5)))
+    dup = _df(spark, (2, 4)).unionByName(_df(spark, (3, 5)))  # key 3 twice
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge_upsert(spark, dup, key="k")
+
+
+def test_plain_table_compact(spark, root):
+    t = ManifestTable(root)
+    for i in range(3):
+        t.commit_append(_df(spark, (i * 5, i * 5 + 5)))
+    n_files_before = len(t.manifest()["files"])
+    t.compact(spark)
+    assert t.manifest()["action"] == "compact"
+    assert len(t.manifest()["files"]) < n_files_before
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(15))
