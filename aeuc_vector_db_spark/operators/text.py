@@ -332,3 +332,58 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", language_id_col("tokens"))
         .withColumn("fingerprint", polyhash_col(F.concat_ws(" ", F.col("tokens"))))
     )
+
+
+def unigram_logprob(
+    docs, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Per-document average unigram log-probability under the corpus's
+    own unigram LM — the perplexity-style quality signal (fluent text
+    scores high; keyboard-mash and boilerplate-of-rare-tokens score
+    low). No external model: p(t) = count(t)/total over this corpus.
+
+    Output: (id_col, avg_logp DOUBLE, n_tokens BIGINT); zero-token docs
+    produce no row (no distribution to score them under).
+
+    Determinism: the per-doc sum folds term contributions in SORTED
+    term order via a sequential array fold (the centroids trick) —
+    a groupBy(sum) of doubles would be partial-agg-order-dependent and
+    break cross-engine hashes. Scale shape: two aggregations keyed by
+    (doc, term) and (term), one term-keyed join (vocab vs corpus —
+    both shuffle on term; vocab is NOT assumed broadcastable at 100 TB),
+    everything else map-side.
+    """
+    from pyspark.sql import functions as F
+
+    tok = docs.select(id_col, F.explode(tokens_col(F.col(text_col))).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    logp = cnt.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.log(F.col("cnt").cast("double") / F.col("total").cast("double")).alias(
+            "logp"
+        ),
+    )
+    contrib = tf.join(logp, "term").select(
+        id_col,
+        "term",
+        (F.col("tf").cast("double") * F.col("logp")).alias("cterm"),
+        "tf",
+    )
+    per_doc = contrib.groupBy(id_col).agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("term", "cterm"))),
+                lambda s: s["cterm"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("__sum__"),
+        F.sum("tf").alias("n_tokens"),
+    )
+    return per_doc.select(
+        id_col,
+        (F.col("__sum__") / F.col("n_tokens").cast("double")).alias("avg_logp"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )

@@ -91,6 +91,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_heavy_hitters",
     "doc_epoch_shuffle",
     "doc_source_token_budget",
+    "doc_unigram_logprob",
 )
 
 

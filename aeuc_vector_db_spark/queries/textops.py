@@ -650,8 +650,50 @@ FROM tok GROUP BY term HAVING COUNT(*) >= 200
 """
 
 
+# ---------------------------------------------------------------------------
+# Unigram LM quality score (perplexity-style filter, self-scored corpus)
+# ---------------------------------------------------------------------------
+
+def _doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average unigram log-prob per doc under the corpus's own unigram
+    distribution; the per-doc fold runs in sorted term order on BOTH
+    engines, so only per-term ln() ulps can differ — absorbed by the
+    9 dp round (same tolerance argument as doc_tfidf_topk)."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = TX.unigram_logprob(docs)
+    return out.select(
+        "doc_id", F.round("avg_logp", 9).alias("avg_logp"), "n_tokens"
+    )
+
+
+_UNIGRAM_LOGPROB_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({_dk_tokens()}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY term),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok),
+lp AS (
+  SELECT term, ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) AS logp
+  FROM c CROSS JOIN tot
+),
+contrib AS (
+  SELECT doc_id, tf.term, CAST(tf AS DOUBLE) * logp AS cterm, tf
+  FROM tf JOIN lp ON tf.term = lp.term
+),
+agg AS (
+  SELECT doc_id, list(cterm ORDER BY term) AS cl, SUM(tf) AS n_tokens
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id,
+       ROUND(list_reduce(cl, (a, b) -> a + b) / CAST(n_tokens AS DOUBLE), 9)
+         AS avg_logp,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM agg
+"""
+
+
 QUERIES = {
     "doc_heavy_hitters": (_doc_heavy_hitters, _HEAVY_HITTERS_ORACLE),
+    "doc_unigram_logprob": (_doc_unigram_logprob, _UNIGRAM_LOGPROB_ORACLE),
     "doc_token_stats": (_doc_token_stats, _TOKEN_STATS_ORACLE),
     "doc_term_frequencies": (_doc_term_frequencies, _TERM_FREQ_ORACLE),
     "doc_tfidf_topk": (_doc_tfidf_topk, _TFIDF_ORACLE),

@@ -129,17 +129,62 @@ class ManifestTable:
             )
         return spark.read.parquet(*files)
 
+    def read_appended(
+        self, spark: SparkSession, since_version: int
+    ) -> DataFrame:
+        """Incremental read: exactly the rows appended AFTER
+        `since_version` — the append-only change feed that lets a
+        downstream consumer recompute on O(new data) instead of
+        re-reading the table. Data files are immutable, so the delta is
+        just the file-list difference of the two manifests; no data is
+        scanned to compute it.
+
+        Raises if any intervening commit was not an append (overwrite/
+        merge/delete/compact rewrite rows, so "the new files" no longer
+        means "the new rows") — the caller must fall back to a full
+        recompute, and silently handing it a wrong delta would corrupt
+        every downstream aggregate.
+        """
+        latest = self.latest_version()
+        if latest is None or since_version > latest:
+            raise FileNotFoundError(
+                f"version {since_version} not committed at {self.root!r}"
+            )
+        non_append = [
+            (v, self.manifest(v)["action"])
+            for v in self.versions()
+            if v > since_version and self.manifest(v)["action"] != "append"
+        ]
+        if non_append:
+            raise ValueError(
+                f"read_appended({since_version}): versions {non_append} are not "
+                "appends — the file delta no longer equals the row delta; "
+                "re-read the full snapshot instead"
+            )
+        base = set(self.manifest(since_version)["files"])
+        new = [f for f in self.manifest(latest)["files"] if f not in base]
+        if not new:
+            return self.read(spark, latest).limit(0)
+        return spark.read.parquet(*[os.path.join(self.root, f) for f in new])
+
     # -- writing -------------------------------------------------------
 
-    def _write_data_dir(self, df: DataFrame) -> tuple[list[str], int]:
+    def _write_data_dir(
+        self, df: DataFrame, sort_by: list[str] | None = None
+    ) -> tuple[list[str], int]:
         """Write df to a fresh immutable data dir; return (root-relative
         file list, row count). Count rides the write job via Observation —
-        the commit costs one pass, never a second count job."""
+        the commit costs one pass, never a second count job. With
+        `sort_by`, rows are range-partitioned and sorted within files so
+        parquet row-group min/max stats support data skipping on those
+        columns."""
         from pyspark.sql import Observation
 
         token = uuid.uuid4().hex[:16]
         rel_dir = os.path.join(_DATA_DIR, token)
         out_dir = os.path.join(self.root, rel_dir)
+        if sort_by:
+            df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
         obs = Observation()
         df.observe(obs, F.count(F.lit(1)).alias("n")).write.parquet(out_dir)
         n = int(obs.get["n"] or 0)
@@ -313,16 +358,22 @@ class ManifestTable:
 
     # -- maintenance ---------------------------------------------------
 
-    def compact(self, spark: SparkSession) -> int:
+    def compact(self, spark: SparkSession, sort_by: list[str] | None = None) -> int:
         """Rewrite the current snapshot into one fresh data dir (small-file
         compaction after many appends); content identical, old versions
         stay time-travel readable until vacuumed. Conflicts with an
         interleaved writer abort (CommitConflictError) — compaction is a
-        maintenance job, it must never clobber a data commit."""
+        maintenance job, it must never clobber a data commit.
+
+        `sort_by` additionally clusters rows (range-partition + in-file
+        sort) so later filtered reads skip row groups via parquet
+        min/max stats — the maintenance-time data-layout lever next to
+        bucketing (which clusters by HASH for merges; this clusters by
+        ORDER for range predicates)."""
         parent = self.latest_version()
         if parent is None:
             raise FileNotFoundError(f"no committed version at {self.root!r}")
-        files, n = self._write_data_dir(self.read(spark, parent))
+        files, n = self._write_data_dir(self.read(spark, parent), sort_by=sort_by)
         return self._commit(
             "compact", files, n, keep_parent_files=False, expected_parent=parent
         )
@@ -412,10 +463,14 @@ class BucketedManifestTable(ManifestTable):
         out, self._pending_extra = self._pending_extra, {}
         return out
 
-    def _write_data_dir(self, df) -> tuple[list[str], int]:
+    def _write_data_dir(
+        self, df, sort_by: list[str] | None = None
+    ) -> tuple[list[str], int]:
         """Bucket-partitioned write; stages per-file (bucket, rows) maps
         for the next _commit. Per-file row counts come from the parquet
-        footers — metadata reads, not data scans.
+        footers — metadata reads, not data scans. `sort_by` sorts rows
+        WITHIN each bucket (buckets cluster by hash for merges; the sort
+        adds row-group-stat skipping for range predicates inside them).
 
         The repartition on the bucket column is load-bearing: a naive
         `partitionBy` fans every upstream task across every bucket
@@ -434,10 +489,13 @@ class BucketedManifestTable(ManifestTable):
         rel_dir = os.path.join(_DATA_DIR, token)
         out_dir = os.path.join(self.root, rel_dir)
         obs = Observation()
+        bucketed = df.withColumn("__bucket__", self._bucket_col()).repartition(
+            self.n_buckets, F.col("__bucket__")
+        )
+        if sort_by:
+            bucketed = bucketed.sortWithinPartitions("__bucket__", *sort_by)
         (
-            df.withColumn("__bucket__", self._bucket_col())
-            .repartition(self.n_buckets, F.col("__bucket__"))
-            .observe(obs, F.count(F.lit(1)).alias("n"))
+            bucketed.observe(obs, F.count(F.lit(1)).alias("n"))
             .write.partitionBy("__bucket__")
             .parquet(out_dir)
         )

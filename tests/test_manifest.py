@@ -295,3 +295,54 @@ def test_plain_table_compact(spark, root):
     assert t.manifest()["action"] == "compact"
     assert len(t.manifest()["files"]) < n_files_before
     assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(15))
+
+
+def test_read_appended_returns_only_new_rows(spark, root):
+    t = ManifestTable(root)
+    t.commit_append(_df(spark, (0, 5)))
+    v1 = t.commit_append(_df(spark, (5, 9)))
+    t.commit_append(_df(spark, (9, 12)))
+    # delta since v0: everything after the first append
+    got = sorted(r["k"] for r in t.read_appended(spark, 0).collect())
+    assert got == list(range(5, 12))
+    # delta since the latest version: empty, schema preserved
+    empty = t.read_appended(spark, t.latest_version())
+    assert empty.count() == 0 and empty.columns == ["k", "tag"]
+    # delta since v1
+    assert sorted(r["k"] for r in t.read_appended(spark, v1).collect()) == [9, 10, 11]
+
+
+def test_read_appended_refuses_after_rewrite(spark, root):
+    """After a merge/compact, 'new files' ≠ 'new rows' — handing the
+    caller a wrong delta would corrupt downstream aggregates."""
+    t = ManifestTable(root)
+    t.commit_append(_df(spark, (0, 5)))
+    t.merge_upsert(spark, _df(spark, (2, 4), tag="new"), key="k")
+    with pytest.raises(ValueError, match="not.*append"):
+        t.read_appended(spark, 0)
+
+
+def test_sorted_compaction_clusters_rows_for_stat_skipping(spark, tmp_path):
+    """compact(sort_by) must leave each data file internally sorted (and
+    files range-disjoint) — the property parquet min/max skipping needs."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    t = ManifestTable(str(tmp_path / "t"))
+    # appends in shuffled key order → unclustered files
+    t.commit_append(_df(spark, (50, 100)))
+    t.commit_append(_df(spark, (0, 50)))
+    t.compact(spark, sort_by=["k"])
+    m = t.manifest()
+    ranges = []
+    for f in m["files"]:
+        tbl = pq.read_table(_os.path.join(t.root, f), columns=["k"])
+        ks = tbl.column("k").to_pylist()
+        assert ks == sorted(ks), f"file {f} not internally sorted"
+        if ks:
+            ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file ranges overlap — stats skipping defeated"
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(100))

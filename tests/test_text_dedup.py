@@ -195,3 +195,42 @@ def test_keep_one_marks_min_id(spark):
     edges = spark.createDataFrame([(5, 9), (9, 7)], "a_id long, b_id long")
     rows = {r["doc_id"]: (r["keeper_id"], r["keep"]) for r in D.keep_one(edges).collect()}
     assert rows == {5: (5, True), 7: (5, False), 9: (5, False)}
+
+
+def test_unigram_logprob_known_distribution(spark):
+    """3-doc corpus with hand-computable unigram LM: 6 tokens total,
+    p(a)=3/6, p(b)=2/6, p(c)=1/6."""
+    import math
+
+    from aeuc_vector_db_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "a"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert set(got) == {1, 2, 3}  # empty doc: no row
+    lp = lambda n: math.log(n / 6.0)
+    assert abs(got[1]["avg_logp"] - (2 * lp(3) + lp(2)) / 3.0) < 1e-12
+    assert abs(got[2]["avg_logp"] - (lp(2) + lp(1)) / 2.0) < 1e-12
+    assert abs(got[3]["avg_logp"] - lp(3)) < 1e-12
+    assert got[1]["n_tokens"] == 3
+
+
+def test_unigram_logprob_ranks_fluent_over_rare(documents):
+    """Docs made of corpus-common tokens must outscore a doc of unique
+    junk — the property the quality filter exists for."""
+    from pyspark.sql import functions as F
+
+    from aeuc_vector_db_spark.operators.text import unigram_logprob
+
+    junk = documents.limit(1).select(
+        F.lit(99999).alias("doc_id"),
+        F.lit("zxqv9 qq7h wkx3 jjm2 vvb8 pplo9").alias("text"),
+        F.lit("xx").alias("lang"), F.lit("xx").alias("source"),
+        F.lit(30).alias("n_chars"),
+    )
+    scored = unigram_logprob(documents.unionByName(junk))
+    rows = {r["doc_id"]: r["avg_logp"] for r in scored.collect()}
+    real_scores = [v for k, v in rows.items() if k != 99999]
+    assert rows[99999] < min(real_scores)
