@@ -92,6 +92,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_epoch_shuffle",
     "doc_source_token_budget",
     "doc_unigram_logprob",
+    "multimodal_transform_stats",
 )
 
 

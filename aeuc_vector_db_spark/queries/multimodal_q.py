@@ -31,9 +31,18 @@ _CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__fil
 
 def _blob_bytes(doc_id: int, text: str) -> tuple[str, bytes]:
     """Deterministic blob for one documents row: real PNG / real WAV /
-    fake mp4, cycling by doc_id. Returns (filename, payload)."""
+    real BMP / fake mp4, cycling by doc_id. Returns (filename, payload)."""
     h = hashlib.sha256(text.encode()).digest()
-    kind = doc_id % 3
+    kind = doc_id % 4
+    if kind == 3:
+        # real 24-bit BMP, 4x4, pixels from the hash stream
+        need = 4 * 4 * 3
+        buf = bytearray()
+        cur = h
+        while len(buf) < need:
+            buf += cur
+            cur = hashlib.sha256(cur).digest()
+        return f"blob_{doc_id}.bmp", MM.bmp_encode(bytes(buf[:need]), 4, 4)
     if kind == 0:
         # real 8x8 RGB PNG; pixel stream = sha256 chain over the text
         w = hgt = 8
@@ -61,7 +70,7 @@ def _blob_bytes(doc_id: int, text: str) -> tuple[str, bytes]:
 
 def _blob_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the binary corpus once per sf (marker-cached)."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = os.path.basename(sf_dir.rstrip("/")) + "-v2"  # v2: +BMP kind
     d = os.path.join(_CACHE_ROOT, tag)
     marker = f"{d}/.complete"
     if not os.path.exists(marker):
@@ -96,6 +105,41 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_transform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize (decode→nearest-resample→PNG re-encode) + audio
+    framing (windowed RMS/peak) over the same blob corpus — the
+    transform half of the multimodal surface, aggregated per modality.
+    Rows-only (no SQL decoder); kernel values pinned in
+    tests/test_multimodal.py."""
+    blobs = MM.read_binary_dir(spark, _blob_dir(spark, sf_dir))
+    resized = MM.resize_images(
+        blobs.filter(F.col("modality") == "image"), 4, 4
+    )
+    frames = MM.audio_frame_features(
+        blobs.filter(F.col("modality") == "audio"), window_ms=4
+    )
+    img = resized.groupBy("decode_status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.length("content")), 3).alias("avg_png_bytes"),
+    ).select(
+        F.lit("image_resize").alias("op"),
+        F.col("decode_status"),
+        "n",
+        F.col("avg_png_bytes").alias("metric"),
+    )
+    aud = frames.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("rms"), 9).alias("avg_rms"),
+    ).select(
+        F.lit("audio_frames").alias("op"),
+        F.lit("real").alias("decode_status"),
+        "n",
+        F.col("avg_rms").alias("metric"),
+    )
+    return img.unionByName(aud).orderBy("op", "decode_status")
+
+
 QUERIES = {
     "multimodal_feature_stats": (_multimodal_features, None),
+    "multimodal_transform_stats": (_multimodal_transform_stats, None),
 }

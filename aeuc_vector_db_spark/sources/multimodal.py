@@ -214,6 +214,68 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, channels, bytes(out)
 
 
+def bmp_encode(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal valid 24-bit uncompressed BMP writer (BITMAPINFOHEADER).
+
+    `pixels` is row-major RGB top-down, len == width*height*3; rows are
+    stored bottom-up and 4-byte padded per the public BMP layout."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel buffer does not match width*height*3")
+    pad = (-(width * 3)) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = pixels[y * width * 3 : (y + 1) * width * 3]
+        # RGB → BGR per pixel
+        bgr = bytearray()
+        for x in range(width):
+            r, g, b = row[x * 3 : x * 3 + 3]
+            bgr += bytes((b, g, r))
+        rows.append(bytes(bgr) + b"\x00" * pad)
+    data = b"".join(rows)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    return header + info + data
+
+
+def bmp_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-stdlib BMP decode: (width, height, 3, RGB top-down bytes).
+
+    24-bit uncompressed BITMAPINFOHEADER only (the overwhelmingly common
+    layout) — raises ValueError otherwise. Handles bottom-up (positive
+    height) and top-down (negative height) row orders and 4-byte row
+    padding."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP: bad signature or truncated header")
+    (off,) = struct.unpack("<I", payload[10:14])
+    hdr_size, width, height_raw = struct.unpack("<Iii", payload[14:26])
+    planes, bpp, compression = struct.unpack("<HHI", payload[26:34])
+    if hdr_size < 40 or planes != 1:
+        raise ValueError("unsupported BMP header")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    top_down = height_raw < 0
+    height = -height_raw if top_down else height_raw
+    if not width or not height or width < 0:
+        raise ValueError("bad BMP dimensions")
+    if width * height > 1 << 26:
+        raise ValueError(f"BMP dimensions implausible: {width}x{height}")
+    stride = width * 3 + ((-(width * 3)) % 4)
+    if len(payload) < off + stride * height:
+        raise ValueError("truncated BMP pixel data")
+    out = bytearray()
+    ys = range(height) if top_down else range(height - 1, -1, -1)
+    for y in ys:
+        row = payload[off + y * stride : off + y * stride + width * 3]
+        rgb = bytearray()
+        for x in range(width):
+            b, g, r = row[x * 3 : x * 3 + 3]
+            rgb += bytes((r, g, b))
+        out += rgb
+    return width, height, 3, bytes(out)
+
+
 def wav_encode(samples: "list[int]", sample_rate: int = 8000, channels: int = 1) -> bytes:
     """Minimal valid PCM16 RIFF/WAVE writer (canonical 44-byte header)."""
     data = struct.pack(f"<{len(samples)}h", *samples)
@@ -333,7 +395,6 @@ def decode_features(blobs: DataFrame, feature_dim: int = 8) -> DataFrame:
         if modality == "image":
             return (
                 payload[:3] == b"\xff\xd8\xff"      # JPEG
-                or payload[:2] == b"BM"              # BMP
                 or payload[:6] in (b"GIF87a", b"GIF89a")
             )
         if modality == "audio":
@@ -347,8 +408,13 @@ def decode_features(blobs: DataFrame, feature_dim: int = 8) -> DataFrame:
     def decode_one(blob_id: str, modality: str, content) -> tuple:
         payload = bytes(content) if content is not None else b""
         try:
-            if modality == "image" and payload[:8] == _PNG_SIG:
-                w, h, c, pix = png_decode(payload)
+            if modality == "image" and (
+                payload[:8] == _PNG_SIG or payload[:2] == b"BM"
+            ):
+                if payload[:8] == _PNG_SIG:
+                    w, h, c, pix = png_decode(payload)
+                else:
+                    w, h, c, pix = bmp_decode(payload)
                 arr = np.frombuffer(pix, dtype=np.uint8).reshape(-1, c)
                 # per-channel mean/std interleaved, padded to feature_dim
                 feats = []
@@ -436,3 +502,124 @@ def sample_frames_stub(
             )
 
     return blobs.select("blob_id", "content").mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+
+
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.StringType(), False),
+        T.StructField("decode_status", T.StringType(), False),  # real|error
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("content", T.BinaryType(), True),  # re-encoded PNG
+    ]
+)
+
+
+def resize_nearest(pix: bytes, w: int, h: int, c: int, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a raw pixel buffer (NumPy gather —
+    index math only, no external image library)."""
+    import numpy as np
+
+    arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, c)
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[ys][:, xs].tobytes()
+
+
+def resize_images(blobs: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL image resize pipeline: decode (PNG/BMP, pure stdlib) →
+    nearest-neighbor resample (NumPy) → re-encode as PNG. One row in,
+    one row out; corrupt/unsupported payloads become decode_status=
+    'error' rows (quarantine philosophy), so one bad blob never kills
+    the batch. Bytes stay inside Arrow batches end-to-end.
+
+    This is the standard training-data normalization step (uniform
+    resolution before feature extraction/packing); the kernel is real
+    for the stdlib-decodable formats and exercises the exact mapInPandas
+    shape a Pillow/ffmpeg kernel would use for the rest.
+    """
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for blob_id, content in zip(pdf["blob_id"], pdf["content"]):
+                payload = bytes(content) if content is not None else b""
+                try:
+                    if payload[:8] == _PNG_SIG:
+                        w, h, c, pix = png_decode(payload)
+                    elif payload[:2] == b"BM":
+                        w, h, c, pix = bmp_decode(payload)
+                    else:
+                        raise ValueError("unsupported image container")
+                    small = resize_nearest(pix, w, h, c, out_w, out_h)
+                    # grayscale/alpha channel counts re-encode via the
+                    # matching PNG color type
+                    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+                    png = png_encode(small, out_w, out_h, color_type)
+                    rows.append((blob_id, "real", out_w, out_h, png))
+                except (ValueError, zlib.error, struct.error, MemoryError, KeyError):
+                    rows.append((blob_id, "error", None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["blob_id", "decode_status", "width", "height", "content"]
+            )
+            rows = []
+
+    return blobs.select("blob_id", "content").mapInPandas(work, RESIZED_IMAGE_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.DoubleType(), False),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_frame_features(blobs: DataFrame, window_ms: int = 250) -> DataFrame:
+    """REAL audio framing: WAV (PCM16) → fixed windows → per-window RMS
+    and peak amplitude. 1 input row → N frame rows (the flat-map shape
+    video frame sampling uses, with a real kernel). The trailing partial
+    window is kept (its RMS is over the samples present). Corrupt
+    payloads yield no frames — pair with decode_features for the error
+    accounting."""
+    import numpy as np
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for blob_id, content in zip(pdf["blob_id"], pdf["content"]):
+                payload = bytes(content) if content is not None else b""
+                try:
+                    channels, rate, bits, _dur, pcm = wav_decode(payload)
+                    if bits != 16:
+                        raise ValueError("PCM16 only for framing")
+                except (ValueError, struct.error):
+                    continue
+                samp = np.frombuffer(pcm[: len(pcm) // 2 * 2], dtype="<i2")
+                samp = samp.astype(np.float64) / 32768.0
+                if channels > 1:  # mono mixdown for the energy envelope
+                    n = len(samp) // channels * channels
+                    samp = samp[:n].reshape(-1, channels).mean(axis=1)
+                win = max(1, rate * window_ms // 1000)
+                for i in range(0, max(len(samp), 1), win):
+                    chunk = samp[i : i + win]
+                    if not len(chunk):
+                        break
+                    rows.append(
+                        (
+                            blob_id,
+                            i // win,
+                            i * 1000.0 / rate,
+                            float(np.sqrt((chunk**2).mean())),
+                            float(np.abs(chunk).max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["blob_id", "frame_idx", "frame_ts_ms", "rms", "peak"]
+            )
+            rows = []
+
+    return blobs.select("blob_id", "content").mapInPandas(work, AUDIO_FRAME_SCHEMA)

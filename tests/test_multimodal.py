@@ -231,3 +231,99 @@ def test_decode_kernels_raise_only_quarantinable_exceptions():
             fn(bytes(b))
         except caught:
             pass  # quarantinable — becomes an error row
+
+
+def test_bmp_roundtrip_pinned():
+    """encode→decode returns the exact RGB buffer for both row orders
+    the spec allows (bottom-up storage, top-down logical output)."""
+    # 2x2: red, green / blue, white — with width 2 the stride needs
+    # 2 bytes of padding per row, exercising the pad math
+    pix = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    payload = MM.bmp_encode(pix, 2, 2)
+    w, h, c, out = MM.bmp_decode(payload)
+    assert (w, h, c) == (2, 2, 3)
+    assert out == pix
+
+
+def test_bmp_rejects_unsupported():
+    with pytest.raises(ValueError):
+        MM.bmp_decode(b"BM" + b"\x00" * 60)  # zero dims
+    with pytest.raises(ValueError):
+        MM.bmp_decode(b"PNG nope")
+    # 8-bit palette BMPs are honestly unsupported, not misparsed
+    hdr = b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 16, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="bpp"):
+        MM.bmp_decode(hdr + info + b"\x00" * 46)
+
+
+def test_decode_features_bmp_is_real(spark, tmp_path):
+    pix = bytes([10, 20, 30] * 4)
+    (tmp_path / "img.bmp").write_bytes(MM.bmp_encode(pix, 2, 2))
+    blobs = MM.read_binary_dir(spark, str(tmp_path))
+    row = MM.decode_features(blobs).collect()[0]
+    assert row["decode_status"] == "real"
+    assert (row["width"], row["height"], row["channels"]) == (2, 2, 3)
+    # channel means are exact: all pixels identical
+    assert abs(row["features"][0] - 10 / 255.0) < 1e-6
+
+
+def test_resize_nearest_known_values():
+    # 2x2 grayscale → 4x4: each source pixel becomes a 2x2 block
+    pix = bytes([0, 100, 200, 255])
+    out = MM.resize_nearest(pix, 2, 2, 1, 4, 4)
+    assert list(out) == [
+        0, 0, 100, 100,
+        0, 0, 100, 100,
+        200, 200, 255, 255,
+        200, 200, 255, 255,
+    ]
+
+
+def test_resize_images_pipeline_real_and_error(spark, tmp_path):
+    """PNG and BMP inputs resize for real (decode→resample→re-encode PNG
+    round-trips); garbage becomes an error row, not a dead job."""
+    pix_png = bytes(range(48))  # 4x4 RGB
+    (tmp_path / "a.png").write_bytes(MM.png_encode(pix_png, 4, 4, color_type=2))
+    (tmp_path / "b.bmp").write_bytes(MM.bmp_encode(bytes([7, 8, 9] * 16), 4, 4))
+    (tmp_path / "c.png").write_bytes(b"\x89PNG garbage")
+    blobs = MM.read_binary_dir(spark, str(tmp_path))
+    out = {r["blob_id"]: r for r in MM.resize_images(blobs, 2, 2).collect()}
+    assert out["c.png"]["decode_status"] == "error"
+    for name in ("a.png", "b.bmp"):
+        r = out[name]
+        assert r["decode_status"] == "real" and (r["width"], r["height"]) == (2, 2)
+        w, h, c, small = MM.png_decode(bytes(r["content"]))
+        assert (w, h) == (2, 2)
+    # nearest-neighbor on the uniform BMP keeps the uniform color
+    _, _, _, small_b = MM.png_decode(bytes(out["b.bmp"]["content"]))
+    assert set(small_b[i : i + 3] for i in range(0, len(small_b), 3)) == {bytes([7, 8, 9])}
+
+
+def test_audio_frame_features_hand_computed(spark, tmp_path):
+    """1 s of PCM16 at 8 kHz framed at 250 ms: 4 windows; constant
+    half-scale amplitude ⇒ rms == peak == 0.5 in every window."""
+    amp = 16384  # 0.5 in [-1, 1]
+    samples = [amp] * 8000
+    (tmp_path / "t.wav").write_bytes(MM.wav_encode(samples, sample_rate=8000))
+    blobs = MM.read_binary_dir(spark, str(tmp_path))
+    rows = sorted(
+        MM.audio_frame_features(blobs, window_ms=250).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert len(rows) == 4
+    for i, r in enumerate(rows):
+        assert r["frame_idx"] == i
+        assert abs(r["frame_ts_ms"] - i * 250.0) < 1e-9
+        assert abs(r["rms"] - 0.5) < 1e-4
+        assert abs(r["peak"] - 0.5) < 1e-4
+
+
+def test_audio_frame_features_partial_window_and_corrupt(spark, tmp_path):
+    (tmp_path / "t.wav").write_bytes(MM.wav_encode([0] * 2500, sample_rate=8000))
+    (tmp_path / "bad.wav").write_bytes(b"RIFFjunk")
+    blobs = MM.read_binary_dir(spark, str(tmp_path))
+    rows = MM.audio_frame_features(blobs, window_ms=250).collect()
+    # 2500 samples @ 2000/window → 2 windows (trailing 500-sample partial)
+    assert sorted(r["frame_idx"] for r in rows) == [0, 1]
+    assert all(r["blob_id"] == "t.wav" for r in rows)  # corrupt: zero frames
