@@ -5,16 +5,20 @@ metadata bag; heavy per-item work (decode, resize, feature-extract,
 frame-sample) runs in Arrow-batched `mapInPandas` so bytes stay in
 columnar batches and the work scales with partitions, never the driver.
 
-Decode kernels:
-- PNG: REAL — pure-stdlib decoder (zlib is in the standard library and
-  the PNG spec is public): signature + IHDR parse for width/height/
-  bit-depth/channels, full IDAT inflate + scanline unfilter (filter
-  types 0-4) for per-channel pixel statistics as features.
-- WAV: REAL — RIFF chunk walk for the fmt/data chunks (channels, sample
-  rate, bit depth, duration) and PCM16 sample decode via NumPy for
-  amplitude features.
-- video and other formats: STUBBED — container parsers (mp4 boxes,
-  codecs) need ffmpeg, absent here; the stub raises a clearly-marked
+Decode kernels (all pure stdlib — the formats are public specs):
+- PNG: REAL — signature + IHDR parse, full IDAT inflate + scanline
+  unfilter (filter types 0-4) for per-channel pixel statistics.
+- BMP: REAL — 24-bit BITMAPINFOHEADER, bottom-up and top-down row
+  orders, 4-byte row padding.
+- GIF: REAL — full LZW (dictionary growth, code-width bumps, clear
+  codes, the KwKwK case), global/local palettes, extensions skipped,
+  first frame of animations; interlace rejected honestly.
+- WAV: REAL — RIFF chunk walk for fmt/data (channels, sample rate, bit
+  depth, duration) and PCM16 sample decode via NumPy.
+- Transforms: REAL — nearest-neighbor resize (decode → NumPy resample →
+  PNG re-encode) and windowed audio RMS/peak framing.
+- JPEG / video: STUBBED — entropy-coded DCT and mp4/codec parsing need
+  libjpeg/ffmpeg, absent here; the stub raises a clearly-marked
   NotImplementedError (strict) or emits a deterministic fake derived
   from the payload bytes. The Spark-side plumbing — schemas, batch
   iteration shape, partition-parallelism, binaryFile source, metadata
@@ -393,10 +397,7 @@ def decode_features(blobs: DataFrame, feature_dim: int = 8) -> DataFrame:
         """Healthy container of a format this stdlib-only kernel can't
         decode (needs Pillow/ffmpeg) — stub territory, not corruption."""
         if modality == "image":
-            return (
-                payload[:3] == b"\xff\xd8\xff"      # JPEG
-                or payload[:6] in (b"GIF87a", b"GIF89a")
-            )
+            return payload[:3] == b"\xff\xd8\xff"    # JPEG (needs libjpeg)
         if modality == "audio":
             return (
                 payload[:3] == b"ID3"                # MP3 w/ ID3 tag
@@ -409,12 +410,16 @@ def decode_features(blobs: DataFrame, feature_dim: int = 8) -> DataFrame:
         payload = bytes(content) if content is not None else b""
         try:
             if modality == "image" and (
-                payload[:8] == _PNG_SIG or payload[:2] == b"BM"
+                payload[:8] == _PNG_SIG
+                or payload[:2] == b"BM"
+                or payload[:6] in (b"GIF87a", b"GIF89a")
             ):
                 if payload[:8] == _PNG_SIG:
                     w, h, c, pix = png_decode(payload)
-                else:
+                elif payload[:2] == b"BM":
                     w, h, c, pix = bmp_decode(payload)
+                else:
+                    w, h, c, pix = gif_decode(payload)
                 arr = np.frombuffer(pix, dtype=np.uint8).reshape(-1, c)
                 # per-channel mean/std interleaved, padded to feature_dim
                 feats = []
@@ -549,6 +554,8 @@ def resize_images(blobs: DataFrame, out_w: int, out_h: int) -> DataFrame:
                         w, h, c, pix = png_decode(payload)
                     elif payload[:2] == b"BM":
                         w, h, c, pix = bmp_decode(payload)
+                    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                        w, h, c, pix = gif_decode(payload)
                     else:
                         raise ValueError("unsupported image container")
                     small = resize_nearest(pix, w, h, c, out_w, out_h)
@@ -623,3 +630,185 @@ def audio_frame_features(blobs: DataFrame, window_ms: int = 250) -> DataFrame:
             rows = []
 
     return blobs.select("blob_id", "content").mapInPandas(work, AUDIO_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (public GIF87a/89a spec; LZW is fully specified there)
+# ---------------------------------------------------------------------------
+
+def gif_encode(indices: bytes, width: int, height: int, palette: "list[tuple[int,int,int]]") -> bytes:
+    """Minimal valid GIF89a writer for tests/corpus builders: one frame,
+    global palette, non-interlaced. Uses the classic clear-code-early
+    LZW stream (emit CLEAR before the dictionary would grow), which every
+    conforming decoder — including gif_decode below — must accept."""
+    if len(indices) != width * height:
+        raise ValueError("index buffer does not match width*height")
+    if not palette or len(palette) > 256:
+        raise ValueError("palette must have 1..256 entries")
+    bits = max(2, (len(palette) - 1).bit_length())
+    pal_n = 1 << bits
+    pal = b"".join(bytes(c) for c in palette) + b"\x00\x00\x00" * (pal_n - len(palette))
+    header = b"GIF89a" + struct.pack("<HH", width, height) + bytes(
+        [0x80 | (bits - 1), 0, 0]
+    ) + pal
+    img_desc = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    clear, end = 1 << bits, (1 << bits) + 1
+    out_bits: list[int] = []
+    code_size = bits + 1
+
+    def emit(code: int) -> None:
+        for i in range(code_size):
+            out_bits.append((code >> i) & 1)
+
+    emit(clear)
+    budget = clear - 2  # codes before the next width growth
+    for i, idx in enumerate(indices):
+        if budget == 0:
+            emit(clear)
+            budget = clear - 2
+        emit(idx)
+        budget -= 1
+    emit(end)
+    data = bytearray()
+    for i in range(0, len(out_bits), 8):
+        byte = 0
+        for j, b in enumerate(out_bits[i : i + 8]):
+            byte |= b << j
+        data.append(byte)
+    blocks = b"".join(
+        bytes([min(255, len(data) - i)]) + bytes(data[i : i + 255])
+        for i in range(0, len(data), 255)
+    )
+    return header + img_desc + bytes([bits]) + blocks + b"\x00" + b"\x3b"
+
+
+def gif_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-stdlib GIF decode: (width, height, 3, RGB bytes of the FIRST
+    frame). Full LZW (dictionary growth, code-width bumps, clear codes);
+    non-interlaced, global-or-local palette; extensions skipped.
+    Animated GIFs yield their first frame (the standard thumbnail/feature
+    semantic); interlaced frames raise ValueError (honest subset)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(payload):
+            ln = payload[p]
+            p += 1
+            if ln == 0:
+                return p
+            p += ln
+        raise ValueError("truncated GIF sub-blocks")
+
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension
+            pos = skip_subblocks(pos + 2)
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            _l, _t, w, h = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+            ipacked = payload[pos + 9]
+            pos += 10
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = payload[pos : pos + 3 * n]
+                if len(pal) < 3 * n:
+                    raise ValueError("truncated GIF local color table")
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            if not w or not h or w * h > 1 << 26:
+                raise ValueError(f"bad GIF dimensions {w}x{h}")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload):
+                ln = payload[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                data += payload[pos : pos + ln]
+                pos += ln
+            indices = _lzw_decode(bytes(data), min_code, w * h)
+            n_colors = len(pal) // 3
+            rgb = bytearray()
+            for idx in indices:
+                if idx >= n_colors:
+                    raise ValueError("GIF pixel index out of palette range")
+                rgb += pal[idx * 3 : idx * 3 + 3]
+            return w, h, 3, bytes(rgb)
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block marker 0x{b:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> bytes:
+    """GIF-flavor LZW: LSB-first bit packing, CLEAR/END codes, dictionary
+    capped at 4096. Bounded by max_pixels — a crafted stream cannot
+    expand past the dimensions the descriptor promised."""
+    if not (2 <= min_code <= 11):
+        raise ValueError(f"bad LZW min code size {min_code}")
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset() -> None:
+        table.clear()
+        table.extend(bytes([i]) for i in range(1 << min_code))
+        table.extend((b"", b""))  # clear + end placeholders
+
+    reset()
+    code_size = min_code + 1
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                reset()
+                code_size = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out[:max_pixels])
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError("LZW code beyond dictionary")
+            out += entry
+            if len(out) >= max_pixels:
+                return bytes(out[:max_pixels])
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+    raise ValueError("truncated LZW stream (no END code)")

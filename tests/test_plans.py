@@ -126,3 +126,18 @@ def test_ivf_arrow_prunes_partitions_on_disk(spark, tmp_path):
     )
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [centroid_id" in plan
+
+
+@pytest.mark.parametrize(
+    "name,required",
+    [
+        # epoch shuffle slice: distributed top-k, never a global sort
+        ("doc_epoch_shuffle", ["TakeOrderedAndProject"]),
+        # heavy hitters: candidates broadcast into a semi join
+        ("doc_heavy_hitters", ["BroadcastHashJoin", "LeftSemi"]),
+    ],
+)
+def test_round4_plan_shape(spark, name, required):
+    plan = _plan(spark, name)
+    missing = [r for r in required if r not in plan]
+    assert not missing, f"{name}: missing plan shapes {missing}"
