@@ -1,0 +1,476 @@
+"""Baseline JPEG codec — pure Python + NumPy, built from the public
+ITU-T T.81 spec (Annex K tables). No libjpeg.
+
+Scope (honest subset, like the PNG/GIF decoders' declared subsets):
+- decode: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr,
+  ANY sampling factors (4:4:4, 4:2:2, 4:2:0, ...) via per-component
+  planes + nearest upsampling; restart markers honored; progressive
+  (SOF2), arithmetic coding, and 12-bit precision are rejected with
+  ValueError.
+- encode: 4:4:4 (or grayscale) with the Annex K quantization and
+  Huffman tables — a minimal conforming writer for tests and corpus
+  builders; any conforming decoder (including this one) reads it.
+
+Used by sources/multimodal.py's decode/resize kernels. The DCT runs in
+NumPy (the per-block 8x8 transform is two small matmuls), so decoding a
+training-thumbnail-sized JPEG stays in the microseconds-per-block
+range — kernel-appropriate for Arrow-batched mapInPandas.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Spec constants (ITU-T T.81 Annex K)
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+#: Annex K.1 luminance / K.2 chrominance quantization tables (quality 50)
+QUANT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64)
+QUANT_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64)
+
+# Annex K.3: (BITS counts per code length 1..16, HUFFVAL symbol list)
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROM_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+#: orthonormal 8-point DCT-II matrix (rows = frequencies)
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos(np.pi * (2 * _n + 1) * _k / 16.0) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+
+def _fdct(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+def _idct(coeffs: np.ndarray) -> np.ndarray:
+    return _C.T @ coeffs @ _C
+
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """(code, length) per symbol in canonical Huffman order (T.81 C.2)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]):
+    """(code, length) → symbol lookup for the decoder."""
+    return {cl: sym for sym, cl in _canonical_codes(bits, vals).items()}
+
+
+# ---------------------------------------------------------------------------
+# Encoder (4:4:4 / grayscale, Annex K tables)
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.acc <<= 8 - self.n
+            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1s per spec
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = self.n = 0
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_block(w: _BitWriter, block: np.ndarray, quant: np.ndarray,
+                  dc_codes, ac_codes, pred: int) -> int:
+    coeffs = _fdct(block.astype(np.float64) - 128.0)
+    q = np.round(coeffs.flatten() / quant).astype(int)[ZIGZAG_INV_ORDER]
+    dc = int(q[0])
+    diff = dc - pred
+    t = _category(diff)
+    w.write(*dc_codes[t])
+    if t:
+        w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for i in range(1, 64):
+        if q[i]:
+            last_nz = i
+    for i in range(1, last_nz + 1):
+        v = int(q[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            w.write(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        s = _category(v)
+        w.write(*ac_codes[(run << 4) | s])
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz != 63:
+        w.write(*ac_codes[0x00])  # EOB
+    return dc
+
+
+#: zigzag[i] = natural index of the i-th zigzag coefficient; the encoder
+#: needs the inverse mapping (natural → position in the zigzag stream)
+ZIGZAG_INV_ORDER = ZIGZAG  # q[k] = natural_flat[ZIGZAG[k]] — same gather
+
+
+def _dht_segment(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+    payload = bytes([tc_th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def jpeg_encode(pixels: bytes, width: int, height: int, channels: int = 3) -> bytes:
+    """Minimal conforming baseline JPEG writer (4:4:4 or grayscale).
+
+    `pixels`: row-major RGB (channels=3) or grayscale (channels=1)."""
+    if channels not in (1, 3):
+        raise ValueError("jpeg_encode: channels must be 1 or 3")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match width*height*channels")
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    arr = arr.astype(np.float64)
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        quants = [QUANT_LUM, QUANT_CHROM, QUANT_CHROM]
+    else:
+        planes = [arr[..., 0]]
+        quants = [QUANT_LUM]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in ((0, QUANT_LUM), (1, QUANT_CHROM))[: 1 if channels == 1 else 2]:
+        zz = q.astype(int).flatten()[ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(int(x) for x in zz)
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([channels])
+    for ci in range(channels):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0x00, DC_LUM_BITS, DC_LUM_VALS)
+    out += _dht_segment(0x10, AC_LUM_BITS, AC_LUM_VALS)
+    if channels == 3:
+        out += _dht_segment(0x01, DC_CHROM_BITS, DC_CHROM_VALS)
+        out += _dht_segment(0x11, AC_CHROM_BITS, AC_CHROM_VALS)
+    sos = bytes([channels])
+    for ci in range(channels):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    dc_lum = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_lum = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    dc_chrom = _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)
+    ac_chrom = _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS)
+    w = _BitWriter()
+    preds = [0] * channels
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, plane in enumerate(planes):
+                block = np.empty((8, 8))
+                ys = np.clip(np.arange(by * 8, by * 8 + 8), 0, height - 1)
+                xs = np.clip(np.arange(bx * 8, bx * 8 + 8), 0, width - 1)
+                block[:] = plane[np.ix_(ys, xs)]  # edge-replicate padding
+                dc, ac = (dc_lum, ac_lum) if ci == 0 else (dc_chrom, ac_chrom)
+                preds[ci] = _encode_block(w, block, quants[ci].reshape(64)[ZIGZAG_FLAT_NAT],
+                                          dc, ac, preds[ci])
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+#: natural-order flat quant divisor for _encode_block's zigzag gather:
+#: q[k] (zigzag stream) divides by quant at natural index ZIGZAG[k]
+ZIGZAG_FLAT_NAT = np.arange(64)
+
+
+# ---------------------------------------------------------------------------
+# Decoder (baseline SOF0, any sampling factors)
+# ---------------------------------------------------------------------------
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        while self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("unexpected marker in entropy stream")
+            self.acc = byte
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> None:
+        self.n = 0
+
+
+def _read_huffman(reader: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Baseline JPEG decode: (width, height, channels, RGB/gray bytes)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    quants: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps = []  # (id, h, v, tq)
+    width = height = 0
+    restart_interval = 0
+    scan_data = None
+    scan_map = []  # (comp_idx, dc_table, ac_table)
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64)
+                tbl[ZIGZAG] = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
+                quants[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nvals = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nvals])
+                (huff_dc if tc == 0 else huff_ac)[th] = _decode_table(bits, vals)
+                p += 17 + nvals
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            if seg[0] != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            height, width = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = [
+                (seg[6 + 3 * i], seg[7 + 3 * i] >> 4, seg[7 + 3 * i] & 0x0F,
+                 seg[8 + 3 * i])
+                for i in range(ncomp)
+            ]
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("progressive/arithmetic/lossless JPEG unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_map = []
+            for i in range(ns):
+                cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                idx = next((j for j, c in enumerate(comps) if c[0] == cid), None)
+                if idx is None:
+                    raise ValueError(f"SOS references unknown component {cid}")
+                scan_map.append((idx, tt >> 4, tt & 0x0F))
+            scan_data = payload[pos + 2 + seglen :]
+            break
+        pos += 2 + seglen
+    if scan_data is None or not comps or not width or not height:
+        raise ValueError("truncated JPEG: missing SOF/SOS")
+    if width * height > 1 << 26:
+        raise ValueError(f"JPEG dimensions implausible: {width}x{height}")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+    planes = [
+        np.zeros((mcus_y * 8 * c[2], mcus_x * 8 * c[1])) for c in comps
+    ]
+    reader = _BitReader(scan_data)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # skip to the RSTn marker and resync
+                reader.align_to_marker()
+                while reader.pos + 1 < len(reader.data):
+                    if (reader.data[reader.pos] == 0xFF
+                            and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7):
+                        reader.pos += 2
+                        break
+                    reader.pos += 1
+                preds = [0] * len(comps)
+            for (ci, dct, act) in scan_map:
+                _, h, v, tq = comps[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        block = np.zeros(64)
+                        t = _read_huffman(reader, huff_dc[dct])
+                        diff = _extend(reader.bits(t), t) if t else 0
+                        preds[ci] += diff
+                        block[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _read_huffman(reader, huff_ac[act])
+                            if rs == 0x00:
+                                break
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            s = rs & 0x0F
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            block[k] = _extend(reader.bits(s), s)
+                            k += 1
+                        nat = np.zeros(64)
+                        nat[ZIGZAG] = block
+                        px = _idct(nat.reshape(8, 8) * quants[tq]) + 128.0
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_count += 1
+
+    out_planes = []
+    for (cid, h, v, _tq), plane in zip(comps, planes):
+        up = np.repeat(np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1)
+        out_planes.append(up[:height, :width])
+    if len(comps) == 1:
+        gray = np.clip(out_planes[0], 0, 255).astype(np.uint8)
+        return width, height, 1, gray.tobytes()
+    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+    return width, height, 3, rgb.tobytes()

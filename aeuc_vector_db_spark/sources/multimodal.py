@@ -17,12 +17,17 @@ Decode kernels (all pure stdlib — the formats are public specs):
   depth, duration) and PCM16 sample decode via NumPy.
 - Transforms: REAL — nearest-neighbor resize (decode → NumPy resample →
   PNG re-encode) and windowed audio RMS/peak framing.
-- JPEG / video: STUBBED — entropy-coded DCT and mp4/codec parsing need
-  libjpeg/ffmpeg, absent here; the stub raises a clearly-marked
-  NotImplementedError (strict) or emits a deterministic fake derived
-  from the payload bytes. The Spark-side plumbing — schemas, batch
-  iteration shape, partition-parallelism, binaryFile source, metadata
-  propagation — is identical for real and stubbed kernels.
+- JPEG: REAL — baseline sequential DCT decoder (sources/jpeg.py, pure
+  Python + NumPy from the public T.81 spec): Huffman entropy decode,
+  dequantize, IDCT, chroma upsampling for any sampling factors, restart
+  markers; progressive/arithmetic/12-bit rejected honestly. A minimal
+  4:4:4 encoder exists for tests/corpus builders.
+- video / WebP / TIFF: STUBBED — codec parsing needs ffmpeg/libwebp,
+  absent here; the stub raises a clearly-marked NotImplementedError
+  (strict) or emits a deterministic fake derived from the payload
+  bytes. The Spark-side plumbing — schemas, batch iteration shape,
+  partition-parallelism, binaryFile source, metadata propagation — is
+  identical for real and stubbed kernels.
 
 Scale notes: `binaryFile` splits at file granularity — fine for many
 small/medium objects; huge objects should be sharded upstream. Column
@@ -397,7 +402,10 @@ def decode_features(blobs: DataFrame, feature_dim: int = 8) -> DataFrame:
         """Healthy container of a format this stdlib-only kernel can't
         decode (needs Pillow/ffmpeg) — stub territory, not corruption."""
         if modality == "image":
-            return payload[:3] == b"\xff\xd8\xff"    # JPEG (needs libjpeg)
+            return (
+                (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP")
+                or payload[:4] in (b"II*\x00", b"MM\x00*")  # TIFF
+            )
         if modality == "audio":
             return (
                 payload[:3] == b"ID3"                # MP3 w/ ID3 tag
@@ -413,11 +421,16 @@ def decode_features(blobs: DataFrame, feature_dim: int = 8) -> DataFrame:
                 payload[:8] == _PNG_SIG
                 or payload[:2] == b"BM"
                 or payload[:6] in (b"GIF87a", b"GIF89a")
+                or payload[:3] == b"\xff\xd8\xff"
             ):
                 if payload[:8] == _PNG_SIG:
                     w, h, c, pix = png_decode(payload)
                 elif payload[:2] == b"BM":
                     w, h, c, pix = bmp_decode(payload)
+                elif payload[:3] == b"\xff\xd8\xff":
+                    from aeuc_vector_db_spark.sources.jpeg import jpeg_decode
+
+                    w, h, c, pix = jpeg_decode(payload)
                 else:
                     w, h, c, pix = gif_decode(payload)
                 arr = np.frombuffer(pix, dtype=np.uint8).reshape(-1, c)
@@ -455,7 +468,10 @@ def decode_features(blobs: DataFrame, feature_dim: int = 8) -> DataFrame:
             digest = hashlib.sha256(payload).digest()
             feats = [float(digest[i % 32]) / 255.0 for i in range(feature_dim)]
             return (blob_id, modality, "stub", w, h, c, None, None, feats)
-        except (ValueError, zlib.error, struct.error, MemoryError):
+        except (ValueError, zlib.error, struct.error, MemoryError, IndexError,
+                KeyError):
+            # IndexError/KeyError: malformed container walks off a table or
+            # segment — same quarantine semantics as a parse error
             return (blob_id, modality, "error", None, None, None, None, None, None)
 
     cols = [f.name for f in MULTIMODAL_FEATURES_SCHEMA.fields]
@@ -556,6 +572,10 @@ def resize_images(blobs: DataFrame, out_w: int, out_h: int) -> DataFrame:
                         w, h, c, pix = bmp_decode(payload)
                     elif payload[:6] in (b"GIF87a", b"GIF89a"):
                         w, h, c, pix = gif_decode(payload)
+                    elif payload[:3] == b"\xff\xd8\xff":
+                        from aeuc_vector_db_spark.sources.jpeg import jpeg_decode
+
+                        w, h, c, pix = jpeg_decode(payload)
                     else:
                         raise ValueError("unsupported image container")
                     small = resize_nearest(pix, w, h, c, out_w, out_h)
@@ -564,7 +584,8 @@ def resize_images(blobs: DataFrame, out_w: int, out_h: int) -> DataFrame:
                     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
                     png = png_encode(small, out_w, out_h, color_type)
                     rows.append((blob_id, "real", out_w, out_h, png))
-                except (ValueError, zlib.error, struct.error, MemoryError, KeyError):
+                except (ValueError, zlib.error, struct.error, MemoryError,
+                        KeyError, IndexError):
                     rows.append((blob_id, "error", None, None, None))
             yield pd.DataFrame(
                 rows, columns=["blob_id", "decode_status", "width", "height", "content"]

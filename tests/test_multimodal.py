@@ -137,8 +137,10 @@ def test_png_decompression_bomb_bounded():
 
 
 def test_decode_features_unsupported_vs_corrupt(spark, tmp_path):
-    # healthy JPEG named .jpg → stub (needs Pillow), NOT an error row
-    (tmp_path / "ok.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    # healthy TIFF header named .png → stub (needs a TIFF lib), NOT error
+    (tmp_path / "ok_tiff.png").write_bytes(b"II*\x00" + b"\x00" * 32)
+    # truncated JPEG (real codec now) → error, job survives
+    (tmp_path / "trunc.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
     # unrecognizable bytes under an image extension → error
     (tmp_path / "junk.png").write_bytes(b"\x00\x01\x02\x03" * 8)
     # corrupt WAV fmt (rate=0) → error row, job survives
@@ -147,7 +149,8 @@ def test_decode_features_unsupported_vs_corrupt(spark, tmp_path):
     (tmp_path / "bad.wav").write_bytes(bytes(wav))
     blobs = MM.read_binary_dir(spark, str(tmp_path))
     rows = {r["blob_id"]: r for r in MM.decode_features(blobs, feature_dim=4).collect()}
-    assert rows["ok.jpg"]["decode_status"] == "stub"
+    assert rows["ok_tiff.png"]["decode_status"] == "stub"
+    assert rows["trunc.jpg"]["decode_status"] == "error"
     assert rows["junk.png"]["decode_status"] == "error"
     assert rows["bad.wav"]["decode_status"] == "error"
 
@@ -395,3 +398,75 @@ def test_decode_features_and_resize_gif_real(spark, tmp_path):
     assert resized["decode_status"] == "real"
     w, h, c, rgb = MM.png_decode(bytes(resized["content"]))
     assert (w, h, c) == (2, 2, 3)
+
+
+def test_jpeg_roundtrip_bounded_error():
+    """Lossy codec: round-trip error must stay within the quantization
+    budget — near-exact for flat color, single digits for gradients."""
+    import numpy as np
+
+    from aeuc_vector_db_spark.sources.jpeg import jpeg_decode, jpeg_encode
+
+    flat = np.full((8, 8, 3), [120, 64, 200], dtype=np.uint8)
+    w, h, c, out = jpeg_decode(jpeg_encode(flat.tobytes(), 8, 8, 3))
+    assert (w, h, c) == (8, 8, 3)
+    assert np.abs(
+        np.frombuffer(out, np.uint8).reshape(8, 8, 3).astype(int) - flat.astype(int)
+    ).max() <= 2
+
+    xx, yy = np.meshgrid(np.arange(16), np.arange(16))
+    grad = np.stack(
+        [(xx * 17).astype(np.uint8), (yy * 17).astype(np.uint8),
+         ((xx + yy) * 8).astype(np.uint8)], axis=-1)
+    w, h, c, out = jpeg_decode(jpeg_encode(grad.tobytes(), 16, 16, 3))
+    err = np.abs(
+        np.frombuffer(out, np.uint8).reshape(16, 16, 3).astype(int) - grad.astype(int)
+    )
+    assert err.max() <= 12  # Q50 quantization budget on a smooth ramp
+
+    gray = (xx * 16 + yy).astype(np.uint8)
+    w, h, c, out = jpeg_decode(jpeg_encode(gray.tobytes(), 16, 16, 1))
+    assert (w, h, c) == (16, 16, 1)
+    assert np.abs(
+        np.frombuffer(out, np.uint8).reshape(16, 16).astype(int) - gray.astype(int)
+    ).max() <= 6
+
+
+def test_jpeg_odd_dimensions_edge_padding():
+    import numpy as np
+
+    from aeuc_vector_db_spark.sources.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (13, 11, 3)).astype(np.uint8)
+    w, h, c, out = jpeg_decode(jpeg_encode(img.tobytes(), 11, 13, 3))
+    assert (w, h, c) == (11, 13, 3) and len(out) == 11 * 13 * 3
+
+
+def test_jpeg_rejects_unsupported():
+    from aeuc_vector_db_spark.sources.jpeg import jpeg_decode
+
+    with pytest.raises(ValueError):
+        jpeg_decode(b"not a jpeg")
+    # progressive marker (SOF2) must be rejected, not misparsed
+    prog = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 8) + b"\x08\x00\x08\x00\x08\x01"
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg_decode(prog)
+
+
+def test_decode_features_and_resize_jpeg_real(spark, tmp_path):
+    import numpy as np
+
+    from aeuc_vector_db_spark.sources.jpeg import jpeg_encode
+
+    img = np.full((8, 8, 3), [200, 30, 90], dtype=np.uint8)
+    (tmp_path / "p.jpg").write_bytes(jpeg_encode(img.tobytes(), 8, 8, 3))
+    blobs = MM.read_binary_dir(spark, str(tmp_path))
+    feat = MM.decode_features(blobs).collect()[0]
+    assert feat["decode_status"] == "real"
+    assert (feat["width"], feat["height"], feat["channels"]) == (8, 8, 3)
+    assert abs(feat["features"][0] - 200 / 255.0) < 0.02  # mean R ≈ flat value
+    resized = MM.resize_images(blobs, 4, 4).collect()[0]
+    assert resized["decode_status"] == "real"
+    w, h, c, rgb = MM.png_decode(bytes(resized["content"]))
+    assert (w, h, c) == (4, 4, 3)
