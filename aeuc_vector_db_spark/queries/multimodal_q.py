@@ -64,13 +64,18 @@ def _blob_bytes(doc_id: int, text: str) -> tuple[str, bytes]:
             ]
             cur = hashlib.sha256(cur).digest()
         return f"blob_{doc_id}.wav", MM.wav_encode(samples[:64], sample_rate=8000)
-    # fake mp4 → exercises the declared-stub path
-    return f"blob_{doc_id}.mp4", h * 4
+    # real minimal ISO-BMFF skeleton → exercises the metadata-probe path
+    # (decode_status='meta': real dims/duration, stubbed sample decode)
+    return f"blob_{doc_id}.mp4", MM.mp4_minimal(
+        width=160 + (doc_id % 8) * 16,
+        height=120 + (doc_id % 8) * 8,
+        duration_ms=1000 + (doc_id % 10) * 500,
+    )
 
 
 def _blob_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the binary corpus once per sf (marker-cached)."""
-    tag = os.path.basename(sf_dir.rstrip("/")) + "-v2"  # v2: +BMP kind
+    tag = os.path.basename(sf_dir.rstrip("/")) + "-v3"  # v3: real mp4 skeletons
     d = os.path.join(_CACHE_ROOT, tag)
     marker = f"{d}/.complete"
     if not os.path.exists(marker):

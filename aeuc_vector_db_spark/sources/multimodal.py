@@ -457,8 +457,17 @@ def decode_features(blobs: DataFrame, feature_dim: int = 8) -> DataFrame:
                 ]
                 feats = (feats + [0.0] * feature_dim)[:feature_dim]
                 return (blob_id, modality, "real", None, None, c, rate, dur_ms, feats)
+            if modality == "video" and len(payload) >= 12 and payload[4:8] == b"ftyp":
+                # 'meta': container structure parsed for REAL (ISO-BMFF box
+                # walk → dims + duration); sample data needs ffmpeg, so
+                # features stay payload-hash fakes — between 'real' and
+                # 'stub', and monitoring can tell the three apart.
+                w, h, dur_ms = mp4_probe(payload)
+                digest = hashlib.sha256(payload).digest()
+                feats = [float(digest[i % 32]) / 255.0 for i in range(feature_dim)]
+                return (blob_id, modality, "meta", w, h, None, None, dur_ms, feats)
             # 'stub' = healthy container of a format needing external libs
-            # (JPEG/MP3/video/...); 'error' = bytes no codec recognizes or
+            # (MP3/video/...); 'error' = bytes no codec recognizes or
             # a recognized container whose contents fail to parse.
             # Conflating healthy-but-unsupported with corrupt would let
             # error-rate monitoring drown in false positives.
@@ -833,3 +842,100 @@ def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> bytes:
                     code_size += 1
             prev = entry
     raise ValueError("truncated LZW stream (no END code)")
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO-BMFF) metadata probe — container structure is public spec;
+# frame DECODE still needs ffmpeg and stays stubbed, but duration and
+# track dimensions come from real box parsing.
+# ---------------------------------------------------------------------------
+
+def mp4_minimal(width: int, height: int, duration_ms: int, timescale: int = 1000) -> bytes:
+    """Minimal valid ISO-BMFF skeleton (ftyp + moov[mvhd + trak[tkhd]] +
+    mdat) for tests/corpus builders — enough structure for any
+    conforming box walker to report duration and dimensions."""
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + tag + payload
+
+    dur = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", timescale, dur)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)      # volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)  # track id
+        + b"\x00" * 4
+        + struct.pack(">I", dur)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer/group/volume/reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    return ftyp + moov + box(b"mdat", b"\x00" * 8)
+
+
+def mp4_probe(payload: bytes) -> tuple[int | None, int | None, float]:
+    """Walk ISO-BMFF boxes: (width, height, duration_ms) from the first
+    video-sized tkhd and the mvhd. Raises ValueError on non-BMFF bytes
+    or truncated boxes. Handles 64-bit largesize and version-1 headers.
+    Pure metadata — no sample/codec data is touched."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF container (no ftyp)")
+
+    def walk(data: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > end:
+                    raise ValueError("truncated largesize box")
+                (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError(f"bad box size for {tag!r}")
+            yield tag, pos + hdr, pos + size
+            pos += size
+
+    duration_ms = 0.0
+    width = height = None
+    for tag, s, e in walk(payload, 0, len(payload)):
+        if tag != b"moov":
+            continue
+        for t2, s2, e2 in walk(payload, s, e):
+            if t2 == b"mvhd":
+                ver = payload[s2]
+                if ver == 1:
+                    ts, dur = struct.unpack(">IQ", payload[s2 + 20 : s2 + 32])
+                else:
+                    ts, dur = struct.unpack(">II", payload[s2 + 12 : s2 + 20])
+                if ts:
+                    duration_ms = dur * 1000.0 / ts
+            elif t2 == b"trak":
+                for t3, s3, e3 in walk(payload, s2, e2):
+                    if t3 != b"tkhd" or width is not None:
+                        continue
+                    ver = payload[s3]
+                    off = s3 + (32 if ver == 0 else 44)  # … through reserved
+                    off += 2 + 2 + 2 + 2 + 36            # layer…matrix
+                    w_fp, h_fp = struct.unpack(">II", payload[off : off + 8])
+                    if w_fp and h_fp:
+                        width, height = w_fp >> 16, h_fp >> 16
+    return width, height, duration_ms

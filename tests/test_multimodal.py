@@ -470,3 +470,24 @@ def test_decode_features_and_resize_jpeg_real(spark, tmp_path):
     assert resized["decode_status"] == "real"
     w, h, c, rgb = MM.png_decode(bytes(resized["content"]))
     assert (w, h, c) == (4, 4, 3)
+
+
+def test_mp4_probe_roundtrip_and_versions():
+    p = MM.mp4_minimal(640, 360, 4750)
+    assert MM.mp4_probe(p) == (640, 360, 4750.0)
+    with pytest.raises(ValueError):
+        MM.mp4_probe(b"\x00\x00\x00\x08mdat")  # no ftyp
+    with pytest.raises(ValueError):
+        MM.mp4_probe(MM.mp4_minimal(64, 64, 100)[:40] + b"\xff\xff\xff\xff" * 4)
+
+
+def test_decode_features_mp4_meta_status(spark, tmp_path):
+    (tmp_path / "v.mp4").write_bytes(MM.mp4_minimal(320, 240, 2000))
+    (tmp_path / "junk.mp4").write_bytes(b"\x00" * 40)  # no ftyp → stub
+    blobs = MM.read_binary_dir(spark, str(tmp_path))
+    rows = {r["blob_id"]: r for r in MM.decode_features(blobs).collect()}
+    v = rows["v.mp4"]
+    assert v["decode_status"] == "meta"
+    assert (v["width"], v["height"]) == (320, 240)
+    assert abs(v["duration_ms"] - 2000.0) < 1e-9
+    assert rows["junk.mp4"]["decode_status"] == "stub"
