@@ -48,7 +48,11 @@ def heavy_hitter_candidates(
     ceil(min_count / num_partitions). Output: term (distinct), no shuffle
     on the token stream. Superset of all terms with global count ≥
     min_count, for any partitioning."""
-    n_parts = max(1, docs.rdd.getNumPartitions())
+    projected = docs.select(text_col)
+    # Partition count of the EXACT plan the kernel runs over: the
+    # pigeonhole bound needs P_assumed ≥ P_actual (a too-small P only
+    # widens the candidate superset; a too-large one could miss).
+    n_parts = max(1, projected.rdd.getNumPartitions())
     local_threshold = math.ceil(min_count / n_parts)
 
     def gen(batches: Iterator) -> Iterator:
@@ -62,7 +66,7 @@ def heavy_hitter_candidates(
         hits = [t for t, c in counts.items() if c >= local_threshold]
         yield pd.DataFrame({"term": hits})
 
-    return docs.select(text_col).mapInPandas(gen, "term string").distinct()
+    return projected.mapInPandas(gen, "term string").distinct()
 
 
 def heavy_hitter_terms(

@@ -30,10 +30,12 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Fixture columns written as parquet TIMESTAMP(NANOS). With
-# spark.sql.legacy.parquet.nanosAsLong=true they arrive as epoch-nanos
-# longs; all fixture values are µs-granular (verified), so integer
-# nanos→micros division is lossless (double division is NOT — see below).
+# Timestamp fixture columns. Their parquet physical type has varied
+# across driver testdata regenerations — TIMESTAMP(NANOS) in early
+# rounds, TIMESTAMP(MICROS, adjustedToUTC=false) later — so load_table
+# normalizes BOTH representations to TimestampType: nanos arrive as
+# longs under nanosAsLong (integer division below), micros arrive as
+# TIMESTAMP_NTZ under Spark 4's inference (cast below).
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
