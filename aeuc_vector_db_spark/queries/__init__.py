@@ -88,6 +88,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # round-4 additions: new queries must land inside the 50-entry window
     # in their first round so they get a driver row immediately
     "manifest_merge_read",
+    "manifest_incremental_read",
     "doc_heavy_hitters",
     "doc_epoch_shuffle",
     "doc_source_token_budget",

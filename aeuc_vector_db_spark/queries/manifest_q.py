@@ -58,6 +58,34 @@ FROM final GROUP BY source
 """
 
 
+def _manifest_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v0 = docs with doc_id < 200, then two appends (200-349, 350+);
+    read_appended(since_version=0) must return EXACTLY the appended rows
+    — verified against the oracle computing the same subset directly.
+    If the file-delta ever disagreed with the row-delta, the per-lang
+    aggregate hash diverges."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = ManifestTable(tempfile.mkdtemp(prefix="aeuc_manifest_inc_"))
+    t.commit_append(docs.filter(F.col("doc_id") < 200))
+    t.commit_append(docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 350)))
+    t.commit_append(docs.filter(F.col("doc_id") >= 350))
+    delta = t.read_appended(spark, since_version=0)
+    return delta.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_INCREMENTAL_ORACLE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id >= 200 GROUP BY lang
+"""
+
+
 QUERIES = {
     "manifest_merge_read": (_manifest_merge_read, _MANIFEST_ORACLE),
+    "manifest_incremental_read": (_manifest_incremental_read, _INCREMENTAL_ORACLE),
 }

@@ -346,3 +346,32 @@ def test_sorted_compaction_clusters_rows_for_stat_skipping(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, "file ranges overlap — stats skipping defeated"
     assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(100))
+
+
+def test_true_concurrent_writers_serialize(spark, root):
+    """Two threads racing real appends through one table root: every
+    commit must land (distinct versions) and the final snapshot must
+    contain every row — the os.link publish is the only serializer."""
+    import threading
+
+    t = ManifestTable(root)
+    errors = []
+
+    def writer(base: int) -> None:
+        try:
+            handle = ManifestTable(root)  # separate handle, shared root
+            for i in range(4):
+                handle.commit_append(_df(spark, (base + i * 10, base + i * 10 + 10)))
+        except Exception as exc:  # noqa: BLE001 — collected for assertion
+            errors.append(exc)
+
+    th1 = threading.Thread(target=writer, args=(0,))
+    th2 = threading.Thread(target=writer, args=(1000,))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert not errors
+    assert t.versions() == list(range(8))  # 8 commits, no gaps, no clobbers
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    expect = sorted(
+        list(range(0, 40)) + list(range(1000, 1040))
+    )
+    assert got == expect and t.manifest()["n_rows"] == 80

@@ -236,3 +236,62 @@ def test_wav_encode_decode_roundtrip(samples, rate):
     decoded = list(_struct.unpack(f"<{len(samples)}h", pcm))
     assert decoded == samples
     assert abs(dur_ms - len(samples) * 1000.0 / rate) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Lossless codec round-trip properties (PNG / BMP / GIF / WAV)
+# ---------------------------------------------------------------------------
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    data=st.data(),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_bmp_roundtrip_property(w, h, data):
+    from aeuc_vector_db_spark.sources import multimodal as MM
+
+    rgb = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h * 3,
+                           max_size=w * h * 3))
+    )
+    assert MM.png_decode(MM.png_encode(rgb, w, h, color_type=2))[3] == rgb
+    assert MM.bmp_decode(MM.bmp_encode(rgb, w, h))[3] == rgb
+
+
+@given(
+    w=st.integers(min_value=1, max_value=8),
+    h=st.integers(min_value=1, max_value=8),
+    n_colors=st.integers(min_value=1, max_value=16),
+    data=st.data(),
+)
+@settings(max_examples=30, deadline=None)
+def test_gif_roundtrip_property(w, h, n_colors, data):
+    from aeuc_vector_db_spark.sources import multimodal as MM
+
+    palette = [
+        tuple(data.draw(st.lists(st.integers(0, 255), min_size=3, max_size=3)))
+        for _ in range(n_colors)
+    ]
+    idx = bytes(
+        data.draw(st.lists(st.integers(0, n_colors - 1), min_size=w * h,
+                           max_size=w * h))
+    )
+    got = MM.gif_decode(MM.gif_encode(idx, w, h, palette))
+    assert got[:3] == (w, h, 3)
+    assert got[3] == b"".join(bytes(palette[i]) for i in idx)
+
+
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=64),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_property(samples, rate):
+    import struct as _struct
+
+    from aeuc_vector_db_spark.sources import multimodal as MM
+
+    ch, r, bits, _dur, pcm = MM.wav_decode(MM.wav_encode(samples, sample_rate=rate))
+    assert (ch, r, bits) == (1, rate, 16)
+    assert list(_struct.unpack(f"<{len(samples)}h", pcm)) == samples
