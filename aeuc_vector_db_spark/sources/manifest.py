@@ -106,10 +106,25 @@ class ManifestTable:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
 
+    #: side file holding epoch markers of VACUUMED manifests — without it,
+    #: vacuum would erase the idempotence record and a late replay of an
+    #: old epoch would silently duplicate (the exactly-once guarantee must
+    #: outlive log truncation)
+    _EPOCHS_FILE = "epochs.json"
+
+    def _retired_epochs(self) -> set[str]:
+        p = os.path.join(self.root, _LOG_DIR, self._EPOCHS_FILE)
+        if not os.path.exists(p):
+            return set()
+        with open(p) as fh:
+            return set(json.load(fh))
+
     def committed_epochs(self) -> set[str]:
-        """Every epoch marker in the log (all versions, not just latest —
-        an epoch interleaved with other commits must still be detected)."""
-        out: set[str] = set()
+        """Every epoch marker ever committed: live manifests + the retired
+        set preserved by vacuum. Scanning is O(log length); high-rate
+        streaming sinks keep it cheap by vacuuming (which folds old
+        markers into the side file)."""
+        out = self._retired_epochs()
         for v in self.versions():
             e = self.manifest(v).get("epoch_id")
             if e is not None:
@@ -385,6 +400,12 @@ class ManifestTable:
         protects an in-flight writer's just-written dir from deletion
         (production default would be hours; tests use 0 but an in-flight
         dir younger than the cutoff survives either way only via age).
+
+        Epoch markers of dropped manifests fold into the `epochs.json`
+        side file FIRST (fsync'd atomic replace), so idempotent-epoch
+        detection survives log truncation — exactly-once must outlive
+        vacuum. Run one vacuum at a time (maintenance job); data commits
+        may race it freely.
         """
         vs = self.versions()
         keep_vs = vs[-retain_last:] if retain_last > 0 else []
@@ -392,11 +413,25 @@ class ManifestTable:
         for v in keep_vs:
             for f in self.manifest(v)["files"]:
                 live_dirs.add(f.split(os.sep)[1])  # data/<token>/part → token
+        drop_vs = [v for v in vs if v not in keep_vs]
+        retired = {
+            str(e)
+            for v in drop_vs
+            if (e := self.manifest(v).get("epoch_id")) is not None
+        }
+        if retired:
+            merged = sorted(self._retired_epochs() | retired)
+            p = os.path.join(self.root, _LOG_DIR, self._EPOCHS_FILE)
+            tmp = p + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                json.dump(merged, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, p)  # atomic: readers see old or new, never torn
         removed_manifests = []
-        for v in vs:
-            if v not in keep_vs:
-                os.unlink(self._manifest_path(v))
-                removed_manifests.append(v)
+        for v in drop_vs:
+            os.unlink(self._manifest_path(v))
+            removed_manifests.append(v)
         removed_dirs = []
         data_root = os.path.join(self.root, _DATA_DIR)
         now = time.time()

@@ -375,3 +375,19 @@ def test_true_concurrent_writers_serialize(spark, root):
         list(range(0, 40)) + list(range(1000, 1040))
     )
     assert got == expect and t.manifest()["n_rows"] == 80
+
+
+def test_epoch_idempotence_survives_vacuum(spark, root):
+    """Exactly-once must outlive log truncation: vacuum folds old epoch
+    markers into the side file, so a late replay of a vacuumed epoch is
+    still absorbed."""
+    t = ManifestTable(root)
+    t.commit_append(_df(spark, (0, 3)), epoch_id=1)
+    t.commit_append(_df(spark, (3, 6)), epoch_id=2)
+    t.commit_append(_df(spark, (6, 9)), epoch_id=3)
+    t.vacuum(retain_last=1)  # drops the manifests carrying epochs 1 and 2
+    assert t.committed_epochs() == {"1", "2", "3"}
+    assert t.commit_append(_df(spark, (0, 3)), epoch_id=1) is None  # replay
+    assert t.read(spark).count() == 9
+    # fresh handle (new process) sees the same record
+    assert ManifestTable(root).committed_epochs() == {"1", "2", "3"}
