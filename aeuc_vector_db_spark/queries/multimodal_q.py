@@ -30,10 +30,23 @@ _CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__fil
 
 
 def _blob_bytes(doc_id: int, text: str) -> tuple[str, bytes]:
-    """Deterministic blob for one documents row: real PNG / real WAV /
-    real BMP / fake mp4, cycling by doc_id. Returns (filename, payload)."""
+    """Deterministic blob for one documents row, cycling real PNG / real
+    WAV / real MP4 skeleton / real BMP / real JPEG. Returns (filename,
+    payload). Corpus doc_ids are multiples of 25, so the cycle uses
+    (doc_id // 25) — doc_id % 5 would be constant."""
     h = hashlib.sha256(text.encode()).digest()
-    kind = doc_id % 4
+    kind = (doc_id // 25) % 5
+    if kind == 4:
+        # real baseline JPEG, 8x8 RGB from the hash stream
+        from aeuc_vector_db_spark.sources.jpeg import jpeg_encode
+
+        need = 8 * 8 * 3
+        buf = bytearray()
+        cur = h
+        while len(buf) < need:
+            buf += cur
+            cur = hashlib.sha256(cur).digest()
+        return f"blob_{doc_id}.jpg", jpeg_encode(bytes(buf[:need]), 8, 8, 3)
     if kind == 3:
         # real 24-bit BMP, 4x4, pixels from the hash stream
         need = 4 * 4 * 3
@@ -75,7 +88,7 @@ def _blob_bytes(doc_id: int, text: str) -> tuple[str, bytes]:
 
 def _blob_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the binary corpus once per sf (marker-cached)."""
-    tag = os.path.basename(sf_dir.rstrip("/")) + "-v3"  # v3: real mp4 skeletons
+    tag = os.path.basename(sf_dir.rstrip("/")) + "-v4"  # v4: +JPEG kind
     d = os.path.join(_CACHE_ROOT, tag)
     marker = f"{d}/.complete"
     if not os.path.exists(marker):
