@@ -174,7 +174,9 @@ def _category(v: int) -> int:
 def _encode_block(w: _BitWriter, block: np.ndarray, quant: np.ndarray,
                   dc_codes, ac_codes, pred: int) -> int:
     coeffs = _fdct(block.astype(np.float64) - 128.0)
-    q = np.round(coeffs.flatten() / quant).astype(int)[ZIGZAG_INV_ORDER]
+    # natural-order quantize, then gather into zigzag stream order:
+    # q[k] = quantized natural coefficient at index ZIGZAG[k]
+    q = np.round(coeffs.flatten() / quant).astype(int)[ZIGZAG]
     dc = int(q[0])
     diff = dc - pred
     t = _category(diff)
@@ -201,11 +203,6 @@ def _encode_block(w: _BitWriter, block: np.ndarray, quant: np.ndarray,
     if last_nz != 63:
         w.write(*ac_codes[0x00])  # EOB
     return dc
-
-
-#: zigzag[i] = natural index of the i-th zigzag coefficient; the encoder
-#: needs the inverse mapping (natural → position in the zigzag stream)
-ZIGZAG_INV_ORDER = ZIGZAG  # q[k] = natural_flat[ZIGZAG[k]] — same gather
 
 
 def _dht_segment(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
@@ -270,17 +267,11 @@ def jpeg_encode(pixels: bytes, width: int, height: int, channels: int = 3) -> by
                 xs = np.clip(np.arange(bx * 8, bx * 8 + 8), 0, width - 1)
                 block[:] = plane[np.ix_(ys, xs)]  # edge-replicate padding
                 dc, ac = (dc_lum, ac_lum) if ci == 0 else (dc_chrom, ac_chrom)
-                preds[ci] = _encode_block(w, block, quants[ci].reshape(64)[ZIGZAG_FLAT_NAT],
-                                          dc, ac, preds[ci])
+                preds[ci] = _encode_block(w, block, quants[ci], dc, ac, preds[ci])
     w.flush()
     out += w.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
-
-
-#: natural-order flat quant divisor for _encode_block's zigzag gather:
-#: q[k] (zigzag stream) divides by quant at natural index ZIGZAG[k]
-ZIGZAG_FLAT_NAT = np.arange(64)
 
 
 # ---------------------------------------------------------------------------
