@@ -70,6 +70,14 @@ class CommitConflictError(RuntimeError):
     times — the caller's read-modify-write is persistently stale."""
 
 
+def _schema_sig(df: DataFrame) -> list[str]:
+    """Order-sensitive schema signature stored in each manifest: appends
+    must match the parent exactly, because spark.read.parquet over
+    mixed-schema files resolves columns from an arbitrary file — a
+    silently wrong result, not an error."""
+    return [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields]
+
+
 class ManifestTable:
     """Handle on a manifest-committed table rooted at a directory.
 
@@ -80,6 +88,7 @@ class ManifestTable:
 
     def __init__(self, root: str) -> None:
         self.root = root
+        self._pending_schema: list[str] | None = None
         os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
 
@@ -198,6 +207,7 @@ class ManifestTable:
         token = uuid.uuid4().hex[:16]
         rel_dir = os.path.join(_DATA_DIR, token)
         out_dir = os.path.join(self.root, rel_dir)
+        self._pending_schema = _schema_sig(df)
         if sort_by:
             df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
         obs = Observation()
@@ -252,6 +262,7 @@ class ManifestTable:
         re-runs its read-modify-write instead of clobbering it.
         """
         extra = self._pop_pending_extra()
+        schema, self._pending_schema = self._pending_schema, None
         for _ in range(50):
             parent = self.latest_version()
             if (
@@ -267,6 +278,16 @@ class ManifestTable:
             per_file = dict(extra)
             if keep_parent_files and parent is not None:
                 pm = self.manifest(parent)
+                # schema drift on APPEND is silent corruption downstream:
+                # a mixed-schema snapshot resolves columns from whichever
+                # file the reader samples. Overwrite/merge/compact replace
+                # the snapshot wholesale, so they may evolve the schema.
+                if schema is not None and pm.get("schema") not in (None, schema):
+                    raise ValueError(
+                        f"append schema mismatch at {self.root!r}: table has "
+                        f"{pm['schema']}, batch has {schema}; use "
+                        "commit_overwrite/merge_upsert to evolve the schema"
+                    )
                 files = pm["files"] + new_files
                 n_rows = pm["n_rows"] + n_new
                 # per-file maps accumulate across appends (bucketed layout)
@@ -283,6 +304,7 @@ class ManifestTable:
                 "files": files,
                 "n_rows": n_rows,
                 "epoch_id": epoch_id,
+                "schema": schema,
                 "committed_at_s": round(time.time(), 3),
                 **per_file,
             }
@@ -523,6 +545,7 @@ class BucketedManifestTable(ManifestTable):
         token = uuid.uuid4().hex[:16]
         rel_dir = os.path.join(_DATA_DIR, token)
         out_dir = os.path.join(self.root, rel_dir)
+        self._pending_schema = _schema_sig(df)
         obs = Observation()
         bucketed = df.withColumn("__bucket__", self._bucket_col()).repartition(
             self.n_buckets, F.col("__bucket__")

@@ -391,3 +391,24 @@ def test_epoch_idempotence_survives_vacuum(spark, root):
     assert t.read(spark).count() == 9
     # fresh handle (new process) sees the same record
     assert ManifestTable(root).committed_epochs() == {"1", "2", "3"}
+
+
+def test_append_schema_drift_rejected(spark, root):
+    """A mixed-schema snapshot resolves columns from an arbitrary file —
+    appends must match the table schema exactly; wholesale-replace
+    actions may evolve it."""
+    t = ManifestTable(root)
+    t.commit_append(_df(spark, (0, 3)))
+    drifted = spark.range(3, 6).select(
+        F.col("id").alias("k"), F.lit(1.5).alias("score")  # tag → score
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.commit_append(drifted)
+    assert t.manifest()["n_rows"] == 3  # nothing committed
+    # overwrite MAY evolve the schema; subsequent matching append works
+    t.commit_overwrite(drifted)
+    t.commit_append(
+        spark.range(6, 8).select(F.col("id").alias("k"), F.lit(2.5).alias("score"))
+    )
+    assert t.read(spark).columns == ["k", "score"]
+    assert t.manifest()["schema"] == ["k:bigint", "score:double"]
