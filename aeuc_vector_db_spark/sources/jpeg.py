@@ -343,6 +343,13 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them, or the fill byte is read as the marker
+        # and the next two bytes misparse as a segment length
+        while pos + 2 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(payload):
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:
             break
@@ -383,6 +390,16 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            # honest-subset policy: this decoder reads ONE interleaved
+            # scan. A legal baseline file may instead carry several
+            # non-interleaved scans (one per component); decoding only
+            # the first would yield zero-filled chroma planes silently
+            # reported as real pixels. Reject loudly instead.
+            if comps and ns != len(comps):
+                raise ValueError(
+                    f"multi-scan baseline JPEG unsupported: first scan covers "
+                    f"{ns} of {len(comps)} components"
+                )
             scan_map = []
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]

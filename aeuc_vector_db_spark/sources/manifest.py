@@ -174,10 +174,12 @@ class ManifestTable:
             raise FileNotFoundError(
                 f"version {since_version} not committed at {self.root!r}"
             )
+        # load each intervening manifest exactly once — calling manifest(v)
+        # inside both a filter and a projection makes long logs O(versions²)
+        # in JSON loads
+        intervening = [self.manifest(v) for v in self.versions() if v > since_version]
         non_append = [
-            (v, self.manifest(v)["action"])
-            for v in self.versions()
-            if v > since_version and self.manifest(v)["action"] != "append"
+            (m["version"], m["action"]) for m in intervening if m["action"] != "append"
         ]
         if non_append:
             raise ValueError(
@@ -415,13 +417,16 @@ class ManifestTable:
             "compact", files, n, keep_parent_files=False, expected_parent=parent
         )
 
-    def vacuum(self, retain_last: int = 1, min_age_s: float = 0.0) -> dict:
+    def vacuum(self, retain_last: int = 1, min_age_s: float = 3600.0) -> dict:
         """Reclaim space: drop manifests older than the last `retain_last`
         and delete data dirs no retained manifest references (covers
         crash orphans — dirs written but never published). `min_age_s`
-        protects an in-flight writer's just-written dir from deletion
-        (production default would be hours; tests use 0 but an in-flight
-        dir younger than the cutoff survives either way only via age).
+        protects an in-flight writer's just-written-but-not-yet-published
+        dir from deletion: such a dir is unreferenced at vacuum time, and
+        deleting it would let the writer publish a manifest pointing at
+        missing files (silent loss of the latest snapshot). The default is
+        deliberately conservative (1 h — longer than any sane write+publish
+        window); tests pass 0 explicitly to reclaim immediately.
 
         Epoch markers of dropped manifests fold into the `epochs.json`
         side file FIRST (fsync'd atomic replace), so idempotent-epoch

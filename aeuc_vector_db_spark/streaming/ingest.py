@@ -396,11 +396,22 @@ def manifest_sink(table, dim: int, quarantine_path: str | None = None):
     """
 
     def body(batch: DataFrame, epoch_id: int) -> None:
+        import os
+
         accepted, quarantined = split_valid(batch, dim)
         table.commit_append(
             accepted.dropDuplicates(["entry_id"]), epoch_id=epoch_id
         )
+        # Quarantine must be exactly-once too: a flat mode("append") write
+        # duplicates the rejected rows on every epoch redelivery. Writing
+        # under an epoch-scoped partition dir with overwrite makes the
+        # write idempotent regardless of where in the epoch a crash
+        # landed (before/after the log commit) — a replay rewrites the
+        # same rows into the same directory. Readers load the root
+        # (partition discovery exposes epoch_id as a column).
         if quarantine_path is not None and quarantined.limit(1).count() > 0:
-            quarantined.write.mode("append").parquet(quarantine_path)
+            quarantined.write.mode("overwrite").parquet(
+                os.path.join(quarantine_path, f"epoch_id={epoch_id}")
+            )
 
     return body

@@ -57,8 +57,12 @@ def test_unpublished_data_dir_is_invisible(spark, root):
     orphan_files, n = t._write_data_dir(_df(spark, (1000, 2000)))
     assert n == 1000
     assert sorted(r["k"] for r in t.read(spark).collect()) == [0, 1, 2, 3, 4]
-    # and vacuum reclaims the orphan
-    removed = t.vacuum(retain_last=1)
+    # default min_age_s protects the (possibly in-flight) fresh dir: a
+    # writer between data-write and publish must not lose its files
+    kept = t.vacuum(retain_last=1)
+    assert kept["removed_data_dirs"] == []
+    # and an explicit min_age_s=0 reclaims the orphan
+    removed = t.vacuum(retain_last=1, min_age_s=0)
     assert len(removed["removed_data_dirs"]) == 1
     assert sorted(r["k"] for r in t.read(spark).collect()) == [0, 1, 2, 3, 4]
 
@@ -138,7 +142,7 @@ def test_vacuum_keeps_retained_versions_readable(spark, root):
     t.commit_overwrite(_df(spark, (0, 3)))
     t.commit_overwrite(_df(spark, (3, 6)))
     t.commit_overwrite(_df(spark, (6, 9)))
-    out = t.vacuum(retain_last=2)
+    out = t.vacuum(retain_last=2, min_age_s=0)
     assert out["removed_versions"] == [0]
     assert len(out["removed_data_dirs"]) == 1  # v0's files
     assert sorted(r["k"] for r in t.read(spark, version=1).collect()) == [3, 4, 5]
@@ -385,7 +389,7 @@ def test_epoch_idempotence_survives_vacuum(spark, root):
     t.commit_append(_df(spark, (0, 3)), epoch_id=1)
     t.commit_append(_df(spark, (3, 6)), epoch_id=2)
     t.commit_append(_df(spark, (6, 9)), epoch_id=3)
-    t.vacuum(retain_last=1)  # drops the manifests carrying epochs 1 and 2
+    t.vacuum(retain_last=1, min_age_s=0)  # drops manifests carrying epochs 1, 2
     assert t.committed_epochs() == {"1", "2", "3"}
     assert t.commit_append(_df(spark, (0, 3)), epoch_id=1) is None  # replay
     assert t.read(spark).count() == 9

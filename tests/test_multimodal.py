@@ -454,6 +454,43 @@ def test_jpeg_rejects_unsupported():
         jpeg_decode(prog)
 
 
+def test_jpeg_multi_scan_rejected_not_silently_wrong():
+    """A 3-component SOF whose first SOS covers only 1 component is a
+    legal non-interleaved baseline file; decoding just that scan would
+    yield zero chroma reported as 'real' pixels. Must raise instead."""
+    import numpy as np
+
+    from aeuc_vector_db_spark.sources.jpeg import jpeg_decode, jpeg_encode
+
+    img = np.full((8, 8, 3), [10, 200, 60], dtype=np.uint8)
+    good = jpeg_encode(img.tobytes(), 8, 8, 3)
+    sos_at = good.find(b"\xff\xda")
+    assert sos_at > 0
+    # rewrite the SOS header: 1 component (Y only) instead of 3
+    one_comp_sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    seglen = struct.unpack(">H", good[sos_at + 2 : sos_at + 4])[0]
+    tampered = good[:sos_at] + one_comp_sos + good[sos_at + 2 + seglen :]
+    with pytest.raises(ValueError, match="multi-scan"):
+        jpeg_decode(tampered)
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker;
+    they must not be misparsed as the marker byte itself."""
+    import numpy as np
+
+    from aeuc_vector_db_spark.sources.jpeg import jpeg_decode, jpeg_encode
+
+    img = np.full((8, 8, 3), [120, 50, 220], dtype=np.uint8)
+    good = jpeg_encode(img.tobytes(), 8, 8, 3)
+    sof_at = good.find(b"\xff\xc0")
+    assert sof_at > 0
+    padded = good[:sof_at] + b"\xff\xff\xff" + good[sof_at:]
+    w, h, c, out = jpeg_decode(padded)
+    assert (w, h, c) == (8, 8, 3)
+    assert out == jpeg_decode(good)[3]
+
+
 def test_decode_features_and_resize_jpeg_real(spark, tmp_path):
     import numpy as np
 

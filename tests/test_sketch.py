@@ -65,6 +65,38 @@ def test_false_candidates_die_in_recount(spark):
     assert heavy_hitter_terms(docs, 50).count() == 0
 
 
+def test_pigeonhole_violation_raises_not_miss(spark):
+    """If the job executes with more non-empty partitions than the
+    pigeonhole threshold assumed, the operator must fail loudly — a
+    silently incomplete candidate set would drop true heavy hitters.
+    The bound is checked against spark_partition_id() observed in the
+    SAME execution, so a plan-time/executed-plan mismatch (AQE replan,
+    caller-inserted repartition) cannot slip through."""
+    import pytest
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("spread thin everywhere").alias("text"),
+    ).repartition(8)
+    with pytest.raises(RuntimeError, match="non-empty"):
+        heavy_hitter_candidates(docs, 100, _assumed_partitions=2)
+
+
+def test_small_threshold_falls_back_to_plain_aggregate(spark):
+    """min_count ≤ assumed partitions ⇒ local threshold 1 ⇒ phase 1
+    would nominate every term; the operator must use the plain exact
+    aggregate instead (no semi-join in the plan)."""
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit("x y x").alias("text")
+    )
+    df = heavy_hitter_terms(docs, 3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan
+    assert {(r["term"], r["term_count"]) for r in df.collect()} == {
+        ("x", 100), ("y", 50)
+    }
+
+
 def test_empty_and_null_text(spark):
     docs = spark.createDataFrame(
         [(1, None), (2, ""), (3, "a a a")], "doc_id long, text string"
