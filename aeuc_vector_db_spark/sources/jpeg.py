@@ -131,11 +131,6 @@ def _canonical_codes(bits: list[int], vals: list[int]):
     return out
 
 
-def _decode_table(bits: list[int], vals: list[int]):
-    """(code, length) → symbol lookup for the decoder."""
-    return {cl: sym for sym, cl in _canonical_codes(bits, vals).items()}
-
-
 # ---------------------------------------------------------------------------
 # Encoder (4:4:4 / grayscale, Annex K tables)
 # ---------------------------------------------------------------------------
@@ -278,49 +273,36 @@ def jpeg_encode(pixels: bytes, width: int, height: int, channels: int = 3) -> by
 # Decoder (baseline SOF0, any sampling factors)
 # ---------------------------------------------------------------------------
 
-class _BitReader:
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.n = 0
-
-    def bit(self) -> int:
-        while self.n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated JPEG entropy stream")
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else None
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed byte
-                else:
-                    raise ValueError("unexpected marker in entropy stream")
-            self.acc = byte
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
-
-    def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
-
-    def align_to_marker(self) -> None:
-        self.n = 0
+def _decode_lut(bits: tuple[int, ...], vals: tuple[int, ...]):
+    """16-bit-prefix Huffman LUT: index by `peek16()`, read (symbol,
+    code length) as two flat lists. length 0 ⟺ invalid prefix. Cached —
+    most corpora reuse the Annex K tables for every file."""
+    sym = np.zeros(1 << 16, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.uint8)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            sym[lo : lo + (1 << (16 - length))] = vals[k]
+            ln[lo : lo + (1 << (16 - length))] = length
+            code += 1
+            k += 1
+        code <<= 1
+    return sym.tolist(), ln.tolist()
 
 
-def _read_huffman(reader: _BitReader, table: dict) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | reader.bit()
-        length += 1
-        sym = table.get((code, length))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
+_LUT_CACHE: dict[tuple, tuple] = {}
+
+
+def _decode_lut_cached(bits: list[int], vals: list[int]):
+    key = (tuple(bits), tuple(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is None:
+        if len(_LUT_CACHE) > 64:  # hostile inputs can't grow it unboundedly
+            _LUT_CACHE.clear()
+        hit = _LUT_CACHE[key] = _decode_lut(*key)
+    return hit
 
 
 def _extend(v: int, t: int) -> int:
@@ -372,7 +354,7 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                 bits = list(seg[p + 1 : p + 17])
                 nvals = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + nvals])
-                (huff_dc if tc == 0 else huff_ac)[th] = _decode_table(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = _decode_lut_cached(bits, vals)
                 p += 17 + nvals
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
             if seg[0] != 8:
@@ -420,57 +402,185 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = (width + mcu_w - 1) // mcu_w
     mcus_y = (height + mcu_h - 1) // mcu_h
-    planes = [
-        np.zeros((mcus_y * 8 * c[2], mcus_x * 8 * c[1])) for c in comps
-    ]
-    reader = _BitReader(scan_data)
+    n_mcus = mcus_y * mcus_x
+    # Entropy scan fills zigzag-order coefficient batches per component;
+    # ALL per-block NumPy work (dequant, zigzag scatter, IDCT, plane
+    # assembly) happens once, batched over every block, after the scan —
+    # the 8×8 IDCT is two matmuls broadcast over the whole block axis.
+    coeff_zz = [np.zeros((n_mcus * c[1] * c[2], 64)) for c in comps]
+    n_blocks = [0] * len(comps)
     preds = [0] * len(comps)
+    # pre-resolve per-scan-entry state so the MCU loop does no dict work
+    scan_units = [
+        (ci, comps[ci][1] * comps[ci][2], huff_dc[dct], huff_ac[act], coeff_zz[ci])
+        for (ci, dct, act) in scan_map
+    ]
+
+    # --- inlined buffered bit reader -------------------------------------
+    # The entropy loop runs once per Huffman symbol (~1 per nonzero
+    # coefficient); at that call density Python method dispatch is the
+    # bottleneck, so the reader state lives in locals: `buf` is a
+    # right-aligned accumulator (oldest bit highest), `nbits` counts bits
+    # in it, `realb` counts the leading bits that came from the stream.
+    # Byte stuffing (FF 00 → FF) is removed while filling; a marker or
+    # end-of-data stops the fill, after which peeks see 1-padding but
+    # CONSUMING padded bits raises — a truncated stream fails loudly
+    # instead of decoding padding as pixels. Huffman symbols resolve via
+    # a flat 2^16-prefix LUT (`_decode_lut`): one list index per symbol
+    # instead of up to 16 per-bit loop iterations.
+    data = scan_data
+    dlen = len(data)
+    pos = buf = nbits = realb = 0
     mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                # skip to the RSTn marker and resync
-                reader.align_to_marker()
-                while reader.pos + 1 < len(reader.data):
-                    if (reader.data[reader.pos] == 0xFF
-                            and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7):
-                        reader.pos += 2
+                # drop buffered bits (pos never crosses FF <marker> while
+                # filling, so a byte scan from pos finds the RSTn) and resync
+                buf = nbits = realb = 0
+                while pos + 1 < dlen:
+                    if data[pos] == 0xFF and 0xD0 <= data[pos + 1] <= 0xD7:
+                        pos += 2
                         break
-                    reader.pos += 1
+                    pos += 1
                 preds = [0] * len(comps)
-            for (ci, dct, act) in scan_map:
-                _, h, v, tq = comps[ci]
-                for by in range(v):
-                    for bx in range(h):
-                        block = np.zeros(64)
-                        t = _read_huffman(reader, huff_dc[dct])
-                        diff = _extend(reader.bits(t), t) if t else 0
-                        preds[ci] += diff
-                        block[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _read_huffman(reader, huff_ac[act])
-                            if rs == 0x00:
-                                break
-                            if rs == 0xF0:
-                                k += 16
+            for (ci, hv, (dc_sym, dc_len), (ac_sym, ac_len), out) in scan_units:
+                for _ in range(hv):
+                    bi = n_blocks[ci]
+                    n_blocks[ci] = bi + 1
+                    while nbits < 16:  # fill for the DC peek
+                        if pos < dlen:
+                            b = data[pos]
+                            if b != 0xFF:
+                                pos += 1
+                                buf = (buf << 8) | b
+                                nbits += 8
+                                realb += 8
                                 continue
-                            k += rs >> 4
-                            s = rs & 0x0F
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            block[k] = _extend(reader.bits(s), s)
-                            k += 1
-                        nat = np.zeros(64)
-                        nat[ZIGZAG] = block
-                        px = _idct(nat.reshape(8, 8) * quants[tq]) + 128.0
-                        y0 = (my * v + by) * 8
-                        x0 = (mx * h + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+                            if pos + 1 < dlen and data[pos + 1] == 0x00:
+                                pos += 2
+                                buf = (buf << 8) | 0xFF
+                                nbits += 8
+                                realb += 8
+                                continue
+                        buf = (buf << 8) | 0xFF  # 1-padding (peek-only)
+                        nbits += 8
+                    p16 = (buf >> (nbits - 16)) & 0xFFFF
+                    ln = dc_len[p16]
+                    if ln == 0:
+                        raise ValueError("invalid JPEG Huffman code")
+                    if ln > realb:
+                        raise ValueError("truncated JPEG entropy stream")
+                    nbits -= ln
+                    realb -= ln
+                    buf &= (1 << nbits) - 1
+                    t = dc_sym[p16]
+                    if t:
+                        while nbits < t:
+                            if pos < dlen:
+                                b = data[pos]
+                                if b != 0xFF:
+                                    pos += 1
+                                    buf = (buf << 8) | b
+                                    nbits += 8
+                                    realb += 8
+                                    continue
+                                if pos + 1 < dlen and data[pos + 1] == 0x00:
+                                    pos += 2
+                                    buf = (buf << 8) | 0xFF
+                                    nbits += 8
+                                    realb += 8
+                                    continue
+                            buf = (buf << 8) | 0xFF
+                            nbits += 8
+                        if t > realb:
+                            raise ValueError("truncated JPEG entropy stream")
+                        nbits -= t
+                        realb -= t
+                        v = (buf >> nbits) & ((1 << t) - 1)
+                        buf &= (1 << nbits) - 1
+                        preds[ci] += v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+                    row = out[bi]
+                    row[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        while nbits < 16:  # fill for the AC peek
+                            if pos < dlen:
+                                b = data[pos]
+                                if b != 0xFF:
+                                    pos += 1
+                                    buf = (buf << 8) | b
+                                    nbits += 8
+                                    realb += 8
+                                    continue
+                                if pos + 1 < dlen and data[pos + 1] == 0x00:
+                                    pos += 2
+                                    buf = (buf << 8) | 0xFF
+                                    nbits += 8
+                                    realb += 8
+                                    continue
+                            buf = (buf << 8) | 0xFF
+                            nbits += 8
+                        p16 = (buf >> (nbits - 16)) & 0xFFFF
+                        ln = ac_len[p16]
+                        if ln == 0:
+                            raise ValueError("invalid JPEG Huffman code")
+                        if ln > realb:
+                            raise ValueError("truncated JPEG entropy stream")
+                        nbits -= ln
+                        realb -= ln
+                        buf &= (1 << nbits) - 1
+                        rs = ac_sym[p16]
+                        if rs == 0x00:
+                            break
+                        if rs == 0xF0:
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        s = rs & 0x0F
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        while nbits < s:
+                            if pos < dlen:
+                                b = data[pos]
+                                if b != 0xFF:
+                                    pos += 1
+                                    buf = (buf << 8) | b
+                                    nbits += 8
+                                    realb += 8
+                                    continue
+                                if pos + 1 < dlen and data[pos + 1] == 0x00:
+                                    pos += 2
+                                    buf = (buf << 8) | 0xFF
+                                    nbits += 8
+                                    realb += 8
+                                    continue
+                            buf = (buf << 8) | 0xFF
+                            nbits += 8
+                        if s > realb:
+                            raise ValueError("truncated JPEG entropy stream")
+                        nbits -= s
+                        realb -= s
+                        v = (buf >> nbits) & ((1 << s) - 1)
+                        buf &= (1 << nbits) - 1
+                        row[k] = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+                        k += 1
             mcu_count += 1
 
     out_planes = []
-    for (cid, h, v, _tq), plane in zip(comps, planes):
+    for (cid, h, v, tq), zz in zip(comps, coeff_zz):
+        nb = n_mcus * h * v
+        nat = np.zeros((nb, 64))
+        nat[:, ZIGZAG] = zz  # batched zigzag → natural order
+        blocks = nat.reshape(nb, 8, 8) * quants[tq]  # batched dequant
+        px = _C.T @ blocks @ _C + 128.0  # batched IDCT (broadcast matmul)
+        # block order is (my, mx, by, bx): reorder axes to assemble the
+        # full plane in one reshape instead of one slice-write per block
+        plane = (
+            px.reshape(mcus_y, mcus_x, v, h, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcus_y * v * 8, mcus_x * h * 8)
+        )
         up = np.repeat(np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1)
         out_planes.append(up[:height, :width])
     if len(comps) == 1:

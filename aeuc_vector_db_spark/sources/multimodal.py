@@ -43,6 +43,7 @@ import struct
 import zlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -191,36 +192,59 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     raw = d.decompress(idat, expected)
     if len(raw) != expected or d.decompress(b"", 1):
         raise ValueError("PNG pixel data length mismatch")
-    out = bytearray()
-    prev = bytearray(stride)
+    # Unfiltering, vectorized where the data dependency allows it:
+    # None is a copy, Up is one whole-row uint8 add (wrapping ≡ mod 256),
+    # Sub is a per-byte-lane running sum — np.cumsum over the pixel axis.
+    # Average and Paeth carry a true sequential dependency on the
+    # just-reconstructed left neighbor, so they stay a Python loop (with
+    # the row-constant prev/upper-left terms precomputed as lists).
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    fts = rows[:, 0]
+    if (fts > 4).any():
+        raise ValueError(f"bad PNG filter type {int(fts[fts > 4][0])}")
+    if not fts.any():
+        # every row unfiltered (what simple writers, ours included, emit):
+        # the pixel data is the frame minus the filter-byte column
+        return width, height, channels, np.ascontiguousarray(rows[:, 1:]).tobytes()
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
     bpp = channels  # bytes per pixel at depth 8
     for y in range(height):
-        ft = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        if ft == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ft == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ft == 3:  # Average
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pr) & 0xFF
-        elif ft != 0:
-            raise ValueError(f"bad PNG filter type {ft}")
-        out += line
-        prev = line
-    return width, height, channels, bytes(out)
+        ft = fts[y]
+        line = rows[y, 1:]
+        if ft == 0:
+            cur = line.copy()
+        elif ft == 1:  # Sub: per-lane prefix sum mod 256
+            cur = (
+                np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.uint32) & 0xFF
+            ).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up: wrapping uint8 add of the previous row
+            cur = line + prev
+        else:  # Average / Paeth: true sequential dependency on the
+            # just-reconstructed left neighbor — stays a scalar loop,
+            # mutating one list in place
+            cur_l = line.tolist()
+            pv = prev.tolist()
+            if ft == 3:
+                for i in range(bpp):
+                    cur_l[i] = (cur_l[i] + (pv[i] >> 1)) & 0xFF
+                for i in range(bpp, stride):
+                    cur_l[i] = (cur_l[i] + ((cur_l[i - bpp] + pv[i]) >> 1)) & 0xFF
+            else:
+                for i in range(bpp):
+                    cur_l[i] = (cur_l[i] + pv[i]) & 0xFF
+                for i in range(bpp, stride):
+                    a = cur_l[i - bpp]
+                    b = pv[i]
+                    c = pv[i - bpp]
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur_l[i] = (cur_l[i] + pr) & 0xFF
+            cur = np.array(cur_l, dtype=np.uint8)
+        out[y] = cur
+        prev = cur
+    return width, height, channels, out.tobytes()
 
 
 def bmp_encode(pixels: bytes, width: int, height: int) -> bytes:

@@ -128,6 +128,7 @@ def main() -> None:
     knn_scale = _bench_knn_scale(spark)
     cluster_scale = _bench_cluster_scale(spark)
     dedup_skew = _bench_dedup_skew(spark)
+    decode_rate = _bench_decode()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -146,6 +147,7 @@ def main() -> None:
         "knn_scale": knn_scale,
         "cluster_scale": cluster_scale,
         "dedup_skew": dedup_skew,
+        "decode_imgs_per_s": decode_rate,
     }
     print("# detail: " + json.dumps(detail), file=sys.stderr)
     try:
@@ -165,6 +167,7 @@ def main() -> None:
         "knn_scale": knn_scale,
         "cluster_scale": cluster_scale,
         "dedup_skew": dedup_skew,
+        "decode_imgs_per_s": decode_rate,
     }
     print(compact_json_line(payload))
 
@@ -176,7 +179,8 @@ def compact_json_line(payload: dict, limit: int = MAX_JSON_LINE) -> str:
     dropped; `queries` timings are the headline signal and at 3-decimal
     rounding ~30 entries stay well under the limit."""
     line = json.dumps(payload)
-    for droppable in ("dedup_skew", "cluster_scale", "knn_scale", "ingest_rows_per_s"):
+    for droppable in ("decode_imgs_per_s", "dedup_skew", "cluster_scale",
+                      "knn_scale", "ingest_rows_per_s"):
         if len(line) <= limit:
             break
         payload.pop(droppable, None)
@@ -356,6 +360,83 @@ def _bench_dedup_skew(spark) -> dict:
           f"skewed {dt_s:.2f}s ({pairs_s} pairs) — ratio {ratio:.2f}", file=sys.stderr)
     return {"n": n, "uniform_sec": round(dt_u, 3), "skewed_sec": round(dt_s, 3),
             "ratio": round(ratio, 3), "uniform_pairs": pairs_u, "skewed_pairs": pairs_s}
+
+
+def _bench_decode() -> dict:
+    """Image-codec decode throughput (images/s, single core, no Spark —
+    the mapInPandas kernels call these decoders directly, so kernel
+    throughput × cores = executor decode throughput).
+
+    Workloads at 128×96 RGB: `jpeg_noise` = uniform-random pixels (worst
+    case — nearly all 63 AC coefficients nonzero per block), `jpeg_smooth`
+    = gradient (photo-like sparse spectrum), `png_f0` = unfiltered rows,
+    `png_paeth` = all-Paeth rows (worst case — sequential per-byte
+    dependency). Round-4 code on this box/workload measured: jpeg_noise
+    32.5, png_f0 15,142, png_paeth 91.3 (pre-vectorization; PLANS.md).
+    """
+    import numpy as np
+
+    from aeuc_vector_db_spark.sources.jpeg import jpeg_decode, jpeg_encode
+    from aeuc_vector_db_spark.sources.multimodal import png_decode, png_encode
+
+    rng = np.random.default_rng(42)
+    noise = rng.integers(0, 255, (96, 128, 3)).astype(np.uint8)
+    yy, xx = np.mgrid[0:96, 0:128]
+    smooth = np.stack(
+        [(xx * 2) % 256, (yy * 2) % 256, (xx + yy) % 256], axis=-1
+    ).astype(np.uint8)
+
+    def paeth_png(img: np.ndarray) -> bytes:
+        # bench-only all-Paeth writer: filter every row with Paeth so the
+        # decoder's sequential worst path is what gets measured
+        import struct
+        import zlib
+
+        h, w, c = img.shape
+        stride = w * c
+        raw = bytearray()
+        prev = bytes(stride)
+        flat = img.reshape(h, stride)
+        for y in range(h):
+            line = flat[y].tobytes()
+            row = bytearray(stride)
+            for i in range(stride):
+                a = line[i - c] if i >= c else 0
+                b = prev[i]
+                cc = prev[i - c] if i >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                row[i] = (line[i] - pr) & 0xFF
+            raw += b"\x04" + bytes(row)
+            prev = line
+
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    workloads = {
+        "jpeg_noise": (jpeg_decode, jpeg_encode(noise.tobytes(), 128, 96, 3)),
+        "jpeg_smooth": (jpeg_decode, jpeg_encode(smooth.tobytes(), 128, 96, 3)),
+        "png_f0": (png_decode, png_encode(noise.tobytes(), 128, 96, 2)),
+        "png_paeth": (png_decode, paeth_png(noise)),
+    }
+    out = {}
+    for name, (decode, blob) in workloads.items():
+        decode(blob)  # warm
+        t0 = time.time()
+        n = 0
+        while time.time() - t0 < 1.0:
+            decode(blob)
+            n += 1
+        out[name] = round(n / (time.time() - t0), 1)
+    print(f"# decode_imgs_per_s: {out}", file=sys.stderr)
+    return out
 
 
 def _bench_knn_scale(spark) -> dict:
