@@ -98,6 +98,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_dedup_keep_one",
     # round-5 additions: new queries must land inside the 50-entry window
     # in their first round so they get a driver row immediately
+    "manifest_skipping_read",
 )
 
 

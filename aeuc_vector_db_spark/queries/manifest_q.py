@@ -85,7 +85,39 @@ FROM documents WHERE doc_id >= 200 GROUP BY lang
 """
 
 
+def _manifest_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three disjoint-range appends into a table with per-file doc_id
+    stats, then a range read through `read_where` — the data-skipping
+    path: only files whose footer min/max can contain [160, 290) are
+    opened (middle append's files; the other two dirs are pruned, pinned
+    in test_manifest.py). The oracle computes the same range directly,
+    so a wrongly-pruned file (dropped rows) or a missed filter
+    (extra rows) diverges the per-lang aggregate hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = ManifestTable(
+        tempfile.mkdtemp(prefix="aeuc_manifest_skip_"), stats_cols=["doc_id"]
+    )
+    t.commit_append(docs.filter(F.col("doc_id") < 150))
+    t.commit_append(docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)))
+    t.commit_append(docs.filter(F.col("doc_id") >= 300))
+    pruned = t.read_where(spark, [("doc_id", ">=", 160), ("doc_id", "<", 290)])
+    return pruned.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_SKIPPING_ORACLE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id >= 160 AND doc_id < 290 GROUP BY lang
+"""
+
+
 QUERIES = {
     "manifest_merge_read": (_manifest_merge_read, _MANIFEST_ORACLE),
     "manifest_incremental_read": (_manifest_incremental_read, _INCREMENTAL_ORACLE),
+    "manifest_skipping_read": (_manifest_skipping_read, _SKIPPING_ORACLE),
 }

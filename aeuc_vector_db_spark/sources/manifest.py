@@ -78,6 +78,61 @@ def _schema_sig(df: DataFrame) -> list[str]:
     return [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields]
 
 
+def _file_stats(path: str, cols: list[str]) -> dict:
+    """Per-file min/max for `cols` from the parquet FOOTER (row-group
+    statistics — a metadata read, no data scan). Only JSON-safe scalar
+    stats (int/float/str/bool) are recorded; a column whose stats are
+    missing in any row group is omitted, and readers must treat a
+    missing entry as 'may match' (conservative, never wrong)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+    out: dict[str, list] = {}
+    for c in cols:
+        ci = idx.get(c)
+        if ci is None:
+            continue
+        mn = mx = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            rmn, rmx = st.min, st.max
+            if not isinstance(rmn, (bool, int, float, str)):
+                ok = False  # timestamps/binary: not JSON-comparable here
+                break
+            mn = rmn if mn is None else min(mn, rmn)
+            mx = rmx if mx is None else max(mx, rmx)
+        if ok and mn is not None:
+            out[c] = [mn, mx]
+    return out
+
+
+def _span_may_match(span, op: str, value) -> bool:
+    """Can a file whose column spans [min, max] contain a row satisfying
+    `col <op> value`? Missing/incomparable stats ⇒ True (read the file)."""
+    if not span:
+        return True
+    mn, mx = span
+    try:
+        if op == "=":
+            return mn <= value <= mx
+        if op == "<":
+            return mn < value
+        if op == "<=":
+            return mn <= value
+        if op == ">":
+            return mx > value
+        if op == ">=":
+            return mx >= value
+    except TypeError:
+        return True  # cross-type comparison: stats unusable, keep the file
+    raise ValueError(f"unsupported data-skipping operator {op!r}")
+
+
 class ManifestTable:
     """Handle on a manifest-committed table rooted at a directory.
 
@@ -86,9 +141,21 @@ class ManifestTable:
     serializes them.
     """
 
-    def __init__(self, root: str) -> None:
+    #: manifest keys holding per-file maps that must follow files across
+    #: appends and bounded merges (accumulated in _commit / merge_upsert)
+    _PER_FILE_KEYS = ("buckets", "file_rows", "stats")
+
+    def __init__(self, root: str, stats_cols: list[str] | None = None) -> None:
         self.root = root
+        #: columns to record per-file min/max for at write time (footer
+        #: metadata only). Reads via `read_where`/`files_for` then skip
+        #: files whose span provably can't match — the lakehouse analog
+        #: of the reference's inverted-index candidate pruning
+        #: (reference vector_field.py:316-322): skip non-matching data
+        #: before scanning it.
+        self.stats_cols = list(stats_cols or [])
         self._pending_schema: list[str] | None = None
+        self._pending_extra: dict = {}
         os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
 
@@ -153,6 +220,52 @@ class ManifestTable:
             )
         return spark.read.parquet(*files)
 
+    def files_for(
+        self, predicates: list[tuple] = (), version: int | None = None
+    ) -> tuple[list[str], int]:
+        """(pruned root-relative file list, total files in snapshot) for
+        `version` under data skipping: a file is dropped only when its
+        recorded per-file min/max PROVES no row can satisfy every
+        predicate `(col, op, value)` (ops: = < <= > >=, AND semantics).
+        Files without stats for a referenced column are kept."""
+        m = self.manifest(version)
+        stats = m.get("stats") or {}
+        keep = [
+            f
+            for f in m["files"]
+            if all(
+                _span_may_match((stats.get(f) or {}).get(c), op, v)
+                for (c, op, v) in predicates
+            )
+        ]
+        return keep, len(m["files"])
+
+    def read_where(
+        self, spark: SparkSession, predicates: list[tuple], version: int | None = None
+    ) -> DataFrame:
+        """Exactly `read().filter(AND(predicates))`, minus the files the
+        per-file stats prove irrelevant — point lookups and range scans
+        on a stats column read O(matching files), not O(table). Pair
+        with `compact(sort_by=[col])`: range-clustering gives files
+        disjoint spans, which is what makes the pruning bite."""
+        keep, _total = self.files_for(predicates, version)
+        cond = None
+        for c, op, v in predicates:
+            col = F.col(c)
+            clause = {
+                "=": col == v,
+                "<": col < v,
+                "<=": col <= v,
+                ">": col > v,
+                ">=": col >= v,
+            }[op]
+            cond = clause if cond is None else cond & clause
+        if not keep:
+            df = self.read(spark, version).limit(0)
+        else:
+            df = spark.read.parquet(*[os.path.join(self.root, f) for f in keep])
+        return df.filter(cond) if cond is not None else df
+
     def read_appended(
         self, spark: SparkSession, since_version: int
     ) -> DataFrame:
@@ -196,14 +309,19 @@ class ManifestTable:
     # -- writing -------------------------------------------------------
 
     def _write_data_dir(
-        self, df: DataFrame, sort_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        sort_by: list[str] | None = None,
+        n_files: int | None = None,
     ) -> tuple[list[str], int]:
         """Write df to a fresh immutable data dir; return (root-relative
         file list, row count). Count rides the write job via Observation —
         the commit costs one pass, never a second count job. With
         `sort_by`, rows are range-partitioned and sorted within files so
         parquet row-group min/max stats support data skipping on those
-        columns."""
+        columns; `n_files` pins the range-partition fan-out (AQE would
+        otherwise coalesce small tables to one file, which defeats
+        file-level skipping)."""
         from pyspark.sql import Observation
 
         token = uuid.uuid4().hex[:16]
@@ -211,7 +329,12 @@ class ManifestTable:
         out_dir = os.path.join(self.root, rel_dir)
         self._pending_schema = _schema_sig(df)
         if sort_by:
-            df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
+            parted = (
+                df.repartitionByRange(n_files, *sort_by)
+                if n_files
+                else df.repartitionByRange(*sort_by)
+            )
+            df = parted.sortWithinPartitions(*sort_by)
         obs = Observation()
         df.observe(obs, F.count(F.lit(1)).alias("n")).write.parquet(out_dir)
         n = int(obs.get["n"] or 0)
@@ -220,6 +343,11 @@ class ManifestTable:
             for f in os.listdir(out_dir)
             if f.endswith(".parquet")
         )
+        if self.stats_cols:
+            self._pending_extra["stats"] = {
+                rel: _file_stats(os.path.join(self.root, rel), self.stats_cols)
+                for rel in files
+            }
         return files, n
 
     def _try_publish(self, manifest: dict, version: int) -> bool:
@@ -242,8 +370,10 @@ class ManifestTable:
 
     def _pop_pending_extra(self) -> dict:
         """Extra per-file manifest maps staged by the most recent
-        _write_data_dir (bucketed subclass); {} for the plain table."""
-        return {}
+        _write_data_dir (stats; plus buckets/file_rows in the bucketed
+        subclass)."""
+        out, self._pending_extra = self._pending_extra, {}
+        return out
 
     def _commit(
         self,
@@ -292,8 +422,8 @@ class ManifestTable:
                     )
                 files = pm["files"] + new_files
                 n_rows = pm["n_rows"] + n_new
-                # per-file maps accumulate across appends (bucketed layout)
-                for k in ("buckets", "file_rows"):
+                # per-file maps accumulate across appends
+                for k in self._PER_FILE_KEYS:
                     if k in pm or k in extra:
                         per_file[k] = {**pm.get(k, {}), **extra.get(k, {})}
             else:
@@ -397,7 +527,12 @@ class ManifestTable:
 
     # -- maintenance ---------------------------------------------------
 
-    def compact(self, spark: SparkSession, sort_by: list[str] | None = None) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        sort_by: list[str] | None = None,
+        n_files: int | None = None,
+    ) -> int:
         """Rewrite the current snapshot into one fresh data dir (small-file
         compaction after many appends); content identical, old versions
         stay time-travel readable until vacuumed. Conflicts with an
@@ -412,7 +547,9 @@ class ManifestTable:
         parent = self.latest_version()
         if parent is None:
             raise FileNotFoundError(f"no committed version at {self.root!r}")
-        files, n = self._write_data_dir(self.read(spark, parent), sort_by=sort_by)
+        files, n = self._write_data_dir(
+            self.read(spark, parent), sort_by=sort_by, n_files=n_files
+        )
         return self._commit(
             "compact", files, n, keep_parent_files=False, expected_parent=parent
         )
@@ -492,8 +629,14 @@ class BucketedManifestTable(ManifestTable):
 
     TABLE_MARKER = "_table.json"
 
-    def __init__(self, root: str, key: str | None = None, n_buckets: int | None = None):
-        super().__init__(root)
+    def __init__(
+        self,
+        root: str,
+        key: str | None = None,
+        n_buckets: int | None = None,
+        stats_cols: list[str] | None = None,
+    ):
+        super().__init__(root, stats_cols=stats_cols)
         marker = os.path.join(root, self.TABLE_MARKER)
         if os.path.exists(marker):
             with open(marker) as fh:
@@ -514,21 +657,17 @@ class BucketedManifestTable(ManifestTable):
             self.key, self.n_buckets = key, int(n_buckets or 16)
             with open(marker, "w") as fh:
                 json.dump({"key": self.key, "n_buckets": self.n_buckets}, fh)
-        self._pending_extra: dict = {}
 
     def _bucket_col(self):
         return F.pmod(
             F.xxhash64(F.col(self.key).cast("string")), F.lit(self.n_buckets)
         ).cast("int")
 
-    def _pop_pending_extra(self) -> dict:
-        out, self._pending_extra = self._pending_extra, {}
-        return out
-
     def _write_data_dir(
-        self, df, sort_by: list[str] | None = None
+        self, df, sort_by: list[str] | None = None, n_files: int | None = None
     ) -> tuple[list[str], int]:
         """Bucket-partitioned write; stages per-file (bucket, rows) maps
+        (`n_files` is ignored — the bucket count IS the layout contract)
         for the next _commit. Per-file row counts come from the parquet
         footers — metadata reads, not data scans. `sort_by` sorts rows
         WITHIN each bucket (buckets cluster by hash for merges; the sort
@@ -577,6 +716,11 @@ class BucketedManifestTable(ManifestTable):
                         os.path.join(self.root, rel)
                     ).metadata.num_rows
         self._pending_extra = {"buckets": buckets, "file_rows": file_rows}
+        if self.stats_cols:
+            self._pending_extra["stats"] = {
+                rel: _file_stats(os.path.join(self.root, rel), self.stats_cols)
+                for rel in files
+            }
         return files, n
 
     def merge_upsert(
@@ -628,11 +772,17 @@ class BucketedManifestTable(ManifestTable):
             new_files, n_new = self._write_data_dir(merged)
             n_untouched = sum(rmap.get(f, 0) for f in untouched)
             # staged extra must also carry the untouched files' map rows
+            smap = pm.get("stats", {})
             self._pending_extra = {
                 "buckets": {**{f: bmap[f] for f in untouched},
                             **self._pending_extra["buckets"]},
                 "file_rows": {**{f: rmap.get(f, 0) for f in untouched},
                               **self._pending_extra["file_rows"]},
+                **(
+                    {"stats": {**{f: smap[f] for f in untouched if f in smap},
+                               **self._pending_extra.get("stats", {})}}
+                    if (smap or self.stats_cols) else {}
+                ),
             }
             try:
                 return self._commit(

@@ -416,3 +416,84 @@ def test_append_schema_drift_rejected(spark, root):
     )
     assert t.read(spark).columns == ["k", "score"]
     assert t.manifest()["schema"] == ["k:bigint", "score:double"]
+
+
+# -- per-file stats + data skipping -----------------------------------------
+
+
+def test_data_skipping_point_predicate_reads_fewer_files(spark, root):
+    """Disjoint-range appends + a point predicate: files whose min/max
+    span can't contain the key are pruned, and the pruned read returns
+    exactly what the unpruned filter would."""
+    t = ManifestTable(root, stats_cols=["k"])
+    t.commit_append(_df(spark, (0, 100)))
+    t.commit_append(_df(spark, (100, 200)))
+    t.commit_append(_df(spark, (200, 300)))
+    keep, total = t.files_for([("k", "=", 150)])
+    assert total >= 3 and 0 < len(keep) < total
+    assert [r["k"] for r in t.read_where(spark, [("k", "=", 150)]).collect()] == [150]
+    rng = sorted(
+        r["k"]
+        for r in t.read_where(spark, [("k", ">=", 90), ("k", "<", 110)]).collect()
+    )
+    assert rng == list(range(90, 110))
+    # a predicate no file can satisfy prunes everything and returns empty
+    assert t.files_for([("k", ">", 10_000)])[0] == []
+    assert t.read_where(spark, [("k", ">", 10_000)]).count() == 0
+
+
+def test_data_skipping_without_stats_is_conservative(spark, root):
+    """A table written with no stats_cols (or an older manifest) must
+    read every file — missing stats mean 'may match', never 'skip'."""
+    t = ManifestTable(root)  # no stats recorded
+    t.commit_append(_df(spark, (0, 100)))
+    t.commit_append(_df(spark, (100, 200)))
+    keep, total = t.files_for([("k", "=", 150)])
+    assert keep and len(keep) == total
+    got = [r["k"] for r in t.read_where(spark, [("k", "=", 150)]).collect()]
+    assert got == [150]
+
+
+def test_data_skipping_string_column(spark, root):
+    t = ManifestTable(root, stats_cols=["tag"])
+    t.commit_append(_df(spark, (0, 50), tag="alpha"))
+    t.commit_append(_df(spark, (50, 100), tag="zeta"))
+    keep, total = t.files_for([("tag", "=", "zeta")])
+    assert 0 < len(keep) < total
+    assert t.read_where(spark, [("tag", "=", "alpha")]).count() == 50
+
+
+def test_sorted_compaction_enables_skipping(spark, root):
+    """Interleaved writes give every file a near-full span (no pruning);
+    compact(sort_by) range-clusters the rows so the same predicate then
+    prunes most files — stats only bite when the layout cooperates."""
+    t = ManifestTable(root, stats_cols=["k"])
+    scrambled = spark.range(0, 2000).select(
+        ((F.col("id") * 997) % 2000).alias("k"), F.lit("x").alias("tag")
+    ).repartition(8)
+    t.commit_overwrite(scrambled)
+    keep_before, total_before = t.files_for([("k", "=", 1234)])
+    assert len(keep_before) == total_before  # full-span files: nothing pruned
+    t.compact(spark, sort_by=["k"], n_files=16)
+    keep_after, total_after = t.files_for([("k", "=", 1234)])
+    assert total_after > 1 and len(keep_after) < total_after
+    assert [r["k"] for r in t.read_where(spark, [("k", "=", 1234)]).collect()] == [1234]
+
+
+def test_bucketed_merge_carries_stats_for_untouched_files(spark, tmp_path):
+    """After a bounded merge, every file in the new snapshot (rewritten
+    AND carried-forward) must still have its stats entry, or skipping
+    silently degrades to full scans as the table ages through merges."""
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    t = BucketedManifestTable(
+        str(tmp_path / "bt"), key="k", n_buckets=8, stats_cols=["k"]
+    )
+    t.commit_overwrite(_df(spark, (0, 400)))
+    t.merge_upsert(spark, _df(spark, (3, 5), tag="upd"))
+    m = t.manifest()
+    assert set(m["stats"]) == set(m["files"])
+    got = sorted(
+        r["k"] for r in t.read_where(spark, [("k", "<", 10)]).collect()
+    )
+    assert got == list(range(10))
