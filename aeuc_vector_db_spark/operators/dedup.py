@@ -218,71 +218,102 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 20,
+    _rounds_out: list | None = None,
 ) -> DataFrame:
-    """Undirected connected components by min-label propagation.
+    """Undirected connected components by alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 — public algorithm).
 
-    Each node's label converges to the minimum id reachable from it;
-    one join+aggregate per iteration, stopping at fixpoint (iteration
-    count bounded by graph diameter — near-dup graphs are shallow).
-    Returns (node, component) where component = min id in the component.
+    Why not min-label propagation: that converges in O(diameter)
+    join rounds, which is fine for shallow near-dup clusters but
+    adversarial for chain-shaped components (a 10⁶-node chain would need
+    10⁶ shuffles). Star contraction halves component height per round —
+    O(log n) rounds for ANY topology:
 
-    This is the keep-one resolution step after pair-generating dedup:
-    the canonical representative of each duplicate cluster is its
-    component id. GraphFrames/Pregel does the same thing; this stays in
-    pure DataFrame ops so it needs no extra package.
+      large-star: every node u links its LARGER neighbors to
+        m(u) = min(Γ(u) ∪ {u})   — emit (v, m(u)) for v ∈ Γ(u), v > u
+      small-star: orient edges large→small; every node u links its
+        smaller neighbors AND itself to m(u) — emit (v, m(u)) for
+        v ∈ Γ⁻(u), plus (u, m(u))
+
+    Both steps preserve connectivity; the fixpoint is a star forest
+    where every node points at its component minimum. Returns
+    (node, component), component = min id in the component — identical
+    contract to the propagation version (keep-one resolution after
+    pair-generating dedup). Pure DataFrame ops, no GraphFrames.
+
+    `_rounds_out`: optional list; the executed round count is appended
+    (bench/tests assert the ≤ O(log n) bound).
     """
-    from pyspark import StorageLevel
-
-    # persist the edge list: the iteration loop joins it repeatedly, and
-    # upstream edge generation (e.g. the whole minhash pipeline) must not
-    # re-execute per iteration
-    fwd = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    undirected = fwd.unionByName(
-        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    labels = (
-        undirected.select(F.col("src").alias("node"))
+    base = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
-        .withColumn("component", F.col("node"))
+        # cut upstream lineage (e.g. the whole minhash pipeline) once;
+        # each round below re-checkpoints, so lineage stays O(1)
+        .localCheckpoint(eager=True)
     )
+    nodes = (
+        base.select(F.col("u").alias("node"))
+        .unionByName(base.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = base
+    cur_count = cur.count()
+    rounds = 0
     for _ in range(max_iter):
-        neighbor_min = (
-            undirected.join(labels, undirected["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("component").alias("__nbr_min__"))
+        rounds += 1
+        # -- large-star ------------------------------------------------
+        nbrs = cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("__mn__"))
+            .select("u", F.least(F.col("u"), F.col("__mn__")).alias("__m__"))
         )
-        updated = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("__nbr_min__"), F.col("component"))
-                ).alias("component"),
-            )
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("__m__").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        updated = updated.localCheckpoint(eager=True)  # cut the iterative lineage
-        changed = (
-            labels.join(updated.withColumnRenamed("component", "__new__"), "node")
-            .filter(F.col("component") != F.col("__new__"))
-            .limit(1)
-            .count()
+        # -- small-star ------------------------------------------------
+        # large-star emits (v, m) with v > u ≥ m, so `large` is already
+        # oriented large→small — no re-orientation pass needed
+        oriented = large
+        mins2 = oriented.groupBy("u").agg(F.min("v").alias("__m__"))  # __m__ < u
+        small = (
+            oriented.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("__m__").alias("v"))
+            .unionByName(mins2.select(F.col("u"), F.col("__m__").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        labels = updated
-        if changed == 0:
+        new_count = small.count()
+        # star-forest fixpoint ⟺ the (distinct) edge set is unchanged:
+        # equal counts + empty one-sided difference
+        if new_count == cur_count and small.exceptAll(cur).limit(1).count() == 0:
+            cur = small
             break
+        cur, cur_count = small, new_count
     else:
-        # exhausted max_iter without fixpoint: labels are WRONG (a
-        # component would split); the caller must raise the budget,
-        # not silently keep multiple "keepers" in one true cluster
-        undirected.unpersist()
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} iterations "
-            "(graph diameter exceeds the budget); raise max_iter"
+            f"connected_components did not converge in {max_iter} rounds "
+            "(star contraction needs O(log n); this graph should be impossible "
+            "— raise max_iter)"
         )
-    # labels is an eager localCheckpoint; the cached edge list is no
-    # longer needed once the fixpoint is reached
-    undirected.unpersist()
-    return labels
+    if _rounds_out is not None:
+        _rounds_out.append(rounds)
+    # cur is a star forest (child → root); roots label themselves
+    return nodes.join(
+        cur.select(F.col("u").alias("node"), F.col("v").alias("__root__")),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce(F.col("__root__"), F.col("node")).alias("component")
+    )
 
 
 def keep_one(

@@ -128,6 +128,7 @@ def main() -> None:
     knn_scale = _bench_knn_scale(spark)
     cluster_scale = _bench_cluster_scale(spark)
     dedup_skew = _bench_dedup_skew(spark)
+    cc_chain = _bench_cc_chain(spark)
     decode_rate = _bench_decode()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -147,6 +148,7 @@ def main() -> None:
         "knn_scale": knn_scale,
         "cluster_scale": cluster_scale,
         "dedup_skew": dedup_skew,
+        "cc_chain": cc_chain,
         "decode_imgs_per_s": decode_rate,
     }
     print("# detail: " + json.dumps(detail), file=sys.stderr)
@@ -167,6 +169,7 @@ def main() -> None:
         "knn_scale": knn_scale,
         "cluster_scale": cluster_scale,
         "dedup_skew": dedup_skew,
+        "cc_chain": cc_chain,
         "decode_imgs_per_s": decode_rate,
     }
     print(compact_json_line(payload))
@@ -179,8 +182,8 @@ def compact_json_line(payload: dict, limit: int = MAX_JSON_LINE) -> str:
     dropped; `queries` timings are the headline signal and at 3-decimal
     rounding ~30 entries stay well under the limit."""
     line = json.dumps(payload)
-    for droppable in ("decode_imgs_per_s", "dedup_skew", "cluster_scale",
-                      "knn_scale", "ingest_rows_per_s"):
+    for droppable in ("cc_chain", "decode_imgs_per_s", "dedup_skew",
+                      "cluster_scale", "knn_scale", "ingest_rows_per_s"):
         if len(line) <= limit:
             break
         payload.pop(droppable, None)
@@ -360,6 +363,47 @@ def _bench_dedup_skew(spark) -> dict:
           f"skewed {dt_s:.2f}s ({pairs_s} pairs) — ratio {ratio:.2f}", file=sys.stderr)
     return {"n": n, "uniform_sec": round(dt_u, 3), "skewed_sec": round(dt_s, 3),
             "ratio": round(ratio, 3), "uniform_pairs": pairs_u, "skewed_pairs": pairs_s}
+
+
+def _bench_cc_chain(spark) -> dict:
+    """Connected components at 1M edges with a planted 500k-node CHAIN —
+    the adversarial topology for min-label propagation (O(diameter) =
+    500k shuffle rounds). Star contraction must finish in O(log n)
+    rounds (~20 for n=500k) with the chain labeled as one component.
+    Single run: the probe is round-count-bound, not jitter-bound.
+    """
+    from pyspark.sql import functions as F
+
+    from aeuc_vector_db_spark.operators.dedup import connected_components
+
+    chain_n = 500_000
+    chain = spark.range(chain_n - 1).select(
+        F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
+    )
+    rand = spark.range(500_000).select(
+        (F.lit(1_000_000) + F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000))).alias("a_id"),
+        (F.lit(1_000_000) + F.pmod(F.xxhash64(F.col("id") + 7), F.lit(1_000_000))).alias("b_id"),
+    )
+    edges = chain.unionByName(rand).repartition(
+        int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ).persist()
+    n_edges = edges.count()
+    rounds: list[int] = []
+    t0 = time.time()
+    comp = connected_components(edges, max_iter=40, _rounds_out=rounds)
+    n_comp = comp.select("component").distinct().count()
+    dt = time.time() - t0
+    chain_ok = (
+        comp.filter((F.col("node") < chain_n) & (F.col("component") != 0)).count() == 0
+    )
+    edges.unpersist()
+    print(
+        f"# cc_chain_1m: {n_edges} edges in {dt:.1f}s, rounds={rounds[0]}, "
+        f"components={n_comp}, chain_ok={chain_ok}",
+        file=sys.stderr,
+    )
+    return {"edges": n_edges, "sec": round(dt, 1), "rounds": rounds[0],
+            "components": n_comp, "chain_ok": chain_ok}
 
 
 def _bench_decode() -> dict:

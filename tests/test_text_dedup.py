@@ -191,6 +191,53 @@ def test_connected_components_chain_and_islands(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_long_chain_logarithmic_rounds(spark):
+    """The adversarial case for min-label propagation: one 200-node
+    chain needs 200 propagation rounds but star contraction must finish
+    in O(log n) — and still label every node with the chain minimum."""
+    n = 200
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    rounds: list[int] = []
+    comp = {
+        r["node"]: r["component"]
+        for r in D.connected_components(chain, _rounds_out=rounds).collect()
+    }
+    assert comp == {i: 0 for i in range(n)}
+    assert rounds[0] <= 10  # ~2·log2(200) with slack; propagation needs ~200
+
+
+def test_connected_components_matches_union_find_on_random_graph(spark):
+    """Differential check vs a driver-side union-find on a seeded random
+    graph (mixed component sizes, shapes, and id gaps)."""
+    import random
+
+    rng = random.Random(7)
+    nodes = rng.sample(range(10_000), 300)
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(250)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {r["node"]: r["component"] for r in D.connected_components(df).collect()}
+    assert got == expected
+
+
 def test_keep_one_marks_min_id(spark):
     edges = spark.createDataFrame([(5, 9), (9, 7)], "a_id long, b_id long")
     rows = {r["doc_id"]: (r["keeper_id"], r["keep"]) for r in D.keep_one(edges).collect()}
