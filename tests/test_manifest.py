@@ -204,6 +204,100 @@ def test_streaming_manifest_sink_exactly_once(spark, tmp_path):
     assert t.read(spark).count() == 6  # absorbed, not duplicated
 
 
+def test_streaming_crash_between_write_and_publish_recovers_exactly_once(
+    spark, tmp_path
+):
+    """End-to-end crash demo under a LIVE StreamingQuery: the sink dies
+    BETWEEN writing the epoch's data directory and publishing its
+    manifest. Readers must never see the partial state (the unpublished
+    dir is invisible), and the restarted stream must replay the epoch
+    into exactly-once state — accepted rows once, quarantine rows once,
+    and the orphaned first-attempt dir reclaimable by vacuum."""
+    import json as _json
+
+    from aeuc_vector_db_spark import schemas
+    from aeuc_vector_db_spark.streaming import ingest as SI
+
+    dim = 4
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {
+            "entry_id": f"e{i}",
+            "glyph_id": i,
+            "outer_context_id": 0,
+            # two rows carry the wrong dimension → quarantine path
+            "embedding": [0.1 * i] * (dim if i < 4 else dim + 1),
+            "source_tag": "t",
+            "version": "0.1.0",
+            "ts": "2024-01-01T00:00:%02d.000Z" % i,
+        }
+        for i in range(6)
+    ]
+    (src / "a.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    class CrashingTable(ManifestTable):
+        """Injects one crash at the exact protocol point the docstring
+        promises safety for: data files on disk, manifest not yet
+        visible."""
+
+        crash_armed = True
+
+        def _try_publish(self, manifest, version):
+            if CrashingTable.crash_armed:
+                CrashingTable.crash_armed = False
+                raise RuntimeError("injected crash: after data write, before publish")
+            return super()._try_publish(manifest, version)
+
+    root = str(tmp_path / "table")
+    qdir = str(tmp_path / "quarantine")
+    t = CrashingTable(root)
+    body = SI.manifest_sink(t, dim, quarantine_path=qdir)
+
+    def start():
+        return (
+            SI.read_vector_entry_stream(spark, str(src))
+            .writeStream.foreachBatch(body)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(Exception):  # the injected crash fails the query
+        q.awaitTermination(120)
+        if q.exception() is not None:  # awaitTermination may swallow it
+            raise RuntimeError(q.exception().desc)
+    # partial state is invisible: no manifest was published, so a reader
+    # sees NO table — but the orphaned data dir is on disk
+    assert t.latest_version() is None
+    orphans = os.listdir(os.path.join(root, "data"))
+    assert len(orphans) == 1
+    assert not os.path.exists(qdir)  # crash preceded the quarantine write
+
+    # restart from the same checkpoint: Structured Streaming replays the
+    # epoch with the SAME epoch id; the sink absorbs it exactly once
+    q = start()
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = sorted(r["entry_id"] for r in t.read(spark).collect())
+    assert got == ["e0", "e1", "e2", "e3"]  # accepted once, no dups
+    quarantined = spark.read.parquet(qdir)
+    assert sorted(r["entry_id"] for r in quarantined.collect()) == ["e4", "e5"]
+
+    # a further replay of the committed epoch is a no-op on BOTH paths
+    batch = spark.read.schema(schemas.VECTOR_ENTRY_SCHEMA).json(str(src))
+    epoch = max(int(e) for e in t.committed_epochs())
+    body(batch, epoch)
+    assert t.read(spark).count() == 4
+    assert spark.read.parquet(qdir).count() == 2
+
+    # the crashed attempt's orphan dir is reclaimable, live data survives
+    out = t.vacuum(retain_last=1, min_age_s=0)
+    assert len(out["removed_data_dirs"]) == 1
+    assert t.read(spark).count() == 4
+
+
 def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
     from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
 
