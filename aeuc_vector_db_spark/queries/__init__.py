@@ -99,6 +99,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # round-5 additions: new queries must land inside the 50-entry window
     # in their first round so they get a driver row immediately
     "manifest_skipping_read",
+    "ivf_euclidean_pruned_search",
+    "ivf_phi_pruned_search",
+    "rel_skew_salted_revenue",
 )
 
 

@@ -15,7 +15,13 @@ from pyspark.sql import functions as F
 
 from aeuc_vector_db_spark.operators import ann as A
 from aeuc_vector_db_spark.operators import clustering as C
-from aeuc_vector_db_spark.queries.core import QUERY_FILTER, _queries_df
+from aeuc_vector_db_spark.queries.core import (
+    QUERY_FILTER,
+    _dk_cosine,
+    _dk_euclid_sim,
+    _dk_least_phi,
+    _queries_df,
+)
 from aeuc_vector_db_spark.sources.tables import load_table
 
 
@@ -42,12 +48,28 @@ def _label_cells_setup(spark: SparkSession, sf_dir: str):
     return corpus, cents, _queries_df(spark, sf_dir)
 
 
-def _ivf_oracle(rank_only: bool) -> str:
-    """One template for both IVF oracles — the coarse/fine CTE chain
-    (centroid AVG, cosine fold, 1e-12 epsilon, tie-breaks) must never
-    drift between the HOF-path and Arrow-path declared queries; only
-    the final projection differs (the Arrow path is rank-only because
-    np.dot score bits differ from the SQL fold)."""
+def _dk_phi_sim(a: str, b: str) -> str:
+    """φ-weighted cosine as ONE DuckDB expression: per-dim weight
+    1/(distance-to-nearest-φⁿ + 1e-8) over the pair's magnitude profile,
+    normalized to sum 1, then cosine of the re-weighted vectors —
+    byte-for-byte the same op chain as the staged `_PHI_ORACLE` CTEs
+    (the sub-expressions are duplicated inline, which recomputes but
+    cannot change a bit)."""
+    am = f"list_transform(list_zip({a}, {b}), p -> (abs(p[1]) + abs(p[2])) / 2.0 + 1e-12)"
+    w = f"list_transform({am}, m -> 1.0 / ({_dk_least_phi('m')} + 1e-8))"
+    ws = f"(list_reduce({w}, (s, x) -> s + x) + 1e-12)"
+    wa = f"list_transform(list_zip({a}, {w}), p -> p[1] * (p[2] / {ws}))"
+    wb = f"list_transform(list_zip({b}, {w}), p -> p[1] * (p[2] / {ws}))"
+    return _dk_cosine(wa, wb)
+
+
+def _ivf_oracle(rank_only: bool, sim=_dk_cosine) -> str:
+    """One template for every IVF oracle — the coarse/fine CTE chain
+    (centroid AVG, similarity fold, epsilons, tie-breaks) must never
+    drift between the HOF-path, Arrow-path, and metric-parity declared
+    queries; only the similarity expression and the final projection
+    differ (the Arrow path is rank-only because np.dot score bits
+    differ from the SQL fold)."""
     proj = (
         "query_id, vec_id, CAST(rank AS BIGINT) AS rank"
         if rank_only
@@ -71,9 +93,7 @@ WITH pts AS (
   SELECT query_id, centroid_id, qv,
          row_number() OVER (
            PARTITION BY query_id
-           ORDER BY list_reduce(list_transform(list_zip(centroid, qv), p -> p[1]*p[2]), (s,x)->s+x)
-                    / (sqrt(list_reduce(list_transform(centroid, x -> x*x), (s,x)->s+x))
-                       * sqrt(list_reduce(list_transform(qv, x -> x*x), (s,x)->s+x)) + 1e-12) DESC,
+           ORDER BY {sim('centroid', 'qv')} DESC,
                     centroid_id ASC
          ) AS r
   FROM cvec CROSS JOIN q
@@ -81,11 +101,7 @@ WITH pts AS (
   SELECT query_id, centroid_id, qv FROM coarse WHERE r <= 3
 ), fine AS (
   SELECT cells.query_id, e.vec_id,
-         list_reduce(list_transform(list_zip(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qv),
-                                    p -> p[1]*p[2]), (s,x)->s+x)
-         / (sqrt(list_reduce(list_transform(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
-                                            x -> x*x), (s,x)->s+x))
-            * sqrt(list_reduce(list_transform(qv, x -> x*x), (s,x)->s+x)) + 1e-12) AS s
+         {sim("list_transform(e.embedding, x -> CAST(x AS DOUBLE))", 'qv')} AS s
   FROM embeddings e JOIN cells ON e.label = cells.centroid_id
 ), ranked AS (
   SELECT {rank_cols},
@@ -114,6 +130,29 @@ def _ivf_arrow_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_ARROW_ORACLE = _ivf_oracle(rank_only=True)
+
+
+def _ivf_metric_query(metric: str):
+    """Metric-parity IVF queries: the coarse probe AND the fine scan run
+    under the named metric (reference dispatch semantics,
+    similarity.py:82-110 — the two-level search inherits the metric,
+    reference vector_field.py:328-345). Same deterministic label cells
+    and tie-breaks as the cosine query; only the similarity changes."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        res = A.ivf_search_batch(
+            *_label_cells_setup(spark, sf_dir), top_k=10, nprobe=3, metric=metric
+        )
+        return res.select(
+            "query_id", "vec_id", F.round("score", 9).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    return fn
+
+
+_IVF_EUCLID_ORACLE = _ivf_oracle(rank_only=False, sim=_dk_euclid_sim)
+_IVF_PHI_ORACLE = _ivf_oracle(rank_only=False, sim=_dk_phi_sim)
 
 
 def _ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,6 +240,8 @@ FROM fine ORDER BY s DESC, vec_id ASC LIMIT 10
 QUERIES = {
     "ivf_pruned_search": (_ivf_pruned_search, _IVF_ORACLE),
     "ivf_arrow_pruned_search": (_ivf_arrow_pruned_search, _IVF_ARROW_ORACLE),
+    "ivf_euclidean_pruned_search": (_ivf_metric_query("euclidean"), _IVF_EUCLID_ORACLE),
+    "ivf_phi_pruned_search": (_ivf_metric_query("phi_weighted"), _IVF_PHI_ORACLE),
     "ann_ivf_recall": (_ann_ivf_recall, None),
     "two_level_search": (_two_level_search, _TWO_LEVEL_ORACLE),
 }

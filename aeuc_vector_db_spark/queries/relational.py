@@ -602,6 +602,67 @@ GROUP BY a.o_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Skew-handling join: a planted hot key spread by deterministic salting.
+# ---------------------------------------------------------------------------
+
+def _skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join under planted skew: ~86% of lineitem rows are
+    remapped to ONE supplier key (the hot key every real pipeline
+    eventually meets — a default value, an empty document, a null
+    stand-in), then joined to supplier through `salted_join`: the large
+    side is salted on its unique line id, the small side replicated per
+    salt, so the hot key fans across `buckets` reducers instead of one
+    straggler. AQE's skew-join split (on in session.py) handles this
+    adaptively for sort-merge plans at runtime scale; the salted form is
+    the explicit, always-on variant and its results must equal the plain
+    join's — which is exactly what the oracle checks (same remap + plain
+    join in DuckDB)."""
+    from aeuc_vector_db_spark.operators.skew import salted_join
+
+    li = load_table(spark, "lineitem", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    large = li.withColumn(
+        "skew_key",
+        F.when(F.col("l_suppkey") % 7 != 0, F.lit(1).cast("long"))
+        .otherwise(F.col("l_suppkey").cast("long")),
+    )
+    rev = F.expr(
+        f"CAST(l_extendedprice AS DECIMAL(18,2)) * ({_ONE} - CAST(l_discount AS DECIMAL(3,2)))"
+    )
+    joined = salted_join(
+        large,
+        sup.select(F.col("s_suppkey").cast("long").alias("skew_key"), "s_nationkey"),
+        key="skew_key",
+        buckets=8,
+        unique_cols=["l_orderkey", "l_linenumber"],
+    )
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(F.sum(rev).alias("_rev"), F.count(F.lit(1)).alias("n_lineitems"))
+        .select(
+            F.col("s_nationkey").cast("long").alias("s_nationkey"),
+            F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+            "n_lineitems",
+        )
+    )
+
+
+_SKEW_SALTED_ORACLE = f"""
+WITH remapped AS (
+  SELECT CASE WHEN l_suppkey % 7 <> 0 THEN 1 ELSE l_suppkey END AS skew_key,
+         l_extendedprice, l_discount
+  FROM lineitem
+)
+SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * ({_ONE} - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM remapped JOIN supplier ON skew_key = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (_pricing_summary, _PRICING_ORACLE),
     "rel_top_revenue_orders": (_top_revenue_orders, _TOP_REVENUE_ORACLE),
@@ -619,4 +680,5 @@ QUERIES = {
     "rel_price_percentiles": (_price_percentiles, _PERCENTILES_ORACLE),
     "rel_pivot_status_by_priority": (_pivot_status_by_priority, _PIVOT_ORACLE),
     "rel_orders_within_30d": (_orders_within_30d, _RANGE_JOIN_ORACLE),
+    "rel_skew_salted_revenue": (_skew_salted_revenue, _SKEW_SALTED_ORACLE),
 }
