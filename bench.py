@@ -93,10 +93,24 @@ def main() -> None:
     per_query: dict[str, float] = {}
     cold_query: dict[str, float] = {}
     total = 0.0
+    measured = 0
     for name in HEADLINE:
         fn = registry.get(name)
         if fn is None:
             continue
+        # Bound session aging: round 4's phantom warm regressions
+        # (export_ordered 0.056→0.286 s, events_sessionize +27%) vanished
+        # in isolated fresh sessions (r5: 0.086 s / 0.374 s) — the drift
+        # is accumulated driver/Python-worker state in the shared bench
+        # session, not the plans. A restart every 8 queries caps how much
+        # aging any query's warm loop can absorb.
+        if measured and measured % 8 == 0:
+            spark.stop()
+            spark = get_spark(f"bench-{measured}")
+            for warm_q in ("knn_cosine_topk", "knn_phi_topk"):
+                if warm_q in registry:
+                    registry[warm_q](spark, warm_dir).collect()
+        measured += 1
         t0 = time.time()
         df = fn(spark, SF_DIR)
         rows = df.collect()
@@ -121,14 +135,27 @@ def main() -> None:
     # in-session vs 2.2M standalone) and 2× on the shingle kernel —
     # session state, not plan cost. A restart gives the probes the same
     # conditions a dedicated scale job would have.
-    spark.stop()
-    spark = get_spark("bench-probes")
-
-    ingest_rate = _bench_ingest(spark)
-    knn_scale = _bench_knn_scale(spark)
-    cluster_scale = _bench_cluster_scale(spark)
-    dedup_skew = _bench_dedup_skew(spark)
-    cc_chain = _bench_cc_chain(spark)
+    # Each scale probe gets its OWN fresh session for the same reason as
+    # the mid-headline restarts: the probes are the headline 100 TB
+    # claims, and a probe must not absorb the previous probe's session
+    # aging (r4's fixture-ingest −21% was exactly that).
+    probes = (
+        ("bench-probe-ingest", _bench_ingest),
+        ("bench-probe-knn", _bench_knn_scale),
+        ("bench-probe-cluster", _bench_cluster_scale),
+        ("bench-probe-dedup", _bench_dedup_skew),
+        ("bench-probe-cc", _bench_cc_chain),
+    )
+    results = {}
+    for tag, probe in probes:
+        spark.stop()
+        spark = get_spark(tag)
+        results[tag] = probe(spark)
+    ingest_rate = results["bench-probe-ingest"]
+    knn_scale = results["bench-probe-knn"]
+    cluster_scale = results["bench-probe-cluster"]
+    dedup_skew = results["bench-probe-dedup"]
+    cc_chain = results["bench-probe-cc"]
     decode_rate = _bench_decode()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
