@@ -22,8 +22,9 @@ Decode kernels (all pure stdlib — the formats are public specs):
   dequantize, IDCT, chroma upsampling for any sampling factors, restart
   markers; progressive/arithmetic/12-bit rejected honestly. A minimal
   4:4:4 encoder exists for tests/corpus builders.
-- video / WebP / TIFF: STUBBED — codec parsing needs ffmpeg/libwebp,
+- video / WebP: STUBBED — codec parsing needs ffmpeg/libwebp,
   absent here; the stub raises a clearly-marked NotImplementedError
+  (TIFF is REAL since round 5: baseline 8-bit strips, none/PackBits)
   (strict) or emits a deterministic fake derived from the payload
   bytes. The Spark-side plumbing — schemas, batch iteration shape,
   partition-parallelism, binaryFile source, metadata propagation — is
@@ -88,7 +89,7 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
     raw = spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
     ext = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
     modality = (
-        F.when(ext.isin("png", "jpg", "jpeg", "bmp", "gif"), "image")
+        F.when(ext.isin("png", "jpg", "jpeg", "bmp", "gif", "tif", "tiff", "webp"), "image")
         .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
         .when(ext.isin("mp4", "avi", "mkv", "webm"), "video")
         .otherwise("binary")
@@ -309,6 +310,158 @@ def bmp_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, 3, bytes(out)
 
 
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits run-length decode (TIFF spec §9 / Macintosh PackBits).
+    Truncated runs raise (quarantine semantics, never silent pixels)."""
+    out = bytearray()
+    i = 0
+    n_data = len(data)
+    while i < n_data:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1 bytes
+            if n_data - i < n + 1:
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # replicate next byte 257-n times
+            if i >= n_data:
+                raise ValueError("truncated PackBits replicate run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op per spec
+    return bytes(out)
+
+
+def tiff_encode(pixels: bytes, width: int, height: int, channels: int = 3) -> bytes:
+    """Minimal valid baseline TIFF writer (little-endian, 8-bit, chunky,
+    uncompressed, single strip) — built from the public TIFF 6.0 spec;
+    used by tests and corpus builders to produce REAL files the decoder
+    below round-trips. `pixels`: row-major RGB (channels=3) or
+    grayscale (channels=1)."""
+    if channels not in (1, 3):
+        raise ValueError("tiff_encode: channels must be 1 or 3")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match width*height*channels")
+
+    def entry(tag: int, typ: int, cnt: int, val: bytes) -> bytes:
+        return struct.pack("<HHI", tag, typ, cnt) + val
+
+    def short(v: int) -> bytes:
+        return struct.pack("<HH", v, 0)
+
+    def long_(v: int) -> bytes:
+        return struct.pack("<I", v)
+
+    pix_off = 8
+    extra_off = pix_off + len(pixels)  # bits-per-sample array for RGB
+    extra = struct.pack("<3H", 8, 8, 8) if channels == 3 else b""
+    ifd_off = extra_off + len(extra)
+    entries = [
+        entry(256, 4, 1, long_(width)),                    # ImageWidth
+        entry(257, 4, 1, long_(height)),                   # ImageLength
+        entry(258, 3, channels,                            # BitsPerSample
+              short(8) if channels == 1 else long_(extra_off)),
+        entry(259, 3, 1, short(1)),                        # Compression: none
+        entry(262, 3, 1, short(1 if channels == 1 else 2)),  # Photometric
+        entry(273, 4, 1, long_(pix_off)),                  # StripOffsets
+        entry(277, 3, 1, short(channels)),                 # SamplesPerPixel
+        entry(278, 4, 1, long_(height)),                   # RowsPerStrip
+        entry(279, 4, 1, long_(len(pixels))),              # StripByteCounts
+    ]
+    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
+    return b"II*\x00" + struct.pack("<I", ifd_off) + pixels + extra + ifd
+
+
+def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-stdlib baseline TIFF decode: (width, height, channels, raw
+    top-down pixel bytes). Honest subset (TIFF 6.0 baseline): classic
+    TIFF in either byte order, 8-bit samples, chunky planar layout,
+    grayscale (PhotometricInterpretation 0/1 — WhiteIsZero inverted to
+    the BlackIsZero convention) or RGB(A), strip-organized, compression
+    none (1) or PackBits (32773). Tiles, palettes, LZW/JPEG compression,
+    16-bit, planar=2 raise ValueError (quarantine, never wrong pixels)."""
+    import numpy as np
+
+    if payload[:4] == b"II*\x00":
+        endian = "<"
+    elif payload[:4] == b"MM\x00*":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF: bad header")
+    (ifd_off,) = struct.unpack(endian + "I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF: IFD offset past EOF")
+    (n_entries,) = struct.unpack(endian + "H", payload[ifd_off : ifd_off + 2])
+    _SIZES = {1: "B", 3: "H", 4: "I"}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        e = payload[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
+        if len(e) < 12:
+            raise ValueError("truncated TIFF IFD")
+        tag, typ, cnt = struct.unpack(endian + "HHI", e[:8])
+        fmt = _SIZES.get(typ)
+        if fmt is None:
+            continue  # RATIONAL etc. — nothing required reads them
+        total = struct.calcsize(fmt) * cnt
+        if total <= 4:
+            buf = e[8 : 8 + total]  # inline, left-justified in both orders
+        else:
+            (off,) = struct.unpack(endian + "I", e[8:12])
+            buf = payload[off : off + total]
+            if len(buf) < total:
+                raise ValueError("truncated TIFF value area")
+        tags[tag] = list(struct.unpack(f"{endian}{cnt}{fmt}", buf))
+
+    def one(tag: int, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    width, height = one(256), one(257)
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    comp = one(259, 1)
+    photo = one(262, 1)
+    planar = one(284, 1)
+    offsets, counts = tags.get(273), tags.get(279)
+    if not width or not height or not offsets:
+        raise ValueError("truncated TIFF: missing ImageWidth/Length/StripOffsets")
+    if width * height > 1 << 26:
+        raise ValueError(f"TIFF dimensions implausible: {width}x{height}")
+    if 322 in tags or 323 in tags or 324 in tags:
+        raise ValueError("tiled TIFF unsupported")
+    if 320 in tags or photo == 3:
+        raise ValueError("palette TIFF unsupported")
+    if any(b != 8 for b in bits) or planar != 1:
+        raise ValueError("unsupported TIFF: 8-bit chunky samples only")
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp} (none/PackBits only)")
+    if photo not in (0, 1, 2):
+        raise ValueError(f"unsupported TIFF photometric {photo}")
+    if spp not in (1, 3, 4):
+        raise ValueError(f"unsupported TIFF samples-per-pixel {spp}")
+    if counts is None:
+        if comp != 1:
+            raise ValueError("compressed TIFF without StripByteCounts")
+        rps = one(278, height)
+        counts = [
+            min(rps, height - i * rps) * width * spp for i in range(len(offsets))
+        ]
+    data = bytearray()
+    for off, cnt in zip(offsets, counts):
+        chunk = payload[off : off + cnt]
+        if len(chunk) != cnt:
+            raise ValueError("truncated TIFF strip")
+        data += _packbits_decode(chunk) if comp == 32773 else chunk
+    expected = width * height * spp
+    if len(data) < expected:
+        raise ValueError("TIFF pixel data length mismatch")
+    out = bytes(data[:expected])
+    if photo == 0:  # WhiteIsZero → invert to the BlackIsZero convention
+        out = (255 - np.frombuffer(out, dtype=np.uint8)).tobytes()
+    return width, height, spp, out
+
+
 def wav_encode(samples: "list[int]", sample_rate: int = 8000, channels: int = 1) -> bytes:
     """Minimal valid PCM16 RIFF/WAVE writer (canonical 44-byte header)."""
     data = struct.pack(f"<{len(samples)}h", *samples)
@@ -426,10 +579,7 @@ def decode_features(blobs: DataFrame, feature_dim: int = 8) -> DataFrame:
         """Healthy container of a format this stdlib-only kernel can't
         decode (needs Pillow/ffmpeg) — stub territory, not corruption."""
         if modality == "image":
-            return (
-                (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP")
-                or payload[:4] in (b"II*\x00", b"MM\x00*")  # TIFF
-            )
+            return payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"
         if modality == "audio":
             return (
                 payload[:3] == b"ID3"                # MP3 w/ ID3 tag
@@ -446,6 +596,7 @@ def decode_features(blobs: DataFrame, feature_dim: int = 8) -> DataFrame:
                 or payload[:2] == b"BM"
                 or payload[:6] in (b"GIF87a", b"GIF89a")
                 or payload[:3] == b"\xff\xd8\xff"
+                or payload[:4] in (b"II*\x00", b"MM\x00*")
             ):
                 if payload[:8] == _PNG_SIG:
                     w, h, c, pix = png_decode(payload)
@@ -455,6 +606,8 @@ def decode_features(blobs: DataFrame, feature_dim: int = 8) -> DataFrame:
                     from aeuc_vector_db_spark.sources.jpeg import jpeg_decode
 
                     w, h, c, pix = jpeg_decode(payload)
+                elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+                    w, h, c, pix = tiff_decode(payload)
                 else:
                     w, h, c, pix = gif_decode(payload)
                 arr = np.frombuffer(pix, dtype=np.uint8).reshape(-1, c)
@@ -609,6 +762,8 @@ def resize_images(blobs: DataFrame, out_w: int, out_h: int) -> DataFrame:
                         from aeuc_vector_db_spark.sources.jpeg import jpeg_decode
 
                         w, h, c, pix = jpeg_decode(payload)
+                    elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+                        w, h, c, pix = tiff_decode(payload)
                     else:
                         raise ValueError("unsupported image container")
                     small = resize_nearest(pix, w, h, c, out_w, out_h)

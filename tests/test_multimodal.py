@@ -137,8 +137,12 @@ def test_png_decompression_bomb_bounded():
 
 
 def test_decode_features_unsupported_vs_corrupt(spark, tmp_path):
-    # healthy TIFF header named .png → stub (needs a TIFF lib), NOT error
-    (tmp_path / "ok_tiff.png").write_bytes(b"II*\x00" + b"\x00" * 32)
+    # healthy WebP header named .png → stub (needs libwebp), NOT error
+    (tmp_path / "ok_webp.png").write_bytes(
+        b"RIFF" + struct.pack("<I", 24) + b"WEBP" + b"\x00" * 20
+    )
+    # truncated TIFF (real codec since round 5) → error, job survives
+    (tmp_path / "trunc.tif").write_bytes(b"II*\x00" + b"\x00" * 32)
     # truncated JPEG (real codec now) → error, job survives
     (tmp_path / "trunc.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
     # unrecognizable bytes under an image extension → error
@@ -149,7 +153,8 @@ def test_decode_features_unsupported_vs_corrupt(spark, tmp_path):
     (tmp_path / "bad.wav").write_bytes(bytes(wav))
     blobs = MM.read_binary_dir(spark, str(tmp_path))
     rows = {r["blob_id"]: r for r in MM.decode_features(blobs, feature_dim=4).collect()}
-    assert rows["ok_tiff.png"]["decode_status"] == "stub"
+    assert rows["ok_webp.png"]["decode_status"] == "stub"
+    assert rows["trunc.tif"]["decode_status"] == "error"
     assert rows["trunc.jpg"]["decode_status"] == "error"
     assert rows["junk.png"]["decode_status"] == "error"
     assert rows["bad.wav"]["decode_status"] == "error"
@@ -398,6 +403,98 @@ def test_decode_features_and_resize_gif_real(spark, tmp_path):
     assert resized["decode_status"] == "real"
     w, h, c, rgb = MM.png_decode(bytes(resized["content"]))
     assert (w, h, c) == (2, 2, 3)
+
+
+def test_tiff_roundtrip_exact():
+    """Uncompressed baseline TIFF is lossless — encode→decode must be
+    byte-identical for RGB and grayscale."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 255, (9, 7, 3)).astype(np.uint8)
+    w, h, c, out = MM.tiff_decode(MM.tiff_encode(rgb.tobytes(), 7, 9, 3))
+    assert (w, h, c) == (7, 9, 3) and out == rgb.tobytes()
+    gray = rng.integers(0, 255, (5, 6, 1)).astype(np.uint8)
+    w, h, c, out = MM.tiff_decode(MM.tiff_encode(gray.tobytes(), 6, 5, 1))
+    assert (w, h, c) == (6, 5, 1) and out == gray.tobytes()
+
+
+def test_tiff_big_endian_and_packbits():
+    """A hand-built MM (big-endian), PackBits-compressed, WhiteIsZero
+    file decodes to the inverted run — every non-default code path in
+    one fixture."""
+    width, height = 4, 2
+    # pixel rows (WhiteIsZero): 0xFF run then literals
+    raw = bytes([0xFF] * 4 + [0x00, 0x10, 0x20, 0x30])
+    # PackBits: replicate 0xFF ×4 (code 257-4=253), literal 4 bytes (code 3)
+    packed = bytes([253, 0xFF, 3, 0x00, 0x10, 0x20, 0x30])
+
+    def entry(tag, typ, cnt, val4):
+        return struct.pack(">HHI", tag, typ, cnt) + val4
+
+    def short(v):
+        return struct.pack(">HH", v, 0)
+
+    def long_(v):
+        return struct.pack(">I", v)
+
+    pix_off = 8
+    ifd_off = pix_off + len(packed)
+    entries = [
+        entry(256, 4, 1, long_(width)),
+        entry(257, 4, 1, long_(height)),
+        entry(258, 3, 1, short(8)),
+        entry(259, 3, 1, short(32773)),  # PackBits
+        entry(262, 3, 1, short(0)),      # WhiteIsZero
+        entry(273, 4, 1, long_(pix_off)),
+        entry(277, 3, 1, short(1)),
+        entry(278, 4, 1, long_(height)),
+        entry(279, 4, 1, long_(len(packed))),
+    ]
+    ifd = struct.pack(">H", len(entries)) + b"".join(entries) + struct.pack(">I", 0)
+    payload = b"MM\x00*" + struct.pack(">I", ifd_off) + packed + ifd
+    w, h, c, out = MM.tiff_decode(payload)
+    assert (w, h, c) == (4, 2, 1)
+    assert out == bytes(255 - b for b in raw)  # WhiteIsZero inverted
+
+
+def test_tiff_rejects_unsupported():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (4, 4, 3)).astype(np.uint8)
+    good = MM.tiff_encode(img.tobytes(), 4, 4, 3)
+    with pytest.raises(ValueError, match="not a TIFF"):
+        MM.tiff_decode(b"not a tiff at all")
+    # LZW compression (5) must be rejected, not misparsed: patch the
+    # Compression entry's inline SHORT value (tag 259 at entry index 3)
+    ifd_off = struct.unpack("<I", good[4:8])[0]
+    e_off = ifd_off + 2 + 12 * 3
+    assert struct.unpack("<H", good[e_off : e_off + 2])[0] == 259
+    bad = bytearray(good)
+    bad[e_off + 8 : e_off + 10] = struct.pack("<H", 5)
+    with pytest.raises(ValueError, match="compression"):
+        MM.tiff_decode(bytes(bad))
+    # truncated strip
+    with pytest.raises(ValueError):
+        MM.tiff_decode(good[:20])
+
+
+def test_decode_features_tiff_real(spark, tmp_path):
+    import numpy as np
+
+    img = np.full((8, 8, 3), [40, 200, 120], dtype=np.uint8)
+    (tmp_path / "t.tiff").write_bytes(MM.tiff_encode(img.tobytes(), 8, 8, 3))
+    blobs = MM.read_binary_dir(spark, str(tmp_path))
+    feat = MM.decode_features(blobs).collect()[0]
+    assert feat["decode_status"] == "real"
+    assert (feat["width"], feat["height"], feat["channels"]) == (8, 8, 3)
+    assert abs(feat["features"][0] - 40 / 255.0) < 1e-6  # exact mean R
+    resized = MM.resize_images(blobs, 4, 4).collect()[0]
+    assert resized["decode_status"] == "real"
+    w, h, c, pix = MM.png_decode(bytes(resized["content"]))
+    assert (w, h, c) == (4, 4, 3)
+    assert pix == bytes([40, 200, 120] * 16)  # flat image survives resize
 
 
 def test_jpeg_roundtrip_bounded_error():
