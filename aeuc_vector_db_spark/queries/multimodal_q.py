@@ -31,11 +31,25 @@ _CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__fil
 
 def _blob_bytes(doc_id: int, text: str) -> tuple[str, bytes]:
     """Deterministic blob for one documents row, cycling real PNG / real
-    WAV / real MP4 skeleton / real BMP / real JPEG. Returns (filename,
-    payload). Corpus doc_ids are multiples of 25, so the cycle uses
-    (doc_id // 25) — doc_id % 5 would be constant."""
+    WAV / real MP4 skeleton / real BMP / real JPEG / real MJPEG-AVI.
+    Returns (filename, payload). Corpus doc_ids are multiples of 25, so
+    the cycle uses (doc_id // 25) — doc_id % 6 would be constant."""
     h = hashlib.sha256(text.encode()).digest()
-    kind = (doc_id // 25) % 5
+    kind = (doc_id // 25) % 6
+    if kind == 5:
+        # real MJPEG-in-AVI clip: 3 JPEG frames, 8x8 RGB, 4 fps →
+        # exercises the REAL video decode path (decode_status='real')
+        from aeuc_vector_db_spark.sources.jpeg import jpeg_encode
+
+        frames = []
+        cur = h
+        for _ in range(3):
+            buf = bytearray()
+            while len(buf) < 8 * 8 * 3:
+                buf += cur
+                cur = hashlib.sha256(cur).digest()
+            frames.append(jpeg_encode(bytes(buf[: 8 * 8 * 3]), 8, 8, 3))
+        return f"blob_{doc_id}.avi", MM.avi_mjpeg_encode(frames, 8, 8, fps=4)
     if kind == 4:
         # real baseline JPEG, 8x8 RGB from the hash stream
         from aeuc_vector_db_spark.sources.jpeg import jpeg_encode
@@ -88,7 +102,7 @@ def _blob_bytes(doc_id: int, text: str) -> tuple[str, bytes]:
 
 def _blob_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the binary corpus once per sf (marker-cached)."""
-    tag = os.path.basename(sf_dir.rstrip("/")) + "-v4"  # v4: +JPEG kind
+    tag = os.path.basename(sf_dir.rstrip("/")) + "-v5"  # v5: +MJPEG-AVI kind
     d = os.path.join(_CACHE_ROOT, tag)
     marker = f"{d}/.complete"
     if not os.path.exists(marker):
@@ -154,7 +168,31 @@ def _multimodal_transform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("avg_rms").alias("metric"),
     )
-    return img.unionByName(aud).orderBy("op", "decode_status")
+    # video frame sampling: real JPEG bytes for MJPEG-AVI clips, declared
+    # 32-byte sha256 fakes otherwise — the length split tells them apart
+    vid = (
+        MM.sample_frames(
+            blobs.filter(F.col("modality") == "video"), every_ms=250, max_frames=3
+        )
+        .withColumn(
+            "decode_status",
+            F.when(
+                F.substring("frame_bytes", 1, 2) == F.lit(b"\xff\xd8"), "real"
+            ).otherwise("stub"),
+        )
+        .groupBy("decode_status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.length("frame_bytes")), 3).alias("avg_frame_bytes"),
+        )
+        .select(
+            F.lit("video_frames").alias("op"),
+            "decode_status",
+            "n",
+            F.col("avg_frame_bytes").alias("metric"),
+        )
+    )
+    return img.unionByName(aud).unionByName(vid).orderBy("op", "decode_status")
 
 
 QUERIES = {

@@ -22,13 +22,19 @@ Decode kernels (all pure stdlib — the formats are public specs):
   dequantize, IDCT, chroma upsampling for any sampling factors, restart
   markers; progressive/arithmetic/12-bit rejected honestly. A minimal
   4:4:4 encoder exists for tests/corpus builders.
-- video / WebP: STUBBED — codec parsing needs ffmpeg/libwebp,
-  absent here; the stub raises a clearly-marked NotImplementedError
-  (TIFF is REAL since round 5: baseline 8-bit strips, none/PackBits)
-  (strict) or emits a deterministic fake derived from the payload
-  bytes. The Spark-side plumbing — schemas, batch iteration shape,
-  partition-parallelism, binaryFile source, metadata propagation — is
-  identical for real and stubbed kernels.
+- TIFF: REAL since round 5 — baseline 8-bit strips, both byte orders,
+  none/PackBits compression.
+- Video: MJPEG-in-AVI is REAL since round 5 — RIFF container walk +
+  per-frame baseline JPEG decode (true pixel stats, true frame bytes in
+  `sample_frames`). MP4/ISO-BMFF gets a REAL container probe
+  (dims/duration → decode_status='meta'); compressed codecs
+  (H.264/VP9/…) stay STUBBED — they need ffmpeg, absent here.
+- WebP: STUBBED — lossy VP8 needs libwebp; the stub raises a
+  clearly-marked NotImplementedError (strict) or emits a deterministic
+  fake derived from the payload bytes. The Spark-side plumbing —
+  schemas, batch iteration shape, partition-parallelism, binaryFile
+  source, metadata propagation — is identical for real and stubbed
+  kernels.
 
 Scale notes: `binaryFile` splits at file granularity — fine for many
 small/medium objects; huge objects should be sharded upstream. Column
@@ -634,6 +640,40 @@ def decode_features(blobs: DataFrame, feature_dim: int = 8) -> DataFrame:
                 ]
                 feats = (feats + [0.0] * feature_dim)[:feature_dim]
                 return (blob_id, modality, "real", None, None, c, rate, dur_ms, feats)
+            if (
+                modality == "video"
+                and payload[:4] == b"RIFF"
+                and payload[8:12] == b"AVI "
+            ):
+                w, h, uspf, handler, frames = avi_probe(payload)
+                dur_ms = len(frames) * uspf / 1000.0
+                if handler.upper() == "MJPG" and frames:
+                    # REAL decode: up to 3 evenly spaced frames through the
+                    # pure-Python baseline JPEG decoder → true pixel stats
+                    from aeuc_vector_db_spark.sources.jpeg import jpeg_decode
+
+                    idxs = sorted({0, len(frames) // 2, len(frames) - 1})
+                    planes = []
+                    for i in idxs:
+                        _, _, fc, pix = jpeg_decode(frames[i])
+                        planes.append(
+                            np.frombuffer(pix, dtype=np.uint8).reshape(-1, fc)
+                        )
+                    arr = np.concatenate(planes)
+                    feats = []
+                    for ch in range(arr.shape[1]):
+                        col = arr[:, ch].astype(np.float64)
+                        feats += [float(col.mean()) / 255.0, float(col.std()) / 255.0]
+                    feats = (feats + [0.0] * feature_dim)[:feature_dim]
+                    return (
+                        blob_id, modality, "real", w, h, int(arr.shape[1]),
+                        None, dur_ms, feats,
+                    )
+                # healthy AVI, non-MJPG codec: container metadata is real,
+                # sample data needs ffmpeg → 'meta' (same tier as MP4)
+                digest = hashlib.sha256(payload).digest()
+                feats = [float(digest[i % 32]) / 255.0 for i in range(feature_dim)]
+                return (blob_id, modality, "meta", w, h, None, None, dur_ms, feats)
             if modality == "video" and len(payload) >= 12 and payload[4:8] == b"ftyp":
                 # 'meta': container structure parsed for REAL (ISO-BMFF box
                 # walk → dims + duration); sample data needs ffmpeg, so
@@ -1118,3 +1158,167 @@ def mp4_probe(payload: bytes) -> tuple[int | None, int | None, float]:
                     if w_fp and h_fp:
                         width, height = w_fp >> 16, h_fp >> 16
     return width, height, duration_ms
+
+
+# -- AVI / MJPEG video ---------------------------------------------------
+#
+# Motion-JPEG inside an AVI RIFF container is the one mainstream video
+# format a pure-stdlib engine can decode for REAL: the container is a
+# flat chunk walk and every frame is a baseline JPEG, which
+# sources/jpeg.py already decodes. This upgrades the video modality from
+# 'stub'/'meta' to 'real' for MJPG AVIs — true pixel statistics and true
+# frame bytes — while other codecs (H.264/VP9/…) stay honestly declared
+# stubs (they need ffmpeg). Reference analog: the reference has no
+# multimodal surface at all (charter extension E5).
+
+
+def avi_mjpeg_encode(
+    frames: "list[bytes]", width: int, height: int, fps: int = 10
+) -> bytes:
+    """Minimal valid AVI (RIFF) wrapping pre-encoded JPEG frames as an
+    MJPG 'vids' stream — for tests and corpus builders. Little-endian
+    throughout; every chunk padded to even length per RIFF."""
+    if not frames or fps <= 0:
+        raise ValueError("avi_mjpeg_encode: need >=1 frame and fps > 0")
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return tag + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b""
+        )
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    uspf = 1_000_000 // fps
+    max_size = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<14I",
+        uspf, max_size * fps, 0, 0x10,      # usec/frame, bytes/s, pad, HASINDEX-less flags
+        len(frames), 0, 1, max_size,         # total frames, initial, streams, bufsize
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), max_size, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def avi_probe(payload: bytes) -> tuple[int, int, float, str, "list[bytes]"]:
+    """Walk an AVI RIFF container: returns (width, height,
+    usec_per_frame, video fourcc handler, frame chunks). Frame bytes are
+    returned as stored ('00dc'/'00db' stream-0 chunks, including inside
+    'rec ' groups) — decoding them is the caller's choice. Raises
+    ValueError on non-AVI bytes or truncated chunks."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI RIFF container")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    end = min(len(payload), 8 + riff_size)
+
+    def chunks(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            tag = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            if pos + 8 + size > hi:
+                raise ValueError(f"truncated AVI chunk {tag!r}")
+            yield tag, pos + 8, pos + 8 + size
+            pos += 8 + size + (size & 1)
+
+    width = height = None
+    uspf = 0.0
+    handler = ""
+    frames: list[bytes] = []
+
+    def collect_movi(lo: int, hi: int) -> None:
+        for tag, s, e in chunks(lo, hi):
+            if tag == b"LIST" and payload[s : s + 4] == b"rec ":
+                collect_movi(s + 4, e)
+            elif tag[:2] == b"00" and tag[2:4] in (b"dc", b"db"):
+                frames.append(payload[s:e])
+
+    for tag, s, e in chunks(12, end):
+        if tag != b"LIST":
+            continue
+        ltype = payload[s : s + 4]
+        if ltype == b"hdrl":
+            for t2, s2, e2 in chunks(s + 4, e):
+                if t2 == b"avih" and e2 - s2 >= 40:
+                    vals = struct.unpack("<10I", payload[s2 : s2 + 40])
+                    uspf, width, height = float(vals[0]), vals[8], vals[9]
+                elif t2 == b"LIST" and payload[s2 : s2 + 4] == b"strl":
+                    for t3, s3, e3 in chunks(s2 + 4, e2):
+                        if (
+                            t3 == b"strh"
+                            and payload[s3 : s3 + 4] == b"vids"
+                            and not handler
+                        ):
+                            handler = (
+                                payload[s3 + 4 : s3 + 8]
+                                .decode("ascii", "replace")
+                                .strip("\x00 ")
+                            )
+        elif ltype == b"movi":
+            collect_movi(s + 4, e)
+    if width is None:
+        raise ValueError("AVI container has no avih header")
+    return width, height, uspf, handler, frames
+
+
+def sample_frames(
+    blobs: DataFrame, every_ms: int = 1000, max_frames: int = 4
+) -> DataFrame:
+    """Video frame sampling, 1 input row → ≤max_frames frame rows.
+
+    REAL for MJPEG-in-AVI payloads: emits the actual stored JPEG frame
+    bytes at the frame nearest each target timestamp (k·every_ms), with
+    the true timestamp from the container's usec-per-frame — real bytes
+    start with the JPEG SOI marker. Other containers/codecs fall back to
+    the declared stub rows (sha256-derived fakes, frame k at k·every_ms)
+    so the flat-map expansion shape is uniform for downstream consumers;
+    corrupt AVI payloads also fall back rather than failing the job
+    (decode-quarantine philosophy)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob_id, content in zip(pdf["blob_id"], pdf["content"]):
+                payload = bytes(content) if content is not None else b""
+                emitted = False
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    try:
+                        _, _, uspf, handler, frames = avi_probe(payload)
+                        if handler.upper() == "MJPG" and frames and uspf > 0:
+                            for k in range(max_frames):
+                                idx = round(k * every_ms * 1000.0 / uspf)
+                                if idx >= len(frames):
+                                    break
+                                rows.append(
+                                    (blob_id, k, int(idx * uspf) // 1000, frames[idx])
+                                )
+                            emitted = True
+                    except (ValueError, struct.error):
+                        pass
+                if not emitted:
+                    for i in range(max_frames):
+                        rows.append(
+                            (
+                                blob_id,
+                                i,
+                                i * every_ms,
+                                hashlib.sha256(payload + bytes([i])).digest(),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows, columns=["blob_id", "frame_idx", "frame_ts_ms", "frame_bytes"]
+            )
+
+    return blobs.select("blob_id", "content").mapInPandas(sample, FRAME_SAMPLE_SCHEMA)

@@ -625,3 +625,79 @@ def test_decode_features_mp4_meta_status(spark, tmp_path):
     assert (v["width"], v["height"]) == (320, 240)
     assert abs(v["duration_ms"] - 2000.0) < 1e-9
     assert rows["junk.mp4"]["decode_status"] == "stub"
+
+
+def test_avi_mjpeg_roundtrip_probe():
+    import numpy as np
+
+    from aeuc_vector_db_spark.sources.jpeg import jpeg_decode, jpeg_encode
+
+    frames = [
+        jpeg_encode(bytes([v, 255 - v, 60]) * (16 * 16), 16, 16, 3)
+        for v in (30, 128, 220)
+    ]
+    avi = MM.avi_mjpeg_encode(frames, 16, 16, fps=5)
+    w, h, uspf, handler, out = MM.avi_probe(avi)
+    assert (w, h, uspf, handler) == (16, 16, 200000.0, "MJPG")
+    assert [bytes(f) for f in out] == frames  # stored chunks byte-identical
+    # frames decode to the encoded colors (lossy, so wide-ish tolerance)
+    for f, v in zip(out, (30, 128, 220)):
+        fw, fh, fc, pix = jpeg_decode(f)
+        arr = np.frombuffer(pix, np.uint8).reshape(-1, 3)
+        assert (fw, fh, fc) == (16, 16, 3)
+        assert abs(arr[:, 0].mean() - v) < 10
+
+
+def test_avi_probe_rejects_bad_inputs():
+    with pytest.raises(ValueError):
+        MM.avi_probe(b"RIFF\x04\x00\x00\x00WAVE")  # RIFF but not AVI
+    avi = MM.avi_mjpeg_encode([b"\xff\xd8\xff\xe0data"], 8, 8, fps=1)
+    with pytest.raises(ValueError):
+        MM.avi_probe(avi[:40])  # truncated chunk walk
+    with pytest.raises(ValueError):
+        MM.avi_mjpeg_encode([], 8, 8, fps=1)  # no frames
+
+
+def test_decode_features_avi_mjpeg_real(spark, tmp_path):
+    from aeuc_vector_db_spark.sources.jpeg import jpeg_encode
+
+    frames = [
+        jpeg_encode(bytes([200, 30, 90]) * (8 * 8), 8, 8, 3) for _ in range(4)
+    ]
+    (tmp_path / "clip.avi").write_bytes(MM.avi_mjpeg_encode(frames, 8, 8, fps=2))
+    # non-MJPG AVI: healthy container, unsupported codec → 'meta'
+    other = MM.avi_mjpeg_encode(frames, 8, 8, fps=2).replace(b"MJPG", b"XVID")
+    (tmp_path / "other.avi").write_bytes(other)
+    blobs = MM.read_binary_dir(spark, str(tmp_path))
+    rows = {r["blob_id"]: r for r in MM.decode_features(blobs).collect()}
+    clip = rows["clip.avi"]
+    assert clip["decode_status"] == "real"
+    assert (clip["width"], clip["height"], clip["channels"]) == (8, 8, 3)
+    assert abs(clip["duration_ms"] - 4 * 500.0) < 1e-9
+    assert abs(clip["features"][0] - 200 / 255.0) < 0.05  # true mean R
+    assert rows["other.avi"]["decode_status"] == "meta"
+    assert rows["other.avi"]["width"] == 8
+
+
+def test_sample_frames_real_mjpeg_and_stub_fallback(spark):
+    from aeuc_vector_db_spark.sources.jpeg import jpeg_encode
+
+    frames = [
+        jpeg_encode(bytes([v] * 3) * (8 * 8), 8, 8, 3)
+        for v in (10, 60, 110, 160, 210)
+    ]
+    avi = MM.avi_mjpeg_encode(frames, 8, 8, fps=10)  # frame every 100 ms
+    df = spark.createDataFrame(
+        [("clip", "video", bytearray(avi), None),
+         ("junk", "video", bytearray(b"not-a-container"), None)],
+        MM.MULTIMODAL_SCHEMA,
+    )
+    out = MM.sample_frames(df, every_ms=200, max_frames=4).collect()
+    clip = sorted((r for r in out if r["blob_id"] == "clip"),
+                  key=lambda r: r["frame_idx"])
+    # 5 frames at 100 ms spacing sampled every 200 ms → frames 0, 2, 4
+    assert [r["frame_ts_ms"] for r in clip] == [0, 200, 400]
+    assert [bytes(r["frame_bytes"]) for r in clip] == [frames[0], frames[2], frames[4]]
+    junk = [r for r in out if r["blob_id"] == "junk"]
+    assert len(junk) == 4  # stub fallback keeps the expansion shape
+    assert all(len(bytes(r["frame_bytes"])) == 32 for r in junk)  # sha256 fakes
