@@ -102,6 +102,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ivf_euclidean_pruned_search",
     "ivf_phi_pruned_search",
     "rel_skew_salted_revenue",
+    "manifest_zorder_read",
 )
 
 

@@ -116,8 +116,44 @@ FROM documents WHERE doc_id >= 160 AND doc_id < 290 GROUP BY lang
 """
 
 
+def _manifest_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order compaction correctness: write documents scrambled, compact
+    with cluster_by=[doc_id, n_chars] (Morton interleave of quantile
+    ranks), then read through the file-pruning path under predicates on
+    BOTH clustered columns. The oracle computes the same conjunction
+    directly — a z-map bucketing error that dropped or duplicated rows,
+    or a wrongly-pruned file, diverges the aggregate hash. File-count
+    pruning on each column is pinned in test_manifest.py."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = ManifestTable(
+        tempfile.mkdtemp(prefix="aeuc_manifest_z_"),
+        stats_cols=["doc_id", "n_chars"],
+    )
+    # scrambled initial layout: stats exist but prune nothing
+    t.commit_overwrite(docs.repartition(8))
+    t.compact(spark, cluster_by=["doc_id", "n_chars"], n_files=12)
+    pruned = t.read_where(
+        spark, [("doc_id", ">=", 100), ("doc_id", "<", 400), ("n_chars", ">=", 500)]
+    )
+    return pruned.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_ZORDER_ORACLE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id >= 100 AND doc_id < 400 AND n_chars >= 500
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "manifest_merge_read": (_manifest_merge_read, _MANIFEST_ORACLE),
     "manifest_incremental_read": (_manifest_incremental_read, _INCREMENTAL_ORACLE),
     "manifest_skipping_read": (_manifest_skipping_read, _SKIPPING_ORACLE),
+    "manifest_zorder_read": (_manifest_zorder_read, _ZORDER_ORACLE),
 }

@@ -133,6 +133,48 @@ def _span_may_match(span, op: str, value) -> bool:
     raise ValueError(f"unsupported data-skipping operator {op!r}")
 
 
+def _zvalue(df: DataFrame, cols: list[str], bits_per_col: int = 8):
+    """Column computing the Morton (Z-order) interleave of the rank-bucket
+    indices of `cols` — the multi-column clustering key: sorting by it
+    keeps every clustered column's per-file min/max span tight
+    SIMULTANEOUSLY, so data skipping bites on predicates over ANY of the
+    columns (a plain sort only serves its leading column).
+
+    Bucket boundaries come from one `approxQuantile` pass (driver holds
+    ≤2^bits scalars per column — bounded regardless of table size), so
+    skewed value distributions still spread across all 2^bits codes;
+    scaling by the raw value range would collapse skewed columns into a
+    few buckets. The bucket index and bit interleave are pure JVM-side
+    expressions (array `filter` + shift/AND) — no Python in the row path.
+    Numeric columns only; rejects others loudly.
+    """
+    from pyspark.sql.types import NumericType
+
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    for c in cols:
+        if c not in fields:
+            raise ValueError(f"z-order column {c!r} not in schema")
+        if not isinstance(fields[c], NumericType):
+            raise ValueError(
+                f"z-order column {c!r} is {fields[c].simpleString()}; "
+                "quantile bucketing needs a numeric column"
+            )
+    n_buckets = 1 << bits_per_col
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds_per_col = df.approxQuantile(cols, probs, 1.0 / (4 * n_buckets))
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for i, (c, bounds) in enumerate(zip(cols, bounds_per_col)):
+        uniq = sorted(set(bounds))
+        arr = F.array(*[F.lit(float(b)) for b in uniq])
+        val = F.col(c).cast("double")
+        idx = F.size(F.filter(arr, lambda b: b <= val))  # noqa: B023
+        for b in range(bits_per_col):
+            bit = F.shiftright(idx.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * k + i)
+    return z
+
+
 class ManifestTable:
     """Handle on a manifest-committed table rooted at a directory.
 
@@ -313,22 +355,36 @@ class ManifestTable:
         df: DataFrame,
         sort_by: list[str] | None = None,
         n_files: int | None = None,
+        cluster_by: list[str] | None = None,
     ) -> tuple[list[str], int]:
         """Write df to a fresh immutable data dir; return (root-relative
         file list, row count). Count rides the write job via Observation —
         the commit costs one pass, never a second count job. With
         `sort_by`, rows are range-partitioned and sorted within files so
         parquet row-group min/max stats support data skipping on those
-        columns; `n_files` pins the range-partition fan-out (AQE would
-        otherwise coalesce small tables to one file, which defeats
+        columns; `cluster_by` instead Z-orders rows (range-partition +
+        in-file sort on the Morton interleave of the columns' quantile
+        ranks) so skipping works on EVERY clustered column, not just the
+        leading one; `n_files` pins the range-partition fan-out (AQE
+        would otherwise coalesce small tables to one file, which defeats
         file-level skipping)."""
         from pyspark.sql import Observation
 
+        if sort_by and cluster_by:
+            raise ValueError("sort_by and cluster_by are mutually exclusive")
         token = uuid.uuid4().hex[:16]
         rel_dir = os.path.join(_DATA_DIR, token)
         out_dir = os.path.join(self.root, rel_dir)
         self._pending_schema = _schema_sig(df)
-        if sort_by:
+        if cluster_by:
+            zc = f"__z_{token}"
+            df = (
+                df.withColumn(zc, _zvalue(df, cluster_by))
+                .repartitionByRange(*([n_files, zc] if n_files else [zc]))
+                .sortWithinPartitions(zc)
+                .drop(zc)  # projection after the sort: order survives
+            )
+        elif sort_by:
             parted = (
                 df.repartitionByRange(n_files, *sort_by)
                 if n_files
@@ -532,6 +588,7 @@ class ManifestTable:
         spark: SparkSession,
         sort_by: list[str] | None = None,
         n_files: int | None = None,
+        cluster_by: list[str] | None = None,
     ) -> int:
         """Rewrite the current snapshot into one fresh data dir (small-file
         compaction after many appends); content identical, old versions
@@ -543,12 +600,18 @@ class ManifestTable:
         sort) so later filtered reads skip row groups via parquet
         min/max stats — the maintenance-time data-layout lever next to
         bucketing (which clusters by HASH for merges; this clusters by
-        ORDER for range predicates)."""
+        ORDER for range predicates). `cluster_by` Z-orders instead: the
+        per-file spans stay tight on all listed columns at once, for
+        workloads that filter on more than one dimension (costs one
+        extra bounded `approxQuantile` pass)."""
         parent = self.latest_version()
         if parent is None:
             raise FileNotFoundError(f"no committed version at {self.root!r}")
         files, n = self._write_data_dir(
-            self.read(spark, parent), sort_by=sort_by, n_files=n_files
+            self.read(spark, parent),
+            sort_by=sort_by,
+            n_files=n_files,
+            cluster_by=cluster_by,
         )
         return self._commit(
             "compact", files, n, keep_parent_files=False, expected_parent=parent
@@ -664,7 +727,11 @@ class BucketedManifestTable(ManifestTable):
         ).cast("int")
 
     def _write_data_dir(
-        self, df, sort_by: list[str] | None = None, n_files: int | None = None
+        self,
+        df,
+        sort_by: list[str] | None = None,
+        n_files: int | None = None,
+        cluster_by: list[str] | None = None,
     ) -> tuple[list[str], int]:
         """Bucket-partitioned write; stages per-file (bucket, rows) maps
         (`n_files` is ignored — the bucket count IS the layout contract)
@@ -686,6 +753,13 @@ class BucketedManifestTable(ManifestTable):
         import pyarrow.parquet as pq
         from pyspark.sql import Observation
 
+        if cluster_by:
+            raise ValueError(
+                "bucketed layout clusters files by HASH of the merge key; "
+                "Z-order file clustering does not compose with it — use "
+                "sort_by for within-bucket ordering, or a plain "
+                "ManifestTable with cluster_by"
+            )
         token = uuid.uuid4().hex[:16]
         rel_dir = os.path.join(_DATA_DIR, token)
         out_dir = os.path.join(self.root, rel_dir)

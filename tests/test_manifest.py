@@ -591,3 +591,47 @@ def test_bucketed_merge_carries_stats_for_untouched_files(spark, tmp_path):
         r["k"] for r in t.read_where(spark, [("k", "<", 10)]).collect()
     )
     assert got == list(range(10))
+
+
+def test_zorder_compaction_skips_on_every_clustered_column(spark, root):
+    """compact(cluster_by=[a,b]) Z-orders rows so per-file spans stay
+    tight on BOTH columns: a plain sort_by=[a] serves only its leading
+    column (the other column's spans go full-width — no pruning), while
+    the Z-layout prunes files under predicates on a, on b, and on their
+    conjunction, with results identical to the unpruned filter."""
+    t = ManifestTable(root, stats_cols=["a", "b"])
+    df = spark.range(40_000).select(
+        (F.col("id") % 200).alias("a"),
+        (F.hash("id") % 200).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    t.commit_append(df)
+    t.compact(spark, cluster_by=["a", "b"], n_files=16)
+    m = t.manifest()
+    assert set(m["stats"]) == set(m["files"]) and len(m["files"]) == 16
+    for col, val in (("a", 17), ("b", 42)):
+        keep, total = t.files_for([(col, "=", val)])
+        assert 0 < len(keep) < total, (col, len(keep), total)
+        got = t.read_where(spark, [(col, "=", val)]).count()
+        assert got == df.filter(F.col(col) == val).count() > 0
+    keep_both, total = t.files_for([("a", "=", 17), ("b", ">=", 100)])
+    assert len(keep_both) <= min(
+        len(t.files_for([("a", "=", 17)])[0]),
+        len(t.files_for([("b", ">=", 100)])[0]),
+    )
+    # contrast: single-column sort cannot skip on the non-leading column
+    t.compact(spark, sort_by=["a"], n_files=16)
+    keep_b, total_b = t.files_for([("b", "=", 42)])
+    assert len(keep_b) == total_b
+
+
+def test_zorder_rejects_bad_columns(spark, root):
+    t = ManifestTable(root)
+    df = spark.range(10).select(F.col("id").alias("a"), F.lit("s").alias("tag"))
+    t.commit_append(df)
+    with pytest.raises(ValueError, match="numeric"):
+        t.compact(spark, cluster_by=["tag"])
+    with pytest.raises(ValueError, match="not in schema"):
+        t.compact(spark, cluster_by=["missing"])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.compact(spark, sort_by=["a"], cluster_by=["a"])
