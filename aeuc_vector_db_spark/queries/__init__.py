@@ -103,6 +103,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ivf_phi_pruned_search",
     "rel_skew_salted_revenue",
     "manifest_zorder_read",
+    "events_click_attribution",
 )
 
 

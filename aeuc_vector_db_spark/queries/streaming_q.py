@@ -88,8 +88,48 @@ FROM events GROUP BY event_type
 """
 
 
+def _events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→view attribution through the stream-stream join plan
+    (`streaming/ingest.py attribute_clicks`): every (view, click) pair
+    per user within 1 hour, aggregated per user cohort. Batch ≡
+    streaming — the watermark is a no-op here, and the live watermarked
+    run (state eviction, late-drop) is pinned in
+    tests/test_streaming.py::test_stream_stream_join_attribution_and_late_drop.
+    The synthetic ad_id (user_id % 7, derived identically on both
+    sides) keeps the two-column equi-join path exercised without
+    changing the matched set."""
+    from aeuc_vector_db_spark.streaming import ingest as SI
+
+    ev = load_table(spark, "events", sf_dir)
+    ad = (F.col("user_id") % 7).alias("ad_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", ad, "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", ad, "ts")
+    pairs = SI.attribute_clicks(views, clicks, max_delay="1 hour")
+    return (
+        pairs.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("delay_us").alias("sum_delay_us"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_ATTRIBUTION_ORACLE = """
+SELECT CAST(i.user_id % 10 AS BIGINT) AS cohort,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(epoch_us(c.ts) - epoch_us(i.ts)) AS BIGINT) AS sum_delay_us,
+       CAST(COUNT(DISTINCT i.user_id) AS BIGINT) AS n_users
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') i
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON i.user_id = c.user_id AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 1 HOUR
+GROUP BY cohort
+"""
+
+
 QUERIES = {
     "events_hourly_window": (_events_hourly_window, _HOURLY_ORACLE),
     "events_sessionize": (_events_sessionize, _SESSION_ORACLE),
     "events_json_props": (_events_json_props, _JSON_PROPS_ORACLE),
+    "events_click_attribution": (_events_click_attribution, _ATTRIBUTION_ORACLE),
 }

@@ -378,6 +378,53 @@ def user_sessions(
     )
 
 
+def attribute_clicks(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    max_delay: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: attribute each
+    click to the impression it followed within `max_delay`, per
+    (user_id, ad_id).
+
+    Both sides are watermarked, and the join condition carries the time
+    range `imp_ts <= click_ts <= imp_ts + max_delay` — together these
+    bound the join state Spark must keep: an impression's state is
+    evictable once the watermark passes imp_ts + max_delay, and a click
+    older than the watermark is dropped as late instead of growing state
+    forever. Without the time bound, stream-stream join state is
+    unbounded and the query is rejected for append mode — the range IS
+    the scale contract. Works identically as a plain batch range join
+    (batch ≡ streaming, checked in tests).
+    """
+    imp = impressions.withWatermark("ts", watermark).select(
+        F.col("user_id"),
+        F.col("ad_id"),
+        F.col("ts").alias("imp_ts"),
+    )
+    clk = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ad_id").alias("c_ad"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = imp.join(
+        clk,
+        (imp["user_id"] == clk["c_user"])
+        & (imp["ad_id"] == clk["c_ad"])
+        & (clk["click_ts"] >= imp["imp_ts"])
+        & (clk["click_ts"] <= imp["imp_ts"] + F.expr(f"INTERVAL {max_delay}")),
+        "inner",
+    )
+    return joined.select(
+        "user_id",
+        "ad_id",
+        F.unix_micros("imp_ts").alias("imp_ts_us"),
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        (F.unix_micros("click_ts") - F.unix_micros("imp_ts")).alias("delay_us"),
+    )
+
+
 def manifest_sink(table, dim: int, quarantine_path: str | None = None):
     """foreachBatch body: validated, EXACTLY-ONCE append into a
     transactional ManifestTable (sources/manifest.py).

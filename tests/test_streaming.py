@@ -342,3 +342,85 @@ def test_rate_source_exactly_once_through_manifest_sink(spark, tmp_path):
     # the generated ids are the contiguous counter range — nothing lost
     vals = sorted(int(r["entry_id"][1:]) for r in final.select("entry_id").collect())
     assert vals == list(range(len(vals)))
+
+
+def test_stream_stream_join_attribution_and_late_drop(spark, tmp_path):
+    """Stream-stream inner join with watermarks + event-time bounds:
+    on-time clicks attribute to their impression; a click arriving in a
+    later micro-batch with an event time behind the watermark is dropped
+    (and the matching impression's state was evicted) — the bounded-state
+    contract. Batch mode on identical data keeps the late pair, which
+    pins that the difference is watermark semantics, not the join."""
+    imp_dir, clk_dir = f"{tmp_path}/imp", f"{tmp_path}/clk"
+    os.makedirs(imp_dir); os.makedirs(clk_dir)
+    schema = "user_id string, ad_id string, ts timestamp"
+
+    def write(path, rows, mtime):
+        with open(path, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+        os.utime(path, (mtime, mtime))
+
+    write(f"{imp_dir}/i.jsonl", [
+        {"user_id": "u1", "ad_id": "adA", "ts": "2024-01-01T10:00:00.000Z"},
+        {"user_id": "u2", "ad_id": "adB", "ts": "2024-01-01T10:05:00.000Z"},
+        {"user_id": "u3", "ad_id": "adC", "ts": "2024-01-01T08:00:00.000Z"},
+    ], 1_000)
+    # batch 1: on-time click (joins) + out-of-window click (never joins,
+    # but its 13:00 event time races the watermark forward)
+    write(f"{clk_dir}/c1.jsonl", [
+        {"user_id": "u1", "ad_id": "adA", "ts": "2024-01-01T10:10:00.000Z"},
+        {"user_id": "u2", "ad_id": "adB", "ts": "2024-01-01T13:00:00.000Z"},
+    ], 1_000)
+    # batch 2: matchless on-time click; at its end the join evicts state
+    # using the post-batch-1 watermark (≈09:35): u3's 08:00 impression is
+    # past imp_ts + max_delay and goes. (A late row itself is only
+    # best-effort dropped — eviction is the hard guarantee, so the test
+    # gives eviction a batch boundary to run on.)
+    write(f"{clk_dir}/c2.jsonl", [
+        {"user_id": "u9", "ad_id": "adZ", "ts": "2024-01-01T10:20:00.000Z"},
+    ], 2_000)
+    # batch 3: in-window pair for u3, but its impression's state is gone
+    # and 08:10 is far behind the watermark → no output
+    write(f"{clk_dir}/c3.jsonl", [
+        {"user_id": "u3", "ad_id": "adC", "ts": "2024-01-01T08:10:00.000Z"},
+    ], 3_000)
+
+    imp_s = spark.readStream.schema(schema).json(imp_dir)
+    clk_s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # forces c1 then c2 as separate batches
+        .json(clk_dir)
+    )
+    q = (
+        SI.attribute_clicks(imp_s, clk_s)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("attrib_test")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["user_id"], r["ad_id"], r["delay_us"])
+        for r in spark.sql("select * from attrib_test").collect()
+    }
+    assert streamed == {("u1", "adA", 600_000_000)}
+    # the bounded-state contract left a trace: the join operator removed
+    # state rows as the watermark advanced
+    removed = sum(
+        op["numRowsRemoved"]
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert removed > 0
+
+    imp_b = spark.read.schema(schema).json(imp_dir)
+    clk_b = spark.read.schema(schema).json(clk_dir)
+    batched = {
+        (r["user_id"], r["ad_id"], r["delay_us"])
+        for r in SI.attribute_clicks(imp_b, clk_b).collect()
+    }
+    assert batched == {
+        ("u1", "adA", 600_000_000),
+        ("u3", "adC", 600_000_000),  # batch keeps it: proves the drop above
+    }                                 # was the watermark, not the join
