@@ -31,11 +31,23 @@ _CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__fil
 
 def _blob_bytes(doc_id: int, text: str) -> tuple[str, bytes]:
     """Deterministic blob for one documents row, cycling real PNG / real
-    WAV / real MP4 skeleton / real BMP / real JPEG / real MJPEG-AVI.
-    Returns (filename, payload). Corpus doc_ids are multiples of 25, so
-    the cycle uses (doc_id // 25) — doc_id % 6 would be constant."""
+    WAV / real MP4 skeleton / real BMP / real JPEG / real MJPEG-AVI /
+    real lossless WebP. Returns (filename, payload). Corpus doc_ids are
+    multiples of 25, so the cycle uses (doc_id // 25) — doc_id % 7 would
+    be constant."""
     h = hashlib.sha256(text.encode()).digest()
-    kind = (doc_id // 25) % 6
+    kind = (doc_id // 25) % 7
+    if kind == 6:
+        # real lossless WebP (VP8L), 4x4 RGB from the hash stream
+        from aeuc_vector_db_spark.sources.webp import webp_encode
+
+        need = 4 * 4 * 3
+        buf = bytearray()
+        cur = h
+        while len(buf) < need:
+            buf += cur
+            cur = hashlib.sha256(cur).digest()
+        return f"blob_{doc_id}.webp", webp_encode(bytes(buf[:need]), 4, 4, 3)
     if kind == 5:
         # real MJPEG-in-AVI clip: 3 JPEG frames, 8x8 RGB, 4 fps →
         # exercises the REAL video decode path (decode_status='real')
@@ -102,7 +114,7 @@ def _blob_bytes(doc_id: int, text: str) -> tuple[str, bytes]:
 
 def _blob_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the binary corpus once per sf (marker-cached)."""
-    tag = os.path.basename(sf_dir.rstrip("/")) + "-v5"  # v5: +MJPEG-AVI kind
+    tag = os.path.basename(sf_dir.rstrip("/")) + "-v6"  # v6: +WebP kind
     d = os.path.join(_CACHE_ROOT, tag)
     marker = f"{d}/.complete"
     if not os.path.exists(marker):

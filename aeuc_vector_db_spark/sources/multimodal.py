@@ -29,12 +29,14 @@ Decode kernels (all pure stdlib — the formats are public specs):
   `sample_frames`). MP4/ISO-BMFF gets a REAL container probe
   (dims/duration → decode_status='meta'); compressed codecs
   (H.264/VP9/…) stay STUBBED — they need ffmpeg, absent here.
-- WebP: STUBBED — lossy VP8 needs libwebp; the stub raises a
-  clearly-marked NotImplementedError (strict) or emits a deterministic
-  fake derived from the payload bytes. The Spark-side plumbing —
-  schemas, batch iteration shape, partition-parallelism, binaryFile
-  source, metadata propagation — is identical for real and stubbed
-  kernels.
+- WebP: lossless (VP8L) is REAL since round 5 — full bitstream decode
+  (prefix codes, color cache, LZ77 with 2D distance planes, meta
+  prefix codes, all four transforms) in sources/webp.py; lossy VP8
+  stays STUBBED (needs libwebp) — the stub raises a clearly-marked
+  NotImplementedError (strict) or emits a deterministic fake derived
+  from the payload bytes. The Spark-side plumbing — schemas, batch
+  iteration shape, partition-parallelism, binaryFile source, metadata
+  propagation — is identical for real and stubbed kernels.
 
 Scale notes: `binaryFile` splits at file granularity — fine for many
 small/medium objects; huge objects should be sharded upstream. Column
@@ -603,6 +605,7 @@ def decode_features(blobs: DataFrame, feature_dim: int = 8) -> DataFrame:
                 or payload[:6] in (b"GIF87a", b"GIF89a")
                 or payload[:3] == b"\xff\xd8\xff"
                 or payload[:4] in (b"II*\x00", b"MM\x00*")
+                or (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP")
             ):
                 if payload[:8] == _PNG_SIG:
                     w, h, c, pix = png_decode(payload)
@@ -614,6 +617,21 @@ def decode_features(blobs: DataFrame, feature_dim: int = 8) -> DataFrame:
                     w, h, c, pix = jpeg_decode(payload)
                 elif payload[:4] in (b"II*\x00", b"MM\x00*"):
                     w, h, c, pix = tiff_decode(payload)
+                elif payload[:4] == b"RIFF":
+                    from aeuc_vector_db_spark.sources.webp import webp_decode
+
+                    try:
+                        w, h, c, pix = webp_decode(payload)
+                    except NotImplementedError:
+                        # healthy container, lossy VP8 codec → declared stub
+                        w, h, c = _fake_dims(payload)
+                        digest = hashlib.sha256(payload).digest()
+                        feats = [
+                            float(digest[i % 32]) / 255.0 for i in range(feature_dim)
+                        ]
+                        return (
+                            blob_id, modality, "stub", w, h, c, None, None, feats,
+                        )
                 else:
                     w, h, c, pix = gif_decode(payload)
                 arr = np.frombuffer(pix, dtype=np.uint8).reshape(-1, c)
@@ -804,6 +822,13 @@ def resize_images(blobs: DataFrame, out_w: int, out_h: int) -> DataFrame:
                         w, h, c, pix = jpeg_decode(payload)
                     elif payload[:4] in (b"II*\x00", b"MM\x00*"):
                         w, h, c, pix = tiff_decode(payload)
+                    elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+                        from aeuc_vector_db_spark.sources.webp import webp_decode
+
+                        try:
+                            w, h, c, pix = webp_decode(payload)
+                        except NotImplementedError as exc:  # lossy VP8
+                            raise ValueError(str(exc)) from exc
                     else:
                         raise ValueError("unsupported image container")
                     small = resize_nearest(pix, w, h, c, out_w, out_h)

@@ -137,8 +137,14 @@ def test_png_decompression_bomb_bounded():
 
 
 def test_decode_features_unsupported_vs_corrupt(spark, tmp_path):
-    # healthy WebP header named .png → stub (needs libwebp), NOT error
+    # healthy LOSSY WebP named .png → stub (VP8 needs libwebp), NOT
+    # error (lossless VP8L decodes for real since round 5; a WEBP
+    # container with no image chunk at all is corrupt → error)
     (tmp_path / "ok_webp.png").write_bytes(
+        b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    (tmp_path / "empty_webp.png").write_bytes(
         b"RIFF" + struct.pack("<I", 24) + b"WEBP" + b"\x00" * 20
     )
     # truncated TIFF (real codec since round 5) → error, job survives
@@ -154,6 +160,7 @@ def test_decode_features_unsupported_vs_corrupt(spark, tmp_path):
     blobs = MM.read_binary_dir(spark, str(tmp_path))
     rows = {r["blob_id"]: r for r in MM.decode_features(blobs, feature_dim=4).collect()}
     assert rows["ok_webp.png"]["decode_status"] == "stub"
+    assert rows["empty_webp.png"]["decode_status"] == "error"
     assert rows["trunc.tif"]["decode_status"] == "error"
     assert rows["trunc.jpg"]["decode_status"] == "error"
     assert rows["junk.png"]["decode_status"] == "error"
@@ -701,3 +708,29 @@ def test_sample_frames_real_mjpeg_and_stub_fallback(spark):
     junk = [r for r in out if r["blob_id"] == "junk"]
     assert len(junk) == 4  # stub fallback keeps the expansion shape
     assert all(len(bytes(r["frame_bytes"])) == 32 for r in junk)  # sha256 fakes
+
+
+def test_decode_features_webp_lossless_real_lossy_stub(spark, tmp_path):
+    import struct
+
+    from aeuc_vector_db_spark.sources.webp import webp_encode
+
+    pix = bytes([120, 40, 220]) * (6 * 4)
+    (tmp_path / "l.webp").write_bytes(webp_encode(pix, 6, 4, 3))
+    lossy = (
+        b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    (tmp_path / "y.webp").write_bytes(lossy)
+    (tmp_path / "bad.webp").write_bytes(
+        b"RIFF" + struct.pack("<I", 8) + b"WEBP\xff\xff\xff\xff"
+    )
+    blobs = MM.read_binary_dir(spark, str(tmp_path))
+    rows = {r["blob_id"]: r for r in MM.decode_features(blobs).collect()}
+    lossless = rows["l.webp"]
+    assert lossless["decode_status"] == "real"
+    assert (lossless["width"], lossless["height"], lossless["channels"]) == (6, 4, 4)
+    assert abs(lossless["features"][0] - 120 / 255.0) < 1e-6  # exact mean R
+    assert abs(lossless["features"][6] - 1.0) < 1e-6          # opaque alpha mean
+    assert rows["y.webp"]["decode_status"] == "stub"   # healthy, needs libwebp
+    assert rows["bad.webp"]["decode_status"] == "error"  # corrupt container

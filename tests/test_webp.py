@@ -1,0 +1,487 @@
+"""VP8L (lossless WebP) codec tests — spec-pinned tables, round-trips,
+and handcrafted bitstreams for every advanced decode path (color cache,
+LZ77 incl. 2D distance planes, meta prefix codes, all four transforms).
+"""
+
+import os
+import struct
+
+import pytest
+
+from aeuc_vector_db_spark.sources import webp as W
+
+
+# -- helpers to author streams ------------------------------------------
+
+
+def emit_lengths(bw: "W._BitWriter", lengths: list[int]) -> dict:
+    """Emit a normal (code-length-coded) prefix code for `lengths` and
+    return {symbol: (len, code)} for writing symbols afterwards."""
+    distinct = sorted(set(lengths))
+    k = len(distinct)
+    cl = [0] * 19
+    if k == 2:
+        for d in distinct:
+            cl[d] = 1
+    elif k == 3:
+        cl[distinct[0]] = 1
+        cl[distinct[1]] = cl[distinct[2]] = 2
+    elif k == 4:
+        for d in distinct:
+            cl[d] = 2
+    else:
+        raise AssertionError("test helper supports 2-4 distinct lengths")
+    n = max(W._CLC_ORDER.index(d) for d in distinct) + 1
+    n = max(n, 4)
+    bw.write(0, 1)  # normal code
+    bw.write(n - 4, 4)
+    for i in range(n):
+        bw.write(cl[W._CLC_ORDER[i]], 3)
+    bw.write(0, 1)  # no max-symbol cap
+    cl_prefix = W._Prefix(cl)
+    cl_codes = {sym: (ln, code) for (ln, code), sym in cl_prefix.table.items()}
+    for ln in lengths:
+        c_len, c_code = cl_codes[ln]
+        bw.write_code(c_code, c_len)
+    sym_prefix = W._Prefix(lengths)
+    return {sym: (ln, code) for (ln, code), sym in sym_prefix.table.items()}
+
+
+def trivial(bw: "W._BitWriter", symbol: int) -> None:
+    W._write_trivial_code(bw, symbol)
+
+
+def header(bw: "W._BitWriter", w: int, h: int) -> None:
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+
+
+def wrap(stream: bytes) -> bytes:
+    chunk = b"VP8L" + struct.pack("<I", len(stream)) + stream
+    if len(stream) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def rgba(px_list):
+    out = bytearray()
+    for a, r, g, b in px_list:
+        out += bytes([r, g, b, a])
+    return bytes(out)
+
+
+# -- spec-pinned tables --------------------------------------------------
+
+
+def test_plane_offset_table_matches_spec_listing():
+    spec_head = [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+        (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+        (4, 2), (-4, 2), (0, 5),
+    ]
+    assert W._PLANE_OFFSETS[: len(spec_head)] == spec_head
+    assert len(W._PLANE_OFFSETS) == 120
+    assert len(set(W._PLANE_OFFSETS)) == 120
+    # raw distances: codes above 120 are literal minus 120
+    assert W._plane_to_dist(121, 999) == 1
+    assert W._plane_to_dist(125, 999) == 5
+    # plane code 1 = one row up
+    assert W._plane_to_dist(1, 7) == 7
+
+
+# -- round-trips through the minimal encoder -----------------------------
+
+
+def test_roundtrip_rgb_and_rgba():
+    pix = os.urandom(16 * 8 * 3)
+    w, h, c, out = W.webp_decode(W.webp_encode(pix, 16, 8, 3))
+    assert (w, h, c) == (16, 8, 4)
+    assert all(
+        out[4 * i : 4 * i + 3] == pix[3 * i : 3 * i + 3] and out[4 * i + 3] == 255
+        for i in range(16 * 8)
+    )
+    pix4 = os.urandom(5 * 3 * 4)
+    assert W.webp_decode(W.webp_encode(pix4, 5, 3, 4))[3] == pix4
+
+
+def test_rejects_bad_inputs():
+    with pytest.raises(ValueError):
+        W.webp_decode(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        W.webp_decode(b"not riff at all")
+    good = W.webp_encode(b"\x00" * 12, 2, 2, 3)
+    with pytest.raises(ValueError):
+        W.webp_decode(good[:20])  # truncated chunk
+    # no VP8L chunk at all
+    empty = b"RIFF" + struct.pack("<I", 4) + b"WEBP"
+    with pytest.raises(ValueError):
+        W.webp_decode(empty)
+    # bad VP8L signature byte
+    bw = W._BitWriter()
+    bw.write(0x2E, 8)
+    with pytest.raises(ValueError):
+        W.webp_decode(wrap(bw.bytes()))
+    # nonzero version
+    bw = W._BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(0, 14)
+    bw.write(0, 14)
+    bw.write(0, 1)
+    bw.write(1, 3)
+    with pytest.raises(ValueError):
+        W.webp_decode(wrap(bw.bytes()))
+
+
+def test_lossy_vp8_is_not_implemented_not_error():
+    lossy = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8 " + struct.pack(
+        "<I", 4
+    ) + b"\x00\x00\x00\x00"
+    with pytest.raises(NotImplementedError):
+        W.webp_decode(lossy)
+
+
+# -- handcrafted streams: advanced decode paths --------------------------
+
+
+def test_color_cache_hit():
+    bw = W._BitWriter()
+    header(bw, 2, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)
+    bw.write(4, 4)  # color cache, 4 bits
+    bw.write(0, 1)  # no meta
+    px = (0xFF << 24) | (3 << 16) | (7 << 8) | 9
+    idx = (W._HASH_MUL * px & 0xFFFFFFFF) >> (32 - 4)
+    cache_sym = 280 + idx
+    glen = [0] * (280 + 16)
+    glen[7] = glen[cache_sym] = 1
+    gcodes = emit_lengths(bw, glen)
+    trivial(bw, 3)  # red
+    trivial(bw, 9)  # blue
+    trivial(bw, 0xFF)  # alpha
+    trivial(bw, 0)  # distance
+    bw.write_code(*reversed(gcodes[7]))  # literal g=7 (r/b/a cost 0 bits)
+    bw.write_code(*reversed(gcodes[cache_sym]))  # cache hit
+    w, h, c, out = W.webp_decode(wrap(bw.bytes()))
+    assert (w, h, c) == (2, 1, 4)
+    assert out == rgba([(0xFF, 3, 7, 9)] * 2)
+
+
+def test_lz77_plane_code_copies_previous_row():
+    # 4x2: four distinct literals, then one backref of length 4 with
+    # plane code 1 = (0,1) = one full row up
+    bw = W._BitWriter()
+    header(bw, 4, 2)
+    bw.write(0, 1)
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    lits = [65, 66, 67, 68]
+    length_sym = 256 + 3  # prefix code 3 → length 4, no extra bits
+    glen = [0] * 280
+    for s in lits:
+        glen[s] = 3
+    glen[length_sym] = 1
+    gcodes = emit_lengths(bw, glen)
+    trivial(bw, 5)  # red
+    trivial(bw, 6)  # blue
+    trivial(bw, 0xFF)  # alpha
+    trivial(bw, 0)  # distance prefix code 0 → value 1 → plane (0,1)
+    for s in lits:
+        bw.write_code(*reversed(gcodes[s]))
+    bw.write_code(*reversed(gcodes[length_sym]))
+    w, h, c, out = W.webp_decode(wrap(bw.bytes()))
+    expect = rgba([(0xFF, 5, g, 6) for g in lits] * 2)
+    assert out == expect
+
+
+def test_lz77_raw_distance():
+    # distance symbol value 1+120 → raw distance 1 (repeat last pixel)
+    bw = W._BitWriter()
+    header(bw, 3, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    length_sym = 256 + 1  # length 2
+    glen = [0] * 280
+    glen[42] = glen[length_sym] = 1
+    gcodes = emit_lengths(bw, glen)
+    trivial(bw, 1)
+    trivial(bw, 2)
+    trivial(bw, 0xFF)
+    # distance value 121: prefix code → 121 = (2+1)<<5 + 24 + 1 → code
+    # 2*5+3=13? easier: emit dist prefix code with extra bits via a
+    # 2-symbol code so _lz77_value reads code 13, extra 5 bits of 24
+    dlen = [0] * 40
+    dlen[13] = dlen[14] = 1  # two symbols so the code costs one real bit
+    dcodes = emit_lengths(bw, dlen)
+    bw.write_code(*reversed(gcodes[42]))  # literal
+    bw.write_code(*reversed(gcodes[length_sym]))  # backref length 2
+    bw.write_code(*reversed(dcodes[13]))
+    bw.write(24, 5)  # value = (2+1)<<5 + 24 + 1 = 121 → dist 1
+    w, h, c, out = W.webp_decode(wrap(bw.bytes()))
+    assert out == rgba([(0xFF, 1, 42, 2)] * 3)
+
+
+def _simple_image_stream(w, h, pixels, transform_bits=None):
+    """Stream with optional pre-written transform section and fixed
+    8-bit literal codes for the pixel payload (ARGB tuples)."""
+    bw = W._BitWriter()
+    header(bw, w, h)
+    if transform_bits is None:
+        bw.write(0, 1)
+    else:
+        for v, n in transform_bits:
+            bw.write(v, n)
+        bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    W._write_fixed8_code(bw, 280)
+    for _ in range(3):
+        W._write_fixed8_code(bw, 256)
+    trivial(bw, 0)
+    for a, r, g, b in pixels:
+        bw.write_code(g, 8)
+        bw.write_code(r, 8)
+        bw.write_code(b, 8)
+        bw.write_code(a, 8)
+    return bw.bytes()
+
+
+def test_subtract_green_transform():
+    orig = [(0xFF, 200, 100, 50), (0xFF, 10, 250, 7), (0xFF, 0, 0, 0),
+            (0xFF, 255, 255, 255)]
+    residual = [
+        (a, (r - g) & 0xFF, g, (b - g) & 0xFF) for a, r, g, b in orig
+    ]
+    stream = _simple_image_stream(
+        4, 1, residual, transform_bits=[(1, 1), (2, 2)]  # transform: subgreen
+    )
+    w, h, c, out = W.webp_decode(wrap(stream))
+    assert out == rgba(orig)
+
+
+def _forward_predict(px, w, h, mode):
+    """Forward predictor transform mirroring the decoder's neighbor
+    rules (spec formulas) — residual = pixel - pred, per channel."""
+    def sub(a, b):
+        return tuple((x - y) & 0xFF for x, y in zip(a, b))
+
+    def as_int(t):
+        a, r, g, b = t
+        return (a << 24) | (r << 16) | (g << 8) | b
+
+    def as_t(v):
+        return ((v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF)
+
+    out = []
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                pred = (0xFF, 0, 0, 0)
+            elif y == 0:
+                pred = px[i - 1]
+            elif x == 0:
+                pred = px[i - w]
+            else:
+                left, top, tl = (
+                    as_int(px[i - 1]), as_int(px[i - w]), as_int(px[i - w - 1])
+                )
+                tr = as_int(px[i - w + 1]) if x < w - 1 else as_int(px[y * w])
+                fns = {
+                    0: lambda: 0xFF000000,
+                    1: lambda: left,
+                    2: lambda: top,
+                    3: lambda: tr,
+                    4: lambda: tl,
+                    5: lambda: W._avg2(W._avg2(left, tr), top),
+                    6: lambda: W._avg2(left, tl),
+                    7: lambda: W._avg2(left, top),
+                    8: lambda: W._avg2(tl, top),
+                    9: lambda: W._avg2(top, tr),
+                    10: lambda: W._avg2(W._avg2(left, tl), W._avg2(top, tr)),
+                    11: lambda: W._select(left, top, tl),
+                    12: lambda: W._cas_full(left, top, tl),
+                    13: lambda: W._cas_half(W._avg2(left, top), tl),
+                }
+                pred = as_t(fns[mode]())
+            out.append(sub(px[i], pred))
+    return out
+
+
+@pytest.mark.parametrize("mode", range(14))
+def test_predictor_transform_all_modes(mode):
+    import random
+
+    rnd = random.Random(1234 + mode)
+    w, h = 9, 5  # exercises the rightmost-column TR rule (w not 4-aligned)
+    orig = [
+        (0xFF, rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+        for _ in range(w * h)
+    ]
+    residual = _forward_predict(orig, w, h, mode)
+    bw = W._BitWriter()
+    header(bw, w, h)
+    bw.write(1, 1)  # transform present
+    bw.write(0, 2)  # predictor
+    bw.write(0, 3)  # size_bits = 2 → 4x4 blocks → 3x2 block image
+    # block-mode subimage: trivial codes, mode in green → 0 bits/pixel
+    bw.write(0, 1)  # no cache (subimage)
+    trivial(bw, mode)  # green
+    trivial(bw, 0)  # red
+    trivial(bw, 0)  # blue
+    trivial(bw, 0)  # alpha
+    trivial(bw, 0)  # distance
+    bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)  # no cache (main)
+    bw.write(0, 1)  # no meta
+    W._write_fixed8_code(bw, 280)
+    for _ in range(3):
+        W._write_fixed8_code(bw, 256)
+    trivial(bw, 0)
+    for a, r, g, b in residual:
+        bw.write_code(g, 8)
+        bw.write_code(r, 8)
+        bw.write_code(b, 8)
+        bw.write_code(a, 8)
+    w2, h2, c, out = W.webp_decode(wrap(bw.bytes()))
+    assert (w2, h2) == (w, h)
+    assert out == rgba(orig)
+
+
+def test_color_transform_roundtrip():
+    import random
+
+    rnd = random.Random(77)
+    w, h = 6, 3
+    g2r, g2b, r2b = 40, 200, 17  # raw stored bytes (signed 3.5 fixed pt)
+    orig = [
+        (0xFF, rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+        for _ in range(w * h)
+    ]
+
+    def delta(t, c):
+        return (W._i8(t) * W._i8(c)) >> 5
+
+    residual = []
+    for a, r, g, b in orig:
+        nr = (r - delta(g2r, g)) & 0xFF
+        nb = (b - delta(g2b, g) - delta(r2b, r)) & 0xFF
+        residual.append((a, nr, g, nb))
+    bw = W._BitWriter()
+    header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(1, 2)  # cross-color transform
+    bw.write(2, 3)  # size_bits = 4 → one 16x16 block
+    bw.write(0, 1)  # subimage: no cache
+    trivial(bw, g2b)  # green channel holds green_to_blue
+    trivial(bw, r2b)  # red channel holds red_to_blue
+    trivial(bw, g2r)  # blue channel holds green_to_red
+    trivial(bw, 0)  # alpha
+    trivial(bw, 0)  # distance
+    bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)
+    bw.write(0, 1)
+    W._write_fixed8_code(bw, 280)
+    for _ in range(3):
+        W._write_fixed8_code(bw, 256)
+    trivial(bw, 0)
+    for a, r, g, b in residual:
+        bw.write_code(g, 8)
+        bw.write_code(r, 8)
+        bw.write_code(b, 8)
+        bw.write_code(a, 8)
+    assert W.webp_decode(wrap(bw.bytes()))[3] == rgba(orig)
+
+
+def test_palette_transform_with_bundling():
+    # 3 colors → 2-bit indices, 4 per green byte; width 5 packs to 2
+    palette = [(0xFF, 10, 20, 30), (0xFF, 200, 100, 0), (0xFF, 0, 0, 255)]
+    idx = [0, 1, 2, 1, 0,
+           2, 2, 0, 1, 1]
+    w, h = 5, 2
+    bw = W._BitWriter()
+    header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(3, 2)  # color indexing
+    bw.write(2, 8)  # n_colors - 1
+    # palette image (1x3), delta-coded, fixed8 literals
+    deltas = [palette[0]]
+    for i in (1, 2):
+        deltas.append(tuple((a - b) & 0xFF for a, b in zip(palette[i], palette[i - 1])))
+    bw.write(0, 1)  # palette image: no cache
+    W._write_fixed8_code(bw, 280)
+    for _ in range(3):
+        W._write_fixed8_code(bw, 256)
+    trivial(bw, 0)
+    for a, r, g, b in deltas:
+        bw.write_code(g, 8)
+        bw.write_code(r, 8)
+        bw.write_code(b, 8)
+        bw.write_code(a, 8)
+    bw.write(0, 1)  # no more transforms
+    # main image at packed width 2: indices in green, 2 bits each
+    packed = []
+    for y in range(h):
+        for bx in range(2):
+            v = 0
+            for slot in range(4):
+                x = bx * 4 + slot
+                if x < w:
+                    v |= idx[y * w + x] << (slot * 2)
+            packed.append((0xFF, 0, v, 0))
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    W._write_fixed8_code(bw, 280)
+    for _ in range(3):
+        W._write_fixed8_code(bw, 256)
+    trivial(bw, 0)
+    for a, r, g, b in packed:
+        bw.write_code(g, 8)
+        bw.write_code(r, 8)
+        bw.write_code(b, 8)
+        bw.write_code(a, 8)
+    w2, h2, c, out = W.webp_decode(wrap(bw.bytes()))
+    assert (w2, h2) == (w, h)
+    assert out == rgba([palette[i] for i in idx])
+
+
+def test_meta_prefix_groups():
+    # 8x1 with 4-pixel meta blocks: group 0 paints green 10, group 1
+    # paints green 200 — asserts per-block prefix-group selection
+    bw = W._BitWriter()
+    header(bw, 8, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(1, 1)  # meta prefix present
+    bw.write(0, 3)  # meta_bits = 2 → blocks of 4 → meta image 2x1
+    # meta image: greens 0 and 1 = group ids
+    bw.write(0, 1)  # meta image: no cache
+    mlen = [0] * 280
+    mlen[0] = mlen[1] = 1
+    mcodes = emit_lengths(bw, mlen)
+    trivial(bw, 0)
+    trivial(bw, 0)
+    trivial(bw, 0)
+    trivial(bw, 0)
+    bw.write_code(*reversed(mcodes[0]))
+    bw.write_code(*reversed(mcodes[1]))
+    # group 0: all-trivial literal (a=255, r=1, g=10, b=2)
+    trivial(bw, 10)
+    trivial(bw, 1)
+    trivial(bw, 2)
+    trivial(bw, 0xFF)
+    trivial(bw, 0)
+    # group 1: all-trivial literal (a=255, r=3, g=200, b=4)
+    trivial(bw, 200)
+    trivial(bw, 3)
+    trivial(bw, 4)
+    trivial(bw, 0xFF)
+    trivial(bw, 0)
+    w, h, c, out = W.webp_decode(wrap(bw.bytes()))
+    assert out == rgba([(0xFF, 1, 10, 2)] * 4 + [(0xFF, 3, 200, 4)] * 4)
