@@ -104,6 +104,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_skew_salted_revenue",
     "manifest_zorder_read",
     "events_click_attribution",
+    "manifest_dv_read",
 )
 
 

@@ -151,9 +151,44 @@ GROUP BY lang
 """
 
 
+def _manifest_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector correctness: append documents in two ranges, then
+    soft-delete doc_id ∈ [120, 180) and n_chars < 400 via TWO positional
+    deletion vectors (no data file rewritten — pinned in
+    test_manifest.py), then read the snapshot. The oracle computes
+    documents minus both predicates directly; a wrong (file, row) key,
+    a dropped vector on append, or a double-deleted row diverges the
+    per-lang aggregate hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = ManifestTable(
+        tempfile.mkdtemp(prefix="aeuc_manifest_dv_"), stats_cols=["doc_id"]
+    )
+    t.commit_append(docs.filter(F.col("doc_id") < 250))
+    t.commit_append(docs.filter(F.col("doc_id") >= 250))
+    t.delete_where_dv(spark, [("doc_id", ">=", 120), ("doc_id", "<", 180)])
+    t.delete_where_dv(spark, [("n_chars", "<", 400)])
+    final = t.read(spark)
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_DV_ORACLE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE NOT (doc_id >= 120 AND doc_id < 180) AND NOT (n_chars < 400)
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "manifest_merge_read": (_manifest_merge_read, _MANIFEST_ORACLE),
     "manifest_incremental_read": (_manifest_incremental_read, _INCREMENTAL_ORACLE),
     "manifest_skipping_read": (_manifest_skipping_read, _SKIPPING_ORACLE),
     "manifest_zorder_read": (_manifest_zorder_read, _ZORDER_ORACLE),
+    "manifest_dv_read": (_manifest_dv_read, _DV_ORACLE),
 }

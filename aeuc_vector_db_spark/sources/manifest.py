@@ -133,6 +133,16 @@ def _span_may_match(span, op: str, value) -> bool:
     raise ValueError(f"unsupported data-skipping operator {op!r}")
 
 
+def _file_rel_col():
+    """Root-relative file key ('data/<token>/part-….parquet') recovered
+    from the hidden `_metadata.file_path` column — the join key between
+    data rows and deletion-vector rows. Using the relative tail keeps
+    deletion vectors valid if the table root is moved or re-mounted."""
+    return F.regexp_extract(
+        F.col("_metadata.file_path"), r"([^/]+/[^/]+/[^/]+)$", 1
+    )
+
+
 def _zvalue(df: DataFrame, cols: list[str], bits_per_col: int = 8):
     """Column computing the Morton (Z-order) interleave of the rank-bucket
     indices of `cols` — the multi-column clustering key: sorting by it
@@ -251,16 +261,35 @@ class ManifestTable:
 
     # -- reading -------------------------------------------------------
 
+    def _apply_deletes(self, spark: SparkSession, df: DataFrame, m: dict) -> DataFrame:
+        """Filter out rows covered by the snapshot's deletion vectors:
+        anti-join on (relative file, row index). The DV side is tiny
+        relative to the table (it holds deleted positions only), so AQE
+        plans this as a broadcast anti-join — no table shuffle."""
+        dvs = m.get("deletes") or []
+        if not dvs:
+            return df
+        dv = spark.read.parquet(
+            *[os.path.join(self.root, d) for d in dvs]
+        ).select(F.col("file").alias("__dv_f"), F.col("row").alias("__dv_r"))
+        keyed = df.withColumn("__dv_f", _file_rel_col()).withColumn(
+            "__dv_r", F.col("_metadata.row_index")
+        )
+        return keyed.join(dv, ["__dv_f", "__dv_r"], "left_anti").drop(
+            "__dv_f", "__dv_r"
+        )
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """The snapshot at `version` (default latest) — reads exactly the
-        files that manifest lists; uncommitted data dirs are invisible."""
+        files that manifest lists (minus deletion-vector rows);
+        uncommitted data dirs are invisible."""
         m = self.manifest(version)
         files = [os.path.join(self.root, f) for f in m["files"]]
         if not files:
             raise ValueError(
                 f"version {m['version']} of {self.root!r} is an empty snapshot"
             )
-        return spark.read.parquet(*files)
+        return self._apply_deletes(spark, spark.read.parquet(*files), m)
 
     def files_for(
         self, predicates: list[tuple] = (), version: int | None = None
@@ -305,7 +334,11 @@ class ManifestTable:
         if not keep:
             df = self.read(spark, version).limit(0)
         else:
-            df = spark.read.parquet(*[os.path.join(self.root, f) for f in keep])
+            df = self._apply_deletes(
+                spark,
+                spark.read.parquet(*[os.path.join(self.root, f) for f in keep]),
+                self.manifest(version),
+            )
         return df.filter(cond) if cond is not None else df
 
     def read_appended(
@@ -482,6 +515,11 @@ class ManifestTable:
                 for k in self._PER_FILE_KEYS:
                     if k in pm or k in extra:
                         per_file[k] = {**pm.get(k, {}), **extra.get(k, {})}
+                # deletion vectors survive appends untouched (new files
+                # have no deleted rows); rewrites drop them — the rewrite
+                # materialized the deletes
+                if pm.get("deletes"):
+                    per_file["deletes"] = list(pm["deletes"])
             else:
                 files, n_rows = list(new_files), n_new
             manifest = {
@@ -571,7 +609,9 @@ class ManifestTable:
         raise CommitConflictError(f"merge_upsert: {max_retries} retries exhausted") from last
 
     def delete_where(self, spark: SparkSession, condition) -> int:
-        """Keep rows NOT matching `condition` (a Column) as a new version."""
+        """Keep rows NOT matching `condition` (a Column) as a new version.
+        Rewrites the snapshot — O(table); see `delete_where_dv` for the
+        O(matching files) form."""
         parent = self.latest_version()
         if parent is None:
             raise FileNotFoundError(f"no committed version at {self.root!r}")
@@ -580,6 +620,92 @@ class ManifestTable:
         return self._commit(
             "delete", files, n, keep_parent_files=False, expected_parent=parent
         )
+
+    def delete_where_dv(
+        self, spark: SparkSession, predicates: list[tuple]
+    ) -> int | None:
+        """Delete via DELETION VECTORS: record the (file, row-index)
+        positions of matching rows in a sidecar instead of rewriting any
+        data file — the lakehouse soft-delete (Delta/Iceberg positional
+        deletes). Cost is O(files that may match) read + O(deleted rows)
+        written, vs `delete_where`'s full-snapshot rewrite; at 100 TB
+        deleting one user's rows touches the files stats say may hold
+        them and writes kilobytes. Reads anti-join the vectors back out
+        (broadcast — the DV side is deleted positions only); appends
+        carry vectors forward; any rewrite (compact/merge/overwrite)
+        materializes them away. Returns the new version, or None when no
+        live row matches (no commit — an empty DV would be noise).
+
+        `predicates` are `(col, op, value)` triples (ops = < <= > >=),
+        the same AND-semantics shape `read_where` takes, so file-level
+        stats pruning bounds the scan exactly like a filtered read."""
+        parent = self.latest_version()
+        if parent is None:
+            raise FileNotFoundError(f"no committed version at {self.root!r}")
+        m = self.manifest(parent)
+        cand, _total = self.files_for(predicates, parent)
+        if cand:
+            cond = None
+            for c, op, v in predicates:
+                col = F.col(c)
+                clause = {
+                    "=": col == v, "<": col < v, "<=": col <= v,
+                    ">": col > v, ">=": col >= v,
+                }[op]
+                cond = clause if cond is None else cond & clause
+            # capture (file, row) from the RAW scan — the _metadata
+            # pseudo-column resolves only on the scan relation, so it is
+            # materialized into plain columns before any join
+            raw = spark.read.parquet(
+                *[os.path.join(self.root, f) for f in cand]
+            ).select(
+                F.col("*"),
+                _file_rel_col().alias("__dv_f"),
+                F.col("_metadata.row_index").alias("__dv_r"),
+            )
+            dvs = m.get("deletes") or []
+            if dvs:  # don't re-delete already-dead rows (n_rows accounting)
+                dv_old = spark.read.parquet(
+                    *[os.path.join(self.root, d) for d in dvs]
+                ).select(F.col("file").alias("__dv_f"), F.col("row").alias("__dv_r"))
+                raw = raw.join(dv_old, ["__dv_f", "__dv_r"], "left_anti")
+            matching = raw.filter(cond).select(
+                F.col("__dv_f").alias("file"), F.col("__dv_r").alias("row")
+            )
+            from pyspark.sql import Observation
+
+            token = uuid.uuid4().hex[:16]
+            rel_dir = os.path.join(_DATA_DIR, token)
+            out_dir = os.path.join(self.root, rel_dir)
+            obs = Observation()
+            matching.observe(obs, F.count(F.lit(1)).alias("n")).write.parquet(out_dir)
+            n_del = int(obs.get["n"] or 0)
+        else:
+            n_del = 0
+        if n_del == 0:
+            if cand:
+                shutil.rmtree(out_dir, ignore_errors=True)  # empty DV dir
+            return None
+        manifest = {
+            "format_version": FORMAT_VERSION,
+            "version": parent + 1,
+            "parent": parent,
+            "action": "delete_dv",
+            "files": m["files"],
+            "n_rows": m["n_rows"] - n_del,
+            "epoch_id": None,
+            "schema": m.get("schema"),
+            "committed_at_s": round(time.time(), 3),
+            "deletes": list(m.get("deletes") or []) + [rel_dir],
+            **{k: m[k] for k in self._PER_FILE_KEYS if k in m},
+        }
+        if not self._try_publish(manifest, parent + 1):
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise CommitConflictError(
+                "snapshot moved under delete_where_dv; the vector was "
+                "computed against a stale snapshot — re-run the delete"
+            )
+        return parent + 1
 
     # -- maintenance ---------------------------------------------------
 
@@ -638,8 +764,11 @@ class ManifestTable:
         keep_vs = vs[-retain_last:] if retain_last > 0 else []
         live_dirs = set()
         for v in keep_vs:
-            for f in self.manifest(v)["files"]:
+            mv = self.manifest(v)
+            for f in mv["files"]:
                 live_dirs.add(f.split(os.sep)[1])  # data/<token>/part → token
+            for d in mv.get("deletes") or []:  # deletion-vector sidecars
+                live_dirs.add(d.split(os.sep)[1])
         drop_vs = [v for v in vs if v not in keep_vs]
         retired = {
             str(e)
@@ -796,6 +925,17 @@ class BucketedManifestTable(ManifestTable):
                 for rel in files
             }
         return files, n
+
+    def delete_where_dv(self, spark, predicates):
+        """Deletion vectors don't compose with the bounded-rewrite MERGE:
+        it carries untouched files forward under a manifest that drops
+        the `deletes` list, silently resurrecting soft-deleted rows. Use
+        `delete_where` (rewrite) on bucketed tables, or a plain
+        ManifestTable when positional deletes are the workload."""
+        raise ValueError(
+            "bucketed tables do not support deletion vectors — "
+            "use delete_where, or a plain ManifestTable"
+        )
 
     def merge_upsert(
         self, spark: SparkSession, updates: DataFrame, key: str | None = None,

@@ -635,3 +635,69 @@ def test_zorder_rejects_bad_columns(spark, root):
         t.compact(spark, cluster_by=["missing"])
     with pytest.raises(ValueError, match="mutually exclusive"):
         t.compact(spark, sort_by=["a"], cluster_by=["a"])
+
+
+def test_deletion_vector_soft_delete_no_rewrite(spark, root):
+    """delete_where_dv records (file, row) positions in a sidecar and
+    leaves every data file untouched: the manifest's file list is
+    byte-identical, reads exclude exactly the matched rows, a second
+    overlapping delete only counts still-live rows, appends carry the
+    vectors forward, and time travel still sees the undeleted past."""
+    t = ManifestTable(root, stats_cols=["k"])
+    df = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    t.commit_append(df.filter("k < 500"))
+    t.commit_append(df.filter("k >= 500"))
+    before = t.manifest()
+    v = t.delete_where_dv(spark, [("k", ">=", 100), ("k", "<", 120)])
+    after = t.manifest()
+    assert v == 2 and after["files"] == before["files"]  # zero rewrite
+    assert after["n_rows"] == 980
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [
+        k for k in range(1000) if not (100 <= k < 120)
+    ]
+    # overlapping second delete: only the 10 still-live rows count
+    t.delete_where_dv(spark, [("k", ">=", 110), ("k", "<", 130)])
+    assert t.manifest()["n_rows"] == 970
+    assert len(t.manifest()["deletes"]) == 2
+    # no live match → no commit at all
+    assert t.delete_where_dv(spark, [("k", ">", 5000)]) is None
+    # appends carry vectors; pruned reads apply them too
+    t.commit_append(
+        spark.range(1000, 1010).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    )
+    assert sorted(r["k"] for r in t.read_where(spark, [("k", "<", 200)]).collect()) == [
+        k for k in range(200) if not (100 <= k < 130)
+    ]
+    # time travel: pre-delete snapshot is intact
+    assert t.read(spark, 1).count() == 1000
+
+
+def test_deletion_vectors_materialize_on_rewrite_and_survive_vacuum(spark, root):
+    t = ManifestTable(root, stats_cols=["k"])
+    df = spark.range(400).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+    t.commit_append(df)
+    t.delete_where_dv(spark, [("k", "<", 50)])
+    # vacuum retains the DV sidecar its retained manifest references
+    t.vacuum(retain_last=1, min_age_s=0)
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(50, 400))
+    # compaction materializes the deletes and clears the vector list
+    t.compact(spark, n_files=2)
+    m = t.manifest()
+    assert not m.get("deletes")
+    assert m["n_rows"] == 350 and t.read(spark).count() == 350
+    # incremental read refuses to treat a delete_dv as an append
+    t2 = ManifestTable(str(root) + "_2")
+    t2.commit_append(df)
+    t2.delete_where_dv(spark, [("k", "=", 7)])
+    t2.commit_append(spark.range(400, 410).select(F.col("id").alias("k"), F.lit("x").alias("tag")))
+    with pytest.raises(ValueError, match="not.*appends|not .*append"):
+        t2.read_appended(spark, since_version=0)
+
+
+def test_deletion_vectors_rejected_on_bucketed_tables(spark, tmp_path):
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    t = BucketedManifestTable(str(tmp_path / "bt"), key="k", n_buckets=4)
+    t.commit_overwrite(_df(spark, (0, 50)))
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t.delete_where_dv(spark, [("k", "=", 3)])
