@@ -105,6 +105,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "manifest_zorder_read",
     "events_click_attribution",
     "manifest_dv_read",
+    "manifest_bloom_read",
 )
 
 

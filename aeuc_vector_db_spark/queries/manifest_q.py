@@ -185,7 +185,42 @@ GROUP BY lang
 """
 
 
+def _manifest_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index point lookups: documents keyed by a sha2 content
+    fingerprint (high-cardinality, unclustered — min/max stats span
+    every file and prune nothing), written across many files with
+    per-file bloom sidecars, then 5 point lookups through the pruning
+    read. The oracle computes the same fingerprints directly; a bloom
+    that wrongly excluded a file would drop its row and diverge the
+    hash. File-count pruning itself is pinned in test_manifest.py."""
+    docs = load_table(spark, "documents", sf_dir)
+    keyed = docs.select(
+        F.sha2(F.col("text"), 256).alias("fp"), "doc_id", "lang", "n_chars"
+    )
+    t = ManifestTable(
+        tempfile.mkdtemp(prefix="aeuc_manifest_bloom_"), bloom_cols=["fp"]
+    )
+    t.commit_overwrite(keyed.repartition(8))
+    probes = [
+        r["fp"] for r in keyed.filter(F.col("doc_id").isin(25, 150, 275, 300, 425)).collect()
+    ]
+    parts = [
+        t.read_where(spark, [("fp", "=", p)]) for p in sorted(probes)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+_BLOOM_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id IN (25, 150, 275, 300, 425)
+"""
+
+
 QUERIES = {
+    "manifest_bloom_read": (_manifest_bloom_read, _BLOOM_ORACLE),
     "manifest_merge_read": (_manifest_merge_read, _MANIFEST_ORACLE),
     "manifest_incremental_read": (_manifest_incremental_read, _INCREMENTAL_ORACLE),
     "manifest_skipping_read": (_manifest_skipping_read, _SKIPPING_ORACLE),

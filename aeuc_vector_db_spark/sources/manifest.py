@@ -133,6 +133,52 @@ def _span_may_match(span, op: str, value) -> bool:
     raise ValueError(f"unsupported data-skipping operator {op!r}")
 
 
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """(m bits, k hashes) for n values at the target false-positive
+    rate: m = -n·ln p / ln²2, k = (m/n)·ln 2 — the standard sizing."""
+    import math
+
+    n = max(n, 1)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _bloom_hashes(value, m: int, k: int) -> "list[int]":
+    """k bit indexes via double hashing of the value's canonical string
+    form (blake2b → two 64-bit halves). Canonicalization is str() for
+    strings and ints — the same form the query side applies to the
+    predicate value, so write and probe always agree."""
+    import hashlib as _hl
+
+    d = _hl.blake2b(str(value).encode(), digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_build(values, fpp: float) -> dict:
+    vals = [v for v in values if v is not None]
+    m, k = _bloom_params(len(set(vals)), fpp)
+    bits = bytearray((m + 7) // 8)
+    for v in vals:
+        for idx in _bloom_hashes(v, m, k):
+            bits[idx >> 3] |= 1 << (idx & 7)
+    import base64
+
+    return {"m": m, "k": k, "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_may_contain(entry: dict, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(entry["b64"])
+    return all(
+        bits[idx >> 3] & (1 << (idx & 7))
+        for idx in _bloom_hashes(value, entry["m"], entry["k"])
+    )
+
+
 def _file_rel_col():
     """Root-relative file key ('data/<token>/part-….parquet') recovered
     from the hidden `_metadata.file_path` column — the join key between
@@ -197,7 +243,13 @@ class ManifestTable:
     #: appends and bounded merges (accumulated in _commit / merge_upsert)
     _PER_FILE_KEYS = ("buckets", "file_rows", "stats")
 
-    def __init__(self, root: str, stats_cols: list[str] | None = None) -> None:
+    def __init__(
+        self,
+        root: str,
+        stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_fpp: float = 0.01,
+    ) -> None:
         self.root = root
         #: columns to record per-file min/max for at write time (footer
         #: metadata only). Reads via `read_where`/`files_for` then skip
@@ -206,6 +258,17 @@ class ManifestTable:
         #: (reference vector_field.py:316-322): skip non-matching data
         #: before scanning it.
         self.stats_cols = list(stats_cols or [])
+        #: columns to build per-file BLOOM filters for at write time —
+        #: the point-lookup complement to min/max spans: a random /
+        #: high-cardinality key (content hash, UUID) spans every file,
+        #: so range stats prune nothing, but its bloom answers "this
+        #: file provably lacks the key" with ~fpp false positives.
+        #: Sidecars live INSIDE the data dir (`_blooms.json` — the
+        #: underscore keeps Spark's parquet reader from touching it)
+        #: so they travel/vacuum with the dir. False positives only
+        #: cost an extra file read, never correctness.
+        self.bloom_cols = list(bloom_cols or [])
+        self.bloom_fpp = bloom_fpp
         self._pending_schema: list[str] | None = None
         self._pending_extra: dict = {}
         os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
@@ -297,15 +360,31 @@ class ManifestTable:
         """(pruned root-relative file list, total files in snapshot) for
         `version` under data skipping: a file is dropped only when its
         recorded per-file min/max PROVES no row can satisfy every
-        predicate `(col, op, value)` (ops: = < <= > >=, AND semantics).
-        Files without stats for a referenced column are kept."""
+        predicate `(col, op, value)` (ops: = < <= > >=, AND semantics),
+        or a per-file bloom filter proves an `=` value absent. Files
+        without stats/blooms for a referenced column are kept."""
         m = self.manifest(version)
         stats = m.get("stats") or {}
+        bloom_cache: dict[str, dict] = {}
+
+        def bloom_ok(f: str, c: str, v) -> bool:
+            d = os.path.dirname(f)
+            if d not in bloom_cache:
+                p = os.path.join(self.root, d, "_blooms.json")
+                try:
+                    with open(p) as fh:
+                        bloom_cache[d] = json.load(fh)
+                except (FileNotFoundError, json.JSONDecodeError):
+                    bloom_cache[d] = {}
+            entry = bloom_cache[d].get(os.path.basename(f), {}).get(c)
+            return True if entry is None else _bloom_may_contain(entry, v)
+
         keep = [
             f
             for f in m["files"]
             if all(
                 _span_may_match((stats.get(f) or {}).get(c), op, v)
+                and (op != "=" or bloom_ok(f, c, v))
                 for (c, op, v) in predicates
             )
         ]
@@ -437,7 +516,36 @@ class ManifestTable:
                 rel: _file_stats(os.path.join(self.root, rel), self.stats_cols)
                 for rel in files
             }
+        if self.bloom_cols:
+            self._write_blooms(out_dir, files)
         return files, n
+
+    def _write_blooms(self, out_dir: str, rel_files: list[str]) -> None:
+        """Per-file bloom filters for `bloom_cols`, from one columnar
+        read of each freshly-written local file (int/string columns
+        only — float canonicalization is a cross-engine footgun). The
+        sidecar name starts with '_' so Spark's parquet reader skips it."""
+        import pyarrow.parquet as pq
+
+        sidecar: dict[str, dict] = {}
+        for rel in rel_files:
+            path = os.path.join(self.root, rel)
+            schema = pq.ParquetFile(path).schema_arrow
+            cols = [c for c in self.bloom_cols if c in schema.names]
+            if not cols:
+                continue
+            tbl = pq.read_table(path, columns=cols)
+            entry = {}
+            for c in cols:
+                vals = tbl.column(c).to_pylist()
+                if any(isinstance(v, float) for v in vals):
+                    continue
+                entry[c] = _bloom_build(vals, self.bloom_fpp)
+            if entry:
+                sidecar[os.path.basename(rel)] = entry
+        if sidecar:
+            with open(os.path.join(out_dir, "_blooms.json"), "w") as fh:
+                json.dump(sidecar, fh)
 
     def _try_publish(self, manifest: dict, version: int) -> bool:
         """Atomically publish `manifest` as `version`. False ⟺ lost the

@@ -701,3 +701,48 @@ def test_deletion_vectors_rejected_on_bucketed_tables(spark, tmp_path):
     t.commit_overwrite(_df(spark, (0, 50)))
     with pytest.raises(ValueError, match="deletion vectors"):
         t.delete_where_dv(spark, [("k", "=", 3)])
+
+
+def test_bloom_index_prunes_unclustered_point_lookups(spark, root):
+    """High-cardinality random keys span every file, so min/max stats
+    prune nothing — per-file bloom filters prune to ~1 file for a
+    present key and (usually) 0 for an absent one, with identical
+    results to the unpruned filter. False positives cost an extra file
+    read, never a wrong row."""
+    t = ManifestTable(root, stats_cols=["key"], bloom_cols=["key"])
+    df = spark.range(20_000).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("key"),
+        F.col("id").alias("v"),
+    ).repartition(16)
+    t.commit_overwrite(df)
+    probe = df.filter("v = 777").collect()[0]["key"]
+    keep, total = t.files_for([("key", "=", probe)])
+    assert total == 16 and len(keep) <= 3  # ~1 + fpp slack
+    rows = t.read_where(spark, [("key", "=", probe)]).collect()
+    assert len(rows) == 1 and rows[0]["v"] == 777
+    # absent key still returns the correct (empty) result however many
+    # files the blooms let through
+    assert t.read_where(spark, [("key", "=", "nope")]).count() == 0
+    # range predicates ignore blooms (they only answer equality)
+    keep_rng, _ = t.files_for([("key", ">=", "0")])
+    assert len(keep_rng) == total
+
+
+def test_bloom_sidecar_travels_and_degrades_conservatively(spark, root):
+    t = ManifestTable(root, bloom_cols=["k"])
+    t.commit_append(_df(spark, (0, 100)))
+    t.commit_append(_df(spark, (100, 200)))
+    keep, total = t.files_for([("k", "=", 150)])
+    assert 0 < len(keep) < total
+    # a reader handle WITHOUT bloom_cols still prunes via the sidecars
+    r = ManifestTable(root)
+    keep2, _ = r.files_for([("k", "=", 150)])
+    assert keep2 == keep
+    # deleting the sidecar degrades to reading everything — never wrong
+    import glob as _glob
+
+    for p in _glob.glob(os.path.join(root, "data", "*", "_blooms.json")):
+        os.unlink(p)
+    keep3, total3 = r.files_for([("k", "=", 150)])
+    assert len(keep3) == total3
+    assert [x["k"] for x in r.read_where(spark, [("k", "=", 150)]).collect()] == [150]
