@@ -106,6 +106,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_click_attribution",
     "manifest_dv_read",
     "manifest_bloom_read",
+    "manifest_merge_dv_read",
 )
 
 

@@ -219,8 +219,31 @@ WHERE doc_id IN (25, 150, 275, 300, 425)
 """
 
 
+def _manifest_merge_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same final state as `manifest_merge_read`, but the MERGE runs
+    through `merge_upsert_dv` — positional deletes of the matched keys
+    plus an append, one atomic commit, zero rewritten files (pinned in
+    test_manifest.py). Sharing the oracle pins that the two merge
+    implementations are semantically interchangeable."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = ManifestTable(
+        tempfile.mkdtemp(prefix="aeuc_manifest_mdv_"), bloom_cols=["doc_id"]
+    )
+    t.commit_overwrite(docs.filter(F.col("doc_id") % 2 == 0))
+    t.commit_append(docs.filter(F.col("doc_id") % 2 == 1))
+    updates = docs.filter(F.col("doc_id") < 50).withColumn("source", F.lit("merged"))
+    t.merge_upsert_dv(spark, updates, key="doc_id")
+    final = t.read(spark)
+    return final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
 QUERIES = {
     "manifest_bloom_read": (_manifest_bloom_read, _BLOOM_ORACLE),
+    "manifest_merge_dv_read": (_manifest_merge_dv_read, _MANIFEST_ORACLE),
     "manifest_merge_read": (_manifest_merge_read, _MANIFEST_ORACLE),
     "manifest_incremental_read": (_manifest_incremental_read, _INCREMENTAL_ORACLE),
     "manifest_skipping_read": (_manifest_skipping_read, _SKIPPING_ORACLE),

@@ -716,6 +716,134 @@ class ManifestTable:
                 last = exc  # stale read: loop re-merges against the winner
         raise CommitConflictError(f"merge_upsert: {max_retries} retries exhausted") from last
 
+    def merge_upsert_dv(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key: str,
+        max_retries: int = 5,
+    ) -> int:
+        """Bounded MERGE via deletion vectors, in ONE atomic commit:
+        positional-delete the rows whose `key` appears in `updates`,
+        and append the update batch as new files — no existing data
+        file is rewritten, and a reader never sees the deleted-but-not-
+        yet-reinserted intermediate state (there isn't one: a single
+        manifest publishes both).
+
+        This is the no-bucketing bounded merge: the matched-key scan is
+        pruned per key through the same stats+bloom machinery as
+        `files_for` (give the table `bloom_cols=[key]` and an upsert
+        touches O(files that contain matched keys), not O(table)).
+        Cost = pruned read + O(batch) write, vs the plain
+        `merge_upsert`'s full-snapshot rewrite and the bucketed table's
+        per-bucket rewrite. Update batches must be key-unique (checked);
+        the batch schema must match the table (old files stay live, so
+        a merge_dv cannot evolve the schema)."""
+        self._assert_unique_keys(updates, key)
+        last: CommitConflictError | None = None
+        for _ in range(max_retries):
+            parent = self.latest_version()
+            if parent is None:
+                files, n = self._write_data_dir(updates)
+                try:
+                    return self._commit(
+                        "merge", files, n, keep_parent_files=False,
+                        expected_parent=None,
+                    )
+                except CommitConflictError as exc:
+                    last = exc
+                    continue
+            m = self.manifest(parent)
+            batch_schema = _schema_sig(updates)
+            if m.get("schema") not in (None, batch_schema):
+                raise ValueError(
+                    f"merge_upsert_dv schema mismatch at {self.root!r}: table "
+                    f"has {m['schema']}, batch has {batch_schema}; existing "
+                    "files stay live under a DV merge — use merge_upsert/"
+                    "commit_overwrite to evolve the schema"
+                )
+            keys = [r[0] for r in updates.select(key).distinct().collect()]
+            cand = sorted(
+                {
+                    f
+                    for k in keys
+                    for f in self.files_for([(key, "=", k)], parent)[0]
+                }
+            )
+            n_del = 0
+            dv_rel: str | None = None
+            if cand:
+                raw = spark.read.parquet(
+                    *[os.path.join(self.root, f) for f in cand]
+                ).select(
+                    F.col(key),
+                    _file_rel_col().alias("__dv_f"),
+                    F.col("_metadata.row_index").alias("__dv_r"),
+                )
+                dvs = m.get("deletes") or []
+                if dvs:
+                    dv_old = spark.read.parquet(
+                        *[os.path.join(self.root, d) for d in dvs]
+                    ).select(
+                        F.col("file").alias("__dv_f"), F.col("row").alias("__dv_r")
+                    )
+                    raw = raw.join(dv_old, ["__dv_f", "__dv_r"], "left_anti")
+                matching = raw.join(
+                    updates.select(key).distinct(), key, "left_semi"
+                ).select(
+                    F.col("__dv_f").alias("file"), F.col("__dv_r").alias("row")
+                )
+                from pyspark.sql import Observation
+
+                token = uuid.uuid4().hex[:16]
+                dv_rel = os.path.join(_DATA_DIR, token)
+                dv_out = os.path.join(self.root, dv_rel)
+                obs = Observation()
+                matching.observe(obs, F.count(F.lit(1)).alias("n")).write.parquet(
+                    dv_out
+                )
+                n_del = int(obs.get["n"] or 0)
+                if n_del == 0:
+                    shutil.rmtree(dv_out, ignore_errors=True)
+                    dv_rel = None
+            new_files, n_new = self._write_data_dir(updates)
+            extra = self._pop_pending_extra()
+            self._pending_schema = None
+            per_file = {}
+            for k2 in self._PER_FILE_KEYS:
+                if k2 in m or k2 in extra:
+                    per_file[k2] = {**m.get(k2, {}), **extra.get(k2, {})}
+            deletes = list(m.get("deletes") or [])
+            if dv_rel:
+                deletes.append(dv_rel)
+            manifest = {
+                "format_version": FORMAT_VERSION,
+                "version": parent + 1,
+                "parent": parent,
+                "action": "merge_dv",
+                "files": m["files"] + new_files,
+                "n_rows": m["n_rows"] - n_del + n_new,
+                "epoch_id": None,
+                "schema": batch_schema,
+                "committed_at_s": round(time.time(), 3),
+                **({"deletes": deletes} if deletes else {}),
+                **per_file,
+            }
+            if self._try_publish(manifest, parent + 1):
+                return parent + 1
+            # lost the race: the vector/files were computed against a
+            # stale snapshot — discard and re-run the read-modify-write
+            if dv_rel:
+                shutil.rmtree(os.path.join(self.root, dv_rel), ignore_errors=True)
+            for nf in new_files:
+                shutil.rmtree(
+                    os.path.join(self.root, os.path.dirname(nf)), ignore_errors=True
+                )
+            last = CommitConflictError("merge_upsert_dv lost the publish race")
+        raise CommitConflictError(
+            f"merge_upsert_dv: {max_retries} retries exhausted"
+        ) from last
+
     def delete_where(self, spark: SparkSession, condition) -> int:
         """Keep rows NOT matching `condition` (a Column) as a new version.
         Rewrites the snapshot — O(table); see `delete_where_dv` for the

@@ -746,3 +746,41 @@ def test_bloom_sidecar_travels_and_degrades_conservatively(spark, root):
     keep3, total3 = r.files_for([("k", "=", 150)])
     assert len(keep3) == total3
     assert [x["k"] for x in r.read_where(spark, [("k", "=", 150)]).collect()] == [150]
+
+
+def test_merge_upsert_dv_atomic_bounded_merge(spark, root):
+    """DV merge: matched keys are positionally deleted and the batch
+    appended in ONE commit — old files stay in the snapshot untouched,
+    the version count moves by exactly one, repeated merges chase the
+    key to its newest copy, and schema drift is rejected (old files
+    remain live, so a DV merge cannot evolve the schema)."""
+    t = ManifestTable(root, bloom_cols=["k"])
+    df = spark.range(1000).select(F.col("id").alias("k"), F.lit("old").alias("tag"))
+    t.commit_overwrite(df.repartition(8))
+    v0_files = t.manifest()["files"]
+    ups = spark.createDataFrame(
+        [(5, "new"), (777, "new"), (2000, "new")], "k long, tag string"
+    )
+    v = t.merge_upsert_dv(spark, ups, key="k")
+    m = t.manifest()
+    assert v == 1 and set(v0_files) <= set(m["files"])
+    assert m["n_rows"] == 1001  # 1000 − 2 matched + 3 upserts
+    rows = {r["k"]: r["tag"] for r in t.read(spark).collect()}
+    assert len(rows) == 1001
+    assert rows[5] == rows[777] == rows[2000] == "new" and rows[6] == "old"
+    # remerge the same key: the live copy (in the appended file) dies,
+    # not the already-dead original — counts stay exact
+    t.merge_upsert_dv(
+        spark, spark.createDataFrame([(5, "newer")], "k long, tag string"), key="k"
+    )
+    rows2 = {r["k"]: r["tag"] for r in t.read(spark).collect()}
+    assert rows2[5] == "newer" and len(rows2) == 1001
+    assert t.manifest()["n_rows"] == 1001
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.merge_upsert_dv(
+            spark, spark.createDataFrame([(1, 2.0)], "k long, x double"), key="k"
+        )
+    # rewrite materializes vectors; content unchanged
+    t.compact(spark, n_files=2)
+    assert not t.manifest().get("deletes")
+    assert {r["k"]: r["tag"] for r in t.read(spark).collect()} == rows2
