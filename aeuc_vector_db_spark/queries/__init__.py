@@ -107,6 +107,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "manifest_dv_read",
     "manifest_bloom_read",
     "manifest_merge_dv_read",
+    "manifest_cdc_read",
 )
 
 

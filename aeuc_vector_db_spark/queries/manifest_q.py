@@ -241,7 +241,58 @@ def _manifest_merge_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _manifest_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC feed correctness: anchor snapshot, then an append, a DV
+    delete, and a DV merge; read_changes(0) must name every inserted
+    and deleted row with its commit version. The oracle constructs each
+    commit's expected change set directly from the source table — a
+    missed delete, a phantom insert, or a wrong version diverges the
+    aggregate hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = ManifestTable(
+        tempfile.mkdtemp(prefix="aeuc_manifest_cdc_"), bloom_cols=["doc_id"]
+    )
+    t.commit_append(docs.filter(F.col("doc_id") < 300))          # v0 anchor
+    t.commit_append(docs.filter(F.col("doc_id") >= 300))         # v1 inserts
+    t.delete_where_dv(
+        spark, [("doc_id", ">=", 100), ("doc_id", "<", 200)]
+    )                                                            # v2 deletes
+    ups = docs.filter(F.col("doc_id") < 40).withColumn("source", F.lit("m"))
+    t.merge_upsert_dv(spark, ups, key="doc_id")                  # v3 del+ins
+    ch = t.read_changes(spark, since_version=0)
+    return ch.groupBy(
+        F.col("_commit_version").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_CDC_ORACLE = """
+SELECT 1 AS commit_version, 'insert' AS change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id >= 300
+UNION ALL
+SELECT 2, 'delete', CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT),
+       CAST(SUM(n_chars) AS BIGINT)
+FROM documents WHERE doc_id >= 100 AND doc_id < 200
+UNION ALL
+SELECT 3, 'delete', CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT),
+       CAST(SUM(n_chars) AS BIGINT)
+FROM documents WHERE doc_id < 40
+UNION ALL
+SELECT 3, 'insert', CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT),
+       CAST(SUM(n_chars) AS BIGINT)
+FROM documents WHERE doc_id < 40
+"""
+
+
 QUERIES = {
+    "manifest_cdc_read": (_manifest_cdc_read, _CDC_ORACLE),
     "manifest_bloom_read": (_manifest_bloom_read, _BLOOM_ORACLE),
     "manifest_merge_dv_read": (_manifest_merge_dv_read, _MANIFEST_ORACLE),
     "manifest_merge_read": (_manifest_merge_read, _MANIFEST_ORACLE),

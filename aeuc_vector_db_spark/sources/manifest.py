@@ -460,6 +460,107 @@ class ManifestTable:
             return self.read(spark, latest).limit(0)
         return spark.read.parquet(*[os.path.join(self.root, f) for f in new])
 
+    def read_changes(
+        self, spark: SparkSession, since_version: int
+    ) -> DataFrame:
+        """Change-data feed: every row change AFTER `since_version`, as
+        the table's columns plus `_change_type` ('insert' | 'delete')
+        and `_commit_version` — the Delta-CDF shape. Handles the commit
+        kinds whose changes are recoverable from the log without diffing
+        snapshots: appends (new files = inserted rows), `delete_dv` and
+        `merge_dv` (DV sidecars name the deleted positions exactly;
+        merge_dv's new files are its inserts). An update through
+        merge_upsert_dv therefore appears as its delete + insert pair,
+        which is how log-structured CDC represents updates. Rewrites
+        (overwrite/compact/merge/delete) shuffle rows between files with
+        no per-row change record — those raise, and the caller falls
+        back to a snapshot diff or full recompute; pretending a rewrite
+        was change-free would corrupt every downstream incremental
+        aggregate.
+
+        Deleted-row payloads are recovered by joining the DV positions
+        back to the (immutable, still-present) data files — O(files
+        containing deletes), no snapshot scan."""
+        latest = self.latest_version()
+        if latest is None or since_version > latest:
+            raise FileNotFoundError(
+                f"version {since_version} not committed at {self.root!r}"
+            )
+        ms = [self.manifest(v) for v in self.versions() if v > since_version]
+        bad = [
+            (m["version"], m["action"])
+            for m in ms
+            if m["action"] not in ("append", "delete_dv", "merge_dv")
+        ]
+        if bad:
+            raise ValueError(
+                f"read_changes({since_version}): versions {bad} rewrite the "
+                "snapshot — per-row changes are not recoverable from the "
+                "log; re-read the full snapshot instead"
+            )
+        prev_files = set(self.manifest(since_version)["files"])
+        prev_dvs = set(self.manifest(since_version).get("deletes") or [])
+        inserts: list[tuple[str, int]] = []  # (file, version)
+        deletes: list[tuple[str, int]] = []  # (dv dir, version)
+        for m in ms:
+            for f in m["files"]:
+                if f not in prev_files:
+                    inserts.append((f, m["version"]))
+            for d in m.get("deletes") or []:
+                if d not in prev_dvs:
+                    deletes.append((d, m["version"]))
+            prev_files = set(m["files"])
+            prev_dvs = set(m.get("deletes") or [])
+        base = self.read(spark, latest).limit(0)
+        out = base.select(
+            F.col("*"),
+            F.lit("insert").alias("_change_type"),
+            F.lit(0).alias("_commit_version"),
+        ).limit(0)
+        for ver in sorted({v for _, v in inserts}):
+            fs = [f for f, v in inserts if v == ver]
+            ins = spark.read.parquet(*[os.path.join(self.root, f) for f in fs])
+            out = out.unionByName(
+                ins.select(
+                    F.col("*"),
+                    F.lit("insert").alias("_change_type"),
+                    F.lit(ver).alias("_commit_version"),
+                )
+            )
+        if deletes:
+            # join DV positions back to the immutable data files they
+            # reference to recover full deleted-row payloads
+            all_files = sorted(
+                {f for m in ms for f in m["files"]} | set(
+                    self.manifest(since_version)["files"]
+                )
+            )
+            keyed = spark.read.parquet(
+                *[os.path.join(self.root, f) for f in all_files]
+            ).select(
+                F.col("*"),
+                _file_rel_col().alias("__dv_f"),
+                F.col("_metadata.row_index").alias("__dv_r"),
+            )
+            for ver in sorted({v for _, v in deletes}):
+                ds = [d for d, v in deletes if v == ver]
+                dv = spark.read.parquet(
+                    *[os.path.join(self.root, d) for d in ds]
+                ).select(
+                    F.col("file").alias("__dv_f"), F.col("row").alias("__dv_r")
+                )
+                dead = keyed.join(dv, ["__dv_f", "__dv_r"], "inner").drop(
+                    "__dv_f", "__dv_r"
+                )
+                out = out.unionByName(
+                    dead.select(
+                        F.col("*"),
+                        F.lit("delete").alias("_change_type"),
+                        F.lit(ver).alias("_commit_version"),
+                    )
+                )
+        return out
+
     # -- writing -------------------------------------------------------
 
     def _write_data_dir(

@@ -784,3 +784,43 @@ def test_merge_upsert_dv_atomic_bounded_merge(spark, root):
     t.compact(spark, n_files=2)
     assert not t.manifest().get("deletes")
     assert {r["k"]: r["tag"] for r in t.read(spark).collect()} == rows2
+
+
+def test_read_changes_cdc_feed(spark, root):
+    """read_changes recovers per-row inserts AND deletes (with full
+    payloads) from the log: appends are inserts, DV commits are deletes,
+    a DV merge is its delete+insert pair; rewrites in the history are
+    refused (their per-row changes are unrecoverable), and a post-
+    rewrite anchor works again."""
+    t = ManifestTable(root, bloom_cols=["k"])
+    t.commit_append(
+        spark.range(100).select(F.col("id").alias("k"), F.lit("a").alias("tag"))
+    )
+    t.commit_append(
+        spark.range(100, 120).select(F.col("id").alias("k"), F.lit("b").alias("tag"))
+    )
+    t.delete_where_dv(spark, [("k", "<", 10)])
+    t.merge_upsert_dv(
+        spark,
+        spark.createDataFrame([(50, "upd"), (999, "new")], "k long, tag string"),
+        key="k",
+    )
+    by = {}
+    for r in t.read_changes(spark, since_version=0).collect():
+        by.setdefault((r["_commit_version"], r["_change_type"]), []).append(
+            (r["k"], r["tag"])
+        )
+    assert sorted(k for k, _ in by[(1, "insert")]) == list(range(100, 120))
+    # deleted rows carry their full payload (recovered from the files)
+    assert sorted(by[(2, "delete")]) == [(k, "a") for k in range(10)]
+    assert by[(3, "delete")] == [(50, "a")]
+    assert sorted(by[(3, "insert")]) == [(50, "upd"), (999, "new")]
+    t.compact(spark)
+    with pytest.raises(ValueError, match="rewrite"):
+        t.read_changes(spark, 0)
+    t.commit_append(
+        spark.range(200, 205).select(F.col("id").alias("k"), F.lit("c").alias("tag"))
+    )
+    post = t.read_changes(spark, since_version=t.latest_version() - 1).collect()
+    assert sorted(r["k"] for r in post) == [200, 201, 202, 203, 204]
+    assert {r["_change_type"] for r in post} == {"insert"}
