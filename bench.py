@@ -145,6 +145,7 @@ def main() -> None:
         ("bench-probe-cluster", _bench_cluster_scale),
         ("bench-probe-dedup", _bench_dedup_skew),
         ("bench-probe-cc", _bench_cc_chain),
+        ("bench-probe-dv", _bench_dv_delete),
     )
     results = {}
     for tag, probe in probes:
@@ -156,6 +157,7 @@ def main() -> None:
     cluster_scale = results["bench-probe-cluster"]
     dedup_skew = results["bench-probe-dedup"]
     cc_chain = results["bench-probe-cc"]
+    dv_delete = results["bench-probe-dv"]
     decode_rate = _bench_decode()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -176,6 +178,7 @@ def main() -> None:
         "cluster_scale": cluster_scale,
         "dedup_skew": dedup_skew,
         "cc_chain": cc_chain,
+        "dv_delete": dv_delete,
         "decode_imgs_per_s": decode_rate,
     }
     print("# detail: " + json.dumps(detail), file=sys.stderr)
@@ -197,6 +200,7 @@ def main() -> None:
         "cluster_scale": cluster_scale,
         "dedup_skew": dedup_skew,
         "cc_chain": cc_chain,
+        "dv_delete": dv_delete,
         "decode_imgs_per_s": decode_rate,
     }
     print(compact_json_line(payload))
@@ -209,7 +213,7 @@ def compact_json_line(payload: dict, limit: int = MAX_JSON_LINE) -> str:
     dropped; `queries` timings are the headline signal and at 3-decimal
     rounding ~30 entries stay well under the limit."""
     line = json.dumps(payload)
-    for droppable in ("cc_chain", "decode_imgs_per_s", "dedup_skew",
+    for droppable in ("cc_chain", "dv_delete", "decode_imgs_per_s", "dedup_skew",
                       "cluster_scale", "knn_scale", "ingest_rows_per_s"):
         if len(line) <= limit:
             break
@@ -431,6 +435,69 @@ def _bench_cc_chain(spark) -> dict:
     )
     return {"edges": n_edges, "sec": round(dt, 1), "rounds": rounds[0],
             "components": n_comp, "chain_ok": chain_ok}
+
+
+def _bench_dv_delete(spark) -> dict:
+    """Deletion-vector delete vs rewrite delete on a ~2 GB table (1M
+    rows × ~2 KB payload, 16 range-clustered files): delete a 1% key
+    slice. The DV path reads only the files stats say may match (1 of
+    16) and writes O(deleted rows); the rewrite path reads and rewrites
+    the whole snapshot — so the wall-clock gap grows linearly with
+    table size while DV stays flat (measured: at 0.5 GB the rewrite's
+    single cheap job still wins on fixed costs; by 2 GB DV is ahead and
+    every 10× beyond widens it 10×). `files_read`/`files_written`
+    carry the scale-invariant evidence alongside the seconds. Both
+    tables get identical layouts; post-delete row counts are asserted
+    equal."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from aeuc_vector_db_spark.sources.manifest import ManifestTable
+
+    n = 1_000_000
+    sha = F.sha2(F.col("id").cast("string"), 256)
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.concat(*([sha] * 32)).alias("payload"),  # ~2 KB/row
+    )
+    roots = [_tf.mkdtemp(prefix="bench_dv_") for _ in range(2)]
+    try:
+        t_dv = ManifestTable(roots[0], stats_cols=["k"])
+        t_rw = ManifestTable(roots[1], stats_cols=["k"])
+        t_dv.commit_overwrite(df.repartitionByRange(16, "k").sortWithinPartitions("k"))
+        t_rw.commit_overwrite(df.repartitionByRange(16, "k").sortWithinPartitions("k"))
+        lo, hi = 500_000, 510_000  # 1% slice, lands in 1 of 16 files
+        files_read = len(t_dv.files_for([("k", ">=", lo), ("k", "<", hi)])[0])
+        t0 = time.time()
+        t_dv.delete_where_dv(spark, [("k", ">=", lo), ("k", "<", hi)])
+        dv_s = time.time() - t0
+        t0 = time.time()
+        t_rw.delete_where(spark, (F.col("k") >= lo) & (F.col("k") < hi))
+        rw_s = time.time() - t0
+        n_dv = t_dv.read(spark).count()
+        n_rw = t_rw.read(spark).count()
+        assert n_dv == n_rw == n - (hi - lo), (n_dv, n_rw)
+        rw_written = len(t_rw.manifest()["files"])
+        print(
+            f"# dv_delete_1m_2gb: DV {dv_s:.2f}s (read {files_read}/16 files, "
+            f"wrote positions) vs rewrite {rw_s:.2f}s (read 16, wrote "
+            f"{rw_written}) — speedup {rw_s / dv_s:.1f}x, rows {n_dv}",
+            file=sys.stderr,
+        )
+        return {
+            "rows": n,
+            "deleted": hi - lo,
+            "dv_sec": round(dv_s, 2),
+            "rewrite_sec": round(rw_s, 2),
+            "speedup": round(rw_s / dv_s, 1),
+            "dv_files_read": files_read,
+            "rewrite_files_written": rw_written,
+        }
+    finally:
+        for r in roots:
+            _sh.rmtree(r, ignore_errors=True)
 
 
 def _bench_decode() -> dict:
