@@ -217,7 +217,7 @@ def connected_components(
     edges: DataFrame,
     a_col: str = "a_id",
     b_col: str = "b_id",
-    max_iter: int = 20,
+    max_iter: int | None = None,
     _rounds_out: list | None = None,
 ) -> DataFrame:
     """Undirected connected components by alternating large-star /
@@ -242,6 +242,15 @@ def connected_components(
     contract to the propagation version (keep-one resolution after
     pair-generating dedup). Pure DataFrame ops, no GraphFrames.
 
+    `max_iter=None` (the default) derives the convergence bound from
+    the node count: 2·⌈log₂ n⌉ + 8 rounds (floor 16). Star contraction
+    needs ≤ ~log₂ n rounds on any topology, so the derived bound has
+    ~2× headroom — a 10⁶-node adversarial chain converges in 20 rounds
+    against a derived bound of 48 (round-5 fixed `max_iter=20` had ZERO
+    headroom there and a ≥2×10⁶-node chain would have hit the
+    RuntimeError with defaults). Pass an explicit int only to pin the
+    bound in tests.
+
     `_rounds_out`: optional list; the executed round count is appended
     (bench/tests assert the ≤ O(log n) bound).
     """
@@ -259,6 +268,11 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if max_iter is None:
+        import math
+
+        n_nodes = nodes.count()
+        max_iter = max(16, 2 * math.ceil(math.log2(max(n_nodes, 2))) + 8)
     cur = base
     cur_count = cur.count()
     rounds = 0
@@ -320,12 +334,14 @@ def keep_one(
     pairs: DataFrame,
     a_col: str = "a_id",
     b_col: str = "b_id",
+    max_iter: int | None = None,
 ) -> DataFrame:
     """Resolve duplicate pairs into per-cluster keep/drop decisions:
     (component keeper id, member id, keep flag). Singletons (docs with no
     dup edge) are untouched by construction — only edge-connected nodes
-    appear."""
-    comp = connected_components(pairs, a_col, b_col)
+    appear. `max_iter` passes through to `connected_components`
+    (default: derived from the node count)."""
+    comp = connected_components(pairs, a_col, b_col, max_iter=max_iter)
     return comp.select(
         F.col("component").alias("keeper_id"),
         F.col("node").alias("doc_id"),

@@ -291,7 +291,129 @@ FROM documents WHERE doc_id < 40
 """
 
 
+def _manifest_in_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`IN`-list data skipping — the id-batch point-lookup pattern
+    (reference vector_field.py:316-318: membership-list pruning over
+    the glyph index). Three disjoint-range appends with doc_id stats +
+    blooms, then ONE read under a 5-value IN list: only files that may
+    hold ANY listed id are opened (pinned in test_manifest.py). The
+    oracle computes the same IN directly — a wrongly-pruned file drops
+    its row and diverges the hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = ManifestTable(
+        tempfile.mkdtemp(prefix="aeuc_manifest_in_"),
+        stats_cols=["doc_id"],
+        bloom_cols=["doc_id"],
+    )
+    t.commit_append(docs.filter(F.col("doc_id") < 150))
+    t.commit_append(docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)))
+    t.commit_append(docs.filter(F.col("doc_id") >= 300))
+    pruned = t.read_where(spark, [("doc_id", "in", [7, 12, 160, 161, 450])])
+    return pruned.select("doc_id", "lang", "n_chars")
+
+
+_IN_SKIPPING_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id IN (7, 12, 160, 161, 450)
+"""
+
+
+def _manifest_null_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL / IS NOT NULL data skipping via per-file null-count
+    stats: one append holds only null `v` (doc_id % 3 = 0), the other
+    only non-null, so each null predicate provably prunes the opposite
+    append's files (pinned in test_manifest.py). Both branches are read
+    through the pruning path and aggregated; the oracle computes the
+    same split directly from the modulus."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.when(F.col("doc_id") % 3 != 0, F.col("n_chars")).alias("v"),
+    )
+    t = ManifestTable(
+        tempfile.mkdtemp(prefix="aeuc_manifest_null_"), stats_cols=["v"]
+    )
+    t.commit_append(docs.filter(F.col("doc_id") % 3 == 0))
+    t.commit_append(docs.filter(F.col("doc_id") % 3 != 0))
+    a = (
+        t.read_where(spark, [("v", "is_null", None)])
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .withColumn("part", F.lit("null"))
+    )
+    b = (
+        t.read_where(spark, [("v", "is_not_null", None)])
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .withColumn("part", F.lit("not_null"))
+    )
+    return a.unionByName(b)
+
+
+_NULL_SKIPPING_ORACLE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars, 'null' AS part
+FROM documents WHERE doc_id % 3 = 0 GROUP BY lang
+UNION ALL
+SELECT lang, CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT), 'not_null'
+FROM documents WHERE doc_id % 3 != 0 GROUP BY lang
+"""
+
+
+def _manifest_bucketed_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors composed with the BUCKETED bounded merge — the
+    r5 hazard closed in round 6: soft-delete doc_id ∈ [100, 200), then
+    a bounded merge upserting [150, 180) with source='merged'. The
+    merge rewrites only the touched buckets (materializing their DV
+    rows away) and carries the untouched buckets' DV rows forward — a
+    resurrection of any soft-deleted row, or a dropped carried delete,
+    diverges the per-source aggregate hash."""
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = BucketedManifestTable(
+        tempfile.mkdtemp(prefix="aeuc_manifest_bdv_"),
+        key="doc_id",
+        n_buckets=8,
+        stats_cols=["doc_id"],
+    )
+    t.commit_overwrite(docs)
+    t.delete_where_dv(spark, [("doc_id", ">=", 100), ("doc_id", "<", 200)])
+    ups = docs.filter(
+        (F.col("doc_id") >= 150) & (F.col("doc_id") < 180)
+    ).withColumn("source", F.lit("merged"))
+    t.merge_upsert(spark, ups)
+    final = t.read(spark)
+    return final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+_BUCKETED_DV_ORACLE = """
+WITH final AS (
+  SELECT doc_id, n_chars, source FROM documents
+  WHERE NOT (doc_id >= 100 AND doc_id < 200)
+  UNION ALL
+  SELECT doc_id, n_chars, 'merged' AS source FROM documents
+  WHERE doc_id >= 150 AND doc_id < 180
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM final GROUP BY source
+"""
+
+
 QUERIES = {
+    "manifest_in_skipping_read": (_manifest_in_skipping_read, _IN_SKIPPING_ORACLE),
+    "manifest_null_skipping_read": (
+        _manifest_null_skipping_read,
+        _NULL_SKIPPING_ORACLE,
+    ),
+    "manifest_bucketed_dv_read": (_manifest_bucketed_dv_read, _BUCKETED_DV_ORACLE),
     "manifest_cdc_read": (_manifest_cdc_read, _CDC_ORACLE),
     "manifest_bloom_read": (_manifest_bloom_read, _BLOOM_ORACLE),
     "manifest_merge_dv_read": (_manifest_merge_dv_read, _MANIFEST_ORACLE),

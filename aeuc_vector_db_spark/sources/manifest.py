@@ -111,6 +111,62 @@ def _file_stats(path: str, cols: list[str]) -> dict:
     return out
 
 
+def _file_nulls(path: str, cols: list[str]) -> dict:
+    """Per-file `[null_count, num_rows]` for `cols` from the parquet
+    FOOTER (row-group statistics — a metadata read, no data scan). A
+    column whose null_count is missing in any row group is omitted;
+    readers treat a missing entry as 'may match' (conservative, never
+    wrong). Serves `IS NULL` / `IS NOT NULL` data skipping the same way
+    min/max spans serve range predicates."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+    out: dict[str, list] = {}
+    for c in cols:
+        ci = idx.get(c)
+        if ci is None:
+            continue
+        n_null = 0
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or st.null_count is None:
+                ok = False
+                break
+            n_null += st.null_count
+        if ok:
+            out[c] = [n_null, md.num_rows]
+    return out
+
+
+def _predicates_condition(predicates: list[tuple]):
+    """The Column conjunction equivalent of a `files_for` predicate list
+    — the residual filter applied AFTER file pruning, so skipping is an
+    optimization, never a semantics change. Shared by read_where and
+    delete_where_dv so the pruning and filtering vocabularies can never
+    drift apart."""
+    cond = None
+    for c, op, v in predicates:
+        col = F.col(c)
+        if op == "in":
+            clause = col.isin(list(v))
+        elif op == "is_null":
+            clause = col.isNull()
+        elif op == "is_not_null":
+            clause = col.isNotNull()
+        else:
+            clause = {
+                "=": col == v,
+                "<": col < v,
+                "<=": col <= v,
+                ">": col > v,
+                ">=": col >= v,
+            }[op]
+        cond = clause if cond is None else cond & clause
+    return cond
+
+
 def _span_may_match(span, op: str, value) -> bool:
     """Can a file whose column spans [min, max] contain a row satisfying
     `col <op> value`? Missing/incomparable stats ⇒ True (read the file)."""
@@ -180,12 +236,18 @@ def _bloom_may_contain(entry: dict, value) -> bool:
 
 
 def _file_rel_col():
-    """Root-relative file key ('data/<token>/part-….parquet') recovered
-    from the hidden `_metadata.file_path` column — the join key between
-    data rows and deletion-vector rows. Using the relative tail keeps
-    deletion vectors valid if the table root is moved or re-mounted."""
+    """Root-relative file key ('data/<token>/part-….parquet', or
+    'data/<token>/__bucket__=N/part-….parquet' under the bucketed
+    layout) recovered from the hidden `_metadata.file_path` column — the
+    join key between data rows and deletion-vector rows. Using the
+    relative tail keeps deletion vectors valid if the table root is
+    moved or re-mounted; anchoring on the literal 'data/' segment at the
+    end of the path makes the key identical to the manifest's
+    root-relative file entries for BOTH layouts."""
     return F.regexp_extract(
-        F.col("_metadata.file_path"), r"([^/]+/[^/]+/[^/]+)$", 1
+        F.col("_metadata.file_path"),
+        r"(?:^|/)(data/[^/]+(?:/__bucket__=[^/]+)?/[^/]+)$",
+        1,
     )
 
 
@@ -241,7 +303,13 @@ class ManifestTable:
 
     #: manifest keys holding per-file maps that must follow files across
     #: appends and bounded merges (accumulated in _commit / merge_upsert)
-    _PER_FILE_KEYS = ("buckets", "file_rows", "stats")
+    _PER_FILE_KEYS = ("buckets", "file_rows", "stats", "nulls")
+
+    #: largest distinct-key batch merge_upsert_dv will collect to the
+    #: driver for file pruning; bigger batches read the full file list
+    #: (correct, unpruned) instead of holding unbounded keys in driver
+    #: memory
+    _MERGE_PRUNE_MAX_KEYS = 100_000
 
     def __init__(
         self,
@@ -360,14 +428,25 @@ class ManifestTable:
         """(pruned root-relative file list, total files in snapshot) for
         `version` under data skipping: a file is dropped only when its
         recorded per-file min/max PROVES no row can satisfy every
-        predicate `(col, op, value)` (ops: = < <= > >=, AND semantics),
-        or a per-file bloom filter proves an `=` value absent. Files
-        without stats/blooms for a referenced column are kept."""
+        predicate `(col, op, value)` (ops: = < <= > >= in is_null
+        is_not_null, AND semantics; `in` takes a value list and keeps a
+        file when ANY listed value may be present; the null ops take
+        value=None and consult per-file null counts), or a per-file
+        bloom filter proves an `=`/`in` value absent. Files without
+        stats/blooms/null-counts for a referenced column are kept."""
         m = self.manifest(version)
         stats = m.get("stats") or {}
+        nulls = m.get("nulls") or {}
         bloom_cache: dict[str, dict] = {}
 
         def bloom_ok(f: str, c: str, v) -> bool:
+            # write side blooms only int/string values (floats are a
+            # cross-engine canonicalization footgun and are skipped); a
+            # probe of any other type (float, bool, Decimal) would hash
+            # a DIFFERENT canonical string than the stored form and
+            # wrongly prune — never consult the bloom for those
+            if not (type(v) is int or type(v) is str):
+                return True
             d = os.path.dirname(f)
             if d not in bloom_cache:
                 p = os.path.join(self.root, d, "_blooms.json")
@@ -379,14 +458,30 @@ class ManifestTable:
             entry = bloom_cache[d].get(os.path.basename(f), {}).get(c)
             return True if entry is None else _bloom_may_contain(entry, v)
 
+        def may_match(f: str, c: str, op: str, v) -> bool:
+            span = (stats.get(f) or {}).get(c)
+            if op == "in":
+                vals = list(v)
+                if not vals:
+                    return False  # col IN () is vacuously false
+                return any(
+                    _span_may_match(span, "=", vi) and bloom_ok(f, c, vi)
+                    for vi in vals
+                )
+            if op in ("is_null", "is_not_null"):
+                nn = (nulls.get(f) or {}).get(c)
+                if nn is None:
+                    return True  # no null-count stats: keep the file
+                n_null, n_rows = nn
+                return n_null > 0 if op == "is_null" else n_null < n_rows
+            return _span_may_match(span, op, v) and (
+                op != "=" or bloom_ok(f, c, v)
+            )
+
         keep = [
             f
             for f in m["files"]
-            if all(
-                _span_may_match((stats.get(f) or {}).get(c), op, v)
-                and (op != "=" or bloom_ok(f, c, v))
-                for (c, op, v) in predicates
-            )
+            if all(may_match(f, c, op, v) for (c, op, v) in predicates)
         ]
         return keep, len(m["files"])
 
@@ -399,17 +494,7 @@ class ManifestTable:
         with `compact(sort_by=[col])`: range-clustering gives files
         disjoint spans, which is what makes the pruning bite."""
         keep, _total = self.files_for(predicates, version)
-        cond = None
-        for c, op, v in predicates:
-            col = F.col(c)
-            clause = {
-                "=": col == v,
-                "<": col < v,
-                "<=": col <= v,
-                ">": col > v,
-                ">=": col >= v,
-            }[op]
-            cond = clause if cond is None else cond & clause
+        cond = _predicates_condition(predicates)
         if not keep:
             df = self.read(spark, version).limit(0)
         else:
@@ -617,6 +702,10 @@ class ManifestTable:
                 rel: _file_stats(os.path.join(self.root, rel), self.stats_cols)
                 for rel in files
             }
+            self._pending_extra["nulls"] = {
+                rel: _file_nulls(os.path.join(self.root, rel), self.stats_cols)
+                for rel in files
+            }
         if self.bloom_cols:
             self._write_blooms(out_dir, files)
         return files, n
@@ -681,6 +770,7 @@ class ManifestTable:
         keep_parent_files: bool,
         epoch_id: str | None = None,
         expected_parent: int | None = None,
+        deletes: list[str] | None = None,
     ) -> int:
         """Publish a version; retries the publish on conflict.
 
@@ -690,6 +780,11 @@ class ManifestTable:
         snapshot is exactly `new_files`; if `expected_parent` is set and
         a different version won, raise CommitConflictError so the caller
         re-runs its read-modify-write instead of clobbering it.
+
+        `deletes` (rewrite commits only) publishes deletion-vector
+        sidecars alongside the new file list — the bucketed bounded
+        merge carries forward DV rows that reference its untouched
+        files this way.
         """
         extra = self._pop_pending_extra()
         schema, self._pending_schema = self._pending_schema, None
@@ -731,6 +826,8 @@ class ManifestTable:
                     per_file["deletes"] = list(pm["deletes"])
             else:
                 files, n_rows = list(new_files), n_new
+            if deletes:
+                per_file["deletes"] = list(deletes)
             manifest = {
                 "format_version": FORMAT_VERSION,
                 "version": version,
@@ -863,14 +960,19 @@ class ManifestTable:
                     "files stay live under a DV merge — use merge_upsert/"
                     "commit_overwrite to evolve the schema"
                 )
-            keys = [r[0] for r in updates.select(key).distinct().collect()]
-            cand = sorted(
-                {
-                    f
-                    for k in keys
-                    for f in self.files_for([(key, "=", k)], parent)[0]
-                }
-            )
+            # Pruning is batched: ONE files_for pass evaluates every key
+            # against each file's stats+bloom (sidecars loaded once per
+            # dir), not one pass per key. The collected key list is
+            # bounded: past the cap, pruning is skipped entirely (read
+            # all files — correct, just unpruned) instead of holding an
+            # unbounded batch on the driver; a batch that large is
+            # rewriting most files anyway, so pruning buys little.
+            n_keys = updates.select(key).distinct().count()
+            if n_keys <= self._MERGE_PRUNE_MAX_KEYS:
+                keys = [r[0] for r in updates.select(key).distinct().collect()]
+                cand = self.files_for([(key, "in", keys)], parent)[0]
+            else:
+                cand = list(m["files"])
             n_del = 0
             dv_rel: str | None = None
             if cand:
@@ -973,23 +1075,18 @@ class ManifestTable:
         materializes them away. Returns the new version, or None when no
         live row matches (no commit — an empty DV would be noise).
 
-        `predicates` are `(col, op, value)` triples (ops = < <= > >=),
-        the same AND-semantics shape `read_where` takes, so file-level
-        stats pruning bounds the scan exactly like a filtered read."""
+        `predicates` are `(col, op, value)` triples (ops = < <= > >=
+        in is_null is_not_null), the same AND-semantics shape
+        `read_where` takes, so file-level stats pruning bounds the scan
+        exactly like a filtered read."""
         parent = self.latest_version()
         if parent is None:
             raise FileNotFoundError(f"no committed version at {self.root!r}")
         m = self.manifest(parent)
         cand, _total = self.files_for(predicates, parent)
+        out_dir: str | None = None
         if cand:
-            cond = None
-            for c, op, v in predicates:
-                col = F.col(c)
-                clause = {
-                    "=": col == v, "<": col < v, "<=": col <= v,
-                    ">": col > v, ">=": col >= v,
-                }[op]
-                cond = clause if cond is None else cond & clause
+            cond = _predicates_condition(predicates)
             # capture (file, row) from the RAW scan — the _metadata
             # pseudo-column resolves only on the scan relation, so it is
             # materialized into plain columns before any join
@@ -1020,7 +1117,7 @@ class ManifestTable:
         else:
             n_del = 0
         if n_del == 0:
-            if cand:
+            if out_dir is not None:
                 shutil.rmtree(out_dir, ignore_errors=True)  # empty DV dir
             return None
         manifest = {
@@ -1261,18 +1358,19 @@ class BucketedManifestTable(ManifestTable):
                 rel: _file_stats(os.path.join(self.root, rel), self.stats_cols)
                 for rel in files
             }
+            self._pending_extra["nulls"] = {
+                rel: _file_nulls(os.path.join(self.root, rel), self.stats_cols)
+                for rel in files
+            }
         return files, n
 
-    def delete_where_dv(self, spark, predicates):
-        """Deletion vectors don't compose with the bounded-rewrite MERGE:
-        it carries untouched files forward under a manifest that drops
-        the `deletes` list, silently resurrecting soft-deleted rows. Use
-        `delete_where` (rewrite) on bucketed tables, or a plain
-        ManifestTable when positional deletes are the workload."""
-        raise ValueError(
-            "bucketed tables do not support deletion vectors — "
-            "use delete_where, or a plain ManifestTable"
-        )
+    # delete_where_dv / merge_upsert_dv are inherited: positional
+    # deletes compose with the bucketed layout because (a) the DV join
+    # key (_file_rel_col) resolves bucketed paths, and (b) the bounded
+    # merge below is DV-aware — it materializes deletes away for the
+    # buckets it rewrites and carries forward the DV rows that
+    # reference its untouched files (round 6; closes the r5 hazard
+    # where the bounded merge silently resurrected soft-deleted rows).
 
     def merge_upsert(
         self, spark: SparkSession, updates: DataFrame, key: str | None = None,
@@ -1313,17 +1411,49 @@ class BucketedManifestTable(ManifestTable):
                 if bmap.get(f) is not None and bmap[f] not in touched
             ]
             rewrite = [f for f in pm["files"] if f not in set(untouched)]
+            dvs = pm.get("deletes") or []
             if rewrite:
                 cur = spark.read.parquet(*[os.path.join(self.root, f) for f in rewrite])
+                if dvs:
+                    # soft-deleted rows in the rewritten buckets must not
+                    # be resurrected by the rewrite — materialize their
+                    # deletion vectors away here
+                    cur = self._apply_deletes(spark, cur, pm)
                 merged = cur.join(
                     updates.select(key).distinct(), key, "left_anti"
                 ).unionByName(updates)
             else:
                 merged = updates  # pure insert: no existing file shares a bucket
             new_files, n_new = self._write_data_dir(merged)
-            n_untouched = sum(rmap.get(f, 0) for f in untouched)
+            # DV rows referencing untouched files stay live and must
+            # follow them into the new manifest (consolidated into one
+            # fresh sidecar — rows for rewritten files just died with
+            # their files); n_untouched counts LIVE rows, so the carried
+            # positions are subtracted from the physical file_rows sums
+            carried_rel: str | None = None
+            n_dv_carried = 0
+            if dvs and untouched:
+                from pyspark.sql import Observation
+
+                dv_keep = spark.read.parquet(
+                    *[os.path.join(self.root, d) for d in dvs]
+                ).filter(F.col("file").isin(untouched))
+                token = uuid.uuid4().hex[:16]
+                carried_rel = os.path.join(_DATA_DIR, token)
+                obs = Observation()
+                dv_keep.observe(obs, F.count(F.lit(1)).alias("n")).write.parquet(
+                    os.path.join(self.root, carried_rel)
+                )
+                n_dv_carried = int(obs.get["n"] or 0)
+                if n_dv_carried == 0:
+                    shutil.rmtree(
+                        os.path.join(self.root, carried_rel), ignore_errors=True
+                    )
+                    carried_rel = None
+            n_untouched = sum(rmap.get(f, 0) for f in untouched) - n_dv_carried
             # staged extra must also carry the untouched files' map rows
             smap = pm.get("stats", {})
+            nmap = pm.get("nulls", {})
             self._pending_extra = {
                 "buckets": {**{f: bmap[f] for f in untouched},
                             **self._pending_extra["buckets"]},
@@ -1334,6 +1464,11 @@ class BucketedManifestTable(ManifestTable):
                                **self._pending_extra.get("stats", {})}}
                     if (smap or self.stats_cols) else {}
                 ),
+                **(
+                    {"nulls": {**{f: nmap[f] for f in untouched if f in nmap},
+                               **self._pending_extra.get("nulls", {})}}
+                    if (nmap or self.stats_cols) else {}
+                ),
             }
             try:
                 return self._commit(
@@ -1342,9 +1477,14 @@ class BucketedManifestTable(ManifestTable):
                     n_untouched + n_new,
                     keep_parent_files=False,
                     expected_parent=parent,
+                    deletes=[carried_rel] if carried_rel else None,
                 )
             except CommitConflictError as exc:
                 last = exc
+                if carried_rel:
+                    shutil.rmtree(
+                        os.path.join(self.root, carried_rel), ignore_errors=True
+                    )
         raise CommitConflictError(f"merge_upsert: {max_retries} retries exhausted") from last
 
     # compact() is inherited: the overridden _write_data_dir keeps the

@@ -304,10 +304,17 @@ def _cas_full(a: int, b: int, c: int) -> int:
 
 
 def _cas_half(a: int, b: int) -> int:
+    # RFC 9649 §4.4 / libwebp ClampAddSubtractHalf: (a - b) / 2 uses C
+    # division, which truncates TOWARD ZERO — Python's // floors, which
+    # differs by one for odd negative differences (e.g. -3: C → -1,
+    # floor → -2) and would decode real libwebp mode-13 blocks to wrong
+    # pixels
     out = 0
     for s in (24, 16, 8, 0):
         av, bv = a >> s & 0xFF, b >> s & 0xFF
-        out |= _clamp(av + (av - bv) // 2) << s
+        d = av - bv
+        half = (abs(d) >> 1) if d >= 0 else -(abs(d) >> 1)
+        out |= _clamp(av + half) << s
     return out
 
 

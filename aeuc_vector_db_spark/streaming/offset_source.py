@@ -1,0 +1,228 @@
+"""Kafka-shaped replayable offset source (VERDICT r5 item 7).
+
+The engine's exactly-once story was proven against replayed epochs
+(Structured Streaming redelivers a failed epoch under the same
+epoch_id). A real pipeline's first integration point is a Kafka-like
+log: partitioned, offset-addressed, REDELIVERING — the consumer decides
+where to start, and the broker happily re-serves any committed range.
+This module supplies that shape without a broker dependency, served
+from local append-only files, and closes the loop the way Kafka sinks
+do it in production: **the sink transaction carries the source
+offsets**, so "where do I resume?" is answered by the sink's own log,
+never by a side-channel that can diverge from it.
+
+    OffsetLogSource  — per-partition append-only JSONL logs; records
+                       are (partition, offset, value), offsets dense
+                       per partition; poll(start→end) is pure and
+                       repeatable (redelivery = calling it again)
+    run_offset_ingest — batch loop: resume offsets ← sink manifest,
+                       poll, validate, commit with epoch_id =
+                       canonical offset-range string. A crash anywhere
+                       re-runs the same range; the manifest's epoch
+                       idempotence absorbs the duplicate commit, and
+                       the NEXT resume point is read back from the
+                       manifest — offsets and data commit atomically
+                       because they are one manifest publish.
+
+Reference analog: none (the reference has no streaming surface;
+types.py:7 only gestures at it). The design is the public
+Kafka-to-transactional-sink pattern (offsets stored in the sink's
+transaction, e.g. Kafka Connect exactly-once / Delta streaming sinks).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_EPOCH_PREFIX = "offsets:"
+
+
+def _canonical_offsets(offsets: dict[int, int]) -> str:
+    """Deterministic epoch marker for an end-offset map: same range ⇒
+    same string ⇒ same epoch_id ⇒ idempotent commit under redelivery."""
+    return _EPOCH_PREFIX + ",".join(
+        f"{p}={offsets[p]}" for p in sorted(offsets)
+    )
+
+
+def _parse_offsets(epoch_id: str) -> dict[int, int] | None:
+    if not epoch_id or not epoch_id.startswith(_EPOCH_PREFIX):
+        return None
+    out: dict[int, int] = {}
+    body = epoch_id[len(_EPOCH_PREFIX):]
+    if not body:
+        return out
+    try:
+        for part in body.split(","):
+            p, o = part.split("=")
+            out[int(p)] = int(o)
+    except ValueError:
+        return None
+    return out
+
+
+class OffsetLogSource:
+    """A partitioned, offset-addressed, replayable record log on local
+    files — the Kafka shape without the broker.
+
+    Each partition is one append-only JSONL file; a record's offset is
+    its line index (dense, starting at 0 — Kafka semantics with no
+    compaction). `poll` slices [start, end) per partition and is PURE:
+    polling the same range twice returns the same records (that IS the
+    redelivery behavior the consumer must survive). Appends are
+    producer-side only; the consumer never mutates the log.
+
+    At cluster scale the same interface fronts a real broker: `poll`
+    becomes the executor-side range fetch (Spark's Kafka source does
+    exactly this per partition), `latest_offsets` the metadata call.
+    Everything downstream — offset-carrying commits, resume-from-sink —
+    is transport-independent, which is the point of the abstraction.
+    """
+
+    def __init__(self, root: str, n_partitions: int = 4) -> None:
+        if n_partitions < 1:
+            raise ValueError("n_partitions must be >= 1")
+        self.root = root
+        self.n_partitions = n_partitions
+        os.makedirs(root, exist_ok=True)
+
+    def _log_path(self, partition: int) -> str:
+        if not (0 <= partition < self.n_partitions):
+            raise ValueError(
+                f"partition {partition} out of range [0, {self.n_partitions})"
+            )
+        return os.path.join(self.root, f"partition-{partition:05d}.jsonl")
+
+    def append(self, partition: int, values: list[dict]) -> tuple[int, int]:
+        """Producer API: append `values` (JSON-serializable records) to
+        one partition; returns the assigned offset range [start, end)."""
+        p = self._log_path(partition)
+        start = self._end_offset(partition)
+        with open(p, "a") as fh:
+            for v in values:
+                fh.write(json.dumps(v, separators=(",", ":")) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        return start, start + len(values)
+
+    def _end_offset(self, partition: int) -> int:
+        p = self._log_path(partition)
+        if not os.path.exists(p):
+            return 0
+        with open(p) as fh:
+            return sum(1 for _ in fh)
+
+    def latest_offsets(self) -> dict[int, int]:
+        """End offset per partition (the next offset a producer would
+        assign) — the consumer's 'how far can I read' metadata call."""
+        return {p: self._end_offset(p) for p in range(self.n_partitions)}
+
+    def poll(
+        self,
+        spark: SparkSession,
+        start: dict[int, int],
+        max_records_per_partition: int | None = None,
+    ) -> tuple[DataFrame | None, dict[int, int]]:
+        """Read [start, end) per partition as a DataFrame of
+        `(partition INT, offset LONG, value STRING)` — the Kafka record
+        shape. Returns (df, end_offsets); df is None when no partition
+        has new records. Pure: re-polling a range re-serves it
+        identically (redelivery)."""
+        latest = self.latest_offsets()
+        end: dict[int, int] = {}
+        rows: list[tuple[int, int, str]] = []
+        for p in range(self.n_partitions):
+            lo = start.get(p, 0)
+            hi = latest[p]
+            if max_records_per_partition is not None:
+                hi = min(hi, lo + max_records_per_partition)
+            end[p] = hi
+            if hi <= lo:
+                continue
+            path = self._log_path(p)
+            with open(path) as fh:
+                for off, line in enumerate(fh):
+                    if off >= hi:
+                        break
+                    if off >= lo:
+                        rows.append((p, off, line.rstrip("\n")))
+        if not rows:
+            return None, end
+        return (
+            spark.createDataFrame(
+                rows, "partition INT, offset LONG, value STRING"
+            ),
+            end,
+        )
+
+
+def committed_source_offsets(table) -> dict[int, int]:
+    """The consumer's resume point, read from the SINK's transaction
+    log: the newest manifest whose epoch marker is an offset-range
+    string. Offsets and data commit in one manifest publish, so this
+    can never disagree with the committed data — the property a
+    side-channel checkpoint file cannot give. O(versions back to the
+    last offset commit) metadata reads; vacuumed histories fall back to
+    the retired-epoch set (markers survive vacuum by design)."""
+    vs = table.versions()
+    for v in reversed(vs):
+        got = _parse_offsets(str(table.manifest(v).get("epoch_id") or ""))
+        if got is not None:
+            return got
+    # log truncated by vacuum: the retired set keeps every marker; the
+    # resume point is the per-partition max across them
+    best: dict[int, int] = {}
+    for e in table._retired_epochs():
+        got = _parse_offsets(e)
+        if got:
+            for p, o in got.items():
+                best[p] = max(best.get(p, 0), o)
+    return best
+
+
+def run_offset_ingest(
+    spark: SparkSession,
+    source: OffsetLogSource,
+    table,
+    dim: int,
+    quarantine_path: str | None = None,
+    max_records_per_partition: int | None = None,
+    max_batches: int = 1_000,
+) -> int:
+    """Drain the source into a ManifestTable exactly once, end-to-end
+    through OFFSETS: each batch's manifest commit carries its end-offset
+    range as the epoch marker, and each iteration re-derives its start
+    from the sink. Crash anywhere and re-run:
+
+      - crash after poll, before commit → the range replays; same
+        offsets ⇒ same epoch_id ⇒ the commit lands once
+      - crash after commit → the resume read returns the committed end
+        offsets; the range is never re-appended
+
+    Records are JSON VectorEntry payloads in `value` (parsed with the
+    explicit schema — never inference); validation splits to quarantine
+    exactly like `manifest_sink`. Returns the number of batches that
+    committed new data."""
+    from aeuc_vector_db_spark import schemas
+    from aeuc_vector_db_spark.streaming.ingest import manifest_sink
+
+    body = manifest_sink(table, dim, quarantine_path)
+    committed = 0
+    for _ in range(max_batches):
+        start = committed_source_offsets(table)
+        batch, end = source.poll(spark, start, max_records_per_partition)
+        if batch is None:
+            break
+        parsed = batch.select(
+            F.from_json(F.col("value"), schemas.VECTOR_ENTRY_SCHEMA).alias("r")
+        ).select("r.*")
+        epoch_key = _canonical_offsets(end)
+        before = table.latest_version()
+        body(parsed, epoch_key)
+        if table.latest_version() != before:
+            committed += 1
+    return committed

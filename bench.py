@@ -421,7 +421,9 @@ def _bench_cc_chain(spark) -> dict:
     n_edges = edges.count()
     rounds: list[int] = []
     t0 = time.time()
-    comp = connected_components(edges, max_iter=40, _rounds_out=rounds)
+    # default max_iter: the derived 2·⌈log₂ n⌉+8 bound must hold on the
+    # adversarial chain with NO caller-side override (VERDICT r5 nit)
+    comp = connected_components(edges, _rounds_out=rounds)
     n_comp = comp.select("component").distinct().count()
     dt = time.time() - t0
     chain_ok = (

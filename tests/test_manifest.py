@@ -694,13 +694,173 @@ def test_deletion_vectors_materialize_on_rewrite_and_survive_vacuum(spark, root)
         t2.read_appended(spark, since_version=0)
 
 
-def test_deletion_vectors_rejected_on_bucketed_tables(spark, tmp_path):
+def test_bucketed_deletion_vector_soft_delete_and_read(spark, tmp_path):
+    """DV soft delete on a BUCKETED table: no data file rewritten, the
+    bucketed `__bucket__=` paths resolve as DV join keys, and the read
+    excludes exactly the deleted rows."""
     from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
 
-    t = BucketedManifestTable(str(tmp_path / "bt"), key="k", n_buckets=4)
+    t = BucketedManifestTable(
+        str(tmp_path / "bt"), key="k", n_buckets=4, stats_cols=["k"]
+    )
     t.commit_overwrite(_df(spark, (0, 50)))
-    with pytest.raises(ValueError, match="deletion vectors"):
-        t.delete_where_dv(spark, [("k", "=", 3)])
+    files_before = set(t.manifest()["files"])
+    v = t.delete_where_dv(spark, [("k", ">=", 10), ("k", "<", 20)])
+    assert v == 1
+    m = t.manifest()
+    assert set(m["files"]) == files_before  # zero rewritten data files
+    assert m.get("deletes")
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == list(range(0, 10)) + list(range(20, 50))
+    assert m["n_rows"] == 40
+
+
+def test_bucketed_bounded_merge_does_not_resurrect_dv_deletes(spark, tmp_path):
+    """THE r5 hazard: a bounded bucketed merge after a DV delete. The
+    merge rewrites only touched buckets; soft-deleted rows must stay
+    dead BOTH in rewritten buckets (materialized away) and in untouched
+    buckets (DV rows carried forward), and n_rows must count live rows."""
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    t = BucketedManifestTable(
+        str(tmp_path / "bt"), key="k", n_buckets=8, stats_cols=["k"]
+    )
+    t.commit_overwrite(_df(spark, (0, 200)))
+    t.delete_where_dv(spark, [("k", ">=", 50), ("k", "<", 150)])
+    # upsert a handful of keys OUTSIDE the deleted range: some buckets
+    # rewrite, most carry forward by reference with their DV rows
+    ups = _df(spark, (0, 5), tag="merged")
+    t.merge_upsert(spark, ups)
+    rows = {r["k"]: r["tag"] for r in t.read(spark).collect()}
+    expect = {k: "a" for k in list(range(5, 50)) + list(range(150, 200))}
+    expect.update({k: "merged" for k in range(5)})
+    assert rows == expect
+    assert t.manifest()["n_rows"] == len(expect)
+    # a second merge on top of the carried DVs must stay consistent
+    t.merge_upsert(spark, _df(spark, (150, 155), tag="m2"))
+    rows2 = {r["k"]: r["tag"] for r in t.read(spark).collect()}
+    expect.update({k: "m2" for k in range(150, 155)})
+    assert rows2 == expect
+    assert t.manifest()["n_rows"] == len(expect)
+
+
+def test_bucketed_merge_upsert_dv_no_rewrite(spark, tmp_path):
+    """The DV-based atomic merge inherited by the bucketed table: zero
+    rewritten files, one manifest, correct final state."""
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    t = BucketedManifestTable(
+        str(tmp_path / "bt"), key="k", n_buckets=4, stats_cols=["k"]
+    )
+    t.commit_overwrite(_df(spark, (0, 60)))
+    files_before = set(t.manifest()["files"])
+    t.merge_upsert_dv(spark, _df(spark, (10, 15), tag="merged"), key="k")
+    m = t.manifest()
+    assert files_before <= set(m["files"])  # old files all still listed
+    rows = {r["k"]: r["tag"] for r in t.read(spark).collect()}
+    assert rows == {
+        k: ("merged" if 10 <= k < 15 else "a") for k in range(60)
+    }
+    assert m["n_rows"] == 60
+
+
+def test_data_skipping_in_predicate(spark, root):
+    """`IN` served by stats+bloom: the id-batch point-lookup pattern
+    (reference vector_field.py:316-318 membership-list pruning). Only
+    files that may hold ANY listed value are read; an all-absent list
+    reads zero files; IN () is vacuously false."""
+    t = ManifestTable(root, stats_cols=["k"], bloom_cols=["k"])
+    t.commit_append(_df(spark, (0, 100)))
+    t.commit_append(_df(spark, (100, 200)))
+    t.commit_append(_df(spark, (200, 300)))
+    keep, total = t.files_for([("k", "in", [5, 7, 105])])
+    assert total >= 3 and 0 < len(keep) < total
+    got = sorted(
+        r["k"] for r in t.read_where(spark, [("k", "in", [5, 7, 105])]).collect()
+    )
+    assert got == [5, 7, 105]
+    assert t.files_for([("k", "in", [5000, 6000])])[0] == []
+    assert t.files_for([("k", "in", [])])[0] == []
+    assert t.read_where(spark, [("k", "in", [])]).count() == 0
+
+
+def test_data_skipping_in_predicate_bloom_within_span(spark, root):
+    """A value inside every file's min/max span but physically absent:
+    range stats keep all files, the bloom still prunes. (Each append
+    holds only even or only odd keys over the same range.)"""
+    t = ManifestTable(root, stats_cols=["k"], bloom_cols=["k"])
+    even = spark.range(50).select(
+        (F.col("id") * 2).alias("k"), F.lit("e").alias("tag")
+    )
+    odd = spark.range(50).select(
+        (F.col("id") * 2 + 1).alias("k"), F.lit("o").alias("tag")
+    )
+    t.commit_append(even)
+    t.commit_append(odd)
+    keep, total = t.files_for([("k", "in", [4, 10])])  # even-only probe
+    assert 0 < len(keep) < total
+    got = sorted(r["k"] for r in t.read_where(spark, [("k", "in", [4, 10])]).collect())
+    assert got == [4, 10]
+
+
+def test_data_skipping_null_predicates(spark, root):
+    """IS NULL / IS NOT NULL served by per-file null-count stats: a file
+    with zero nulls is pruned under IS NULL; an all-null file is pruned
+    under IS NOT NULL; the filtered results stay exact."""
+    t = ManifestTable(root, stats_cols=["v"])
+    no_nulls = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    )
+    all_nulls = spark.range(50, 80).select(
+        F.col("id").alias("k"), F.lit(None).cast("long").alias("v")
+    )
+    mixed = spark.range(80, 100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, F.col("id")).alias("v"),
+    )
+    t.commit_append(no_nulls)
+    t.commit_append(all_nulls)
+    t.commit_append(mixed)
+    keep_null, total = t.files_for([("v", "is_null", None)])
+    assert total >= 3 and 0 < len(keep_null) < total  # no_nulls file pruned
+    keep_nn, _ = t.files_for([("v", "is_not_null", None)])
+    assert 0 < len(keep_nn) < total  # all_nulls file pruned
+    got_null = sorted(
+        r["k"] for r in t.read_where(spark, [("v", "is_null", None)]).collect()
+    )
+    assert got_null == list(range(50, 80)) + [k for k in range(80, 100) if k % 2]
+    got_nn = t.read_where(spark, [("v", "is_not_null", None)]).count()
+    assert got_nn == 50 + 10
+
+
+def test_null_skipping_conservative_without_null_stats(spark, root):
+    """Tables written before null-count stats existed (or without
+    stats_cols) must keep every file under the null ops."""
+    t = ManifestTable(root)
+    t.commit_append(_df(spark, (0, 50)))
+    keep, total = t.files_for([("tag", "is_null", None)])
+    assert len(keep) == total
+    assert t.read_where(spark, [("tag", "is_not_null", None)]).count() == 50
+
+
+def test_bloom_probe_type_guard_keeps_file_on_float_probe(spark, root):
+    """ADVICE r5: a float/bool/Decimal `=` probe over an int bloom
+    column canonicalizes differently than the stored form (str(5.0) ≠
+    str(5)) — the bloom must NOT be consulted for those probe types, or
+    it silently prunes live rows. The span check still applies, and the
+    residual filter decides row membership."""
+    t = ManifestTable(root, bloom_cols=["k"])
+    t.commit_append(_df(spark, (0, 50)))
+    # float probe of a present int key: bloom skipped → file kept →
+    # the filter still finds the row (Spark compares 5.0 == 5L as true)
+    keep, total = t.files_for([("k", "=", 5.0)])
+    assert len(keep) == total
+    assert [r["k"] for r in t.read_where(spark, [("k", "=", 5.0)]).collect()] == [5]
+    # bool probe: type-guarded even though bool is an int subclass
+    keep_b, _ = t.files_for([("k", "=", True)])
+    assert len(keep_b) == total
+    # int probe of an absent key still prunes through the bloom
+    assert t.files_for([("k", "=", 5000)])[0] == []
 
 
 def test_bloom_index_prunes_unclustered_point_lookups(spark, root):

@@ -344,6 +344,65 @@ def test_rate_source_exactly_once_through_manifest_sink(spark, tmp_path):
     assert vals == list(range(len(vals)))
 
 
+def test_offset_source_exactly_once_through_offsets(spark, tmp_path):
+    """Kafka-shaped source end-to-end exactly-once THROUGH OFFSETS (not
+    just epoch ids): the sink manifest carries each batch's end-offset
+    range, the consumer resumes from the sink's own log, and an
+    explicit redelivery of an already-committed range is absorbed
+    because same offsets ⇒ same epoch marker ⇒ idempotent commit."""
+    from aeuc_vector_db_spark.sources.manifest import ManifestTable
+    from aeuc_vector_db_spark.streaming import offset_source as OS
+
+    src = OS.OffsetLogSource(str(tmp_path / "log"), n_partitions=2)
+    t = ManifestTable(str(tmp_path / "table"))
+
+    def rec(i: int, dim: int = DIM) -> dict:
+        return json.loads(_entry(i, dim=dim))
+
+    src.append(0, [rec(i) for i in range(0, 6)])
+    src.append(1, [rec(i) for i in range(6, 10)])
+    # small per-partition batches force multiple offset-carrying commits
+    n = OS.run_offset_ingest(spark, src, t, DIM, max_records_per_partition=3)
+    assert n >= 2
+    got = sorted(r["entry_id"] for r in t.read(spark).collect())
+    assert got == sorted(f"e{i}" for i in range(10))
+
+    # crash-after-commit: a fresh consumer resumes at the sink's
+    # committed offsets and finds nothing to do — zero new commits
+    assert OS.committed_source_offsets(t) == src.latest_offsets()
+    assert OS.run_offset_ingest(spark, src, t, DIM) == 0
+    assert t.read(spark).count() == 10
+
+    # crash-BEFORE-commit: redeliver a range that was already committed
+    # (re-poll from an earlier start to the same end). Same end offsets
+    # ⇒ same epoch marker ⇒ commit_append returns None, no duplicates.
+    batch, end = src.poll(spark, {0: 3, 1: 0})
+    assert batch is not None and end == src.latest_offsets()
+    from aeuc_vector_db_spark import schemas
+    parsed = batch.select(
+        F.from_json(F.col("value"), schemas.VECTOR_ENTRY_SCHEMA).alias("r")
+    ).select("r.*")
+    v_before = t.latest_version()
+    assert t.commit_append(parsed, epoch_id=OS._canonical_offsets(end)) is None
+    assert t.latest_version() == v_before
+    assert t.read(spark).count() == 10
+
+    # new records after the dup storm ingest exactly once, resuming
+    # from the sink; an invalid row (wrong dim) is dropped by
+    # validation, never committed
+    src.append(0, [rec(10), rec(11, dim=DIM + 2)])
+    assert OS.run_offset_ingest(spark, src, t, DIM) == 1
+    got = sorted(r["entry_id"] for r in t.read(spark).collect())
+    assert got == sorted(f"e{i}" for i in range(11))
+
+    # resume point survives vacuum: markers fold into the retired-epoch
+    # set, so even a truncated log re-derives the max committed offsets
+    t.commit_overwrite(t.read(spark))  # newest manifest has no epoch
+    t.vacuum(retain_last=1, min_age_s=0.0)
+    assert OS.committed_source_offsets(t) == src.latest_offsets()
+    assert OS.run_offset_ingest(spark, src, t, DIM) == 0
+
+
 def test_stream_stream_join_attribution_and_late_drop(spark, tmp_path):
     """Stream-stream inner join with watermarks + event-time bounds:
     on-time clicks attribute to their impression; a click arriving in a

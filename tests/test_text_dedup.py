@@ -238,6 +238,39 @@ def test_connected_components_matches_union_find_on_random_graph(spark):
     assert got == expected
 
 
+def test_connected_components_raises_at_exhausted_bound(spark):
+    """An artificially low explicit max_iter must fail LOUDLY (the
+    convergence RuntimeError), never return a half-contracted forest —
+    a wrong component labeling would silently drop the wrong docs in
+    keep-one dedup."""
+    n = 64
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(chain, max_iter=1)
+
+
+def test_connected_components_default_bound_has_headroom(spark):
+    """With max_iter=None the bound derives from the node count
+    (2·⌈log₂ n⌉ + 8, floor 16) — the r5 fixed default of 20 had zero
+    headroom on a 10⁶-node chain; the derived bound must exceed the
+    executed rounds by a comfortable margin on the worst-case shape."""
+    n = 256
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    rounds: list[int] = []
+    comp = {
+        r["node"]: r["component"]
+        for r in D.connected_components(chain, _rounds_out=rounds).collect()
+    }
+    assert comp == {i: 0 for i in range(n)}
+    # derived bound for n=256 is max(16, 2*8+8)=24; executed rounds must
+    # leave at least 2x slack under it
+    assert rounds[0] * 2 <= 24
+
+
 def test_keep_one_marks_min_id(spark):
     edges = spark.createDataFrame([(5, 9), (9, 7)], "a_id long, b_id long")
     rows = {r["doc_id"]: (r["keeper_id"], r["keep"]) for r in D.keep_one(edges).collect()}

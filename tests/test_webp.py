@@ -354,6 +354,40 @@ def test_predictor_transform_all_modes(mode):
     assert out == rgba(orig)
 
 
+def test_clamp_add_subtract_half_truncates_toward_zero():
+    """RFC 9649 ClampAddSubtractHalf spec vectors, HAND-COMPUTED (not
+    via the helper under test — the round-trip tests reuse `_cas_half`
+    for the forward transform, so they can't see a division-convention
+    bug). C division truncates toward zero: (a-b)/2 for a=10,b=13 is
+    d=-3 → -1 → 9; Python floor division would give -2 → 8, decoding
+    real libwebp mode-13 blocks to wrong pixels."""
+    def pack(*argb):
+        a, r, g, b = argb
+        return (a << 24) | (r << 16) | (g << 8) | b
+
+    # odd negative difference in every channel: d=-3 → half=-1 (C), not
+    # -2 (Python floor)
+    assert W._cas_half(pack(10, 10, 10, 10), pack(13, 13, 13, 13)) == pack(
+        9, 9, 9, 9
+    )
+    # odd positive difference: d=3 → half=1 under both conventions
+    assert W._cas_half(pack(13, 13, 13, 13), pack(10, 10, 10, 10)) == pack(
+        14, 14, 14, 14
+    )
+    # even differences agree under both conventions: d=-4 → -2
+    assert W._cas_half(pack(10, 10, 10, 10), pack(14, 14, 14, 14)) == pack(
+        8, 8, 8, 8
+    )
+    # clamping: 250 + (250-100)/2 = 325 → 255
+    assert W._cas_half(pack(250, 250, 250, 250), pack(100, 100, 100, 100)) == pack(
+        255, 255, 255, 255
+    )
+    # mixed channels exercise the per-channel shifts independently
+    assert W._cas_half(pack(10, 13, 250, 0), pack(13, 10, 100, 5)) == pack(
+        9, 14, 255, 0
+    )
+
+
 def test_color_transform_roundtrip():
     import random
 
