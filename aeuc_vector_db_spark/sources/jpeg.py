@@ -273,36 +273,112 @@ def jpeg_encode(pixels: bytes, width: int, height: int, channels: int = 3) -> by
 # Decoder (baseline SOF0, any sampling factors)
 # ---------------------------------------------------------------------------
 
-def _decode_lut(bits: tuple[int, ...], vals: tuple[int, ...]):
-    """16-bit-prefix Huffman LUT: index by `peek16()`, read (symbol,
-    code length) as two flat lists. length 0 ⟺ invalid prefix. Cached —
-    most corpora reuse the Annex K tables for every file."""
+def _decode_lut(bits: tuple[int, ...], vals: tuple[int, ...], is_dc: bool):
+    """16-bit-prefix Huffman LUTs: index by `peek16()`, read three flat
+    lists — (symbol, code length, FUSED entry). length 0 ⟺ invalid
+    prefix. Cached — most corpora reuse the Annex K tables for every
+    file.
+
+    The fused table is the round-6 multi-symbol decode (VERDICT item
+    3): whenever the Huffman code AND its magnitude extra-bits both fit
+    in the 16-bit peek window (the overwhelmingly common case — Annex K
+    codes are ≤9 bits for sizes ≤10), ONE list index resolves the whole
+    coefficient: bits to consume, run/EOB/ZRL action, and the
+    sign-extended value, replacing the two-step decode (code lookup +
+    separate extra-bits read, each with its own refill) with one lookup
+    + a few int ops. Entry 0 = not covered, fall back to the two-step
+    path (long codes near the window edge, truncation handling).
+
+    Layouts (entry is a plain int — SIGNED, so the value needs no bias
+    op on the hot path; nonzero iff covered, which holds because a
+    fused AC value is never 0 and every entry carries consumed_bits):
+      DC: (diff << 16) | consumed_bits            (diff via e >> 16)
+      AC: (val << 24) | (action << 8) | consumed_bits
+          action 0-15 = zero-run before the coefficient,
+          254 = ZRL (16 zeros, no value), 255 = EOB
+    """
     sym = np.zeros(1 << 16, dtype=np.int16)
     ln = np.zeros(1 << 16, dtype=np.uint8)
+    fused = np.zeros(1 << 16, dtype=np.int64)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            val = vals[k]
             lo = code << (16 - length)
-            sym[lo : lo + (1 << (16 - length))] = vals[k]
-            ln[lo : lo + (1 << (16 - length))] = length
+            span = 1 << (16 - length)
+            sym[lo : lo + span] = val
+            ln[lo : lo + span] = length
+            if is_dc:
+                t = val
+                if t == 0:
+                    fused[lo : lo + span] = length  # diff 0, consume ln
+                elif length + t <= 16:
+                    idx = np.arange(lo, lo + span, dtype=np.int64)
+                    v = (idx >> (16 - length - t)) & ((1 << t) - 1)
+                    d = np.where(v < (1 << (t - 1)), v - (1 << t) + 1, v)
+                    fused[idx] = (d << 16) | (length + t)
+            else:
+                s = val & 0x0F
+                if val == 0x00:
+                    fused[lo : lo + span] = (255 << 8) | length
+                elif val == 0xF0:
+                    fused[lo : lo + span] = (254 << 8) | length
+                elif length + s <= 16:
+                    idx = np.arange(lo, lo + span, dtype=np.int64)
+                    v = (idx >> (16 - length - s)) & ((1 << s) - 1)
+                    d = np.where(v < (1 << (s - 1)), v - (1 << s) + 1, v)
+                    fused[idx] = (
+                        (d << 24) | ((val >> 4) << 8) | (length + s)
+                    )
             code += 1
             k += 1
         code <<= 1
-    return sym.tolist(), ln.tolist()
+    return sym.tolist(), ln.tolist(), fused.tolist()
 
 
 _LUT_CACHE: dict[tuple, tuple] = {}
 
 
-def _decode_lut_cached(bits: list[int], vals: list[int]):
-    key = (tuple(bits), tuple(vals))
+def _decode_lut_cached(bits: list[int], vals: list[int], is_dc: bool):
+    key = (tuple(bits), tuple(vals), is_dc)
     hit = _LUT_CACHE.get(key)
     if hit is None:
         if len(_LUT_CACHE) > 64:  # hostile inputs can't grow it unboundedly
             _LUT_CACHE.clear()
-        hit = _LUT_CACHE[key] = _decode_lut(*key)
+        hit = _LUT_CACHE[key] = _decode_lut(key[0], key[1], is_dc)
     return hit
+
+
+def _split_destuff(data: bytes) -> list[bytes]:
+    """Entropy-coded scan → per-restart-interval segments with byte
+    stuffing (FF 00 → FF) removed. Splits at RSTn markers; entropy data
+    ends at the first non-RST marker (EOI or the next segment). Doing
+    this ONCE up front lets the bit reader refill with plain multi-byte
+    reads instead of testing every byte for FF at symbol density."""
+    segs: list[bytes] = []
+    parts: list[bytes] = []
+    n = len(data)
+    start = i = 0
+    while True:
+        j = data.find(0xFF, i)
+        if j == -1 or j + 1 >= n:
+            parts.append(data[start : n if j == -1 else j])
+            segs.append(b"".join(parts))
+            return segs
+        nxt = data[j + 1]
+        if nxt == 0x00:  # stuffed: keep the FF, drop the 00
+            parts.append(data[start : j + 1])
+            start = i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker: segment boundary
+            parts.append(data[start:j])
+            segs.append(b"".join(parts))
+            parts = []
+            start = i = j + 2
+        else:  # any other marker terminates the entropy data
+            parts.append(data[start:j])
+            segs.append(b"".join(parts))
+            return segs
 
 
 def _extend(v: int, t: int) -> int:
@@ -354,7 +430,9 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                 bits = list(seg[p + 1 : p + 17])
                 nvals = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + nvals])
-                (huff_dc if tc == 0 else huff_ac)[th] = _decode_lut_cached(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = _decode_lut_cached(
+                    bits, vals, tc == 0
+                )
                 p += 17 + nvals
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
             if seg[0] != 8:
@@ -407,169 +485,203 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     # ALL per-block NumPy work (dequant, zigzag scatter, IDCT, plane
     # assembly) happens once, batched over every block, after the scan —
     # the 8×8 IDCT is two matmuls broadcast over the whole block axis.
-    coeff_zz = [np.zeros((n_mcus * c[1] * c[2], 64)) for c in comps]
+    # coefficients accumulate SPARSELY: per component, two flat lists
+    # for DC (index, running-pred value — unbounded on corrupt input,
+    # so never packed) and ONE flat list of packed AC entries
+    # ((flat_zigzag_index << 16) | (value + 32768) — AC values are
+    # bounded to ±32767 by the 15-bit size field, so the bias fits),
+    # scattered into the dense ndarray in two vectorized stores after
+    # the scan. Dense per-coefficient numpy stores, per-block ndarray
+    # row assigns, and bulk list-of-lists asarray all lose to this —
+    # cost tracks the NONZERO count, and the packed AC form is one list
+    # append per coefficient instead of two
+    coeff_zz = [([], [], []) for _ in comps]
     n_blocks = [0] * len(comps)
     preds = [0] * len(comps)
     # pre-resolve per-scan-entry state so the MCU loop does no dict work
     scan_units = [
-        (ci, comps[ci][1] * comps[ci][2], huff_dc[dct], huff_ac[act], coeff_zz[ci])
+        (ci, comps[ci][1] * comps[ci][2], huff_dc[dct], huff_ac[act],
+         coeff_zz[ci][0].append, coeff_zz[ci][1].append, coeff_zz[ci][2].append)
         for (ci, dct, act) in scan_map
     ]
 
     # --- inlined buffered bit reader -------------------------------------
     # The entropy loop runs once per Huffman symbol (~1 per nonzero
-    # coefficient); at that call density Python method dispatch is the
+    # coefficient); at that call density Python dispatch is the
     # bottleneck, so the reader state lives in locals: `buf` is a
-    # right-aligned accumulator (oldest bit highest), `nbits` counts bits
-    # in it, `realb` counts the leading bits that came from the stream.
-    # Byte stuffing (FF 00 → FF) is removed while filling; a marker or
-    # end-of-data stops the fill, after which peeks see 1-padding but
-    # CONSUMING padded bits raises — a truncated stream fails loudly
-    # instead of decoding padding as pixels. Huffman symbols resolve via
-    # a flat 2^16-prefix LUT (`_decode_lut`): one list index per symbol
-    # instead of up to 16 per-bit loop iterations.
-    data = scan_data
+    # right-aligned accumulator (oldest real bit highest), `nbits`
+    # counts bits in it, `pad` counts how many of its LOW bits are
+    # 1-padding appended after end-of-segment (nbits - pad = real bits
+    # available). The scan is destuffed ONCE up front (`_split_destuff`:
+    # FF 00 -> FF, split at RSTn) so refills are plain multi-byte reads
+    # with no per-byte FF test; `buf` is masked to `nbits` only at
+    # refill time (peeks/extracts mask their own windows). Peeks may see
+    # padding, but CONSUMING padded bits raises — a truncated stream
+    # fails loudly instead of decoding padding as pixels. Most symbols
+    # resolve through the FUSED LUT (code + extra bits + sign-extension
+    # in one list index, `_decode_lut`); codes whose extra bits spill
+    # past the 16-bit window take a two-step fallback that still
+    # consumes code and magnitude bits in a single update.
+    segs = _split_destuff(scan_data)
+    seg_i = 0
+    data = segs[0]
     dlen = len(data)
-    pos = buf = nbits = realb = 0
+    pos = buf = nbits = pad = 0
     mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                # drop buffered bits (pos never crosses FF <marker> while
-                # filling, so a byte scan from pos finds the RSTn) and resync
-                buf = nbits = realb = 0
-                while pos + 1 < dlen:
-                    if data[pos] == 0xFF and 0xD0 <= data[pos + 1] <= 0xD7:
-                        pos += 2
-                        break
-                    pos += 1
+                # next restart segment: drop buffered bits and resync
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("truncated JPEG: missing restart marker")
+                data = segs[seg_i]
+                dlen = len(data)
+                pos = buf = nbits = pad = 0
                 preds = [0] * len(comps)
-            for (ci, hv, (dc_sym, dc_len), (ac_sym, ac_len), out) in scan_units:
+            for (ci, hv, (dc_sym, dc_len, dc_f), (ac_sym, ac_len, ac_f),
+                 dia, dva, aca) in scan_units:
                 for _ in range(hv):
-                    bi = n_blocks[ci]
-                    n_blocks[ci] = bi + 1
-                    while nbits < 16:  # fill for the DC peek
-                        if pos < dlen:
-                            b = data[pos]
-                            if b != 0xFF:
-                                pos += 1
-                                buf = (buf << 8) | b
-                                nbits += 8
-                                realb += 8
-                                continue
-                            if pos + 1 < dlen and data[pos + 1] == 0x00:
-                                pos += 2
+                    bi64 = n_blocks[ci] << 6
+                    n_blocks[ci] = (bi64 >> 6) + 1
+                    if nbits < 16:  # refill for the DC peek
+                        buf &= (1 << nbits) - 1
+                        take = dlen - pos
+                        if take > 8:
+                            take = 8
+                        if take > 0:
+                            buf = (buf << (take << 3)) | int.from_bytes(
+                                data[pos : pos + take], "big"
+                            )
+                            pos += take
+                            nbits += take << 3
+                        while nbits < 16:
+                            buf = (buf << 8) | 0xFF  # 1-padding (peek-only)
+                            nbits += 8
+                            pad += 8
+                    p16 = (buf >> (nbits - 16)) & 0xFFFF
+                    e = dc_f[p16]
+                    if e:
+                        adv = e & 0xFF
+                        if adv > nbits - pad:
+                            raise ValueError("truncated JPEG entropy stream")
+                        nbits -= adv
+                        preds[ci] += e >> 16
+                    else:
+                        ln = dc_len[p16]
+                        if ln == 0:
+                            raise ValueError("invalid JPEG Huffman code")
+                        t = dc_sym[p16]
+                        tot = ln + t
+                        if nbits < tot:
+                            buf &= (1 << nbits) - 1
+                            take = dlen - pos
+                            if take > 8:
+                                take = 8
+                            if take > 0:
+                                buf = (buf << (take << 3)) | int.from_bytes(
+                                    data[pos : pos + take], "big"
+                                )
+                                pos += take
+                                nbits += take << 3
+                            while nbits < tot:
                                 buf = (buf << 8) | 0xFF
                                 nbits += 8
-                                realb += 8
-                                continue
-                        buf = (buf << 8) | 0xFF  # 1-padding (peek-only)
-                        nbits += 8
-                    p16 = (buf >> (nbits - 16)) & 0xFFFF
-                    ln = dc_len[p16]
-                    if ln == 0:
-                        raise ValueError("invalid JPEG Huffman code")
-                    if ln > realb:
-                        raise ValueError("truncated JPEG entropy stream")
-                    nbits -= ln
-                    realb -= ln
-                    buf &= (1 << nbits) - 1
-                    t = dc_sym[p16]
-                    if t:
-                        while nbits < t:
-                            if pos < dlen:
-                                b = data[pos]
-                                if b != 0xFF:
-                                    pos += 1
-                                    buf = (buf << 8) | b
-                                    nbits += 8
-                                    realb += 8
-                                    continue
-                                if pos + 1 < dlen and data[pos + 1] == 0x00:
-                                    pos += 2
-                                    buf = (buf << 8) | 0xFF
-                                    nbits += 8
-                                    realb += 8
-                                    continue
-                            buf = (buf << 8) | 0xFF
-                            nbits += 8
-                        if t > realb:
+                                pad += 8
+                        if tot > nbits - pad:
                             raise ValueError("truncated JPEG entropy stream")
-                        nbits -= t
-                        realb -= t
-                        v = (buf >> nbits) & ((1 << t) - 1)
-                        buf &= (1 << nbits) - 1
-                        preds[ci] += v - (1 << t) + 1 if v < (1 << (t - 1)) else v
-                    row = out[bi]
-                    row[0] = preds[ci]
+                        nbits -= tot
+                        if t:
+                            v = (buf >> nbits) & ((1 << t) - 1)
+                            preds[ci] += v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+                    dia(bi64)
+                    dva(preds[ci])
                     k = 1
                     while k < 64:
-                        while nbits < 16:  # fill for the AC peek
-                            if pos < dlen:
-                                b = data[pos]
-                                if b != 0xFF:
-                                    pos += 1
-                                    buf = (buf << 8) | b
-                                    nbits += 8
-                                    realb += 8
-                                    continue
-                                if pos + 1 < dlen and data[pos + 1] == 0x00:
-                                    pos += 2
-                                    buf = (buf << 8) | 0xFF
-                                    nbits += 8
-                                    realb += 8
-                                    continue
-                            buf = (buf << 8) | 0xFF
-                            nbits += 8
+                        if nbits < 16:  # refill for the AC peek
+                            buf &= (1 << nbits) - 1
+                            take = dlen - pos
+                            if take > 8:
+                                take = 8
+                            if take > 0:
+                                buf = (buf << (take << 3)) | int.from_bytes(
+                                    data[pos : pos + take], "big"
+                                )
+                                pos += take
+                                nbits += take << 3
+                            while nbits < 16:
+                                buf = (buf << 8) | 0xFF
+                                nbits += 8
+                                pad += 8
                         p16 = (buf >> (nbits - 16)) & 0xFFFF
+                        e = ac_f[p16]
+                        if e:
+                            adv = e & 0xFF
+                            if adv > nbits - pad:
+                                raise ValueError("truncated JPEG entropy stream")
+                            nbits -= adv
+                            act = (e >> 8) & 0xFF
+                            if act < 64:
+                                k += act
+                                if k > 63:
+                                    raise ValueError("JPEG AC index overflow")
+                                aca(((bi64 + k) << 16) | ((e >> 24) + 32768))
+                                k += 1
+                                continue
+                            if act == 255:  # EOB
+                                break
+                            k += 16  # ZRL
+                            continue
                         ln = ac_len[p16]
                         if ln == 0:
                             raise ValueError("invalid JPEG Huffman code")
-                        if ln > realb:
-                            raise ValueError("truncated JPEG entropy stream")
-                        nbits -= ln
-                        realb -= ln
-                        buf &= (1 << nbits) - 1
                         rs = ac_sym[p16]
+                        s = rs & 0x0F
+                        tot = ln + s
+                        if nbits < tot:
+                            buf &= (1 << nbits) - 1
+                            take = dlen - pos
+                            if take > 8:
+                                take = 8
+                            if take > 0:
+                                buf = (buf << (take << 3)) | int.from_bytes(
+                                    data[pos : pos + take], "big"
+                                )
+                                pos += take
+                                nbits += take << 3
+                            while nbits < tot:
+                                buf = (buf << 8) | 0xFF
+                                nbits += 8
+                                pad += 8
+                        if tot > nbits - pad:
+                            raise ValueError("truncated JPEG entropy stream")
+                        nbits -= tot
                         if rs == 0x00:
                             break
                         if rs == 0xF0:
                             k += 16
                             continue
                         k += rs >> 4
-                        s = rs & 0x0F
                         if k > 63:
                             raise ValueError("JPEG AC index overflow")
-                        while nbits < s:
-                            if pos < dlen:
-                                b = data[pos]
-                                if b != 0xFF:
-                                    pos += 1
-                                    buf = (buf << 8) | b
-                                    nbits += 8
-                                    realb += 8
-                                    continue
-                                if pos + 1 < dlen and data[pos + 1] == 0x00:
-                                    pos += 2
-                                    buf = (buf << 8) | 0xFF
-                                    nbits += 8
-                                    realb += 8
-                                    continue
-                            buf = (buf << 8) | 0xFF
-                            nbits += 8
-                        if s > realb:
-                            raise ValueError("truncated JPEG entropy stream")
-                        nbits -= s
-                        realb -= s
                         v = (buf >> nbits) & ((1 << s) - 1)
-                        buf &= (1 << nbits) - 1
-                        row[k] = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+                        aca(
+                            ((bi64 + k) << 16)
+                            | ((v - (1 << s) + 1 if v < (1 << (s - 1)) else v) + 32768)
+                        )
                         k += 1
             mcu_count += 1
 
     out_planes = []
-    for (cid, h, v, tq), zz in zip(comps, coeff_zz):
+    for (cid, h, v, tq), (dc_i, dc_v, ac_p) in zip(comps, coeff_zz):
         nb = n_mcus * h * v
+        zz = np.zeros(nb * 64)
+        if dc_i:  # indexes are unique by construction (k strictly grows per block)
+            zz[np.array(dc_i, dtype=np.int64)] = np.array(dc_v, dtype=np.float64)
+        if ac_p:
+            arr = np.array(ac_p, dtype=np.int64)
+            zz[arr >> 16] = (arr & 0xFFFF).astype(np.float64) - 32768.0
+        zz = zz.reshape(nb, 64)
         nat = np.zeros((nb, 64))
         nat[:, ZIGZAG] = zz  # batched zigzag → natural order
         blocks = nat.reshape(nb, 8, 8) * quants[tq]  # batched dequant

@@ -734,3 +734,40 @@ def test_decode_features_webp_lossless_real_lossy_stub(spark, tmp_path):
     assert abs(lossless["features"][6] - 1.0) < 1e-6          # opaque alpha mean
     assert rows["y.webp"]["decode_status"] == "stub"   # healthy, needs libwebp
     assert rows["bad.webp"]["decode_status"] == "error"  # corrupt container
+
+
+def test_native_codec_swap_seam():
+    """The decode dispatch boundary (sources/multimodal.py
+    decode_image): a registered decoder replaces the pure-Python one
+    for exactly its format tag, everything else is untouched, and an
+    unknown tag is rejected loudly. This is the one-function swap a
+    native-codec deployment performs at executor startup."""
+    import pytest
+
+    from aeuc_vector_db_spark.sources import multimodal as MM2
+
+    png = MM2.png_encode(b"\x01\x02\x03" * 4, 2, 2)
+    bmp = MM2.bmp_encode(b"\x09\x08\x07" * 4, 2, 2)
+    assert MM2.sniff_image_format(png) == "png"
+    assert MM2.sniff_image_format(bmp) == "bmp"
+    assert MM2.sniff_image_format(b"garbage") is None
+    baseline = MM2.decode_image(png)
+    calls = []
+
+    def fake_png(payload):
+        calls.append(len(payload))
+        return 1, 1, 3, b"\x2a\x2b\x2c"
+
+    try:
+        MM2.register_image_decoder("png", fake_png)
+        assert MM2.decode_image(png) == (1, 1, 3, b"\x2a\x2b\x2c")
+        assert calls == [len(png)]
+        # other formats still route to their builtin decoders
+        assert MM2.decode_image(bmp) == (2, 2, 3, b"\x09\x08\x07" * 4)
+    finally:
+        MM2.register_image_decoder("png", MM2.png_decode)
+    assert MM2.decode_image(png) == baseline
+    with pytest.raises(ValueError, match="unknown image format tag"):
+        MM2.register_image_decoder("jxl", fake_png)
+    with pytest.raises(ValueError, match="unsupported image container"):
+        MM2.decode_image(b"not an image")
