@@ -38,6 +38,7 @@ for _mod_name in (
     "multimodal_q",
     "curation_q",
     "manifest_q",
+    "sql_q",
 ):
     try:
         _mod = __import__(

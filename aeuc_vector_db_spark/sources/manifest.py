@@ -596,25 +596,38 @@ class ManifestTable:
                     deletes.append((d, m["version"]))
             prev_files = set(m["files"])
             prev_dvs = set(m.get("deletes") or [])
+        # ONE scan per change type, with commit-version attribution via a
+        # broadcast (file → version) map — NOT one scan per version.
+        # Round 6: the per-version union produced O(versions) separate
+        # parquet scans and a union plan that cost a flat-but-huge
+        # ~0.6 s/version at 116 versions (69 s full-history read in the
+        # cdc_history bench probe); the single-scan form reads the same
+        # bytes in O(1) jobs, so catch-up cost is data-proportional, not
+        # version-proportional.
         base = self.read(spark, latest).limit(0)
         out = base.select(
             F.col("*"),
             F.lit("insert").alias("_change_type"),
             F.lit(0).alias("_commit_version"),
         ).limit(0)
-        for ver in sorted({v for _, v in inserts}):
-            fs = [f for f, v in inserts if v == ver]
-            ins = spark.read.parquet(*[os.path.join(self.root, f) for f in fs])
+        if inserts:
+            ins = spark.read.parquet(
+                *[os.path.join(self.root, f) for f, _ in inserts]
+            )
+            fmap = spark.createDataFrame(
+                inserts, "__cdc_f STRING, _commit_version INT"
+            )
             out = out.unionByName(
-                ins.select(
-                    F.col("*"),
-                    F.lit("insert").alias("_change_type"),
-                    F.lit(ver).alias("_commit_version"),
-                )
+                ins.withColumn("__cdc_f", _file_rel_col())
+                .join(F.broadcast(fmap), "__cdc_f")
+                .drop("__cdc_f")
+                .withColumn("_change_type", F.lit("insert"))
             )
         if deletes:
             # join DV positions back to the immutable data files they
-            # reference to recover full deleted-row payloads
+            # reference to recover full deleted-row payloads; each DV
+            # row's commit version comes from its sidecar dir via a
+            # broadcast (dir → version) map
             all_files = sorted(
                 {f for m in ms for f in m["files"]} | set(
                     self.manifest(since_version)["files"]
@@ -627,23 +640,33 @@ class ManifestTable:
                 _file_rel_col().alias("__dv_f"),
                 F.col("_metadata.row_index").alias("__dv_r"),
             )
-            for ver in sorted({v for _, v in deletes}):
-                ds = [d for d, v in deletes if v == ver]
-                dv = spark.read.parquet(
-                    *[os.path.join(self.root, d) for d in ds]
-                ).select(
-                    F.col("file").alias("__dv_f"), F.col("row").alias("__dv_r")
+            dmap = spark.createDataFrame(
+                deletes, "__cdc_d STRING, _commit_version INT"
+            )
+            dvr = (
+                spark.read.parquet(
+                    *[os.path.join(self.root, d) for d, _ in deletes]
                 )
-                dead = keyed.join(dv, ["__dv_f", "__dv_r"], "inner").drop(
-                    "__dv_f", "__dv_r"
+                .select(
+                    F.col("file").alias("__dv_f"),
+                    F.col("row").alias("__dv_r"),
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"),
+                        r"(?:^|/)(data/[^/]+)/[^/]+$",
+                        1,
+                    ).alias("__cdc_d"),
                 )
-                out = out.unionByName(
-                    dead.select(
-                        F.col("*"),
-                        F.lit("delete").alias("_change_type"),
-                        F.lit(ver).alias("_commit_version"),
-                    )
-                )
+                .join(F.broadcast(dmap), "__cdc_d")
+                .drop("__cdc_d")
+            )
+            dead = keyed.join(
+                dvr,
+                ["__dv_f", "__dv_r"],
+                "inner",
+            ).drop("__dv_f", "__dv_r")
+            out = out.unionByName(
+                dead.withColumn("_change_type", F.lit("delete"))
+            )
         return out
 
     # -- writing -------------------------------------------------------

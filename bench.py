@@ -146,6 +146,7 @@ def main() -> None:
         ("bench-probe-dedup", _bench_dedup_skew),
         ("bench-probe-cc", _bench_cc_chain),
         ("bench-probe-dv", _bench_dv_delete),
+        ("bench-probe-cdc", _bench_cdc_history),
     )
     results = {}
     for tag, probe in probes:
@@ -158,6 +159,7 @@ def main() -> None:
     dedup_skew = results["bench-probe-dedup"]
     cc_chain = results["bench-probe-cc"]
     dv_delete = results["bench-probe-dv"]
+    cdc_history = results["bench-probe-cdc"]
     decode_rate = _bench_decode()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -179,6 +181,7 @@ def main() -> None:
         "dedup_skew": dedup_skew,
         "cc_chain": cc_chain,
         "dv_delete": dv_delete,
+        "cdc_history": cdc_history,
         "decode_imgs_per_s": decode_rate,
     }
     print("# detail: " + json.dumps(detail), file=sys.stderr)
@@ -201,6 +204,7 @@ def main() -> None:
         "dedup_skew": dedup_skew,
         "cc_chain": cc_chain,
         "dv_delete": dv_delete,
+        "cdc_history": cdc_history,
         "decode_imgs_per_s": decode_rate,
     }
     print(compact_json_line(payload))
@@ -213,7 +217,7 @@ def compact_json_line(payload: dict, limit: int = MAX_JSON_LINE) -> str:
     dropped; `queries` timings are the headline signal and at 3-decimal
     rounding ~30 entries stay well under the limit."""
     line = json.dumps(payload)
-    for droppable in ("cc_chain", "dv_delete", "decode_imgs_per_s", "dedup_skew",
+    for droppable in ("cdc_history", "cc_chain", "dv_delete", "decode_imgs_per_s", "dedup_skew",
                       "cluster_scale", "knn_scale", "ingest_rows_per_s"):
         if len(line) <= limit:
             break
@@ -437,6 +441,57 @@ def _bench_cc_chain(spark) -> dict:
     )
     return {"edges": n_edges, "sec": round(dt, 1), "rounds": rounds[0],
             "components": n_comp, "chain_ok": chain_ok}
+
+
+def _bench_cdc_history(spark) -> dict:
+    """CDC metadata cost over a LONG history (VERDICT r5 item 8): 120
+    commits (appends with a DV delete every 10th), then `read_changes`
+    over the full history and over the last 20 versions. The claim
+    under test: change-feed resolution is O(versions) METADATA work
+    (manifest JSON reads + small DV parquet) — per-version cost must
+    stay flat as history grows, or an incremental consumer's catch-up
+    cost silently turns quadratic."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aeuc_vector_db_spark.sources.manifest import ManifestTable
+
+    t = ManifestTable(tempfile.mkdtemp(prefix="bench_cdc_"), stats_cols=["k"])
+    base = 0
+    for i in range(120):
+        if i % 10 == 9:
+            lo = (i - 9) * 100
+            t.delete_where_dv(spark, [("k", ">=", lo), ("k", "<", lo + 5)])
+        else:
+            # one partition per micro-batch: a sane ingest writes one
+            # file per small commit; range()'s default 32 partitions
+            # would make the probe measure 3,456-tiny-file scheduling,
+            # not change-feed resolution
+            t.commit_append(
+                spark.range(base, base + 100, 1, 1).select(
+                    F.col("id").alias("k"), F.lit("r").alias("tag")
+                )
+            )
+            base += 100
+    latest = t.latest_version()
+    t0 = time.time()
+    full_rows = t.read_changes(spark, since_version=0).count()
+    full = time.time() - t0
+    t0 = time.time()
+    tail_rows = t.read_changes(spark, since_version=latest - 20).count()
+    tail = time.time() - t0
+    out = {
+        "versions": latest,
+        "full_sec": round(full, 2),
+        "full_rows": full_rows,
+        "tail20_sec": round(tail, 2),
+        "tail20_rows": tail_rows,
+        "per_version_ms_full": round(full / latest * 1000, 1),
+        "per_version_ms_tail20": round(tail / 20 * 1000, 1),
+    }
+    print(f"# cdc_history: {out}", file=sys.stderr)
+    return out
 
 
 def _bench_dv_delete(spark) -> dict:
