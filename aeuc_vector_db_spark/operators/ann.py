@@ -468,3 +468,255 @@ def lsh_bucket_assignments(
         F.col(id_col),
         F.transform(F.col("hashes"), lambda v: vector_to_array(v)).alias("hashes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN (E1/E2 scale path)
+# ---------------------------------------------------------------------------
+# IVF bounds which vectors a query scores; PQ bounds what each scored
+# vector COSTS: a d-dim float corpus (d·4 bytes/vector) compresses to m
+# one-byte codes (m ≪ d·4), and search runs in the compressed domain via
+# asymmetric distance computation (ADC) — per query, one (m, ksub)
+# lookup table of exact subspace distances to every codebook entry, then
+# each candidate's distance is m table gathers + a sum. At 100 TB of
+# embeddings this is the difference between scanning 100 TB and scanning
+# ~3 TB of codes with the same Arrow-batched kernel shape. Public
+# technique: Jégou, Douze, Schmid, "Product Quantization for Nearest
+# Neighbor Search", IEEE TPAMI 2011. The reference has no compression
+# surface; this extends its two-level search idea (reference
+# vector_field.py:328-345) to the compressed domain.
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    iters: int = 10,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[list[list[float]]]":
+    """Train PQ codebooks on a deterministic bounded sample (the FAISS
+    recipe: codebooks need shape, not the full corpus).
+
+    Splits d dims into m contiguous subspaces of d/m dims (d % m must
+    be 0) and Lloyd-fits ksub = 2^nbits centroids per subspace — same
+    deterministic driver-side kmeans as `fit_centroids_sample_local`
+    (id-sorted sample, seeded init, lowest-id tie-break), seeded per
+    subspace so codebooks are independent.
+
+    Returns codebooks as nested lists: codebooks[j][c] = the c-th
+    centroid of subspace j (length d/m). Total size m·2^nbits·(d/m) =
+    d·2^nbits floats — driver-trivial, broadcast-trivial.
+    """
+    import numpy as np
+
+    if not (1 <= nbits <= 8):
+        raise ValueError(f"nbits must be in [1, 8] (one code byte), got {nbits}")
+    ksub = 1 << nbits
+    df = corpus.select(F.col(id_col), as_double(vec_col).alias("__v__"))
+    if sample_mod and sample_mod > 1:
+        df = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+    rows = sorted(df.collect(), key=lambda r: r[id_col])
+    if len(rows) < ksub:
+        raise ValueError(f"sample has {len(rows)} rows < ksub={ksub}")
+    mat = np.asarray([list(r["__v__"]) for r in rows], dtype=np.float64)
+    d = mat.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        rng = np.random.default_rng(seed + 1009 * j)
+        cent = sub[rng.choice(len(sub), size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append([[float(x) for x in c] for c in cent])
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as m codebook indexes: (id_col, codes
+    ARRAY<INT>). Entirely map-side (Arrow pandas_udf closing over the
+    tiny codebook tensor) — no shuffle, no join; the same shape
+    `assign_centroids` uses, applied per subspace. NULL / wrong-dim
+    embeddings encode to NULL rather than aborting the job."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = cb.shape
+    dim = m * dsub
+    cb_sq = (cb * cb).sum(axis=2)  # (m, ksub)
+
+    def _encode(v):
+        vals = v.tolist()
+        ok = np.array([x is not None and len(x) == dim for x in vals], dtype=bool)
+        out = np.full(len(vals), None, dtype=object)
+        if ok.any():
+            matv = np.asarray(
+                [vals[i] for i in np.flatnonzero(ok)], dtype=np.float64
+            ).reshape(-1, m, dsub)
+            codes = np.empty((matv.shape[0], m), dtype=np.int64)
+            for j in range(m):
+                # argmin_c ||x−c||² = argmin_c (||c||² − 2x·c): (B, ksub)
+                # intermediate, first-minimum tie-break (total order)
+                d2 = cb_sq[j][None, :] - 2.0 * (matv[:, j, :] @ cb[j].T)
+                codes[:, j] = d2.argmin(axis=1)
+            # object-array element-wise stores: a bulk out[ok] = list-of-
+            # lists makes numpy coerce to a 2-D array and fail
+            for i, li in zip(np.flatnonzero(ok), codes):
+                out[i] = li.tolist()
+        return pd.Series(out, dtype=object)
+
+    _encode.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    enc_udf = pandas_udf(_encode, "array<int>")
+    return corpus.select(F.col(id_col), enc_udf(as_double(vec_col)).alias("codes"))
+
+
+def pq_search_batch(
+    codes_df: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    queries: DataFrame,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """ADC batch search over PQ codes: (query_id, id, score, rank).
+
+    Per query, ONE exact (m, ksub) subspace-distance table; each code
+    row then costs m gathers + a sum (NumPy fancy-indexing over the
+    whole Arrow batch — no per-row Python). Scores use the engine's
+    euclidean-similarity convention 1/(1+√d̃²) on the ADC distance
+    estimate, ranked (score DESC, id ASC) like every other search.
+    When every subvector coincides with a codebook centroid the ADC
+    distance is EXACT, which is the correctness pin in test_ann.py.
+
+    The codes never shuffle (mapInPandas partial top-k per partition,
+    then a global rank over Q·top_k·partitions finalist rows) — the
+    knn_search_batch_arrow shape in the compressed domain. Queries are
+    collected (bounded: Q·d floats), the codebook rides in the closure.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = cb.shape
+    q_rows = sorted(
+        queries.select(
+            F.col(query_id_col), as_double(query_vec_col).alias("__qv__")
+        ).collect(),
+        key=lambda r: r[query_id_col],
+    )
+    qids = [r[query_id_col] for r in q_rows]
+    qmat = np.asarray([list(r["__qv__"]) for r in q_rows], dtype=np.float64)
+    if qmat.shape[1] != m * dsub:
+        raise ValueError(
+            f"query dim {qmat.shape[1]} != codebook dim {m * dsub}"
+        )
+    qsub = qmat.reshape(len(qids), m, dsub)
+    # (Q, m, ksub) exact subspace distance tables, computed once
+    luts = (
+        (cb * cb).sum(axis=2)[None, :, :]
+        - 2.0 * np.einsum("qmd,mkd->qmk", qsub, cb)
+        + (qsub * qsub).sum(axis=2)[:, :, None]
+    )
+    rows_idx = np.arange(m)
+
+    out_schema = (
+        f"{query_id_col} long, {id_col} long, score double"
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            code_lists = pdf["codes"].tolist()
+            ok = np.array(
+                [c is not None and len(c) == m for c in code_lists], dtype=bool
+            )
+            if not ok.any():
+                continue
+            ids = ids[ok]
+            codes = np.asarray(
+                [code_lists[i] for i in np.flatnonzero(ok)], dtype=np.int64
+            )  # (B, m)
+            parts = []
+            for qi, qid in enumerate(qids):
+                d2 = luts[qi][rows_idx[:, None], codes.T].sum(axis=0)  # (B,)
+                s = 1.0 / (1.0 + np.sqrt(np.maximum(d2, 0.0)))
+                if len(s) > top_k:
+                    # partial top-k per partition; exact global rank later
+                    cand = np.argpartition(-s, top_k)[: top_k + 1]
+                else:
+                    cand = np.arange(len(s))
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: qid,
+                            id_col: ids[cand],
+                            "score": s[cand],
+                        }
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    finalists = codes_df.select(id_col, "codes").mapInPandas(scan, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        finalists.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def pq_recall_eval(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    nbits: int = 4,
+    top_k: int = 10,
+    seed: int = 42,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """recall@k of compressed-domain ADC search vs exact euclidean
+    search: train → encode → ADC top-k, exact Arrow top-k, set
+    intersection per query. The accuracy/cost knob is (m, nbits);
+    recall → 1 as codebooks approach the data (pinned exactly in
+    test_ann.py). Returns (query_id, recall)."""
+    from aeuc_vector_db_spark.operators.search import knn_search_batch_arrow
+
+    books = pq_train(
+        corpus, m=m, nbits=nbits, seed=seed, sample_mod=sample_mod,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    approx = pq_search_batch(
+        codes, books, queries, top_k=top_k, id_col=id_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
+    exact = knn_search_batch_arrow(
+        corpus, queries, top_k=top_k, metric="euclidean",
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
+    return recall_at_k(approx, exact, query_id_col, id_col)

@@ -114,6 +114,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "manifest_bucketed_dv_read",
     "sql_entry_pricing",
     "sql_entry_knn_cosine",
+    "ann_pq_recall",
 )
 
 

@@ -177,6 +177,24 @@ def _ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rec.select("query_id", F.round("recall", 3).alias("recall")).orderBy("query_id")
 
 
+def _ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC recall@10 vs exact euclidean search
+    (rows-only check — codebook training is not SQL-expressible, the
+    ann_ivf_recall situation). m=8 subspaces × 2⁴ centroids compress
+    each 64-dim float vector to 8 code bytes (32× over float32); the
+    deterministic pipeline (id-sorted sample, seeded Lloyd per
+    subspace, first-minimum tie-breaks, score DESC / id ASC ranking)
+    makes the per-query recall values stable across runs and
+    partitionings. Exactness at the limit and null tolerance are
+    pinned in test_ann.py."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = _queries_df(spark, sf_dir)
+    rec = A.pq_recall_eval(emb, queries, m=8, nbits=4, top_k=10, seed=42)
+    return rec.select(
+        "query_id", F.round("recall", 3).alias("recall")
+    ).orderBy("query_id")
+
+
 def _two_level_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2→A1 two-level search (the reference's coarse-then-fine pattern,
     vector_field.py:328-345 + 291-326): PGlyph centroids from the label
@@ -243,5 +261,6 @@ QUERIES = {
     "ivf_euclidean_pruned_search": (_ivf_metric_query("euclidean"), _IVF_EUCLID_ORACLE),
     "ivf_phi_pruned_search": (_ivf_metric_query("phi_weighted"), _IVF_PHI_ORACLE),
     "ann_ivf_recall": (_ann_ivf_recall, None),
+    "ann_pq_recall": (_ann_pq_recall, None),
     "two_level_search": (_two_level_search, _TWO_LEVEL_ORACLE),
 }

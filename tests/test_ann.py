@@ -162,3 +162,105 @@ def test_ivf_arrow_matches_sql_path_rank_for_rank(emb, queries, index):
     }
     assert sql_ranks == arrow_ranks
     assert len(sql_ranks) > 0
+
+
+def test_pq_exact_when_every_subvector_is_a_centroid(spark):
+    """With N == ksub the seeded init picks every vector, Lloyd
+    converges immediately, and each subvector IS a codebook centroid —
+    ADC distance equals exact distance, so the compressed-domain search
+    returns exactly the exact-euclidean ranking with recall 1.0."""
+    rows = [
+        (0, [0.0, 0.0, 1.0, 1.0]),
+        (1, [2.0, 0.0, 3.0, 1.0]),
+        (2, [0.0, 4.0, 1.0, 5.0]),
+        (3, [6.0, 4.0, 7.0, 5.0]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = A.pq_train(corpus, m=2, nbits=2, seed=7, iters=5)
+    codes = A.pq_encode(corpus, books)
+    qs = spark.createDataFrame(
+        [(0, [0.1, 0.1, 1.1, 1.1])],
+        "query_id long, query_embedding array<float>",
+    )
+    res = A.pq_search_batch(codes, books, qs, top_k=4).collect()
+    got = [(r["vec_id"], r["rank"]) for r in res]
+    # exact euclidean order from the query: 0 < 1 < 2 < 3
+    assert got == [(0, 1), (1, 2), (2, 3), (3, 4)]
+    rec = A.pq_recall_eval(
+        corpus,
+        qs,
+        m=2,
+        nbits=2,
+        top_k=4,
+        seed=7,
+    ).collect()
+    assert [(r["query_id"], r["recall"]) for r in rec] == [(0, 1.0)]
+
+
+def test_pq_encode_null_and_ragged_rows_yield_null(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 1.0, 1.0]),
+            (1, [2.0, 0.0, 3.0, 1.0]),
+            (2, [1.0, 1.0, 1.0, 1.0]),
+            (3, [5.0, 5.0, 5.0, 5.0]),
+            (4, None),
+            (5, [1.0, 2.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    ok = corpus.filter(F.col("vec_id") < 4)
+    books = A.pq_train(ok, m=2, nbits=2, seed=7)
+    codes = {r["vec_id"]: r["codes"] for r in A.pq_encode(corpus, books).collect()}
+    assert codes[4] is None and codes[5] is None
+    assert all(codes[i] is not None and len(codes[i]) == 2 for i in range(4))
+    # ADC search drops the null-coded rows instead of crashing
+    qs = spark.createDataFrame(
+        [(0, [0.0, 0.0, 1.0, 1.0])], "query_id long, query_embedding array<float>"
+    )
+    res = A.pq_search_batch(
+        spark.createDataFrame(
+            [(k, v) for k, v in codes.items()], "vec_id long, codes array<int>"
+        ),
+        books,
+        qs,
+        top_k=10,
+    )
+    assert sorted(r["vec_id"] for r in res.collect()) == [0, 1, 2, 3]
+
+
+def test_pq_train_validates_inputs(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        A.pq_train(corpus, m=2, nbits=2)
+    with pytest.raises(ValueError, match="rows < ksub"):
+        A.pq_train(corpus, m=3, nbits=4)  # 8 rows < 16 centroids
+    with pytest.raises(ValueError, match="nbits"):
+        A.pq_train(corpus, m=3, nbits=9)
+
+
+def test_pq_recall_deterministic_and_reasonable(emb, queries):
+    """Fixture-scale PQ: recall is identical across two full runs (the
+    whole pipeline is seeded + tie-broken) and lands in (0, 1] —
+    compressed-domain search must stay a useful approximation at
+    32x compression (64 floats -> 8 code bytes)."""
+    r1 = {
+        (r["query_id"]): r["recall"]
+        for r in A.pq_recall_eval(emb, queries, m=8, nbits=4, seed=42).collect()
+    }
+    r2 = {
+        (r["query_id"]): r["recall"]
+        for r in A.pq_recall_eval(emb, queries, m=8, nbits=4, seed=42).collect()
+    }
+    assert r1 == r2 and len(r1) > 0
+    assert all(0.0 < v <= 1.0 for v in r1.values())
+    # more codebook bits => at least as good on average (coarse sanity,
+    # not per-query monotonicity, which PQ does not guarantee)
+    r8 = {
+        (r["query_id"]): r["recall"]
+        for r in A.pq_recall_eval(emb, queries, m=8, nbits=6, seed=42).collect()
+    }
+    assert sum(r8.values()) / len(r8) >= sum(r1.values()) / len(r1) - 0.05
