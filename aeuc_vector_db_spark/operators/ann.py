@@ -595,6 +595,8 @@ def pq_search_batch(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_embedding",
+    cell_col: str | None = None,
+    query_cells: dict | None = None,
 ) -> DataFrame:
     """ADC batch search over PQ codes: (query_id, id, score, rank).
 
@@ -641,6 +643,12 @@ def pq_search_batch(
         f"{query_id_col} long, {id_col} long, score double"
     )
 
+    allowed = (
+        {qid: np.asarray(sorted(cs)) for qid, cs in query_cells.items()}
+        if query_cells is not None
+        else None
+    )
+
     def scan(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
@@ -651,12 +659,26 @@ def pq_search_batch(
             if not ok.any():
                 continue
             ids = ids[ok]
+            cells_arr = (
+                pdf[cell_col].to_numpy()[ok] if allowed is not None else None
+            )
             codes = np.asarray(
                 [code_lists[i] for i in np.flatnonzero(ok)], dtype=np.int64
             )  # (B, m)
             parts = []
             for qi, qid in enumerate(qids):
-                d2 = luts[qi][rows_idx[:, None], codes.T].sum(axis=0)  # (B,)
+                if cells_arr is not None:
+                    # IVFADC mask: this query ranks only rows whose cell
+                    # its coarse probe selected
+                    vi = np.flatnonzero(
+                        np.isin(cells_arr, allowed.get(qid, ()))
+                    )
+                    if vi.size == 0:
+                        continue
+                    q_codes, q_ids = codes[vi], ids[vi]
+                else:
+                    q_codes, q_ids = codes, ids
+                d2 = luts[qi][rows_idx[:, None], q_codes.T].sum(axis=0)  # (B,)
                 s = 1.0 / (1.0 + np.sqrt(np.maximum(d2, 0.0)))
                 if len(s) > top_k:
                     # partial top-k per partition; exact global rank later
@@ -667,14 +689,16 @@ def pq_search_batch(
                     pd.DataFrame(
                         {
                             query_id_col: qid,
-                            id_col: ids[cand],
+                            id_col: q_ids[cand],
                             "score": s[cand],
                         }
                     )
                 )
-            yield pd.concat(parts, ignore_index=True)
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
 
-    finalists = codes_df.select(id_col, "codes").mapInPandas(scan, out_schema)
+    sel = [id_col, "codes"] + ([cell_col] if allowed is not None else [])
+    finalists = codes_df.select(*sel).mapInPandas(scan, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
@@ -713,6 +737,86 @@ def pq_recall_eval(
     approx = pq_search_batch(
         codes, books, queries, top_k=top_k, id_col=id_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
+    exact = knn_search_batch_arrow(
+        corpus, queries, top_k=top_k, metric="euclidean",
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
+    return recall_at_k(approx, exact, query_id_col, id_col)
+
+
+def ivfadc_search_batch(
+    codes_with_cells: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    centroids: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+    cell_col: str = "centroid_id",
+) -> DataFrame:
+    """IVFADC — the FAISS index shape at billion scale: IVF coarse
+    probe bounds WHICH rows each query scores (nprobe/k of the cells;
+    with centroid-partitioned storage the pruned filter is file-level
+    PartitionFilters), and PQ ADC bounds what each scored row COSTS
+    (m code-byte gathers instead of a d-dim float kernel). Composes
+    `coarse_probe` (euclidean — the ADC pipeline's geometry) with the
+    cell-masked `pq_search_batch`; each query still ranks exactly its
+    own probed cells. nprobe = k degenerates to plain PQ search
+    (pinned in test_ann.py)."""
+    cell_rows = coarse_probe(
+        centroids, queries, nprobe, "euclidean", query_id_col, query_vec_col
+    ).collect()
+    query_cells: dict = {}
+    for r in cell_rows:
+        query_cells.setdefault(r[query_id_col], set()).add(r["centroid_id"])
+    union = sorted({c for cs in query_cells.values() for c in cs})
+    pruned = codes_with_cells.filter(F.col(cell_col).isin(union))
+    return pq_search_batch(
+        pruned, codebooks, queries, top_k=top_k, id_col=id_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        cell_col=cell_col, query_cells=query_cells,
+    )
+
+
+def ivfadc_recall_eval(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    nbits: int = 4,
+    top_k: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """recall@k of the composed IVFADC search vs exact euclidean: IVF
+    centroids + PQ codebooks both train on the deterministic sample
+    recipe, the corpus encodes to (id, cell, codes), and the composed
+    search runs against the Arrow exact baseline. Two approximation
+    knobs stack (nprobe recall loss × ADC quantization loss) — the
+    honest number a deployment tunes. Returns (query_id, recall)."""
+    from aeuc_vector_db_spark.operators.search import knn_search_batch_arrow
+
+    cent_local = fit_centroids_sample_local(
+        corpus, k=k_cells, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    centroids = corpus.sparkSession.createDataFrame(
+        cent_local, "centroid_id int, centroid array<double>"
+    )
+    books = pq_train(corpus, m=m, nbits=nbits, seed=seed, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).join(
+        assign_centroids(corpus, cent_local, id_col=id_col, vec_col=vec_col), id_col
+    )
+    approx = ivfadc_search_batch(
+        codes, books, centroids, queries, top_k=top_k, nprobe=nprobe,
+        id_col=id_col, query_id_col=query_id_col, query_vec_col=query_vec_col,
     )
     exact = knn_search_batch_arrow(
         corpus, queries, top_k=top_k, metric="euclidean",

@@ -115,6 +115,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_entry_pricing",
     "sql_entry_knn_cosine",
     "ann_pq_recall",
+    "manifest_cdc_incremental_agg",
+    "ann_ivfadc_recall",
+    "manifest_schema_evolution_read",
 )
 
 

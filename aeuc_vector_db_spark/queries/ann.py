@@ -195,6 +195,22 @@ def _ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
+def _ann_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVFADC recall@10 vs exact euclidean (rows-only): IVF
+    coarse probe bounds WHICH rows each query scores, PQ ADC bounds
+    what each row COSTS — both approximation knobs stacked, the number
+    a real deployment tunes. Fully deterministic (seeded sample fits,
+    first-minimum tie-breaks, score DESC / id ASC)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = _queries_df(spark, sf_dir)
+    rec = A.ivfadc_recall_eval(
+        emb, queries, k_cells=8, nprobe=4, m=8, nbits=4, top_k=10, seed=42
+    )
+    return rec.select(
+        "query_id", F.round("recall", 3).alias("recall")
+    ).orderBy("query_id")
+
+
 def _two_level_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2→A1 two-level search (the reference's coarse-then-fine pattern,
     vector_field.py:328-345 + 291-326): PGlyph centroids from the label
@@ -262,5 +278,6 @@ QUERIES = {
     "ivf_phi_pruned_search": (_ivf_metric_query("phi_weighted"), _IVF_PHI_ORACLE),
     "ann_ivf_recall": (_ann_ivf_recall, None),
     "ann_pq_recall": (_ann_pq_recall, None),
+    "ann_ivfadc_recall": (_ann_ivfadc_recall, None),
     "two_level_search": (_two_level_search, _TWO_LEVEL_ORACLE),
 }

@@ -407,7 +407,132 @@ FROM final GROUP BY source
 """
 
 
+def _manifest_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate MAINTENANCE over the CDC feed — the reason
+    a change feed exists: a consumer holds a materialized per-lang
+    aggregate computed at an anchor version and refreshes it to the
+    latest version by folding in ONLY the changes (inserts add,
+    deletes subtract), never re-reading the table.
+
+        refreshed = anchor_agg ⊕ Σ(inserts) ⊖ Σ(deletes)
+
+    The oracle computes the FINAL snapshot aggregate directly, so the
+    query is green only if (anchor + changes) ≡ (final state) — any
+    missed delete, phantom insert, or double-counted change breaks the
+    additive identity. Cost is O(anchor groups + changed rows): at
+    100 TB the anchor agg is a tiny materialization and each refresh
+    touches only the commits since."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = ManifestTable(
+        tempfile.mkdtemp(prefix="aeuc_manifest_inc_agg_"), bloom_cols=["doc_id"]
+    )
+    t.commit_append(docs.filter(F.col("doc_id") < 250))            # v0 anchor
+    anchor_v = t.latest_version()
+    t.commit_append(docs.filter(F.col("doc_id") >= 250))           # v1 inserts
+    t.delete_where_dv(spark, [("doc_id", ">=", 50), ("doc_id", "<", 130)])  # v2
+    ups = docs.filter(F.col("doc_id") < 30).withColumn("n_chars", F.col("n_chars") + 7)
+    t.merge_upsert_dv(spark, ups, key="doc_id")                    # v3 del+ins
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+
+    anchor = agg(t.read(spark, anchor_v))
+    ch = t.read_changes(spark, since_version=anchor_v)
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = ch.withColumn("__sign", sign).groupBy("lang").agg(
+        F.sum("__sign").alias("n_docs"),
+        F.sum(F.col("n_chars") * F.col("__sign")).alias("sum_chars"),
+        F.sum(F.col("doc_id") * F.col("__sign")).alias("sum_doc_id"),
+    )
+    refreshed = (
+        anchor.unionByName(delta)
+        .groupBy("lang")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_chars").alias("sum_chars"),
+            F.sum("sum_doc_id").alias("sum_doc_id"),
+        )
+        .filter(F.col("n_docs") > 0)  # fully-deleted groups leave the view
+    )
+    return refreshed
+
+
+_CDC_INCREMENTAL_AGG_ORACLE = """
+WITH final AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id < 30 THEN n_chars + 7 ELSE n_chars END AS n_chars
+  FROM documents
+  WHERE NOT (doc_id >= 50 AND doc_id < 130)
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM final GROUP BY lang
+"""
+
+
+def _manifest_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution end-to-end (round 6): half the corpus
+    commits under the original schema, the other half appends with an
+    extra `quality` column via `evolve=True`, then a DV merge updates a
+    few rows under the widened schema. Reads resolve pre-evolution
+    files with NULL for the appended column (explicit-schema scan — no
+    mergeSchema); the oracle constructs the same union directly, so a
+    wrong NULL-fill, a dropped column, or a mis-resolved old file
+    diverges the aggregate hash."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    t = ManifestTable(
+        tempfile.mkdtemp(prefix="aeuc_manifest_evo_"), bloom_cols=["doc_id"]
+    )
+    t.commit_append(docs.filter(F.col("doc_id") < 250))
+    wide = docs.filter(F.col("doc_id") >= 250).withColumn(
+        "quality", (F.col("n_chars") % 100).cast("long")
+    )
+    t.commit_append(wide, evolve=True)
+    ups = docs.filter(F.col("doc_id") < 20).withColumn(
+        "quality", F.lit(777).cast("long")
+    )
+    t.merge_upsert_dv(spark, ups, key="doc_id")
+    final = t.read(spark)
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum(F.coalesce(F.col("quality"), F.lit(-1))).alias("sum_quality"),
+    )
+
+
+_SCHEMA_EVOLUTION_ORACLE = """
+WITH final AS (
+  SELECT doc_id, lang,
+         CASE
+           WHEN doc_id < 20 THEN 777
+           WHEN doc_id >= 250 THEN n_chars % 100
+           ELSE -1
+         END AS q
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(q) AS BIGINT) AS sum_quality
+FROM final GROUP BY lang
+"""
+
+
 QUERIES = {
+    "manifest_schema_evolution_read": (
+        _manifest_schema_evolution_read,
+        _SCHEMA_EVOLUTION_ORACLE,
+    ),
+    "manifest_cdc_incremental_agg": (
+        _manifest_cdc_incremental_agg,
+        _CDC_INCREMENTAL_AGG_ORACLE,
+    ),
     "manifest_in_skipping_read": (_manifest_in_skipping_read, _IN_SKIPPING_ORACLE),
     "manifest_null_skipping_read": (
         _manifest_null_skipping_read,

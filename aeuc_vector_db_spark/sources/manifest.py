@@ -78,6 +78,30 @@ def _schema_sig(df: DataFrame) -> list[str]:
     return [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields]
 
 
+def _sig_is_additive(old_sig: list[str], new_sig: list[str]) -> bool:
+    """Is new_sig an ADDITIVE evolution of old_sig — every existing
+    column kept with its exact type, new columns only appended? The
+    only schema change safe under mixed-file reads: an explicit-schema
+    parquet read fills the appended columns with NULL for old files;
+    renames/drops/type changes would silently corrupt them."""
+    return len(new_sig) >= len(old_sig) and new_sig[: len(old_sig)] == old_sig
+
+
+def _sig_to_struct(sig: list[str]):
+    """Reconstruct the StructType a manifest's `name:type` signature
+    describes — the read-side half of schema evolution: passing this
+    explicitly to the parquet reader makes files missing the appended
+    columns yield NULLs, with none of mergeSchema's per-file footer
+    cost at planning time."""
+    from pyspark.sql import types as T
+
+    fields = []
+    for entry in sig:
+        name, dt = entry.split(":", 1)
+        fields.append(T.StructField(name, T._parse_datatype_string(dt), True))
+    return T.StructType(fields)
+
+
 def _file_stats(path: str, cols: list[str]) -> dict:
     """Per-file min/max for `cols` from the parquet FOOTER (row-group
     statistics — a metadata read, no data scan). Only JSON-safe scalar
@@ -420,7 +444,18 @@ class ManifestTable:
             raise ValueError(
                 f"version {m['version']} of {self.root!r} is an empty snapshot"
             )
-        return self._apply_deletes(spark, spark.read.parquet(*files), m)
+        return self._apply_deletes(spark, self._read_files(spark, files, m), m)
+
+    def _read_files(self, spark: SparkSession, files: list[str], m: dict) -> DataFrame:
+        """Parquet scan of `files` under the snapshot's schema. Once a
+        table has EVOLVED (additive column appends), the manifest's
+        schema is passed to the reader explicitly so files written
+        before the evolution yield NULL for the appended columns —
+        correct mixed-file resolution without mergeSchema's per-file
+        footer planning cost."""
+        if m.get("evolved") and m.get("schema"):
+            return spark.read.schema(_sig_to_struct(m["schema"])).parquet(*files)
+        return spark.read.parquet(*files)
 
     def files_for(
         self, predicates: list[tuple] = (), version: int | None = None
@@ -498,10 +533,13 @@ class ManifestTable:
         if not keep:
             df = self.read(spark, version).limit(0)
         else:
+            m = self.manifest(version)
             df = self._apply_deletes(
                 spark,
-                spark.read.parquet(*[os.path.join(self.root, f) for f in keep]),
-                self.manifest(version),
+                self._read_files(
+                    spark, [os.path.join(self.root, f) for f in keep], m
+                ),
+                m,
             )
         return df.filter(cond) if cond is not None else df
 
@@ -610,9 +648,10 @@ class ManifestTable:
             F.lit("insert").alias("_change_type"),
             F.lit(0).alias("_commit_version"),
         ).limit(0)
+        m_latest = self.manifest(latest)
         if inserts:
-            ins = spark.read.parquet(
-                *[os.path.join(self.root, f) for f, _ in inserts]
+            ins = self._read_files(
+                spark, [os.path.join(self.root, f) for f, _ in inserts], m_latest
             )
             fmap = spark.createDataFrame(
                 inserts, "__cdc_f STRING, _commit_version INT"
@@ -633,8 +672,8 @@ class ManifestTable:
                     self.manifest(since_version)["files"]
                 )
             )
-            keyed = spark.read.parquet(
-                *[os.path.join(self.root, f) for f in all_files]
+            keyed = self._read_files(
+                spark, [os.path.join(self.root, f) for f in all_files], m_latest
             ).select(
                 F.col("*"),
                 _file_rel_col().alias("__dv_f"),
@@ -794,6 +833,7 @@ class ManifestTable:
         epoch_id: str | None = None,
         expected_parent: int | None = None,
         deletes: list[str] | None = None,
+        evolve: bool = False,
     ) -> int:
         """Publish a version; retries the publish on conflict.
 
@@ -831,11 +871,14 @@ class ManifestTable:
                 # file the reader samples. Overwrite/merge/compact replace
                 # the snapshot wholesale, so they may evolve the schema.
                 if schema is not None and pm.get("schema") not in (None, schema):
-                    raise ValueError(
-                        f"append schema mismatch at {self.root!r}: table has "
-                        f"{pm['schema']}, batch has {schema}; use "
-                        "commit_overwrite/merge_upsert to evolve the schema"
-                    )
+                    if not (evolve and _sig_is_additive(pm["schema"], schema)):
+                        raise ValueError(
+                            f"append schema mismatch at {self.root!r}: table has "
+                            f"{pm['schema']}, batch has {schema}; pass "
+                            "evolve=True for an additive column append, or use "
+                            "commit_overwrite/merge_upsert to restructure"
+                        )
+                    per_file["evolved"] = True
                 files = pm["files"] + new_files
                 n_rows = pm["n_rows"] + n_new
                 # per-file maps accumulate across appends
@@ -847,8 +890,20 @@ class ManifestTable:
                 # materialized the deletes
                 if pm.get("deletes"):
                     per_file["deletes"] = list(pm["deletes"])
+                if pm.get("evolved"):
+                    per_file["evolved"] = True
             else:
                 files, n_rows = list(new_files), n_new
+                # a rewrite that carries parent files forward (bucketed
+                # bounded merge) may still hold pre-evolution files; the
+                # marker is sticky — explicit-schema reads are always
+                # sound, so keeping it can never be wrong
+                if parent is not None:
+                    try:
+                        if self.manifest(parent).get("evolved"):
+                            per_file["evolved"] = True
+                    except FileNotFoundError:
+                        pass
             if deletes:
                 per_file["deletes"] = list(deletes)
             manifest = {
@@ -867,15 +922,31 @@ class ManifestTable:
                 return version
         raise CommitConflictError(f"publish retries exhausted under {action}")
 
-    def commit_append(self, df: DataFrame, epoch_id: str | int | None = None) -> int | None:
+    def commit_append(
+        self,
+        df: DataFrame,
+        epoch_id: str | int | None = None,
+        evolve: bool = False,
+    ) -> int | None:
         """Append df as a new version. With `epoch_id`, the commit is
         idempotent: if that epoch is already in the log the data is NOT
-        rewritten and None is returned (exactly-once foreachBatch sink)."""
+        rewritten and None is returned (exactly-once foreachBatch sink).
+
+        `evolve=True` permits ADDITIVE schema evolution: the batch may
+        append new columns after the table's existing ones (existing
+        columns keep their exact names/types); the manifest records the
+        widened schema plus an `evolved` marker, and every later read
+        resolves old files against it explicitly (NULL for the appended
+        columns). Renames, drops, and type changes stay rejected —
+        those need a rewrite (commit_overwrite / merge_upsert)."""
         eid = None if epoch_id is None else str(epoch_id)
         if eid is not None and eid in self.committed_epochs():
             return None
         files, n = self._write_data_dir(df)
-        return self._commit("append", files, n, keep_parent_files=True, epoch_id=eid)
+        return self._commit(
+            "append", files, n, keep_parent_files=True, epoch_id=eid,
+            evolve=evolve,
+        )
 
     def commit_overwrite(self, df: DataFrame) -> int:
         """Replace the snapshot with df (new files; old versions remain
@@ -1053,6 +1124,7 @@ class ManifestTable:
                 "schema": batch_schema,
                 "committed_at_s": round(time.time(), 3),
                 **({"deletes": deletes} if deletes else {}),
+                **({"evolved": True} if m.get("evolved") else {}),
                 **per_file,
             }
             if self._try_publish(manifest, parent + 1):
@@ -1113,8 +1185,8 @@ class ManifestTable:
             # capture (file, row) from the RAW scan — the _metadata
             # pseudo-column resolves only on the scan relation, so it is
             # materialized into plain columns before any join
-            raw = spark.read.parquet(
-                *[os.path.join(self.root, f) for f in cand]
+            raw = self._read_files(
+                spark, [os.path.join(self.root, f) for f in cand], m
             ).select(
                 F.col("*"),
                 _file_rel_col().alias("__dv_f"),
@@ -1154,6 +1226,7 @@ class ManifestTable:
             "schema": m.get("schema"),
             "committed_at_s": round(time.time(), 3),
             "deletes": list(m.get("deletes") or []) + [rel_dir],
+            **({"evolved": True} if m.get("evolved") else {}),
             **{k: m[k] for k in self._PER_FILE_KEYS if k in m},
         }
         if not self._try_publish(manifest, parent + 1):
@@ -1436,7 +1509,9 @@ class BucketedManifestTable(ManifestTable):
             rewrite = [f for f in pm["files"] if f not in set(untouched)]
             dvs = pm.get("deletes") or []
             if rewrite:
-                cur = spark.read.parquet(*[os.path.join(self.root, f) for f in rewrite])
+                cur = self._read_files(
+                    spark, [os.path.join(self.root, f) for f in rewrite], pm
+                )
                 if dvs:
                     # soft-deleted rows in the rewritten buckets must not
                     # be resurrected by the rewrite — materialize their

@@ -984,3 +984,84 @@ def test_read_changes_cdc_feed(spark, root):
     post = t.read_changes(spark, since_version=t.latest_version() - 1).collect()
     assert sorted(r["k"] for r in post) == [200, 201, 202, 203, 204]
     assert {r["_change_type"] for r in post} == {"insert"}
+
+
+def test_schema_evolution_additive_append(spark, root):
+    """Additive column evolution: an evolve=True append widens the
+    schema; reads resolve old files with NULL for the appended column
+    (explicit-schema scan, no mergeSchema); a plain append of the NEW
+    schema then succeeds; non-additive changes stay rejected."""
+    t = ManifestTable(root)
+    t.commit_append(_df(spark, (0, 10)))
+    wide = spark.range(10, 20).select(
+        F.col("id").alias("k"), F.lit("b").alias("tag"),
+        (F.col("id") * 2).alias("extra"),
+    )
+    # without the flag: rejected exactly like before
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.commit_append(wide)
+    t.commit_append(wide, evolve=True)
+    rows = {r["k"]: (r["tag"], r["extra"]) for r in t.read(spark).collect()}
+    assert rows[5] == ("a", None)       # pre-evolution file: NULL-filled
+    assert rows[15] == ("b", 30)
+    assert len(rows) == 20
+    # the widened schema is now the table schema: plain appends of it work
+    t.commit_append(
+        spark.range(20, 25).select(
+            F.col("id").alias("k"), F.lit("c").alias("tag"),
+            (F.col("id") * 2).alias("extra"),
+        )
+    )
+    assert t.read(spark).count() == 25
+    # non-additive: dropped column, type change, rename all rejected
+    for bad in (
+        spark.range(30, 31).select(F.col("id").alias("k")),
+        spark.range(30, 31).select(
+            F.col("id").cast("int").alias("k"), F.lit("x").alias("tag"),
+            F.lit(1).alias("extra"),
+        ),
+        spark.range(30, 31).select(
+            F.col("id").alias("kk"), F.lit("x").alias("tag"),
+            F.lit(1).cast("long").alias("extra"),
+        ),
+    ):
+        with pytest.raises(ValueError, match="schema mismatch"):
+            t.commit_append(bad, evolve=True)
+
+
+def test_schema_evolution_composes_with_dv_and_merge(spark, root):
+    """Evolution + the rest of the table surface: DV deletes on the
+    appended column's table, pruned reads, a DV merge, and CDC all
+    resolve pre-evolution files correctly (NULL-filled), and the
+    evolved marker survives every commit kind."""
+    t = ManifestTable(root, stats_cols=["k"], bloom_cols=["k"])
+    t.commit_append(_df(spark, (0, 50)))
+    wide = spark.range(50, 100).select(
+        F.col("id").alias("k"), F.lit("b").alias("tag"),
+        (F.col("id") % 7).alias("extra"),
+    )
+    t.commit_append(wide, evolve=True)
+    # DV delete with a predicate on the APPENDED column: old files have
+    # no `extra` stats -> kept conservatively; rows resolve as NULL
+    # there, so only new-file rows can match
+    v = t.delete_where_dv(spark, [("extra", "=", 3)])
+    assert v is not None
+    expect_dead = {k for k in range(50, 100) if k % 7 == 3}
+    got = {r["k"] for r in t.read(spark).collect()}
+    assert got == set(range(100)) - expect_dead
+    # pruned read on the evolved table still exact
+    sub = {r["k"] for r in t.read_where(spark, [("k", ">=", 40), ("k", "<", 60)]).collect()}
+    assert sub == {k for k in range(40, 60) if k not in expect_dead}
+    # DV merge keeps the widened schema and the evolved marker
+    ups = spark.range(0, 5).select(
+        F.col("id").alias("k"), F.lit("m").alias("tag"),
+        F.lit(99).cast("long").alias("extra"),
+    )
+    t.merge_upsert_dv(spark, ups, key="k")
+    assert t.manifest().get("evolved") is True
+    rows = {r["k"]: (r["tag"], r["extra"]) for r in t.read(spark).collect()}
+    assert rows[0] == ("m", 99) and rows[10] == ("a", None)
+    # CDC over the evolved history NULL-fills old files too
+    ch = t.read_changes(spark, since_version=0)
+    ins50 = [r for r in ch.collect() if r["k"] == 55 and r["_change_type"] == "insert"]
+    assert ins50 and ins50[0]["extra"] == 55 % 7
