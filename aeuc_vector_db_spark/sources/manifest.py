@@ -457,6 +457,50 @@ class ManifestTable:
             return spark.read.schema(_sig_to_struct(m["schema"])).parquet(*files)
         return spark.read.parquet(*files)
 
+    # -- metadata-only aggregates ---------------------------------------
+
+    def count_rows(self, version: int | None = None) -> int:
+        """Exact LIVE row count from the manifest alone — zero data
+        files opened. Every commit maintains `n_rows` transactionally
+        (appends add, DV deletes/merges subtract dead positions), so
+        `SELECT COUNT(*)` is a metadata read. At 100 TB this is the
+        difference between a JSON read and a cluster job."""
+        return int(self.manifest(version)["n_rows"])
+
+    def column_span(self, col: str, version: int | None = None):
+        """(min, max) of `col` across the snapshot from per-file footer
+        stats — zero data files opened. Returns None when any listed
+        file lacks stats for the column (conservative: a partial span
+        presented as total would be silently wrong). NOTE: the span is
+        over PHYSICAL rows; soft-deleted (DV) positions still count, so
+        it is a superset bound for live rows — exactly how file-level
+        stats behave everywhere else in the skipping machinery."""
+        m = self.manifest(version)
+        stats = m.get("stats") or {}
+        mn = mx = None
+        for f in m["files"]:
+            span = (stats.get(f) or {}).get(col)
+            if span is None:
+                return None
+            mn = span[0] if mn is None else min(mn, span[0])
+            mx = span[1] if mx is None else max(mx, span[1])
+        return None if mn is None else (mn, mx)
+
+    def column_null_counts(self, col: str, version: int | None = None):
+        """(null_count, row_count) of `col` across the snapshot from
+        per-file null-count stats — zero data files opened; None when
+        any file lacks them. Physical rows, like `column_span`."""
+        m = self.manifest(version)
+        nulls = m.get("nulls") or {}
+        n_null = n_rows = 0
+        for f in m["files"]:
+            nn = (nulls.get(f) or {}).get(col)
+            if nn is None:
+                return None
+            n_null += nn[0]
+            n_rows += nn[1]
+        return (n_null, n_rows) if m["files"] else None
+
     def files_for(
         self, predicates: list[tuple] = (), version: int | None = None
     ) -> tuple[list[str], int]:
@@ -927,10 +971,20 @@ class ManifestTable:
         df: DataFrame,
         epoch_id: str | int | None = None,
         evolve: bool = False,
+        sort_by: list[str] | None = None,
+        n_files: int | None = None,
     ) -> int | None:
         """Append df as a new version. With `epoch_id`, the commit is
         idempotent: if that epoch is already in the log the data is NOT
         rewritten and None is returned (exactly-once foreachBatch sink).
+
+        `sort_by` range-clusters the batch's files on the listed
+        columns (same lever as compact(sort_by=…)) so per-file stats
+        stay tight from the first write — what keeps an INCREMENTALLY
+        built table's stat-pruned reads honest without waiting for a
+        compaction pass (`n_files` pins the per-batch file fan-out —
+        AQE otherwise coalesces a small batch to one file whose span
+        covers everything).
 
         `evolve=True` permits ADDITIVE schema evolution: the batch may
         append new columns after the table's existing ones (existing
@@ -942,7 +996,7 @@ class ManifestTable:
         eid = None if epoch_id is None else str(epoch_id)
         if eid is not None and eid in self.committed_epochs():
             return None
-        files, n = self._write_data_dir(df)
+        files, n = self._write_data_dir(df, sort_by=sort_by, n_files=n_files)
         return self._commit(
             "append", files, n, keep_parent_files=True, epoch_id=eid,
             evolve=evolve,

@@ -310,3 +310,75 @@ def test_ivfadc_recall_eval_deterministic(emb, queries):
     # that outranks a true neighbor in the full compressed ranking may
     # live in an unprobed cell, so restricting to probed cells removes
     # the false positive. Both knobs approximate, neither dominates.
+
+
+def test_streaming_ivf_index_maintenance(spark, tmp_path):
+    """Incremental ANN index on the transaction log: vector batches
+    arrive epoch by epoch, each append assigns centroid cells and
+    range-clusters its files by centroid_id (commit_append sort_by), so
+    probe-time reads prune FILES through the ordinary stats machinery —
+    IVF partition pruning without a rewrite, maintained incrementally.
+    A replayed epoch is absorbed; the pruned search equals brute force
+    over the live table."""
+    import numpy as np
+
+    from aeuc_vector_db_spark.operators.search import knn_search_batch_arrow
+    from aeuc_vector_db_spark.sources.manifest import ManifestTable
+
+    rng = np.random.default_rng(11)
+    dim, k_cells = 8, 4
+    # well-separated clusters so centroid training is unambiguous
+    centers = rng.normal(0, 1, (k_cells, dim)) * 10.0
+
+    def batch_df(epoch, n=60):
+        rows = []
+        for i in range(n):
+            cid = (epoch * n + i) % k_cells
+            v = centers[cid] + rng.normal(0, 0.5, dim)
+            rows.append((epoch * n + i, [float(x) for x in v]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # centroids train once, on the first epoch's batch
+    first = batch_df(0)
+    cent_local = A.fit_centroids_sample_local(first, k=k_cells, seed=42)
+    centroids = spark.createDataFrame(
+        cent_local, "centroid_id int, centroid array<double>"
+    )
+    t = ManifestTable(str(tmp_path / "ivf_table"), stats_cols=["centroid_id"])
+
+    def ingest(epoch):
+        b = batch_df(epoch)
+        with_cells = b.join(A.assign_centroids(b, cent_local), "vec_id")
+        t.commit_append(
+            with_cells, epoch_id=epoch, sort_by=["centroid_id"],
+            n_files=k_cells,
+        )
+
+    for epoch in range(3):
+        ingest(epoch)
+    ingest(1)  # replayed epoch: absorbed, no duplicates
+    assert t.count_rows() == 180
+
+    # probe two cells: the stats-pruned read opens fewer files...
+    probed = [0, 2]
+    keep, total = t.files_for([("centroid_id", "in", probed)])
+    assert 0 < len(keep) < total
+    # ...and the pruned search matches brute force over the live table
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in centers[0] + 0.1])],
+        "query_id long, query_embedding array<float>",
+    )
+    live = t.read(spark)
+    pruned = t.read_where(spark, [("centroid_id", "in", probed)])
+    got = [
+        r["vec_id"]
+        for r in knn_search_batch_arrow(pruned, q, top_k=5, metric="euclidean").collect()
+    ]
+    brute = [
+        r["vec_id"]
+        for r in knn_search_batch_arrow(
+            live.filter(F.col("centroid_id").isin(probed)), q, top_k=5,
+            metric="euclidean",
+        ).collect()
+    ]
+    assert got == brute and len(got) == 5

@@ -1065,3 +1065,28 @@ def test_schema_evolution_composes_with_dv_and_merge(spark, root):
     ch = t.read_changes(spark, since_version=0)
     ins50 = [r for r in ch.collect() if r["k"] == 55 and r["_change_type"] == "insert"]
     assert ins50 and ins50[0]["extra"] == 55 % 7
+
+
+def test_metadata_only_aggregates(spark, root):
+    """count/min/max/null-count from the manifest alone: live-exact
+    count through appends + DV deletes + DV merges; physical span and
+    null counts from footer stats; conservative None without stats."""
+    t = ManifestTable(root, stats_cols=["k"])
+    t.commit_append(_df(spark, (0, 100)))
+    t.commit_append(_df(spark, (100, 200)))
+    assert t.count_rows() == 200 == t.read(spark).count()
+    assert t.column_span("k") == (0, 199)
+    assert t.column_null_counts("k") == (0, 200)
+    t.delete_where_dv(spark, [("k", ">=", 50), ("k", "<", 80)])
+    assert t.count_rows() == 170 == t.read(spark).count()
+    # span is physical (soft-deleted positions still bound it)
+    assert t.column_span("k") == (0, 199)
+    t.merge_upsert_dv(spark, _df(spark, (0, 5), tag="m"), key="k")
+    assert t.count_rows() == 170 == t.read(spark).count()
+    # unknown / un-statted column: conservative None, never a guess
+    assert t.column_span("tag") is None
+    t2 = ManifestTable(str(root) + "_nostats")
+    t2.commit_append(_df(spark, (0, 10)))
+    assert t2.count_rows() == 10
+    assert t2.column_span("k") is None
+    assert t2.column_null_counts("k") is None
