@@ -62,6 +62,10 @@ HEADLINE = (
     # round 4: exact two-phase heavy hitters + budget/shuffle curation
     "doc_heavy_hitters",
     "doc_source_token_budget",
+    # round 6: the SQL entry point must carry DataFrame-path performance
+    # (same plan after parsing — a big gap here would mean the SQL
+    # functions broke whole-stage codegen)
+    "sql_entry_knn_cosine",
 )
 
 
@@ -217,8 +221,12 @@ def compact_json_line(payload: dict, limit: int = MAX_JSON_LINE) -> str:
     dropped; `queries` timings are the headline signal and at 3-decimal
     rounding ~30 entries stay well under the limit."""
     line = json.dumps(payload)
-    for droppable in ("cdc_history", "cc_chain", "dv_delete", "decode_imgs_per_s", "dedup_skew",
-                      "cluster_scale", "knn_scale", "ingest_rows_per_s"):
+    # drop the LONG-STABLE probes first (cluster/dedup numbers have been
+    # flat since r3); the newest signals (cdc_history, decode) and the
+    # headline scale claims go last
+    for droppable in ("cluster_scale", "dedup_skew", "cc_chain", "dv_delete",
+                      "cdc_history", "decode_imgs_per_s", "knn_scale",
+                      "ingest_rows_per_s"):
         if len(line) <= limit:
             break
         payload.pop(droppable, None)
