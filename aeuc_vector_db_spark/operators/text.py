@@ -387,3 +387,110 @@ def unigram_logprob(
         (F.col("__sum__") / F.col("n_tokens").cast("double")).alias("avg_logp"),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+def bm25_topk(
+    docs,
+    query_terms: "list[str]",
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Okapi BM25 retrieval over the corpus (the standard lexical
+    ranking function; Robertson & Zaragoza 2009 — public method):
+
+        idf(t)     = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+        score(d)   = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avglen))
+
+    with N = total docs, |d| = token count, avglen = mean token count
+    over docs with ≥1 token. Output: (id_col, score DOUBLE,
+    n_matched BIGINT) for the top_k docs, ranked (score DESC, id ASC).
+
+    Scale shape: the FIRST operation after tokenization filters to the
+    |q| query terms (broadcast isin) — a 100 TB corpus reduces to the
+    postings of a handful of terms before any shuffle; doc lengths are
+    one map-side count per doc; avglen folds to one scalar via an
+    EXACT integer sum (no float partial-agg order dependence); the
+    per-doc score folds term contributions in SORTED term order (the
+    unigram_logprob trick), so cross-engine hashes survive.
+
+    Reference analog: none — the reference searches embeddings only;
+    lexical retrieval is charter surface (E4 text analysis applied as
+    search).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    qt = sorted({t for t in query_terms if t})
+    if not qt:
+        raise ValueError("bm25_topk: empty query")
+    tok = docs.select(id_col, F.explode(tokens_col(F.col(text_col))).alias("term"))
+    dlen = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dlen.agg(
+        F.sum("dlen").alias("tok_total"), F.count(F.lit(1)).alias("docs_with_tokens")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf_q = (
+        tok.filter(F.col("term").isin(qt))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        ).alias("idf"),
+    )
+    contrib = (
+        tf_q.join(F.broadcast(idf), "term")
+        .join(dlen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "term",
+            (
+                F.col("idf")
+                * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b)
+                        * F.col("dlen").cast("double")
+                        / (
+                            F.col("tok_total").cast("double")
+                            / F.col("docs_with_tokens").cast("double")
+                        )
+                    )
+                )
+            ).alias("cterm"),
+        )
+    )
+    per_doc = contrib.groupBy(id_col).agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("term", "cterm"))),
+                lambda s: s["cterm"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("score"),
+        F.count(F.lit(1)).alias("n_matched"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            id_col,
+            "score",
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

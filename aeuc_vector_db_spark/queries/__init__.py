@@ -118,6 +118,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "manifest_cdc_incremental_agg",
     "ann_ivfadc_recall",
     "manifest_schema_evolution_read",
+    "doc_bm25_topk",
 )
 
 

@@ -691,7 +691,82 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval (E4 applied as search)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("hash", "stream", "vector")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed 3-term query. The per-doc score
+    folds term contributions in sorted term order on BOTH engines
+    (the unigram_logprob determinism trick); avglen comes from an
+    exact integer sum, so only per-term ln() ulps can differ —
+    absorbed by the 9 dp round."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = TX.bm25_topk(
+        docs, list(_BM25_TERMS), top_k=10, k1=_BM25_K1, b=_BM25_B
+    )
+    return out.select(
+        "doc_id", F.round("score", 9).alias("score"), "n_matched", "rank"
+    )
+
+
+_BM25_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({_dk_tokens()}) AS term FROM documents),
+dlen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(SUM(dlen) AS BIGINT) AS tok_total,
+         CAST(COUNT(*) AS BIGINT) AS docs_with_tokens
+  FROM dlen
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+tfq AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN {_BM25_TERMS!r}
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY term),
+idf AS (
+  SELECT term,
+         ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5)) AS idf
+  FROM dfreq CROSS JOIN n
+),
+contrib AS (
+  SELECT tfq.doc_id, tfq.term,
+         idf * (CAST(tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+             / (CAST(tf AS DOUBLE)
+                + {_BM25_K1} * ((1.0 - {_BM25_B})
+                   + {_BM25_B} * CAST(dlen AS DOUBLE)
+                     / (CAST(tok_total AS DOUBLE) / CAST(docs_with_tokens AS DOUBLE))))
+           AS cterm
+  FROM tfq
+  JOIN idf ON tfq.term = idf.term
+  JOIN dlen ON tfq.doc_id = dlen.doc_id
+  CROSS JOIN stats
+),
+per_doc AS (
+  SELECT doc_id, list(cterm ORDER BY term) AS cl,
+         CAST(COUNT(*) AS BIGINT) AS n_matched
+  FROM contrib GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, list_reduce(cl, (a, x) -> a + x) AS score, n_matched,
+         row_number() OVER (
+           ORDER BY list_reduce(cl, (a, x) -> a + x) DESC, doc_id ASC
+         ) AS rank
+  FROM per_doc
+)
+SELECT doc_id, ROUND(score, 9) AS score, n_matched, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 QUERIES = {
+    "doc_bm25_topk": (_doc_bm25_topk, _BM25_ORACLE),
     "doc_heavy_hitters": (_doc_heavy_hitters, _HEAVY_HITTERS_ORACLE),
     "doc_unigram_logprob": (_doc_unigram_logprob, _UNIGRAM_LOGPROB_ORACLE),
     "doc_token_stats": (_doc_token_stats, _TOKEN_STATS_ORACLE),

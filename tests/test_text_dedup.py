@@ -314,3 +314,32 @@ def test_unigram_logprob_ranks_fluent_over_rare(documents):
     rows = {r["doc_id"]: r["avg_logp"] for r in scored.collect()}
     real_scores = [v for k, v in rows.items() if k != 99999]
     assert rows[99999] < min(real_scores)
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 on a 3-doc corpus against hand-computed scores
+    (k1=1.2, b=0.75, avglen=3, idf(a)=idf(c)=ln(1.6)):
+      d3: ln1.6·(3·2.2/4.5 + 2.2/2.5) ≈ ln1.6·2.346667  (2 matched)
+      d1: ln1.6·(2·2.2/3.2)           = ln1.6·1.375      (1 matched)
+      d2: ln1.6·(2.2/1.9)             ≈ ln1.6·1.157895   (1 matched)"""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "c c c a")], "doc_id long, text string"
+    )
+    from aeuc_vector_db_spark.operators.text import bm25_topk
+
+    rows = bm25_topk(docs, ["a", "c"], top_k=10).collect()
+    got = [(r["doc_id"], r["rank"], r["n_matched"], r["score"]) for r in rows]
+    l16 = math.log(1.6)
+    assert [(d, rk, nm) for d, rk, nm, _ in got] == [(3, 1, 2), (1, 2, 1), (2, 3, 1)]
+    assert abs(got[0][3] - l16 * (3 * 2.2 / 4.5 + 2.2 / 2.5)) < 1e-12
+    assert abs(got[1][3] - l16 * (2 * 2.2 / 3.2)) < 1e-12
+    assert abs(got[2][3] - l16 * (2.2 / 1.9)) < 1e-12
+    # terms absent from the corpus contribute nothing; all-absent query
+    # returns no rows (no postings survive the isin filter)
+    assert bm25_topk(docs, ["zzz"], top_k=5).count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="empty query"):
+        bm25_topk(docs, [])
