@@ -494,3 +494,66 @@ def bm25_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: "list",
+    k: int = 60,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009 —
+    public method): fuse any number of ranked lists into one by
+    score(d) = Σ_lists 1/(k + rank_list(d)), the standard way to combine
+    lexical (BM25) and vector (k-NN) retrieval without score
+    calibration — ranks are comparable where raw scores are not.
+
+    Each input DataFrame needs (id_col, rank). Docs absent from a list
+    contribute nothing for it (the conventional treatment). The fused
+    score is a sum of exact dyadic-free rationals evaluated in LIST
+    ORDER via a sequential fold over the per-doc contributions sorted
+    by list index — deterministic across partitionings and engines.
+    Output: (id_col, rrf_score, n_lists, rank), ranked
+    (rrf_score DESC, id ASC).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not rankings:
+        raise ValueError("rrf_fuse: no rankings")
+    parts = []
+    for i, r in enumerate(rankings):
+        parts.append(
+            r.select(
+                F.col(id_col),
+                F.lit(i).alias("__list__"),
+                (F.lit(1.0) / (F.lit(float(k)) + F.col("rank").cast("double"))).alias(
+                    "__c__"
+                ),
+            )
+        )
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    fused = allc.groupBy(id_col).agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__list__", "__c__"))),
+                lambda s: s["__c__"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            id_col,
+            "rrf_score",
+            F.col("n_lists").cast("bigint").alias("n_lists"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -119,6 +119,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_ivfadc_recall",
     "manifest_schema_evolution_read",
     "doc_bm25_topk",
+    "doc_hybrid_rrf_topk",
 )
 
 

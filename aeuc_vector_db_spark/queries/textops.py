@@ -765,7 +765,126 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def _doc_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 and embedding-cosine
+    top-20 (doc_id ≡ vec_id across the fixture tables) fused by
+    reciprocal-rank fusion (k=60) — the calibration-free way to combine
+    the two retrieval modalities. Both branch rankings are
+    integer-deterministic and the fused sum folds contributions in list
+    order, so the oracle mirrors it term for term."""
+    from aeuc_vector_db_spark.functions.similarity import cosine_col
+    from aeuc_vector_db_spark.functions.vector import as_double, lit_vector
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    bm25 = TX.bm25_topk(
+        docs, list(_BM25_TERMS), top_k=20, k1=_BM25_K1, b=_BM25_B
+    ).select("doc_id", "rank")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    ]
+    w = Window.orderBy(F.col("__s__").desc(), F.col("doc_id").asc())
+    vec = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_col(as_double("embedding"), lit_vector(qvec)).alias("__s__"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "rank")
+    )
+    fused = TX.rrf_fuse([bm25, vec], k=60, top_k=10)
+    return fused.select(
+        "doc_id", F.round("rrf_score", 9).alias("rrf_score"), "n_lists", "rank"
+    )
+
+
+_HYBRID_RRF_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({_dk_tokens()}) AS term FROM documents),
+dlen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(SUM(dlen) AS BIGINT) AS tok_total,
+         CAST(COUNT(*) AS BIGINT) AS docs_with_tokens
+  FROM dlen
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+tfq AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN {_BM25_TERMS!r}
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY term),
+idf AS (
+  SELECT term,
+         ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5)) AS idf
+  FROM dfreq CROSS JOIN n
+),
+contrib AS (
+  SELECT tfq.doc_id, tfq.term,
+         idf * (CAST(tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+             / (CAST(tf AS DOUBLE)
+                + {_BM25_K1} * ((1.0 - {_BM25_B})
+                   + {_BM25_B} * CAST(dlen AS DOUBLE)
+                     / (CAST(tok_total AS DOUBLE) / CAST(docs_with_tokens AS DOUBLE))))
+           AS cterm
+  FROM tfq
+  JOIN idf ON tfq.term = idf.term
+  JOIN dlen ON tfq.doc_id = dlen.doc_id
+  CROSS JOIN stats
+),
+bm_ranked AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY list_reduce(list(cterm ORDER BY term), (a, x) -> a + x) DESC,
+                    doc_id ASC
+         ) AS rank
+  FROM contrib GROUP BY doc_id
+),
+bm25 AS (SELECT doc_id, rank FROM bm_ranked WHERE rank <= 20),
+q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 7
+),
+vec_scored AS (
+  SELECT vec_id AS doc_id,
+         list_reduce(list_transform(list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv),
+                                    p -> p[1]*p[2]), (s, x) -> s + x)
+         / (sqrt(list_reduce(list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                            x -> x*x), (s, x) -> s + x))
+            * sqrt(list_reduce(list_transform(qv, x -> x*x), (s, x) -> s + x)) + 1e-12) AS s
+  FROM embeddings CROSS JOIN q
+),
+vec_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM vec_scored
+),
+vec AS (SELECT doc_id, rank FROM vec_ranked WHERE rank <= 20),
+contribs AS (
+  SELECT doc_id, 0 AS list_idx, 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM bm25
+  UNION ALL
+  SELECT doc_id, 1, 1.0 / (60.0 + CAST(rank AS DOUBLE)) FROM vec
+),
+fused AS (
+  SELECT doc_id,
+         list_reduce(list(c ORDER BY list_idx), (a, x) -> a + x) AS rrf_score,
+         CAST(COUNT(*) AS BIGINT) AS n_lists
+  FROM contribs GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, rrf_score, n_lists,
+         row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT doc_id, ROUND(rrf_score, 9) AS rrf_score, n_lists,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 QUERIES = {
+    "doc_hybrid_rrf_topk": (_doc_hybrid_rrf_topk, _HYBRID_RRF_ORACLE),
     "doc_bm25_topk": (_doc_bm25_topk, _BM25_ORACLE),
     "doc_heavy_hitters": (_doc_heavy_hitters, _HEAVY_HITTERS_ORACLE),
     "doc_unigram_logprob": (_doc_unigram_logprob, _UNIGRAM_LOGPROB_ORACLE),

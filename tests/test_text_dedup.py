@@ -343,3 +343,27 @@ def test_bm25_hand_computed(spark):
 
     with _pt.raises(ValueError, match="empty query"):
         bm25_topk(docs, [])
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF on two hand-built rankings (k=60):
+      doc 1: ranks (1, 2) → 1/61 + 1/62
+      doc 2: rank 2 list A only → 1/62
+      doc 3: rank 1 list B only → 1/61
+    Order: 1 > 3 > 2 (shared presence beats either single list)."""
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(3, 1), (1, 2)], "doc_id long, rank long")
+    from aeuc_vector_db_spark.operators.text import rrf_fuse
+
+    rows = rrf_fuse([a, b], k=60, top_k=10).collect()
+    got = [(r["doc_id"], r["rank"], r["n_lists"], r["rrf_score"]) for r in rows]
+    assert [(d, rk, nl) for d, rk, nl, _ in got] == [
+        (1, 1, 2), (3, 2, 1), (2, 3, 1)
+    ]
+    assert abs(got[0][3] - (1 / 61 + 1 / 62)) < 1e-15
+    assert abs(got[1][3] - 1 / 61) < 1e-15
+    assert abs(got[2][3] - 1 / 62) < 1e-15
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no rankings"):
+        rrf_fuse([])
