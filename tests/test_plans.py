@@ -141,3 +141,35 @@ def test_round4_plan_shape(spark, name, required):
     plan = _plan(spark, name)
     missing = [r for r in required if r not in plan]
     assert not missing, f"{name}: missing plan shapes {missing}"
+
+
+def test_sql_entry_stays_jvm_side(spark):
+    """The SQL entry point's scalar functions must expand into the plan
+    as JVM expressions — any Python-worker operator here would mean the
+    SQL surface silently took the 10-100x slow path the Column builders
+    avoid."""
+    plan = _plan(spark, "sql_entry_knn_cosine")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    plan2 = _plan(spark, "sql_entry_pricing")
+    assert "BatchEvalPython" not in plan2 and "ArrowEvalPython" not in plan2
+    assert "HashAggregate" in plan2
+
+
+def test_bm25_no_cartesian_and_rrf_shapes(spark):
+    """BM25/RRF: the only nested-loop joins allowed are the 1-row
+    broadcast scalars (avglen, N); a real CartesianProduct would mean
+    the postings exploded against the corpus."""
+    for name in ("doc_bm25_topk", "doc_hybrid_rrf_topk"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan or "doc_hybrid" in name, name
+
+
+def test_window_top_k_uses_group_limit(spark):
+    """Spark's WindowGroupLimit pushes rank<=k below the shuffle as a
+    per-partition partial top-k — the plan property that keeps
+    top-k-per-group from sorting whole partitions at 100 TB. Pin it so
+    a config/regression never silently drops it."""
+    plan = _plan(spark, "rel_top_orders_per_customer")
+    assert "WindowGroupLimit" in plan
