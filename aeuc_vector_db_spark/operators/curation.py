@@ -489,3 +489,45 @@ def source_token_budget(
         "budget_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     )
     return out.filter(F.col("budget_offset") < F.lit(budget_tokens)).drop("__draw__")
+
+
+def leakproof_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    val_threshold: int = 2000,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Near-dup-aware train/validation split: the split UNIT is the
+    connected component of the near-duplicate graph, never the
+    document — so no near-dup pair can straddle the boundary (the
+    classic eval leak: a validation doc whose near-copy sits in the
+    training set makes the benchmark score a memorization probe).
+
+    `pairs` is any (a_id, b_id) near-dup pair set (MinHash, n-gram
+    Jaccard, embedding cosine — all of dedup.py's generators fit);
+    components come from the O(log n)-round star contraction, and docs
+    with no dup edge are their own singleton cluster. The split
+    assignment hashes the CLUSTER id through the same deterministic
+    Fibonacci-spread bucket as stratified_sample (bucket <
+    `val_threshold` of 10,000 → 'val'), so re-running reproduces the
+    split exactly and changing `salt` redraws it.
+
+    Returns docs + (cluster_id, split). Scale shape: one CC over the
+    pair set (tiny relative to the corpus), one left join back, then a
+    pure map-side hash — no extra corpus shuffle.
+    """
+    from aeuc_vector_db_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    out = docs.join(comp, id_col, "left")
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    bucket = sample_bucket_col(cluster.cast("string"), salt=salt)
+    split = F.when(bucket < F.lit(int(val_threshold)), F.lit("val")).otherwise(
+        F.lit("train")
+    )
+    return out.select(
+        *[F.col(c) for c in docs.columns],
+        cluster.alias("cluster_id"),
+        split.alias("split"),
+    )

@@ -120,6 +120,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "manifest_schema_evolution_read",
     "doc_bm25_topk",
     "doc_hybrid_rrf_topk",
+    "doc_leakproof_split",
 )
 
 

@@ -883,7 +883,71 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def _doc_leakproof_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-aware train/val split (round 6): the split unit
+    is the connected component of the n-gram-Jaccard near-dup graph, so
+    no near-dup pair straddles the boundary. The oracle recomputes the
+    components via a RECURSIVE min-label propagation in DuckDB and the
+    identical Fibonacci-spread bucket of the cluster id — a doc split
+    by its own id instead of its cluster's, or a mislabeled component,
+    diverges the per-split aggregate hash. Zero cross-split pairs are
+    additionally pinned in test_curation.py."""
+    from aeuc_vector_db_spark.operators import curation as CU
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(
+        corpus.withColumn("block", F.col("doc_id") % 100000 % 50),
+        block_col="block",
+        threshold=0.6,
+        shingle_n=2,
+    ).select("a_id", "b_id")
+    out = CU.leakproof_split(corpus, pairs, val_threshold=2000)
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+
+
+_LEAKPROOF_SPLIT_ORACLE = f"""
+WITH RECURSIVE
+corpus AS ({_NEAR_DUP_CORPUS_SQL}),
+sh AS (
+  SELECT doc_id % 100000 % 50 AS block, doc_id, {_dk_shingle_hashes('text', 2)} AS shset
+  FROM corpus
+),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE {_dk_jaccard('a.shset', 'b.shset')} >= 0.6
+),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM p
+  UNION ALL
+  SELECT b_id, a_id FROM p
+),
+lab(node, comp) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.u, lab.comp FROM edges e JOIN lab ON lab.node = e.v
+),
+comp AS (SELECT node AS doc_id, MIN(comp) AS cluster_id FROM lab GROUP BY node),
+assigned AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN (({_dk_polyhash("('0:' || CAST(cluster_id AS VARCHAR))")}
+                     * 2654435761) % 4294967296) % 10000 < 2000
+              THEN 'val' ELSE 'train' END AS split
+  FROM comp
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+FROM assigned GROUP BY split
+"""
+
+
 QUERIES = {
+    "doc_leakproof_split": (_doc_leakproof_split, _LEAKPROOF_SPLIT_ORACLE),
     "doc_hybrid_rrf_topk": (_doc_hybrid_rrf_topk, _HYBRID_RRF_ORACLE),
     "doc_bm25_topk": (_doc_bm25_topk, _BM25_ORACLE),
     "doc_heavy_hitters": (_doc_heavy_hitters, _HEAVY_HITTERS_ORACLE),

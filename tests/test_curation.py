@@ -451,3 +451,38 @@ def test_source_token_budget_deterministic(documents):
         ).select("source", "doc_id").collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_leakproof_split_no_pair_straddles(spark):
+    """THE invariant: no near-dup pair may cross the train/val boundary
+    — and singletons split independently (the split key is the cluster,
+    not the doc)."""
+    from aeuc_vector_db_spark.operators import curation as CU
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(60)], "doc_id long, text string"
+    )
+    # chain clusters {0..4}, {10,11}, plus singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], "a_id long, b_id long"
+    )
+    out = CU.leakproof_split(docs, pairs, val_threshold=5000)
+    rows = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out.collect()}
+    # every clustered doc carries its component minimum and ONE split
+    assert {rows[i] for i in range(5)} == {(0, rows[0][1])}
+    assert {rows[i] for i in (10, 11)} == {(10, rows[10][1])}
+    # singletons are their own cluster
+    assert rows[20] == (20, rows[20][1])
+    # invariant: zero pairs straddle
+    for a, b in [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)]:
+        assert rows[a][1] == rows[b][1]
+    # both splits are populated at a 50% threshold on 50+ singletons
+    splits = {s for _, s in rows.values()}
+    assert splits == {"train", "val"}
+    # deterministic: same salt reproduces, different salt redraws
+    again = {r["doc_id"]: r["split"] for r in CU.leakproof_split(
+        docs, pairs, val_threshold=5000).collect()}
+    assert again == {k: s for k, (_, s) in rows.items()}
+    other = {r["doc_id"]: r["split"] for r in CU.leakproof_split(
+        docs, pairs, val_threshold=5000, salt=1).collect()}
+    assert other != again
