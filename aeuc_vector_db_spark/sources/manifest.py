@@ -657,7 +657,7 @@ class ManifestTable:
         bad = [
             (m["version"], m["action"])
             for m in ms
-            if m["action"] not in ("append", "delete_dv", "merge_dv")
+            if m["action"] not in ("append", "delete_dv", "merge_dv", "compact_dv")
         ]
         if bad:
             raise ValueError(
@@ -673,9 +673,14 @@ class ManifestTable:
             for f in m["files"]:
                 if f not in prev_files:
                     inserts.append((f, m["version"]))
-            for d in m.get("deletes") or []:
-                if d not in prev_dvs:
-                    deletes.append((d, m["version"]))
+            # compact_dv rewrites the SIDE-CAR list without changing any
+            # row (the consolidated dir holds exactly the old dirs'
+            # union) — reporting its "new" dir would re-emit every
+            # historical delete as a fresh change
+            if m["action"] != "compact_dv":
+                for d in m.get("deletes") or []:
+                    if d not in prev_dvs:
+                        deletes.append((d, m["version"]))
             prev_files = set(m["files"])
             prev_dvs = set(m.get("deletes") or [])
         # ONE scan per change type, with commit-version attribution via a
@@ -820,10 +825,16 @@ class ManifestTable:
         """Per-file bloom filters for `bloom_cols`, from one columnar
         read of each freshly-written local file (int/string columns
         only — float canonicalization is a cross-engine footgun). The
-        sidecar name starts with '_' so Spark's parquet reader skips it."""
+        sidecar name starts with '_' so Spark's parquet reader skips
+        it. Sidecars are written PER PARENT DIRECTORY (the probe side
+        resolves `dirname(file)/_blooms.json`), which makes the same
+        code serve the flat layout (one sidecar in the data dir) and
+        the bucketed layout (one per `__bucket__=N` subdir) —
+        round 6: bucketed tables previously wrote no blooms at all, so
+        their DV merges pruned by stats only."""
         import pyarrow.parquet as pq
 
-        sidecar: dict[str, dict] = {}
+        by_dir: dict[str, dict] = {}
         for rel in rel_files:
             path = os.path.join(self.root, rel)
             schema = pq.ParquetFile(path).schema_arrow
@@ -838,9 +849,11 @@ class ManifestTable:
                     continue
                 entry[c] = _bloom_build(vals, self.bloom_fpp)
             if entry:
-                sidecar[os.path.basename(rel)] = entry
-        if sidecar:
-            with open(os.path.join(out_dir, "_blooms.json"), "w") as fh:
+                by_dir.setdefault(os.path.dirname(path), {})[
+                    os.path.basename(rel)
+                ] = entry
+        for d, sidecar in by_dir.items():
+            with open(os.path.join(d, "_blooms.json"), "w") as fh:
                 json.dump(sidecar, fh)
 
     def _try_publish(self, manifest: dict, version: int) -> bool:
@@ -1327,6 +1340,48 @@ class ManifestTable:
             "compact", files, n, keep_parent_files=False, expected_parent=parent
         )
 
+    def compact_deletes(self, spark: SparkSession) -> int | None:
+        """Consolidate all deletion-vector sidecars into ONE fresh dir
+        (data files untouched): a long soft-delete history accumulates
+        one tiny DV dir per delete/merge, and every read anti-joins
+        their union — this folds them so reads open one sidecar
+        regardless of history length. Returns the new version, or None
+        when the snapshot has ≤1 DV dir (nothing to fold). Old versions
+        stay time-travel readable until vacuumed; conflicts with an
+        interleaved writer abort (maintenance job semantics, like
+        compact)."""
+        parent = self.latest_version()
+        if parent is None:
+            raise FileNotFoundError(f"no committed version at {self.root!r}")
+        m = self.manifest(parent)
+        dvs = m.get("deletes") or []
+        if len(dvs) <= 1:
+            return None
+        merged = spark.read.parquet(*[os.path.join(self.root, d) for d in dvs])
+        token = uuid.uuid4().hex[:16]
+        rel_dir = os.path.join(_DATA_DIR, token)
+        merged.coalesce(1).write.parquet(os.path.join(self.root, rel_dir))
+        manifest = {
+            "format_version": FORMAT_VERSION,
+            "version": parent + 1,
+            "parent": parent,
+            "action": "compact_dv",
+            "files": m["files"],
+            "n_rows": m["n_rows"],
+            "epoch_id": None,
+            "schema": m.get("schema"),
+            "committed_at_s": round(time.time(), 3),
+            "deletes": [rel_dir],
+            **({"evolved": True} if m.get("evolved") else {}),
+            **{k: m[k] for k in self._PER_FILE_KEYS if k in m},
+        }
+        if not self._try_publish(manifest, parent + 1):
+            shutil.rmtree(os.path.join(self.root, rel_dir), ignore_errors=True)
+            raise CommitConflictError(
+                "snapshot moved under compact_deletes; re-run the maintenance job"
+            )
+        return parent + 1
+
     def vacuum(self, retain_last: int = 1, min_age_s: float = 3600.0) -> dict:
         """Reclaim space: drop manifests older than the last `retain_last`
         and delete data dirs no retained manifest references (covers
@@ -1411,8 +1466,13 @@ class BucketedManifestTable(ManifestTable):
         key: str | None = None,
         n_buckets: int | None = None,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_fpp: float = 0.01,
     ):
-        super().__init__(root, stats_cols=stats_cols)
+        super().__init__(
+            root, stats_cols=stats_cols, bloom_cols=bloom_cols,
+            bloom_fpp=bloom_fpp,
+        )
         marker = os.path.join(root, self.TABLE_MARKER)
         if os.path.exists(marker):
             with open(marker) as fh:
@@ -1512,6 +1572,8 @@ class BucketedManifestTable(ManifestTable):
                 rel: _file_nulls(os.path.join(self.root, rel), self.stats_cols)
                 for rel in files
             }
+        if self.bloom_cols:
+            self._write_blooms(out_dir, files)
         return files, n
 
     # delete_where_dv / merge_upsert_dv are inherited: positional

@@ -1090,3 +1090,53 @@ def test_metadata_only_aggregates(spark, root):
     assert t2.count_rows() == 10
     assert t2.column_span("k") is None
     assert t2.column_null_counts("k") is None
+
+
+def test_compact_deletes_folds_sidecars(spark, root):
+    """Many DV dirs fold into one; reads identical before/after; the
+    CDC feed neither loses the original deletes nor re-emits them for
+    the compaction commit; a later delete still appears."""
+    t = ManifestTable(root, stats_cols=["k"])
+    t.commit_append(_df(spark, (0, 100)))
+    for lo in (10, 30, 50):
+        t.delete_where_dv(spark, [("k", ">=", lo), ("k", "<", lo + 5)])
+    before = sorted(r["k"] for r in t.read(spark).collect())
+    assert len(t.manifest().get("deletes") or []) == 3
+    v = t.compact_deletes(spark)
+    assert v is not None
+    assert len(t.manifest()["deletes"]) == 1
+    assert sorted(r["k"] for r in t.read(spark).collect()) == before
+    assert t.count_rows() == len(before)
+    # idempotent-ish: nothing to fold → None, no commit
+    assert t.compact_deletes(spark) is None
+    # CDC: the three original deletes keep their versions; the
+    # compaction itself contributes no changes; later deletes appear
+    ch = t.read_changes(spark, since_version=0)
+    dels = [
+        (r["k"], r["_commit_version"])
+        for r in ch.collect()
+        if r["_change_type"] == "delete"
+    ]
+    assert len(dels) == 15 and {v for _, v in dels} == {1, 2, 3}
+    t.delete_where_dv(spark, [("k", "=", 90)])
+    ch2 = t.read_changes(spark, since_version=v)
+    assert [(r["k"], r["_change_type"]) for r in ch2.collect()] == [(90, "delete")]
+    assert t.read(spark).count() == len(before) - 1
+
+
+def test_bucketed_blooms_prune_dv_merge_candidates(spark, tmp_path):
+    """Bucketed tables now write per-bucket-dir bloom sidecars: a point
+    probe on the bloom column prunes to ~1 file even though every
+    bucket file's min/max span covers the key range."""
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    t = BucketedManifestTable(
+        str(tmp_path / "bt"), key="k", n_buckets=8, bloom_cols=["k"]
+    )
+    t.commit_overwrite(_df(spark, (0, 400)))
+    keep, total = t.files_for([("k", "=", 123)])
+    # blooms are probabilistic by design (fpp=1%): the containing file
+    # plus at most a false positive or two — never the full file list
+    assert total >= 8 and 1 <= len(keep) <= 3
+    assert len(t.files_for([("k", "=", 999_999)])[0]) <= 1  # fp allowance
+    assert [r["k"] for r in t.read_where(spark, [("k", "=", 123)]).collect()] == [123]
