@@ -121,6 +121,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_bm25_topk",
     "doc_hybrid_rrf_topk",
     "doc_leakproof_split",
+    "manifest_dnf_skipping_read",
 )
 
 

@@ -524,7 +524,49 @@ FROM final GROUP BY lang
 """
 
 
+def _manifest_dnf_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive (DNF) data skipping: three disjoint-range appends,
+    then ONE read under `(40 ≤ doc_id < 60) OR doc_id = 450` — the
+    union of the per-group file prunes opens the first and third
+    appends' files and skips the middle entirely (pinned in
+    test_manifest.py). The oracle computes the same disjunction
+    directly."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = ManifestTable(
+        tempfile.mkdtemp(prefix="aeuc_manifest_dnf_"), stats_cols=["doc_id"]
+    )
+    t.commit_append(docs.filter(F.col("doc_id") < 150))
+    t.commit_append(docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)))
+    t.commit_append(docs.filter(F.col("doc_id") >= 300))
+    pruned = t.read_where_any(
+        spark,
+        [
+            [("doc_id", ">=", 40), ("doc_id", "<", 60)],
+            [("doc_id", "=", 450)],
+        ],
+    )
+    return pruned.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_DNF_SKIPPING_ORACLE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE (doc_id >= 40 AND doc_id < 60) OR doc_id = 450
+GROUP BY lang
+"""
+
+
 QUERIES = {
+    "manifest_dnf_skipping_read": (
+        _manifest_dnf_skipping_read,
+        _DNF_SKIPPING_ORACLE,
+    ),
     "manifest_schema_evolution_read": (
         _manifest_schema_evolution_read,
         _SCHEMA_EVOLUTION_ORACLE,

@@ -457,6 +457,55 @@ class ManifestTable:
             return spark.read.schema(_sig_to_struct(m["schema"])).parquet(*files)
         return spark.read.parquet(*files)
 
+    def files_for_any(
+        self, groups: list[list[tuple]], version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Data skipping for a DISJUNCTION of predicate groups (DNF):
+        `groups` = [g1, g2, ...] where each gi is a files_for-style
+        AND-list; a file is kept iff ANY group might match it — the
+        union of the per-group keeps, preserving manifest order. The
+        OR shape `(a BETWEEN x AND y) OR (a = z)` is the natural form
+        of multi-tenant and backfill reads that a single AND-list
+        can't express."""
+        if not groups:
+            return [], len(self.manifest(version)["files"])
+        keeps: set[str] = set()
+        total = 0
+        for g in groups:
+            keep, total = self.files_for(g, version)
+            keeps.update(keep)
+        m = self.manifest(version)
+        return [f for f in m["files"] if f in keeps], total
+
+    def read_where_any(
+        self,
+        spark: SparkSession,
+        groups: list[list[tuple]],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Exactly `read().filter(OR(AND(g) for g in groups))`, minus
+        the files NO group might match (files_for_any)."""
+        keep, _total = self.files_for_any(groups, version)
+        cond = None
+        for g in groups:
+            c = _predicates_condition(g)
+            if c is None:
+                cond = None  # an empty group matches everything
+                break
+            cond = c if cond is None else cond | c
+        if not keep:
+            df = self.read(spark, version).limit(0)
+        else:
+            m = self.manifest(version)
+            df = self._apply_deletes(
+                spark,
+                self._read_files(
+                    spark, [os.path.join(self.root, f) for f in keep], m
+                ),
+                m,
+            )
+        return df.filter(cond) if cond is not None else df
+
     # -- metadata-only aggregates ---------------------------------------
 
     def count_rows(self, version: int | None = None) -> int:

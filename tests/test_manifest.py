@@ -1140,3 +1140,23 @@ def test_bucketed_blooms_prune_dv_merge_candidates(spark, tmp_path):
     assert total >= 8 and 1 <= len(keep) <= 3
     assert len(t.files_for([("k", "=", 999_999)])[0]) <= 1  # fp allowance
     assert [r["k"] for r in t.read_where(spark, [("k", "=", 123)]).collect()] == [123]
+
+
+def test_dnf_skipping_unions_group_prunes(spark, root):
+    """OR-of-AND-groups skipping: the kept set is the union of each
+    group's pruned set (middle append untouched by either group), rows
+    exactly match the disjunction, and an empty group list reads
+    nothing while an empty GROUP matches everything."""
+    t = ManifestTable(root, stats_cols=["k"])
+    t.commit_append(_df(spark, (0, 100)))
+    t.commit_append(_df(spark, (100, 200)))
+    t.commit_append(_df(spark, (200, 300)))
+    groups = [[("k", ">=", 10), ("k", "<", 20)], [("k", "=", 250)]]
+    keep, total = t.files_for_any(groups)
+    k1 = set(t.files_for(groups[0])[0])
+    k2 = set(t.files_for(groups[1])[0])
+    assert set(keep) == k1 | k2 and 0 < len(keep) < total
+    got = sorted(r["k"] for r in t.read_where_any(spark, groups).collect())
+    assert got == list(range(10, 20)) + [250]
+    assert t.files_for_any([])[0] == []
+    assert t.read_where_any(spark, [[("k", "=", 5)], []]).count() == 300
