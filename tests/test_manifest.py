@@ -1160,3 +1160,30 @@ def test_dnf_skipping_unions_group_prunes(spark, root):
     assert got == list(range(10, 20)) + [250]
     assert t.files_for_any([])[0] == []
     assert t.read_where_any(spark, [[("k", "=", 5)], []]).count() == 300
+
+
+def test_bucketed_schema_evolution_with_bounded_merge(spark, tmp_path):
+    """Additive evolution composes with the BUCKETED layout: an
+    evolve=True append widens the schema, the bounded merge reads its
+    rewrite buckets under the widened schema (old files NULL-fill), and
+    untouched buckets carry forward with the sticky evolved marker."""
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    t = BucketedManifestTable(str(tmp_path / "bt"), key="k", n_buckets=4)
+    t.commit_overwrite(_df(spark, (0, 40)))
+    wide = spark.range(40, 80).select(
+        F.col("id").alias("k"), F.lit("b").alias("tag"),
+        (F.col("id") * 3).alias("extra"),
+    )
+    t.commit_append(wide, evolve=True)
+    rows = {r["k"]: (r["tag"], r["extra"]) for r in t.read(spark).collect()}
+    assert rows[5] == ("a", None) and rows[45] == ("b", 135) and len(rows) == 80
+    ups = spark.range(0, 3).select(
+        F.col("id").alias("k"), F.lit("m").alias("tag"),
+        F.lit(-1).cast("long").alias("extra"),
+    )
+    t.merge_upsert(spark, ups)
+    assert t.manifest().get("evolved") is True
+    rows = {r["k"]: (r["tag"], r["extra"]) for r in t.read(spark).collect()}
+    assert rows[0] == ("m", -1) and rows[10] == ("a", None) and rows[45] == ("b", 135)
+    assert t.count_rows() == 80 == len(rows)
