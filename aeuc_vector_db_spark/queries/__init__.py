@@ -61,67 +61,70 @@ for _mod_name in (
 
 
 # The driver's correctness pass checks the FIRST 50 registry entries
-# (CORRECTNESS_r02..r05 each hold exactly 50 rows regardless of registry
+# (CORRECTNESS_r02..r06 each hold exactly 50 rows regardless of registry
 # size). Ordering therefore decides which queries get a driver-verified
 # row each round; the window is rotated so no query's newest driver row
-# is ever more than one round old. Round 5 verified the 50 queries in
-# CORRECTNESS_r05.json; this list puts the 34 queries absent from that
-# file (the r4-window set) FIRST so round 6 re-verifies them, followed
-# by queries new in round 6 (which need a driver row in their first
+# is ever more than one round old. Round 6 verified the 50 queries in
+# CORRECTNESS_r06.json; this list puts the 47 queries absent from that
+# file (the r5-window set) FIRST so round 7 re-verifies them, followed
+# by queries new in round 7 (which need a driver row in their first
 # round). COVERAGE.md maps each query to the round whose CORRECTNESS
 # file holds its green row.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # r4-window set: last driver-verified in CORRECTNESS_r04 (re-checked
-    # green via tools/check_correctness.py in round 5)
-    "import_dedup",
-    "delete_recompute",
-    "export_ordered",
-    "embedding_normalize",
-    "rel_pricing_summary",
-    "rel_top_revenue_orders",
-    "rel_revenue_by_nation",
-    "rel_top_orders_per_customer",
-    "rel_parts_never_ordered",
-    "rel_late_order_priority",
-    "doc_heavy_hitters",
-    "doc_unigram_logprob",
-    "doc_clean_corpus_pipeline",
-    "ivf_pruned_search",
-    "ivf_arrow_pruned_search",
-    "ann_ivf_recall",
-    "two_level_search",
-    "events_hourly_window",
-    "events_sessionize",
-    "events_json_props",
-    "multimodal_feature_stats",
-    "multimodal_transform_stats",
-    "doc_decontaminate",
-    "doc_epoch_shuffle",
-    "doc_source_token_budget",
-    "doc_repetition_ratio",
-    "doc_source_rebalance",
-    "emb_pca_project",
-    "doc_stratified_sample",
-    "doc_pii_scrub",
-    "doc_sequence_pack",
-    "emb_quantize_int8",
-    "manifest_merge_read",
-    "manifest_incremental_read",
-    # round-6 additions: new queries must land inside the 50-entry window
+    # r5-window set: last driver-verified in CORRECTNESS_r05 (re-checked
+    # green via tools/check_correctness.py in round 6)
+    "knn_phi_topk",
+    "knn_cosine_filtered",
+    "knn_cosine_arrow_topk",
+    "centroids_by_label",
+    "inertia_by_label",
+    "form_pglyphs_by_label",
+    "phi_bands",
+    "auto_cluster_phi",
+    "search_pglyphs",
+    "dataset_digest",
+    "stats",
+    "point_lookup",
+    "validation_counts",
+    "rel_high_value_customers",
+    "rel_acctbal_by_region_nation",
+    "rel_orders_by_month",
+    "rel_rollup_acctbal",
+    "rel_cube_order_status",
+    "rel_customers_both_years",
+    "rel_asof_latest_order",
+    "rel_price_percentiles",
+    "rel_pivot_status_by_priority",
+    "rel_orders_within_30d",
+    "rel_skew_salted_revenue",
+    "doc_token_stats",
+    "doc_term_frequencies",
+    "doc_tfidf_topk",
+    "doc_bigram_topk",
+    "doc_language_id",
+    "doc_quality_score",
+    "doc_fingerprint",
+    "doc_simhash16",
+    "doc_exact_dedup",
+    "doc_minhash_near_dup",
+    "doc_minhash_capped",
+    "doc_ngram_jaccard",
+    "emb_near_dup_cosine",
+    "doc_dedup_keep_one",
+    "ivf_euclidean_pruned_search",
+    "ivf_phi_pruned_search",
+    "events_click_attribution",
+    "manifest_cdc_read",
+    "manifest_bloom_read",
+    "manifest_merge_dv_read",
+    "manifest_skipping_read",
+    "manifest_zorder_read",
+    "manifest_dv_read",
+    # round-7 additions: new queries must land inside the 50-entry window
     # in their first round so they get a driver row immediately
-    "manifest_in_skipping_read",
-    "manifest_null_skipping_read",
-    "manifest_bucketed_dv_read",
-    "sql_entry_pricing",
-    "sql_entry_knn_cosine",
-    "ann_pq_recall",
-    "manifest_cdc_incremental_agg",
-    "ann_ivfadc_recall",
-    "manifest_schema_evolution_read",
-    "doc_bm25_topk",
-    "doc_hybrid_rrf_topk",
-    "doc_leakproof_split",
-    "manifest_dnf_skipping_read",
+    "manifest_widening_read",
+    "doc_pipeline_e2e",
+    "multimodal_native_codec_stats",
 )
 
 
