@@ -496,6 +496,7 @@ def pq_train(
     sample_mod: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_cap: int = 0,
 ) -> "list[list[list[float]]]":
     """Train PQ codebooks on a deterministic bounded sample (the FAISS
     recipe: codebooks need shape, not the full corpus).
@@ -505,6 +506,14 @@ def pq_train(
     deterministic driver-side kmeans as `fit_centroids_sample_local`
     (id-sorted sample, seeded init, lowest-id tie-break), seeded per
     subspace so codebooks are independent.
+
+    The driver-side collect is ALWAYS bounded: when `sample_mod` is
+    None it is auto-derived from a cheap count() so the collected
+    sample stays ≤ `sample_cap` (default 256·ksub — the FAISS
+    training-points-per-centroid heuristic) in expectation. Pass
+    `sample_mod=1` to force full-corpus training (explicit opt-in, for
+    tiny corpora only). Mirrors the `_MERGE_PRUNE_MAX_KEYS` cap
+    pattern in sources/manifest.py — no hot path may collect O(corpus).
 
     Returns codebooks as nested lists: codebooks[j][c] = the c-th
     centroid of subspace j (length d/m). Total size m·2^nbits·(d/m) =
@@ -516,9 +525,15 @@ def pq_train(
         raise ValueError(f"nbits must be in [1, 8] (one code byte), got {nbits}")
     ksub = 1 << nbits
     df = corpus.select(F.col(id_col), as_double(vec_col).alias("__v__"))
+    if sample_mod is None:
+        cap = sample_cap if sample_cap > 0 else 256 * ksub
+        n = df.count()
+        # ceil(n / cap): expected sample size n/sample_mod ≤ cap
+        sample_mod = max(1, -(-n // cap))
     if sample_mod and sample_mod > 1:
         df = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
     rows = sorted(df.collect(), key=lambda r: r[id_col])
+    pq_train._last_sample_rows = len(rows)  # boundedness probe (tests)
     if len(rows) < ksub:
         raise ValueError(f"sample has {len(rows)} rows < ksub={ksub}")
     mat = np.asarray([list(r["__v__"]) for r in rows], dtype=np.float64)
@@ -639,8 +654,13 @@ def pq_search_batch(
     )
     rows_idx = np.arange(m)
 
+    # derive id types from the input schemas (mirrors
+    # knn_search_batch_arrow, search.py:211) — hard-coding `long` would
+    # fail or miscast string / int32 ids at runtime
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    id_type = codes_df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{query_id_col} long, {id_col} long, score double"
+        f"{query_id_col} {qid_type}, {id_col} {id_type}, score double"
     )
 
     allowed = (
@@ -651,7 +671,9 @@ def pq_search_batch(
 
     def scan(batches):
         for pdf in batches:
-            ids = pdf[id_col].to_numpy()
+            # np.asarray over the python list: string ids become '<U'
+            # dtype (lexsort-able), where .to_numpy() would yield object
+            ids = np.asarray(pdf[id_col].tolist())
             code_lists = pdf["codes"].tolist()
             ok = np.array(
                 [c is not None and len(c) == m for c in code_lists], dtype=bool
@@ -680,11 +702,13 @@ def pq_search_batch(
                     q_codes, q_ids = codes, ids
                 d2 = luts[qi][rows_idx[:, None], q_codes.T].sum(axis=0)  # (B,)
                 s = 1.0 / (1.0 + np.sqrt(np.maximum(d2, 0.0)))
-                if len(s) > top_k:
-                    # partial top-k per partition; exact global rank later
-                    cand = np.argpartition(-s, top_k)[: top_k + 1]
-                else:
-                    cand = np.arange(len(s))
+                # tie-aware per-partition cut (mirrors search.py:270): PQ
+                # makes exact score ties COMMON (rows sharing codes score
+                # identically), and a bare argpartition would slice
+                # arbitrarily through the tied boundary — dropping the
+                # lowest-id tied row the (score DESC, id ASC) contract
+                # keeps, varying with partitioning
+                cand = np.lexsort((q_ids, -s))[: min(top_k, len(s))]
                 parts.append(
                     pd.DataFrame(
                         {

@@ -95,11 +95,28 @@ def _sig_to_struct(sig: list[str]):
     cost at planning time."""
     from pyspark.sql import types as T
 
-    fields = []
-    for entry in sig:
-        name, dt = entry.split(":", 1)
-        fields.append(T.StructField(name, T._parse_datatype_string(dt), True))
-    return T.StructType(fields)
+    # public StructType.fromDDL where available (Spark ≥ 3.5); the
+    # private T._parse_datatype_string only as a fallback so a PySpark
+    # upgrade that renames/removes the private API can't break every
+    # evolved-table read
+    ddl = ", ".join(f"`{e.split(':', 1)[0]}` {e.split(':', 1)[1]}" for e in sig)
+    from_ddl = getattr(T.StructType, "fromDDL", None)
+    if from_ddl is not None:
+        struct = from_ddl(ddl)
+    else:
+        struct = T.StructType(
+            [
+                T.StructField(
+                    e.split(":", 1)[0],
+                    T._parse_datatype_string(e.split(":", 1)[1]),
+                    True,
+                )
+                for e in sig
+            ]
+        )
+    # signatures are nullable by construction (appended columns read as
+    # NULL from old files); fromDDL defaults to nullable already
+    return struct
 
 
 def _file_stats(path: str, cols: list[str]) -> dict:
@@ -1186,8 +1203,13 @@ class ManifestTable:
             n_del = 0
             dv_rel: str | None = None
             if cand:
-                raw = spark.read.parquet(
-                    *[os.path.join(self.root, f) for f in cand]
+                # _read_files, not a bare spark.read.parquet: on an
+                # evolved table whose merge key is an appended column,
+                # schema inference from a pre-evolution file would make
+                # F.col(key) unresolvable (or depend on which file Spark
+                # samples) — the one read path that had not been switched
+                raw = self._read_files(
+                    spark, [os.path.join(self.root, f) for f in cand], m
                 ).select(
                     F.col(key),
                     _file_rel_col().alias("__dv_f"),

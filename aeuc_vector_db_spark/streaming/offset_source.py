@@ -160,19 +160,32 @@ class OffsetLogSource:
         )
 
 
-def committed_source_offsets(table) -> dict[int, int]:
+def committed_source_offsets(
+    table, known: "tuple[int, dict[int, int]] | None" = None
+) -> dict[int, int]:
     """The consumer's resume point, read from the SINK's transaction
     log: the newest manifest whose epoch marker is an offset-range
     string. Offsets and data commit in one manifest publish, so this
     can never disagree with the committed data — the property a
     side-channel checkpoint file cannot give. O(versions back to the
     last offset commit) metadata reads; vacuumed histories fall back to
-    the retired-epoch set (markers survive vacuum by design)."""
+    the retired-epoch set (markers survive vacuum by design).
+
+    `known=(version, offsets)` bounds the backward walk: versions ≤
+    `version` are never read, and if no newer marker exists the cached
+    `offsets` are returned. A driving loop passes its last commit here
+    so each batch costs O(new versions) metadata reads, not
+    O(full history) — the same catch-up-cost shape the CDC one-scan
+    rewrite fixed (round-6 ADVICE)."""
     vs = table.versions()
     for v in reversed(vs):
+        if known is not None and v <= known[0]:
+            break
         got = _parse_offsets(str(table.manifest(v).get("epoch_id") or ""))
         if got is not None:
             return got
+    if known is not None:
+        return known[1]
     # log truncated by vacuum: the retired set keeps every marker; the
     # resume point is the per-partition max across them
     best: dict[int, int] = {}
@@ -212,8 +225,12 @@ def run_offset_ingest(
 
     body = manifest_sink(table, dim, quarantine_path)
     committed = 0
+    # resume-point cache: the first iteration pays the full backward
+    # walk once; afterwards each call only inspects versions newer than
+    # the last known marker (usually zero or one manifest read)
+    known: "tuple[int, dict[int, int]] | None" = None
     for _ in range(max_batches):
-        start = committed_source_offsets(table)
+        start = committed_source_offsets(table, known)
         batch, end = source.poll(spark, start, max_records_per_partition)
         if batch is None:
             break
@@ -225,4 +242,7 @@ def run_offset_ingest(
         body(parsed, epoch_key)
         if table.latest_version() != before:
             committed += 1
+        # whether the commit landed or de-duplicated, `end` is now
+        # committed in the sink log — safe to cache as the floor
+        known = (table.latest_version(), end)
     return committed

@@ -382,3 +382,68 @@ def test_streaming_ivf_index_maintenance(spark, tmp_path):
         ).collect()
     ]
     assert got == brute and len(got) == 5
+
+
+def test_pq_search_tie_aware_cut_and_partition_invariance(spark):
+    """PQ makes exact score ties COMMON (rows sharing codes score
+    identically); the per-partition cut must be tie-aware (score DESC,
+    id ASC — lexsort, not bare argpartition) so the final top-k never
+    drops the lowest-id tied row nor varies with partitioning."""
+    # 40 rows, only TWO distinct vectors → massive score ties
+    rows = [(i, [1.0, 0.0, 0.0, 0.0] if i % 2 else [0.0, 1.0, 0.0, 0.0]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = A.pq_train(corpus, m=2, nbits=2, seed=7, iters=5, sample_mod=1)
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "query_id long, query_embedding array<double>"
+    )
+    expected = None
+    for nparts in (1, 3, 8):
+        codes = A.pq_encode(corpus.repartition(nparts), books)
+        got = [
+            (r["query_id"], r["vec_id"], round(r["score"], 12), r["rank"])
+            for r in A.pq_search_batch(codes, books, qs, top_k=6).collect()
+        ]
+        # all odd ids tie at the top; contract keeps the LOWEST ids
+        top_ids = [g[1] for g in got]
+        assert top_ids == [1, 3, 5, 7, 9, 11], (nparts, top_ids)
+        if expected is None:
+            expected = got
+        else:
+            assert got == expected, f"partitioning {nparts} changed the result"
+
+
+def test_pq_search_derives_id_types(spark):
+    """String ids must flow through (the mapInPandas schema is derived
+    from the inputs, not hard-coded long)."""
+    rows = [(f"doc-{i:03d}", [float(i % 4), 1.0, 0.0, 0.0]) for i in range(20)]
+    corpus = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    books = A.pq_train(corpus, m=2, nbits=2, seed=3, iters=5, sample_mod=1)
+    codes = A.pq_encode(corpus, books)
+    qs = spark.createDataFrame(
+        [("q-a", [0.0, 1.0, 0.0, 0.0])], "query_id string, query_embedding array<double>"
+    )
+    res = A.pq_search_batch(codes, books, qs, top_k=3).collect()
+    assert len(res) == 3
+    assert all(isinstance(r["vec_id"], str) and r["query_id"] == "q-a" for r in res)
+
+
+def test_pq_train_bounds_driver_collect(spark):
+    """With sample_mod unset, pq_train derives it from a cheap count()
+    so the driver-side sample stays ≤ sample_cap in expectation — a
+    large corpus must NOT be collected whole (round-6 verdict item #3)."""
+    n = 20_000
+    rows = [(i, [float((i * 37) % 11), float((i * 13) % 7), float(i % 5), 1.0]) for i in range(n)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(8)
+    books = A.pq_train(corpus, m=2, nbits=2, seed=7, iters=3, sample_cap=200)
+    got = A.pq_train._last_sample_rows
+    # xxhash sampling variance: expected ≤ cap, allow 2× headroom but
+    # assert it is nowhere near the full corpus
+    assert got <= 400, got
+    assert got >= 4  # ksub
+    # deterministic: same inputs → bit-identical codebooks
+    again = A.pq_train(corpus, m=2, nbits=2, seed=7, iters=3, sample_cap=200)
+    assert books == again
+    # explicit opt-in to full-corpus training still works
+    small = spark.createDataFrame(rows[:50], "vec_id long, embedding array<double>")
+    A.pq_train(small, m=2, nbits=2, seed=7, iters=3, sample_mod=1)
+    assert A.pq_train._last_sample_rows == 50

@@ -1187,3 +1187,30 @@ def test_bucketed_schema_evolution_with_bounded_merge(spark, tmp_path):
     rows = {r["k"]: (r["tag"], r["extra"]) for r in t.read(spark).collect()}
     assert rows[0] == ("m", -1) and rows[10] == ("a", None) and rows[45] == ("b", 135)
     assert t.count_rows() == 80 == len(rows)
+
+
+def test_merge_dv_on_appended_key_column(spark, root):
+    """merge_upsert_dv whose MERGE KEY is an appended (evolved) column:
+    the candidate scan must resolve through the manifest's explicit
+    schema (_read_files), not bare schema inference — inference from a
+    pre-evolution file would make F.col(key) unresolvable or depend on
+    which file Spark samples (round-6 ADVICE #3)."""
+    t = ManifestTable(root)
+    t.commit_append(_df(spark, (0, 20)))              # files WITHOUT `extra`
+    wide = spark.range(20, 40).select(
+        F.col("id").alias("k"), F.lit("b").alias("tag"),
+        (F.col("id") + 100).alias("extra"),
+    )
+    t.commit_append(wide, evolve=True)                # files WITH `extra`
+    ups = spark.createDataFrame(
+        [(1000, "up", 125), (1001, "up", 131)], "k long, tag string, extra long"
+    )
+    n_del = t.merge_upsert_dv(spark, ups, key="extra")
+    assert n_del == 2  # the two matched new-file rows got DV-deleted
+    rows = {r["k"]: (r["tag"], r["extra"]) for r in t.read(spark).collect()}
+    # matched rows replaced (old k=25/31 gone, new k=1000/1001 in)
+    assert 25 not in rows and 31 not in rows
+    assert rows[1000] == ("up", 125) and rows[1001] == ("up", 131)
+    # pre-evolution rows (extra=NULL) never match a key and stay live
+    assert rows[5] == ("a", None)
+    assert len(rows) == 40

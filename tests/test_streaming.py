@@ -483,3 +483,36 @@ def test_stream_stream_join_attribution_and_late_drop(spark, tmp_path):
         ("u1", "adA", 600_000_000),
         ("u3", "adC", 600_000_000),  # batch keeps it: proves the drop above
     }                                 # was the watermark, not the join
+
+
+def test_committed_offsets_known_hint_bounds_walk(spark, tmp_path):
+    """committed_source_offsets(known=...) must stop the backward walk
+    at the cached version and fall back to the cached offsets when no
+    newer marker exists — so a driving loop costs O(new versions), not
+    O(full history), per batch (round-6 ADVICE #5)."""
+    from aeuc_vector_db_spark.sources.manifest import ManifestTable
+    from aeuc_vector_db_spark.streaming import offset_source as OS
+
+    src = OS.OffsetLogSource(str(tmp_path / "log"), n_partitions=1)
+    t = ManifestTable(str(tmp_path / "table"))
+    src.append(0, [json.loads(_entry(i)) for i in range(4)])
+    assert OS.run_offset_ingest(spark, src, t, DIM) == 1
+    marker_v = t.latest_version()
+    committed = OS.committed_source_offsets(t)
+    assert committed == src.latest_offsets()
+
+    # bury the marker under a long NON-offset history
+    for _ in range(5):
+        t.commit_overwrite(t.read(spark))
+    # full walk still finds it
+    assert OS.committed_source_offsets(t) == committed
+    # cached hint: walk stops at marker_v and returns the cached value
+    # even though versions ≤ marker_v are never read — prove that by
+    # handing a hint whose offsets DIFFER from the log's true marker
+    fake = {0: 999}
+    assert OS.committed_source_offsets(t, known=(t.latest_version(), fake)) == fake
+    # a marker NEWER than the hint wins over the cache
+    src.append(0, [json.loads(_entry(i)) for i in range(4, 6)])
+    assert OS.run_offset_ingest(spark, src, t, DIM) == 1
+    newer = OS.committed_source_offsets(t, known=(marker_v, committed))
+    assert newer == src.latest_offsets() != committed
