@@ -446,9 +446,19 @@ def bm25_topk(
             / (F.col("df").cast("double") + F.lit(0.5))
         ).alias("idf"),
     )
+    # semi-bound the doc-length side BEFORE the contrib join: dlen has
+    # one row per corpus doc, but only matched docs contribute — the
+    # broadcast left-semi filters dlen map-side so the contrib join
+    # shuffles O(matched), not O(corpus). The matched-id set is bounded
+    # by the same assumption the final global rank window already
+    # makes (a |q|-term query matches a manageable doc set); the FULL
+    # dlen pass survives only as the avglen scalar fold above.
+    dlen_q = dlen.join(
+        F.broadcast(tf_q.select(id_col).distinct()), id_col, "left_semi"
+    )
     contrib = (
         tf_q.join(F.broadcast(idf), "term")
-        .join(dlen, id_col)
+        .join(dlen_q, id_col)
         .crossJoin(F.broadcast(stats))
         .select(
             id_col,

@@ -164,6 +164,13 @@ def test_bm25_no_cartesian_and_rrf_shapes(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "SortMergeJoin" not in plan or "doc_hybrid" in name, name
+    # the doc-length side of the contrib join must be SEMI-FILTERED to
+    # matched doc ids (broadcast left-semi) before it shuffles — the
+    # full corpus-length pass exists only as the avglen scalar fold
+    plan = _plan(spark, "doc_bm25_topk")
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, (
+        "bm25 dlen join is not semi-bounded"
+    )
 
 
 def test_window_top_k_uses_group_limit(spark):
