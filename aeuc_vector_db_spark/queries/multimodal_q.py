@@ -207,7 +207,59 @@ def _multimodal_transform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return img.unionByName(aud).unionByName(vid).orderBy("op", "decode_status")
 
 
+def _native_png(payload: bytes):
+    """Stand-in 'native' PNG codec for the swap-seam query: delegates
+    to the pure-Python builtin (the verified reference decoder), the
+    way a libjpeg-turbo/Pillow wrapper would delegate to its library.
+    Module-level in an importable package module → pickled by
+    reference, exactly the deployment shape."""
+    from aeuc_vector_db_spark.sources.multimodal import png_decode
+
+    return png_decode(payload)
+
+
+def _native_jpeg(payload: bytes):
+    from aeuc_vector_db_spark.sources.jpeg import jpeg_decode
+
+    return jpeg_decode(payload)
+
+
+def _multimodal_native_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native-codec swap seam exercised END-TO-END as a declared
+    query: the same blob corpus decoded twice — once through the
+    builtin dispatch, once with PNG+JPEG routed through registered
+    'native' decoders (delegating wrappers; a real deployment swaps in
+    libjpeg-turbo the same way) — and both paths' per-modality
+    aggregates emitted side-by-side under a `path` column. The two
+    halves must be bit-identical (pinned in tests/test_multimodal.py);
+    rows-only here (no SQL decoder oracle possible)."""
+    blobs = MM.read_binary_dir(spark, _blob_dir(spark, sf_dir))
+
+    def agg(feats: DataFrame, path: str) -> DataFrame:
+        return (
+            feats.groupBy("modality", "decode_status")
+            .agg(
+                F.count(F.lit(1)).alias("n_blobs"),
+                F.round(F.avg("width"), 6).alias("avg_width"),
+                F.round(F.avg(F.element_at("features", 1)), 9).alias("avg_f0"),
+            )
+            .select(F.lit(path).alias("path"), "*")
+        )
+
+    builtin = agg(MM.decode_features(blobs, feature_dim=8), "builtin")
+    native = agg(
+        MM.decode_features(
+            blobs,
+            feature_dim=8,
+            decoder_overrides={"png": _native_png, "jpeg": _native_jpeg},
+        ),
+        "native",
+    )
+    return builtin.unionByName(native).orderBy("path", "modality", "decode_status")
+
+
 QUERIES = {
     "multimodal_feature_stats": (_multimodal_features, None),
     "multimodal_transform_stats": (_multimodal_transform_stats, None),
+    "multimodal_native_codec_stats": (_multimodal_native_codec_stats, None),
 }

@@ -652,6 +652,32 @@ def register_image_decoder(fmt: str, fn) -> None:
     _IMAGE_DECODERS[fmt] = fn
 
 
+def unregister_image_decoder(fmt: str) -> None:
+    """Remove a swapped-in decoder; the next decode_image for `fmt`
+    lazily falls back to the pure-Python builtin (the verified
+    reference implementation)."""
+    _IMAGE_DECODERS.pop(fmt, None)
+
+
+def _snapshot_image_decoders(fmts) -> dict:
+    """Current registry entries for `fmts` (None = not registered).
+    Module-level ON PURPOSE: a nested kernel function is cloudpickled
+    BY VALUE, and cloudpickle captures any module global it references
+    (like _IMAGE_DECODERS) as a stale COPY in the worker — so kernels
+    must only ever touch the registry through these by-reference
+    module functions, never through the global name directly."""
+    return {f: _IMAGE_DECODERS.get(f) for f in fmts}
+
+
+def _restore_image_decoders(prev: dict) -> None:
+    """Invert a snapshot taken by _snapshot_image_decoders."""
+    for f, old in prev.items():
+        if old is None:
+            _IMAGE_DECODERS.pop(f, None)
+        else:
+            _IMAGE_DECODERS[f] = old
+
+
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode any registered image container: (w, h, channels, pixels).
     ValueError on corrupt/unrecognized bytes; NotImplementedError rides
@@ -669,7 +695,11 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     return dec(payload)
 
 
-def decode_features(blobs: DataFrame, feature_dim: int = 8) -> DataFrame:
+def decode_features(
+    blobs: DataFrame,
+    feature_dim: int = 8,
+    decoder_overrides: "dict | None" = None,
+) -> DataFrame:
     """Unified multimodal feature extraction over mapInPandas.
 
     Real kernels where the format is decodable with the standard library
@@ -682,8 +712,24 @@ def decode_features(blobs: DataFrame, feature_dim: int = 8) -> DataFrame:
 
     One input row → one output row; modality rides through the kernel so
     no join is needed afterwards. Bytes stay inside the Arrow batches.
+
+    `decoder_overrides` ({fmt: decoder_fn}) exercises the native-codec
+    swap seam THROUGH the DataFrame API: the overrides are registered
+    inside the kernel — per Python worker, where a native library
+    handle lives — and restored when the kernel's batches are drained,
+    so worker reuse never leaks a swap into later queries. Decoder
+    functions must be picklable (module-level). A cluster deployment
+    would instead call register_image_decoder at executor startup; the
+    contract either way is decode_image's: bytes → (w, h, channels,
+    row-major interleaved uint8), ValueError = quarantine,
+    NotImplementedError = declared stub.
     """
     import numpy as np
+
+    overrides = dict(decoder_overrides or {})
+    for f in overrides:
+        if f not in {t for t, _ in _IMAGE_SIGS}:
+            raise ValueError(f"unknown image format tag {f!r}")
 
     def _known_unsupported(modality: str, payload: bytes) -> bool:
         """Healthy container of a format this stdlib-only kernel can't
@@ -746,14 +792,13 @@ def decode_features(blobs: DataFrame, feature_dim: int = 8) -> DataFrame:
                 w, h, uspf, handler, frames = avi_probe(payload)
                 dur_ms = len(frames) * uspf / 1000.0
                 if handler.upper() == "MJPG" and frames:
-                    # REAL decode: up to 3 evenly spaced frames through the
-                    # pure-Python baseline JPEG decoder → true pixel stats
-                    from aeuc_vector_db_spark.sources.jpeg import jpeg_decode
-
+                    # REAL decode: up to 3 evenly spaced frames through
+                    # the decoder SEAM (decode_image) — a registered
+                    # native JPEG codec accelerates MJPEG video too
                     idxs = sorted({0, len(frames) // 2, len(frames) - 1})
                     planes = []
                     for i in idxs:
-                        _, _, fc, pix = jpeg_decode(frames[i])
+                        _, _, fc, pix = decode_image(frames[i])
                         planes.append(
                             np.frombuffer(pix, dtype=np.uint8).reshape(-1, fc)
                         )
@@ -801,12 +846,27 @@ def decode_features(blobs: DataFrame, feature_dim: int = 8) -> DataFrame:
     cols = [f.name for f in MULTIMODAL_FEATURES_SCHEMA.fields]
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [
-                decode_one(b, m, c)
-                for b, m, c in zip(pdf["blob_id"], pdf["modality"], pdf["content"])
-            ]
-            yield pd.DataFrame(rows, columns=cols)
+        # per-worker decoder swap, scoped to THIS kernel's lifetime:
+        # snapshot → register overrides → restore in finally (reused
+        # Python workers must not carry the swap into later queries).
+        # Registry access ONLY via module-level functions — this nested
+        # function is cloudpickled by value and would otherwise capture
+        # _IMAGE_DECODERS as a stale driver-side COPY, silently writing
+        # the restore into the wrong dict (see _snapshot_image_decoders)
+        prev = _snapshot_image_decoders(overrides)
+        for f, fn in overrides.items():
+            register_image_decoder(f, fn)
+        try:
+            for pdf in batches:
+                rows = [
+                    decode_one(b, m, c)
+                    for b, m, c in zip(
+                        pdf["blob_id"], pdf["modality"], pdf["content"]
+                    )
+                ]
+                yield pd.DataFrame(rows, columns=cols)
+        finally:
+            _restore_image_decoders(prev)
 
     return blobs.select("blob_id", "modality", "content").mapInPandas(
         decode, MULTIMODAL_FEATURES_SCHEMA

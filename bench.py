@@ -73,7 +73,35 @@ def main() -> None:
     import aeuc_vector_db_spark.queries as Q
     from aeuc_vector_db_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # SCALE PROBES RUN FIRST (round-6 verdict #6): they are the headline
+    # 100 TB claims, and running them after ~30 headline queries recorded
+    # numbers up to 4× below the same box's solo measurements (r6 n100k
+    # ingest 16,796 in-bench vs 65,023 solo) — bench-process contention
+    # that only PLANS.md prose could explain. Probe-first ordering makes
+    # BENCH_r*.json self-describing: each probe gets a fresh session on
+    # a box that has not yet run the headline loop, i.e. solo-equivalent
+    # conditions, recorded as "order": "pre-headline" in the detail.
+    probes = (
+        ("bench-probe-ingest", _bench_ingest),
+        ("bench-probe-knn", _bench_knn_scale),
+        ("bench-probe-cluster", _bench_cluster_scale),
+        ("bench-probe-dedup", _bench_dedup_skew),
+        ("bench-probe-cc", _bench_cc_chain),
+        ("bench-probe-dv", _bench_dv_delete),
+        ("bench-probe-cdc", _bench_cdc_history),
+        ("bench-probe-manifest-soak", _bench_manifest_soak),
+    )
+    results = {}
+    spark = None
+    for tag, probe in probes:
+        if spark is not None:
+            spark.stop()
+        spark = get_spark(tag)
+        results[tag] = probe(spark)
+    decode_rate = _bench_decode()  # no Spark; still pre-headline
+
+    spark.stop()
+    spark = get_spark("bench-headline")
     registry = Q.queries()
 
     # Warm the JVM/codegen/Arrow/python-worker paths once with real code
@@ -133,30 +161,6 @@ def main() -> None:
         print(f"# {name}: hot {hot:.3f}s / cold {cold:.3f}s ({len(rows)} rows)",
               file=sys.stderr)
 
-    # The scale probes run in a FRESH session: ~30 headline queries leave
-    # the reused Arrow python workers heap-bloated, which measured as a
-    # 4× slowdown on the mapInPandas matmul probe (567k pair-scores/s
-    # in-session vs 2.2M standalone) and 2× on the shingle kernel —
-    # session state, not plan cost. A restart gives the probes the same
-    # conditions a dedicated scale job would have.
-    # Each scale probe gets its OWN fresh session for the same reason as
-    # the mid-headline restarts: the probes are the headline 100 TB
-    # claims, and a probe must not absorb the previous probe's session
-    # aging (r4's fixture-ingest −21% was exactly that).
-    probes = (
-        ("bench-probe-ingest", _bench_ingest),
-        ("bench-probe-knn", _bench_knn_scale),
-        ("bench-probe-cluster", _bench_cluster_scale),
-        ("bench-probe-dedup", _bench_dedup_skew),
-        ("bench-probe-cc", _bench_cc_chain),
-        ("bench-probe-dv", _bench_dv_delete),
-        ("bench-probe-cdc", _bench_cdc_history),
-    )
-    results = {}
-    for tag, probe in probes:
-        spark.stop()
-        spark = get_spark(tag)
-        results[tag] = probe(spark)
     ingest_rate = results["bench-probe-ingest"]
     knn_scale = results["bench-probe-knn"]
     cluster_scale = results["bench-probe-cluster"]
@@ -164,7 +168,7 @@ def main() -> None:
     cc_chain = results["bench-probe-cc"]
     dv_delete = results["bench-probe-dv"]
     cdc_history = results["bench-probe-cdc"]
-    decode_rate = _bench_decode()
+    manifest_soak = results["bench-probe-manifest-soak"]
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -178,6 +182,10 @@ def main() -> None:
     # window (BENCH_r03.json: rc=0 but parsed=null — a silent total loss
     # of the round's bench signal).
     detail = {
+        "probe_order": "pre-headline",  # probes ran BEFORE the headline
+        # loop in fresh sessions — solo-equivalent conditions (r6 verdict
+        # #6: in-bench scale numbers must reconcile with solo re-measures
+        # without consulting prose)
         "cold_queries": cold_query,
         "ingest_rows_per_s": ingest_rate,
         "knn_scale": knn_scale,
@@ -186,6 +194,7 @@ def main() -> None:
         "cc_chain": cc_chain,
         "dv_delete": dv_delete,
         "cdc_history": cdc_history,
+        "manifest_soak": manifest_soak,
         "decode_imgs_per_s": decode_rate,
     }
     print("# detail: " + json.dumps(detail), file=sys.stderr)
@@ -202,6 +211,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in per_query.items()},
         "sf": sf_val,
+        "probe_order": "pre-headline",
         "ingest_rows_per_s": ingest_rate,
         "knn_scale": knn_scale,
         "cluster_scale": cluster_scale,
@@ -209,6 +219,7 @@ def main() -> None:
         "cc_chain": cc_chain,
         "dv_delete": dv_delete,
         "cdc_history": cdc_history,
+        "manifest_soak": manifest_soak,
         "decode_imgs_per_s": decode_rate,
     }
     print(compact_json_line(payload))
@@ -225,8 +236,8 @@ def compact_json_line(payload: dict, limit: int = MAX_JSON_LINE) -> str:
     # flat since r3); the newest signals (cdc_history, decode) and the
     # headline scale claims go last
     for droppable in ("cluster_scale", "dedup_skew", "cc_chain", "dv_delete",
-                      "cdc_history", "decode_imgs_per_s", "knn_scale",
-                      "ingest_rows_per_s"):
+                      "cdc_history", "manifest_soak", "decode_imgs_per_s",
+                      "probe_order", "knn_scale", "ingest_rows_per_s"):
         if len(line) <= limit:
             break
         payload.pop(droppable, None)
@@ -565,6 +576,118 @@ def _bench_dv_delete(spark) -> dict:
             _sh.rmtree(r, ignore_errors=True)
 
 
+def _bench_manifest_soak(spark) -> dict:
+    """Multi-writer optimistic-concurrency soak (round-6 verdict #8):
+    N writers race appends, DV deletes, and bounded merges against ONE
+    table; afterwards the final state must equal the serial replay of
+    the commits that won — row count from metadata only, row count from
+    an actual read, and key-uniqueness (no resurrection, no loss) all
+    agree with the per-writer ledger of committed ops.
+
+    Writers are threads sharing the Spark session: the race under test
+    is the manifest's atomic-rename publish (filesystem-level CAS),
+    which threads exercise exactly as separate processes would — and a
+    probe must not pay 6× JVM startup to prove a filesystem property.
+    Key spaces are disjoint per writer, so every conflict is a pure
+    PUBLISH race (version CAS), the thing optimistic concurrency must
+    serialize; data-overlap conflicts are a semantics question, not a
+    concurrency one."""
+    import shutil as _sh
+    import tempfile as _tf
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from aeuc_vector_db_spark.sources.manifest import (
+        CommitConflictError,
+        ManifestTable,
+    )
+
+    root = _tf.mkdtemp(prefix="bench_soak_")
+    n_writers, rounds, batch = 6, 4, 200
+    try:
+        t = ManifestTable(root, stats_cols=["k"])
+        t.commit_append(
+            spark.range(1000).select(F.col("id").alias("k"), F.lit("seed").alias("tag"))
+        )
+        conflicts = {"n": 0}
+
+        def writer(tid: int) -> dict:
+            base = (tid + 1) * 1_000_000
+            appended = deleted = merged = commits = 0
+            for r in range(rounds):
+                lo = base + r * batch
+                t.commit_append(
+                    spark.range(lo, lo + batch, 1, 1).select(
+                        F.col("id").alias("k"), F.lit(f"w{tid}").alias("tag")
+                    )
+                )
+                appended += batch
+                commits += 1
+                if r % 2 == 1:
+                    # DV-delete a 20-key slice of THIS writer's own
+                    # previously committed keys; retry the read-modify-
+                    # write on publish conflict (the caller contract)
+                    dlo = base + (r - 1) * batch
+                    for _ in range(30):
+                        try:
+                            v = t.delete_where_dv(
+                                spark, [("k", ">=", dlo), ("k", "<", dlo + 20)]
+                            )
+                            break
+                        except CommitConflictError:
+                            conflicts["n"] += 1
+                    else:
+                        raise CommitConflictError("soak: delete retries exhausted")
+                    assert v is not None
+                    deleted += 20
+                    commits += 1
+            # one bounded merge over 10 live keys: net row change 0
+            mlo = base + (rounds - 1) * batch
+            ups = spark.range(mlo, mlo + 10, 1, 1).select(
+                F.col("id").alias("k"), F.lit(f"m{tid}").alias("tag")
+            )
+            v = t.merge_upsert_dv(spark, ups, key="k", max_retries=30)
+            assert v is not None  # returns the published version
+            merged += 10
+            commits += 1
+            return {"appended": appended, "deleted": deleted,
+                    "merged": merged, "commits": commits}
+
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=n_writers) as ex:
+            ledgers = list(ex.map(writer, range(n_writers)))
+        dt = time.time() - t0
+
+        expected = 1000 + sum(x["appended"] - x["deleted"] for x in ledgers)
+        total_commits = 1 + sum(x["commits"] for x in ledgers)
+        rows_meta = t.count_rows()
+        live = t.read(spark)
+        rows_read = live.count()
+        keys_distinct = live.select("k").distinct().count()
+        versions = len(t.versions())
+        ok = (
+            rows_meta == rows_read == keys_distinct == expected
+            and versions == total_commits
+        )
+        out = {
+            "writers": n_writers,
+            "commits": total_commits,
+            "versions": versions,
+            "publish_conflicts_retried": conflicts["n"],
+            "sec": round(dt, 1),
+            "rows_expected": expected,
+            "rows_meta": rows_meta,
+            "rows_read": rows_read,
+            "ok": ok,
+        }
+        assert ok, out
+        print(f"# manifest_soak: {out}", file=sys.stderr)
+        return out
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
 def _bench_decode() -> dict:
     """Image-codec decode throughput (images/s, single core, no Spark —
     the mapInPandas kernels call these decoders directly, so kernel
@@ -638,6 +761,42 @@ def _bench_decode() -> dict:
             decode(blob)
             n += 1
         out[name] = round(n / (time.time() - t0), 1)
+
+    # Native-codec swap seam (round-6 verdict #2): the declared 10× path
+    # for the CPython decode ceiling is registering a native codec at
+    # the decode_image dispatch boundary. Two probe numbers make the
+    # seam's cost profile explicit: `jpeg_noise_seam` = the SAME
+    # pure-Python decode routed through registry dispatch (vs the direct
+    # call above — the delta is dispatch overhead, measured WITHIN
+    # run-to-run noise: interleaved A/B shows seam 93-107 vs direct
+    # 88-110 imgs/s on this box), and `seam_ceiling` = a registered
+    # O(1) decoder (simulating a
+    # native codec whose cost → 0), showing the plumbing itself supports
+    # 6-digit imgs/s — the bottleneck is the codec, not the seam.
+    from aeuc_vector_db_spark.sources import multimodal as _mm
+
+    jpeg_blob = workloads["jpeg_noise"][1]
+    fixed = (128, 96, 3, bytes(128 * 96 * 3))
+
+    def _instant_native(payload: bytes):
+        return fixed
+
+    for name, prep in (
+        ("jpeg_noise_seam", None),
+        ("seam_ceiling", _instant_native),
+    ):
+        try:
+            if prep is not None:
+                _mm.register_image_decoder("jpeg", prep)
+            _mm.decode_image(jpeg_blob)  # warm (fills builtin registry)
+            t0 = time.time()
+            n = 0
+            while time.time() - t0 < 1.0:
+                _mm.decode_image(jpeg_blob)
+                n += 1
+            out[name] = round(n / (time.time() - t0), 1)
+        finally:
+            _mm.unregister_image_decoder("jpeg")
     print(f"# decode_imgs_per_s: {out}", file=sys.stderr)
     return out
 

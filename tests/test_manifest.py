@@ -1205,8 +1205,8 @@ def test_merge_dv_on_appended_key_column(spark, root):
     ups = spark.createDataFrame(
         [(1000, "up", 125), (1001, "up", 131)], "k long, tag string, extra long"
     )
-    n_del = t.merge_upsert_dv(spark, ups, key="extra")
-    assert n_del == 2  # the two matched new-file rows got DV-deleted
+    v = t.merge_upsert_dv(spark, ups, key="extra")
+    assert v == t.latest_version()  # returns the published version
     rows = {r["k"]: (r["tag"], r["extra"]) for r in t.read(spark).collect()}
     # matched rows replaced (old k=25/31 gone, new k=1000/1001 in)
     assert 25 not in rows and 31 not in rows

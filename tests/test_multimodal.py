@@ -771,3 +771,140 @@ def test_native_codec_swap_seam():
         MM2.register_image_decoder("jxl", fake_png)
     with pytest.raises(ValueError, match="unsupported image container"):
         MM2.decode_image(b"not an image")
+
+
+# --- native-codec swap seam (register_image_decoder) -----------------------
+# The "native" decoders below are synthetic stand-ins (pure NumPy/bytes)
+# proving the DISPATCH contract: a deployment with libjpeg-turbo/Pillow
+# registers its codec the same way and every kernel/schema/quarantine
+# behavior is unchanged.
+
+
+# NB: the fakes are defined INSIDE each test — Spark workers can't
+# import the tests module by name, but nested functions ride the UDF
+# closure (cloudpickle serializes them by value), which is also how a
+# user would pass a wrapper around their native handle.
+
+
+def _fake_native_png(payload: bytes):
+    """Synthetic 'native' PNG decoder: ignores content, returns a fixed
+    2x1 RGB image — pixel values distinguishable from any real decode."""
+    return 2, 1, 3, bytes([10, 20, 30, 40, 50, 60])
+
+
+def test_decoder_swap_dispatch_and_fallback():
+    """Driver-side contract: register → decode_image dispatches to the
+    swap; unregister → the pure-Python builtin returns (same bytes in,
+    same pixels out as before the swap)."""
+    png = MM.png_encode(bytes([100] * 9), 3, 3, color_type=0)
+    baseline = MM.decode_image(png)
+    assert baseline[:3] == (3, 3, 1)
+    try:
+        MM.register_image_decoder("png", _fake_native_png)
+        assert MM.decode_image(png) == (2, 1, 3, bytes([10, 20, 30, 40, 50, 60]))
+    finally:
+        MM.unregister_image_decoder("png")
+    assert MM.decode_image(png) == baseline
+    with pytest.raises(ValueError, match="unknown image format"):
+        MM.register_image_decoder("svg", _fake_native_png)
+
+
+def test_decoder_overrides_through_dataframe_api(spark, tmp_path):
+    """The seam exercised THROUGH decode_features: overrides dispatch in
+    the Python workers, quarantine semantics are preserved (ValueError →
+    'error' row, NotImplementedError → 'stub' row), and the builtin
+    path is restored afterwards even with worker reuse."""
+    (tmp_path / "a.png").write_bytes(MM.png_encode(bytes([100] * 9), 3, 3, color_type=0))
+    (tmp_path / "b.png").write_bytes(MM.png_encode(bytes([200] * 4), 2, 2, color_type=0))
+    blobs = MM.read_binary_dir(spark, str(tmp_path))
+
+    def fake_native_png(payload: bytes):
+        return 2, 1, 3, bytes([10, 20, 30, 40, 50, 60])
+
+    def raising_value_error(payload: bytes):
+        raise ValueError("native codec says corrupt")
+
+    def raising_not_impl(payload: bytes):
+        raise NotImplementedError("native codec declares stub")
+
+    # dispatch: the fake's fixed 2x1 RGB pixels, not the real 3x3 gray
+    rows = {
+        r["blob_id"]: r
+        for r in MM.decode_features(
+            blobs, feature_dim=4, decoder_overrides={"png": fake_native_png}
+        ).collect()
+    }
+    for r in rows.values():
+        assert r["decode_status"] == "real"
+        assert (r["width"], r["height"], r["channels"]) == (2, 1, 3)
+        assert r["features"][0] == pytest.approx(25 / 255, abs=1e-6)  # mean(10,40)
+
+    # quarantine parity: a native codec that raises ValueError lands in
+    # the SAME error-row path as a corrupt payload…
+    rows = {
+        r["blob_id"]: r
+        for r in MM.decode_features(
+            blobs, feature_dim=4, decoder_overrides={"png": raising_value_error}
+        ).collect()
+    }
+    assert all(r["decode_status"] == "error" for r in rows.values())
+    # …and NotImplementedError lands in the declared-stub path
+    rows = {
+        r["blob_id"]: r
+        for r in MM.decode_features(
+            blobs, feature_dim=4, decoder_overrides={"png": raising_not_impl}
+        ).collect()
+    }
+    assert all(r["decode_status"] == "stub" for r in rows.values())
+
+    # restore: the SAME session (reused workers) decodes for real again
+    rows = {
+        r["blob_id"]: r for r in MM.decode_features(blobs, feature_dim=4).collect()
+    }
+    assert rows["a.png"]["decode_status"] == "real"
+    assert (rows["a.png"]["width"], rows["a.png"]["channels"]) == (3, 1)
+    assert rows["a.png"]["features"][0] == pytest.approx(100 / 255, abs=1e-6)
+
+    with pytest.raises(ValueError, match="unknown image format"):
+        MM.decode_features(blobs, decoder_overrides={"svg": _fake_native_png})
+
+
+def test_decoder_override_accelerates_mjpeg_video(spark, tmp_path):
+    """The seam covers MJPEG-AVI frame decode too (frames route through
+    decode_image): a registered JPEG override changes the video's pixel
+    stats, proving a native JPEG codec would accelerate video decode."""
+    from aeuc_vector_db_spark.sources.jpeg import jpeg_encode
+
+    frames = [jpeg_encode(bytes([128] * (8 * 8 * 3)), 8, 8, 3)] * 3
+    (tmp_path / "clip.avi").write_bytes(MM.avi_mjpeg_encode(frames, 8, 8, fps=4))
+    blobs = MM.read_binary_dir(spark, str(tmp_path))
+
+    def _fake_native_jpeg(payload: bytes):
+        return 8, 8, 3, bytes([10, 20, 30] * 64)
+
+    base = MM.decode_features(blobs, feature_dim=4).collect()[0]
+    assert base["decode_status"] == "real"
+    got = MM.decode_features(
+        blobs, feature_dim=4, decoder_overrides={"jpeg": _fake_native_jpeg}
+    ).collect()[0]
+    assert got["decode_status"] == "real"
+    assert got["features"][0] == pytest.approx(10 / 255, abs=1e-6)
+    assert got["features"][0] != pytest.approx(base["features"][0], abs=1e-4)
+
+
+def test_native_codec_query_paths_identical(spark):
+    """The declared swap-seam query: builtin and native halves must be
+    bit-identical (the delegating wrappers prove dispatch without
+    changing pixels)."""
+    from aeuc_vector_db_spark.queries.multimodal_q import (
+        _multimodal_native_codec_stats,
+    )
+
+    rows = _multimodal_native_codec_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    b = {(r["modality"], r["decode_status"]): (r["n_blobs"], r["avg_width"], r["avg_f0"])
+         for r in rows if r["path"] == "builtin"}
+    n = {(r["modality"], r["decode_status"]): (r["n_blobs"], r["avg_width"], r["avg_f0"])
+         for r in rows if r["path"] == "native"}
+    assert b and b == n
+    assert ("image", "real") in b
