@@ -562,7 +562,60 @@ GROUP BY lang
 """
 
 
+def _manifest_widening_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening schema evolution end-to-end (round 7): half the
+    corpus commits with `n_chars_i` as INT and `score` as FLOAT, the
+    other half appends the SAME columns widened to BIGINT/DOUBLE via
+    `evolve=True`, then DV deletes carve a slice out of EACH file
+    generation. Reads resolve the narrow files through the widened
+    explicit schema (scan-time up-cast, no rewrite); the oracle
+    computes the same arithmetic directly, so a mis-cast, a dropped
+    narrow file, or a DV mispositioned across the widening boundary
+    diverges the hash. `score` values are small integers (n_chars mod
+    128) — exactly representable in float32, so the float→double
+    up-cast and the cross-engine sums are bit-exact."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "n_chars")
+    t = ManifestTable(
+        tempfile.mkdtemp(prefix="aeuc_manifest_widen_"), stats_cols=["doc_id"]
+    )
+    t.commit_append(
+        docs.filter(F.col("doc_id") < 250).select(
+            "doc_id", "lang",
+            F.col("n_chars").cast("int").alias("n_chars_i"),
+            (F.col("n_chars") % 128).cast("float").alias("score"),
+        )
+    )
+    t.commit_append(
+        docs.filter(F.col("doc_id") >= 250).select(
+            "doc_id", "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars_i"),
+            (F.col("n_chars") % 128).cast("double").alias("score"),
+        ),
+        evolve=True,
+    )
+    # one DV slice in the narrow generation, one in the wide
+    t.delete_where_dv(spark, [("doc_id", ">=", 100), ("doc_id", "<", 150)])
+    t.delete_where_dv(spark, [("doc_id", ">=", 300), ("doc_id", "<", 350)])
+    return t.read(spark).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars_i").alias("sum_chars"),
+        F.sum("score").cast("long").alias("sum_score"),
+    )
+
+
+_WIDENING_ORACLE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_chars % 128) AS BIGINT) AS sum_score
+FROM documents
+WHERE NOT (doc_id >= 100 AND doc_id < 150)
+  AND NOT (doc_id >= 300 AND doc_id < 350)
+GROUP BY lang
+"""
+
+
 QUERIES = {
+    "manifest_widening_read": (_manifest_widening_read, _WIDENING_ORACLE),
     "manifest_dnf_skipping_read": (
         _manifest_dnf_skipping_read,
         _DNF_SKIPPING_ORACLE,

@@ -81,10 +81,47 @@ def _schema_sig(df: DataFrame) -> list[str]:
 def _sig_is_additive(old_sig: list[str], new_sig: list[str]) -> bool:
     """Is new_sig an ADDITIVE evolution of old_sig — every existing
     column kept with its exact type, new columns only appended? The
-    only schema change safe under mixed-file reads: an explicit-schema
-    parquet read fills the appended columns with NULL for old files;
-    renames/drops/type changes would silently corrupt them."""
+    safest schema change under mixed-file reads: an explicit-schema
+    parquet read fills the appended columns with NULL for old files."""
     return len(new_sig) >= len(old_sig) and new_sig[: len(old_sig)] == old_sig
+
+
+#: Safe numeric type WIDENINGS (old simpleString → allowed new ones):
+#: every old value is exactly representable in the new type, and
+#: Spark's parquet readers (vectorized and row-based, verified on 4.1)
+#: up-cast old files' columns at scan when handed the wider explicit
+#: schema. Deliberately scalar-and-lossless only: int→double or
+#: decimal changes alter equality/hash semantics, and nested
+#: (array/struct) widening is excluded until the readers' behavior is
+#: pinned by a test. Bloom sidecars stay valid across int widenings
+#: (values hash by str(); 5 and 5L canonicalize identically) and float
+#: columns are never bloomed; JSON file stats compare as Python
+#: numbers either way.
+_TYPE_WIDENINGS: dict = {
+    "tinyint": {"smallint", "int", "bigint"},
+    "smallint": {"int", "bigint"},
+    "int": {"bigint"},
+    "float": {"double"},
+}
+
+
+def _field_widens(old: str, new: str) -> bool:
+    """Same column name, same type OR a safe numeric widening."""
+    oname, otype = old.split(":", 1)
+    nname, ntype = new.split(":", 1)
+    return oname == nname and (
+        otype == ntype or ntype in _TYPE_WIDENINGS.get(otype, ())
+    )
+
+
+def _sig_evolves(old_sig: list[str], new_sig: list[str]) -> bool:
+    """Is new_sig a safe evolution of old_sig: every existing column
+    kept (exact type or safe numeric widening, same name/order), new
+    columns only appended? Renames, drops, narrowing, and non-numeric
+    type changes stay rejected — those need a rewrite."""
+    return len(new_sig) >= len(old_sig) and all(
+        _field_widens(o, n) for o, n in zip(old_sig, new_sig)
+    )
 
 
 def _sig_to_struct(sig: list[str]):
@@ -994,12 +1031,13 @@ class ManifestTable:
                 # file the reader samples. Overwrite/merge/compact replace
                 # the snapshot wholesale, so they may evolve the schema.
                 if schema is not None and pm.get("schema") not in (None, schema):
-                    if not (evolve and _sig_is_additive(pm["schema"], schema)):
+                    if not (evolve and _sig_evolves(pm["schema"], schema)):
                         raise ValueError(
                             f"append schema mismatch at {self.root!r}: table has "
                             f"{pm['schema']}, batch has {schema}; pass "
-                            "evolve=True for an additive column append, or use "
-                            "commit_overwrite/merge_upsert to restructure"
+                            "evolve=True for an additive column append or a "
+                            "safe numeric widening (int→bigint, float→double), "
+                            "or use commit_overwrite/merge_upsert to restructure"
                         )
                     per_file["evolved"] = True
                 files = pm["files"] + new_files
@@ -1065,13 +1103,15 @@ class ManifestTable:
         AQE otherwise coalesces a small batch to one file whose span
         covers everything).
 
-        `evolve=True` permits ADDITIVE schema evolution: the batch may
-        append new columns after the table's existing ones (existing
-        columns keep their exact names/types); the manifest records the
-        widened schema plus an `evolved` marker, and every later read
-        resolves old files against it explicitly (NULL for the appended
-        columns). Renames, drops, and type changes stay rejected —
-        those need a rewrite (commit_overwrite / merge_upsert)."""
+        `evolve=True` permits ADDITIVE schema evolution — the batch may
+        append new columns after the table's existing ones — and safe
+        numeric TYPE WIDENING of existing columns (tinyint→smallint→
+        int→bigint, float→double; see _TYPE_WIDENINGS). The manifest
+        records the widened schema plus an `evolved` marker, and every
+        later read resolves old files against it explicitly: NULL for
+        appended columns, scan-time up-cast for widened ones. Renames,
+        drops, narrowing, and other type changes stay rejected — those
+        need a rewrite (commit_overwrite / merge_upsert)."""
         eid = None if epoch_id is None else str(epoch_id)
         if eid is not None and eid in self.committed_epochs():
             return None

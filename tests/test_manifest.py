@@ -1214,3 +1214,110 @@ def test_merge_dv_on_appended_key_column(spark, root):
     # pre-evolution rows (extra=NULL) never match a key and stay live
     assert rows[5] == ("a", None)
     assert len(rows) == 40
+
+
+def test_type_widening_evolution(spark, root):
+    """evolve=True accepts safe numeric widening (int→bigint,
+    float→double) with or without appended columns: old files up-cast
+    at scan through the widened explicit schema; plain appends of the
+    widened schema then work; narrowing / renames / unsafe changes stay
+    rejected."""
+    t = ManifestTable(root, stats_cols=["k"], bloom_cols=["k"])
+    narrow = spark.range(0, 20).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id").cast("float") / 4).alias("score"),
+        F.lit("a").alias("tag"),
+    )
+    t.commit_append(narrow)
+    # widening WITHOUT the flag: rejected like any mismatch
+    wide = spark.range(20, 40).select(
+        F.col("id").cast("bigint").alias("k"),
+        (F.col("id").cast("double") / 4).alias("score"),
+        F.lit("b").alias("tag"),
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.commit_append(wide)
+    t.commit_append(wide, evolve=True)
+    assert t.manifest().get("evolved") is True
+    got = t.read(spark)
+    # resolved types are the WIDE ones for every file
+    types = dict((f.name, f.dataType.simpleString()) for f in got.schema.fields)
+    assert types == {"k": "bigint", "score": "double", "tag": "string"}
+    rows = {r["k"]: (r["score"], r["tag"]) for r in got.collect()}
+    assert rows[5] == (1.25, "a") and rows[30] == (7.5, "b") and len(rows) == 40
+    # plain append of the widened schema now matches
+    t.commit_append(
+        spark.range(40, 45).select(
+            F.col("id").alias("k"), (F.col("id").cast("double") / 4).alias("score"),
+            F.lit("c").alias("tag"),
+        )
+    )
+    assert t.count_rows() == 45
+    # widening + appended column in ONE evolve commit
+    wider = spark.range(45, 50).select(
+        F.col("id").alias("k"), (F.col("id").cast("double") / 4).alias("score"),
+        F.lit("d").alias("tag"), (F.col("id") % 3).cast("int").alias("bucket3"),
+    )
+    t.commit_append(wider, evolve=True)
+    rows = {r["k"]: r["bucket3"] for r in t.read(spark).collect()}
+    assert rows[5] is None and rows[47] == 47 % 3 and len(rows) == 50
+    # NARROWING and type CHANGES stay rejected even with evolve=True
+    for bad in (
+        spark.range(50, 51).select(
+            F.col("id").cast("int").alias("k"),          # bigint→int: narrow
+            (F.col("id").cast("double") / 4).alias("score"),
+            F.lit("x").alias("tag"), F.lit(1).cast("int").alias("bucket3"),
+        ),
+        spark.range(50, 51).select(
+            F.col("id").alias("k"),
+            (F.col("id").cast("double") / 4).alias("score"),
+            F.lit(7).alias("tag"),                        # string→bigint
+            F.lit(1).cast("int").alias("bucket3"),
+        ),
+    ):
+        with pytest.raises(ValueError, match="schema mismatch"):
+            t.commit_append(bad, evolve=True)
+
+
+def test_type_widening_composes_with_dv_skipping_and_cdc(spark, root):
+    """Widened tables keep the whole surface honest: stat/bloom-pruned
+    reads (int stats vs bigint predicates), DV deletes positioned
+    against mixed narrow/wide files, merge_upsert_dv on the widened
+    key, and CDC over the widening boundary."""
+    t = ManifestTable(root, stats_cols=["k"], bloom_cols=["k"])
+    t.commit_append(
+        spark.range(0, 50).select(
+            F.col("id").cast("int").alias("k"), F.lit("a").alias("tag")
+        ),
+        sort_by=["k"],
+    )
+    t.commit_append(
+        spark.range(50, 100).select(
+            F.col("id").cast("bigint").alias("k"), F.lit("b").alias("tag")
+        ),
+        evolve=True, sort_by=["k"],
+    )
+    # pruned read crosses the narrow/wide boundary exactly
+    sub = {r["k"] for r in t.read_where(spark, [("k", ">=", 40), ("k", "<", 60)]).collect()}
+    assert sub == set(range(40, 60))
+    keep, total = t.files_for([("k", "=", 7)])
+    assert len(keep) < total  # stats+bloom prune wide files for a narrow key
+    # DV delete spanning both file generations
+    assert t.delete_where_dv(spark, [("k", ">=", 48), ("k", "<", 52)]) is not None
+    got = {r["k"] for r in t.read(spark).collect()}
+    assert got == set(range(100)) - {48, 49, 50, 51}
+    # merge on the widened key touches narrow AND wide files
+    ups = spark.createDataFrame([(10, "m"), (90, "m")], "k bigint, tag string")
+    t.merge_upsert_dv(spark, ups, key="k")
+    rows = {r["k"]: r["tag"] for r in t.read(spark).collect()}
+    assert rows[10] == "m" and rows[90] == "m" and rows[11] == "a" and len(rows) == 96
+    # CDC across the widening boundary (since_version is EXCLUSIVE, so
+    # the feed starts at the widening commit) resolves every change
+    # type: wide-file inserts, and deletes positioned in BOTH file
+    # generations (48/49 narrow, 50/51 wide)
+    ch_rows = t.read_changes(spark, since_version=0).collect()
+    assert {r["_change_type"] for r in ch_rows} == {"insert", "delete"}
+    ins = [r for r in ch_rows if r["k"] == 70 and r["_change_type"] == "insert"]
+    assert ins and ins[0]["tag"] == "b"
+    dels = {r["k"] for r in ch_rows if r["_change_type"] == "delete"}
+    assert {48, 49, 50, 51} <= dels
