@@ -444,7 +444,210 @@ FROM o WHERE off < 600 GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# End-to-end pipeline composition (round 7): the LLM training-data prep
+# chain the charter names, as ONE declared oracle query
+# ---------------------------------------------------------------------------
+
+def _doc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean (quality + repetition) → exact dedup → near dedup →
+    decontaminate → leakproof split → per-(split,source) token budget →
+    sequence pack, over documents ∪ planted exact copies (+200000,
+    doc_id%10=0) ∪ planted near copies (+100000, doc_id%10=5, 20 chars
+    cut). Every stage is an operator the dedicated queries already
+    check individually; this query pins their COMPOSITION — column
+    contracts, ordering determinism, and the data-dependent thresholds
+    — against a DuckDB replay of the full chain. A drift in any stage
+    (a doc leaking past dedup, a split assigned by doc instead of
+    cluster, a budget drawing in the wrong order) diverges the final
+    per-(split, source) aggregate hash."""
+    from aeuc_vector_db_spark.operators import dedup as D
+    from aeuc_vector_db_spark.operators import text as TX
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "lang", "source"
+    )
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 200000
+        )
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 5)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.expr("substring(text, 1, length(text) - 20)"))
+    )
+    # 1. clean: quality floor + repetition ceiling
+    clean = (
+        corpus.withColumn("__q", TX.quality_score_col("text"))
+        .withColumn("__rep", CU.repetition_ratio_pandas(2)(F.col("text")))
+        .filter((F.col("__q") >= 0.5) & (F.col("__rep") < 0.9))
+        .drop("__q", "__rep")
+    )
+    # 2. exact dedup: keep min-id per identical text
+    keepers = D.exact_dedup(clean).select("doc_id")
+    s2 = clean.join(keepers, "doc_id", "left_semi")
+    # 3. near dedup at a tight threshold (0.6 Jaccard on 2-shingles)
+    blk = (F.col("doc_id") % 100000 % 50).alias("block")
+    pairs_dup = D.ngram_jaccard_pairs(
+        s2.withColumn("block", blk), block_col="block",
+        threshold=0.6, shingle_n=2,
+    ).select("a_id", "b_id")
+    drops = D.keep_one(pairs_dup).filter(~F.col("keep")).select("doc_id")
+    s3 = s2.join(drops, "doc_id", "left_anti")
+    # 4. decontaminate vs the benchmark stand-in (doc_id % 97 = 5)
+    bench = docs.filter(F.col("doc_id") % 97 == 5).select("text")
+    cont = CU.contaminated_docs(s3, bench, shingle_n=3, min_overlap=2).select(
+        "doc_id"
+    )
+    s4 = s3.join(cont, "doc_id", "left_anti")
+    # 5. leakproof split: clusters from a BROADER pair set (0.25) than
+    # dedup removed (0.6) — related-but-not-duplicate docs must not
+    # straddle the train/val boundary
+    pairs_rel = D.ngram_jaccard_pairs(
+        s4.withColumn("block", blk), block_col="block",
+        threshold=0.25, shingle_n=2,
+    ).select("a_id", "b_id")
+    assigned = CU.leakproof_split(s4, pairs_rel, val_threshold=2000)
+    # 6. per-(split, source) token budget in seeded-shuffle order
+    budgeted = CU.source_token_budget(
+        assigned.withColumn(
+            "__part", F.concat_ws(":", F.col("split"), F.col("source"))
+        ),
+        budget_tokens=600, seed=0, stratum_col="__part",
+    )
+    # 7. pack the kept docs into 256-token chunks per (split, source)
+    packed = CU.pack_sequences(
+        budgeted, budget_tokens=256, part_col="__part",
+        token_count_col=F.col("n_tokens"),
+    )
+    return packed.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum("n_tokens").alias("kept_tokens"),
+        F.countDistinct("chunk_id").alias("n_chunks"),
+    )
+
+
+def _pipeline_oracle() -> str:
+    from aeuc_vector_db_spark.queries.textops import _dk_jaccard, _SW
+
+    quality = f"""
+         0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+       + 0.3 * least((CAST(len(list_filter(toks, x -> list_contains([{_SW}], x))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE)) / 0.1, 1.0)
+       + 0.3 * greatest(0.0, 1.0 - abs(
+             CAST(list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
+                              (a, b) -> a + b) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) - 5.0) / 5.0)"""
+    return f"""
+WITH RECURSIVE
+corpus AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text, lang, source FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 100000, substr(text, 1, length(text) - 20), lang, source
+  FROM documents WHERE doc_id % 10 = 5
+),
+scored AS (
+  SELECT doc_id, text, lang, source,
+         {quality} AS q,
+         CASE WHEN len(grams) > 0
+              THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                       / CAST(len(grams) AS DOUBLE)
+              ELSE 0.0 END AS rep
+  FROM (SELECT *, {_dk_tokens('text')} AS toks,
+               {_dk_shingles(_dk_tokens('text'), 2)} AS grams FROM corpus)
+),
+clean AS (SELECT doc_id, text, lang, source FROM scored WHERE q >= 0.5 AND rep < 0.9),
+s2 AS (
+  SELECT doc_id, text, lang, source FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keeper FROM clean
+  ) WHERE doc_id = keeper
+),
+sh2 AS (
+  SELECT doc_id % 100000 % 50 AS block, doc_id, {_dk_shingle_hashes('text', 2)} AS shset
+  FROM s2
+),
+p_dup AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sh2 a JOIN sh2 b ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE {_dk_jaccard('a.shset', 'b.shset')} >= 0.6
+),
+e_dup AS (SELECT a_id AS u, b_id AS v FROM p_dup UNION ALL SELECT b_id, a_id FROM p_dup),
+lab_dup(node, comp) AS (
+  SELECT a_id, a_id FROM p_dup UNION SELECT b_id, b_id FROM p_dup
+  UNION
+  SELECT e.u, lab_dup.comp FROM e_dup e JOIN lab_dup ON lab_dup.node = e.v
+),
+drops AS (
+  SELECT node AS doc_id FROM lab_dup GROUP BY node HAVING node <> MIN(comp)
+),
+s3 AS (SELECT * FROM s2 ANTI JOIN drops USING (doc_id)),
+bsh AS (
+  SELECT DISTINCT unnest({_dk_shingle_hashes('text', 3)}) AS sh
+  FROM documents WHERE doc_id % 97 = 5
+),
+csh AS (SELECT doc_id, unnest({_dk_shingle_hashes('text', 3)}) AS sh FROM s3),
+cont AS (
+  SELECT doc_id FROM csh JOIN bsh USING (sh) GROUP BY doc_id HAVING COUNT(*) >= 2
+),
+s4 AS (SELECT * FROM s3 ANTI JOIN cont USING (doc_id)),
+sh4 AS (
+  SELECT doc_id % 100000 % 50 AS block, doc_id, {_dk_shingle_hashes('text', 2)} AS shset
+  FROM s4
+),
+p_rel AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sh4 a JOIN sh4 b ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE {_dk_jaccard('a.shset', 'b.shset')} >= 0.25
+),
+e_rel AS (SELECT a_id AS u, b_id AS v FROM p_rel UNION ALL SELECT b_id, a_id FROM p_rel),
+lab_rel(node, comp) AS (
+  SELECT doc_id, doc_id FROM s4
+  UNION
+  SELECT e.u, lab_rel.comp FROM e_rel e JOIN lab_rel ON lab_rel.node = e.v
+),
+clusters AS (SELECT node AS doc_id, MIN(comp) AS cluster_id FROM lab_rel GROUP BY node),
+assigned AS (
+  SELECT s4.*,
+         CASE WHEN (({_dk_polyhash("('0:' || CAST(c.cluster_id AS VARCHAR))")}
+                     * 2654435761) % 4294967296) % 10000 < 2000
+              THEN 'val' ELSE 'train' END AS split
+  FROM s4 JOIN clusters c USING (doc_id)
+),
+t AS (
+  SELECT split, source, doc_id,
+         CAST(len({_dk_tokens('text')}) AS BIGINT) AS n_tokens,
+         ({_dk_polyhash("('0:' || CAST(doc_id AS VARCHAR))")}
+          * 2654435761) % 4294967296 AS draw
+  FROM assigned
+),
+o AS (
+  SELECT split, source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY split, source ORDER BY draw, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM t
+),
+kept AS (SELECT split, source, doc_id, n_tokens FROM o WHERE off < 600),
+packed AS (
+  SELECT split, source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY split, source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strm_off
+  FROM kept
+)
+SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+       CAST(COUNT(DISTINCT FLOOR(strm_off / 256.0)) AS BIGINT) AS n_chunks
+FROM packed GROUP BY split, source
+"""
+
+
 QUERIES = {
+    "doc_pipeline_e2e": (_doc_pipeline_e2e, _pipeline_oracle()),
     "doc_decontaminate": (_doc_decontaminate, _DECONTAMINATE_ORACLE),
     "doc_epoch_shuffle": (_doc_epoch_shuffle, _EPOCH_SHUFFLE_ORACLE),
     "doc_source_token_budget": (_doc_source_token_budget, _TOKEN_BUDGET_ORACLE),
