@@ -82,7 +82,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "phi_bands",
     "auto_cluster_phi",
     "search_pglyphs",
-    "dataset_digest",
     "stats",
     "point_lookup",
     "validation_counts",
@@ -125,6 +124,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "manifest_widening_read",
     "doc_pipeline_e2e",
     "multimodal_native_codec_stats",
+    "manifest_rename_read",
+    # 51st: four new round-7 queries made the window 51-deep; the one
+    # query that slips to position 51 (checked next round + by
+    # tools/check_correctness.py every round) is the long-stable
+    # single-task digest facade
+    "dataset_digest",
 )
 
 

@@ -614,7 +614,60 @@ GROUP BY lang
 """
 
 
+def _manifest_rename_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column rename end-to-end (round 7): commit half
+    the corpus, RENAME doc_id→document_id and n_chars→length_chars
+    (zero files rewritten — field-id-style indirection: physical names
+    stay in the files, logical names live in the manifest), then
+    append the other half under the NEW names, DV-delete through a
+    renamed predicate, and bounded-merge on the renamed key. The final
+    aggregate uses the logical names; the oracle computes the same
+    arithmetic directly — a read resolving the wrong physical column,
+    a predicate mistranslation, or a merge keyed on the wrong name
+    diverges the hash."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "n_chars")
+    t = ManifestTable(
+        tempfile.mkdtemp(prefix="aeuc_manifest_ren_"), stats_cols=["doc_id"]
+    )
+    t.commit_append(docs.filter(F.col("doc_id") < 250), sort_by=["doc_id"])
+    t.rename_column("doc_id", "document_id")
+    t.rename_column("n_chars", "length_chars")
+    t.commit_append(
+        docs.filter(F.col("doc_id") >= 250).select(
+            F.col("doc_id").alias("document_id"), "lang",
+            F.col("n_chars").alias("length_chars"),
+        ),
+        sort_by=["document_id"],
+    )
+    t.delete_where_dv(spark, [("document_id", ">=", 200), ("document_id", "<", 260)])
+    ups = docs.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("document_id"), "lang",
+        (F.col("n_chars") + 1000).alias("length_chars"),
+    )
+    t.merge_upsert_dv(spark, ups, key="document_id")
+    return t.read(spark).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("document_id").alias("sum_id"),
+        F.sum("length_chars").alias("sum_len"),
+    )
+
+
+_RENAME_ORACLE = """
+WITH final AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id < 10 THEN n_chars + 1000 ELSE n_chars END AS len
+  FROM documents
+  WHERE NOT (doc_id >= 200 AND doc_id < 260)
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+       CAST(SUM(len) AS BIGINT) AS sum_len
+FROM final GROUP BY lang
+"""
+
+
 QUERIES = {
+    "manifest_rename_read": (_manifest_rename_read, _RENAME_ORACLE),
     "manifest_widening_read": (_manifest_widening_read, _WIDENING_ORACLE),
     "manifest_dnf_skipping_read": (
         _manifest_dnf_skipping_read,

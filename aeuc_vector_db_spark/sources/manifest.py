@@ -468,6 +468,116 @@ class ManifestTable:
                 out.add(str(e))
         return out
 
+    # -- column rename (field-id-style indirection) --------------------
+    #
+    # Physical column names are IMMUTABLE once written: data files,
+    # footer stats, bloom sidecars, and the manifest `schema` signature
+    # all speak physical names forever. A rename is a METADATA-ONLY
+    # commit updating the manifest's `renames` map (physical→logical,
+    # non-identity entries only, sticky across every commit kind like
+    # `evolved`). Reads logicalize their output at the boundary; writes
+    # physicalize their input at the `_write_data_dir` chokepoint; the
+    # public predicate/key/column entry points translate logical names
+    # to physical before consulting stats/blooms or building scan
+    # filters. This is the same indirection Iceberg gets from field ids
+    # — without rewriting a byte of data, and with per-version maps so
+    # time travel shows each version under its own names.
+
+    def _renames(self, m: dict | None = None) -> dict:
+        if m is None:
+            v = self.latest_version()
+            if v is None:
+                return {}
+            m = self.manifest(v)
+        return m.get("renames") or {}
+
+    def _phys_name(self, name: str, m: dict | None = None) -> str:
+        """Logical → physical column name (identity when unmapped)."""
+        for p, l in self._renames(m).items():
+            if l == name:
+                return p
+        return name
+
+    def _phys_predicates(
+        self, predicates: list[tuple], m: dict | None = None
+    ) -> list[tuple]:
+        ren = self._renames(m)
+        if not ren:
+            return list(predicates)
+        inv = {l: p for p, l in ren.items()}
+        return [(inv.get(c, c), op, v) for (c, op, v) in predicates]
+
+    def _logicalize(self, df: DataFrame, m: dict | None) -> DataFrame:
+        ren = (m or {}).get("renames") or {}
+        if not ren:
+            return df
+        return df.select(*[F.col(c).alias(ren.get(c, c)) for c in df.columns])
+
+    def _physicalize_df(self, df: DataFrame, m: dict | None) -> DataFrame:
+        ren = (m or {}).get("renames") or {}
+        if not ren:
+            return df
+        inv = {l: p for p, l in ren.items()}
+        return df.select(*[F.col(c).alias(inv.get(c, c)) for c in df.columns])
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a column — a metadata-only commit (zero files touched,
+        zero bytes rewritten): the manifest's physical→logical map gains
+        one entry and every read resolves through it. Old versions keep
+        their own maps, so time travel shows historical names. Rejected:
+        unknown columns, collisions with existing logical names, and a
+        new name that shadows a DIFFERENT column's physical name (the
+        logical→physical translation would turn ambiguous)."""
+        parent = self.latest_version()
+        if parent is None:
+            raise FileNotFoundError(f"no committed version at {self.root!r}")
+        last: CommitConflictError | None = None
+        for _ in range(10):
+            parent = self.latest_version()
+            m = self.manifest(parent)
+            sig = m.get("schema") or []
+            phys_names = [e.split(":", 1)[0] for e in sig]
+            ren = dict(m.get("renames") or {})
+            logical_names = [ren.get(p, p) for p in phys_names]
+            if old not in logical_names:
+                raise ValueError(
+                    f"rename_column: no column {old!r} (have {logical_names})"
+                )
+            if new == old or not new:
+                raise ValueError(f"rename_column: invalid new name {new!r}")
+            if new in logical_names:
+                raise ValueError(
+                    f"rename_column: {new!r} already names a column"
+                )
+            phys_old = phys_names[logical_names.index(old)]
+            if new in phys_names and new != phys_old:
+                raise ValueError(
+                    f"rename_column: {new!r} shadows another column's "
+                    "physical name — pick a name outside the physical set"
+                )
+            ren.pop(phys_old, None)
+            if new != phys_old:  # renaming back to the physical = clear
+                ren[phys_old] = new
+            manifest = {
+                "format_version": FORMAT_VERSION,
+                "version": parent + 1,
+                "parent": parent,
+                "action": "rename",
+                "files": m["files"],
+                "n_rows": m["n_rows"],
+                "epoch_id": None,
+                "schema": m.get("schema"),
+                "committed_at_s": round(time.time(), 3),
+                **({"deletes": m["deletes"]} if m.get("deletes") else {}),
+                **({"evolved": True} if m.get("evolved") else {}),
+                **({"renames": ren} if ren else {}),
+                **{k: m[k] for k in self._PER_FILE_KEYS if k in m},
+            }
+            if self._try_publish(manifest, parent + 1):
+                return parent + 1
+            last = CommitConflictError("rename lost the publish race")
+        raise CommitConflictError("rename_column: retries exhausted") from last
+
     # -- reading -------------------------------------------------------
 
     def _apply_deletes(self, spark: SparkSession, df: DataFrame, m: dict) -> DataFrame:
@@ -498,7 +608,9 @@ class ManifestTable:
             raise ValueError(
                 f"version {m['version']} of {self.root!r} is an empty snapshot"
             )
-        return self._apply_deletes(spark, self._read_files(spark, files, m), m)
+        return self._logicalize(
+            self._apply_deletes(spark, self._read_files(spark, files, m), m), m
+        )
 
     def _read_files(self, spark: SparkSession, files: list[str], m: dict) -> DataFrame:
         """Parquet scan of `files` under the snapshot's schema. Once a
@@ -531,6 +643,32 @@ class ManifestTable:
         m = self.manifest(version)
         return [f for f in m["files"] if f in keeps], total
 
+    def _pruned_filtered(
+        self,
+        spark: SparkSession,
+        keep: list[str],
+        cond,
+        m: dict,
+    ) -> DataFrame:
+        """Shared tail of read_where/read_where_any: pruned physical
+        scan → DV anti-join → physical filter → logicalized output.
+        `cond` must be built from PHYSICAL column names."""
+        if not keep:
+            df = self._read_files(
+                spark, [os.path.join(self.root, f) for f in m["files"]], m
+            ).limit(0)
+        else:
+            df = self._apply_deletes(
+                spark,
+                self._read_files(
+                    spark, [os.path.join(self.root, f) for f in keep], m
+                ),
+                m,
+            )
+        if cond is not None:
+            df = df.filter(cond)
+        return self._logicalize(df, m)
+
     def read_where_any(
         self,
         spark: SparkSession,
@@ -539,6 +677,8 @@ class ManifestTable:
     ) -> DataFrame:
         """Exactly `read().filter(OR(AND(g) for g in groups))`, minus
         the files NO group might match (files_for_any)."""
+        m = self.manifest(version)
+        groups = [self._phys_predicates(g, m) for g in groups]
         keep, _total = self.files_for_any(groups, version)
         cond = None
         for g in groups:
@@ -547,18 +687,7 @@ class ManifestTable:
                 cond = None  # an empty group matches everything
                 break
             cond = c if cond is None else cond | c
-        if not keep:
-            df = self.read(spark, version).limit(0)
-        else:
-            m = self.manifest(version)
-            df = self._apply_deletes(
-                spark,
-                self._read_files(
-                    spark, [os.path.join(self.root, f) for f in keep], m
-                ),
-                m,
-            )
-        return df.filter(cond) if cond is not None else df
+        return self._pruned_filtered(spark, keep, cond, m)
 
     # -- metadata-only aggregates ---------------------------------------
 
@@ -579,6 +708,7 @@ class ManifestTable:
         it is a superset bound for live rows — exactly how file-level
         stats behave everywhere else in the skipping machinery."""
         m = self.manifest(version)
+        col = self._phys_name(col, m)
         stats = m.get("stats") or {}
         mn = mx = None
         for f in m["files"]:
@@ -594,6 +724,7 @@ class ManifestTable:
         per-file null-count stats — zero data files opened; None when
         any file lacks them. Physical rows, like `column_span`."""
         m = self.manifest(version)
+        col = self._phys_name(col, m)
         nulls = m.get("nulls") or {}
         n_null = n_rows = 0
         for f in m["files"]:
@@ -617,6 +748,7 @@ class ManifestTable:
         bloom filter proves an `=`/`in` value absent. Files without
         stats/blooms/null-counts for a referenced column are kept."""
         m = self.manifest(version)
+        predicates = self._phys_predicates(predicates, m)
         stats = m.get("stats") or {}
         nulls = m.get("nulls") or {}
         bloom_cache: dict[str, dict] = {}
@@ -675,20 +807,11 @@ class ManifestTable:
         on a stats column read O(matching files), not O(table). Pair
         with `compact(sort_by=[col])`: range-clustering gives files
         disjoint spans, which is what makes the pruning bite."""
+        m = self.manifest(version)
+        predicates = self._phys_predicates(predicates, m)
         keep, _total = self.files_for(predicates, version)
         cond = _predicates_condition(predicates)
-        if not keep:
-            df = self.read(spark, version).limit(0)
-        else:
-            m = self.manifest(version)
-            df = self._apply_deletes(
-                spark,
-                self._read_files(
-                    spark, [os.path.join(self.root, f) for f in keep], m
-                ),
-                m,
-            )
-        return df.filter(cond) if cond is not None else df
+        return self._pruned_filtered(spark, keep, cond, m)
 
     def read_appended(
         self, spark: SparkSession, since_version: int
@@ -715,8 +838,12 @@ class ManifestTable:
         # inside both a filter and a projection makes long logs O(versions²)
         # in JSON loads
         intervening = [self.manifest(v) for v in self.versions() if v > since_version]
+        # rename commits are metadata-only (zero files touched), so the
+        # file delta still equals the row delta across them
         non_append = [
-            (m["version"], m["action"]) for m in intervening if m["action"] != "append"
+            (m["version"], m["action"])
+            for m in intervening
+            if m["action"] not in ("append", "rename")
         ]
         if non_append:
             raise ValueError(
@@ -725,10 +852,16 @@ class ManifestTable:
                 "re-read the full snapshot instead"
             )
         base = set(self.manifest(since_version)["files"])
-        new = [f for f in self.manifest(latest)["files"] if f not in base]
+        m_latest = self.manifest(latest)
+        new = [f for f in m_latest["files"] if f not in base]
         if not new:
             return self.read(spark, latest).limit(0)
-        return spark.read.parquet(*[os.path.join(self.root, f) for f in new])
+        return self._logicalize(
+            self._read_files(
+                spark, [os.path.join(self.root, f) for f in new], m_latest
+            ),
+            m_latest,
+        )
 
     def read_changes(
         self, spark: SparkSession, since_version: int
@@ -760,7 +893,8 @@ class ManifestTable:
         bad = [
             (m["version"], m["action"])
             for m in ms
-            if m["action"] not in ("append", "delete_dv", "merge_dv", "compact_dv")
+            if m["action"]
+            not in ("append", "delete_dv", "merge_dv", "compact_dv", "rename")
         ]
         if bad:
             raise ValueError(
@@ -808,11 +942,16 @@ class ManifestTable:
             fmap = spark.createDataFrame(
                 inserts, "__cdc_f STRING, _commit_version INT"
             )
+            # logicalize under the LATEST map (CDC shows current names,
+            # the Delta-CDF convention); _commit_version/_change_type
+            # pass through unmapped
             out = out.unionByName(
-                ins.withColumn("__cdc_f", _file_rel_col())
-                .join(F.broadcast(fmap), "__cdc_f")
-                .drop("__cdc_f")
-                .withColumn("_change_type", F.lit("insert"))
+                self._logicalize(
+                    ins.withColumn("__cdc_f", _file_rel_col())
+                    .join(F.broadcast(fmap), "__cdc_f")
+                    .drop("__cdc_f"),
+                    m_latest,
+                ).withColumn("_change_type", F.lit("insert"))
             )
         if deletes:
             # join DV positions back to the immutable data files they
@@ -856,7 +995,9 @@ class ManifestTable:
                 "inner",
             ).drop("__dv_f", "__dv_r")
             out = out.unionByName(
-                dead.withColumn("_change_type", F.lit("delete"))
+                self._logicalize(dead, m_latest).withColumn(
+                    "_change_type", F.lit("delete")
+                )
             )
         return out
 
@@ -884,6 +1025,20 @@ class ManifestTable:
 
         if sort_by and cluster_by:
             raise ValueError("sort_by and cluster_by are mutually exclusive")
+        # the physicalize chokepoint: batches arrive under LOGICAL names
+        # (from callers or internal self.read()s); files always store
+        # PHYSICAL names so footer stats, blooms, and the schema sig
+        # stay valid across renames. Identity when no rename exists.
+        m_cur = None
+        v_cur = self.latest_version()
+        if v_cur is not None:
+            m_cur = self.manifest(v_cur)
+        df = self._physicalize_df(df, m_cur)
+        if sort_by:
+            sort_by = [self._phys_name(c, m_cur) for c in sort_by]
+        if cluster_by:
+            cluster_by = [self._phys_name(c, m_cur) for c in cluster_by]
+        stats_cols = [self._phys_name(c, m_cur) for c in self.stats_cols]
         token = uuid.uuid4().hex[:16]
         rel_dir = os.path.join(_DATA_DIR, token)
         out_dir = os.path.join(self.root, rel_dir)
@@ -911,20 +1066,25 @@ class ManifestTable:
             for f in os.listdir(out_dir)
             if f.endswith(".parquet")
         )
-        if self.stats_cols:
+        if stats_cols:
             self._pending_extra["stats"] = {
-                rel: _file_stats(os.path.join(self.root, rel), self.stats_cols)
+                rel: _file_stats(os.path.join(self.root, rel), stats_cols)
                 for rel in files
             }
             self._pending_extra["nulls"] = {
-                rel: _file_nulls(os.path.join(self.root, rel), self.stats_cols)
+                rel: _file_nulls(os.path.join(self.root, rel), stats_cols)
                 for rel in files
             }
         if self.bloom_cols:
-            self._write_blooms(out_dir, files)
+            self._write_blooms(
+                out_dir, files,
+                cols=[self._phys_name(c, m_cur) for c in self.bloom_cols],
+            )
         return files, n
 
-    def _write_blooms(self, out_dir: str, rel_files: list[str]) -> None:
+    def _write_blooms(
+        self, out_dir: str, rel_files: list[str], cols: list[str] | None = None
+    ) -> None:
         """Per-file bloom filters for `bloom_cols`, from one columnar
         read of each freshly-written local file (int/string columns
         only — float canonicalization is a cross-engine footgun). The
@@ -937,16 +1097,17 @@ class ManifestTable:
         their DV merges pruned by stats only."""
         import pyarrow.parquet as pq
 
+        want = self.bloom_cols if cols is None else cols
         by_dir: dict[str, dict] = {}
         for rel in rel_files:
             path = os.path.join(self.root, rel)
             schema = pq.ParquetFile(path).schema_arrow
-            cols = [c for c in self.bloom_cols if c in schema.names]
-            if not cols:
+            fcols = [c for c in want if c in schema.names]
+            if not fcols:
                 continue
-            tbl = pq.read_table(path, columns=cols)
+            tbl = pq.read_table(path, columns=fcols)
             entry = {}
-            for c in cols:
+            for c in fcols:
                 vals = tbl.column(c).to_pylist()
                 if any(isinstance(v, float) for v in vals):
                     continue
@@ -1053,16 +1214,24 @@ class ManifestTable:
                     per_file["deletes"] = list(pm["deletes"])
                 if pm.get("evolved"):
                     per_file["evolved"] = True
+                if pm.get("renames"):
+                    per_file["renames"] = dict(pm["renames"])
             else:
                 files, n_rows = list(new_files), n_new
                 # a rewrite that carries parent files forward (bucketed
                 # bounded merge) may still hold pre-evolution files; the
                 # marker is sticky — explicit-schema reads are always
-                # sound, so keeping it can never be wrong
+                # sound, so keeping it can never be wrong. Renames are
+                # sticky on rewrites too: physical names are permanent
+                # (every write path physicalizes), so the map stays
+                # valid across any rewrite
                 if parent is not None:
                     try:
-                        if self.manifest(parent).get("evolved"):
+                        pm_prev = self.manifest(parent)
+                        if pm_prev.get("evolved"):
                             per_file["evolved"] = True
+                        if pm_prev.get("renames"):
+                            per_file["renames"] = dict(pm_prev["renames"])
                     except FileNotFoundError:
                         pass
             if deletes:
@@ -1219,7 +1388,12 @@ class ManifestTable:
                     last = exc
                     continue
             m = self.manifest(parent)
-            batch_schema = _schema_sig(updates)
+            # batch arrives under LOGICAL names; translate batch + key to
+            # physical (the candidate scan, stats lookups, and the schema
+            # sig all speak physical). Identity when no rename exists.
+            updates_p = self._physicalize_df(updates, m)
+            key_p = self._phys_name(key, m)
+            batch_schema = _schema_sig(updates_p)
             if m.get("schema") not in (None, batch_schema):
                 raise ValueError(
                     f"merge_upsert_dv schema mismatch at {self.root!r}: table "
@@ -1234,10 +1408,10 @@ class ManifestTable:
             # all files — correct, just unpruned) instead of holding an
             # unbounded batch on the driver; a batch that large is
             # rewriting most files anyway, so pruning buys little.
-            n_keys = updates.select(key).distinct().count()
+            n_keys = updates_p.select(key_p).distinct().count()
             if n_keys <= self._MERGE_PRUNE_MAX_KEYS:
-                keys = [r[0] for r in updates.select(key).distinct().collect()]
-                cand = self.files_for([(key, "in", keys)], parent)[0]
+                keys = [r[0] for r in updates_p.select(key_p).distinct().collect()]
+                cand = self.files_for([(key_p, "in", keys)], parent)[0]
             else:
                 cand = list(m["files"])
             n_del = 0
@@ -1251,7 +1425,7 @@ class ManifestTable:
                 raw = self._read_files(
                     spark, [os.path.join(self.root, f) for f in cand], m
                 ).select(
-                    F.col(key),
+                    F.col(key_p),
                     _file_rel_col().alias("__dv_f"),
                     F.col("_metadata.row_index").alias("__dv_r"),
                 )
@@ -1264,7 +1438,7 @@ class ManifestTable:
                     )
                     raw = raw.join(dv_old, ["__dv_f", "__dv_r"], "left_anti")
                 matching = raw.join(
-                    updates.select(key).distinct(), key, "left_semi"
+                    updates_p.select(key_p).distinct(), key_p, "left_semi"
                 ).select(
                     F.col("__dv_f").alias("file"), F.col("__dv_r").alias("row")
                 )
@@ -1281,7 +1455,7 @@ class ManifestTable:
                 if n_del == 0:
                     shutil.rmtree(dv_out, ignore_errors=True)
                     dv_rel = None
-            new_files, n_new = self._write_data_dir(updates)
+            new_files, n_new = self._write_data_dir(updates_p)
             extra = self._pop_pending_extra()
             self._pending_schema = None
             per_file = {}
@@ -1303,6 +1477,7 @@ class ManifestTable:
                 "committed_at_s": round(time.time(), 3),
                 **({"deletes": deletes} if deletes else {}),
                 **({"evolved": True} if m.get("evolved") else {}),
+                **({"renames": m["renames"]} if m.get("renames") else {}),
                 **per_file,
             }
             if self._try_publish(manifest, parent + 1):
@@ -1356,6 +1531,9 @@ class ManifestTable:
         if parent is None:
             raise FileNotFoundError(f"no committed version at {self.root!r}")
         m = self.manifest(parent)
+        # the raw scan below is PHYSICAL; translate logical predicate
+        # names once here (files_for would translate again — identity)
+        predicates = self._phys_predicates(predicates, m)
         cand, _total = self.files_for(predicates, parent)
         out_dir: str | None = None
         if cand:
@@ -1405,6 +1583,7 @@ class ManifestTable:
             "committed_at_s": round(time.time(), 3),
             "deletes": list(m.get("deletes") or []) + [rel_dir],
             **({"evolved": True} if m.get("evolved") else {}),
+            **({"renames": m["renames"]} if m.get("renames") else {}),
             **{k: m[k] for k in self._PER_FILE_KEYS if k in m},
         }
         if not self._try_publish(manifest, parent + 1):
@@ -1484,6 +1663,7 @@ class ManifestTable:
             "committed_at_s": round(time.time(), 3),
             "deletes": [rel_dir],
             **({"evolved": True} if m.get("evolved") else {}),
+            **({"renames": m["renames"]} if m.get("renames") else {}),
             **{k: m[k] for k in self._PER_FILE_KEYS if k in m},
         }
         if not self._try_publish(manifest, parent + 1):
@@ -1605,6 +1785,18 @@ class BucketedManifestTable(ManifestTable):
             with open(marker, "w") as fh:
                 json.dump({"key": self.key, "n_buckets": self.n_buckets}, fh)
 
+    def rename_column(self, old: str, new: str) -> int:
+        """Renames compose with the bucketed layout for every column
+        EXCEPT the bucket key: the hash layout, the per-file bucket map,
+        and the merge contract are all keyed on its physical name, so
+        renaming it is rejected (rewrite into a new table to re-key)."""
+        if self._phys_name(old) == self.key or new == self.key:
+            raise ValueError(
+                f"rename_column: {self.key!r} is the bucket key — the hash "
+                "layout is keyed on it; rewrite into a new table to rename it"
+            )
+        return super().rename_column(old, new)
+
     def _bucket_col(self):
         return F.pmod(
             F.xxhash64(F.col(self.key).cast("string")), F.lit(self.n_buckets)
@@ -1644,6 +1836,17 @@ class BucketedManifestTable(ManifestTable):
                 "sort_by for within-bucket ordering, or a plain "
                 "ManifestTable with cluster_by"
             )
+        # physicalize chokepoint (see base class) — the bucket KEY can
+        # never be renamed (guarded in rename_column), so _bucket_col()
+        # resolves on the physical frame unchanged
+        m_cur = None
+        v_cur = self.latest_version()
+        if v_cur is not None:
+            m_cur = self.manifest(v_cur)
+        df = self._physicalize_df(df, m_cur)
+        if sort_by:
+            sort_by = [self._phys_name(c, m_cur) for c in sort_by]
+        stats_cols = [self._phys_name(c, m_cur) for c in self.stats_cols]
         token = uuid.uuid4().hex[:16]
         rel_dir = os.path.join(_DATA_DIR, token)
         out_dir = os.path.join(self.root, rel_dir)
@@ -1674,17 +1877,20 @@ class BucketedManifestTable(ManifestTable):
                         os.path.join(self.root, rel)
                     ).metadata.num_rows
         self._pending_extra = {"buckets": buckets, "file_rows": file_rows}
-        if self.stats_cols:
+        if stats_cols:
             self._pending_extra["stats"] = {
-                rel: _file_stats(os.path.join(self.root, rel), self.stats_cols)
+                rel: _file_stats(os.path.join(self.root, rel), stats_cols)
                 for rel in files
             }
             self._pending_extra["nulls"] = {
-                rel: _file_nulls(os.path.join(self.root, rel), self.stats_cols)
+                rel: _file_nulls(os.path.join(self.root, rel), stats_cols)
                 for rel in files
             }
         if self.bloom_cols:
-            self._write_blooms(out_dir, files)
+            self._write_blooms(
+                out_dir, files,
+                cols=[self._phys_name(c, m_cur) for c in self.bloom_cols],
+            )
         return files, n
 
     # delete_where_dv / merge_upsert_dv are inherited: positional
@@ -1726,6 +1932,9 @@ class BucketedManifestTable(ManifestTable):
                 for r in updates.select(self._bucket_col().alias("b")).distinct().collect()
             )
             pm = self.manifest(parent)
+            # the rewrite-side scan below is PHYSICAL; align the batch
+            # (the bucket KEY itself can never be renamed — guarded)
+            updates = self._physicalize_df(updates, pm)
             bmap, rmap = pm.get("buckets", {}), pm.get("file_rows", {})
             # files with no recorded bucket (foreign layout) must be
             # treated as touched — correctness over pruning

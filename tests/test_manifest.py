@@ -1321,3 +1321,133 @@ def test_type_widening_composes_with_dv_skipping_and_cdc(spark, root):
     assert ins and ins[0]["tag"] == "b"
     dels = {r["k"] for r in ch_rows if r["_change_type"] == "delete"}
     assert {48, 49, 50, 51} <= dels
+
+
+def test_rename_column_metadata_only(spark, root):
+    """Column rename is a metadata-only commit: zero files touched, the
+    physical layout keeps the old name forever, reads resolve through
+    the manifest's map, and TIME TRAVEL shows each version under its
+    own names."""
+    t = ManifestTable(root, stats_cols=["k"], bloom_cols=["k"])
+    t.commit_append(_df(spark, (0, 30)), sort_by=["k"])
+    files_before = list(t.manifest()["files"])
+    v_old = t.latest_version()
+    t.rename_column("k", "key_id")
+    # metadata-only: identical file list, n_rows intact
+    assert t.manifest()["files"] == files_before
+    assert t.count_rows() == 30
+    # reads show the logical name
+    got = t.read(spark)
+    assert got.columns == ["key_id", "tag"]
+    assert {r["key_id"] for r in got.collect()} == set(range(30))
+    # time travel: the old version still shows the old name
+    assert t.read(spark, v_old).columns == ["k", "tag"]
+    # physical files still store the ORIGINAL name
+    import pyarrow.parquet as pq
+    raw_names = pq.ParquetFile(
+        os.path.join(root, t.manifest()["files"][0])
+    ).schema_arrow.names
+    assert "k" in raw_names and "key_id" not in raw_names
+    # stats/bloom-pruned reads work under the NEW name
+    sub = {r["key_id"] for r in t.read_where(spark, [("key_id", ">=", 10), ("key_id", "<", 20)]).collect()}
+    assert sub == set(range(10, 20))
+    keep, total = t.files_for([("key_id", "=", 5)])
+    assert len(keep) <= total
+    assert t.column_span("key_id") == (0, 29)
+    # appends AFTER the rename use the logical name; new files still
+    # store the physical name so old and new files stay uniform
+    t.commit_append(
+        spark.range(30, 40).select(F.col("id").alias("key_id"), F.lit("b").alias("tag"))
+    )
+    assert t.count_rows() == 40
+    newest = t.manifest()["files"][-1]
+    assert "k" in pq.ParquetFile(os.path.join(root, newest)).schema_arrow.names
+    # incremental read across the rename commit (metadata-only ⇒ file
+    # delta still equals row delta), output under current names
+    delta = t.read_appended(spark, v_old)
+    assert delta.columns == ["key_id", "tag"]
+    assert {r["key_id"] for r in delta.collect()} == set(range(30, 40))
+
+
+def test_rename_validation_and_guards(spark, root):
+    t = ManifestTable(root)
+    t.commit_append(_df(spark, (0, 5)))
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="invalid new name"):
+        t.rename_column("k", "k")
+    with pytest.raises(ValueError, match="already names a column"):
+        t.rename_column("k", "tag")
+    t.rename_column("k", "k2")
+    # renaming ANOTHER column to a renamed-away physical name is
+    # ambiguous — rejected
+    with pytest.raises(ValueError, match="shadows"):
+        t.rename_column("tag", "k")
+    # but renaming k2 BACK to its own physical name clears the map
+    t.rename_column("k2", "k")
+    assert "renames" not in t.manifest()
+    assert t.read(spark).columns == ["k", "tag"]
+    # double rename: k -> k2 -> k3 keeps ONE map entry (physical k)
+    t.rename_column("k", "k2")
+    t.rename_column("k2", "k3")
+    assert t.manifest()["renames"] == {"k": "k3"}
+    assert t.read(spark).columns == ["k3", "tag"]
+
+
+def test_rename_composes_with_dv_merge_cdc_and_widening(spark, root):
+    """Rename + the rest of the surface: DV deletes with predicates on
+    the renamed column, bounded merge on the renamed key, CDC emitting
+    current names, compact preserving the map, and type-widening
+    evolution of a renamed column."""
+    t = ManifestTable(root, stats_cols=["k"])
+    t.commit_append(
+        spark.range(0, 40).select(
+            F.col("id").cast("int").alias("k"), F.lit("a").alias("tag")
+        ),
+        sort_by=["k"],
+    )
+    t.rename_column("k", "key_id")
+    # DV delete under the new name
+    assert t.delete_where_dv(spark, [("key_id", ">=", 35), ("key_id", "<", 40)]) is not None
+    assert {r["key_id"] for r in t.read(spark).collect()} == set(range(35))
+    # bounded merge keyed on the RENAMED column
+    ups = spark.createDataFrame([(3, "m"), (7, "m")], "key_id int, tag string")
+    t.merge_upsert_dv(spark, ups, key="key_id")
+    rows = {r["key_id"]: r["tag"] for r in t.read(spark).collect()}
+    assert rows[3] == "m" and rows[7] == "m" and rows[4] == "a" and len(rows) == 35
+    # CDC over the whole history, current names
+    ch = t.read_changes(spark, since_version=0).collect()
+    assert all("key_id" in r.asDict() for r in ch)
+    assert {r["key_id"] for r in ch if r["_change_type"] == "delete"} >= {35, 3, 7}
+    # widening evolution of the RENAMED column (logical batch name)
+    t.commit_append(
+        spark.range(100, 110).select(
+            F.col("id").cast("bigint").alias("key_id"), F.lit("w").alias("tag")
+        ),
+        evolve=True,
+    )
+    got = t.read(spark)
+    assert dict((f.name, f.dataType.simpleString()) for f in got.schema.fields)[
+        "key_id"
+    ] == "bigint"
+    assert got.count() == 45
+    # compact (full rewrite) keeps the map — physical names are forever
+    t.compact(spark, sort_by=["key_id"])
+    assert t.manifest()["renames"] == {"k": "key_id"}
+    assert {r["key_id"] for r in t.read(spark).collect()} >= set(range(100, 110))
+
+
+def test_rename_bucket_key_rejected(spark, tmp_path):
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    t = BucketedManifestTable(str(tmp_path / "bt"), key="k", n_buckets=4)
+    t.commit_overwrite(_df(spark, (0, 20)))
+    with pytest.raises(ValueError, match="bucket key"):
+        t.rename_column("k", "key_id")
+    # non-key columns rename fine and the bounded merge still works
+    t.rename_column("tag", "label")
+    assert t.read(spark).columns == ["k", "label"]
+    ups = spark.createDataFrame([(1, "m")], "k long, label string")
+    t.merge_upsert(spark, ups)
+    rows = {r["k"]: r["label"] for r in t.read(spark).collect()}
+    assert rows[1] == "m" and rows[2] == "a" and len(rows) == 20
