@@ -571,12 +571,67 @@ class ManifestTable:
                 **({"deletes": m["deletes"]} if m.get("deletes") else {}),
                 **({"evolved": True} if m.get("evolved") else {}),
                 **({"renames": ren} if ren else {}),
+                **({"tombstones": m["tombstones"]} if m.get("tombstones") else {}),
                 **{k: m[k] for k in self._PER_FILE_KEYS if k in m},
             }
             if self._try_publish(manifest, parent + 1):
                 return parent + 1
             last = CommitConflictError("rename lost the publish race")
         raise CommitConflictError("rename_column: retries exhausted") from last
+
+    def drop_column(self, name: str) -> int:
+        """Drop a column — metadata-only (zero files rewritten): the
+        manifest's schema loses the entry and every read resolves
+        through the narrowed EXPLICIT schema, so the physical column in
+        historic files is simply never projected. The dropped physical
+        name goes into a sticky `tombstones` list: re-adding the same
+        name via evolve-append is rejected, because parquet's by-name
+        resolution would silently resurrect the old files' bytes under
+        the new column. The last column cannot be dropped, nor can a
+        bucketed table's key (guarded in the subclass override)."""
+        parent = self.latest_version()
+        if parent is None:
+            raise FileNotFoundError(f"no committed version at {self.root!r}")
+        last: CommitConflictError | None = None
+        for _ in range(10):
+            parent = self.latest_version()
+            m = self.manifest(parent)
+            sig = m.get("schema") or []
+            ren = dict(m.get("renames") or {})
+            phys_names = [e.split(":", 1)[0] for e in sig]
+            logical_names = [ren.get(p, p) for p in phys_names]
+            if name not in logical_names:
+                raise ValueError(
+                    f"drop_column: no column {name!r} (have {logical_names})"
+                )
+            if len(sig) == 1:
+                raise ValueError("drop_column: cannot drop the last column")
+            phys = phys_names[logical_names.index(name)]
+            new_sig = [e for e in sig if e.split(":", 1)[0] != phys]
+            ren.pop(phys, None)
+            tombs = sorted(set(m.get("tombstones") or []) | {phys})
+            manifest = {
+                "format_version": FORMAT_VERSION,
+                "version": parent + 1,
+                "parent": parent,
+                "action": "drop",
+                "files": m["files"],
+                "n_rows": m["n_rows"],
+                "epoch_id": None,
+                "schema": new_sig,
+                "committed_at_s": round(time.time(), 3),
+                # a narrowed schema means mixed-width files from here on:
+                # every read MUST resolve through the explicit schema
+                "evolved": True,
+                "tombstones": tombs,
+                **({"deletes": m["deletes"]} if m.get("deletes") else {}),
+                **({"renames": ren} if ren else {}),
+                **{k: m[k] for k in self._PER_FILE_KEYS if k in m},
+            }
+            if self._try_publish(manifest, parent + 1):
+                return parent + 1
+            last = CommitConflictError("drop lost the publish race")
+        raise CommitConflictError("drop_column: retries exhausted") from last
 
     # -- reading -------------------------------------------------------
 
@@ -838,12 +893,12 @@ class ManifestTable:
         # inside both a filter and a projection makes long logs O(versions²)
         # in JSON loads
         intervening = [self.manifest(v) for v in self.versions() if v > since_version]
-        # rename commits are metadata-only (zero files touched), so the
-        # file delta still equals the row delta across them
+        # rename/drop commits are metadata-only (zero files touched), so
+        # the file delta still equals the row delta across them
         non_append = [
             (m["version"], m["action"])
             for m in intervening
-            if m["action"] not in ("append", "rename")
+            if m["action"] not in ("append", "rename", "drop")
         ]
         if non_append:
             raise ValueError(
@@ -894,7 +949,8 @@ class ManifestTable:
             (m["version"], m["action"])
             for m in ms
             if m["action"]
-            not in ("append", "delete_dv", "merge_dv", "compact_dv", "rename")
+            not in ("append", "delete_dv", "merge_dv", "compact_dv", "rename",
+                    "drop")
         ]
         if bad:
             raise ValueError(
@@ -1200,6 +1256,21 @@ class ManifestTable:
                             "safe numeric widening (int→bigint, float→double), "
                             "or use commit_overwrite/merge_upsert to restructure"
                         )
+                    # a re-added DROPPED name would make parquet's by-name
+                    # resolution resurrect the old files' bytes under the
+                    # new column — tombstoned names stay dead
+                    tombs = set(pm.get("tombstones") or [])
+                    appended = [
+                        e.split(":", 1)[0] for e in schema[len(pm["schema"]):]
+                    ]
+                    dead = [c for c in appended if c in tombs]
+                    if dead:
+                        raise ValueError(
+                            f"append at {self.root!r} re-adds dropped column(s) "
+                            f"{dead}: historic files still hold bytes under "
+                            "those physical names and an explicit-schema read "
+                            "would resurrect them — pick a different name"
+                        )
                     per_file["evolved"] = True
                 files = pm["files"] + new_files
                 n_rows = pm["n_rows"] + n_new
@@ -1216,6 +1287,8 @@ class ManifestTable:
                     per_file["evolved"] = True
                 if pm.get("renames"):
                     per_file["renames"] = dict(pm["renames"])
+                if pm.get("tombstones"):
+                    per_file["tombstones"] = list(pm["tombstones"])
             else:
                 files, n_rows = list(new_files), n_new
                 # a rewrite that carries parent files forward (bucketed
@@ -1232,6 +1305,8 @@ class ManifestTable:
                             per_file["evolved"] = True
                         if pm_prev.get("renames"):
                             per_file["renames"] = dict(pm_prev["renames"])
+                        if pm_prev.get("tombstones"):
+                            per_file["tombstones"] = list(pm_prev["tombstones"])
                     except FileNotFoundError:
                         pass
             if deletes:
@@ -1478,6 +1553,7 @@ class ManifestTable:
                 **({"deletes": deletes} if deletes else {}),
                 **({"evolved": True} if m.get("evolved") else {}),
                 **({"renames": m["renames"]} if m.get("renames") else {}),
+                **({"tombstones": m["tombstones"]} if m.get("tombstones") else {}),
                 **per_file,
             }
             if self._try_publish(manifest, parent + 1):
@@ -1584,6 +1660,7 @@ class ManifestTable:
             "deletes": list(m.get("deletes") or []) + [rel_dir],
             **({"evolved": True} if m.get("evolved") else {}),
             **({"renames": m["renames"]} if m.get("renames") else {}),
+            **({"tombstones": m["tombstones"]} if m.get("tombstones") else {}),
             **{k: m[k] for k in self._PER_FILE_KEYS if k in m},
         }
         if not self._try_publish(manifest, parent + 1):
@@ -1664,6 +1741,7 @@ class ManifestTable:
             "deletes": [rel_dir],
             **({"evolved": True} if m.get("evolved") else {}),
             **({"renames": m["renames"]} if m.get("renames") else {}),
+            **({"tombstones": m["tombstones"]} if m.get("tombstones") else {}),
             **{k: m[k] for k in self._PER_FILE_KEYS if k in m},
         }
         if not self._try_publish(manifest, parent + 1):
@@ -1796,6 +1874,14 @@ class BucketedManifestTable(ManifestTable):
                 "layout is keyed on it; rewrite into a new table to rename it"
             )
         return super().rename_column(old, new)
+
+    def drop_column(self, name: str) -> int:
+        if self._phys_name(name) == self.key:
+            raise ValueError(
+                f"drop_column: {self.key!r} is the bucket key — the hash "
+                "layout is keyed on it; rewrite into a new table to drop it"
+            )
+        return super().drop_column(name)
 
     def _bucket_col(self):
         return F.pmod(

@@ -1451,3 +1451,90 @@ def test_rename_bucket_key_rejected(spark, tmp_path):
     t.merge_upsert(spark, ups)
     rows = {r["k"]: r["label"] for r in t.read(spark).collect()}
     assert rows[1] == "m" and rows[2] == "a" and len(rows) == 20
+
+
+def test_drop_column_metadata_only(spark, root):
+    """Logical drop: zero files rewritten; reads project through the
+    narrowed explicit schema; time travel shows the column at old
+    versions; re-adding a tombstoned name is rejected (by-name parquet
+    resolution would resurrect historic bytes); appends continue under
+    the narrowed schema."""
+    t = ManifestTable(root, stats_cols=["k"])
+    t.commit_append(
+        spark.range(0, 20).select(
+            F.col("id").alias("k"), F.lit("a").alias("tag"),
+            (F.col("id") * 2).alias("extra"),
+        )
+    )
+    files_before = list(t.manifest()["files"])
+    v_old = t.latest_version()
+    t.drop_column("extra")
+    assert t.manifest()["files"] == files_before       # metadata-only
+    assert t.read(spark).columns == ["k", "tag"]
+    assert t.read(spark, v_old).columns == ["k", "tag", "extra"]  # time travel
+    # appends under the narrowed schema work; with `extra` still → reject
+    t.commit_append(_df(spark, (20, 30), tag="b"))
+    assert t.count_rows() == 30
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.commit_append(
+            spark.range(30, 31).select(
+                F.col("id").alias("k"), F.lit("x").alias("tag"),
+                F.lit(1).alias("extra"),
+            )
+        )
+    # tombstone: re-adding the dropped name via evolve is rejected
+    with pytest.raises(ValueError, match="re-adds dropped"):
+        t.commit_append(
+            spark.range(30, 31).select(
+                F.col("id").alias("k"), F.lit("x").alias("tag"),
+                F.lit(9).alias("extra"),
+            ),
+            evolve=True,
+        )
+    # a DIFFERENT new column is fine
+    t.commit_append(
+        spark.range(30, 35).select(
+            F.col("id").alias("k"), F.lit("c").alias("tag"),
+            F.lit(1.5).cast("double").alias("score"),
+        ),
+        evolve=True,
+    )
+    rows = {r["k"]: (r["tag"], r["score"]) for r in t.read(spark).collect()}
+    assert rows[5] == ("a", None) and rows[32] == ("c", 1.5) and len(rows) == 35
+    # drop guards
+    with pytest.raises(ValueError, match="no column"):
+        t.drop_column("nope")
+    # CDC + incremental read across the drop commit (change-free)
+    assert {r["k"] for r in t.read_appended(spark, v_old).collect()} == set(range(20, 35))
+    ch = t.read_changes(spark, since_version=v_old)
+    assert {r["k"] for r in ch.collect()} == set(range(20, 35))
+
+
+def test_drop_column_composes_with_rename_and_dv(spark, root):
+    """drop + rename + DV on one table: rename a column then drop a
+    different one, DV-delete through the renamed predicate; the final
+    read resolves correctly and the bucket-key guard holds."""
+    t = ManifestTable(root, stats_cols=["k"])
+    t.commit_append(
+        spark.range(0, 20).select(
+            F.col("id").alias("k"), F.lit("a").alias("tag"),
+            (F.col("id") * 2).alias("extra"),
+        ),
+        sort_by=["k"],
+    )
+    t.rename_column("k", "key_id")
+    t.drop_column("extra")
+    assert t.read(spark).columns == ["key_id", "tag"]
+    t.delete_where_dv(spark, [("key_id", ">=", 15)])
+    assert {r["key_id"] for r in t.read(spark).collect()} == set(range(15))
+    # dropping the last remaining... (guard sanity on 2-col table)
+    t.drop_column("tag")
+    assert t.read(spark).columns == ["key_id"]
+    with pytest.raises(ValueError, match="last column"):
+        t.drop_column("key_id")
+
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+    bt = BucketedManifestTable(str(root) + "_b", key="k", n_buckets=2)
+    bt.commit_overwrite(_df(spark, (0, 10)))
+    with pytest.raises(ValueError, match="bucket key"):
+        bt.drop_column("k")
