@@ -180,3 +180,20 @@ def test_window_top_k_uses_group_limit(spark):
     a config/regression never silently drops it."""
     plan = _plan(spark, "rel_top_orders_per_customer")
     assert "WindowGroupLimit" in plan
+
+
+def test_pipeline_e2e_no_cartesian(spark):
+    """The 7-stage composition must keep every stage's scale shape: no
+    CartesianProduct anywhere (near-dup candidates stay blocked
+    equi-joins; the decontamination set is a broadcast semi join)."""
+    plan = _plan(spark, "doc_pipeline_e2e")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # decontaminate / keep-one joins
+
+
+def test_rename_read_plans_like_unrenamed(spark):
+    """The rename indirection must be free at plan time: the logicalize
+    projection collapses into the scan's ReadSchema — no extra
+    exchange, no Python operator."""
+    plan = _plan(spark, "manifest_rename_read")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
