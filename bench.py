@@ -73,6 +73,13 @@ def main() -> None:
     import aeuc_vector_db_spark.queries as Q
     from aeuc_vector_db_spark.session import get_spark
 
+    # The pure-Python decode probe runs before ANY Spark session exists:
+    # a live in-process driver JVM (32-thread executor pool, GC) steals
+    # enough CPU to depress the single-core decode loop ~5× (observed
+    # 23 imgs/s vs 110 solo for the SAME codec the seam twin then
+    # measured at 115 moments later in the same run).
+    decode_rate = _bench_decode()
+
     # SCALE PROBES RUN FIRST (round-6 verdict #6): they are the headline
     # 100 TB claims, and running them after ~30 headline queries recorded
     # numbers up to 4× below the same box's solo measurements (r6 n100k
@@ -98,7 +105,6 @@ def main() -> None:
             spark.stop()
         spark = get_spark(tag)
         results[tag] = probe(spark)
-    decode_rate = _bench_decode()  # no Spark; still pre-headline
 
     spark.stop()
     spark = get_spark("bench-headline")
@@ -752,15 +758,26 @@ def _bench_decode() -> dict:
         "png_f0": (png_decode, png_encode(noise.tobytes(), 128, 96, 2)),
         "png_paeth": (png_decode, paeth_png(noise)),
     }
+    def best_rate(fn, blob, windows: int = 3, span: float = 0.5) -> float:
+        """Best-of-N timed windows: single-core decode rates swing 5-10×
+        under transient box contention (observed 10 → 114 imgs/s for
+        the SAME codec seconds apart while Spark JVMs were exiting);
+        the max window is the credible solo-grade number, same
+        reasoning as the bench's min-of-3 query timings."""
+        fn(blob)  # warm
+        best = 0.0
+        for _ in range(windows):
+            t0 = time.time()
+            n = 0
+            while time.time() - t0 < span:
+                fn(blob)
+                n += 1
+            best = max(best, n / (time.time() - t0))
+        return round(best, 1)
+
     out = {}
     for name, (decode, blob) in workloads.items():
-        decode(blob)  # warm
-        t0 = time.time()
-        n = 0
-        while time.time() - t0 < 1.0:
-            decode(blob)
-            n += 1
-        out[name] = round(n / (time.time() - t0), 1)
+        out[name] = best_rate(decode, blob)
 
     # Native-codec swap seam (round-6 verdict #2): the declared 10× path
     # for the CPython decode ceiling is registering a native codec at
@@ -788,13 +805,7 @@ def _bench_decode() -> dict:
         try:
             if prep is not None:
                 _mm.register_image_decoder("jpeg", prep)
-            _mm.decode_image(jpeg_blob)  # warm (fills builtin registry)
-            t0 = time.time()
-            n = 0
-            while time.time() - t0 < 1.0:
-                _mm.decode_image(jpeg_blob)
-                n += 1
-            out[name] = round(n / (time.time() - t0), 1)
+            out[name] = best_rate(_mm.decode_image, jpeg_blob)
         finally:
             _mm.unregister_image_decoder("jpeg")
     print(f"# decode_imgs_per_s: {out}", file=sys.stderr)
