@@ -1751,6 +1751,104 @@ class ManifestTable:
             )
         return parent + 1
 
+    def history(self) -> "list[dict]":
+        """The commit log as data (Delta's DESCRIBE HISTORY shape), one
+        dict per retained version: version / parent / action / n_rows /
+        n_files / committed_at_s / epoch_id, newest first. Pure metadata
+        — O(retained versions) JSON reads, zero data files opened."""
+        out = []
+        for v in reversed(self.versions()):
+            m = self.manifest(v)
+            out.append(
+                {
+                    "version": m["version"],
+                    "parent": m.get("parent"),
+                    "action": m["action"],
+                    "n_rows": m["n_rows"],
+                    "n_files": len(m["files"]),
+                    "n_deletes": len(m.get("deletes") or []),
+                    "committed_at_s": m.get("committed_at_s"),
+                    "epoch_id": m.get("epoch_id"),
+                }
+            )
+        return out
+
+    def version_asof(self, ts_s: float) -> int:
+        """The newest version committed at or before `ts_s` (epoch
+        seconds) — timestamp-based time travel. Raises if the earliest
+        retained commit is later than `ts_s` (the state at that moment
+        has been vacuumed or never existed)."""
+        best = None
+        for v in self.versions():
+            c = self.manifest(v).get("committed_at_s")
+            if c is not None and c <= ts_s:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no version at or before ts={ts_s} at {self.root!r} "
+                "(vacuumed or before table creation)"
+            )
+        return best
+
+    def read_asof(self, spark: SparkSession, ts_s: float) -> DataFrame:
+        """`read` at the snapshot that was current at `ts_s`."""
+        return self.read(spark, self.version_asof(ts_s))
+
+    def restore(self, spark: SparkSession, version: int) -> int:
+        """Roll the table BACK to `version` as a NEW commit (Delta
+        RESTORE): the new manifest points at the old version's files,
+        DVs, schema, and rename map — zero data copied, and the
+        intermediate history stays time-travel readable. Requires the
+        restored version's files to still exist (not vacuumed).
+        Concurrent writers lose or win atomically like any commit."""
+        target = self.manifest(version)  # raises if vacuumed
+        for f in target["files"]:
+            if not os.path.exists(os.path.join(self.root, f)):
+                raise FileNotFoundError(
+                    f"restore({version}): data file {f!r} was vacuumed — "
+                    "the snapshot is no longer reconstructible"
+                )
+        for d in target.get("deletes") or []:
+            if not os.path.exists(os.path.join(self.root, d)):
+                raise FileNotFoundError(
+                    f"restore({version}): DV sidecar {d!r} was vacuumed"
+                )
+        last: CommitConflictError | None = None
+        for _ in range(10):
+            parent = self.latest_version()
+            manifest = {
+                "format_version": FORMAT_VERSION,
+                "version": parent + 1,
+                "parent": parent,
+                "action": "restore",
+                "files": list(target["files"]),
+                "n_rows": target["n_rows"],
+                "epoch_id": None,
+                "schema": target.get("schema"),
+                "committed_at_s": round(time.time(), 3),
+                **(
+                    {"deletes": list(target["deletes"])}
+                    if target.get("deletes")
+                    else {}
+                ),
+                **({"evolved": True} if target.get("evolved") else {}),
+                **(
+                    {"renames": dict(target["renames"])}
+                    if target.get("renames")
+                    else {}
+                ),
+                **(
+                    {"tombstones": list(target["tombstones"])}
+                    if target.get("tombstones")
+                    else {}
+                ),
+                **{k: target[k] for k in self._PER_FILE_KEYS if k in target},
+            }
+            if self._try_publish(manifest, parent + 1):
+                return parent + 1
+            last = CommitConflictError("restore lost the publish race")
+        raise CommitConflictError("restore: retries exhausted") from last
+
     def vacuum(self, retain_last: int = 1, min_age_s: float = 3600.0) -> dict:
         """Reclaim space: drop manifests older than the last `retain_last`
         and delete data dirs no retained manifest references (covers

@@ -1538,3 +1538,61 @@ def test_drop_column_composes_with_rename_and_dv(spark, root):
     bt.commit_overwrite(_df(spark, (0, 10)))
     with pytest.raises(ValueError, match="bucket key"):
         bt.drop_column("k")
+
+
+def test_history_asof_and_restore(spark, root):
+    """Table management surface: history() lists the commit log newest
+    first; read_asof resolves timestamp time travel; restore() rolls
+    back as a NEW commit pointing at the old files (zero data copied),
+    carrying the old version's schema/renames/DVs."""
+    import time as _t
+
+    t = ManifestTable(root, stats_cols=["k"])
+    t.commit_append(_df(spark, (0, 10)))
+    ts_v0 = _t.time()
+    _t.sleep(0.05)
+    t.commit_append(_df(spark, (10, 20), tag="b"))
+    t.delete_where_dv(spark, [("k", ">=", 18)])
+    t.rename_column("k", "key_id")
+
+    h = t.history()
+    assert [x["action"] for x in h] == ["rename", "delete_dv", "append", "append"]
+    assert h[0]["version"] == 3 and h[-1]["version"] == 0
+    assert h[1]["n_deletes"] == 1 and h[-1]["n_rows"] == 10
+
+    # timestamp time travel: the snapshot current at ts_v0
+    asof = t.read_asof(spark, ts_v0)
+    assert asof.columns == ["k", "tag"]
+    assert {r["k"] for r in asof.collect()} == set(range(10))
+    with pytest.raises(FileNotFoundError, match="no version"):
+        t.version_asof(0.0)
+
+    # restore to v1 (pre-delete, pre-rename): new commit, old files by
+    # reference; the current state then shows v1's names and rows
+    v = t.restore(spark, 1)
+    assert v == t.latest_version() and t.manifest()["action"] == "restore"
+    cur = t.read(spark)
+    assert cur.columns == ["k", "tag"]
+    assert {r["k"] for r in cur.collect()} == set(range(20))
+    assert t.count_rows() == 20
+    # intermediate history stays readable (v3 = renamed + DV state)
+    old = t.read(spark, 3)
+    assert old.columns == ["key_id", "tag"]
+    assert {r["key_id"] for r in old.collect()} == set(range(18))
+    # restore state keeps working: append + filter + stats pruning
+    t.commit_append(_df(spark, (20, 25), tag="c"))
+    assert t.count_rows() == 25
+    sub = {r["k"] for r in t.read_where(spark, [("k", ">=", 18)]).collect()}
+    assert sub == set(range(18, 25))
+    # CDC refuses to cross the restore (rows changed with no record)
+    with pytest.raises(ValueError, match="rewrite"):
+        t.read_changes(spark, since_version=0)
+
+
+def test_restore_rejects_vacuumed_target(spark, root):
+    t = ManifestTable(root)
+    t.commit_append(_df(spark, (0, 5)))
+    t.commit_overwrite(_df(spark, (5, 10), tag="b"))
+    t.vacuum(retain_last=1, min_age_s=0.0)
+    with pytest.raises(FileNotFoundError):
+        t.restore(spark, 0)
