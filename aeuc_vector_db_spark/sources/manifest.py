@@ -938,7 +938,12 @@ class ManifestTable:
 
         Deleted-row payloads are recovered by joining the DV positions
         back to the (immutable, still-present) data files — O(files
-        containing deletes), no snapshot scan."""
+        containing deletes), no snapshot scan.
+
+        `since_version=-1` means "from the very beginning": every
+        retained commit's changes, starting from an empty baseline —
+        the bootstrap form an `apply_cdc` replica uses for its first
+        catch-up."""
         latest = self.latest_version()
         if latest is None or since_version > latest:
             raise FileNotFoundError(
@@ -958,8 +963,11 @@ class ManifestTable:
                 "snapshot — per-row changes are not recoverable from the "
                 "log; re-read the full snapshot instead"
             )
-        prev_files = set(self.manifest(since_version)["files"])
-        prev_dvs = set(self.manifest(since_version).get("deletes") or [])
+        if since_version < 0:
+            prev_files, prev_dvs = set(), set()
+        else:
+            prev_files = set(self.manifest(since_version)["files"])
+            prev_dvs = set(self.manifest(since_version).get("deletes") or [])
         inserts: list[tuple[str, int]] = []  # (file, version)
         deletes: list[tuple[str, int]] = []  # (dv dir, version)
         for m in ms:
@@ -1015,8 +1023,11 @@ class ManifestTable:
             # row's commit version comes from its sidecar dir via a
             # broadcast (dir → version) map
             all_files = sorted(
-                {f for m in ms for f in m["files"]} | set(
-                    self.manifest(since_version)["files"]
+                {f for m in ms for f in m["files"]}
+                | (
+                    set(self.manifest(since_version)["files"])
+                    if since_version >= 0
+                    else set()
                 )
             )
             keyed = self._read_files(
@@ -1449,15 +1460,75 @@ class ManifestTable:
         the batch schema must match the table (old files stay live, so
         a merge_dv cannot evolve the schema)."""
         self._assert_unique_keys(updates, key)
+        return self._merge_apply_dv(
+            spark, updates, None, key, epoch_id=None, max_retries=max_retries
+        )
+
+    def apply_cdc(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        key: str,
+        epoch_id: "str | int | None" = None,
+        max_retries: int = 5,
+    ) -> "int | None":
+        """Apply a `read_changes` feed to THIS table — the downstream
+        half of CDC: maintain a replica / materialized selection by
+        folding another table's change feed instead of re-copying its
+        snapshot. Per key the NEWEST change wins (`_commit_version`
+        order; a DV merge's delete+insert pair at one version resolves
+        to the insert). ONE atomic commit DV-deletes every changed key
+        and appends the final insert rows — the same bounded shape as
+        merge_upsert_dv, extended with pure deletes.
+
+        `epoch_id` (e.g. the source's version) makes re-applying the
+        same feed a no-op — exactly-once catch-up with the progress
+        marker stored in THIS table's own log, the offset-source
+        pattern applied to table replication. Single consumer per
+        epoch stream (same contract as commit_append's epoch_id)."""
+        eid = None if epoch_id is None else str(epoch_id)
+        if eid is not None and eid in self.committed_epochs():
+            return None
+        from pyspark.sql.window import Window as _W
+
+        meta = ("_change_type", "_commit_version")
+        data_cols = [c for c in changes.columns if c not in meta]
+        w = _W.partitionBy(key).orderBy(
+            F.col("_commit_version").desc(),
+            (F.col("_change_type") == "insert").cast("int").desc(),
+        )
+        newest = changes.withColumn(
+            "__rn", F.row_number().over(w)
+        ).filter(F.col("__rn") == 1)
+        ups = newest.filter(F.col("_change_type") == "insert").select(*data_cols)
+        dels = newest.filter(F.col("_change_type") == "delete").select(key)
+        return self._merge_apply_dv(
+            spark, ups, dels, key, epoch_id=eid, max_retries=max_retries
+        )
+
+    def _merge_apply_dv(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        delete_keys: "DataFrame | None",
+        key: str,
+        epoch_id: "str | None",
+        max_retries: int,
+    ) -> int:
+        """Shared engine of merge_upsert_dv and apply_cdc: DV-delete
+        every key in `updates` ∪ `delete_keys`, append `updates`, ONE
+        manifest publish."""
         last: CommitConflictError | None = None
         for _ in range(max_retries):
             parent = self.latest_version()
             if parent is None:
+                # bootstrap: the feed's inserts found an empty table; the
+                # epoch marker must still land or a replay would duplicate
                 files, n = self._write_data_dir(updates)
                 try:
                     return self._commit(
                         "merge", files, n, keep_parent_files=False,
-                        expected_parent=None,
+                        expected_parent=None, epoch_id=epoch_id,
                     )
                 except CommitConflictError as exc:
                     last = exc
@@ -1468,6 +1539,12 @@ class ManifestTable:
             # sig all speak physical). Identity when no rename exists.
             updates_p = self._physicalize_df(updates, m)
             key_p = self._phys_name(key, m)
+            keys_df = updates_p.select(key_p).distinct()
+            if delete_keys is not None:
+                dk_p = self._physicalize_df(
+                    delete_keys.select(key), m
+                ).select(F.col(key_p))
+                keys_df = keys_df.unionByName(dk_p).distinct()
             batch_schema = _schema_sig(updates_p)
             if m.get("schema") not in (None, batch_schema):
                 raise ValueError(
@@ -1483,9 +1560,9 @@ class ManifestTable:
             # all files — correct, just unpruned) instead of holding an
             # unbounded batch on the driver; a batch that large is
             # rewriting most files anyway, so pruning buys little.
-            n_keys = updates_p.select(key_p).distinct().count()
+            n_keys = keys_df.count()
             if n_keys <= self._MERGE_PRUNE_MAX_KEYS:
-                keys = [r[0] for r in updates_p.select(key_p).distinct().collect()]
+                keys = [r[0] for r in keys_df.collect()]
                 cand = self.files_for([(key_p, "in", keys)], parent)[0]
             else:
                 cand = list(m["files"])
@@ -1513,7 +1590,7 @@ class ManifestTable:
                     )
                     raw = raw.join(dv_old, ["__dv_f", "__dv_r"], "left_anti")
                 matching = raw.join(
-                    updates_p.select(key_p).distinct(), key_p, "left_semi"
+                    keys_df, key_p, "left_semi"
                 ).select(
                     F.col("__dv_f").alias("file"), F.col("__dv_r").alias("row")
                 )
@@ -1530,7 +1607,11 @@ class ManifestTable:
                 if n_del == 0:
                     shutil.rmtree(dv_out, ignore_errors=True)
                     dv_rel = None
-            new_files, n_new = self._write_data_dir(updates_p)
+            if updates_p.limit(1).count() > 0:
+                new_files, n_new = self._write_data_dir(updates_p)
+            else:  # pure-delete feed: nothing to append
+                new_files, n_new = [], 0
+                self._pending_schema = None
             extra = self._pop_pending_extra()
             self._pending_schema = None
             per_file = {}
@@ -1547,8 +1628,8 @@ class ManifestTable:
                 "action": "merge_dv",
                 "files": m["files"] + new_files,
                 "n_rows": m["n_rows"] - n_del + n_new,
-                "epoch_id": None,
-                "schema": batch_schema,
+                "epoch_id": epoch_id,
+                "schema": m.get("schema") or batch_schema,
                 "committed_at_s": round(time.time(), 3),
                 **({"deletes": deletes} if deletes else {}),
                 **({"evolved": True} if m.get("evolved") else {}),
@@ -1566,9 +1647,9 @@ class ManifestTable:
                 shutil.rmtree(
                     os.path.join(self.root, os.path.dirname(nf)), ignore_errors=True
                 )
-            last = CommitConflictError("merge_upsert_dv lost the publish race")
+            last = CommitConflictError("merge/apply_cdc lost the publish race")
         raise CommitConflictError(
-            f"merge_upsert_dv: {max_retries} retries exhausted"
+            f"merge_upsert_dv/apply_cdc: {max_retries} retries exhausted"
         ) from last
 
     def delete_where(self, spark: SparkSession, condition) -> int:

@@ -1596,3 +1596,60 @@ def test_restore_rejects_vacuumed_target(spark, root):
     t.vacuum(retain_last=1, min_age_s=0.0)
     with pytest.raises(FileNotFoundError):
         t.restore(spark, 0)
+
+
+def test_apply_cdc_replicates_table(spark, root, tmp_path):
+    """The downstream half of CDC: a replica maintained purely by
+    folding the source's change feed must equal the source snapshot
+    after every catch-up, and re-applying the same feed (epoch marker =
+    source version) is a no-op."""
+    src = ManifestTable(root, stats_cols=["k"])
+    dst = ManifestTable(str(tmp_path / "replica"), stats_cols=["k"])
+
+    def snap(t):
+        return {(r["k"], r["tag"]) for r in t.read(spark).collect()}
+
+    # bootstrap: initial append flows through the feed into an empty dst
+    src.commit_append(_df(spark, (0, 30)))
+    v1 = src.latest_version()
+    dst.apply_cdc(spark, src.read_changes(spark, since_version=-1), key="k",
+                  epoch_id=f"cdc:{v1}")
+    assert snap(dst) == snap(src)
+    # more commits: append + DV delete + DV merge (update)
+    src.commit_append(_df(spark, (30, 40), tag="b"))
+    src.delete_where_dv(spark, [("k", ">=", 35)])
+    ups = spark.createDataFrame([(3, "m"), (31, "m")], "k long, tag string")
+    src.merge_upsert_dv(spark, ups, key="k")
+    v2 = src.latest_version()
+    feed = src.read_changes(spark, since_version=v1)
+    dst.apply_cdc(spark, feed, key="k", epoch_id=f"cdc:{v2}")
+    assert snap(dst) == snap(src)
+    assert dst.count_rows() == src.count_rows() == 35
+    # exactly-once: re-applying the same feed is absorbed
+    before = dst.latest_version()
+    assert dst.apply_cdc(spark, feed, key="k", epoch_id=f"cdc:{v2}") is None
+    assert dst.latest_version() == before and snap(dst) == snap(src)
+    # pure-delete feed: only deletes since v2
+    src.delete_where_dv(spark, [("k", ">=", 30), ("k", "<", 33)])
+    v3 = src.latest_version()
+    dst.apply_cdc(spark, src.read_changes(spark, since_version=v2), key="k",
+                  epoch_id=f"cdc:{v3}")
+    assert snap(dst) == snap(src) and dst.count_rows() == 32
+
+
+def test_apply_cdc_newest_change_wins(spark, root, tmp_path):
+    """A key touched multiple times in one feed resolves to its final
+    state (delete+insert at one version = the insert; a later delete
+    beats an earlier insert)."""
+    src = ManifestTable(root, stats_cols=["k"])
+    dst = ManifestTable(str(tmp_path / "replica"))
+    src.commit_append(_df(spark, (0, 10)))
+    base = src.latest_version()
+    dst.commit_append(_df(spark, (0, 10)))  # replica starts in sync
+    # k=2: updated then deleted; k=5: updated twice
+    src.merge_upsert_dv(spark, spark.createDataFrame([(2, "u1"), (5, "u1")], "k long, tag string"), key="k")
+    src.delete_where_dv(spark, [("k", "=", 2)])
+    src.merge_upsert_dv(spark, spark.createDataFrame([(5, "u2")], "k long, tag string"), key="k")
+    dst.apply_cdc(spark, src.read_changes(spark, since_version=base), key="k")
+    got = {r["k"]: r["tag"] for r in dst.read(spark).collect()}
+    assert 2 not in got and got[5] == "u2" and got[3] == "a" and len(got) == 9
