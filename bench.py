@@ -562,10 +562,26 @@ def _bench_dv_delete(spark) -> dict:
         n_rw = t_rw.read(spark).count()
         assert n_dv == n_rw == n - (hi - lo), (n_dv, n_rw)
         rw_written = len(t_rw.manifest()["files"])
+        # schema-surgery latency on the SAME 2 GB table: rename, drop,
+        # restore, and history() are METADATA-ONLY commits — wall-clock
+        # must be milliseconds and independent of the 2 GB of data (the
+        # 100 TB claim: ALTER TABLE costs a JSON write, not a rewrite)
+        t0 = time.time()
+        t_dv.rename_column("payload", "body")
+        rename_ms = (time.time() - t0) * 1000
+        t0 = time.time()
+        t_dv.restore(spark, t_dv.latest_version() - 1)
+        restore_ms = (time.time() - t0) * 1000
+        t0 = time.time()
+        n_hist = len(t_dv.history())
+        history_ms = (time.time() - t0) * 1000
+        assert n_hist == 4  # overwrite, delete_dv, rename, restore
         print(
             f"# dv_delete_1m_2gb: DV {dv_s:.2f}s (read {files_read}/16 files, "
             f"wrote positions) vs rewrite {rw_s:.2f}s (read 16, wrote "
-            f"{rw_written}) — speedup {rw_s / dv_s:.1f}x, rows {n_dv}",
+            f"{rw_written}) — speedup {rw_s / dv_s:.1f}x, rows {n_dv}; "
+            f"schema surgery on 2 GB: rename {rename_ms:.0f} ms, "
+            f"restore {restore_ms:.0f} ms, history {history_ms:.0f} ms",
             file=sys.stderr,
         )
         return {
@@ -576,6 +592,9 @@ def _bench_dv_delete(spark) -> dict:
             "speedup": round(rw_s / dv_s, 1),
             "dv_files_read": files_read,
             "rewrite_files_written": rw_written,
+            "rename_ms": round(rename_ms, 1),
+            "restore_ms": round(restore_ms, 1),
+            "history_ms": round(history_ms, 1),
         }
     finally:
         for r in roots:
