@@ -211,6 +211,11 @@ def main() -> None:
     except OSError:
         pass  # detail file is a nicety; the stdout line is the contract
 
+    # stdout carries every probe's HEADLINE number in compact form (the
+    # driver parses this line out of a 2000-char tail window — r7's full
+    # dicts overflowed it and compact_json_line silently dropped five
+    # probes from the recorded bench); the full per-probe dicts live in
+    # BENCH_DETAIL.json + the stderr detail line
     payload = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -219,13 +224,22 @@ def main() -> None:
         "sf": sf_val,
         "probe_order": "pre-headline",
         "ingest_rows_per_s": ingest_rate,
-        "knn_scale": knn_scale,
-        "cluster_scale": cluster_scale,
-        "dedup_skew": dedup_skew,
-        "cc_chain": cc_chain,
-        "dv_delete": dv_delete,
-        "cdc_history": cdc_history,
-        "manifest_soak": manifest_soak,
+        "knn_scale": {
+            "pair_scores_per_s": knn_scale["pair_scores_per_s"],
+            "pq_pair_scores_per_s": knn_scale["pq_pair_scores_per_s"],
+        },
+        "cluster_scale_sec": cluster_scale["sec"],
+        "dedup_skew_ratio": dedup_skew["ratio"],
+        "cc_chain": {"sec": cc_chain["sec"], "rounds": cc_chain["rounds"],
+                     "ok": cc_chain["chain_ok"]},
+        "dv_delete": {"speedup": dv_delete["speedup"],
+                      "files_read": dv_delete["dv_files_read"],
+                      "rename_ms": dv_delete["rename_ms"]},
+        "cdc_per_version_ms": cdc_history["per_version_ms_full"],
+        "manifest_soak": {"writers": manifest_soak["writers"],
+                          "commits": manifest_soak["commits"],
+                          "conflicts": manifest_soak["publish_conflicts_retried"],
+                          "ok": manifest_soak["ok"]},
         "decode_imgs_per_s": decode_rate,
     }
     print(compact_json_line(payload))
@@ -241,9 +255,10 @@ def compact_json_line(payload: dict, limit: int = MAX_JSON_LINE) -> str:
     # drop the LONG-STABLE probes first (cluster/dedup numbers have been
     # flat since r3); the newest signals (cdc_history, decode) and the
     # headline scale claims go last
-    for droppable in ("cluster_scale", "dedup_skew", "cc_chain", "dv_delete",
-                      "cdc_history", "manifest_soak", "decode_imgs_per_s",
-                      "probe_order", "knn_scale", "ingest_rows_per_s"):
+    for droppable in ("cluster_scale_sec", "dedup_skew_ratio", "cc_chain",
+                      "dv_delete", "cdc_per_version_ms", "manifest_soak",
+                      "decode_imgs_per_s", "probe_order", "knn_scale",
+                      "ingest_rows_per_s"):
         if len(line) <= limit:
             break
         payload.pop(droppable, None)
