@@ -122,6 +122,155 @@ def heavy_hitter_candidates(
     return cands
 
 
+# ---------------------------------------------------------------------------
+# Cross-engine deterministic HyperLogLog (Flajolet et al., AMS 2007 §4;
+# corrections from the original HLL paper — NOT HLL++ bias tables, which
+# would be a 200-entry empirical constant block with nothing to verify
+# against). Spark's own approx_count_distinct is HLL++ with an
+# engine-private hash, so its estimates can never be oracle-checked;
+# this implementation derives every bit from sha256 so DuckDB can
+# reproduce the EXACT register state and estimate — an approximate
+# algorithm with an exact cross-engine contract.
+#
+# Scale shape: per-row hashing is pure JVM expression work; the only
+# shuffle is the register aggregate — partial max() per partition caps
+# it at m=512 rows per map task regardless of input size. The register
+# state is mergeable (max is associative/commutative), which is the
+# whole point at 100 TB: distinct counts fold across partitions,
+# files, and days without ever shuffling the raw keys.
+# ---------------------------------------------------------------------------
+
+HLL_P = 9  # register index bits
+HLL_M = 1 << HLL_P  # 512 registers
+HLL_W = 32 - HLL_P  # 23 suffix bits; rho in [1, 24]
+#: alpha_m for m >= 128 (Flajolet et al. Fig. 3)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def sha32_col(key, offset: int = 1):
+    """Uniform 32-bit integer from 8 hex chars of sha256(key), starting
+    at 1-based `offset`. Exact cross-engine: DuckDB mirrors with a
+    strpos('0123456789abcdef', ...) fold over the same hex window —
+    both engines emit lowercase hex, verified digit-for-digit."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.conv(F.substring(F.sha2(k, 256), offset, 8), 16, 10).cast("long")
+
+
+def hll_register_cols(key) -> tuple:
+    """(register, rho) for one key: register = low p bits, rho = count of
+    leading zeros in the 23-bit suffix + 1 (suffix 0 → w+1 = 24).
+
+    bitlen(suffix) comes from length(conv(suffix, 10, 2)) — a STRING
+    length, not floor(log2(x)), because log2 of an exact power of two is
+    not guaranteed exactly representable post-libm and an off-by-one
+    there silently halves/doubles a register's contribution. DuckDB
+    mirror: length(format('{:b}', suffix))."""
+    h = sha32_col(key)
+    register = F.pmod(h, F.lit(HLL_M))
+    suffix = F.shiftright(h, HLL_P)
+    rho = F.when(suffix == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W + 1) - F.length(F.conv(suffix, 10, 2))
+    )
+    return register, rho
+
+
+def hll_distinct(df: DataFrame, key_col: str = "term") -> DataFrame:
+    """One-row DataFrame: (hll_estimate double, n_zero_registers long,
+    s_scaled long) — the HLL distinct-count estimate for `key_col`.
+
+    The harmonic-mean denominator is held as an EXACT integer:
+    S = Σ 2^(−maxrho) is accumulated as Σ 2^(24−maxrho) (maxrho ≤ 24 ⇒
+    every term is an integer, total < m·2^24 ≪ 2^63), so the register
+    fold is order-independent on both engines; floating point enters
+    only in the final single division + the small-range ln branch.
+    Small-range correction: E ≤ 2.5m with empty registers → linear
+    counting m·ln(m/V)."""
+    register, rho = hll_register_cols(key_col)
+    regs = (
+        df.select(register.alias("register"), rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("maxrho"))
+    )
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - maxrho)")).alias(
+            "s_present"
+        ),
+    )
+    v_zero = F.lit(HLL_M) - F.col("n_present")
+    s_scaled = F.col("s_present") + v_zero.cast("long") * F.lit(1 << (HLL_W + 1)).cast(
+        "long"
+    )
+    e_raw = (
+        F.lit(HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_W + 1)))
+        / s_scaled.cast("double")
+    )
+    estimate = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_zero.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        estimate.alias("hll_estimate"),
+        v_zero.cast("long").alias("n_zero_registers"),
+        s_scaled.cast("long").alias("s_scaled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine deterministic count–min sketch (Cormode & Muthukrishnan,
+# J. Algorithms 2005). Same philosophy as the HLL above: the d=4 row
+# hashes are disjoint 32-bit windows of sha256(key), so DuckDB rebuilds
+# the identical (row, bucket) → count table and the identical min-over-
+# rows estimates — approximate answers, exact contract.
+#
+# Scale shape: the sketch build is ONE aggregation whose output is at
+# most d·w = 4096 cells (partial counts combine map-side; the shuffle
+# is bounded by the sketch size per partition, never by the key
+# cardinality) — the fixed-size summary a 100 TB token stream folds
+# into. Estimation broadcasts the finished sketch against the probe
+# set. Guarantee: estimate ≥ true count always; overshoot ≤ e/w·N with
+# probability 1−e^−d.
+# ---------------------------------------------------------------------------
+
+CMS_W = 1024  # buckets per row
+CMS_D = 4  # hash rows (disjoint sha256 windows)
+
+
+def cms_bucket_cols(key) -> list:
+    """The d bucket indices for one key: pmod of each 32-bit sha256
+    window over the row's bucket count."""
+    return [
+        F.pmod(sha32_col(key, offset=1 + 8 * i), F.lit(CMS_W)) for i in range(CMS_D)
+    ]
+
+
+def cms_build(df: DataFrame, key_col: str = "term") -> DataFrame:
+    """Build the sketch: (row, bucket, cnt) — one count per touched
+    cell. Untouched cells are implicitly 0 (estimation coalesces)."""
+    cells = df.select(
+        F.posexplode(F.array(*cms_bucket_cols(key_col))).alias("row", "bucket")
+    )
+    return cells.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, key_col: str = "term") -> DataFrame:
+    """Point-frequency estimates for each probe key: min over the d
+    cells the key hashes to. Output: (key_col, cms_estimate long).
+
+    The sketch side broadcasts (≤ d·w cells by construction) — probing
+    never shuffles, so estimating frequencies for a candidate list at
+    the end of a 100 TB pass is map-side work."""
+    p = probes.select(
+        key_col,
+        F.posexplode(F.array(*cms_bucket_cols(key_col))).alias("row", "bucket"),
+    )
+    return (
+        p.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_estimate"))
+    )
+
+
 def heavy_hitter_terms(
     docs: DataFrame, min_count: int, text_col: str = "text"
 ) -> DataFrame:

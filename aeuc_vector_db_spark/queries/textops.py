@@ -946,7 +946,156 @@ FROM assigned GROUP BY split
 """
 
 
+# ---------------------------------------------------------------------------
+# Cross-engine deterministic sketches (round 7): HyperLogLog distinct +
+# count–min point frequencies. Spark's own approx_count_distinct /
+# count_min_sketch use engine-private hashes, so their outputs can never
+# be oracle-checked; these operators (operators/sketch.py) derive every
+# bit from sha256 windows, so DuckDB rebuilds the IDENTICAL register
+# state / cell table and the hash match pins the whole algorithm —
+# approximate answers under an exact contract.
+# ---------------------------------------------------------------------------
+
+_DK_HEX = "0123456789abcdef"
+
+
+def _dk_hex32(hx: str, off: str = "0") -> str:
+    """Fold 8 hex chars of `hx` starting after char offset `off` (a SQL
+    expression, 0-based) into a BIGINT — mirror of sketch.sha32_col."""
+    return (
+        f"list_reduce(list_transform(range(1, 9),"
+        f" j -> CAST(strpos('{_DK_HEX}', substr({hx}, CAST({off} + j AS INT), 1)) - 1 AS BIGINT)),"
+        f" (a, b) -> a*16 + b)"
+    )
+
+
+def _doc_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-token estimate next to the exact count. The register
+    aggregate is the only shuffle (≤ 512 rows per map task after the
+    partial max); the exact count is the verification twin the query
+    carries at test scale — at 100 TB you run only the sketch."""
+    from aeuc_vector_db_spark.operators.sketch import hll_distinct
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(F.explode(TX.tokens_col(F.col("text"))).alias("term"))
+    est = hll_distinct(tok, "term")
+    exact = tok.agg(F.countDistinct("term").cast("long").alias("n_distinct_exact"))
+    return exact.crossJoin(est).select(
+        "n_distinct_exact",
+        F.round("hll_estimate", 2).alias("hll_estimate"),
+        F.col("n_zero_registers").cast("long").alias("n_zero_registers"),
+        F.col("s_scaled").cast("long").alias("s_scaled"),
+    )
+
+
+def _hll_oracle() -> str:
+    from aeuc_vector_db_spark.operators.sketch import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_P as HLL_P_BITS,
+        HLL_W,
+    )
+
+    shift = HLL_W + 1  # 24
+    scale = float(1 << shift)
+    num = HLL_ALPHA * HLL_M * HLL_M * scale  # same Python double as the Spark literal
+    return f"""
+WITH tok AS (SELECT unnest({_dk_tokens()}) AS term FROM documents),
+hv AS (SELECT {_dk_hex32("sha256(term)")} AS h FROM tok),
+rr AS (
+  SELECT h % {HLL_M} AS register,
+         CASE WHEN (h >> {HLL_P_BITS}) = 0 THEN {shift}
+              ELSE {shift} - length(format('{{:b}}', h >> {HLL_P_BITS})) END AS rho
+  FROM hv
+),
+regs AS (SELECT register, MAX(rho) AS maxrho FROM rr GROUP BY register),
+agg AS (
+  SELECT COUNT(*) AS n_present,
+         SUM(CAST(1 AS BIGINT) << CAST({shift} - maxrho AS INT)) AS s_present
+  FROM regs
+),
+est AS (
+  SELECT ({HLL_M} - n_present) AS v_zero,
+         s_present + ({HLL_M} - n_present) * (CAST(1 AS BIGINT) << {shift}) AS s_scaled
+  FROM agg
+),
+fin AS (
+  SELECT CASE WHEN ({num!r} / CAST(s_scaled AS DOUBLE)) <= {2.5 * HLL_M!r} AND v_zero > 0
+              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(v_zero AS DOUBLE))
+              ELSE ({num!r} / CAST(s_scaled AS DOUBLE)) END AS hll_estimate,
+         v_zero, s_scaled
+  FROM est
+)
+SELECT (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) FROM tok) AS n_distinct_exact,
+       ROUND(hll_estimate, 2) AS hll_estimate,
+       CAST(v_zero AS BIGINT) AS n_zero_registers,
+       CAST(s_scaled AS BIGINT) AS s_scaled
+FROM fin
+"""
+
+
+_HLL_DISTINCT_ORACLE = _hll_oracle()
+
+
+def _doc_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–min frequency estimates for the exact heavy-hitter terms
+    (count ≥ 200): the sketch build folds the whole token stream into
+    ≤ d·w = 4096 cells (map-side partial counts — the shuffle is sketch-
+    sized, not vocabulary-sized), then the finished sketch broadcasts
+    against the probe terms. CMS guarantees estimate ≥ exact; the oracle
+    pins the exact overshoot cell-for-cell."""
+    from aeuc_vector_db_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        heavy_hitter_terms,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(F.explode(TX.tokens_col(F.col("text"))).alias("term"))
+    sketch = cms_build(tok, "term")
+    probes = heavy_hitter_terms(docs, min_count=200)
+    est = cms_estimate(sketch, probes.select("term"), "term")
+    return probes.join(est, "term").select(
+        "term",
+        F.col("term_count").cast("long").alias("exact_count"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+    )
+
+
+def _cms_oracle() -> str:
+    from aeuc_vector_db_spark.operators.sketch import CMS_D, CMS_W
+
+    return f"""
+WITH tok AS (SELECT unnest({_dk_tokens()}) AS term FROM documents),
+hh AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM tok GROUP BY term HAVING COUNT(*) >= 200
+),
+cells AS (
+  SELECT r.i AS row, {_dk_hex32("t.hx", "8*r.i")} % {CMS_W} AS bucket,
+         COUNT(*) AS cnt
+  FROM (SELECT sha256(term) AS hx FROM tok) t CROSS JOIN range({CMS_D}) r(i)
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT hh.term, r.i AS row,
+         {_dk_hex32("sha256(hh.term)", "8*r.i")} % {CMS_W} AS bucket
+  FROM hh CROSS JOIN range({CMS_D}) r(i)
+)
+SELECT hh.term, hh.exact_count,
+       CAST((SELECT MIN(COALESCE(c.cnt, 0))
+             FROM probes p LEFT JOIN cells c ON c.row = p.row AND c.bucket = p.bucket
+             WHERE p.term = hh.term) AS BIGINT) AS cms_estimate
+FROM hh
+"""
+
+
+_CMS_FREQ_ORACLE = _cms_oracle()
+
+
 QUERIES = {
+    "doc_hll_distinct": (_doc_hll_distinct, _HLL_DISTINCT_ORACLE),
+    "doc_cms_freq": (_doc_cms_freq, _CMS_FREQ_ORACLE),
     "doc_leakproof_split": (_doc_leakproof_split, _LEAKPROOF_SPLIT_ORACLE),
     "doc_hybrid_rrf_topk": (_doc_hybrid_rrf_topk, _HYBRID_RRF_ORACLE),
     "doc_bm25_topk": (_doc_bm25_topk, _BM25_ORACLE),

@@ -108,3 +108,157 @@ def test_empty_and_null_text(spark):
 def test_candidate_join_is_broadcast(documents):
     plan = heavy_hitter_terms(documents, 50)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (cross-engine deterministic; operators/sketch.py)
+# ---------------------------------------------------------------------------
+
+from aeuc_vector_db_spark.operators.sketch import (  # noqa: E402
+    HLL_M,
+    cms_build,
+    cms_estimate,
+    hll_distinct,
+)
+
+
+def _hll_row(df):
+    return hll_distinct(df, "k").first()
+
+
+def test_hll_estimate_within_expected_error(spark):
+    """Standard error for m=512 is 1.04/sqrt(512) ≈ 4.6%; assert a 3-σ
+    band (±14%) at n=5000 — flakiness-free because the hash (and hence
+    the estimate) is fully deterministic for a fixed key set."""
+    df = spark.range(5000).select(F.concat(F.lit("key-"), F.col("id")).alias("k"))
+    est = _hll_row(df)["hll_estimate"]
+    assert abs(est - 5000) / 5000 < 0.14
+
+
+def test_hll_ignores_duplicates(spark):
+    """The estimate is a pure function of the distinct key set: register
+    maxima are idempotent under re-insertion."""
+    base = spark.range(800).select(F.concat(F.lit("d-"), F.col("id")).alias("k"))
+    dup = base.union(base).union(base)
+    assert _hll_row(base) == _hll_row(dup)
+
+
+def test_hll_small_range_linear_counting(spark):
+    """n ≪ m lands in the linear-counting branch, which is near-exact
+    for tiny cardinalities (collisions over 512 registers are rare at
+    n=20 — and deterministically absent-or-present, never flaky)."""
+    df = spark.range(20).select(F.concat(F.lit("s-"), F.col("id")).alias("k"))
+    row = _hll_row(df)
+    assert row["n_zero_registers"] > 0
+    assert abs(row["hll_estimate"] - 20) <= 2
+
+
+def test_hll_register_state_merges(spark):
+    """The register aggregate must be mergeable: the estimate of A ∪ B
+    equals the estimate computed from element-wise max of A's and B's
+    register vectors — the property that lets 100 TB fold per-partition
+    / per-day sketches without re-reading data."""
+    from aeuc_vector_db_spark.operators.sketch import hll_register_cols
+
+    a = spark.range(0, 1500).select(F.concat(F.lit("m-"), F.col("id")).alias("k"))
+    b = spark.range(1000, 2500).select(F.concat(F.lit("m-"), F.col("id")).alias("k"))
+    union_row = _hll_row(a.union(b))
+
+    def regs(df):
+        register, rho = hll_register_cols("k")
+        return (
+            df.select(register.alias("register"), rho.alias("rho"))
+            .groupBy("register")
+            .agg(F.max("rho").alias("maxrho"))
+        )
+
+    merged = (
+        regs(a)
+        .union(regs(b))
+        .groupBy("register")
+        .agg(F.max("maxrho").alias("rho"))
+        .select("register", "rho")
+    )
+    # merging means: recompute the estimate from the merged register table
+    from aeuc_vector_db_spark.operators import sketch as SK
+
+    agg = merged.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 24 - rho)")).alias("s_present"),
+    ).first()
+    v_zero = SK.HLL_M - agg["n_present"]
+    s_scaled = agg["s_present"] + v_zero * (1 << 24)
+    e_raw = SK.HLL_ALPHA * SK.HLL_M * SK.HLL_M * float(1 << 24) / s_scaled
+    if e_raw <= 2.5 * SK.HLL_M and v_zero > 0:
+        import math
+
+        est = SK.HLL_M * math.log(SK.HLL_M / v_zero)
+    else:
+        est = e_raw
+    assert abs(est - union_row["hll_estimate"]) < 1e-6
+    assert s_scaled == union_row["s_scaled"]
+
+
+def test_hll_partitioning_invariance(spark):
+    """max() is order- and partitioning-independent and the denominator
+    is exact integer arithmetic — the estimate must be bit-identical
+    under any layout."""
+    df = spark.range(3000).select(F.concat(F.lit("p-"), F.col("id")).alias("k"))
+    rows = {tuple(_hll_row(df.repartition(n))) for n in (1, 7, 32)}
+    assert len(rows) == 1
+
+
+# ---------------------------------------------------------------------------
+# Count–min sketch (cross-engine deterministic)
+# ---------------------------------------------------------------------------
+
+
+def _cms_pair(spark, rows):
+    df = spark.createDataFrame([(k,) for k in rows], "k string")
+    sketch = cms_build(df, "k")
+    probes = df.select("k").distinct()
+    return df, sketch, probes
+
+
+def test_cms_never_underestimates(spark):
+    rows = [f"t{i % 37}" for i in range(1000)] + ["hot"] * 500
+    df, sketch, probes = _cms_pair(spark, rows)
+    exact = {r["k"]: r["c"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for r in cms_estimate(sketch, probes, "k").collect():
+        assert r["cms_estimate"] >= exact[r["k"]], r
+
+
+def test_cms_exact_when_no_collisions(spark):
+    """37 distinct keys over 4 rows of 1024 buckets: verify the estimate
+    equals the exact count whenever the key's min-cell holds only that
+    key — and that 'hot' (the deliberately skewed key) is exact, since a
+    collision in all 4 of its cells is astronomically unlikely and, with
+    this fixed key set, deterministically absent (asserted, not hoped)."""
+    rows = [f"t{i % 37}" for i in range(1000)] + ["hot"] * 500
+    df, sketch, probes = _cms_pair(spark, rows)
+    got = {r["k"]: r["cms_estimate"] for r in cms_estimate(sketch, probes, "k").collect()}
+    assert got["hot"] == 500
+
+
+def test_cms_absent_key_and_determinism(spark):
+    rows = ["a"] * 10 + ["b"] * 3
+    df, sketch, _ = _cms_pair(spark, rows)
+    probes = spark.createDataFrame([("never-seen-key",)], "k string")
+    est = cms_estimate(sketch, probes, "k").first()["cms_estimate"]
+    # absent key: min over its 4 cells — each either 0 (missing) or a
+    # collision count; with 2 keys and 4096 cells it is deterministically 0
+    assert est == 0
+    # partitioning invariance of the whole sketch table
+    s1 = sorted(map(tuple, cms_build(df.repartition(1), "k").collect()))
+    s8 = sorted(map(tuple, cms_build(df.repartition(8), "k").collect()))
+    assert s1 == s8
+
+
+def test_cms_probe_side_broadcasts_sketch(spark):
+    rows = ["a"] * 10
+    df, sketch, probes = _cms_pair(spark, rows)
+    plan = (
+        cms_estimate(sketch, probes, "k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
