@@ -770,6 +770,105 @@ def pq_recall_eval(
     return recall_at_k(approx, exact, query_id_col, id_col)
 
 
+def pq_search_refined(
+    codes_df: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    queries: DataFrame,
+    corpus: DataFrame,
+    top_k: int = 10,
+    refine_r: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+    cell_col: str | None = None,
+    query_cells: dict | None = None,
+) -> DataFrame:
+    """ADC+R (the refinement stage of Jégou et al., TPAMI 2011 §V —
+    IVFADC+R): rank the corpus in the compressed domain, keep the top
+    R ≥ k candidates per query, then re-score ONLY those R rows against
+    the original float vectors and re-rank exactly. Output: (query_id,
+    id, score, rank) with EXACT euclidean-similarity scores — the
+    compression error is confined to which R candidates survive, never
+    to the reported scores.
+
+    Scale shape: stage 1 scans codes only (32× less IO, per-partition
+    top-R, codes never shuffle); stage 2 joins the Q·R candidate set
+    (tiny, broadcast) back onto the float corpus — the expensive float
+    vectors are read for R rows per query, not N. refine_r is the
+    recall knob: R = k degenerates to plain ADC ranking, R → N to
+    exact search (both pinned in test_ann.py)."""
+    from pyspark.sql import Window
+
+    from aeuc_vector_db_spark.functions.similarity import euclidean_similarity_col
+
+    if refine_r < top_k:
+        raise ValueError(f"refine_r ({refine_r}) must be >= top_k ({top_k})")
+    cands = pq_search_batch(
+        codes_df, codebooks, queries, top_k=refine_r, id_col=id_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        cell_col=cell_col, query_cells=query_cells,
+    ).select(query_id_col, id_col)
+    exact = (
+        corpus.select(id_col, vec_col)
+        .join(F.broadcast(cands), id_col)
+        .join(F.broadcast(queries.select(query_id_col, query_vec_col)), query_id_col)
+        .withColumn(
+            "score",
+            euclidean_similarity_col(
+                as_double(F.col(vec_col)), as_double(F.col(query_vec_col))
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def pq_refine_recall_eval(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    nbits: int = 4,
+    top_k: int = 10,
+    refine_r: int = 50,
+    seed: int = 42,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """recall@k of refined (ADC top-R → exact re-rank) search vs exact
+    euclidean search. The refinement dominates plain ADC recall by
+    construction whenever R > k (the exact re-rank can only promote
+    true neighbors the ADC ranking mis-ordered within its top R) —
+    asserted in test_ann.py. Returns (query_id, recall)."""
+    from aeuc_vector_db_spark.operators.search import knn_search_batch_arrow
+
+    books = pq_train(
+        corpus, m=m, nbits=nbits, seed=seed, sample_mod=sample_mod,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    refined = pq_search_refined(
+        codes, books, queries, corpus, top_k=top_k, refine_r=refine_r,
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
+    exact = knn_search_batch_arrow(
+        corpus, queries, top_k=top_k, metric="euclidean",
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
+    return recall_at_k(refined, exact, query_id_col, id_col)
+
+
 def ivfadc_search_batch(
     codes_with_cells: DataFrame,
     codebooks: "list[list[list[float]]]",

@@ -18,6 +18,7 @@ from aeuc_vector_db_spark.operators import clustering as C
 from aeuc_vector_db_spark.queries.core import (
     QUERY_FILTER,
     _dk_cosine,
+    _dk_double,
     _dk_euclid_sim,
     _dk_least_phi,
     _queries_df,
@@ -195,6 +196,22 @@ def _ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
+def _ann_pq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC+R recall@10: compressed-domain top-50 cut, exact euclidean
+    re-rank of the 50 survivors (operators/ann.py pq_search_refined).
+    Rows-only check (codebook training not SQL-expressible); the
+    refinement ≥ plain-ADC recall dominance and the R→N exactness
+    limit are pinned in test_ann.py."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = _queries_df(spark, sf_dir)
+    rec = A.pq_refine_recall_eval(
+        emb, queries, m=8, nbits=4, top_k=10, refine_r=50, seed=42
+    )
+    return rec.select(
+        "query_id", F.round("recall", 3).alias("recall")
+    ).orderBy("query_id")
+
+
 def _ann_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVFADC recall@10 vs exact euclidean (rows-only): IVF
     coarse probe bounds WHICH rows each query scores, PQ ADC bounds
@@ -271,13 +288,99 @@ FROM fine ORDER BY s DESC, vec_id ASC LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) quantization + Hamming search + exact re-rank
+# (operators/binary.py, round 7). Everything is integer / sequential-
+# fold arithmetic, so the WHOLE two-stage pipeline — packing, Hamming
+# ranking, cosine re-score — is DuckDB-oracled bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_BINARY_DIM = 64
+_BINARY_R = 50
+
+
+def _emb_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aeuc_vector_db_spark.operators.binary import binary_search_rerank
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    res = binary_search_rerank(
+        emb, _queries_df(spark, sf_dir), dim=_BINARY_DIM, top_k=10, refine_r=_BINARY_R
+    )
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.col("hamming").cast("long").alias("hamming"),
+        F.round("score", 9).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _dk_sign_word(vec: str, j: int, n: int) -> str:
+    """Mirror of binary.sign_pack_cols word j (bits j*32 .. j*32+n-1)."""
+    return (
+        f"list_reduce(list_transform(range(1, {n + 1}),"
+        f" i -> CASE WHEN {vec}[CAST({32 * j} + i AS INT)] > 0"
+        f" THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT)) ELSE CAST(0 AS BIGINT) END),"
+        f" (a, b) -> a + b)"
+    )
+
+
+def _binary_hamming_oracle() -> str:
+    import math
+
+    n_words = math.ceil(_BINARY_DIM / 32)
+    qpack = ", ".join(
+        f"{_dk_sign_word('embedding', j, min(32, _BINARY_DIM - 32 * j))} AS qw{j}"
+        for j in range(n_words)
+    )
+    cpack = ", ".join(
+        f"{_dk_sign_word('embedding', j, min(32, _BINARY_DIM - 32 * j))} AS cw{j}"
+        for j in range(n_words)
+    )
+    ham = " + ".join(f"bit_count(xor(qw{j}, cw{j}))" for j in range(n_words))
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {_dk_double('embedding')} AS qv, {qpack}
+  FROM embeddings WHERE {QUERY_FILTER}
+), c AS (
+  SELECT vec_id, {_dk_double('embedding')} AS cv, {cpack}
+  FROM embeddings
+), ham AS (
+  SELECT q.query_id, c.vec_id, {ham} AS hamming
+  FROM c CROSS JOIN q
+), cand AS (
+  SELECT query_id, vec_id, hamming,
+         row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, vec_id ASC) AS hrank
+  FROM ham
+), rr AS (
+  SELECT cand.query_id, cand.vec_id, cand.hamming, {_dk_cosine('c.cv', 'q.qv')} AS s
+  FROM cand
+  JOIN c ON c.vec_id = cand.vec_id
+  JOIN q ON q.query_id = cand.query_id
+  WHERE cand.hrank <= {_BINARY_R}
+), ranked AS (
+  SELECT query_id, vec_id, hamming, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+  FROM rr
+)
+SELECT query_id, vec_id, CAST(hamming AS BIGINT) AS hamming,
+       ROUND(s, 9) AS score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+_BINARY_HAMMING_ORACLE = _binary_hamming_oracle()
+
+
 QUERIES = {
+    "emb_binary_hamming_topk": (_emb_binary_hamming_topk, _BINARY_HAMMING_ORACLE),
     "ivf_pruned_search": (_ivf_pruned_search, _IVF_ORACLE),
     "ivf_arrow_pruned_search": (_ivf_arrow_pruned_search, _IVF_ARROW_ORACLE),
     "ivf_euclidean_pruned_search": (_ivf_metric_query("euclidean"), _IVF_EUCLID_ORACLE),
     "ivf_phi_pruned_search": (_ivf_metric_query("phi_weighted"), _IVF_PHI_ORACLE),
     "ann_ivf_recall": (_ann_ivf_recall, None),
     "ann_pq_recall": (_ann_pq_recall, None),
+    "ann_pq_refine_recall": (_ann_pq_refine_recall, None),
     "ann_ivfadc_recall": (_ann_ivfadc_recall, None),
     "two_level_search": (_two_level_search, _TWO_LEVEL_ORACLE),
 }

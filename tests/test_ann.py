@@ -447,3 +447,83 @@ def test_pq_train_bounds_driver_collect(spark):
     small = spark.createDataFrame(rows[:50], "vec_id long, embedding array<double>")
     A.pq_train(small, m=2, nbits=2, seed=7, iters=3, sample_mod=1)
     assert A.pq_train._last_sample_rows == 50
+
+
+def test_pq_refine_full_r_recovers_exact_search(emb, queries):
+    """R = N: the ADC cut keeps everything, so the exact re-rank must
+    reproduce brute-force euclidean top-k rank-for-rank (and recall@k
+    must be exactly 1.0 for every query)."""
+    from aeuc_vector_db_spark.operators.search import knn_search_batch_arrow
+
+    n = emb.count()
+    books = A.pq_train(emb, m=8, nbits=4, seed=42)
+    codes = A.pq_encode(emb, books)
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in A.pq_search_refined(
+            codes, books, queries, emb, top_k=10, refine_r=n
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in knn_search_batch_arrow(
+            emb, queries, top_k=10, metric="euclidean"
+        ).collect()
+    }
+    assert got == want
+    rec = A.pq_refine_recall_eval(emb, queries, refine_r=n, seed=42).collect()
+    assert all(r["recall"] == 1.0 for r in rec) and rec
+
+
+def test_pq_refine_dominates_plain_adc(emb, queries):
+    """With R > k the exact re-rank can only promote true neighbors the
+    ADC ranking mis-ordered inside its top R — refined recall must be
+    >= plain ADC recall for EVERY query, not just on average."""
+    plain = {
+        r["query_id"]: r["recall"]
+        for r in A.pq_recall_eval(emb, queries, m=8, nbits=4, seed=42).collect()
+    }
+    refined = {
+        r["query_id"]: r["recall"]
+        for r in A.pq_refine_recall_eval(
+            emb, queries, m=8, nbits=4, refine_r=50, seed=42
+        ).collect()
+    }
+    assert set(refined) == set(plain)
+    assert all(refined[q] >= plain[q] for q in plain)
+
+
+def test_pq_refine_r_equals_k_keeps_adc_candidate_set(emb, queries):
+    """R = k: stage 2 re-orders but cannot change the candidate SET —
+    per query, refined ids == plain ADC top-k ids."""
+    books = A.pq_train(emb, m=8, nbits=4, seed=42)
+    codes = A.pq_encode(emb, books)
+    adc = A.pq_search_batch(codes, books, queries, top_k=10)
+    ref = A.pq_search_refined(codes, books, queries, emb, top_k=10, refine_r=10)
+
+    def by_q(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    assert by_q(adc) == by_q(ref)
+
+
+def test_pq_refine_validates_r(emb, queries):
+    books = A.pq_train(emb, m=8, nbits=4, seed=42)
+    codes = A.pq_encode(emb, books)
+    with pytest.raises(ValueError, match="refine_r"):
+        A.pq_search_refined(codes, books, queries, emb, top_k=10, refine_r=5)
+
+
+def test_pq_refine_broadcasts_candidates_not_corpus(emb, queries):
+    """Stage 2's joins must broadcast the tiny candidate/query sides —
+    the float corpus never shuffles."""
+    books = A.pq_train(emb, m=8, nbits=4, seed=42)
+    codes = A.pq_encode(emb, books)
+    plan = (
+        A.pq_search_refined(codes, books, queries, emb, top_k=10, refine_r=20)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
