@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -68,6 +69,19 @@ _DATA_DIR = "data"
 class CommitConflictError(RuntimeError):
     """Raised when a commit loses the publish race more than max_retries
     times — the caller's read-modify-write is persistently stale."""
+
+
+class ConstraintViolationError(ValueError):
+    """An ingest batch (or, at add time, the existing table) breaks a
+    declared CHECK constraint. Carries per-constraint violation counts
+    so the caller can see every broken invariant from one pass."""
+
+    def __init__(self, table_root: str, counts: "dict[str, int]", where: str):
+        self.counts = dict(counts)
+        detail = ", ".join(f"{n}: {c} row(s)" for n, c in sorted(counts.items()))
+        super().__init__(
+            f"CHECK constraint(s) violated {where} at {table_root!r} — {detail}"
+        )
 
 
 def _schema_sig(df: DataFrame) -> list[str]:
@@ -549,6 +563,7 @@ class ManifestTable:
                 raise ValueError(
                     f"rename_column: {new!r} already names a column"
                 )
+            self._constraints_guard_schema_surgery(m, old, "rename_column")
             phys_old = phys_names[logical_names.index(old)]
             if new in phys_names and new != phys_old:
                 raise ValueError(
@@ -572,6 +587,7 @@ class ManifestTable:
                 **({"evolved": True} if m.get("evolved") else {}),
                 **({"renames": ren} if ren else {}),
                 **({"tombstones": m["tombstones"]} if m.get("tombstones") else {}),
+                **({"constraints": m["constraints"]} if m.get("constraints") else {}),
                 **{k: m[k] for k in self._PER_FILE_KEYS if k in m},
             }
             if self._try_publish(manifest, parent + 1):
@@ -606,6 +622,7 @@ class ManifestTable:
                 )
             if len(sig) == 1:
                 raise ValueError("drop_column: cannot drop the last column")
+            self._constraints_guard_schema_surgery(m, name, "drop_column")
             phys = phys_names[logical_names.index(name)]
             new_sig = [e for e in sig if e.split(":", 1)[0] != phys]
             ren.pop(phys, None)
@@ -626,12 +643,150 @@ class ManifestTable:
                 "tombstones": tombs,
                 **({"deletes": m["deletes"]} if m.get("deletes") else {}),
                 **({"renames": ren} if ren else {}),
+                **({"constraints": m["constraints"]} if m.get("constraints") else {}),
                 **{k: m[k] for k in self._PER_FILE_KEYS if k in m},
             }
             if self._try_publish(manifest, parent + 1):
                 return parent + 1
             last = CommitConflictError("drop lost the publish race")
         raise CommitConflictError("drop_column: retries exhausted") from last
+
+    # -- constraints ---------------------------------------------------
+    # CHECK constraints live in the manifest as a sticky {name: sql_expr}
+    # map over LOGICAL column names (they survive every commit kind, and
+    # time travel shows each version's own set). Enforcement is one
+    # extra aggregate over the INGEST BATCH per write — never a table
+    # scan — with all constraints folded into a single pass. Semantics
+    # follow SQL CHECK: a row violates only when the expression is
+    # FALSE; NULL passes (declare `col IS NOT NULL` to forbid nulls).
+
+    def constraints(self, version: int | None = None) -> "dict[str, str]":
+        if self.latest_version() is None:
+            return {}
+        return dict(self.manifest(version).get("constraints") or {})
+
+    def _enforce_constraints(
+        self, df: DataFrame, m: dict | None = None, where: str = "by ingest batch"
+    ) -> None:
+        cons = (m or {}).get("constraints") or {}
+        if not cons:
+            return
+        aggs = [
+            F.sum(
+                F.when(~F.expr(expr), F.lit(1)).otherwise(F.lit(0))
+            ).alias(name)
+            for name, expr in sorted(cons.items())
+        ]
+        row = df.agg(*aggs).first()
+        bad = {n: int(row[n]) for n in row.asDict() if row[n]}
+        if bad:
+            raise ConstraintViolationError(self.root, bad, where)
+
+    def _constraints_guard_schema_surgery(self, m: dict, logical: str, op: str) -> None:
+        """Renaming or dropping a column a CHECK expression mentions
+        would leave the stored SQL dangling — rejected (drop the
+        constraint first). Word-boundary match is conservative: a false
+        positive costs an explicit drop/re-add, a false negative would
+        corrupt enforcement."""
+        pat = re.compile(rf"(?<![A-Za-z0-9_`]){re.escape(logical)}(?![A-Za-z0-9_`])")
+        hit = [n for n, e in (m.get("constraints") or {}).items() if pat.search(e)]
+        if hit:
+            raise ValueError(
+                f"{op}: column {logical!r} is referenced by CHECK "
+                f"constraint(s) {sorted(hit)}; drop them first"
+            )
+
+    def add_check_constraint(
+        self, spark: SparkSession, name: str, expr: str
+    ) -> int:
+        """Declare a CHECK constraint — a metadata-only commit, but only
+        after validating that the EXISTING table satisfies it (one
+        aggregate over the current snapshot; a constraint the data
+        already breaks would make every future append fail through no
+        fault of its own). The expression is SQL over logical column
+        names and is evaluated on every subsequent ingest batch
+        (append / overwrite / merge / CDC-apply)."""
+        if not name or not expr:
+            raise ValueError("add_check_constraint: empty name or expression")
+        parent = self.latest_version()
+        if parent is None:
+            raise FileNotFoundError(f"no committed version at {self.root!r}")
+        last: CommitConflictError | None = None
+        for _ in range(10):
+            parent = self.latest_version()
+            m = self.manifest(parent)
+            cons = dict(m.get("constraints") or {})
+            if name in cons:
+                raise ValueError(
+                    f"add_check_constraint: {name!r} already exists "
+                    f"({cons[name]!r}); drop it first"
+                )
+            # existing data must satisfy the new invariant (this also
+            # surfaces typos/unknown columns as a loud AnalysisException)
+            probe = {**m, "constraints": {name: expr}}
+            self._enforce_constraints(
+                self.read(spark, parent), probe, where="by existing rows"
+            )
+            cons[name] = expr
+            manifest = {
+                "format_version": FORMAT_VERSION,
+                "version": parent + 1,
+                "parent": parent,
+                "action": "add_constraint",
+                "files": m["files"],
+                "n_rows": m["n_rows"],
+                "epoch_id": None,
+                "schema": m.get("schema"),
+                "committed_at_s": round(time.time(), 3),
+                "constraints": cons,
+                **({"deletes": m["deletes"]} if m.get("deletes") else {}),
+                **({"evolved": True} if m.get("evolved") else {}),
+                **({"renames": m["renames"]} if m.get("renames") else {}),
+                **({"tombstones": m["tombstones"]} if m.get("tombstones") else {}),
+                **{k: m[k] for k in self._PER_FILE_KEYS if k in m},
+            }
+            if self._try_publish(manifest, parent + 1):
+                return parent + 1
+            last = CommitConflictError("add_check_constraint lost the publish race")
+        raise CommitConflictError("add_check_constraint: retries exhausted") from last
+
+    def drop_check_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint — metadata-only."""
+        parent = self.latest_version()
+        if parent is None:
+            raise FileNotFoundError(f"no committed version at {self.root!r}")
+        last: CommitConflictError | None = None
+        for _ in range(10):
+            parent = self.latest_version()
+            m = self.manifest(parent)
+            cons = dict(m.get("constraints") or {})
+            if name not in cons:
+                raise ValueError(
+                    f"drop_check_constraint: no constraint {name!r} "
+                    f"(have {sorted(cons)})"
+                )
+            del cons[name]
+            manifest = {
+                "format_version": FORMAT_VERSION,
+                "version": parent + 1,
+                "parent": parent,
+                "action": "drop_constraint",
+                "files": m["files"],
+                "n_rows": m["n_rows"],
+                "epoch_id": None,
+                "schema": m.get("schema"),
+                "committed_at_s": round(time.time(), 3),
+                **({"constraints": cons} if cons else {}),
+                **({"deletes": m["deletes"]} if m.get("deletes") else {}),
+                **({"evolved": True} if m.get("evolved") else {}),
+                **({"renames": m["renames"]} if m.get("renames") else {}),
+                **({"tombstones": m["tombstones"]} if m.get("tombstones") else {}),
+                **{k: m[k] for k in self._PER_FILE_KEYS if k in m},
+            }
+            if self._try_publish(manifest, parent + 1):
+                return parent + 1
+            last = CommitConflictError("drop_check_constraint lost the publish race")
+        raise CommitConflictError("drop_check_constraint: retries exhausted") from last
 
     # -- reading -------------------------------------------------------
 
@@ -1300,6 +1455,8 @@ class ManifestTable:
                     per_file["renames"] = dict(pm["renames"])
                 if pm.get("tombstones"):
                     per_file["tombstones"] = list(pm["tombstones"])
+                if pm.get("constraints"):
+                    per_file["constraints"] = dict(pm["constraints"])
             else:
                 files, n_rows = list(new_files), n_new
                 # a rewrite that carries parent files forward (bucketed
@@ -1318,6 +1475,8 @@ class ManifestTable:
                             per_file["renames"] = dict(pm_prev["renames"])
                         if pm_prev.get("tombstones"):
                             per_file["tombstones"] = list(pm_prev["tombstones"])
+                        if pm_prev.get("constraints"):
+                            per_file["constraints"] = dict(pm_prev["constraints"])
                     except FileNotFoundError:
                         pass
             if deletes:
@@ -1370,6 +1529,9 @@ class ManifestTable:
         eid = None if epoch_id is None else str(epoch_id)
         if eid is not None and eid in self.committed_epochs():
             return None
+        pv = self.latest_version()
+        if pv is not None:
+            self._enforce_constraints(df, self.manifest(pv))
         files, n = self._write_data_dir(df, sort_by=sort_by, n_files=n_files)
         return self._commit(
             "append", files, n, keep_parent_files=True, epoch_id=eid,
@@ -1378,7 +1540,11 @@ class ManifestTable:
 
     def commit_overwrite(self, df: DataFrame) -> int:
         """Replace the snapshot with df (new files; old versions remain
-        time-travel readable until vacuumed)."""
+        time-travel readable until vacuumed). CHECK constraints survive
+        an overwrite, so the replacement data must satisfy them too."""
+        pv = self.latest_version()
+        if pv is not None:
+            self._enforce_constraints(df, self.manifest(pv))
         files, n = self._write_data_dir(df)
         return self._commit("overwrite", files, n, keep_parent_files=False)
 
@@ -1411,6 +1577,11 @@ class ManifestTable:
         the oracle.
         """
         self._assert_unique_keys(updates, key)
+        pv = self.latest_version()
+        if pv is not None:
+            # existing rows already satisfied the constraints at their
+            # own commit time — only the update batch needs the pass
+            self._enforce_constraints(updates, self.manifest(pv))
         last: CommitConflictError | None = None
         for _ in range(max_retries):
             parent = self.latest_version()
@@ -1518,6 +1689,11 @@ class ManifestTable:
         """Shared engine of merge_upsert_dv and apply_cdc: DV-delete
         every key in `updates` ∪ `delete_keys`, append `updates`, ONE
         manifest publish."""
+        pv = self.latest_version()
+        if pv is not None:
+            # enforce CHECK constraints on the insert batch (logical
+            # names) BEFORE any write — O(batch), never O(table)
+            self._enforce_constraints(updates, self.manifest(pv))
         last: CommitConflictError | None = None
         for _ in range(max_retries):
             parent = self.latest_version()
@@ -1635,6 +1811,7 @@ class ManifestTable:
                 **({"evolved": True} if m.get("evolved") else {}),
                 **({"renames": m["renames"]} if m.get("renames") else {}),
                 **({"tombstones": m["tombstones"]} if m.get("tombstones") else {}),
+                **({"constraints": m["constraints"]} if m.get("constraints") else {}),
                 **per_file,
             }
             if self._try_publish(manifest, parent + 1):
@@ -1742,6 +1919,7 @@ class ManifestTable:
             **({"evolved": True} if m.get("evolved") else {}),
             **({"renames": m["renames"]} if m.get("renames") else {}),
             **({"tombstones": m["tombstones"]} if m.get("tombstones") else {}),
+            **({"constraints": m["constraints"]} if m.get("constraints") else {}),
             **{k: m[k] for k in self._PER_FILE_KEYS if k in m},
         }
         if not self._try_publish(manifest, parent + 1):
@@ -1823,6 +2001,7 @@ class ManifestTable:
             **({"evolved": True} if m.get("evolved") else {}),
             **({"renames": m["renames"]} if m.get("renames") else {}),
             **({"tombstones": m["tombstones"]} if m.get("tombstones") else {}),
+            **({"constraints": m["constraints"]} if m.get("constraints") else {}),
             **{k: m[k] for k in self._PER_FILE_KEYS if k in m},
         }
         if not self._try_publish(manifest, parent + 1):
@@ -1921,6 +2100,11 @@ class ManifestTable:
                 **(
                     {"tombstones": list(target["tombstones"])}
                     if target.get("tombstones")
+                    else {}
+                ),
+                **(
+                    {"constraints": dict(target["constraints"])}
+                    if target.get("constraints")
                     else {}
                 ),
                 **{k: target[k] for k in self._PER_FILE_KEYS if k in target},
@@ -2180,6 +2364,11 @@ class BucketedManifestTable(ManifestTable):
         if updates.filter(F.col(key).isNull()).limit(1).count() > 0:
             raise ValueError("merge_upsert: null merge keys are invalid")
         self._assert_unique_keys(updates, key)
+        pv = self.latest_version()
+        if pv is not None:
+            # existing rows already satisfied the constraints at their
+            # own commit time — only the update batch needs the pass
+            self._enforce_constraints(updates, self.manifest(pv))
         last: CommitConflictError | None = None
         for _ in range(max_retries):
             parent = self.latest_version()

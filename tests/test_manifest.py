@@ -1653,3 +1653,142 @@ def test_apply_cdc_newest_change_wins(spark, root, tmp_path):
     dst.apply_cdc(spark, src.read_changes(spark, since_version=base), key="k")
     got = {r["k"]: r["tag"] for r in dst.read(spark).collect()}
     assert 2 not in got and got[5] == "u2" and got[3] == "a" and len(got) == 9
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints (round 7)
+# ---------------------------------------------------------------------------
+
+def test_check_constraint_blocks_bad_ingest_everywhere(spark, root):
+    """One declared invariant must gate every ingest door: append,
+    overwrite, full merge, and DV merge."""
+    from aeuc_vector_db_spark.sources.manifest import ConstraintViolationError
+
+    t = ManifestTable(root)
+    t.commit_append(_df(spark, (0, 5)))
+    v = t.add_check_constraint(spark, "k_nonneg", "k >= 0")
+    assert t.constraints() == {"k_nonneg": "k >= 0"}
+    bad = spark.range(1).select(F.lit(-1).cast("long").alias("k"), F.lit("x").alias("tag"))
+    good = spark.range(1).select(F.lit(99).cast("long").alias("k"), F.lit("x").alias("tag"))
+    with pytest.raises(ConstraintViolationError, match="k_nonneg"):
+        t.commit_append(bad)
+    with pytest.raises(ConstraintViolationError):
+        t.commit_overwrite(bad)
+    with pytest.raises(ConstraintViolationError):
+        t.merge_upsert(spark, bad, "k")
+    with pytest.raises(ConstraintViolationError):
+        t.merge_upsert_dv(spark, bad, "k")
+    # nothing was committed by the failed attempts
+    assert t.latest_version() == v
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [0, 1, 2, 3, 4]
+    # the good batch passes through every door
+    t.commit_append(good)
+    t.merge_upsert_dv(
+        spark, spark.range(1).select(F.lit(3).cast("long").alias("k"), F.lit("upd").alias("tag")), "k"
+    )
+    assert t.manifest()["n_rows"] == 6
+
+
+def test_check_constraint_null_passes_not_null_catches(spark, root):
+    """SQL CHECK semantics: NULL expression result is not a violation —
+    forbidding nulls needs an explicit IS NOT NULL constraint."""
+    from aeuc_vector_db_spark.sources.manifest import ConstraintViolationError
+
+    t = ManifestTable(root)
+    t.commit_append(
+        spark.createDataFrame([(1, "a")], "k long, tag string")
+    )
+    t.add_check_constraint(spark, "tag_short", "length(tag) <= 3")
+    # NULL tag → length() NULL → CHECK passes (SQL semantics)
+    t.commit_append(spark.createDataFrame([(2, None)], "k long, tag string"))
+    t.add_check_constraint(spark, "tag_set", "tag IS NOT NULL OR k < 10")
+    with pytest.raises(ConstraintViolationError, match="tag_set"):
+        t.commit_append(spark.createDataFrame([(11, None)], "k long, tag string"))
+
+
+def test_add_constraint_validates_existing_rows(spark, root):
+    from aeuc_vector_db_spark.sources.manifest import ConstraintViolationError
+
+    t = ManifestTable(root)
+    t.commit_append(_df(spark, (0, 5)))
+    v = t.latest_version()
+    with pytest.raises(ConstraintViolationError, match="existing rows"):
+        t.add_check_constraint(spark, "k_big", "k >= 3")
+    assert t.latest_version() == v  # add was refused, no commit
+    # violation counts are reported per constraint
+    try:
+        t.add_check_constraint(spark, "k_big", "k >= 3")
+    except ConstraintViolationError as exc:
+        assert exc.counts == {"k_big": 3}
+
+
+def test_constraints_survive_other_commits_and_time_travel(spark, root):
+    """The map is sticky across append/DV-delete/merge/compact and
+    versioned: time travel sees each version's own set; restore rolls
+    the set back with the data."""
+    t = ManifestTable(root)
+    t.commit_append(_df(spark, (0, 5)))
+    t.add_check_constraint(spark, "k_nonneg", "k >= 0")
+    t.commit_append(_df(spark, (5, 8)))
+    t.delete_where_dv(spark, [("k", "=", 6)])
+    t.merge_upsert_dv(
+        spark, spark.range(1).select(F.lit(2).cast("long").alias("k"), F.lit("u").alias("tag")), "k"
+    )
+    assert t.constraints() == {"k_nonneg": "k >= 0"}
+    v_with = t.latest_version()
+    t.drop_check_constraint("k_nonneg")
+    assert t.constraints() == {}
+    # negative rows are accepted again
+    t.commit_append(spark.range(1).select(F.lit(-5).cast("long").alias("k"), F.lit("n").alias("tag")))
+    # the old version still carries the constraint (metadata time travel)
+    assert t.constraints(v_with) == {"k_nonneg": "k >= 0"}
+    # restore to the constrained version re-arms enforcement
+    t.restore(spark, v_with)
+    from aeuc_vector_db_spark.sources.manifest import ConstraintViolationError
+
+    with pytest.raises(ConstraintViolationError):
+        t.commit_append(
+            spark.range(1).select(F.lit(-9).cast("long").alias("k"), F.lit("n").alias("tag"))
+        )
+
+
+def test_constraint_guards_rename_and_drop(spark, root):
+    t = ManifestTable(root)
+    t.commit_append(_df(spark, (0, 5)))
+    t.add_check_constraint(spark, "k_nonneg", "k >= 0")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        t.rename_column("k", "key")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        t.drop_column("k")
+    # a column no constraint mentions renames/drops freely
+    t.rename_column("tag", "label")
+    t.drop_check_constraint("k_nonneg")
+    t.rename_column("k", "key")
+    assert t.constraints() == {}
+
+
+def test_constraint_on_renamed_logical_name(spark, root):
+    """Constraints declared over the CURRENT logical names work on a
+    renamed table — enforcement runs before physicalization."""
+    from aeuc_vector_db_spark.sources.manifest import ConstraintViolationError
+
+    t = ManifestTable(root)
+    t.commit_append(_df(spark, (0, 5)))
+    t.rename_column("k", "key")
+    t.add_check_constraint(spark, "key_cap", "key < 100")
+    with pytest.raises(ConstraintViolationError, match="key_cap"):
+        t.commit_append(
+            spark.range(1).select(F.lit(500).cast("long").alias("key"), F.lit("z").alias("tag"))
+        )
+    t.commit_append(
+        spark.range(1).select(F.lit(50).cast("long").alias("key"), F.lit("z").alias("tag"))
+    )
+    assert t.manifest()["n_rows"] == 6
+
+
+def test_constraint_add_unknown_column_fails_loudly(spark, root):
+    t = ManifestTable(root)
+    t.commit_append(_df(spark, (0, 3)))
+    with pytest.raises(Exception, match="nope|cannot be resolved|UNRESOLVED"):
+        t.add_check_constraint(spark, "ghost", "nope > 0")
+    assert t.constraints() == {}
