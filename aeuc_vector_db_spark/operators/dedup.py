@@ -415,3 +415,91 @@ def embedding_near_dup(
         .select("block", "a_id", "b_id", cosine_col(F.col("a_v"), F.col("b_v")).alias("cos"))
         .filter(F.col("cos") >= F.lit(threshold))
     )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    min_len: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stride: int = 1,
+) -> DataFrame:
+    """EXACT duplicated-substring detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+    operator, re-expressed relationally): find every character window of
+    length `min_len` whose content occurs at ≥ 2 distinct (doc, pos)
+    locations corpus-wide, merge each doc's overlapping windows into
+    maximal duplicated SPANS, and report per-doc duplication totals.
+    Output: (id, n_dup_windows, dup_chars, n_chars) for affected docs —
+    dup_chars is the UNION length of the merged spans, the number a
+    span-removal pass would cut.
+
+    With stride=1 this is exact: any duplicated substring of length
+    ≥ min_len contains at least one aligned window on each side, and
+    merged spans reconstruct its full extent. The suffix-array
+    formulation of the paper is a single-machine algorithm; this is the
+    shuffle formulation — windows are generated MAP-SIDE (explode +
+    substr + sha2, no Python), and the only data movement is (hash,
+    doc, pos) rows: 2 shuffles (hash group, doc group), each linear in
+    total corpus characters with fixed row width. That linear shuffle
+    is the honest cost of exactness at 100 TB; `stride > 1` is the
+    screening knob (windows at stride s still catch every duplicated
+    run of length ≥ min_len + s − 1, at 1/s the shuffle volume).
+
+    sha256 window keys, not polyhash: corpus-scale window counts make
+    2³¹ polyhash collisions certain, and a collision here MARKS A
+    FALSE DUPLICATE — the hash must be cryptographic. DuckDB mirrors
+    sha256, so the operator stays oracle-checkable.
+    """
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    last_start = F.length(t) - F.lit(min_len - 1)
+    positions = F.when(
+        F.length(t) >= min_len,
+        F.sequence(F.lit(1), last_start, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    win = docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        t.alias("__t__"),
+        F.explode(positions).alias("pos"),
+    ).select(
+        id_col,
+        "n_chars",
+        "pos",
+        F.sha2(F.col("__t__").substr(F.col("pos"), F.lit(min_len)), 256).alias("h"),
+    )
+    # duplicated window = its hash occurs at >= 2 locations. One shuffle
+    # on h (window count), keeping only duplicated rows.
+    w_h = Window.partitionBy("h")
+    dup = (
+        win.withColumn("occ", F.count(F.lit(1)).over(w_h))
+        .filter(F.col("occ") > 1)
+        .select(id_col, "n_chars", "pos")
+    )
+    # gaps-and-islands per doc: a window starts a new span iff it does
+    # not overlap/abut the running span end (prev max pos + min_len).
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    prev_max = F.max("pos").over(w_doc.rowsBetween(Window.unboundedPreceding, -1))
+    marked = dup.withColumn(
+        "brk",
+        F.when(
+            prev_max.isNull() | (F.col("pos") > prev_max + F.lit(min_len)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = marked.groupBy(id_col, "n_chars", "island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(min_len - 1)).alias("e"),
+        F.count(F.lit(1)).alias("nw"),
+    )
+    return spans.groupBy(id_col, "n_chars").agg(
+        F.sum("nw").cast("long").alias("n_dup_windows"),
+        F.sum(F.col("e") - F.col("s") + F.lit(1)).cast("long").alias("dup_chars"),
+    ).select(id_col, "n_dup_windows", "dup_chars", F.col("n_chars").cast("long").alias("n_chars"))

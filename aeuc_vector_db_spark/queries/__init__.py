@@ -81,7 +81,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "form_pglyphs_by_label",
     "phi_bands",
     "auto_cluster_phi",
-    "search_pglyphs",
     "rel_high_value_customers",
     "rel_acctbal_by_region_nation",
     "rel_orders_by_month",
@@ -125,18 +124,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_hll_distinct",
     "doc_cms_freq",
     "emb_binary_hamming_topk",
-    # positions ≥ 51: seven new round-7 queries made the candidate set
-    # 55-deep, so five queries slip past the driver's 50-row window into
+    "doc_substring_dedup",
+    # positions ≥ 51: eight new round-7 queries made the candidate set
+    # 56-deep, so six queries slip past the driver's 50-row window into
     # the round-8 head. Chosen for maximal stability / lowest marginal
-    # information: the single-task digest facade, three trivial
-    # single-scan queries green since r03 and re-verified in EVERY
-    # round's full tools/check_correctness.py run, and the new rows-only
-    # refine-recall (its semantics are pinned by test_ann.py dominance/
-    # exactness-limit tests, so a driver rows-only row adds least).
+    # information: the single-task digest facade, four trivial
+    # single-purpose queries green since r03/r05 and re-verified in
+    # EVERY round's full tools/check_correctness.py run, and the new
+    # rows-only refine-recall (its semantics are pinned by test_ann.py
+    # dominance/exactness-limit tests, so a driver rows-only row adds
+    # least).
     "dataset_digest",
     "stats",
     "point_lookup",
     "validation_counts",
+    "search_pglyphs",
     "ann_pq_refine_recall",
 )
 

@@ -1093,7 +1093,70 @@ FROM hh
 _CMS_FREQ_ORACLE = _cms_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring spans (round 7): the Lee et al. 2022
+# ExactSubstr dedup re-expressed relationally (operators/dedup.py
+# substring_dup_spans). The near-dup corpus plants copies sharing a
+# long prefix with their originals, so both sides carry merged
+# duplicated spans whose union length the oracle recomputes exactly.
+# ---------------------------------------------------------------------------
+
+_SUBSTR_L = 40
+
+
+def _doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aeuc_vector_db_spark.operators.dedup import substring_dup_spans
+
+    return substring_dup_spans(
+        _near_dup_corpus(spark, sf_dir), min_len=_SUBSTR_L
+    )
+
+
+_SUBSTRING_DEDUP_ORACLE = f"""
+WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}),
+base AS (SELECT doc_id, text, length(text) AS n_chars FROM corpus),
+win AS (
+  SELECT doc_id, n_chars,
+         unnest(range(1, greatest(length(text) - {_SUBSTR_L - 2}, 1))) AS pos, text
+  FROM base
+),
+hw AS (
+  SELECT doc_id, n_chars, pos,
+         sha256(substr(text, CAST(pos AS INT), {_SUBSTR_L})) AS h
+  FROM win
+),
+dup AS (
+  SELECT doc_id, n_chars, pos
+  FROM (SELECT *, COUNT(*) OVER (PARTITION BY h) AS occ FROM hw)
+  WHERE occ > 1
+),
+isl AS (
+  SELECT doc_id, n_chars, pos,
+         CASE WHEN max(pos) OVER w IS NULL
+                   OR pos > max(pos) OVER w + {_SUBSTR_L} THEN 1 ELSE 0 END AS brk
+  FROM dup
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+grp AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, n_chars, island, MIN(pos) AS s,
+         MAX(pos) + {_SUBSTR_L - 1} AS e, COUNT(*) AS nw
+  FROM grp GROUP BY doc_id, n_chars, island
+)
+SELECT doc_id, CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
+       CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM spans GROUP BY doc_id, n_chars
+"""
+
+
 QUERIES = {
+    "doc_substring_dedup": (_doc_substring_dedup, _SUBSTRING_DEDUP_ORACLE),
     "doc_hll_distinct": (_doc_hll_distinct, _HLL_DISTINCT_ORACLE),
     "doc_cms_freq": (_doc_cms_freq, _CMS_FREQ_ORACLE),
     "doc_leakproof_split": (_doc_leakproof_split, _LEAKPROOF_SPLIT_ORACLE),

@@ -367,3 +367,100 @@ def test_rrf_fuse_hand_computed(spark):
 
     with _pt.raises(ValueError, match="no rankings"):
         rrf_fuse([])
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring spans (operators/dedup.py, round 7)
+# ---------------------------------------------------------------------------
+
+def _span_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substring_dup_spans_exact_shared_run(spark):
+    """Two docs share one run S of length 50 embedded in different
+    contexts: every window inside S (and only those) duplicates, and the
+    merged span must recover EXACTLY S on both sides — length 50,
+    11 windows each at L=40."""
+    from aeuc_vector_db_spark.operators.dedup import substring_dup_spans
+
+    s = "S" * 10 + "0123456789" * 4  # 50 chars, unique vs contexts
+    a = "a" * 25 + s + "b" * 25
+    b = "c" * 10 + s + "d" * 40
+    got = {
+        r["doc_id"]: (r["n_dup_windows"], r["dup_chars"], r["n_chars"])
+        for r in substring_dup_spans(
+            _span_df(spark, [(1, a), (2, b)]), min_len=40
+        ).collect()
+    }
+    assert got == {1: (11, 50, 100), 2: (11, 50, 100)}
+
+
+def test_substring_dup_spans_within_doc_repeat(spark):
+    """A doc repeating its own 40-char block twice counts as duplicated
+    even with no second document (the paper's within-doc case)."""
+    from aeuc_vector_db_spark.operators.dedup import substring_dup_spans
+
+    blk = "xyzw" * 10  # 40 chars
+    doc = blk + "-" * 30 + blk
+    rows = substring_dup_spans(_span_df(spark, [(7, doc)]), min_len=40).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # both occurrences are spans of exactly 40 chars...  but the repeat
+    # period-4 block also matches at shifted alignments inside itself?
+    # No: windows are length 40 == the block, and the filler breaks any
+    # cross-boundary window, so exactly 2 duplicated windows exist.
+    assert (r["n_dup_windows"], r["dup_chars"]) == (2, 80)
+
+
+def test_substring_dup_spans_negative_cases(spark):
+    from aeuc_vector_db_spark.operators.dedup import substring_dup_spans
+
+    rows = substring_dup_spans(
+        _span_df(
+            spark,
+            [
+                (1, "totally unique text that is long enough to window " + "u" * 20),
+                (2, "short"),  # < L: no windows at all
+                (3, None),  # null text
+            ],
+        ),
+        min_len=40,
+    ).collect()
+    assert rows == []
+
+
+def test_substring_dup_spans_merges_overlapping_windows(spark):
+    """A duplicated run longer than L produces overlapping windows that
+    must merge into ONE span (not count each window's chars)."""
+    from aeuc_vector_db_spark.operators.dedup import substring_dup_spans
+
+    s = "".join(chr(97 + (i * 7) % 26) for i in range(70))  # 70 aperiodic chars
+    a = "A" * 5 + s + "B" * 5
+    b = s  # the whole doc
+    got = {
+        r["doc_id"]: (r["dup_chars"], r["n_dup_windows"])
+        for r in substring_dup_spans(
+            _span_df(spark, [(1, a), (2, b)]), min_len=40
+        ).collect()
+    }
+    # 70-char run: 31 windows, one merged span of 70 chars, both docs
+    assert got == {1: (70, 31), 2: (70, 31)}
+
+
+def test_substring_dup_spans_partitioning_invariance_and_stride(spark):
+    from aeuc_vector_db_spark.operators.dedup import substring_dup_spans
+    import pytest
+
+    s = "".join(chr(97 + (i * 11) % 26) for i in range(60))
+    rows = [(i, f"{'p' * i}{s}{'q' * (20 - i)}") for i in range(10)]
+    df1 = _span_df(spark, rows).repartition(1)
+    df8 = _span_df(spark, rows).repartition(8)
+    r1 = sorted(map(tuple, substring_dup_spans(df1, min_len=40).collect()))
+    r8 = sorted(map(tuple, substring_dup_spans(df8, min_len=40).collect()))
+    assert r1 == r8 and len(r1) == 10
+    # stride screening still flags every doc (run length 60 >= 40+3-1)
+    r3 = substring_dup_spans(df1, min_len=40, stride=3).collect()
+    assert {r["doc_id"] for r in r3} == set(range(10))
+    with pytest.raises(ValueError, match="stride"):
+        substring_dup_spans(df1, min_len=40, stride=0)
