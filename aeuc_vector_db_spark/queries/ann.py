@@ -372,8 +372,62 @@ FROM ranked WHERE rank <= 10
 _BINARY_HAMMING_ORACLE = _binary_hamming_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Matryoshka (truncated-prefix) search, round 7: cosine top-k over the
+# FIRST 16 of 64 dims — the MRL serving pattern (Kusupati et al. 2022):
+# embeddings whose prefixes are themselves usable representations let a
+# search tier read ¼ of the vector bytes. Entirely expressible with the
+# existing brute-force operator over a sliced column, so the whole
+# thing is DuckDB-oracled; the prefix slice happens in the scan
+# projection (column pruning cuts the other 48 dims' IO at the source).
+# ---------------------------------------------------------------------------
+
+_MRL_DIM = 16
+
+
+def _emb_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aeuc_vector_db_spark.operators.search import knn_search_batch
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding")
+    )
+    q = _queries_df(spark, sf_dir).select(
+        "query_id",
+        F.slice("query_embedding", 1, _MRL_DIM).alias("query_embedding"),
+    )
+    res = knn_search_batch(emb, q, top_k=10, metric="cosine")
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.round("score", 9).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_MATRYOSHKA_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id,
+         {_dk_double(f'list_slice(embedding, 1, {_MRL_DIM})')} AS qv
+  FROM embeddings WHERE {QUERY_FILTER}
+), c AS (
+  SELECT vec_id, {_dk_double(f'list_slice(embedding, 1, {_MRL_DIM})')} AS cv
+  FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.vec_id, {_dk_cosine('cv', 'qv')} AS s
+  FROM c CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(s, 9) AS score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 QUERIES = {
     "emb_binary_hamming_topk": (_emb_binary_hamming_topk, _BINARY_HAMMING_ORACLE),
+    "emb_matryoshka_topk": (_emb_matryoshka_topk, _MATRYOSHKA_ORACLE),
     "ivf_pruned_search": (_ivf_pruned_search, _IVF_ORACLE),
     "ivf_arrow_pruned_search": (_ivf_arrow_pruned_search, _IVF_ARROW_ORACLE),
     "ivf_euclidean_pruned_search": (_ivf_metric_query("euclidean"), _IVF_EUCLID_ORACLE),

@@ -66,6 +66,13 @@ HEADLINE = (
     # (same plan after parsing — a big gap here would mean the SQL
     # functions broke whole-stage codegen)
     "sql_entry_knn_cosine",
+    # round 7: sketches (fixed-size-shuffle aggregates), binary search
+    # (compression-ladder floor), exact substring dedup (the linear-
+    # shuffle exactness workhorse — the heaviest new query by design)
+    "doc_hll_distinct",
+    "doc_cms_freq",
+    "emb_binary_hamming_topk",
+    "doc_substring_dedup",
 )
 
 
@@ -227,6 +234,7 @@ def main() -> None:
         "knn_scale": {
             "pair_scores_per_s": knn_scale["pair_scores_per_s"],
             "pq_pair_scores_per_s": knn_scale["pq_pair_scores_per_s"],
+            "binary_pair_scores_per_s": knn_scale["binary_pair_scores_per_s"],
         },
         "cluster_scale_sec": cluster_scale["sec"],
         "dedup_skew_ratio": dedup_skew["ratio"],
@@ -905,17 +913,62 @@ def _bench_knn_scale(spark) -> dict:
         A.pq_search_batch(codes, books, queries, top_k=10).collect()
         dt_pq = min(dt_pq, time.time() - t0)
     codes.unpersist()
-    corpus.unpersist()
     rate_pq = (n * 20) / dt_pq if dt_pq > 0 else 0.0
     print(
         f"# pq_scale_100k: 20 ADC queries in {dt_pq:.3f}s = "
         f"{rate_pq:.0f} pair-scores/s (codes 8 B/vec vs 512 B/vec)",
         file=sys.stderr,
     )
+
+    # Binary twin (round 7): the cheapest rung of the compression
+    # ladder — sign-pack the same corpus ONCE to 2 BIGINT words/vector
+    # (16 B vs 512 B: the materialized-index shape), then Hamming-rank
+    # through the Arrow twin (LUT-popcount mapInPandas — the SQL
+    # bit_count path is oracle-pinned but row-at-a-time through the
+    # broadcast NL join, measured ~8× slower at this N) and exact-
+    # rerank the top 50. The synthetic values live in [0,1), so they
+    # are centered first (x − 0.5) to give the sign split entropy.
+    from aeuc_vector_db_spark.operators.binary import (
+        binary_search_rerank_arrow,
+        sign_pack,
+    )
+
+    centered = corpus.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x - F.lit(0.5)).alias("embedding"),
+    ).persist()
+    packed = sign_pack(centered, dim=64, prefix="cw").persist()
+    packed.count()  # materialize the 16 B/row index outside the timing
+    q_c = centered.filter(F.col("vec_id") % 5000 == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+
+    def _bin_run():
+        return binary_search_rerank_arrow(
+            centered, q_c, dim=64, top_k=10, refine_r=50, packed=packed
+        ).collect()
+
+    _bin_run()  # warm
+    dt_bin = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _bin_run()
+        dt_bin = min(dt_bin, time.time() - t0)
+    packed.unpersist()
+    centered.unpersist()
+    corpus.unpersist()
+    rate_bin = (n * 20) / dt_bin if dt_bin > 0 else 0.0
+    print(
+        f"# binary_scale_100k: 20 Hamming+rerank queries in {dt_bin:.3f}s = "
+        f"{rate_bin:.0f} pair-scores/s (16 B/vec packed)",
+        file=sys.stderr,
+    )
     return {"n": n, "queries": 20, "sec": round(dt, 3),
             "pair_scores_per_s": round(rate, 1),
             "pq_sec": round(dt_pq, 3),
-            "pq_pair_scores_per_s": round(rate_pq, 1)}
+            "pq_pair_scores_per_s": round(rate_pq, 1),
+            "binary_sec": round(dt_bin, 3),
+            "binary_pair_scores_per_s": round(rate_bin, 1)}
 
 
 if __name__ == "__main__":

@@ -113,3 +113,57 @@ def test_hamming_cut_uses_window_group_limit(embeddings):
     )
     assert "WindowGroupLimit" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_arrow_twin_matches_sql_twin(embeddings):
+    """The Arrow (LUT-popcount mapInPandas) path must reproduce the SQL
+    twin rank-for-rank, hamming-for-hamming — including through the
+    pre-packed-input shape a materialized index would use."""
+    from aeuc_vector_db_spark.operators.binary import (
+        binary_search_rerank_arrow,
+        sign_pack,
+    )
+
+    q = _queries(embeddings)
+    want = sorted(
+        map(
+            tuple,
+            binary_search_rerank(embeddings, q, dim=64, top_k=10, refine_r=50)
+            .select("query_id", "vec_id", "hamming", "rank")
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            binary_search_rerank_arrow(embeddings, q, dim=64, top_k=10, refine_r=50)
+            .select("query_id", "vec_id", "hamming", "rank")
+            .collect(),
+        )
+    )
+    assert got == want
+    packed = sign_pack(embeddings, dim=64, prefix="cw")
+    got_packed = sorted(
+        map(
+            tuple,
+            binary_search_rerank_arrow(
+                embeddings, q, dim=64, top_k=10, refine_r=50, packed=packed
+            )
+            .select("query_id", "vec_id", "hamming", "rank")
+            .collect(),
+        )
+    )
+    assert got_packed == want
+
+
+def test_arrow_twin_partitioning_invariance(embeddings):
+    from aeuc_vector_db_spark.operators.binary import binary_search_rerank_arrow
+
+    q = _queries(embeddings)
+    outs = []
+    for n_parts in (1, 8):
+        res = binary_search_rerank_arrow(
+            embeddings.repartition(n_parts), q, dim=64, top_k=10, refine_r=50
+        )
+        outs.append(sorted(map(tuple, res.collect())))
+    assert outs[0] == outs[1]

@@ -197,3 +197,37 @@ def test_rename_read_plans_like_unrenamed(spark):
     exchange, no Python operator."""
     plan = _plan(spark, "manifest_rename_read")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sketch_queries_stay_jvm_side_and_bounded(spark):
+    """HLL/CMS must be pure JVM expression pipelines (no Python
+    operators — the sha256 windows are F.conv/F.sha2 expressions) whose
+    only shuffles carry sketch-sized state: partial HashAggregates on
+    both sides of the exchange (map-side combine caps what leaves a
+    partition at m registers / d·w cells)."""
+    for name in ("doc_hll_distinct", "doc_cms_freq"):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "partial" in plan and "HashAggregate" in plan, name
+
+
+def test_substring_dedup_no_cartesian_single_hash_exchange(spark):
+    """Window generation is map-side (explode + substr + sha2); the
+    duplicate mark is a window count over the hash — no join, no
+    cartesian. Gate: no CartesianProduct/BroadcastNestedLoop, and the
+    hash-dup stage is a Window, not a self-join."""
+    plan = _plan(spark, "doc_substring_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_binary_hamming_plan_shape(spark):
+    """Stage 1: query side broadcasts (corpus never shuffles), top-R
+    cut through WindowGroupLimit; stage 2: candidates broadcast-join
+    back. And the whole pipeline is codegen expressions — no Python."""
+    plan = _plan(spark, "emb_binary_hamming_topk")
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
