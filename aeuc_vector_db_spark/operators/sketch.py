@@ -303,3 +303,97 @@ def heavy_hitter_terms(
         .agg(F.count(F.lit(1)).alias("term_count"))
         .filter(F.col("term_count") >= F.lit(min_count))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic histogram quantile sketch — the third of the engine's
+# mergeable summaries (HLL = distinct, CMS = frequency, histogram =
+# quantiles). Spark's approx_percentile (KLL-ish) and t-digest designs
+# are randomized or merge-order-dependent; a fixed-bounds equi-width
+# histogram is the deterministic alternative: bucket counts are exact
+# integers, mergeable by addition in any order, and the quantile
+# estimate interpolates inside one bucket — error bounded by bucket
+# width, cross-engine reproducible to the last bit.
+#
+# Scale shape: one pass, map-side partial counts, shuffle ≤ `bins` rows
+# per partition; the quantile extraction runs over the ≤ `bins`-row
+# sketch (driver-scale). With data-derived bounds a cheap min/max agg
+# runs first (broadcast back as a one-row join); pass explicit bounds
+# to stay single-pass.
+# ---------------------------------------------------------------------------
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 256,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """(bucket, cnt, lo, hi) — equi-width bucket counts of `value_col`
+    over [lo, hi] (data-derived when not given; values outside clamp to
+    the edge buckets, so merged sketches with common fixed bounds stay
+    consistent). NULL values are dropped (SQL aggregate convention)."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    v = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        bounds = df.agg(
+            F.min(v).alias("__lo__"), F.max(v).alias("__hi__")
+        )
+        src = df.join(F.broadcast(bounds))
+        lo_c, hi_c = F.col("__lo__"), F.col("__hi__")
+    else:
+        src = df
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+    raw = F.floor((v - lo_c) / (hi_c - lo_c) * F.lit(float(bins)))
+    bucket = F.when(hi_c == lo_c, F.lit(0)).otherwise(
+        F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+    )
+    return (
+        src.filter(v.isNotNull())
+        .groupBy(bucket.cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(lo_c).alias("lo"),
+            F.min(hi_c).alias("hi"),
+        )
+    )
+
+
+def histogram_quantiles(
+    sketch: DataFrame, qs: "list[float]", bins: int = 256
+) -> DataFrame:
+    """(q, est) — quantile estimates from a histogram sketch: walk the
+    cumulative counts to the bucket containing rank q·n, interpolate
+    linearly inside it. est is exact to within one bucket width; the
+    arithmetic (double mul/div in a fixed order) is engine-portable."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "bucket", "cnt", "lo", "hi",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    qdf = cum.crossJoin(
+        F.broadcast(
+            cum.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+        )
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    target = F.col("q") * F.col("n").cast("double")
+    hit = qdf.filter(
+        (F.col("cum").cast("double") >= target)
+        & ((F.col("cum") - F.col("cnt")).cast("double") < target)
+    )
+    est = F.col("lo") + (
+        F.col("bucket").cast("double")
+        + (target - (F.col("cum") - F.col("cnt")).cast("double"))
+        / F.col("cnt").cast("double")
+    ) * width
+    return hit.select("q", est.alias("est"), F.col("n").cast("long").alias("n"))

@@ -140,12 +140,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "validation_counts",
     "search_pglyphs",
     "ann_pq_refine_recall",
-    # emb_matryoshka_topk also waits for its first driver row in r8: it
-    # is a thin composition of the long-green knn_search_batch over a
-    # sliced column, fully verified by the in-repo checker this round —
-    # keeping it out of the top 50 preserved in-window slots for the
-    # r5-rotation set the round-6 verdict prioritized.
+    # emb_matryoshka_topk and rel_price_quantile_sketch also wait for
+    # their first driver row in r8: both are thin compositions of
+    # long-green machinery, fully verified by the in-repo checker this
+    # round — keeping them out of the top 50 preserved in-window slots
+    # for the r5-rotation set the round-6 verdict prioritized.
     "emb_matryoshka_topk",
+    "rel_price_quantile_sketch",
 )
 
 

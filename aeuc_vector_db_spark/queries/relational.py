@@ -663,7 +663,69 @@ GROUP BY s_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (round 7): the deterministic alternative to
+# approx_percentile — equi-width bucket counts (exact integers,
+# mergeable by addition in any order, shuffle ≤ 256 rows/partition) +
+# in-bucket linear interpolation. Error ≤ one bucket width; every
+# arithmetic step mirrors in DuckDB so the ESTIMATES hash-match, which
+# a randomized sketch can never do.
+# ---------------------------------------------------------------------------
+
+_HQ_BINS = 256
+_HQ_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def _price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aeuc_vector_db_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    sk = histogram_sketch(orders, "o_totalprice", bins=_HQ_BINS)
+    res = histogram_quantiles(sk, list(_HQ_QS), bins=_HQ_BINS)
+    return res.select(
+        F.round("q", 2).alias("q"), F.round("est", 6).alias("est"), "n"
+    )
+
+
+_HQ_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders WHERE o_totalprice IS NOT NULL
+),
+b AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM v),
+bk AS (
+  SELECT CAST(CASE WHEN hi = lo THEN 0
+              ELSE least(greatest(floor((v - lo) / (hi - lo) * {float(_HQ_BINS)!r}), 0), {_HQ_BINS - 1}) END AS INT) AS bucket,
+         COUNT(*) AS cnt, MIN(lo) AS lo, MIN(hi) AS hi
+  FROM v CROSS JOIN b GROUP BY 1
+),
+cum AS (
+  SELECT bucket, cnt, lo, hi,
+         SUM(cnt) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER () AS n
+  FROM bk
+),
+qs AS (SELECT unnest([{", ".join(f"CAST({q!r} AS DOUBLE)" for q in _HQ_QS)}]) AS q),
+hit AS (
+  SELECT q, bucket, cnt, lo, hi, cum, n
+  FROM cum CROSS JOIN qs
+  WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
+    AND CAST(cum - cnt AS DOUBLE) < q * CAST(n AS DOUBLE)
+)
+SELECT ROUND(q, 2) AS q,
+       ROUND(lo + (CAST(bucket AS DOUBLE)
+                   + (q * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+                     / CAST(cnt AS DOUBLE))
+                  * ((hi - lo) / {float(_HQ_BINS)!r}), 6) AS est,
+       CAST(n AS BIGINT) AS n
+FROM hit
+"""
+
+
 QUERIES = {
+    "rel_price_quantile_sketch": (_price_quantile_sketch, _HQ_ORACLE),
     "rel_pricing_summary": (_pricing_summary, _PRICING_ORACLE),
     "rel_top_revenue_orders": (_top_revenue_orders, _TOP_REVENUE_ORACLE),
     "rel_revenue_by_nation": (_revenue_by_nation, _REVENUE_NATION_ORACLE),

@@ -262,3 +262,79 @@ def test_cms_probe_side_broadcasts_sketch(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (cross-engine deterministic)
+# ---------------------------------------------------------------------------
+
+from aeuc_vector_db_spark.operators.sketch import (  # noqa: E402
+    histogram_quantiles,
+    histogram_sketch,
+)
+
+
+def _vals(spark, xs):
+    return spark.createDataFrame([(float(x),) for x in xs], "v double")
+
+
+def test_histogram_quantiles_within_bucket_width(spark):
+    import numpy as np
+
+    xs = [((i * 37) % 1000) / 3.0 for i in range(1000)]
+    df = _vals(spark, xs)
+    sk = histogram_sketch(df, "v", bins=256)
+    got = {r["q"]: r["est"] for r in histogram_quantiles(sk, [0.25, 0.5, 0.9]).collect()}
+    lo, hi = min(xs), max(xs)
+    width = (hi - lo) / 256
+    for q in (0.25, 0.5, 0.9):
+        exact = float(np.quantile(np.array(xs), q))
+        assert abs(got[q] - exact) <= 2 * width, (q, got[q], exact)
+
+
+def test_histogram_sketch_merges_by_addition(spark):
+    """With common FIXED bounds, bucket counts from disjoint shards sum
+    to the union's sketch — the mergeability contract (any order)."""
+    a = _vals(spark, range(0, 500))
+    b = _vals(spark, range(500, 1000))
+    u = _vals(spark, range(0, 1000))
+    kw = dict(bins=64, lo=0.0, hi=999.0)
+    su = {(r["bucket"]): r["cnt"] for r in histogram_sketch(u, "v", **kw).collect()}
+    sa = {(r["bucket"]): r["cnt"] for r in histogram_sketch(a, "v", **kw).collect()}
+    sb = {(r["bucket"]): r["cnt"] for r in histogram_sketch(b, "v", **kw).collect()}
+    merged = {k: sa.get(k, 0) + sb.get(k, 0) for k in set(sa) | set(sb)}
+    assert merged == su
+
+
+def test_histogram_sketch_clamps_out_of_bounds(spark):
+    df = _vals(spark, [-100.0, 0.0, 5.0, 10.0, 999.0])
+    sk = {r["bucket"]: r["cnt"] for r in
+          histogram_sketch(df, "v", bins=10, lo=0.0, hi=10.0).collect()}
+    assert sk[0] == 2  # -100 clamps down, 0.0 lands naturally
+    assert sk[9] == 2  # 10.0 (== hi) and 999 clamp up
+    assert sum(sk.values()) == 5
+
+
+def test_histogram_sketch_degenerate_and_nulls(spark):
+    df = spark.createDataFrame([(5.0,), (5.0,), (None,)], "v double")
+    rows = histogram_sketch(df, "v", bins=16).collect()
+    assert len(rows) == 1 and rows[0]["bucket"] == 0 and rows[0]["cnt"] == 2
+    est = histogram_quantiles(histogram_sketch(df, "v", bins=16), [0.5]).first()
+    assert est["est"] == 5.0 and est["n"] == 2
+
+
+def test_histogram_sketch_partitioning_invariance(spark):
+    xs = [((i * 17) % 321) / 7.0 for i in range(2000)]
+    outs = []
+    for n_parts in (1, 16):
+        df = _vals(spark, xs).repartition(n_parts)
+        q = histogram_quantiles(histogram_sketch(df, "v", bins=128), [0.1, 0.5, 0.99])
+        outs.append(sorted(map(tuple, q.collect())))
+    assert outs[0] == outs[1]
+
+
+def test_histogram_sketch_validates_bins(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="bins"):
+        histogram_sketch(_vals(spark, [1.0]), "v", bins=0)
