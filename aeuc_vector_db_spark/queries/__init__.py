@@ -147,6 +147,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # for the r5-rotation set the round-6 verdict prioritized.
     "emb_matryoshka_topk",
     "rel_price_quantile_sketch",
+    "events_windowed_hll",
 )
 
 

@@ -127,7 +127,98 @@ GROUP BY cohort
 """
 
 
+def _events_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour approximate distinct users (streaming-shaped HLL,
+    streaming/ingest.py windowed_hll_distinct) joined with the exact
+    per-window distinct for the accuracy twin — the exact side exists
+    only in this batch query; the streamable operator is sketch-only
+    (COUNT DISTINCT state grows with cardinality, register state never
+    does)."""
+    from aeuc_vector_db_spark.streaming.ingest import windowed_hll_distinct
+
+    ev = load_table(spark, "events", sf_dir)
+    hll = windowed_hll_distinct(ev)
+    exact = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_distinct_exact"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_distinct_exact",
+        )
+    )
+    return hll.join(exact, "window_start_us").select(
+        "window_start_us",
+        F.round("hll_estimate", 2).alias("hll_estimate"),
+        "n_zero_registers",
+        "s_scaled",
+        "n_distinct_exact",
+    )
+
+
+def _windowed_hll_oracle() -> str:
+    from aeuc_vector_db_spark.operators.sketch import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_P,
+        HLL_W,
+    )
+    from aeuc_vector_db_spark.queries.textops import _dk_hex32
+
+    shift = HLL_W + 1
+    num = HLL_ALPHA * HLL_M * HLL_M * float(1 << shift)
+    return f"""
+WITH hv AS (
+  SELECT CAST(epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+           AS window_start_us,
+         user_id,
+         {_dk_hex32("sha256(CAST(user_id AS VARCHAR))")} AS h
+  FROM events
+),
+rr AS (
+  SELECT window_start_us, h % {HLL_M} AS register,
+         CASE WHEN (h >> {HLL_P}) = 0 THEN {shift}
+              ELSE {shift} - length(format('{{:b}}', h >> {HLL_P})) END AS rho
+  FROM hv
+),
+regs AS (
+  SELECT window_start_us, register, MAX(rho) AS maxrho
+  FROM rr GROUP BY 1, 2
+),
+agg AS (
+  SELECT window_start_us, COUNT(*) AS n_present,
+         SUM(CAST(1 AS BIGINT) << CAST({shift} - maxrho AS INT)) AS s_present
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT window_start_us, ({HLL_M} - n_present) AS v_zero,
+         s_present + ({HLL_M} - n_present) * (CAST(1 AS BIGINT) << {shift}) AS s_scaled
+  FROM agg
+),
+fin AS (
+  SELECT window_start_us,
+         CASE WHEN ({num!r} / CAST(s_scaled AS DOUBLE)) <= {2.5 * HLL_M!r} AND v_zero > 0
+              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(v_zero AS DOUBLE))
+              ELSE ({num!r} / CAST(s_scaled AS DOUBLE)) END AS hll_estimate,
+         v_zero, s_scaled
+  FROM est
+),
+ex AS (
+  SELECT window_start_us, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_exact
+  FROM hv GROUP BY 1
+)
+SELECT fin.window_start_us, ROUND(hll_estimate, 2) AS hll_estimate,
+       CAST(v_zero AS BIGINT) AS n_zero_registers,
+       CAST(s_scaled AS BIGINT) AS s_scaled,
+       ex.n_distinct_exact
+FROM fin JOIN ex ON fin.window_start_us = ex.window_start_us
+"""
+
+
+_WINDOWED_HLL_ORACLE = _windowed_hll_oracle()
+
+
 QUERIES = {
+    "events_windowed_hll": (_events_windowed_hll, _WINDOWED_HLL_ORACLE),
     "events_hourly_window": (_events_hourly_window, _HOURLY_ORACLE),
     "events_sessionize": (_events_sessionize, _SESSION_ORACLE),
     "events_json_props": (_events_json_props, _JSON_PROPS_ORACLE),

@@ -462,3 +462,63 @@ def manifest_sink(table, dim: int, quarantine_path: str | None = None):
             )
 
     return body
+
+
+def windowed_hll_distinct(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Per-window approximate distinct-key counts via the engine's
+    cross-engine HLL (operators/sketch.py): tumbling event-time windows
+    → register max → estimate fold. Output: (window_start_us,
+    hll_estimate, n_zero_registers, s_scaled).
+
+    Both stages are incremental windowed aggregates, so the SAME plan
+    runs under Structured Streaming (chained stateful windowed aggs,
+    Spark ≥ 3.4, with a watermark upstream) — per-window state is the
+    ≤ 512-register vector, mergeable across micro-batches by max. This
+    is the streaming shape COUNT(DISTINCT) fundamentally can't take:
+    exact distinct state grows with cardinality, register state is
+    fixed-size forever. Batch ≡ streaming (pinned in
+    test_streaming.py); the batch form is DuckDB-oracled
+    (`events_windowed_hll`)."""
+    from aeuc_vector_db_spark.operators.sketch import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_W,
+        hll_register_cols,
+    )
+
+    register, rho = hll_register_cols(F.col(key_col).cast("string"))
+    regs = (
+        events.groupBy(
+            F.window(F.col(ts_col), window).alias("w"), register.alias("register")
+        )
+        .agg(F.max(rho).alias("maxrho"))
+    )
+    agg = regs.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - maxrho)")
+        ).alias("s_present"),
+    )
+    v_zero = F.lit(HLL_M) - F.col("n_present")
+    s_scaled = F.col("s_present") + v_zero.cast("long") * F.lit(
+        1 << (HLL_W + 1)
+    ).cast("long")
+    e_raw = (
+        F.lit(HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_W + 1)))
+        / s_scaled.cast("double")
+    )
+    estimate = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_zero.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        F.unix_micros(F.col("w.start")).alias("window_start_us"),
+        estimate.alias("hll_estimate"),
+        v_zero.cast("long").alias("n_zero_registers"),
+        s_scaled.cast("long").alias("s_scaled"),
+    )

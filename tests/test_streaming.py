@@ -516,3 +516,47 @@ def test_committed_offsets_known_hint_bounds_walk(spark, tmp_path):
     assert OS.run_offset_ingest(spark, src, t, DIM) == 1
     newer = OS.committed_source_offsets(t, known=(marker_v, committed))
     assert newer == src.latest_offsets() != committed
+
+
+def test_windowed_hll_streaming_matches_batch(spark, tmp_path):
+    """The windowed HLL runs as TWO chained stateful aggregations
+    (register max → estimate fold) — supported in append mode with a
+    watermark (Spark ≥ 3.4). A far-future sentinel event pushes the
+    watermark past every real window so append emits them all; the
+    streamed per-window estimates must equal the batch run of the SAME
+    plan bit-for-bit (register state is deterministic, merge = max)."""
+    src = f"{tmp_path}/hll_src"
+    os.makedirs(src)
+    rows = [
+        {"user_id": (i * 13) % 37, "ts": f"2024-01-01T{i % 3:02d}:{i % 50:02d}:00.000Z"}
+        for i in range(120)
+    ] + [{"user_id": 0, "ts": "2024-01-03T00:00:00.000Z"}]  # watermark pusher
+    with open(f"{src}/x.jsonl", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    schema = "user_id long, ts timestamp"
+
+    stream = (
+        spark.readStream.schema(schema).json(src).withWatermark("ts", "0 seconds")
+    )
+    agg = SI.windowed_hll_distinct(stream)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName("hll_win")
+        .option("checkpointLocation", f"{tmp_path}/hll_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["window_start_us"], r["hll_estimate"], r["s_scaled"])
+        for r in spark.sql("select * from hll_win").collect()
+    }
+    batch = spark.read.schema(schema).json(src)
+    batched = {
+        (r["window_start_us"], r["hll_estimate"], r["s_scaled"])
+        for r in SI.windowed_hll_distinct(batch).collect()
+    }
+    # append held back only the sentinel's own (final) window
+    sentinel_us = max(w for w, _, _ in batched)
+    assert streamed == {t for t in batched if t[0] != sentinel_us}
+    assert len(streamed) == 3
