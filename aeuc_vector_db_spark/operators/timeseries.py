@@ -1,0 +1,97 @@
+"""Time-series resampling: regularize an irregular event stream onto a
+fixed grid with last-observation-carried-forward (LOCF) gap fill — the
+downsample/align primitive every metrics/feature pipeline needs before
+windowed models. (Charter extension: the reference has no time-series
+surface; this is the `time_bucket + gapfill + locf` feature set of
+timescale-style engines, re-expressed as Spark windows.)
+
+Scale shape: bucketing is a map-side integer division; the per-key
+last-value reduction and the LOCF fill shuffle ONCE on the key (all
+three window functions share the same (key, bucket) sort); the grid is
+generated per key with `sequence` + explode — bounded by span/step per
+key, map-side, no cross-key blowup. Everything is integer/verbatim-
+value arithmetic (no float math at all), so DuckDB mirrors it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_locf(
+    events: DataFrame,
+    step: str = "6 hours",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: "tuple[str, ...]" = ("ts", "event_id"),
+) -> DataFrame:
+    """(key, bucket_start_us, value_locf, is_observed) on a fixed grid.
+
+    Per (key, bucket): the LAST observation wins, with a total
+    (ts, event_id) order so ties are deterministic under any
+    partitioning. The grid spans each key's [min bucket, max bucket];
+    unobserved buckets carry the previous value forward (LOCF). A key's
+    leading buckets before its first observation cannot be filled and
+    do not occur (the grid starts at the first observed bucket).
+    """
+    step_us = _step_us(step)
+    # integer `div`, never double division: micros ≈ 1.7e15 are exactly
+    # representable in double but the quotient's rounding could still
+    # cross a bucket boundary; `div` is exact on both engines
+    b = F.expr(f"unix_micros({ts_col}) div {step_us}")
+    # deterministic last-per-bucket: rank by (ts, id) descending
+    w_last = Window.partitionBy(key_col, "bucket").orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    obs = (
+        events.select(
+            key_col, b.alias("bucket"), *dict.fromkeys([*order_cols, value_col])
+        )
+        .withColumn("__rn__", F.row_number().over(w_last))
+        .filter(F.col("__rn__") == 1)
+        .select(key_col, "bucket", F.col(value_col).alias("__obs__"))
+    )
+    grid = (
+        obs.groupBy(key_col)
+        .agg(F.min("bucket").alias("__lo__"), F.max("bucket").alias("__hi__"))
+        .select(
+            key_col,
+            F.explode(F.sequence(F.col("__lo__"), F.col("__hi__"))).alias("bucket"),
+        )
+    )
+    w_fill = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, [key_col, "bucket"], "left")
+        .select(
+            key_col,
+            (F.col("bucket") * F.lit(step_us)).alias("bucket_start_us"),
+            F.last("__obs__", ignorenulls=True).over(w_fill).alias("value_locf"),
+            F.col("__obs__").isNotNull().alias("is_observed"),
+        )
+    )
+
+
+def _step_us(step: str) -> int:
+    """Parse '<n> <unit>' to microseconds (the units the grid needs;
+    calendar units like months are ambiguous on a fixed grid and
+    rejected)."""
+    parts = step.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"step must be '<n> <unit>', got {step!r}")
+    n = int(parts[0])
+    unit = parts[1].rstrip("s").lower()
+    scale = {
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+    }.get(unit)
+    if scale is None or n <= 0:
+        raise ValueError(f"unsupported step {step!r}")
+    return n * scale

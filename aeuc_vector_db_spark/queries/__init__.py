@@ -148,6 +148,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "emb_matryoshka_topk",
     "rel_price_quantile_sketch",
     "events_windowed_hll",
+    "events_resample_locf",
 )
 
 

@@ -217,7 +217,57 @@ FROM fin JOIN ex ON fin.window_start_us = ex.window_start_us
 _WINDOWED_HLL_ORACLE = _windowed_hll_oracle()
 
 
+_RESAMPLE_STEP_US = 6 * 3_600_000_000  # 6 hours
+
+
+def _events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular event stream → fixed 6-hour grid per user with LOCF
+    gap fill (operators/timeseries.py). No float arithmetic anywhere —
+    observed values are carried verbatim — so the fill is hash-exact
+    cross-engine."""
+    from aeuc_vector_db_spark.operators.timeseries import resample_locf
+
+    ev = load_table(spark, "events", sf_dir)
+    return resample_locf(ev, step="6 hours")
+
+
+_RESAMPLE_ORACLE = f"""
+WITH obs0 AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // {_RESAMPLE_STEP_US} AS bucket,
+         ts, event_id, value
+  FROM events
+),
+last AS (
+  SELECT user_id, bucket, value AS obs
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, bucket ORDER BY ts DESC, event_id DESC
+    ) AS rn
+    FROM obs0
+  )
+  WHERE rn = 1
+),
+grid AS (
+  SELECT user_id, unnest(range(lo, hi + 1)) AS bucket
+  FROM (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM last GROUP BY 1)
+),
+j AS (
+  SELECT g.user_id, g.bucket, l.obs
+  FROM grid g LEFT JOIN last l ON g.user_id = l.user_id AND g.bucket = l.bucket
+)
+SELECT user_id,
+       CAST(bucket * {_RESAMPLE_STEP_US} AS BIGINT) AS bucket_start_us,
+       last_value(obs IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_locf,
+       obs IS NOT NULL AS is_observed
+FROM j
+"""
+
+
 QUERIES = {
+    "events_resample_locf": (_events_resample_locf, _RESAMPLE_ORACLE),
     "events_windowed_hll": (_events_windowed_hll, _WINDOWED_HLL_ORACLE),
     "events_hourly_window": (_events_hourly_window, _HOURLY_ORACLE),
     "events_sessionize": (_events_sessionize, _SESSION_ORACLE),

@@ -1,0 +1,84 @@
+"""Resample + LOCF gap fill (operators/timeseries.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aeuc_vector_db_spark.operators.timeseries import _step_us, resample_locf
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+
+
+def test_locf_hand_computed(spark):
+    """User 1: obs in buckets 0 and 3 → grid 0..3 with buckets 1-2
+    carrying bucket 0's value forward."""
+    rows = [
+        (1, 1, "2024-01-01 00:10:00", 5.0),
+        (2, 1, "2024-01-01 03:20:00", 9.0),  # bucket 3 (1-hour step)
+    ]
+    df = _ev(spark, [(a, b, __import__("datetime").datetime.fromisoformat(c), d)
+                     for a, b, c, d in rows])
+    got = sorted(
+        (r["bucket_start_us"], r["value_locf"], r["is_observed"])
+        for r in resample_locf(df, step="1 hour").collect()
+    )
+    h = 3_600_000_000
+    starts = [g[0] for g in got]
+    assert len(got) == 4
+    assert [g[1] for g in got] == [5.0, 5.0, 5.0, 9.0]
+    assert [g[2] for g in got] == [True, False, False, True]
+    assert starts[1] - starts[0] == h and starts[3] - starts[2] == h
+
+
+def test_last_observation_per_bucket_is_deterministic(spark):
+    """Two obs in one bucket: the later (ts, event_id) wins — including
+    exact-ts ties broken by event_id."""
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 0, 30)
+    df = _ev(spark, [(1, 7, t, 1.0), (2, 7, t, 2.0), (0, 7, t, 3.0)])
+    rows = resample_locf(df, step="1 hour").collect()
+    assert len(rows) == 1 and rows[0]["value_locf"] == 2.0  # event_id 2 wins
+
+
+def test_keys_do_not_cross_fill(spark):
+    import datetime as dt
+
+    df = _ev(
+        spark,
+        [
+            (1, 1, dt.datetime(2024, 1, 1, 0, 0), 1.0),
+            (2, 1, dt.datetime(2024, 1, 1, 2, 0), 2.0),
+            (3, 2, dt.datetime(2024, 1, 1, 1, 0), 99.0),
+        ],
+    )
+    got = {(r["user_id"], r["bucket_start_us"] // 3_600_000_000 % 24, r["value_locf"])
+           for r in resample_locf(df, step="1 hour").collect()}
+    assert got == {(1, 0, 1.0), (1, 1, 1.0), (1, 2, 2.0), (2, 1, 99.0)}
+
+
+def test_partitioning_invariance(spark):
+    import datetime as dt
+
+    rows = [
+        (i, i % 5, dt.datetime(2024, 1, 1 + (i % 9), (i * 3) % 24, 0), float(i))
+        for i in range(200)
+    ]
+    outs = []
+    for n_parts in (1, 16):
+        df = _ev(spark, rows).repartition(n_parts)
+        outs.append(sorted(map(tuple, resample_locf(df, step="6 hours").collect())))
+    assert outs[0] == outs[1]
+
+
+def test_step_parsing():
+    assert _step_us("15 minutes") == 15 * 60_000_000
+    assert _step_us("1 day") == 86_400_000_000
+    for bad in ("monthly", "2 months", "0 hours", "-1 hour"):
+        with pytest.raises(ValueError):
+            _step_us(bad)
