@@ -562,10 +562,19 @@ def _bench_dv_delete(spark) -> dict:
     from aeuc_vector_db_spark.sources.manifest import ManifestTable
 
     n = 1_000_000
-    sha = F.sha2(F.col("id").cast("string"), 256)
+    # 32 DISTINCT shas per row: the r6 payload repeated ONE sha 32×,
+    # which parquet dictionary/RLE-compressed to almost nothing — the
+    # "2 GB" rewrite was writing ~60 MB and the DV advantage only
+    # showed under box contention. Distinct digests are incompressible,
+    # so the rewrite pays its true IO.
     df = spark.range(n).select(
         F.col("id").alias("k"),
-        F.concat(*([sha] * 32)).alias("payload"),  # ~2 KB/row
+        F.concat(
+            *[
+                F.sha2((F.col("id") * 32 + F.lit(j)).cast("string"), 256)
+                for j in range(32)
+            ]
+        ).alias("payload"),  # ~2 KB/row, incompressible
     )
     roots = [_tf.mkdtemp(prefix="bench_dv_") for _ in range(2)]
     try:

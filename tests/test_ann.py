@@ -527,3 +527,46 @@ def test_pq_refine_broadcasts_candidates_not_corpus(emb, queries):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivfadc_plus_refine_composes(spark, emb, queries):
+    """Full IVFADC+R: coarse cell mask AND compressed cut AND exact
+    re-rank compose through pq_search_refined's cell knobs. With
+    nprobe=k cells (every cell allowed) the composition must equal
+    plain ADC+R; with a restrictive mask the candidate set shrinks but
+    scores stay exact."""
+    centroids, assignments = A.build_ivf_index(emb, k=4, seed=42)
+    corpus = emb.join(assignments.select("vec_id", "centroid_id"), "vec_id")
+    books = A.pq_train(emb, m=8, nbits=4, seed=42)
+    codes = A.pq_encode(corpus, books).join(
+        corpus.select("vec_id", "centroid_id"), "vec_id"
+    )
+    all_cells = {r["query_id"]: list(range(4)) for r in queries.collect()}
+    full = A.pq_search_refined(
+        codes, books, queries, emb, top_k=5, refine_r=20,
+        cell_col="centroid_id", query_cells=all_cells,
+    )
+    plain = A.pq_search_refined(codes, books, queries, emb, top_k=5, refine_r=20)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, plain.collect()))
+
+    probed: dict = {}
+    for r in A.coarse_probe(centroids, queries, nprobe=2, metric="euclidean").collect():
+        probed.setdefault(r["query_id"], set()).add(r["centroid_id"])
+    masked = A.pq_search_refined(
+        codes, books, queries, emb, top_k=5, refine_r=20,
+        cell_col="centroid_id", query_cells=probed,
+    )
+    rows = masked.collect()
+    assert rows  # produces results under the mask
+    # exactness of reported scores: every (query, vec) score equals the
+    # brute-force euclidean similarity for that pair
+    from aeuc_vector_db_spark.operators.search import knn_search_batch_arrow
+
+    exact_all = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in knn_search_batch_arrow(
+            emb, queries, top_k=emb.count(), metric="euclidean"
+        ).collect()
+    }
+    for r in rows:
+        assert abs(r["score"] - exact_all[(r["query_id"], r["vec_id"])]) < 1e-12
