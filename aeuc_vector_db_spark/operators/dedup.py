@@ -472,14 +472,21 @@ def substring_dup_spans(
         "pos",
         F.sha2(F.col("__t__").substr(F.col("pos"), F.lit(min_len)), 256).alias("h"),
     )
-    # duplicated window = its hash occurs at >= 2 locations. One shuffle
-    # on h (window count), keeping only duplicated rows.
-    w_h = Window.partitionBy("h")
-    dup = (
-        win.withColumn("occ", F.count(F.lit(1)).over(w_h))
-        .filter(F.col("occ") > 1)
-        .select(id_col, "n_chars", "pos")
+    # duplicated window = its hash occurs at >= 2 locations. NOT a
+    # window count over h: WindowExec has no partial aggregation, so a
+    # boilerplate window shared by millions of docs would pile every
+    # occurrence onto one task. groupBy(h) combines the hot key
+    # map-side (the count shuffle carries distinct hashes, not
+    # occurrences), and the mark-back equi-join's residual skew is the
+    # AQE-skew-join-splittable kind. Same result set either way (the
+    # oracle keeps the window formulation — equality is the check).
+    dup_hashes = (
+        win.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__occ__"))
+        .filter(F.col("__occ__") > 1)
+        .select("h")
     )
+    dup = win.join(dup_hashes, "h").select(id_col, "n_chars", "pos")
     # gaps-and-islands per doc: a window starts a new span iff it does
     # not overlap/abut the running span end (prev max pos + min_len).
     w_doc = Window.partitionBy(id_col).orderBy("pos")

@@ -211,15 +211,18 @@ def test_sketch_queries_stay_jvm_side_and_bounded(spark):
         assert "partial" in plan and "HashAggregate" in plan, name
 
 
-def test_substring_dedup_no_cartesian_single_hash_exchange(spark):
+def test_substring_dedup_no_cartesian_partial_agg_dup_mark(spark):
     """Window generation is map-side (explode + substr + sha2); the
-    duplicate mark is a window count over the hash — no join, no
-    cartesian. Gate: no CartesianProduct/BroadcastNestedLoop, and the
-    hash-dup stage is a Window, not a self-join."""
+    duplicate mark is groupBy(h) → equi-join, NOT a window count —
+    groupBy carries partial aggregation so a boilerplate window shared
+    by millions of docs combines map-side instead of piling onto one
+    task, and the join's residual skew is AQE-splittable. Gate: no
+    cartesian, and the dup mark has a partial HashAggregate."""
     plan = _plan(spark, "doc_substring_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "Window" in plan
+    assert "partial" in plan and "HashAggregate" in plan
+    assert "Window" in plan  # the gaps-and-islands span merge
 
 
 def test_binary_hamming_plan_shape(spark):
