@@ -295,3 +295,131 @@ def test_wav_roundtrip_property(samples, rate):
     ch, r, bits, _dur, pcm = MM.wav_decode(MM.wav_encode(samples, sample_rate=rate))
     assert (ch, r, bits) == (1, rate, 16)
     assert list(_struct.unpack(f"<{len(samples)}h", pcm)) == samples
+
+
+# ---------------------------------------------------------------------------
+# Round-7 kernels: pure-Python mirrors vs the Spark expressions — the
+# cross-engine determinism claims reduced to per-example equality.
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+from aeuc_vector_db_spark.operators.binary import WORD_BITS, sign_pack_cols
+from aeuc_vector_db_spark.operators.sketch import (
+    CMS_D,
+    CMS_W,
+    HLL_M,
+    HLL_P,
+    HLL_W,
+    cms_bucket_cols,
+    hll_register_cols,
+)
+
+
+def _py_pack(vec):
+    words = []
+    for j in range(0, len(vec), WORD_BITS):
+        w = 0
+        for i, x in enumerate(vec[j : j + WORD_BITS]):
+            if x > 0:
+                w |= 1 << i
+        words.append(w)
+    return words
+
+
+@SETTINGS
+@given(a=VEC, b=VEC)
+def test_sign_pack_matches_python_and_hamming_axioms(spark, a, b):
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    pa, pb = _py_pack(a), _py_pack(b)
+    cols = {}
+    for j, w in enumerate(sign_pack_cols(lit_vector(a), n)):
+        cols[f"a{j}"] = w
+    for j, w in enumerate(sign_pack_cols(lit_vector(b), n)):
+        cols[f"b{j}"] = w
+    row = _eval(spark, cols)
+    got_a = [row[f"a{j}"] for j in range(len(pa))]
+    got_b = [row[f"b{j}"] for j in range(len(pb))]
+    assert got_a == pa and got_b == pb
+    d_ab = sum(bin(x ^ y).count("1") for x, y in zip(pa, pb))
+    assert d_ab == sum(bin(x ^ y).count("1") for x, y in zip(got_a, got_b))
+    assert sum(bin(x ^ x).count("1") for x in pa) == 0  # d(a,a)=0
+    assert 0 <= d_ab <= n  # bounds
+
+
+def _py_hll(key: str):
+    h = int(hashlib.sha256(key.encode()).hexdigest()[:8], 16)
+    reg = h % HLL_M
+    suf = h >> HLL_P
+    rho = (HLL_W + 1) if suf == 0 else (HLL_W + 1) - suf.bit_length()
+    return reg, rho
+
+
+def _py_cms(key: str):
+    hx = hashlib.sha256(key.encode()).hexdigest()
+    return [int(hx[8 * i : 8 * i + 8], 16) % CMS_W for i in range(CMS_D)]
+
+
+KEY = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=24
+)
+
+
+@SETTINGS
+@given(key=KEY)
+def test_hll_and_cms_hash_derivations_match_python(spark, key):
+    register, rho = hll_register_cols(F.lit(key))
+    cols = {"register": register, "rho": rho}
+    for i, b in enumerate(cms_bucket_cols(F.lit(key))):
+        cols[f"b{i}"] = b
+    row = _eval(spark, cols)
+    want_reg, want_rho = _py_hll(key)
+    assert (row["register"], row["rho"]) == (want_reg, want_rho)
+    assert 1 <= row["rho"] <= HLL_W + 1
+    assert [row[f"b{i}"] for i in range(CMS_D)] == _py_cms(key)
+
+
+def _py_substr_spans(docs: dict, L: int):
+    from collections import Counter
+
+    occ: Counter = Counter()
+    wins: dict = {}
+    for d, t in docs.items():
+        ws = [(p, t[p - 1 : p - 1 + L]) for p in range(1, len(t) - L + 2)]
+        wins[d] = ws
+        for _, w in ws:
+            occ[w] += 1
+    out = {}
+    for d, ws in wins.items():
+        dup = [p for p, w in ws if occ[w] > 1]
+        if not dup:
+            continue
+        covered = set()
+        for p in dup:
+            covered.update(range(p, p + L))
+        out[d] = (len(dup), len(covered), len(docs[d]))
+    return out
+
+
+DOC_TEXT = st.text(alphabet="ab", min_size=0, max_size=25)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts=st.lists(DOC_TEXT, min_size=2, max_size=4))
+def test_substring_dup_spans_matches_bruteforce(spark, texts):
+    """Tiny alphabet forces natural duplicates; the operator must equal
+    the brute-force window/occurrence/union computation for ANY corpus
+    (span merging is the subtle part — the union length, not the sum
+    of window lengths)."""
+    from aeuc_vector_db_spark.operators.dedup import substring_dup_spans
+
+    L = 5
+    docs = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_dup_windows"], r["dup_chars"], r["n_chars"])
+        for r in substring_dup_spans(df, min_len=L).collect()
+    }
+    assert got == _py_substr_spans(docs, L)
