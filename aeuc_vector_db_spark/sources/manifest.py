@@ -1048,12 +1048,15 @@ class ManifestTable:
         # inside both a filter and a projection makes long logs O(versions²)
         # in JSON loads
         intervening = [self.manifest(v) for v in self.versions() if v > since_version]
-        # rename/drop commits are metadata-only (zero files touched), so
-        # the file delta still equals the row delta across them
+        # rename/drop/constraint commits are metadata-only (zero files
+        # touched), so the file delta still equals the row delta across
+        # them
         non_append = [
             (m["version"], m["action"])
             for m in intervening
-            if m["action"] not in ("append", "rename", "drop")
+            if m["action"] not in (
+                "append", "rename", "drop", "add_constraint", "drop_constraint"
+            )
         ]
         if non_append:
             raise ValueError(
@@ -1110,7 +1113,7 @@ class ManifestTable:
             for m in ms
             if m["action"]
             not in ("append", "delete_dv", "merge_dv", "compact_dv", "rename",
-                    "drop")
+                    "drop", "add_constraint", "drop_constraint")
         ]
         if bad:
             raise ValueError(
@@ -1966,6 +1969,90 @@ class ManifestTable:
             "compact", files, n, keep_parent_files=False, expected_parent=parent
         )
 
+    def compact_small(
+        self,
+        spark: SparkSession,
+        target_bytes: int = 128 * 1024 * 1024,
+        min_small: int = 2,
+        sort_by: list[str] | None = None,
+    ) -> int | None:
+        """Incremental OPTIMIZE: rewrite ONLY the files smaller than
+        `target_bytes` into ~target-sized files; files already at
+        target carry forward BY REFERENCE. This is the maintenance
+        shape that survives 100 TB — compaction IO tracks the
+        small-file debt from recent appends, never the table size
+        (`compact()` by contrast rewrites the whole snapshot, which is
+        a layout change, not routine maintenance).
+
+        Deletion-vector rows covering the rewritten files are
+        materialized away (the new files hold live rows only); DV
+        sidecars stay in place for the surviving files — their entries
+        for rewritten files dangle harmlessly (the read anti-join
+        matches nothing) until `vacuum`/`compact_deletes` fold them.
+        Surviving files keep their stats/bloom pruning metadata.
+        Returns the new version, or None when fewer than `min_small`
+        small files exist. Loses cleanly to concurrent writers
+        (CommitConflictError — maintenance never clobbers data)."""
+        import math as _math
+
+        parent = self.latest_version()
+        if parent is None:
+            raise FileNotFoundError(f"no committed version at {self.root!r}")
+        m = self.manifest(parent)
+        sizes = {
+            f: os.path.getsize(os.path.join(self.root, f)) for f in m["files"]
+        }
+        small = [f for f in m["files"] if sizes[f] < target_bytes]
+        if len(small) < max(2, min_small):
+            return None
+        df = self._read_files(
+            spark, [os.path.join(self.root, f) for f in small], m
+        )
+        df = self._logicalize(self._apply_deletes(spark, df, m), m)
+        n_out = max(
+            1, _math.ceil(sum(sizes[f] for f in small) / target_bytes)
+        )
+        if sort_by:
+            files_new, n_new = self._write_data_dir(
+                df, sort_by=sort_by, n_files=n_out
+            )
+        else:
+            files_new, n_new = self._write_data_dir(df.coalesce(n_out))
+        extra = self._pop_pending_extra()
+        self._pending_schema = None  # schema unchanged by a rewrite subset
+        keep = [f for f in m["files"] if f not in set(small)]
+        per_file: dict = {}
+        for k in self._PER_FILE_KEYS:
+            if k in m or k in extra:
+                per_file[k] = {**m.get(k, {}), **extra.get(k, {})}
+        manifest = {
+            "format_version": FORMAT_VERSION,
+            "version": parent + 1,
+            "parent": parent,
+            "action": "compact_small",
+            "files": keep + files_new,
+            "n_rows": m["n_rows"],
+            "epoch_id": None,
+            "schema": m.get("schema"),
+            "committed_at_s": round(time.time(), 3),
+            **({"deletes": m["deletes"]} if m.get("deletes") else {}),
+            **({"evolved": True} if m.get("evolved") else {}),
+            **({"renames": m["renames"]} if m.get("renames") else {}),
+            **({"tombstones": m["tombstones"]} if m.get("tombstones") else {}),
+            **({"constraints": m["constraints"]} if m.get("constraints") else {}),
+            **per_file,
+        }
+        if not self._try_publish(manifest, parent + 1):
+            for nf in files_new:
+                shutil.rmtree(
+                    os.path.join(self.root, os.path.dirname(nf)),
+                    ignore_errors=True,
+                )
+            raise CommitConflictError(
+                "snapshot moved under compact_small; re-run the maintenance job"
+            )
+        return parent + 1
+
     def compact_deletes(self, spark: SparkSession) -> int | None:
         """Consolidate all deletion-vector sidecars into ONE fresh dir
         (data files untouched): a long soft-delete history accumulates
@@ -2191,6 +2278,16 @@ class BucketedManifestTable(ManifestTable):
     """
 
     TABLE_MARKER = "_table.json"
+
+    def compact_small(self, spark, **kwargs):
+        """Cross-bucket small-file merging would break the hash layout
+        (every file must live under its `__bucket__=N` dir for the
+        bounded merge to prune); within-bucket compaction arrives with
+        the bucketed rewrite itself — use merge_upsert / compact."""
+        raise ValueError(
+            "compact_small does not compose with the bucketed layout; "
+            "use compact() (full, layout-preserving) instead"
+        )
 
     def __init__(
         self,

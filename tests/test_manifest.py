@@ -1792,3 +1792,110 @@ def test_constraint_add_unknown_column_fails_loudly(spark, root):
     with pytest.raises(Exception, match="nope|cannot be resolved|UNRESOLVED"):
         t.add_check_constraint(spark, "ghost", "nope > 0")
     assert t.constraints() == {}
+
+
+# ---------------------------------------------------------------------------
+# Incremental small-file compaction (round 7)
+# ---------------------------------------------------------------------------
+
+def test_compact_small_rewrites_only_small_files(spark, root):
+    """5 tiny append files + 1 large file: compact_small must merge the
+    tiny ones and carry the large file BY REFERENCE (same path in the
+    new manifest) — bounded-IO maintenance. Reads identical."""
+    t = ManifestTable(root, stats_cols=["k"])
+    t.commit_append(_df(spark, (0, 2000)).coalesce(1))  # the "large" file
+    for i in range(5):
+        t.commit_append(_df(spark, (2000 + 10 * i, 2010 + 10 * i)).coalesce(1))
+    m_before = t.manifest()
+    sizes = {
+        f: os.path.getsize(os.path.join(root, f)) for f in m_before["files"]
+    }
+    big = max(sizes, key=sizes.get)
+    before = sorted(r["k"] for r in t.read(spark).collect())
+    v = t.compact_small(spark, target_bytes=sizes[big], min_small=2)
+    assert v == t.latest_version()
+    m_after = t.manifest()
+    assert big in m_after["files"]  # carried by reference
+    assert len(m_after["files"]) < len(m_before["files"])
+    assert m_after["n_rows"] == m_before["n_rows"]
+    assert sorted(r["k"] for r in t.read(spark).collect()) == before
+    # stats survive for the carried file AND exist for the new files
+    keep, total = t.files_for([("k", ">=", 0), ("k", "<", 10)])
+    assert len(keep) < total  # pruning still works post-compaction
+
+
+def test_compact_small_materializes_dv_rows_of_rewritten_files(spark, root):
+    """Soft-deleted rows in small files must NOT resurrect through the
+    rewrite; n_rows stays live-exact; later deletes still work."""
+    t = ManifestTable(root, stats_cols=["k"])
+    for i in range(4):
+        t.commit_append(_df(spark, (100 * i, 100 * i + 100)).coalesce(1))
+    t.delete_where_dv(spark, [("k", ">=", 0), ("k", "<", 50)])
+    n_live = t.manifest()["n_rows"]
+    assert n_live == 350
+    v = t.compact_small(spark, target_bytes=1 << 30, min_small=2)
+    assert v is not None
+    assert t.manifest()["n_rows"] == 350
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == list(range(50, 400))
+    # deletes keep working on the compacted snapshot
+    t.delete_where_dv(spark, [("k", ">=", 390)])
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(50, 390))
+
+
+def test_compact_small_noop_and_time_travel(spark, root):
+    t = ManifestTable(root)
+    t.commit_append(_df(spark, (0, 10)).coalesce(1))
+    assert t.compact_small(spark, target_bytes=10) is None  # nothing small
+    assert t.compact_small(spark, target_bytes=1 << 30, min_small=2) is None
+    t.commit_append(_df(spark, (10, 20)).coalesce(1))
+    v_before = t.latest_version()
+    t.compact_small(spark, target_bytes=1 << 30)
+    # old version still reads pre-compaction state
+    assert t.read(spark, v_before).count() == 20
+    assert t.read(spark).count() == 20
+
+
+def test_compact_small_composes_with_rename_and_constraints(spark, root):
+    from aeuc_vector_db_spark.sources.manifest import ConstraintViolationError
+
+    t = ManifestTable(root)
+    t.commit_append(_df(spark, (0, 50)).coalesce(1))
+    t.commit_append(_df(spark, (50, 60)).coalesce(1))
+    t.rename_column("k", "key")
+    t.add_check_constraint(spark, "key_pos", "key >= 0")
+    v = t.compact_small(spark, target_bytes=1 << 30)
+    assert v is not None
+    # sticky metadata survived the maintenance commit
+    assert t.constraints() == {"key_pos": "key >= 0"}
+    assert "key" in t.read(spark).columns
+    with pytest.raises(ConstraintViolationError):
+        t.commit_append(
+            spark.range(1).select(
+                F.lit(-1).cast("long").alias("key"), F.lit("x").alias("tag")
+            )
+        )
+
+
+def test_constraint_commits_do_not_break_incremental_feeds(spark, root):
+    """add/drop constraint are metadata-only: read_appended and
+    read_changes must treat them like rename/drop, not like rewrites."""
+    t = ManifestTable(root)
+    t.commit_append(_df(spark, (0, 5)))
+    v0 = t.latest_version()
+    t.add_check_constraint(spark, "k_pos", "k >= 0")
+    t.commit_append(_df(spark, (5, 8)))
+    t.drop_check_constraint("k_pos")
+    delta = sorted(r["k"] for r in t.read_appended(spark, since_version=v0).collect())
+    assert delta == [5, 6, 7]
+    ch = t.read_changes(spark, since_version=v0)
+    assert ch.filter(F.col("_change_type") == "insert").count() == 3
+
+
+def test_compact_small_rejected_on_bucketed(spark, root):
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    t = BucketedManifestTable(root, key="k", n_buckets=4)
+    t.commit_append(_df(spark, (0, 10)))
+    with pytest.raises(ValueError, match="bucketed"):
+        t.compact_small(spark)
