@@ -608,12 +608,31 @@ def _bench_dv_delete(spark) -> dict:
         n_hist = len(t_dv.history())
         history_ms = (time.time() - t0) * 1000
         assert n_hist == 4  # overwrite, delete_dv, rename, restore
+        # incremental OPTIMIZE on the same 2 GB table: plant 5 tiny
+        # append files, compact_small must touch ONLY them — wall-clock
+        # tracks the ~small-file debt (KBs), not the 2 GB of data
+        for i in range(5):
+            t_rw.commit_append(
+                spark.range(5).select(
+                    (F.col("id") + n + 1000 * i).alias("k"),
+                    F.lit("x").alias("payload"),
+                ).coalesce(1)
+            )
+        n_files_before = len(t_rw.manifest()["files"])
+        t0 = time.time()
+        t_rw.compact_small(spark, target_bytes=64 * 1024 * 1024)
+        compact_small_s = time.time() - t0
+        m_cs = t_rw.manifest()
+        assert len(m_cs["files"]) == n_files_before - 4  # 5 tiny → 1
+        assert m_cs["n_rows"] == n - (hi - lo) + 25
         print(
             f"# dv_delete_1m_2gb: DV {dv_s:.2f}s (read {files_read}/16 files, "
             f"wrote positions) vs rewrite {rw_s:.2f}s (read 16, wrote "
             f"{rw_written}) — speedup {rw_s / dv_s:.1f}x, rows {n_dv}; "
             f"schema surgery on 2 GB: rename {rename_ms:.0f} ms, "
-            f"restore {restore_ms:.0f} ms, history {history_ms:.0f} ms",
+            f"restore {restore_ms:.0f} ms, history {history_ms:.0f} ms; "
+            f"compact_small of 5 tiny files on the 2 GB table "
+            f"{compact_small_s:.2f}s (big files untouched)",
             file=sys.stderr,
         )
         return {
@@ -627,6 +646,7 @@ def _bench_dv_delete(spark) -> dict:
             "rename_ms": round(rename_ms, 1),
             "restore_ms": round(restore_ms, 1),
             "history_ms": round(history_ms, 1),
+            "compact_small_s": round(compact_small_s, 2),
         }
     finally:
         for r in roots:
