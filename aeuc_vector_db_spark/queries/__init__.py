@@ -149,6 +149,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_price_quantile_sketch",
     "events_windowed_hll",
     "events_resample_locf",
+    "doc_quality_gate_sketch",
 )
 
 

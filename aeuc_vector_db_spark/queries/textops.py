@@ -1155,7 +1155,95 @@ FROM spans GROUP BY doc_id, n_chars
 """
 
 
+# ---------------------------------------------------------------------------
+# Sketch-gated quality filter (round 7 composition): the realistic way a
+# 100 TB curation pass applies a quantile cut — the corpus folds into a
+# 256-bucket histogram (one sketch-sized shuffle), the p25 threshold is
+# interpolated from the sketch, and the filter itself is a map-side
+# broadcast comparison. No corpus sort, no exact percentile pass. Both
+# the sketch arithmetic and the per-doc scores are cross-engine
+# deterministic, so the KEPT SET hash-matches.
+# ---------------------------------------------------------------------------
+
+
+def _doc_quality_gate_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aeuc_vector_db_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = TX.unigram_logprob(docs).select(
+        "doc_id", F.round("avg_logp", 9).alias("lp"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    sk = histogram_sketch(scored, "lp", bins=256)
+    th = histogram_quantiles(sk, [0.25], bins=256).select(
+        F.col("est").alias("__th__")
+    )
+    return (
+        scored.join(F.broadcast(th))
+        .filter(F.col("lp") >= F.col("__th__"))
+        .select("doc_id", F.col("lp").alias("avg_logp"), "n_tokens")
+    )
+
+
+def _quality_gate_oracle() -> str:
+    bins = 256.0
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_dk_tokens()}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY term),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok),
+lp AS (
+  SELECT term, ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) AS logp
+  FROM c CROSS JOIN tot
+),
+contrib AS (
+  SELECT doc_id, tf.term, CAST(tf AS DOUBLE) * logp AS cterm, tf
+  FROM tf JOIN lp ON tf.term = lp.term
+),
+agg AS (
+  SELECT doc_id, list(cterm ORDER BY term) AS cl, SUM(tf) AS n_tokens
+  FROM contrib GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id,
+         ROUND(list_reduce(cl, (a, b) -> a + b) / CAST(n_tokens AS DOUBLE), 9) AS lp,
+         CAST(n_tokens AS BIGINT) AS n_tokens
+  FROM agg
+),
+b AS (SELECT MIN(lp) AS lo, MAX(lp) AS hi FROM scored),
+bk AS (
+  SELECT CAST(CASE WHEN hi = lo THEN 0
+              ELSE least(greatest(floor((lp - lo) / (hi - lo) * {bins!r}), 0), 255) END AS INT) AS bucket,
+         COUNT(*) AS cnt, MIN(lo) AS lo, MIN(hi) AS hi
+  FROM scored CROSS JOIN b GROUP BY 1
+),
+cum AS (
+  SELECT bucket, cnt, lo, hi,
+         SUM(cnt) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER () AS n
+  FROM bk
+),
+hit AS (
+  SELECT lo + (CAST(bucket AS DOUBLE)
+               + (CAST(0.25 AS DOUBLE) * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+                 / CAST(cnt AS DOUBLE)) * ((hi - lo) / {bins!r}) AS th
+  FROM cum
+  WHERE CAST(cum AS DOUBLE) >= CAST(0.25 AS DOUBLE) * CAST(n AS DOUBLE)
+    AND CAST(cum - cnt AS DOUBLE) < CAST(0.25 AS DOUBLE) * CAST(n AS DOUBLE)
+)
+SELECT doc_id, lp AS avg_logp, n_tokens
+FROM scored CROSS JOIN hit WHERE lp >= th
+"""
+
+
+_QUALITY_GATE_ORACLE = _quality_gate_oracle()
+
+
 QUERIES = {
+    "doc_quality_gate_sketch": (_doc_quality_gate_sketch, _QUALITY_GATE_ORACLE),
     "doc_substring_dedup": (_doc_substring_dedup, _SUBSTRING_DEDUP_ORACLE),
     "doc_hll_distinct": (_doc_hll_distinct, _HLL_DISTINCT_ORACLE),
     "doc_cms_freq": (_doc_cms_freq, _CMS_FREQ_ORACLE),
