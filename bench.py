@@ -104,6 +104,7 @@ def main() -> None:
         ("bench-probe-dv", _bench_dv_delete),
         ("bench-probe-cdc", _bench_cdc_history),
         ("bench-probe-manifest-soak", _bench_manifest_soak),
+        ("bench-probe-sketch", _bench_sketch_scale),
     )
     results = {}
     spark = None
@@ -182,6 +183,7 @@ def main() -> None:
     dv_delete = results["bench-probe-dv"]
     cdc_history = results["bench-probe-cdc"]
     manifest_soak = results["bench-probe-manifest-soak"]
+    sketch_scale = results["bench-probe-sketch"]
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -208,6 +210,7 @@ def main() -> None:
         "dv_delete": dv_delete,
         "cdc_history": cdc_history,
         "manifest_soak": manifest_soak,
+        "sketch_scale": sketch_scale,
         "decode_imgs_per_s": decode_rate,
     }
     print("# detail: " + json.dumps(detail), file=sys.stderr)
@@ -249,6 +252,8 @@ def main() -> None:
                           "conflicts": manifest_soak["publish_conflicts_retried"],
                           "ok": manifest_soak["ok"]},
         "decode_imgs_per_s": decode_rate,
+        "hll_err_pct": sketch_scale["hll_err_pct"],
+        "substring_skew_ratio": sketch_scale["substring_skew_ratio"],
     }
     print(compact_json_line(payload))
 
@@ -264,6 +269,7 @@ def compact_json_line(payload: dict, limit: int = MAX_JSON_LINE) -> str:
     # flat since r3); the newest signals (cdc_history, decode) and the
     # headline scale claims go last
     for droppable in ("cluster_scale_sec", "dedup_skew_ratio", "cc_chain",
+                      "hll_err_pct", "substring_skew_ratio",
                       "dv_delete", "cdc_per_version_ms", "manifest_soak",
                       "decode_imgs_per_s", "probe_order", "knn_scale",
                       "ingest_rows_per_s"):
@@ -1002,3 +1008,71 @@ def _bench_knn_scale(spark) -> dict:
 
 if __name__ == "__main__":
     main()
+
+
+def _bench_sketch_scale(spark) -> dict:
+    """Sketch behavior at 5M rows / 2M distinct keys: the HLL's shuffle
+    is 512 register rows no matter the input (partial max per map
+    task), and the estimate must land inside the m=512 expected-error
+    band (~4.6% σ). Also times the substring-dedup dup-mark under
+    BOILERPLATE SKEW: 20k docs, 10% sharing one identical 120-char
+    block — the hot window's occurrences combine map-side (groupBy, not
+    a window count), so the skewed corpus must run within ~1.5× the
+    uniform one instead of serializing on one task."""
+    from pyspark.sql import functions as F
+
+    from aeuc_vector_db_spark.operators.dedup import substring_dup_spans
+    from aeuc_vector_db_spark.operators.sketch import hll_distinct
+
+    n, distinct = 5_000_000, 2_000_000
+    keys = spark.range(n).select(
+        F.concat(F.lit("k"), (F.col("id") % distinct)).alias("k")
+    )
+    t0 = time.time()
+    row = hll_distinct(keys, "k").first()
+    hll_s = time.time() - t0
+    err_pct = abs(row["hll_estimate"] - distinct) / distinct * 100
+    print(
+        f"# hll_5m: estimated {row['hll_estimate']:.0f} of {distinct} distinct "
+        f"({err_pct:.2f}% err) in {hll_s:.2f}s — shuffle is 512 registers",
+        file=sys.stderr,
+    )
+
+    def corpus(skewed: bool):
+        boiler = "the quick brown fox jumps over the lazy dog and then some " * 2
+        uniq = F.concat(
+            F.lit("unique preamble "),
+            F.sha2(F.col("id").cast("string"), 256),
+            F.lit(" "),
+            F.sha2((F.col("id") + 1).cast("string"), 256),
+        )
+        text = (
+            F.when(F.col("id") % 10 == 0, F.lit(boiler[:120])).otherwise(uniq)
+            if skewed
+            else uniq
+        )
+        return spark.range(20_000).select(F.col("id").alias("doc_id"), text.alias("text"))
+
+    times = {}
+    for name, skewed in (("uniform", False), ("skewed", True)):
+        df = corpus(skewed)
+        t0 = time.time()
+        substring_dup_spans(df, min_len=40).count()
+        times[name] = time.time() - t0
+    ratio = times["skewed"] / times["uniform"]
+    print(
+        f"# substring_skew_20k: uniform {times['uniform']:.2f}s vs skewed "
+        f"{times['skewed']:.2f}s — ratio {ratio:.2f} (hot window combines "
+        "map-side)",
+        file=sys.stderr,
+    )
+    return {
+        "hll_n": n,
+        "hll_distinct_true": distinct,
+        "hll_estimate": round(row["hll_estimate"], 1),
+        "hll_err_pct": round(err_pct, 2),
+        "hll_sec": round(hll_s, 2),
+        "substring_uniform_sec": round(times["uniform"], 2),
+        "substring_skewed_sec": round(times["skewed"], 2),
+        "substring_skew_ratio": round(ratio, 2),
+    }
