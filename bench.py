@@ -1006,8 +1006,6 @@ def _bench_knn_scale(spark) -> dict:
             "binary_pair_scores_per_s": round(rate_bin, 1)}
 
 
-if __name__ == "__main__":
-    main()
 
 
 def _bench_sketch_scale(spark) -> dict:
@@ -1076,3 +1074,7 @@ def _bench_sketch_scale(spark) -> dict:
         "substring_skewed_sec": round(times["skewed"], 2),
         "substring_skew_ratio": round(ratio, 2),
     }
+
+
+if __name__ == "__main__":
+    main()
