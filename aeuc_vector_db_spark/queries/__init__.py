@@ -150,6 +150,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_windowed_hll",
     "events_resample_locf",
     "doc_quality_gate_sketch",
+    "rel_volume_shipping",
 )
 
 

@@ -724,7 +724,95 @@ FROM hit
 """
 
 
+# ---------------------------------------------------------------------------
+# Volume shipping (round 7; TPC-H Q7 shape): revenue flowing between two
+# specific nations in either direction, per ship year — the 6-table
+# multi-join breadth test. Plan: every dimension chain (supplier→nation,
+# customer→nation via orders) broadcasts; the lineitem fact never
+# shuffles for dimension resolution; decimal-exact revenue sums keep the
+# aggregate order-independent.
+# ---------------------------------------------------------------------------
+
+_Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+def _volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    rev = F.expr(
+        f"CAST(l_extendedprice AS DECIMAL(18,2)) * ({_ONE} - CAST(l_discount AS DECIMAL(3,2)))"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    sdim = F.broadcast(
+        supp.join(F.broadcast(n1), supp["s_nationkey"] == n1["s_nk"]).select(
+            "s_suppkey", "supp_nation"
+        )
+    )
+    cdim = F.broadcast(
+        cust.join(F.broadcast(n2), cust["c_nationkey"] == n2["c_nk"]).select(
+            "c_custkey", "cust_nation"
+        )
+    )
+    odim = F.broadcast(
+        orders.join(cdim, orders["o_custkey"] == cdim["c_custkey"]).select(
+            "o_orderkey", "cust_nation"
+        )
+    )
+    a, b = _Q7_NATIONS
+    joined = (
+        li.join(sdim, li["l_suppkey"] == sdim["s_suppkey"])
+        .join(odim, li["l_orderkey"] == odim["o_orderkey"])
+        .filter(
+            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(F.sum(rev).alias("_rev"), F.count(F.lit(1)).alias("n_lineitems"))
+        .select(
+            "supp_nation", "cust_nation",
+            F.col("ship_year").cast("long").alias("ship_year"),
+            F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+            F.col("n_lineitems").cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+_VOLUME_SHIPPING_ORACLE = f"""
+SELECT supp_nation, cust_nation, CAST(ship_year AS BIGINT) AS ship_year,
+       ROUND(CAST(SUM(vol) AS DOUBLE), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(CAST(l_shipdate AS TIMESTAMP)) AS ship_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * ({_ONE} - CAST(l_discount AS DECIMAL(3,2))) AS vol
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = '{_Q7_NATIONS[0]}' AND n2.n_name = '{_Q7_NATIONS[1]}')
+     OR (n1.n_name = '{_Q7_NATIONS[1]}' AND n2.n_name = '{_Q7_NATIONS[0]}')
+)
+GROUP BY supp_nation, cust_nation, ship_year
+"""
+
+
 QUERIES = {
+    "rel_volume_shipping": (_volume_shipping, _VOLUME_SHIPPING_ORACLE),
     "rel_price_quantile_sketch": (_price_quantile_sketch, _HQ_ORACLE),
     "rel_pricing_summary": (_pricing_summary, _PRICING_ORACLE),
     "rel_top_revenue_orders": (_top_revenue_orders, _TOP_REVENUE_ORACLE),
