@@ -234,3 +234,21 @@ def test_binary_hamming_plan_shape(spark):
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_round7_late_additions_plan_shapes(spark):
+    """Volume shipping: dimension chains broadcast, fact never
+    sort-merge-joins a dimension. Quality gate: the threshold is a
+    broadcast one-row join (map-side gate). Resample: no cartesian;
+    the fill runs as windows over one key shuffle."""
+    plan = _plan(spark, "rel_volume_shipping")
+    assert "BroadcastHashJoin" in plan and "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(spark, "doc_quality_gate_sketch")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial" in plan  # sketch aggregates combine map-side
+
+    plan = _plan(spark, "events_resample_locf")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
