@@ -269,9 +269,9 @@ def compact_json_line(payload: dict, limit: int = MAX_JSON_LINE) -> str:
     # flat since r3); the newest signals (cdc_history, decode) and the
     # headline scale claims go last
     for droppable in ("cluster_scale_sec", "dedup_skew_ratio", "cc_chain",
-                      "hll_err_pct", "substring_skew_ratio",
+                      "probe_order", "hll_err_pct", "substring_skew_ratio",
                       "dv_delete", "cdc_per_version_ms", "manifest_soak",
-                      "decode_imgs_per_s", "probe_order", "knn_scale",
+                      "decode_imgs_per_s", "knn_scale",
                       "ingest_rows_per_s"):
         if len(line) <= limit:
             break
