@@ -151,6 +151,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_resample_locf",
     "doc_quality_gate_sketch",
     "rel_volume_shipping",
+    "manifest_ndv_read",
 )
 
 

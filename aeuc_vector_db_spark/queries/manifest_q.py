@@ -666,7 +666,84 @@ FROM final GROUP BY lang
 """
 
 
+def _manifest_ndv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents into an NDV-tracked table across two appends,
+    then answer distinct-count questions from the MANIFEST ALONE
+    (`ndv_estimate` takes no SparkSession — per-file HLL register
+    vectors merge by max). The oracle recomputes the identical register
+    pipeline over the same rows in DuckDB: the estimate is a pure
+    function of the distinct value set, so split-vs-single-commit and
+    engine cannot change a bit."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = ManifestTable(
+        tempfile.mkdtemp(prefix="aeuc_manifest_ndv_"), ndv_cols=["doc_id", "lang"]
+    )
+    t.commit_append(docs.filter(F.col("doc_id") % 2 == 0))
+    t.commit_append(docs.filter(F.col("doc_id") % 2 == 1))
+    ndv_doc = t.ndv_estimate("doc_id")
+    ndv_lang = t.ndv_estimate("lang")
+    return spark.createDataFrame(
+        [(round(ndv_doc, 2), round(ndv_lang, 2))],
+        "ndv_doc_id double, ndv_lang double",
+    ).crossJoin(
+        docs.agg(
+            F.countDistinct("doc_id").cast("long").alias("exact_doc_id"),
+            F.countDistinct("lang").cast("long").alias("exact_lang"),
+        )
+    )
+
+
+def _ndv_oracle() -> str:
+    from aeuc_vector_db_spark.operators.sketch import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_P,
+        HLL_W,
+    )
+    from aeuc_vector_db_spark.queries.textops import _dk_hex32
+
+    shift = HLL_W + 1
+    num = HLL_ALPHA * HLL_M * HLL_M * float(1 << shift)
+
+    def est(key_expr: str) -> str:
+        return f"""(
+  WITH hv AS (SELECT {_dk_hex32(f"sha256({key_expr})")} AS h FROM documents),
+  rr AS (
+    SELECT h % {HLL_M} AS register,
+           CASE WHEN (h >> {HLL_P}) = 0 THEN {shift}
+                ELSE {shift} - length(format('{{:b}}', h >> {HLL_P})) END AS rho
+    FROM hv
+  ),
+  regs AS (SELECT register, MAX(rho) AS maxrho FROM rr GROUP BY register),
+  agg AS (
+    SELECT COUNT(*) AS n_present,
+           SUM(CAST(1 AS BIGINT) << CAST({shift} - maxrho AS INT)) AS s_present
+    FROM regs
+  ),
+  e AS (
+    SELECT ({HLL_M} - n_present) AS v_zero,
+           s_present + ({HLL_M} - n_present) * (CAST(1 AS BIGINT) << {shift}) AS s_scaled
+    FROM agg
+  )
+  SELECT ROUND(CASE WHEN ({num!r} / CAST(s_scaled AS DOUBLE)) <= {2.5 * HLL_M!r} AND v_zero > 0
+               THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(v_zero AS DOUBLE))
+               ELSE ({num!r} / CAST(s_scaled AS DOUBLE)) END, 2)
+  FROM e
+)"""
+
+    return f"""
+SELECT {est('CAST(doc_id AS VARCHAR)')} AS ndv_doc_id,
+       {est('lang')} AS ndv_lang,
+       (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM documents) AS exact_doc_id,
+       (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents) AS exact_lang
+"""
+
+
+_NDV_ORACLE = _ndv_oracle()
+
+
 QUERIES = {
+    "manifest_ndv_read": (_manifest_ndv_read, _NDV_ORACLE),
     "manifest_rename_read": (_manifest_rename_read, _RENAME_ORACLE),
     "manifest_widening_read": (_manifest_widening_read, _WIDENING_ORACLE),
     "manifest_dnf_skipping_read": (

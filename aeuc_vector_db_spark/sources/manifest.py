@@ -305,6 +305,50 @@ def _bloom_hashes(value, m: int, k: int) -> "list[int]":
     return [(h1 + i * h2) % m for i in range(k)]
 
 
+def _file_ndv_registers(path: str, cols: list[str]) -> dict:
+    """Per-file SPARSE HLL register vectors {col: {register: maxrho}}
+    for int/string columns, computed at write time from one columnar
+    read of the freshly-written local file (same cost profile as the
+    bloom sidecars). The registers are the engine's cross-engine HLL
+    (operators/sketch.py — sha256 of str(value), the bloom
+    canonicalization contract), so they MERGE by element-wise max:
+    table-level NDV folds from per-file vectors with zero data reads,
+    the Iceberg-sketch idea with a deterministic sketch."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from aeuc_vector_db_spark.operators.sketch import HLL_M, HLL_P, HLL_W
+
+    out: dict = {}
+    schema = pq.ParquetFile(path).schema_arrow
+    use = []
+    import pyarrow.types as pt
+
+    for c in cols:
+        if c in schema.names:
+            t = schema.field(c).type
+            if pt.is_integer(t) or pt.is_string(t) or pt.is_large_string(t):
+                use.append(c)
+    if not use:
+        return out
+    tbl = pq.read_table(path, columns=use)
+    for c in use:
+        regs: dict[int, int] = {}
+        for v in pc.unique(tbl.column(c).combine_chunks()).to_pylist():
+            if v is None:
+                continue
+            h = int(hashlib.sha256(str(v).encode()).hexdigest()[:8], 16)
+            suf = h >> HLL_P
+            rho = (HLL_W + 1) if suf == 0 else (HLL_W + 1) - suf.bit_length()
+            r = h % HLL_M
+            if rho > regs.get(r, 0):
+                regs[r] = rho
+        out[c] = {str(k): v for k, v in sorted(regs.items())}
+    return out
+
+
 def _bloom_build(values, fpp: float) -> dict:
     vals = [v for v in values if v is not None]
     m, k = _bloom_params(len(set(vals)), fpp)
@@ -395,7 +439,7 @@ class ManifestTable:
 
     #: manifest keys holding per-file maps that must follow files across
     #: appends and bounded merges (accumulated in _commit / merge_upsert)
-    _PER_FILE_KEYS = ("buckets", "file_rows", "stats", "nulls")
+    _PER_FILE_KEYS = ("buckets", "file_rows", "stats", "nulls", "ndv")
 
     #: largest distinct-key batch merge_upsert_dv will collect to the
     #: driver for file pruning; bigger batches read the full file list
@@ -409,6 +453,7 @@ class ManifestTable:
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
         bloom_fpp: float = 0.01,
+        ndv_cols: list[str] | None = None,
     ) -> None:
         self.root = root
         #: columns to record per-file min/max for at write time (footer
@@ -429,6 +474,12 @@ class ManifestTable:
         #: cost an extra file read, never correctness.
         self.bloom_cols = list(bloom_cols or [])
         self.bloom_fpp = bloom_fpp
+        #: columns to record per-file NDV (distinct-count) HLL register
+        #: vectors for at write time — mergeable by max, so
+        #: `ndv_estimate` answers table-level distinct counts from the
+        #: manifest alone (zero data reads). int/string columns only
+        #: (the bloom canonicalization contract); plain tables only.
+        self.ndv_cols = list(ndv_cols or [])
         self._pending_schema: list[str] | None = None
         self._pending_extra: dict = {}
         os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
@@ -945,6 +996,52 @@ class ManifestTable:
             n_rows += nn[1]
         return (n_null, n_rows) if m["files"] else None
 
+    def ndv_estimate(self, col: str, version: int | None = None) -> float:
+        """Approximate distinct-value count of `col` across the snapshot
+        from the per-file HLL register vectors alone — zero data files
+        opened, any snapshot size. Registers merge by element-wise max
+        (the HLL mergeability contract, operators/sketch.py), so the
+        table-level estimate is EXACTLY what a fresh sketch over the
+        union of written rows would produce. ~4.6% standard error at
+        m=512. NOTE: NDV of WRITTEN rows — positional (DV) deletes
+        cannot be unhashed from a sketch, so soft-deleted values still
+        count (superset semantics, like column_span). Raises when any
+        listed file lacks registers for the column (tables written
+        without `ndv_cols`, or files predating it): a partial estimate
+        presented as total would be silently wrong."""
+        import math
+
+        from aeuc_vector_db_spark.operators.sketch import (
+            HLL_ALPHA,
+            HLL_M,
+            HLL_W,
+        )
+
+        m = self.manifest(version)
+        phys = self._phys_name(col, m)
+        nd = m.get("ndv") or {}
+        regs: dict[int, int] = {}
+        for f in m["files"]:
+            fr = (nd.get(f) or {}).get(phys)
+            if fr is None:
+                raise ValueError(
+                    f"ndv_estimate({col!r}): file {f!r} carries no NDV "
+                    "registers — the table (or this file's commit) was "
+                    "written without ndv_cols; re-write/compact to backfill"
+                )
+            for r_s, rho in fr.items():
+                r = int(r_s)
+                if rho > regs.get(r, 0):
+                    regs[r] = rho
+        v_zero = HLL_M - len(regs)
+        s_scaled = sum(1 << (HLL_W + 1 - rho) for rho in regs.values()) + v_zero * (
+            1 << (HLL_W + 1)
+        )
+        e_raw = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_W + 1)) / s_scaled
+        if e_raw <= 2.5 * HLL_M and v_zero > 0:
+            return HLL_M * math.log(HLL_M / v_zero)
+        return e_raw
+
     def files_for(
         self, predicates: list[tuple] = (), version: int | None = None
     ) -> tuple[list[str], int]:
@@ -1305,6 +1402,12 @@ class ManifestTable:
                 out_dir, files,
                 cols=[self._phys_name(c, m_cur) for c in self.bloom_cols],
             )
+        if self.ndv_cols:
+            ndv_phys = [self._phys_name(c, m_cur) for c in self.ndv_cols]
+            self._pending_extra["ndv"] = {
+                rel: _file_ndv_registers(os.path.join(self.root, rel), ndv_phys)
+                for rel in files
+            }
         return files, n
 
     def _write_blooms(
@@ -2437,6 +2540,12 @@ class BucketedManifestTable(ManifestTable):
                 out_dir, files,
                 cols=[self._phys_name(c, m_cur) for c in self.bloom_cols],
             )
+        if self.ndv_cols:
+            ndv_phys = [self._phys_name(c, m_cur) for c in self.ndv_cols]
+            self._pending_extra["ndv"] = {
+                rel: _file_ndv_registers(os.path.join(self.root, rel), ndv_phys)
+                for rel in files
+            }
         return files, n
 
     # delete_where_dv / merge_upsert_dv are inherited: positional

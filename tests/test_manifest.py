@@ -1899,3 +1899,57 @@ def test_compact_small_rejected_on_bucketed(spark, root):
     t.commit_append(_df(spark, (0, 10)))
     with pytest.raises(ValueError, match="bucketed"):
         t.compact_small(spark)
+
+
+# ---------------------------------------------------------------------------
+# Per-file NDV register sketches (round 7)
+# ---------------------------------------------------------------------------
+
+def test_ndv_estimate_is_metadata_only_and_accurate(spark, root):
+    """3 appends with overlapping key ranges: the estimate must come
+    from the manifest alone (no SparkSession argument at all), land in
+    the HLL error band, and equal the single-commit estimate of the
+    same data exactly (register merge == fresh sketch)."""
+    t = ManifestTable(root, ndv_cols=["k"])
+    t.commit_append(_df(spark, (0, 800)))
+    t.commit_append(_df(spark, (400, 1200)))  # 400 overlapping keys
+    t.commit_append(_df(spark, (1000, 1500)))
+    est = t.ndv_estimate("k")
+    assert abs(est - 1500) / 1500 < 0.14  # 3 sigma at m=512
+    # register-merge exactness: one commit holding the same distinct set
+    root2 = root + "_one"
+    t2 = ManifestTable(root2, ndv_cols=["k"])
+    t2.commit_append(_df(spark, (0, 1500)))
+    assert t2.ndv_estimate("k") == est
+
+
+def test_ndv_registers_survive_maintenance_and_rename(spark, root):
+    t = ManifestTable(root, ndv_cols=["k", "tag"])
+    t.commit_append(_df(spark, (0, 300)).coalesce(1))
+    t.commit_append(_df(spark, (300, 330)).coalesce(1))
+    before = t.ndv_estimate("k")
+    t.delete_where_dv(spark, [("k", "<", 10)])
+    # written-rows semantics: DV deletes don't shrink the sketch
+    assert t.ndv_estimate("k") == before
+    t.compact_small(spark, target_bytes=1 << 30)
+    after = t.ndv_estimate("k")
+    # compaction re-sketches identical live values minus none here...
+    # the 10 deleted keys WERE materialized away, so the estimate may
+    # shrink — but never grow
+    assert after <= before
+    t.rename_column("k", "key")
+    assert t.ndv_estimate("key") == after  # logical-name resolution
+    # tag has 1 distinct value
+    assert abs(t.ndv_estimate("tag") - 1.0) < 0.01
+
+
+def test_ndv_estimate_refuses_partial_coverage(spark, root):
+    t0 = ManifestTable(root)  # no ndv_cols
+    t0.commit_append(_df(spark, (0, 10)))
+    t = ManifestTable(root, ndv_cols=["k"])  # same table, ndv enabled later
+    t.commit_append(_df(spark, (10, 20)))
+    with pytest.raises(ValueError, match="no NDV registers"):
+        t.ndv_estimate("k")
+    # a full compact() re-writes every file with registers → estimate works
+    t.compact(spark)
+    assert t.ndv_estimate("k") > 0
