@@ -947,3 +947,53 @@ def ivfadc_recall_eval(
         query_id_col=query_id_col, query_vec_col=query_vec_col,
     )
     return recall_at_k(approx, exact, query_id_col, id_col)
+
+
+def write_pq_corpus(
+    codes_with_cells: DataFrame,
+    path: str,
+    cell_col: str = "centroid_id",
+) -> None:
+    """Persist PQ codes partitioned by coarse cell — the ON-DISK IVFADC
+    index: the directory-per-cell layout turns the coarse probe into
+    file-level PartitionFilters over a table that is already 32-64×
+    smaller than the float corpus (m code bytes per row). The pruned
+    fraction of an already-compressed scan is the full FAISS storage
+    story, as parquet."""
+    from aeuc_vector_db_spark.sources.tables import write_partitioned
+
+    write_partitioned(codes_with_cells, path, [cell_col])
+
+
+def ivfadc_search_disk(
+    spark,
+    path: str,
+    codebooks: "list[list[list[float]]]",
+    centroids: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+    cell_col: str = "centroid_id",
+) -> DataFrame:
+    """IVFADC over an on-disk `write_pq_corpus` index: coarse probe
+    (euclidean, k·Q scores driver-side) → scan ONLY the probed cells'
+    directories (PartitionFilters — gated in test_ann.py) → cell-masked
+    ADC ranking inside the Arrow kernel. Identical results to the
+    in-memory `ivfadc_search_batch` over the same codes (rank parity
+    pinned); what changes is the IO: unprobed cells are never read."""
+    cell_rows = coarse_probe(
+        centroids, queries, nprobe, "euclidean", query_id_col, query_vec_col
+    ).collect()
+    query_cells: dict = {}
+    for r in cell_rows:
+        query_cells.setdefault(r[query_id_col], set()).add(r["centroid_id"])
+    union = sorted({c for cs in query_cells.values() for c in cs})
+    pruned = read_pruned(spark, path, union)
+    return pq_search_batch(
+        pruned, codebooks, queries, top_k=top_k, id_col=id_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        cell_col=cell_col, query_cells=query_cells,
+    )

@@ -570,3 +570,35 @@ def test_ivfadc_plus_refine_composes(spark, emb, queries):
     }
     for r in rows:
         assert abs(r["score"] - exact_all[(r["query_id"], r["vec_id"])]) < 1e-12
+
+
+def test_ivfadc_disk_prunes_partitions_and_matches_memory(spark, emb, queries, tmp_path):
+    """On-disk IVFADC: the probed cells must appear as PartitionFilters
+    on the codes scan (unprobed directories never read), and the result
+    must equal the in-memory ivfadc_search_batch over the same codes
+    rank-for-rank."""
+    centroids, assignments = A.build_ivf_index(emb, k=4, seed=42)
+    corpus = emb.join(assignments.select("vec_id", "centroid_id"), "vec_id")
+    books = A.pq_train(emb, m=8, nbits=4, seed=42)
+    codes = A.pq_encode(corpus, books).join(
+        corpus.select("vec_id", "centroid_id"), "vec_id"
+    )
+    path = str(tmp_path / "pq_idx")
+    A.write_pq_corpus(codes, path)
+
+    disk = A.ivfadc_search_disk(
+        spark, path, books, centroids, queries, top_k=5, nprobe=2
+    )
+    plan = disk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [centroid_id" in plan
+
+    mem = A.ivfadc_search_batch(
+        codes, books, centroids, queries, top_k=5, nprobe=2
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"]) for r in disk.collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"]) for r in mem.collect()
+    )
+    assert got == want and got
