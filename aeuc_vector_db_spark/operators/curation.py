@@ -531,3 +531,95 @@ def leakproof_split(
         cluster.alias("cluster_id"),
         split.alias("split"),
     )
+
+
+def referential_violations(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Foreign-key audit: child rows whose key has no parent — the
+    cross-TABLE data-quality check beside the manifest's single-table
+    CHECK constraints. One broadcast/shuffled LEFT ANTI join (never a
+    full materialization of either side); NULL child keys are reported
+    separately (SQL FK semantics: NULL references nothing and violates
+    nothing, but you want to SEE the count). Output: one row,
+    (n_orphans, n_null_keys, orphan_key_sample — smallest 5 for a
+    stable, actionable error message)."""
+    nn = child.filter(F.col(child_key).isNotNull())
+    orphans = nn.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        child_key,
+        "left_anti",
+    )
+    sample = (
+        orphans.select(child_key).distinct().orderBy(child_key).limit(5)
+    )
+    agg = orphans.agg(F.count(F.lit(1)).alias("n_orphans")).crossJoin(
+        child.agg(
+            F.sum(F.col(child_key).isNull().cast("long")).alias("n_null_keys")
+        )
+    )
+    keys = sample.agg(
+        F.concat_ws(",", F.collect_list(F.col(child_key).cast("string"))).alias(
+            "orphan_key_sample"
+        )
+    )
+    return agg.crossJoin(keys)
+
+
+def histogram_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    bins: int = 64,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Distribution drift between two datasets over `value_col`: total
+    variation distance ½·Σ|p_a − p_b| computed from two equi-width
+    histogram sketches with COMMON bounds. The numerator is held as an
+    EXACT integer — Σ|c_a·n_b − c_b·n_a| — with one double division at
+    the end, so the drift score is hash-exact cross-engine and
+    order-independent. Shuffle = 2×bins rows; the monitoring pass a
+    100 TB table gets nightly. Output: (tvd, n_a, n_b)."""
+    from aeuc_vector_db_spark.operators.sketch import histogram_sketch
+
+    if lo is None or hi is None:
+        bounds = (
+            a.select(F.col(value_col).cast("double").alias("__v__"))
+            .unionAll(b.select(F.col(value_col).cast("double").alias("__v__")))
+            .agg(F.min("__v__").alias("lo"), F.max("__v__").alias("hi"))
+            .first()
+        )
+        lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    sa = histogram_sketch(a, value_col, bins=bins, lo=lo, hi=hi).select(
+        "bucket", F.col("cnt").alias("ca")
+    )
+    sb = histogram_sketch(b, value_col, bins=bins, lo=lo, hi=hi).select(
+        "bucket", F.col("cnt").alias("cb")
+    )
+    j = sa.join(sb, "bucket", "full_outer").select(
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    totals = j.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    # exact integer numerator over the (tiny, <= bins-row) cell table
+    num = (
+        j.crossJoin(F.broadcast(totals))
+        .agg(
+            F.sum(
+                F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+            ).cast("long").alias("numer"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
+    )
+    tvd = F.col("numer").cast("double") / (
+        F.lit(2.0) * F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return num.select(tvd.alias("tvd"), "n_a", "n_b")

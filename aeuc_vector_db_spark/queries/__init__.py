@@ -152,6 +152,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_quality_gate_sketch",
     "rel_volume_shipping",
     "manifest_ndv_read",
+    "rel_fk_violations",
+    "rel_order_price_drift",
 )
 
 

@@ -811,7 +811,108 @@ GROUP BY supp_nation, cust_nation, ship_year
 """
 
 
+# ---------------------------------------------------------------------------
+# Data-quality operators (round 7): cross-table referential audit and
+# distribution-drift monitoring — the nightly checks a 100 TB warehouse
+# runs beside its single-table CHECK constraints.
+# ---------------------------------------------------------------------------
+
+
+def _fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ∪ planted orphans/nulls audited against customer: the
+    anti-join must count exactly the planted rows (the fixture itself
+    is FK-clean — asserted by construction through the oracle)."""
+    from aeuc_vector_db_spark.operators.curation import referential_violations
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    # deterministic planting (a bare limit() picks partition-order-lucky
+    # rows and the orphan-key sample would depend on which)
+    planted = orders.filter(F.col("o_orderkey") % 997 == 0).select(
+        *[
+            (F.col("o_custkey") + F.lit(10_000_000)).alias("o_custkey")
+            if c == "o_custkey"
+            else F.col(c)
+            for c in orders.columns
+        ]
+    )
+    nulls = orders.filter(F.col("o_orderkey") % 997 == 1).select(
+        *[
+            F.lit(None).cast("long").alias("o_custkey")
+            if c == "o_custkey"
+            else F.col(c)
+            for c in orders.columns
+        ]
+    )
+    child = orders.unionByName(planted).unionByName(nulls)
+    return referential_violations(child, cust, "o_custkey", "c_custkey")
+
+
+_FK_ORACLE = """
+WITH child AS (
+  SELECT o_custkey FROM orders
+  UNION ALL
+  SELECT o_custkey + 10000000 AS o_custkey FROM orders WHERE o_orderkey % 997 = 0
+  UNION ALL
+  SELECT CAST(NULL AS BIGINT) AS o_custkey FROM orders WHERE o_orderkey % 997 = 1
+),
+orphans AS (
+  SELECT o_custkey FROM child
+  WHERE o_custkey IS NOT NULL
+    AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orphans) AS n_orphans,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM child WHERE o_custkey IS NULL) AS n_null_keys,
+       (SELECT string_agg(CAST(k AS VARCHAR), ',' ORDER BY k)
+        FROM (SELECT DISTINCT o_custkey AS k FROM orphans ORDER BY k LIMIT 5)) AS orphan_key_sample
+"""
+
+
+def _order_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between the o_totalprice distributions
+    of the even- and odd-orderkey halves, from two 64-bucket sketches
+    with common bounds. Exact-integer numerator ⇒ hash-exact drift."""
+    from aeuc_vector_db_spark.operators.curation import histogram_drift
+
+    orders = load_table(spark, "orders", sf_dir)
+    a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b = orders.filter(F.col("o_orderkey") % 2 == 1)
+    res = histogram_drift(a, b, "o_totalprice", bins=64)
+    return res.select(F.round("tvd", 9).alias("tvd"), "n_a", "n_b")
+
+
+_DRIFT_ORACLE = """
+WITH v AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v, o_orderkey % 2 AS half
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+b AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM v),
+bk AS (
+  SELECT half,
+         CAST(CASE WHEN hi = lo THEN 0
+              ELSE least(greatest(floor((v - lo) / (hi - lo) * 64.0), 0), 63) END AS INT) AS bucket,
+         COUNT(*) AS cnt
+  FROM v CROSS JOIN b GROUP BY 1, 2
+),
+cells AS (
+  SELECT COALESCE(a.bucket, bb.bucket) AS bucket,
+         COALESCE(a.cnt, 0) AS ca, COALESCE(bb.cnt, 0) AS cb
+  FROM (SELECT bucket, cnt FROM bk WHERE half = 0) a
+  FULL OUTER JOIN (SELECT bucket, cnt FROM bk WHERE half = 1) bb
+    ON a.bucket = bb.bucket
+),
+tot AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM cells)
+SELECT ROUND(CAST(SUM(abs(ca * n_b - cb * n_a)) AS DOUBLE)
+             / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 9) AS tvd,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+FROM cells CROSS JOIN tot
+GROUP BY n_a, n_b
+"""
+
+
 QUERIES = {
+    "rel_fk_violations": (_fk_violations, _FK_ORACLE),
+    "rel_order_price_drift": (_order_price_drift, _DRIFT_ORACLE),
     "rel_volume_shipping": (_volume_shipping, _VOLUME_SHIPPING_ORACLE),
     "rel_price_quantile_sketch": (_price_quantile_sketch, _HQ_ORACLE),
     "rel_pricing_summary": (_pricing_summary, _PRICING_ORACLE),

@@ -486,3 +486,64 @@ def test_leakproof_split_no_pair_straddles(spark):
     other = {r["doc_id"]: r["split"] for r in CU.leakproof_split(
         docs, pairs, val_threshold=5000, salt=1).collect()}
     assert other != again
+
+
+# ---------------------------------------------------------------------------
+# Data-quality operators (round 7)
+# ---------------------------------------------------------------------------
+
+def test_referential_violations_hand_computed(spark):
+    from aeuc_vector_db_spark.operators.curation import referential_violations
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (99,), (98,), (None,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = referential_violations(child, parent, "fk", "pk").first()
+    assert row["n_orphans"] == 2  # 99 and 98 (each once)
+    assert row["n_null_keys"] == 2
+    assert row["orphan_key_sample"] == "98,99"  # smallest-first, stable
+
+
+def test_referential_violations_clean_and_plan(spark):
+    from aeuc_vector_db_spark.operators.curation import referential_violations
+
+    child = spark.createDataFrame([(1,), (2,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    df = referential_violations(child, parent, "fk", "pk")
+    row = df.first()
+    assert (row["n_orphans"], row["n_null_keys"]) == (0, 0)
+    assert row["orphan_key_sample"] == ""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan  # set difference, no materialization
+
+
+def test_histogram_drift_identical_and_disjoint(spark):
+    from aeuc_vector_db_spark.operators.curation import histogram_drift
+
+    a = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    same = histogram_drift(a, a, "v", bins=32).first()
+    assert same["tvd"] == 0.0 and same["n_a"] == same["n_b"] == 100
+    b = spark.createDataFrame([(float(i + 1000),) for i in range(50)], "v double")
+    # disjoint supports with common derived bounds → TVD = 1
+    far = histogram_drift(a, b, "v", bins=32).first()
+    assert far["tvd"] == 1.0 and far["n_b"] == 50
+
+
+def test_histogram_drift_partitioning_invariance_and_bounds(spark):
+    from aeuc_vector_db_spark.operators.curation import histogram_drift
+
+    rows_a = [(float((i * 13) % 97),) for i in range(500)]
+    rows_b = [(float((i * 29) % 97),) for i in range(300)]
+    vals = []
+    for n_parts in (1, 16):
+        a = spark.createDataFrame(rows_a, "v double").repartition(n_parts)
+        b = spark.createDataFrame(rows_b, "v double").repartition(n_parts)
+        vals.append(histogram_drift(a, b, "v", bins=64).first()["tvd"])
+    assert vals[0] == vals[1]
+    assert 0.0 <= vals[0] <= 1.0
+    # fixed explicit bounds give the same answer as derived ones here
+    a = spark.createDataFrame(rows_a, "v double")
+    b = spark.createDataFrame(rows_b, "v double")
+    fixed = histogram_drift(a, b, "v", bins=64, lo=0.0, hi=96.0).first()["tvd"]
+    assert fixed == vals[0]
