@@ -125,26 +125,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_cms_freq",
     "emb_binary_hamming_topk",
     "doc_substring_dedup",
-    # positions ≥ 51: eight new round-7 queries made the candidate set
-    # 56-deep, so six queries slip past the driver's 50-row window into
-    # the round-8 head. Chosen for maximal stability / lowest marginal
-    # information: the single-task digest facade, four trivial
-    # single-purpose queries green since r03/r05 and re-verified in
-    # EVERY round's full tools/check_correctness.py run, and the new
-    # rows-only refine-recall (its semantics are pinned by test_ann.py
-    # dominance/exactness-limit tests, so a driver rows-only row adds
-    # least).
+    # positions ≥ 51 — the round-8 head. Round 7 added 16 new queries;
+    # the 8 above sit inside the driver's 50-row window, and everything
+    # from here down waits for its driver row in r8 (all were verified
+    # by this round's full tools/check_correctness.py runs). First the
+    # maximal-stability slips: the single-task digest facade and four
+    # trivial single-purpose queries green since r03/r05, plus the
+    # rows-only refine-recall whose semantics test_ann.py pins.
     "dataset_digest",
     "stats",
     "point_lookup",
     "validation_counts",
     "search_pglyphs",
     "ann_pq_refine_recall",
-    # emb_matryoshka_topk and rel_price_quantile_sketch also wait for
-    # their first driver row in r8: both are thin compositions of
-    # long-green machinery, fully verified by the in-repo checker this
-    # round — keeping them out of the top 50 preserved in-window slots
-    # for the r5-rotation set the round-6 verdict prioritized.
+    # then the late-round-7 additions, in priority order for r8 —
+    # thin compositions of long-green machinery (sliced-knn, sketches,
+    # windows, anti-joins), each oracle-verified in-repo this round.
     "emb_matryoshka_topk",
     "rel_price_quantile_sketch",
     "events_windowed_hll",
