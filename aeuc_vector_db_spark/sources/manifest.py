@@ -306,26 +306,31 @@ def _bloom_hashes(value, m: int, k: int) -> "list[int]":
 
 
 def _file_ndv_registers(path: str, cols: list[str]) -> dict:
-    """Per-file SPARSE HLL register vectors {col: {register: maxrho}}
-    for int/string columns, computed at write time from one columnar
-    read of the freshly-written local file (same cost profile as the
-    bloom sidecars). The registers are the engine's cross-engine HLL
-    (operators/sketch.py — sha256 of str(value), the bloom
-    canonicalization contract), so they MERGE by element-wise max:
-    table-level NDV folds from per-file vectors with zero data reads,
-    the Iceberg-sketch idea with a deterministic sketch."""
+    """Per-file HLL register vectors {col: base64(512 dense maxrho
+    bytes)} for int/string columns, computed at write time from one
+    columnar read of the freshly-written local file (same cost profile
+    as the bloom sidecars, and stored the same way — in a per-dir
+    `_ndv.json` SIDECAR, never in the manifest: per-file maps in the
+    manifest are copied forward by every commit, so register vectors
+    there would grow every manifest read O(files·m) — the sidecar
+    travels and vacuums with its data dir instead). The registers are
+    the engine's cross-engine HLL (operators/sketch.py — sha256 of
+    str(value), the bloom canonicalization contract), so they MERGE by
+    element-wise max: table-level NDV folds from per-file vectors with
+    zero data reads, the Iceberg-sketch idea with a deterministic
+    sketch."""
+    import base64
     import hashlib
 
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
+    import pyarrow.types as pt
 
     from aeuc_vector_db_spark.operators.sketch import HLL_M, HLL_P, HLL_W
 
     out: dict = {}
     schema = pq.ParquetFile(path).schema_arrow
     use = []
-    import pyarrow.types as pt
-
     for c in cols:
         if c in schema.names:
             t = schema.field(c).type
@@ -335,7 +340,7 @@ def _file_ndv_registers(path: str, cols: list[str]) -> dict:
         return out
     tbl = pq.read_table(path, columns=use)
     for c in use:
-        regs: dict[int, int] = {}
+        regs = bytearray(HLL_M)
         for v in pc.unique(tbl.column(c).combine_chunks()).to_pylist():
             if v is None:
                 continue
@@ -343,9 +348,9 @@ def _file_ndv_registers(path: str, cols: list[str]) -> dict:
             suf = h >> HLL_P
             rho = (HLL_W + 1) if suf == 0 else (HLL_W + 1) - suf.bit_length()
             r = h % HLL_M
-            if rho > regs.get(r, 0):
+            if rho > regs[r]:
                 regs[r] = rho
-        out[c] = {str(k): v for k, v in sorted(regs.items())}
+        out[c] = base64.b64encode(bytes(regs)).decode()
     return out
 
 
@@ -439,7 +444,7 @@ class ManifestTable:
 
     #: manifest keys holding per-file maps that must follow files across
     #: appends and bounded merges (accumulated in _commit / merge_upsert)
-    _PER_FILE_KEYS = ("buckets", "file_rows", "stats", "nulls", "ndv")
+    _PER_FILE_KEYS = ("buckets", "file_rows", "stats", "nulls")
 
     #: largest distinct-key batch merge_upsert_dv will collect to the
     #: driver for file pruning; bigger batches read the full file list
@@ -999,16 +1004,19 @@ class ManifestTable:
     def ndv_estimate(self, col: str, version: int | None = None) -> float:
         """Approximate distinct-value count of `col` across the snapshot
         from the per-file HLL register vectors alone — zero data files
-        opened, any snapshot size. Registers merge by element-wise max
-        (the HLL mergeability contract, operators/sketch.py), so the
-        table-level estimate is EXACTLY what a fresh sketch over the
-        union of written rows would produce. ~4.6% standard error at
-        m=512. NOTE: NDV of WRITTEN rows — positional (DV) deletes
-        cannot be unhashed from a sketch, so soft-deleted values still
-        count (superset semantics, like column_span). Raises when any
-        listed file lacks registers for the column (tables written
-        without `ndv_cols`, or files predating it): a partial estimate
-        presented as total would be silently wrong."""
+        opened, any snapshot size (the IO is one tiny `_ndv.json`
+        sidecar per data DIRECTORY of the snapshot). Registers merge by
+        element-wise max (the HLL mergeability contract,
+        operators/sketch.py), so the table-level estimate is EXACTLY
+        what a fresh sketch over the union of written rows would
+        produce. ~4.6% standard error at m=512. NOTE: NDV of WRITTEN
+        rows — positional (DV) deletes cannot be unhashed from a
+        sketch, so soft-deleted values still count (superset semantics,
+        like column_span). Raises when any listed file lacks registers
+        for the column (tables written without `ndv_cols`, or files
+        predating it): a partial estimate presented as total would be
+        silently wrong."""
+        import base64
         import math
 
         from aeuc_vector_db_spark.operators.sketch import (
@@ -1019,22 +1027,29 @@ class ManifestTable:
 
         m = self.manifest(version)
         phys = self._phys_name(col, m)
-        nd = m.get("ndv") or {}
-        regs: dict[int, int] = {}
+        cache: dict[str, dict] = {}
+        merged = bytearray(HLL_M)
         for f in m["files"]:
-            fr = (nd.get(f) or {}).get(phys)
-            if fr is None:
+            d = os.path.dirname(f)
+            if d not in cache:
+                try:
+                    with open(os.path.join(self.root, d, "_ndv.json")) as fh:
+                        cache[d] = json.load(fh)
+                except (FileNotFoundError, json.JSONDecodeError):
+                    cache[d] = {}
+            b64 = cache[d].get(os.path.basename(f), {}).get(phys)
+            if b64 is None:
                 raise ValueError(
                     f"ndv_estimate({col!r}): file {f!r} carries no NDV "
                     "registers — the table (or this file's commit) was "
                     "written without ndv_cols; re-write/compact to backfill"
                 )
-            for r_s, rho in fr.items():
-                r = int(r_s)
-                if rho > regs.get(r, 0):
-                    regs[r] = rho
-        v_zero = HLL_M - len(regs)
-        s_scaled = sum(1 << (HLL_W + 1 - rho) for rho in regs.values()) + v_zero * (
+            regs = base64.b64decode(b64)
+            for r in range(HLL_M):
+                if regs[r] > merged[r]:
+                    merged[r] = regs[r]
+        v_zero = sum(1 for r in merged if r == 0)
+        s_scaled = sum(1 << (HLL_W + 1 - rho) for rho in merged if rho) + v_zero * (
             1 << (HLL_W + 1)
         )
         e_raw = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_W + 1)) / s_scaled
@@ -1404,10 +1419,16 @@ class ManifestTable:
             )
         if self.ndv_cols:
             ndv_phys = [self._phys_name(c, m_cur) for c in self.ndv_cols]
-            self._pending_extra["ndv"] = {
-                rel: _file_ndv_registers(os.path.join(self.root, rel), ndv_phys)
-                for rel in files
-            }
+            by_dir: dict = {}
+            for rel in files:
+                entry = _file_ndv_registers(os.path.join(self.root, rel), ndv_phys)
+                if entry:
+                    by_dir.setdefault(
+                        os.path.dirname(os.path.join(self.root, rel)), {}
+                    )[os.path.basename(rel)] = entry
+            for d, sidecar in by_dir.items():
+                with open(os.path.join(d, "_ndv.json"), "w") as fh:
+                    json.dump(sidecar, fh)
         return files, n
 
     def _write_blooms(
@@ -2542,10 +2563,16 @@ class BucketedManifestTable(ManifestTable):
             )
         if self.ndv_cols:
             ndv_phys = [self._phys_name(c, m_cur) for c in self.ndv_cols]
-            self._pending_extra["ndv"] = {
-                rel: _file_ndv_registers(os.path.join(self.root, rel), ndv_phys)
-                for rel in files
-            }
+            by_dir: dict = {}
+            for rel in files:
+                entry = _file_ndv_registers(os.path.join(self.root, rel), ndv_phys)
+                if entry:
+                    by_dir.setdefault(
+                        os.path.dirname(os.path.join(self.root, rel)), {}
+                    )[os.path.basename(rel)] = entry
+            for d, sidecar in by_dir.items():
+                with open(os.path.join(d, "_ndv.json"), "w") as fh:
+                    json.dump(sidecar, fh)
         return files, n
 
     # delete_where_dv / merge_upsert_dv are inherited: positional
