@@ -1953,3 +1953,20 @@ def test_ndv_estimate_refuses_partial_coverage(spark, root):
     # a full compact() re-writes every file with registers → estimate works
     t.compact(spark)
     assert t.ndv_estimate("k") > 0
+
+
+def test_ndv_sidecars_survive_vacuum_and_stay_out_of_manifest(spark, root):
+    """The register sidecars live with their data dirs: vacuum of old
+    versions must not disturb the live snapshot's estimate, and the
+    manifest JSON itself must carry NO register payload (the O(files·m)
+    copy-forward trap)."""
+    t = ManifestTable(root, ndv_cols=["k"])
+    t.commit_append(_df(spark, (0, 400)))
+    t.commit_overwrite(_df(spark, (0, 700)))  # old version now vacuumable
+    est_before = t.ndv_estimate("k")
+    t.vacuum(retain_last=1, min_age_s=0.0)
+    assert t.ndv_estimate("k") == est_before
+    assert abs(est_before - 700) / 700 < 0.14
+    m = t.manifest()
+    assert "ndv" not in m
+    assert "ndv" not in json.dumps(m)
