@@ -446,6 +446,26 @@ def manifest_sink(table, dim: int, quarantine_path: str | None = None):
         import os
 
         accepted, quarantined = split_valid(batch, dim)
+        # Declared CHECK constraints quarantine, not crash: a schema
+        # invariant the TABLE declares is a per-row data-quality verdict
+        # in a stream — failing the whole epoch (commit_append's raise)
+        # would wedge the query on one bad record. Violators join the
+        # quarantine under the same reject_reason audit column; the rows
+        # that commit provably satisfy the constraints, so the sink's
+        # own enforcement pass cannot raise. SQL CHECK semantics (NULL
+        # passes) via coalesce(expr, True).
+        cons = table.constraints() if table.latest_version() is not None else {}
+        if cons:
+            ok = None
+            for _cname, _cexpr in sorted(cons.items()):
+                term = F.coalesce(F.expr(_cexpr), F.lit(True))
+                ok = term if ok is None else (ok & term)
+            violators = accepted.filter(~ok).withColumn(
+                "reject_reason",
+                F.lit("check_constraint:" + ",".join(sorted(cons))),
+            )
+            accepted = accepted.filter(ok)
+            quarantined = quarantined.unionByName(violators)
         table.commit_append(
             accepted.dropDuplicates(["entry_id"]), epoch_id=epoch_id
         )

@@ -560,3 +560,43 @@ def test_windowed_hll_streaming_matches_batch(spark, tmp_path):
     sentinel_us = max(w for w, _, _ in batched)
     assert streamed == {t for t in batched if t[0] != sentinel_us}
     assert len(streamed) == 3
+
+
+def test_manifest_sink_quarantines_constraint_violations(spark, tmp_path):
+    """A CHECK constraint declared on the sink table must act as a
+    per-row data-quality verdict in the stream — violators land in the
+    quarantine with an auditable reason, clean rows commit, and the
+    epoch never crashes on one bad record."""
+    from aeuc_vector_db_spark import schemas
+    from aeuc_vector_db_spark.sources.manifest import ManifestTable
+
+    dim = DIM
+    t = ManifestTable(str(tmp_path / "ctable"))
+    seed = f"{tmp_path}/seed.jsonl"
+    with open(seed, "w") as f:
+        f.write(_entry(0, ctx=0))
+    seed_df = spark.read.schema(schemas.VECTOR_ENTRY_SCHEMA).json(seed)
+    t.commit_append(seed_df)
+    t.add_check_constraint(spark, "ctx_small", "outer_context_id < 5")
+
+    src = f"{tmp_path}/cstream"
+    os.makedirs(src)
+    with open(f"{src}/x.jsonl", "w") as f:
+        f.write("\n".join(_entry(i, ctx=i) for i in range(1, 9)))  # ctx 1..8
+    qdir = str(tmp_path / "cquarantine")
+    stream = SI.read_vector_entry_stream(spark, src)
+    q = (
+        stream.writeStream.foreachBatch(SI.manifest_sink(t, dim, qdir))
+        .option("checkpointLocation", f"{tmp_path}/cckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    committed = {r["entry_id"] for r in t.read(spark).collect()}
+    # seed + ctx 1..4 committed; ctx 5..8 quarantined
+    assert committed == {f"e{i}" for i in range(0, 5)}
+    quar = spark.read.parquet(qdir)
+    rows = {r["entry_id"]: r["reject_reason"] for r in quar.collect()}
+    assert set(rows) == {f"e{i}" for i in range(5, 9)}
+    assert all(v == "check_constraint:ctx_small" for v in rows.values())
