@@ -150,6 +150,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "manifest_ndv_read",
     "rel_fk_violations",
     "rel_order_price_drift",
+    "sql_entry_hll_distinct",
 )
 
 

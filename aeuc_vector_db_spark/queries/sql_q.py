@@ -76,7 +76,72 @@ FROM ranked WHERE rank <= 10
 """)
 
 
+
+
+def _sql_entry_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL distinct-token sketch as PURE SQL TEXT — every stage of
+    the register pipeline (tokenize, sha256 window fold via conv,
+    register/rho bit math, exact-integer harmonic denominator,
+    correction branch) is expressible in Spark SQL, and the result
+    shares `doc_hll_distinct`'s oracle: SQL path ≡ DataFrame path ≡
+    DuckDB, three surfaces one answer."""
+    from aeuc_vector_db_spark.operators.sketch import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_P,
+        HLL_W,
+    )
+    from aeuc_vector_db_spark.operators.text import TOKEN_SPLIT_RE
+
+    register_sql_api(spark, sf_dir)
+    shift = HLL_W + 1
+    num = HLL_ALPHA * HLL_M * HLL_M * float(1 << shift)
+    return spark.sql(f"""
+WITH tok AS (
+  SELECT explode(filter(split(lower(text), '{TOKEN_SPLIT_RE}'), x -> x != '')) AS term
+  FROM documents
+),
+hv AS (SELECT CAST(conv(substring(sha2(term, 256), 1, 8), 16, 10) AS BIGINT) AS h FROM tok),
+rr AS (
+  SELECT pmod(h, {HLL_M}) AS register,
+         CASE WHEN shiftright(h, {HLL_P}) = 0 THEN {shift}
+              ELSE {shift} - length(conv(shiftright(h, {HLL_P}), 10, 2)) END AS rho
+  FROM hv
+),
+regs AS (SELECT register, MAX(rho) AS maxrho FROM rr GROUP BY register),
+agg AS (
+  SELECT COUNT(*) AS n_present,
+         SUM(shiftleft(CAST(1 AS BIGINT), {shift} - maxrho)) AS s_present
+  FROM regs
+),
+est AS (
+  SELECT ({HLL_M} - n_present) AS v_zero,
+         s_present + ({HLL_M} - n_present) * shiftleft(CAST(1 AS BIGINT), {shift}) AS s_scaled
+  FROM agg
+),
+fin AS (
+  SELECT CASE WHEN ({num!r} / CAST(s_scaled AS DOUBLE)) <= {2.5 * HLL_M!r} AND v_zero > 0
+              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(v_zero AS DOUBLE))
+              ELSE ({num!r} / CAST(s_scaled AS DOUBLE)) END AS hll_estimate,
+         v_zero, s_scaled
+  FROM est
+)
+SELECT (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) FROM tok) AS n_distinct_exact,
+       ROUND(hll_estimate, 2) AS hll_estimate,
+       CAST(v_zero AS BIGINT) AS n_zero_registers,
+       CAST(s_scaled AS BIGINT) AS s_scaled
+FROM fin
+""")
+
+
+def _hll_shared_oracle() -> str:
+    from aeuc_vector_db_spark.queries.textops import _HLL_DISTINCT_ORACLE
+
+    return _HLL_DISTINCT_ORACLE
+
+
 QUERIES = {
     "sql_entry_pricing": (_sql_entry_pricing, _PRICING_ORACLE),
     "sql_entry_knn_cosine": (_sql_entry_knn_cosine, _knn_oracle(_dk_cosine)),
+    "sql_entry_hll_distinct": (_sql_entry_hll_distinct, _hll_shared_oracle()),
 }
