@@ -252,3 +252,14 @@ def test_round7_late_additions_plan_shapes(spark):
     plan = _plan(spark, "events_resample_locf")
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_sketch_family_partial_aggregates(spark):
+    """Quantile sketch and drift monitor: the bucket aggregates must
+    combine map-side (partial HashAggregate) — the property that caps
+    their shuffles at bins rows per partition — and stay Python-free."""
+    for name in ("rel_price_quantile_sketch", "rel_order_price_drift"):
+        plan = _plan(spark, name)
+        assert "partial" in plan and "HashAggregate" in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan, name
