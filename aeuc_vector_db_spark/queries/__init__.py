@@ -151,6 +151,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_fk_violations",
     "rel_order_price_drift",
     "sql_entry_hll_distinct",
+    # post-window round-7 additions (driver rows due in r8)
+    "manifest_merge_clauses_read",
 )
 
 

@@ -241,6 +241,82 @@ def _manifest_merge_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _manifest_merge_clauses_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE clause surface in one atomic DV commit: target =
+    doc_id < 400; source = doc_id ∈ [300, 500) with a rewritten payload
+    and a condition-only `op` flag. Matched keys divisible by 7 are
+    deleted (via the flag), matched English docs are replaced by the
+    source row, other matched docs are kept verbatim, source-only rows
+    insert only when their new n_chars is even, and target-only rows
+    with doc_id < 50 are swept by the not-matched-by-source clause.
+    The oracle rebuilds the identical final state as a 4-branch UNION,
+    so any clause misfire (wrong precedence, flag written, sweep too
+    wide) diverges the per-source aggregate hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = ManifestTable(
+        tempfile.mkdtemp(prefix="aeuc_manifest_mcl_"),
+        stats_cols=["doc_id"], bloom_cols=["doc_id"],
+    )
+    t.commit_overwrite(docs.filter(F.col("doc_id") < 400))
+    src = (
+        docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 500))
+        .withColumn("source", F.lit("merged"))
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .withColumn(
+            "op",
+            F.when(F.col("doc_id") % 7 == 0, F.lit("del")).otherwise(F.lit("keep")),
+        )
+    )
+    t.merge(
+        spark, src, key="doc_id",
+        matched_delete="src_op = 'del'",
+        matched_update="lang = 'en'",
+        not_matched_insert="src_n_chars % 2 = 0",
+        not_matched_by_source_delete="doc_id < 50",
+    )
+    final = t.read(spark)
+    return final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_MERGE_CLAUSES_ORACLE = """
+WITH tgt AS (SELECT * FROM documents WHERE doc_id < 400),
+     src AS (
+       SELECT doc_id, lang, 'merged' AS source, n_chars + 1000 AS n_chars,
+              CASE WHEN doc_id % 7 = 0 THEN 'del' ELSE 'keep' END AS op
+       FROM documents WHERE doc_id >= 300 AND doc_id < 500
+     ),
+     final AS (
+       -- target-only survivors of the not-matched-by-source sweep
+       SELECT t.doc_id, t.source, t.n_chars FROM tgt t
+       WHERE t.doc_id >= 50 AND NOT EXISTS (
+         SELECT 1 FROM src s WHERE s.doc_id = t.doc_id)
+       UNION ALL
+       -- matched, neither deleted nor updated: kept verbatim
+       SELECT t.doc_id, t.source, t.n_chars
+       FROM tgt t JOIN src s USING (doc_id)
+       WHERE s.op <> 'del' AND t.lang IS DISTINCT FROM 'en'
+       UNION ALL
+       -- matched update: replaced by the source row
+       SELECT s.doc_id, s.source, s.n_chars
+       FROM tgt t JOIN src s USING (doc_id)
+       WHERE s.op <> 'del' AND t.lang = 'en'
+       UNION ALL
+       -- conditional insert of source-only rows
+       SELECT s.doc_id, s.source, s.n_chars FROM src s
+       WHERE s.n_chars % 2 = 0 AND NOT EXISTS (
+         SELECT 1 FROM tgt t WHERE t.doc_id = s.doc_id)
+     )
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM final GROUP BY source
+"""
+
+
 def _manifest_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC feed correctness: anchor snapshot, then an append, a DV
     delete, and a DV merge; read_changes(0) must name every inserted
@@ -743,6 +819,10 @@ _NDV_ORACLE = _ndv_oracle()
 
 
 QUERIES = {
+    "manifest_merge_clauses_read": (
+        _manifest_merge_clauses_read,
+        _MERGE_CLAUSES_ORACLE,
+    ),
     "manifest_ndv_read": (_manifest_ndv_read, _NDV_ORACLE),
     "manifest_rename_read": (_manifest_rename_read, _RENAME_ORACLE),
     "manifest_widening_read": (_manifest_widening_read, _WIDENING_ORACLE),

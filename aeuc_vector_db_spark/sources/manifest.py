@@ -1804,6 +1804,145 @@ class ManifestTable:
             spark, ups, dels, key, epoch_id=eid, max_retries=max_retries
         )
 
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key: str,
+        *,
+        matched_update: "bool | str" = True,
+        matched_delete: "bool | str | None" = None,
+        not_matched_insert: "bool | str" = True,
+        not_matched_by_source_delete: "bool | str | None" = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Full MERGE clause surface (the Delta-style `MERGE INTO`
+        statement, reference A13/A15/A16 batch semantics generalized):
+
+          WHEN MATCHED [AND <matched_delete>]       THEN DELETE
+          WHEN MATCHED [AND <matched_update>]       THEN UPDATE (replace
+                                                    with the source row)
+          WHEN NOT MATCHED [AND <not_matched_insert>] THEN INSERT
+          WHEN NOT MATCHED BY SOURCE
+               [AND <not_matched_by_source_delete>] THEN DELETE
+
+        Conditions are Spark SQL boolean expressions. In matched
+        clauses, TARGET columns are referenced by their plain (logical)
+        names and SOURCE columns with a `src_` prefix; the insert
+        clause sees only `src_`-prefixed columns (there is no target
+        row), and the not-matched-by-source clause only plain target
+        columns. `True` = unconditional clause, `False`/`None` = clause
+        absent. Matched precedence is DELETE before UPDATE (fixed
+        clause order — Delta's first-match-wins with the delete clause
+        first). The source may carry EXTRA columns (e.g. an `_op` flag)
+        that participate in conditions but are never written; it must
+        be key-unique and contain every table column.
+
+        Executed as ONE atomic bounded commit through the DV engine:
+        clause evaluation reads only the key-pruned candidate files
+        (stats+bloom, like merge_upsert_dv) unless a not-matched-by-
+        source clause forces the inherent full target pass; no data
+        file is rewritten. Clause outputs are pinned to the snapshot
+        they were computed from — a concurrent commit fails the publish
+        CAS and the whole merge recomputes against the winner.
+        """
+
+        def _cond(c, clause):
+            if c is None or c is False:
+                return None
+            if c is True:
+                return F.lit(True)
+            if isinstance(c, str):
+                return F.expr(c)
+            raise TypeError(f"{clause}: condition must be bool or SQL string, got {c!r}")
+
+        upd_c = _cond(matched_update, "matched_update")
+        del_c = _cond(matched_delete, "matched_delete")
+        ins_c = _cond(not_matched_insert, "not_matched_insert")
+        nmbs_c = _cond(
+            not_matched_by_source_delete, "not_matched_by_source_delete"
+        )
+        if upd_c is None and del_c is None and ins_c is None and nmbs_c is None:
+            raise ValueError("merge: no clauses — nothing to do")
+        self._assert_unique_keys(source, key)
+        last: CommitConflictError | None = None
+        for _ in range(max_retries):
+            parent = self.latest_version()
+            if parent is None:
+                raise ValueError(
+                    f"merge into empty table at {self.root!r}: commit a first "
+                    "snapshot (commit_append/commit_overwrite) before merging"
+                )
+            cur = self.read(spark, parent)  # logical names, DVs applied
+            tcols = cur.columns
+            missing = [c for c in tcols if c not in source.columns]
+            if missing:
+                raise ValueError(
+                    f"merge source is missing table columns {missing}; extra "
+                    "source columns are allowed, absent ones are not"
+                )
+            clash = [c for c in tcols if c.startswith("src_")]
+            if clash:
+                raise ValueError(
+                    f"merge: target columns {clash} collide with the src_ "
+                    "prefix used to expose source columns in conditions"
+                )
+            srcp = source.select(
+                [F.col(c).alias(f"src_{c}") for c in source.columns]
+            )
+            src_keys = source.select(key).distinct()
+            # matched candidates: key-pruned read unless the
+            # not-matched-by-source clause needs the full pass anyway
+            if nmbs_c is None and src_keys.count() <= self._MERGE_PRUNE_MAX_KEYS:
+                keys = [r[0] for r in src_keys.collect()]
+                tgt_scan = self.read_where(spark, [(key, "in", keys)], parent)
+            else:
+                tgt_scan = cur
+            matched = tgt_scan.join(
+                srcp, F.col(key) == F.col(f"src_{key}"), "inner"
+            )
+            del_rows = matched.filter(del_c) if del_c is not None else None
+            rest = matched.filter(~del_c) if del_c is not None else matched
+            upd_rows = (
+                rest.filter(upd_c).select(
+                    [F.col(f"src_{c}").alias(c) for c in tcols]
+                )
+                if upd_c is not None
+                else None
+            )
+            ins_rows = None
+            if ins_c is not None:
+                src_only = srcp.join(
+                    tgt_scan.select(F.col(key).alias(f"src_{key}")),
+                    f"src_{key}",
+                    "left_anti",
+                )
+                ins_rows = src_only.filter(ins_c).select(
+                    [F.col(f"src_{c}").alias(c) for c in tcols]
+                )
+            nmbs_rows = None
+            if nmbs_c is not None:
+                nmbs_rows = (
+                    cur.join(src_keys, key, "left_anti").filter(nmbs_c).select(key)
+                )
+            updates = cur.limit(0).select(tcols)
+            for part in (upd_rows, ins_rows):
+                if part is not None:
+                    updates = updates.unionByName(part)
+            delete_keys = None
+            for part in (del_rows, nmbs_rows):
+                if part is not None:
+                    dk = part.select(key)
+                    delete_keys = dk if delete_keys is None else delete_keys.unionByName(dk)
+            try:
+                return self._merge_apply_dv(
+                    spark, updates, delete_keys, key,
+                    epoch_id=None, max_retries=1, expected_parent=parent,
+                )
+            except CommitConflictError as exc:
+                last = exc  # racer won: recompute every clause against it
+        raise CommitConflictError(f"merge: {max_retries} retries exhausted") from last
+
     def _merge_apply_dv(
         self,
         spark: SparkSession,
@@ -1812,10 +1951,18 @@ class ManifestTable:
         key: str,
         epoch_id: "str | None",
         max_retries: int,
+        expected_parent: "int | None" = None,
     ) -> int:
-        """Shared engine of merge_upsert_dv and apply_cdc: DV-delete
-        every key in `updates` ∪ `delete_keys`, append `updates`, ONE
-        manifest publish."""
+        """Shared engine of merge_upsert_dv, apply_cdc, and merge:
+        DV-delete every key in `updates` ∪ `delete_keys`, append
+        `updates`, ONE manifest publish.
+
+        `expected_parent` pins the snapshot the caller derived its
+        inputs from (clause-evaluating callers like `merge`): if a
+        concurrent commit advanced the table past it, the publish CAS
+        on version `expected_parent+1` fails with CommitConflictError
+        instead of silently committing clause outputs computed against
+        a stale snapshot — the caller recomputes and retries."""
         pv = self.latest_version()
         if pv is not None:
             # enforce CHECK constraints on the insert batch (logical
@@ -1823,7 +1970,9 @@ class ManifestTable:
             self._enforce_constraints(updates, self.manifest(pv))
         last: CommitConflictError | None = None
         for _ in range(max_retries):
-            parent = self.latest_version()
+            parent = (
+                self.latest_version() if expected_parent is None else expected_parent
+            )
             if parent is None:
                 # bootstrap: the feed's inserts found an empty table; the
                 # epoch marker must still land or a replay would duplicate
@@ -1835,6 +1984,8 @@ class ManifestTable:
                     )
                 except CommitConflictError as exc:
                     last = exc
+                    if expected_parent is not None:
+                        break  # pinned snapshot went stale: caller recomputes
                     continue
             m = self.manifest(parent)
             # batch arrives under LOGICAL names; translate batch + key to
@@ -1952,6 +2103,8 @@ class ManifestTable:
                     os.path.join(self.root, os.path.dirname(nf)), ignore_errors=True
                 )
             last = CommitConflictError("merge/apply_cdc lost the publish race")
+            if expected_parent is not None:
+                break  # pinned snapshot went stale: caller recomputes
         raise CommitConflictError(
             f"merge_upsert_dv/apply_cdc: {max_retries} retries exhausted"
         ) from last

@@ -946,6 +946,121 @@ def test_merge_upsert_dv_atomic_bounded_merge(spark, root):
     assert {r["k"]: r["tag"] for r in t.read(spark).collect()} == rows2
 
 
+def test_merge_full_clause_surface(spark, root):
+    """The generalized MERGE: matched-delete, conditional matched-update,
+    conditional insert, and not-matched-by-source delete evaluate in one
+    atomic DV commit; source-only condition columns are never written;
+    no existing data file is rewritten."""
+    t = ManifestTable(root, bloom_cols=["k"])
+    tgt = spark.range(10).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("val"),
+        F.lit("old").alias("tag"),
+    )
+    t.commit_overwrite(tgt.repartition(4))
+    v0_files = t.manifest()["files"]
+    # source keys 5..14; extra `op` column drives conditions only
+    src = spark.range(5, 15).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, F.col("id") * 100)
+        .otherwise(F.col("id"))  # odd keys: src_val < target val → no update
+        .alias("val"),
+        F.lit("new").alias("tag"),
+        F.when(F.col("id") == 6, F.lit("del")).otherwise(F.lit("keep")).alias("op"),
+    )
+    v = t.merge(
+        spark, src, key="k",
+        matched_delete="src_op = 'del'",
+        matched_update="src_val > val",
+        not_matched_insert="src_op <> 'del' AND src_k % 2 = 0",
+        not_matched_by_source_delete="k < 2",
+    )
+    m = t.manifest()
+    assert v == 1 and set(v0_files) <= set(m["files"])  # bounded: no rewrite
+    rows = {r["k"]: (r["val"], r["tag"]) for r in t.read(spark).collect()}
+    # k 0,1: not-matched-by-source delete; k 2..4: untouched targets
+    # k 5,7,9: matched, src_val (5,7,9) not > val → kept as-is
+    # k 6: matched delete; k 8: matched update (800 > 80)
+    # k 10..14 source-only: inserted iff even
+    assert rows == {
+        2: (20, "old"), 3: (30, "old"), 4: (40, "old"),
+        5: (50, "old"), 7: (70, "old"), 9: (90, "old"),
+        8: (800, "new"), 10: (1000, "new"), 12: (1200, "new"), 14: (1400, "new"),
+    }
+    assert m["n_rows"] == len(rows)
+    assert "op" not in t.read(spark).columns  # condition-only column
+
+
+def test_merge_matched_delete_wins_over_update(spark, root):
+    """Fixed clause precedence: a matched row passing BOTH conditions is
+    deleted, not updated (delete clause evaluates first)."""
+    t = ManifestTable(root)
+    t.commit_overwrite(
+        spark.createDataFrame([(1, "old")], "k long, tag string")
+    )
+    t.merge(
+        spark,
+        spark.createDataFrame([(1, "new")], "k long, tag string"),
+        key="k",
+        matched_delete=True,
+        matched_update=True,
+        not_matched_insert=False,
+    )
+    assert t.read(spark).count() == 0
+
+
+def test_merge_nmbs_true_makes_replica_of_source(spark, root):
+    """merge with unconditional update/insert/not-matched-by-source-delete
+    is snapshot synchronization: the table becomes the source exactly."""
+    t = ManifestTable(root)
+    t.commit_overwrite(
+        spark.range(20).select(F.col("id").alias("k"), F.lit("a").alias("tag"))
+    )
+    src = spark.range(10, 30).select(
+        F.col("id").alias("k"), F.lit("s").alias("tag")
+    )
+    t.merge(
+        spark, src, key="k",
+        matched_update=True,
+        not_matched_insert=True,
+        not_matched_by_source_delete=True,
+    )
+    rows = {r["k"]: r["tag"] for r in t.read(spark).collect()}
+    assert rows == {k: "s" for k in range(10, 30)}
+    assert t.manifest()["n_rows"] == 20
+
+
+def test_merge_validation_guards(spark, root):
+    """No clauses, missing table columns, non-unique source keys, and
+    merging into an empty table all fail loudly."""
+    t = ManifestTable(root)
+    src = spark.createDataFrame([(1, "x")], "k long, tag string")
+    with pytest.raises(ValueError, match="empty table"):
+        t.merge(spark, src, key="k")
+    t.commit_append(spark.createDataFrame([(0, "a")], "k long, tag string"))
+    with pytest.raises(ValueError, match="no clauses"):
+        t.merge(spark, src, key="k", matched_update=False, not_matched_insert=False)
+    with pytest.raises(ValueError, match="missing table columns"):
+        t.merge(spark, src.select("k"), key="k")
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "k long, tag string")
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge(spark, dup, key="k")
+
+
+def test_merge_enforces_check_constraints(spark, root):
+    """The merge's update/insert batch passes through the same CHECK
+    constraint door as every other ingest path."""
+    t = ManifestTable(root)
+    t.commit_append(spark.createDataFrame([(0, 5)], "k long, val long"))
+    t.add_check_constraint(spark, "val_pos", "val > 0")
+    bad = spark.createDataFrame([(0, -1)], "k long, val long")
+    with pytest.raises(ValueError, match="val_pos"):
+        t.merge(spark, bad, key="k", matched_update=True)
+    ok = spark.createDataFrame([(0, 7)], "k long, val long")
+    t.merge(spark, ok, key="k", matched_update=True)
+    assert {r["val"] for r in t.read(spark).collect()} == {7}
+
+
 def test_read_changes_cdc_feed(spark, root):
     """read_changes recovers per-row inserts AND deletes (with full
     payloads) from the log: appends are inserts, DV commits are deletes,
