@@ -153,6 +153,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_entry_hll_distinct",
     # post-window round-7 additions (driver rows due in r8)
     "manifest_merge_clauses_read",
+    "rel_bloom_semijoin_revenue",
 )
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aeuc_vector_db_spark.operators.bloomjoin import bloom_reduced_join
 from aeuc_vector_db_spark.sources.tables import load_table
 
 
@@ -910,7 +911,39 @@ GROUP BY n_a, n_b
 """
 
 
+def _bloom_semijoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction (operators/bloomjoin.py): order revenue
+    per priority for customers in the BUILDING segment, with the orders
+    side pre-filtered by a bloom filter over the qualifying customer
+    keys BEFORE the join — the large⋈large shape where the build side's
+    key set compresses to 32 KB of bits even when its rows don't
+    broadcast. The oracle is the PLAIN join: any bloom false negative
+    (dropped match) or probe miswiring diverges the hash; false
+    positives are removed by the real join by construction."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    joined = bloom_reduced_join(orders, cust, "o_custkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dec(F.sum(_dec("o_totalprice"))).alias("sum_price"),
+    )
+
+
+_BLOOM_SEMIJOIN_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "rel_bloom_semijoin_revenue": (_bloom_semijoin_revenue, _BLOOM_SEMIJOIN_ORACLE),
     "rel_fk_violations": (_fk_violations, _FK_ORACLE),
     "rel_order_price_drift": (_order_price_drift, _DRIFT_ORACLE),
     "rel_volume_shipping": (_volume_shipping, _VOLUME_SHIPPING_ORACLE),
