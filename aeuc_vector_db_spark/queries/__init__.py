@@ -154,6 +154,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # post-window round-7 additions (driver rows due in r8)
     "manifest_merge_clauses_read",
     "rel_bloom_semijoin_revenue",
+    "doc_bm25_indexed_topk",
 )
 
 

@@ -714,6 +714,27 @@ def _doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same BM25 query served from the MATERIALIZED inverted index
+    (operators/textindex.py): build postings/doclens/stats tables from
+    half the corpus, incrementally append the other half, then rank —
+    sharing `doc_bm25_topk`'s oracle pins that the indexed path (incl.
+    the additive stats fold across the refresh) is bit-identical to
+    the corpus-scan path."""
+    import tempfile
+
+    from aeuc_vector_db_spark.operators.textindex import TextIndex
+
+    docs = load_table(spark, "documents", sf_dir)
+    root = tempfile.mkdtemp(prefix="aeuc_textindex_")
+    idx = TextIndex.build(spark, docs.filter(F.col("doc_id") % 2 == 0), root)
+    idx.append_docs(spark, docs.filter(F.col("doc_id") % 2 == 1))
+    out = idx.bm25_topk(spark, list(_BM25_TERMS), top_k=10, k1=_BM25_K1, b=_BM25_B)
+    return out.select(
+        "doc_id", F.round("score", 9).alias("score"), "n_matched", "rank"
+    )
+
+
 _BM25_ORACLE = f"""
 WITH tok AS (SELECT doc_id, unnest({_dk_tokens()}) AS term FROM documents),
 dlen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM tok GROUP BY doc_id),
@@ -1250,6 +1271,7 @@ QUERIES = {
     "doc_leakproof_split": (_doc_leakproof_split, _LEAKPROOF_SPLIT_ORACLE),
     "doc_hybrid_rrf_topk": (_doc_hybrid_rrf_topk, _HYBRID_RRF_ORACLE),
     "doc_bm25_topk": (_doc_bm25_topk, _BM25_ORACLE),
+    "doc_bm25_indexed_topk": (_doc_bm25_indexed_topk, _BM25_ORACLE),
     "doc_heavy_hitters": (_doc_heavy_hitters, _HEAVY_HITTERS_ORACLE),
     "doc_unigram_logprob": (_doc_unigram_logprob, _UNIGRAM_LOGPROB_ORACLE),
     "doc_token_stats": (_doc_token_stats, _TOKEN_STATS_ORACLE),
