@@ -222,6 +222,43 @@ def write_ivf_corpus(
     write_partitioned(corpus.join(assignments, id_col), path, ["centroid_id"])
 
 
+def ivf_append(
+    new_vectors: DataFrame,
+    centroids,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: "DataFrame | None" = None,
+) -> None:
+    """Incremental IVF maintenance: route ONLY the delta into the
+    existing partitioned layout — the daily-arriving-embeddings shape.
+
+    New vectors are assigned to the EXISTING centroids (nearest-
+    centroid via the same Arrow argmin kernel as the build, so an
+    appended vector lands in exactly the cell a full rebuild would
+    give it) and written with `mode=append` under the same
+    `centroid_id=` directories; `read_pruned`'s PartitionFilters keep
+    pruning across any number of appends because pruning is directory-
+    level, not file-generation-level. Cost is O(delta): no existing
+    file is read or rewritten, no shuffle (assignment is map-side).
+
+    Pass `assignments` to override the router with precomputed
+    (id_col, centroid_id) cells — e.g. a deterministic label-derived
+    quantizer. Centroid drift is the caller's tradeoff (FAISS-style
+    IVF serves appends from frozen centroids and refits offline when
+    recall degrades — the quantizer is versioned with the index).
+    """
+    if assignments is None:
+        assignments = assign_centroids(
+            new_vectors, centroids, id_col=id_col, vec_col=vec_col
+        )
+    from aeuc_vector_db_spark.sources.tables import write_partitioned
+
+    write_partitioned(
+        new_vectors.join(assignments, id_col), path, ["centroid_id"], mode="append"
+    )
+
+
 def read_pruned(spark, path: str, centroid_ids: list[int]) -> DataFrame:
     """Read only the named centroid partitions (partition pruning — check
     .explain('formatted') for PartitionFilters: [centroid_id IN ...])."""

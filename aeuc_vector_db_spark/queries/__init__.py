@@ -155,6 +155,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "manifest_merge_clauses_read",
     "rel_bloom_semijoin_revenue",
     "doc_bm25_indexed_topk",
+    "ivf_incremental_search",
 )
 
 

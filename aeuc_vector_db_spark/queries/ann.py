@@ -117,6 +117,37 @@ FROM ranked WHERE rank <= 10
 _IVF_ORACLE = _ivf_oracle(rank_only=False)
 
 
+def _ivf_incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ivf_pruned_search`'s exact result served from an INCREMENTALLY
+    BUILT on-disk layout: half the corpus written one-shot, the other
+    half routed in via `ivf_append` (label-derived cells — the
+    deterministic quantizer, so the whole pipeline stays
+    SQL-expressible), then the partitioned dir read back and searched.
+    Sharing the one-shot oracle pins that split partitioned writes
+    reconstruct the identical corpus — any row lost, duplicated, or
+    mis-routed by the append diverges the hash."""
+    import tempfile
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = C.centroids(emb, ["label"]).select(
+        F.col("label").cast("int").alias("centroid_id"), "centroid"
+    )
+    cells = emb.select("vec_id", F.col("label").cast("int").alias("centroid_id"))
+    path = tempfile.mkdtemp(prefix="aeuc_ivf_inc_") + "/ivf"
+    A.write_ivf_corpus(emb.filter(F.col("vec_id") % 2 == 0), cells, path)
+    A.ivf_append(
+        emb.filter(F.col("vec_id") % 2 == 1), cents, path, assignments=cells
+    )
+    disk = spark.read.parquet(path)
+    res = A.ivf_search_batch(
+        disk, cents, _queries_df(spark, sf_dir), top_k=10, nprobe=3
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("score", 9).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _ivf_arrow_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow IVF path (pruned scan + NumPy matmul + per-query cell
     mask) as a driver-checked query — rank-only output like
@@ -429,6 +460,7 @@ QUERIES = {
     "emb_binary_hamming_topk": (_emb_binary_hamming_topk, _BINARY_HAMMING_ORACLE),
     "emb_matryoshka_topk": (_emb_matryoshka_topk, _MATRYOSHKA_ORACLE),
     "ivf_pruned_search": (_ivf_pruned_search, _IVF_ORACLE),
+    "ivf_incremental_search": (_ivf_incremental_search, _IVF_ORACLE),
     "ivf_arrow_pruned_search": (_ivf_arrow_pruned_search, _IVF_ARROW_ORACLE),
     "ivf_euclidean_pruned_search": (_ivf_metric_query("euclidean"), _IVF_EUCLID_ORACLE),
     "ivf_phi_pruned_search": (_ivf_metric_query("phi_weighted"), _IVF_PHI_ORACLE),

@@ -82,6 +82,30 @@ def test_partitioned_write_prunes_files(spark, emb, index):
         assert pruned.count() < full.count()
 
 
+def test_ivf_append_matches_single_shot_build(spark, emb, index):
+    """Incremental maintenance parity: write half the corpus, ivf_append
+    the other half against the SAME frozen centroids — the resulting
+    layout must hold exactly the rows/cells of a one-shot build, and
+    partition pruning must keep working across the append."""
+    centroids, assignments = index
+    with tempfile.TemporaryDirectory() as d:
+        one, inc = f"{d}/one", f"{d}/inc"
+        A.write_ivf_corpus(emb, assignments, one)
+        base = emb.filter(F.col("vec_id") % 2 == 0)
+        delta = emb.filter(F.col("vec_id") % 2 == 1)
+        A.write_ivf_corpus(base, assignments, inc)
+        A.ivf_append(delta, centroids, inc)  # nearest-centroid routing
+        cols = ["vec_id", "centroid_id"]
+        got = sorted(tuple(r) for r in spark.read.parquet(inc).select(cols).collect())
+        want = sorted(tuple(r) for r in spark.read.parquet(one).select(cols).collect())
+        assert got == want and len(got) == emb.count()
+        pruned = A.read_pruned(spark, inc, [0, 1])
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "centroid_id" in plan
+        expected = assignments.filter(F.col("centroid_id").isin([0, 1])).count()
+        assert pruned.count() == expected
+
+
 def test_lsh_buckets_shape(emb):
     out = A.lsh_bucket_assignments(emb, num_tables=3)
     row = out.limit(1).collect()[0]
