@@ -108,6 +108,38 @@ def bloom_probe_col(key: Column, bf: dict) -> Column:
     return out
 
 
+def bloom_words_df(
+    df: DataFrame, key: str, m_bits: int = 1 << 18, k: int = 3
+) -> DataFrame:
+    """The distributed form of `bloom_build`: the same per-word `bit_or`
+    aggregate, left as a (w INT, word LONG) DataFrame of ≤ m_bits/64
+    rows instead of a driver collect — the filter never touches the
+    driver, so `m_bits` can grow with the key count without a driver
+    bottleneck (2^24 bits is still a 256k-row broadcast)."""
+    if m_bits < 64 or m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if not 1 <= k <= 8:
+        raise ValueError(f"k must be in [1, 8], got {k}")
+    hashes = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+    return (
+        df.filter(F.col(key).isNotNull())
+        .select(F.explode(hashes).alias("h"))
+        .select(
+            F.shiftright(F.col("h"), 6).cast("int").alias("w"),
+            F.element_at(
+                F.lit(_POW2), F.col("h").bitwiseAND(F.lit(63)).cast("int") + 1
+            ).alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
 def bloom_reduced_join(
     fact: DataFrame,
     build: DataFrame,
@@ -121,12 +153,42 @@ def bloom_reduced_join(
     bloom false positives), but the fact shuffle carries only probable
     matches. Supported joins are the ones where dropping non-matching
     fact rows early is semantics-preserving: inner and left_semi.
+
+    The probe is k BROADCAST HASH JOINS against the ≤ m_bits/64-row
+    word table (one per hash function): each fact row looks its word up
+    in the broadcast map and keeps going only if its bit is set — all
+    map-side, one fact scan, no shuffle before the final join. A fact
+    row whose word index is absent from the table (word == 0) is
+    dropped by the inner join itself.
+
+    Deliberately NOT the literal-array formulation of `bloom_probe_col`:
+    inlining the words as an array literal plants a CreateArray with
+    m_bits/64 children in the plan, and optimizer rules that copy
+    predicates around a join (constraint inference, pushdown) walk and
+    duplicate that tree — measured ~20 s of DRIVER plan-compile time at
+    m=2^21 inside a join, vs milliseconds for the join formulation.
+    The literal probe stays the right tool for small filters reused
+    across many separate plans.
     """
     if how not in ("inner", "left_semi"):
         raise ValueError(
             f"bloom_reduced_join: how={how!r} — only inner/left_semi can "
             "drop unmatched fact rows before the join"
         )
-    bf = bloom_build(build.select(key), key, m_bits=m_bits, k=k)
-    pre = fact.filter(bloom_probe_col(F.col(key), bf))
+    words = bloom_words_df(build.select(key), key, m_bits=m_bits, k=k)
+    pre = fact
+    for i in range(k):
+        h = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
+        wi = words.select(
+            F.col("w").alias(f"__bw{i}"), F.col("word").alias(f"__bword{i}")
+        )
+        mask = F.element_at(
+            F.lit(_POW2), h.bitwiseAND(F.lit(63)).cast("int") + 1
+        )
+        pre = (
+            pre.withColumn(f"__bw{i}", F.shiftright(h, 6).cast("int"))
+            .join(F.broadcast(wi), f"__bw{i}", "inner")
+            .filter(F.col(f"__bword{i}").bitwiseAND(mask) != 0)
+            .drop(f"__bw{i}", f"__bword{i}")
+        )
     return pre.join(build, key, how)

@@ -73,6 +73,12 @@ HEADLINE = (
     "doc_cms_freq",
     "emb_binary_hamming_topk",
     "doc_substring_dedup",
+    # late round 7: bloom-reduced join (map-side probe before the
+    # shuffle) and BM25 served from the materialized inverted index
+    # (hot time = the serve path; the index build is eager in the cold
+    # call)
+    "rel_bloom_semijoin_revenue",
+    "doc_bm25_indexed_topk",
 )
 
 
@@ -105,6 +111,7 @@ def main() -> None:
         ("bench-probe-cdc", _bench_cdc_history),
         ("bench-probe-manifest-soak", _bench_manifest_soak),
         ("bench-probe-sketch", _bench_sketch_scale),
+        ("bench-probe-retrieval", _bench_retrieval_scale),
     )
     results = {}
     spark = None
@@ -184,6 +191,7 @@ def main() -> None:
     cdc_history = results["bench-probe-cdc"]
     manifest_soak = results["bench-probe-manifest-soak"]
     sketch_scale = results["bench-probe-sketch"]
+    retrieval_scale = results["bench-probe-retrieval"]
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -211,6 +219,7 @@ def main() -> None:
         "cdc_history": cdc_history,
         "manifest_soak": manifest_soak,
         "sketch_scale": sketch_scale,
+        "retrieval_scale": retrieval_scale,
         "decode_imgs_per_s": decode_rate,
     }
     print("# detail: " + json.dumps(detail), file=sys.stderr)
@@ -254,6 +263,8 @@ def main() -> None:
         "decode_imgs_per_s": decode_rate,
         "hll_err_pct": sketch_scale["hll_err_pct"],
         "substring_skew_ratio": sketch_scale["substring_skew_ratio"],
+        "retrieval": {"bm25_speedup": retrieval_scale["bm25_speedup"],
+                      "bloom_kept_frac": retrieval_scale["bloom_kept_frac"]},
     }
     print(compact_json_line(payload))
 
@@ -270,6 +281,7 @@ def compact_json_line(payload: dict, limit: int = MAX_JSON_LINE) -> str:
     # headline scale claims go last
     for droppable in ("cluster_scale_sec", "dedup_skew_ratio", "cc_chain",
                       "probe_order", "hll_err_pct", "substring_skew_ratio",
+                      "retrieval",
                       "dv_delete", "cdc_per_version_ms", "manifest_soak",
                       "decode_imgs_per_s", "knn_scale",
                       "ingest_rows_per_s"):
@@ -657,6 +669,88 @@ def _bench_dv_delete(spark) -> dict:
     finally:
         for r in roots:
             _sh.rmtree(r, ignore_errors=True)
+
+
+def _bench_retrieval_scale(spark) -> dict:
+    """Round-7 retrieval additions at scale: (a) BM25 served from the
+    materialized inverted index vs the corpus-scan path at 100k docs —
+    the index amortizes one tokenize pass over every subsequent query;
+    (b) bloom semi-join reduction at a 2M-row fact × 5k-key build —
+    the probe should discard ~99.8% of fact rows before the shuffle."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aeuc_vector_db_spark.operators import text as TX
+    from aeuc_vector_db_spark.operators.bloomjoin import bloom_reduced_join
+    from aeuc_vector_db_spark.operators.textindex import TextIndex
+
+    n_docs, vocab = 100_000, 9_973
+    terms = [
+        F.concat(F.lit("term"), ((F.col("id") * 7 + i) % vocab)) for i in range(20)
+    ]
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", *terms).alias("text")
+    )
+    q = ["term17", "term421", "term4242"]
+    t0 = time.time()
+    scan_rows = TX.bm25_topk(docs, q, top_k=10).collect()
+    scan_s = time.time() - t0
+    root = tempfile.mkdtemp(prefix="bench_textindex_")
+    try:
+        t0 = time.time()
+        idx = TextIndex.build(spark, docs, root, n_term_files=16)
+        build_s = time.time() - t0
+        idx_s = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            idx_rows = idx.bm25_topk(spark, q, top_k=10).collect()
+            idx_s = min(idx_s, time.time() - t0)
+        ok = [tuple(r) for r in idx_rows] == [tuple(r) for r in scan_rows]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    # The scenario where the reduction matters: the build side is too
+    # WIDE to broadcast (300k rows × 120-char payload ≈ 40 MB > the
+    # 10 MB auto-broadcast threshold → plain join is a sort-merge join
+    # shuffling all 4M fact rows), but its KEY SET compresses into a
+    # 256 KB bloom — the probe drops ~90% of the fact before the
+    # shuffle. A broadcastable build side needs no bloom (the plain
+    # join is already map-side); that regime is not what's measured.
+    n_fact, n_build = 4_000_000, 300_000
+    fact = spark.range(n_fact).select(
+        F.col("id").alias("key"), (F.col("id") % 97).alias("v")
+    )
+    build = (
+        spark.range(n_build)
+        .select((F.col("id") * 13 % n_fact).alias("key"))
+        .distinct()
+        .withColumn("payload", F.repeat(F.lit("x"), 120))
+    )
+    t0 = time.time()
+    n_plain = fact.join(build, "key").count()
+    plain_s = time.time() - t0
+    t0 = time.time()
+    n_reduced = bloom_reduced_join(fact, build, "key", m_bits=1 << 21).count()
+    reduced_s = time.time() - t0
+    from aeuc_vector_db_spark.operators.bloomjoin import bloom_build, bloom_probe_col
+
+    bf = bloom_build(build, "key", m_bits=1 << 21)
+    kept = fact.filter(bloom_probe_col(F.col("key"), bf)).count()
+    out = {
+        "bm25_scan_sec": round(scan_s, 3),
+        "bm25_index_build_sec": round(build_s, 3),
+        "bm25_indexed_sec": round(idx_s, 3),
+        "bm25_speedup": round(scan_s / idx_s, 2) if idx_s > 0 else None,
+        "bm25_match": ok,
+        "bloom_plain_sec": round(plain_s, 3),
+        "bloom_reduced_sec": round(reduced_s, 3),
+        "bloom_kept_frac": round(kept / n_fact, 6),
+        "bloom_rows_match": n_plain == n_reduced,
+    }
+    print(f"# retrieval_scale: {json.dumps(out)}", file=sys.stderr)
+    return out
 
 
 def _bench_manifest_soak(spark) -> dict:

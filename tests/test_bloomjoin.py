@@ -73,6 +73,34 @@ def test_null_keys_never_survive(spark):
     assert got == [(2, 2)]
 
 
+def test_words_df_matches_driver_build(spark):
+    """The distributed word table and the driver-collected filter are
+    the same bits — bloom_words_df is bloom_build minus the collect."""
+    from aeuc_vector_db_spark.operators.bloomjoin import bloom_words_df
+
+    build = _build(spark, n=200, span=20000)
+    bf = bloom_build(build, "key", m_bits=1 << 14)
+    dense = [0] * (1 << 8)
+    for r in bloom_words_df(build, "key", m_bits=1 << 14).collect():
+        dense[r["w"]] = r["word"]
+    assert dense == bf["words"]
+
+
+def test_reduced_join_probes_are_broadcast_joins(spark):
+    """The join formulation's contract: k broadcast probes + the final
+    join, no Python evaluator — and no giant literal in the plan (the
+    CreateArray-in-a-join-plan compile blowup this formulation avoids)."""
+    fact, build = _fact(spark), _build(spark)
+    plan = (
+        bloom_reduced_join(fact, build, "key")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "xxhash64" in plan and "BatchEvalPython" not in plan
+
+
 def test_probe_is_codegen_filter_below_the_join(spark):
     """The 100 TB contract: the probe is a plain Filter inside the fact
     side's WholeStageCodegen, BELOW any exchange/join — no Python
