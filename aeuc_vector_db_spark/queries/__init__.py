@@ -156,6 +156,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_bloom_semijoin_revenue",
     "doc_bm25_indexed_topk",
     "ivf_incremental_search",
+    "emb_mmr_rerank",
 )
 
 

@@ -117,6 +117,71 @@ FROM ranked WHERE rank <= 10
 _IVF_ORACLE = _ivf_oracle(rank_only=False)
 
 
+def _emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (Carbonell & Goldstein 1998) of each
+    query's cosine top-20, λ=0.7, k=8. The oracle replays the greedy
+    selection as a RECURSIVE CTE — a true cross-engine sequential-
+    algorithm equivalence check (the leakproof-split CC oracle's
+    pattern applied to retrieval): every selection step's argmax, its
+    tie-break, and the score arithmetic must agree bit-for-bit or the
+    hash diverges."""
+    from aeuc_vector_db_spark.operators.rerank import mmr_rerank
+    from aeuc_vector_db_spark.operators.search import knn_search_batch
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    res = knn_search_batch(emb, _queries_df(spark, sf_dir), top_k=20)
+    cand = res.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        "query_id", "vec_id", F.col("score").alias("rel"), "embedding"
+    )
+    out = mmr_rerank(cand, lam=0.7, top_k=8)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 9).alias("score"), "rank"
+    )
+
+
+def _mmr_oracle() -> str:
+    lam = "CAST(0.7 AS DOUBLE)"
+    one_minus = f"(CAST(1 AS DOUBLE) - {lam})"
+    cos = _dk_cosine
+    return f"""
+WITH RECURSIVE q AS (
+  SELECT vec_id AS query_id, {_dk_double('embedding')} AS qv
+  FROM embeddings WHERE {QUERY_FILTER}
+), c AS (
+  SELECT vec_id, {_dk_double('embedding')} AS cv FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.vec_id, {cos('cv', 'qv')} AS rel, c.cv
+  FROM c CROSS JOIN q
+), topr AS (
+  SELECT query_id, vec_id, rel, cv,
+         row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id ASC) AS rn
+  FROM scored
+), cand AS (
+  SELECT query_id, vec_id, rel, cv FROM topr WHERE rn <= 20
+), sel(query_id, step, vec_id, mmr, chosen) AS (
+  SELECT query_id, 1, vec_id, rel, [vec_id] FROM topr WHERE rn = 1
+  UNION ALL
+  SELECT query_id, step + 1, vec_id, mmr, list_append(chosen, vec_id) FROM (
+    SELECT u.*, row_number() OVER (
+             PARTITION BY u.query_id ORDER BY u.mmr DESC, u.vec_id ASC) AS rn2
+    FROM (
+      SELECT s.query_id, s.step, s.chosen, c.vec_id,
+             ({lam} * c.rel) - ({one_minus} * (
+                SELECT MAX({cos('c.cv', 'c2.cv')}) FROM cand c2
+                WHERE c2.query_id = c.query_id
+                  AND list_contains(s.chosen, c2.vec_id)
+             )) AS mmr
+      FROM sel s JOIN cand c ON c.query_id = s.query_id
+        AND NOT list_contains(s.chosen, c.vec_id)
+      WHERE s.step < 8
+    ) u
+  ) WHERE rn2 = 1
+)
+SELECT query_id, vec_id, ROUND(mmr, 9) AS score, CAST(step AS BIGINT) AS rank
+FROM sel
+"""
+
+
 def _ivf_incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`ivf_pruned_search`'s exact result served from an INCREMENTALLY
     BUILT on-disk layout: half the corpus written one-shot, the other
@@ -461,6 +526,7 @@ QUERIES = {
     "emb_matryoshka_topk": (_emb_matryoshka_topk, _MATRYOSHKA_ORACLE),
     "ivf_pruned_search": (_ivf_pruned_search, _IVF_ORACLE),
     "ivf_incremental_search": (_ivf_incremental_search, _IVF_ORACLE),
+    "emb_mmr_rerank": (_emb_mmr_rerank, _mmr_oracle()),
     "ivf_arrow_pruned_search": (_ivf_arrow_pruned_search, _IVF_ARROW_ORACLE),
     "ivf_euclidean_pruned_search": (_ivf_metric_query("euclidean"), _IVF_EUCLID_ORACLE),
     "ivf_phi_pruned_search": (_ivf_metric_query("phi_weighted"), _IVF_PHI_ORACLE),
