@@ -157,6 +157,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_bm25_indexed_topk",
     "ivf_incremental_search",
     "emb_mmr_rerank",
+    "doc_vocab_overlap_hll",
 )
 
 

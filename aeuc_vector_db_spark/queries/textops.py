@@ -1058,6 +1058,91 @@ FROM fin
 _HLL_DISTINCT_ORACLE = _hll_oracle()
 
 
+def _doc_vocab_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap via HLL inclusion–exclusion
+    (|A∩B| ≈ E(A)+E(B)−E(A∪B), union = element-wise register max): the
+    dataset-audit shape where exact INTERSECT would shuffle both key
+    sets but the sketches are 2·512 register rows. Exact intersection
+    carried as the verification twin at test scale."""
+    from aeuc_vector_db_spark.operators.sketch import hll_intersection
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.filter(F.col("source").isin(["src0", "src1"])).select(
+        "source", F.explode(TX.tokens_col(F.col("text"))).alias("term")
+    )
+    est = hll_intersection(tok, "term", "source", "src0", "src1")
+    ta = tok.filter(F.col("source") == "src0").select("term").distinct()
+    tb = tok.filter(F.col("source") == "src1").select("term").distinct()
+    exact = ta.join(tb, "term", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_intersection")
+    )
+    return exact.crossJoin(est).select(
+        "exact_intersection",
+        F.round("est_a", 2).alias("est_a"),
+        F.round("est_b", 2).alias("est_b"),
+        F.round("est_union", 2).alias("est_union"),
+        F.round("est_intersection", 2).alias("est_intersection"),
+    )
+
+
+def _vocab_overlap_oracle() -> str:
+    from aeuc_vector_db_spark.operators.sketch import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_P as HLL_P_BITS,
+        HLL_W,
+    )
+
+    shift = HLL_W + 1
+    num = HLL_ALPHA * HLL_M * HLL_M * float(1 << shift)
+
+    def est(regs_sql: str) -> str:
+        return f"""(
+  SELECT CASE WHEN ({num!r} / CAST(s_scaled AS DOUBLE)) <= {2.5 * HLL_M!r} AND v_zero > 0
+              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(v_zero AS DOUBLE))
+              ELSE ({num!r} / CAST(s_scaled AS DOUBLE)) END
+  FROM (
+    SELECT ({HLL_M} - COUNT(*)) AS v_zero,
+           COALESCE(SUM(CAST(1 AS BIGINT) << CAST({shift} - maxrho AS INT)),
+                    CAST(0 AS BIGINT))
+           + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {shift}) AS s_scaled
+    FROM ({regs_sql}) rsel
+  ) t)"""
+
+    return f"""
+WITH tok AS (
+  SELECT source, unnest({_dk_tokens()}) AS term FROM documents
+  WHERE source IN ('src0', 'src1')
+),
+hv AS (SELECT source, {_dk_hex32("sha256(term)")} AS h FROM tok),
+rr AS (
+  SELECT source, h % {HLL_M} AS register,
+         CASE WHEN (h >> {HLL_P_BITS}) = 0 THEN {shift}
+              ELSE {shift} - length(format('{{:b}}', h >> {HLL_P_BITS})) END AS rho
+  FROM hv
+),
+regs AS (SELECT source, register, MAX(rho) AS maxrho FROM rr GROUP BY source, register),
+ests AS (
+  SELECT {est("SELECT register, maxrho FROM regs WHERE source = 'src0'")} AS est_a,
+         {est("SELECT register, maxrho FROM regs WHERE source = 'src1'")} AS est_b,
+         {est("SELECT register, MAX(maxrho) AS maxrho FROM regs GROUP BY register")} AS est_union
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT term FROM tok WHERE source = 'src0'
+           INTERSECT
+           SELECT term FROM tok WHERE source = 'src1')) AS exact_intersection,
+       ROUND(est_a, 2) AS est_a,
+       ROUND(est_b, 2) AS est_b,
+       ROUND(est_union, 2) AS est_union,
+       ROUND(GREATEST(CAST(0 AS DOUBLE), (est_a + est_b) - est_union), 2)
+         AS est_intersection
+FROM ests
+"""
+
+
+_VOCAB_OVERLAP_ORACLE = _vocab_overlap_oracle()
+
+
 def _doc_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count–min frequency estimates for the exact heavy-hitter terms
     (count ≥ 200): the sketch build folds the whole token stream into
@@ -1267,6 +1352,7 @@ QUERIES = {
     "doc_quality_gate_sketch": (_doc_quality_gate_sketch, _QUALITY_GATE_ORACLE),
     "doc_substring_dedup": (_doc_substring_dedup, _SUBSTRING_DEDUP_ORACLE),
     "doc_hll_distinct": (_doc_hll_distinct, _HLL_DISTINCT_ORACLE),
+    "doc_vocab_overlap_hll": (_doc_vocab_overlap_hll, _VOCAB_OVERLAP_ORACLE),
     "doc_cms_freq": (_doc_cms_freq, _CMS_FREQ_ORACLE),
     "doc_leakproof_split": (_doc_leakproof_split, _LEAKPROOF_SPLIT_ORACLE),
     "doc_hybrid_rrf_topk": (_doc_hybrid_rrf_topk, _HYBRID_RRF_ORACLE),

@@ -338,3 +338,76 @@ def test_histogram_sketch_validates_bins(spark):
 
     with pytest.raises(ValueError, match="bins"):
         histogram_sketch(_vals(spark, [1.0]), "v", bins=0)
+
+
+def test_hll_intersection_inclusion_exclusion(spark):
+    """Known overlap: A = k0..k9999, B = k5000..k14999 → |A∩B| = 5000.
+    Each HLL term carries ~4.6% σ at m=512; the I-E estimate compounds
+    three of them, so a generous ±1500 band still catches any structural
+    bug (wrong union merge, wrong clamp, group leakage)."""
+    from aeuc_vector_db_spark.operators.sketch import hll_intersection
+
+    a = spark.range(10_000).select(
+        F.lit("a").alias("g"), F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    b = spark.range(5_000, 15_000).select(
+        F.lit("b").alias("g"), F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    row = hll_intersection(a.unionByName(b), "k", "g", "a", "b").first()
+    assert abs(row["est_intersection"] - 5000) < 1500
+    assert abs(row["est_a"] - 10_000) < 1500 and abs(row["est_b"] - 10_000) < 1500
+    assert abs(row["est_union"] - 15_000) < 2000
+
+
+def test_hll_intersection_union_is_register_max(spark):
+    """The union estimate must be BIT-IDENTICAL to hll_distinct over the
+    concatenated key stream — element-wise register max is exactly the
+    sketch of the union, not an approximation of it."""
+    from aeuc_vector_db_spark.operators.sketch import (
+        hll_distinct,
+        hll_intersection,
+    )
+
+    a = spark.range(3_000).select(
+        F.lit("a").alias("g"), F.concat(F.lit("x"), F.col("id")).alias("k")
+    )
+    b = spark.range(1_500, 4_500).select(
+        F.lit("b").alias("g"), F.concat(F.lit("x"), F.col("id")).alias("k")
+    )
+    both = a.unionByName(b)
+    est_u = hll_intersection(both, "k", "g", "a", "b").first()["est_union"]
+    direct = hll_distinct(both.select("k"), "k").first()["hll_estimate"]
+    assert est_u == direct
+
+
+def test_hll_intersection_identical_and_disjoint_groups(spark):
+    from aeuc_vector_db_spark.operators.sketch import hll_intersection
+
+    base = spark.range(2_000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    same = base.select(F.lit("a").alias("g"), "k").unionByName(
+        base.select(F.lit("b").alias("g"), "k")
+    )
+    r = hll_intersection(same, "k", "g", "a", "b").first()
+    # identical groups: union sketch == each group's sketch, so the
+    # I-E arithmetic collapses exactly to est_a
+    assert r["est_union"] == r["est_a"] == r["est_b"]
+    assert r["est_intersection"] == r["est_a"]
+    disj = spark.range(2_000).select(
+        F.lit("a").alias("g"), F.concat(F.lit("p"), F.col("id")).alias("k")
+    ).unionByName(
+        spark.range(2_000).select(
+            F.lit("b").alias("g"), F.concat(F.lit("q"), F.col("id")).alias("k")
+        )
+    )
+    r2 = hll_intersection(disj, "k", "g", "a", "b").first()
+    assert r2["est_intersection"] < 400  # sketch noise only, clamped >= 0
+
+
+def test_hll_intersection_empty_group(spark):
+    from aeuc_vector_db_spark.operators.sketch import hll_intersection
+
+    a_only = spark.range(100).select(
+        F.lit("a").alias("g"), F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    r = hll_intersection(a_only, "k", "g", "a", "b").first()
+    assert r["est_b"] == 0.0 and r["est_intersection"] == 0.0
