@@ -533,6 +533,40 @@ def leakproof_split(
     )
 
 
+def leakproof_kfold(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """K-fold cross-validation assignment with the same no-leak
+    guarantee as `leakproof_split`: the fold UNIT is the near-dup
+    graph's connected component, so a document and its near-copies
+    always land in the same fold — no fold's held-out set contains a
+    near-duplicate of another fold's training data.
+
+    Fold = (Fibonacci-spread bucket of the CLUSTER id) mod k: the
+    bucket is equidistributed over [0, 10000), so folds are balanced in
+    expectation at the cluster level; `salt` redraws the assignment
+    deterministically. Returns docs + (cluster_id, fold ∈ [0, k)).
+    Scale shape identical to leakproof_split: one CC over the pair set,
+    one left join, map-side hash — no corpus shuffle."""
+    if not 2 <= k <= 10000:
+        raise ValueError(f"k must be in [2, 10000], got {k}")
+    from aeuc_vector_db_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    out = docs.join(comp, id_col, "left")
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    bucket = sample_bucket_col(cluster.cast("string"), salt=salt)
+    return out.select(
+        *[F.col(c) for c in docs.columns],
+        cluster.alias("cluster_id"),
+        F.pmod(bucket, F.lit(k)).cast("long").alias("fold"),
+    )
+
+
 def referential_violations(
     child: DataFrame,
     parent: DataFrame,

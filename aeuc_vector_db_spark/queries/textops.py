@@ -967,6 +967,65 @@ FROM assigned GROUP BY split
 """
 
 
+def _doc_leakproof_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold generalization of the leakproof split (round 7): fold =
+    Fibonacci-spread bucket of the near-dup CLUSTER id mod 5, so a
+    document and its near-copies share a fold across all 5 held-out
+    sets. Same recursive-CC + bucket-arithmetic oracle as
+    `doc_leakproof_split`, with the fold projection swapped in."""
+    from aeuc_vector_db_spark.operators import curation as CU
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(
+        corpus.withColumn("block", F.col("doc_id") % 100000 % 50),
+        block_col="block",
+        threshold=0.6,
+        shingle_n=2,
+    ).select("a_id", "b_id")
+    out = CU.leakproof_kfold(corpus, pairs, k=5)
+    return out.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+
+
+_LEAKPROOF_KFOLD_ORACLE = f"""
+WITH RECURSIVE
+corpus AS ({_NEAR_DUP_CORPUS_SQL}),
+sh AS (
+  SELECT doc_id % 100000 % 50 AS block, doc_id, {_dk_shingle_hashes('text', 2)} AS shset
+  FROM corpus
+),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE {_dk_jaccard('a.shset', 'b.shset')} >= 0.6
+),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM p
+  UNION ALL
+  SELECT b_id, a_id FROM p
+),
+lab(node, comp) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.u, lab.comp FROM edges e JOIN lab ON lab.node = e.v
+),
+comp AS (SELECT node AS doc_id, MIN(comp) AS cluster_id FROM lab GROUP BY node),
+assigned AS (
+  SELECT doc_id, cluster_id,
+         ((({_dk_polyhash("('0:' || CAST(cluster_id AS VARCHAR))")}
+            * 2654435761) % 4294967296) % 10000) % 5 AS fold
+  FROM comp
+)
+SELECT CAST(fold AS BIGINT) AS fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+FROM assigned GROUP BY fold
+"""
+
+
 # ---------------------------------------------------------------------------
 # Cross-engine deterministic sketches (round 7): HyperLogLog distinct +
 # count–min point frequencies. Spark's own approx_count_distinct /
@@ -1355,6 +1414,7 @@ QUERIES = {
     "doc_vocab_overlap_hll": (_doc_vocab_overlap_hll, _VOCAB_OVERLAP_ORACLE),
     "doc_cms_freq": (_doc_cms_freq, _CMS_FREQ_ORACLE),
     "doc_leakproof_split": (_doc_leakproof_split, _LEAKPROOF_SPLIT_ORACLE),
+    "doc_leakproof_kfold": (_doc_leakproof_kfold, _LEAKPROOF_KFOLD_ORACLE),
     "doc_hybrid_rrf_topk": (_doc_hybrid_rrf_topk, _HYBRID_RRF_ORACLE),
     "doc_bm25_topk": (_doc_bm25_topk, _BM25_ORACLE),
     "doc_bm25_indexed_topk": (_doc_bm25_indexed_topk, _BM25_ORACLE),

@@ -488,6 +488,36 @@ def test_leakproof_split_no_pair_straddles(spark):
     assert other != again
 
 
+def test_leakproof_kfold_no_pair_straddles_any_fold(spark):
+    """K-fold generalization of the split invariant: every near-dup
+    pair shares a fold; folds cover [0, k); assignment is cluster-keyed,
+    deterministic under the same salt, redrawn under another."""
+    from aeuc_vector_db_spark.operators import curation as CU
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], "a_id long, b_id long"
+    )
+    out = CU.leakproof_kfold(docs, pairs, k=4)
+    rows = {r["doc_id"]: (r["cluster_id"], r["fold"]) for r in out.collect()}
+    assert {rows[i] for i in range(5)} == {(0, rows[0][1])}
+    assert rows[10][1] == rows[11][1]
+    folds = {f for _, f in rows.values()}
+    assert folds == {0, 1, 2, 3}  # 195 singleton clusters populate all 4
+    again = {r["doc_id"]: r["fold"] for r in
+             CU.leakproof_kfold(docs, pairs, k=4).collect()}
+    assert again == {d: f for d, (_, f) in rows.items()}
+    other = {r["doc_id"]: r["fold"] for r in
+             CU.leakproof_kfold(docs, pairs, k=4, salt=3).collect()}
+    assert other != again
+    import pytest
+
+    with pytest.raises(ValueError, match="k must"):
+        CU.leakproof_kfold(docs, pairs, k=1)
+
+
 # ---------------------------------------------------------------------------
 # Data-quality operators (round 7)
 # ---------------------------------------------------------------------------
