@@ -2478,6 +2478,84 @@ class ManifestTable:
             last = CommitConflictError("restore lost the publish race")
         raise CommitConflictError("restore: retries exhausted") from last
 
+    def clone_to(self, dest_root: str, version: "int | None" = None) -> int:
+        """Deep clone (Delta CLONE, deep form): copy the chosen
+        snapshot's data dirs + DV sidecars into `dest_root` and publish
+        a fresh v0 manifest there carrying the full logical surface —
+        schema, evolution marker, renames, tombstones, CHECK
+        constraints, per-file stats/rows/buckets; bloom and NDV
+        sidecars live inside the data dirs and travel with the copy.
+        Relative file paths are preserved 1:1, so every read path
+        (pruned, DV-aware, renamed, bucketed-merge) works on the clone
+        unchanged. History is collapsed: the clone starts at version 0
+        with its OWN files — vacuum/restore/writes on either table can
+        never affect the other (the shallow-clone tradeoff this
+        deliberately avoids: cross-root references would make one
+        table's vacuum another table's data loss).
+
+        Cost is a full data copy of the LIVE snapshot only (dirs not
+        referenced by `version` are skipped — the clone is also a
+        compaction of history debt). Returns the clone's version (0).
+        A bucketed table's clone carries its bucket map; open it with a
+        BucketedManifestTable handle of the same key/n_buckets."""
+        m = self.manifest(version)
+        dest = ManifestTable(
+            dest_root,
+            stats_cols=list(self.stats_cols) or None,
+            bloom_cols=list(self.bloom_cols) or None,
+            bloom_fpp=self.bloom_fpp,
+            ndv_cols=list(self.ndv_cols) or None,
+        )
+        if dest.latest_version() is not None:
+            raise ValueError(f"clone_to: {dest_root!r} already has commits")
+        dirs = {os.path.dirname(f) for f in m["files"]}
+        dirs |= {d for d in (m.get("deletes") or [])}
+        for rel in sorted(dirs):
+            src = os.path.join(self.root, rel)
+            if not os.path.exists(src):
+                raise FileNotFoundError(
+                    f"clone_to: {rel!r} was vacuumed — snapshot not "
+                    "reconstructible"
+                )
+            shutil.copytree(src, os.path.join(dest_root, rel))
+        live = set(m["files"])
+        manifest = {
+            "format_version": FORMAT_VERSION,
+            "version": 0,
+            "parent": None,
+            "action": "clone",
+            "files": list(m["files"]),
+            "n_rows": m["n_rows"],
+            "epoch_id": None,
+            "schema": m.get("schema"),
+            "committed_at_s": round(time.time(), 3),
+            **({"deletes": list(m["deletes"])} if m.get("deletes") else {}),
+            **({"evolved": True} if m.get("evolved") else {}),
+            **({"renames": dict(m["renames"])} if m.get("renames") else {}),
+            **(
+                {"tombstones": list(m["tombstones"])}
+                if m.get("tombstones")
+                else {}
+            ),
+            **(
+                {"constraints": dict(m["constraints"])}
+                if m.get("constraints")
+                else {}
+            ),
+            # per-file maps filtered to the live snapshot: the clone has
+            # no history, so dead files' entries must not ride along
+            **{
+                k: {f: v for f, v in m[k].items() if f in live}
+                for k in self._PER_FILE_KEYS
+                if k in m
+            },
+        }
+        if not dest._try_publish(manifest, 0):
+            raise CommitConflictError(
+                f"clone_to: a concurrent writer created {dest_root!r} v0"
+            )
+        return 0
+
     def vacuum(self, retain_last: int = 1, min_age_s: float = 3600.0) -> dict:
         """Reclaim space: drop manifests older than the last `retain_last`
         and delete data dirs no retained manifest references (covers

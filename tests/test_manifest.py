@@ -946,6 +946,49 @@ def test_merge_upsert_dv_atomic_bounded_merge(spark, root):
     assert {r["k"]: r["tag"] for r in t.read(spark).collect()} == rows2
 
 
+def test_clone_to_deep_copies_the_live_surface(spark, root, tmp_path):
+    """Deep clone: reads equal the source snapshot, DVs and renames and
+    CHECK constraints carry over, stats pruning works on the clone, and
+    destroying the SOURCE cannot touch the clone (fully independent
+    files)."""
+    import shutil as _sh
+
+    t = ManifestTable(root, stats_cols=["k"], bloom_cols=["k"])
+    t.commit_append(
+        spark.range(100).select(F.col("id").alias("k"),
+                                (F.col("id") * 2).alias("val"))
+    )
+    t.commit_append(
+        spark.range(100, 200).select(F.col("id").alias("k"),
+                                     (F.col("id") * 2).alias("val"))
+    )
+    t.delete_where_dv(spark, [("k", "<", 10)])
+    t.rename_column("val", "value")
+    t.add_check_constraint(spark, "v_pos", "value >= 0")
+    want = sorted(tuple(r) for r in t.read(spark).collect())
+    dest = str(tmp_path / "clone")
+    assert t.clone_to(dest) == 0
+    c = ManifestTable(dest, stats_cols=["k"], bloom_cols=["k"])
+    got = sorted(tuple(r) for r in c.read(spark).collect())
+    assert got == want and c.manifest()["n_rows"] == 190
+    # per-file stats traveled: the range read prunes on the clone
+    keep, total = c.files_for([("k", ">=", 150)])
+    assert len(keep) < total
+    # constraint enforcement is live on the clone
+    with pytest.raises(ValueError, match="v_pos"):
+        c.commit_append(
+            spark.createDataFrame([(999, -5)], "k long, value long")
+        )
+    # renamed logical name resolves on the clone's reads
+    assert c.read_where(spark, [("k", "=", 50)]).select("value").first()[0] == 100
+    # independence: vaporize the source — the clone is untouched
+    _sh.rmtree(root)
+    assert sorted(tuple(r) for r in c.read(spark).collect()) == want
+    # a non-empty destination is refused
+    with pytest.raises(ValueError, match="already has commits"):
+        c.clone_to(dest)
+
+
 def test_merge_full_clause_surface(spark, root):
     """The generalized MERGE: matched-delete, conditional matched-update,
     conditional insert, and not-matched-by-source delete evaluate in one
