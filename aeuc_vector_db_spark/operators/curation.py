@@ -567,6 +567,58 @@ def leakproof_kfold(
     )
 
 
+def curriculum_order(
+    docs: DataFrame,
+    score_col: str,
+    n_buckets: int = 8,
+    salt: int = 0,
+    id_col: str = "doc_id",
+    hard_first: bool = False,
+) -> DataFrame:
+    """Deterministic curriculum scheduling: bucket the corpus by a
+    difficulty proxy (length, quality score, loss estimate) into
+    `n_buckets` equi-width bands over the observed [min, max] — the
+    same cross-engine-exact bucket arithmetic as `histogram_sketch` —
+    and shuffle WITHIN each band by the seeded Fibonacci-spread hash.
+    The training order is the tuple sort (bucket, shuffle_key, id):
+    easy→hard band progression (or hard→easy with `hard_first`) with
+    reproducible intra-band mixing; `salt` redraws the mix per epoch.
+
+    Returns docs + (bucket INT, shuffle_key LONG). Deliberately NOT a
+    global row_number: the consumer materializes the order with a
+    distributed range sort (`orderBy(bucket, shuffle_key, id).write`),
+    which scales; a single-partition position window would not. NULL
+    scores go to the last bucket (they sort after every real band).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    v = F.col(score_col).cast("double")
+    bounds = docs.agg(
+        F.min(v).alias("lo"), F.max(v).alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:  # all-NULL scores: one band, hash order
+        bucket = F.lit(0)
+    else:
+        raw = F.floor(
+            (v - F.lit(lo)) / (F.lit(hi) - F.lit(lo)) * F.lit(float(n_buckets))
+        )
+        band = (
+            F.when(F.lit(hi == lo), F.lit(0))
+            .otherwise(F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1)))
+            .cast("int")
+        )
+        if hard_first:
+            band = F.lit(n_buckets - 1) - band
+        bucket = F.when(v.isNull(), F.lit(n_buckets)).otherwise(band)
+    key = sample_bucket_col(F.col(id_col).cast("string"), salt=salt)
+    return docs.select(
+        *[F.col(c) for c in docs.columns],
+        bucket.cast("int").alias("bucket"),
+        key.cast("long").alias("shuffle_key"),
+    )
+
+
 def referential_violations(
     child: DataFrame,
     parent: DataFrame,

@@ -646,7 +646,72 @@ FROM packed GROUP BY split, source
 """
 
 
+def _doc_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum scheduling (round 7): length-bucketed easy→hard order
+    with seeded intra-band shuffle. The check pins BOTH layers: per-band
+    doc counts/char spans AND the first three doc_ids of each band in
+    curriculum order (ordered string_agg in the oracle vs the rank-
+    sorted fold here) — a mis-bucketed doc or a wrong shuffle key moves
+    some band's head and diverges the hash."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = CU.curriculum_order(docs, "n_chars", n_buckets=8)
+    stats = out.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    w = Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    head = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("bucket")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "doc_id"))),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+            ).alias("head_docs")
+        )
+    )
+    return stats.join(head, "bucket")
+
+
+_CURRICULUM_ORACLE = f"""
+WITH b AS (
+  SELECT CAST(MIN(n_chars) AS DOUBLE) AS lo, CAST(MAX(n_chars) AS DOUBLE) AS hi
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, n_chars,
+         CAST(CASE WHEN hi = lo THEN 0
+              ELSE least(greatest(floor((CAST(n_chars AS DOUBLE) - lo)
+                                        / (hi - lo) * 8.0), 0), 7) END AS INT)
+           AS bucket,
+         (({_dk_polyhash("('0:' || CAST(doc_id AS VARCHAR))")}
+           * 2654435761) % 4294967296) % 10000 AS shuffle_key
+  FROM documents CROSS JOIN b
+),
+ranked AS (
+  SELECT bucket, doc_id,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY shuffle_key, doc_id) AS rn
+  FROM assigned
+)
+SELECT a.bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(a.n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(a.n_chars) AS BIGINT) AS max_chars,
+       (SELECT string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn)
+        FROM ranked r WHERE r.bucket = a.bucket AND r.rn <= 3) AS head_docs
+FROM assigned a GROUP BY a.bucket
+"""
+
+
 QUERIES = {
+    "doc_curriculum_order": (_doc_curriculum_order, _CURRICULUM_ORACLE),
     "doc_pipeline_e2e": (_doc_pipeline_e2e, _pipeline_oracle()),
     "doc_decontaminate": (_doc_decontaminate, _DECONTAMINATE_ORACLE),
     "doc_epoch_shuffle": (_doc_epoch_shuffle, _EPOCH_SHUFFLE_ORACLE),

@@ -281,8 +281,8 @@ def compact_json_line(payload: dict, limit: int = MAX_JSON_LINE) -> str:
     # headline scale claims go last
     for droppable in ("cluster_scale_sec", "dedup_skew_ratio", "cc_chain",
                       "probe_order", "hll_err_pct", "substring_skew_ratio",
-                      "retrieval",
                       "dv_delete", "cdc_per_version_ms", "manifest_soak",
+                      "retrieval",
                       "decode_imgs_per_s", "knn_scale",
                       "ingest_rows_per_s"):
         if len(line) <= limit:

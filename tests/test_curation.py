@@ -488,6 +488,54 @@ def test_leakproof_split_no_pair_straddles(spark):
     assert other != again
 
 
+def test_curriculum_order_bands_and_intra_band_shuffle(spark):
+    """Length-curriculum invariants: band edges are monotone (every doc
+    in band i is <= every doc in band i+1 up to equi-width rounding —
+    checked via per-band min/max spans not overlapping), NULL scores go
+    to the trailing band, hard_first reverses the band index, and the
+    intra-band order is salt-deterministic."""
+    from aeuc_vector_db_spark.operators import curation as CU
+
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 1000) for i in range(300)] + [(900, None)],
+        "doc_id long, n_chars long",
+    )
+    out = CU.curriculum_order(docs, "n_chars", n_buckets=4).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(by_bucket) == {0, 1, 2, 3, 4}  # 4 bands + NULL band
+    assert [r["doc_id"] for r in by_bucket[4]] == [900]
+    spans = {
+        b: (min(r["n_chars"] for r in rows), max(r["n_chars"] for r in rows))
+        for b, rows in by_bucket.items() if b < 4
+    }
+    for b in range(3):
+        assert spans[b][1] <= spans[b + 1][0]
+    # hard_first flips the band index (real bands only)
+    flipped = {
+        r["doc_id"]: r["bucket"]
+        for r in CU.curriculum_order(
+            docs, "n_chars", n_buckets=4, hard_first=True
+        ).collect()
+    }
+    for r in out:
+        if r["bucket"] < 4:
+            assert flipped[r["doc_id"]] == 3 - r["bucket"]
+    # same salt reproduces the shuffle keys; another salt redraws them
+    again = {r["doc_id"]: r["shuffle_key"]
+             for r in CU.curriculum_order(docs, "n_chars", n_buckets=4).collect()}
+    assert again == {r["doc_id"]: r["shuffle_key"] for r in out}
+    other = {r["doc_id"]: r["shuffle_key"]
+             for r in CU.curriculum_order(docs, "n_chars", n_buckets=4,
+                                          salt=9).collect()}
+    assert other != again
+    import pytest
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        CU.curriculum_order(docs, "n_chars", n_buckets=0)
+
+
 def test_leakproof_kfold_no_pair_straddles_any_fold(spark):
     """K-fold generalization of the split invariant: every near-dup
     pair shares a fold; folds cover [0, k); assignment is cluster-keyed,
