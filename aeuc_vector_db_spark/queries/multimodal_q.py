@@ -258,8 +258,67 @@ def _multimodal_native_codec_stats(spark: SparkSession, sf_dir: str) -> DataFram
     return builtin.unionByName(native).orderBy("path", "modality", "decode_status")
 
 
+def _multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (round 7, operators/imagehash.py): dHash
+    every image blob in the corpus (audio/video rows quarantine as
+    'error'/'stub' and drop out), plant nothing — the corpus's own
+    PNG/BMP pairs that share pixel-derivation collide where they should
+    — then the banded EXACT ≤3-bit Hamming pair set plus per-status
+    counts. Rows-only (no SQL image decoder); the kernel's hash values
+    and the pigeonhole guarantee are pinned in tests/test_imagehash.py
+    against brute force."""
+    from aeuc_vector_db_spark.operators.imagehash import (
+        image_dhash,
+        image_near_dup,
+    )
+
+    blobs = MM.read_binary_dir(spark, _blob_dir(spark, sf_dir))
+    # plant a deterministic near-dup cluster so the pair branch is a
+    # REAL check, not a vacuously-empty one: the same pixels as BMP and
+    # PNG (distance 0), a one-pixel tweak (distance ≤ 3), and a far
+    # image that must NOT pair with them
+    base = bytes(
+        ((x * 7 + y * 3 + ((x * y) % 13) * 5) % 256)
+        for y in range(24) for x in range(32) for _ in range(3)
+    )
+    tweaked = bytearray(base)
+    tweaked[100] = (tweaked[100] + 9) % 256
+    far = bytes(
+        ((x * 11 + y * 5 + ((x * y + 7) % 17) * 3) % 256)
+        for y in range(24) for x in range(32) for _ in range(3)
+    )
+    planted = spark.createDataFrame(
+        [
+            ("planted_bmp", bytearray(MM.bmp_encode(base, 32, 24))),
+            ("planted_png", bytearray(MM.png_encode(base, 32, 24))),
+            ("planted_tweak", bytearray(MM.bmp_encode(bytes(tweaked), 32, 24))),
+            ("planted_far", bytearray(MM.bmp_encode(far, 32, 24))),
+        ],
+        "blob_id string, content binary",
+    )
+    hashes = image_dhash(blobs, id_col="blob_id").unionByName(
+        image_dhash(planted, id_col="blob_id")
+    )
+    status = hashes.groupBy("decode_status").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        F.lit("status").alias("kind"),
+        F.col("decode_status").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+        F.col("n").cast("long").alias("v"),
+    )
+    pairs = image_near_dup(hashes, max_distance=3, id_col="blob_id").select(
+        F.lit("pair").alias("kind"),
+        F.col("a_id").alias("a"),
+        F.col("b_id").alias("b"),
+        F.col("distance").cast("long").alias("v"),
+    )
+    return status.unionByName(pairs)
+
+
 QUERIES = {
     "multimodal_feature_stats": (_multimodal_features, None),
     "multimodal_transform_stats": (_multimodal_transform_stats, None),
     "multimodal_native_codec_stats": (_multimodal_native_codec_stats, None),
+    "multimodal_image_near_dup": (_multimodal_image_near_dup, None),
 }
