@@ -107,15 +107,80 @@ def image_dhash(
     return blobs.select(id_col, payload_col).mapInPandas(_kernel, schema)
 
 
-def image_near_dup(
+def audio_fingerprint64(payload: bytes) -> int:
+    """64-bit audio fingerprint of one PCM WAV: mono-mix, split the
+    sample stream into 65 equal windows, integer mean-absolute
+    amplitude per window, bit i = energy[i+1] > energy[i]. Comparing
+    ADJACENT window energies makes the fingerprint gain-invariant
+    (scaling every sample preserves the order of the means) — the
+    audio analog of dHash's gradient-sign trick, same packed signed
+    int64 contract. Raises like wav_decode on non-WAV/compressed
+    payloads; all-integer arithmetic end to end."""
+    import numpy as np
+
+    from aeuc_vector_db_spark.sources.multimodal import wav_decode
+
+    channels, _rate, bits, _dur, pcm = wav_decode(payload)
+    if bits != 16:
+        raise ValueError(f"fingerprint supports 16-bit PCM, got {bits}")
+    samples = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+    if channels > 1:
+        n = (len(samples) // channels) * channels
+        samples = samples[:n].reshape(-1, channels).sum(axis=1) // channels
+    if len(samples) < 65:
+        raise ValueError(f"too short to fingerprint: {len(samples)} samples")
+    edges = (np.arange(66) * len(samples)) // 65
+    v = 0
+    prev = None
+    for i in range(65):
+        seg = samples[edges[i] : edges[i + 1]]
+        e = int(np.abs(seg).sum()) // max(len(seg), 1)
+        if prev is not None:
+            v = (v << 1) | (1 if e > prev else 0)
+        prev = e
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_afp(
+    blobs: DataFrame,
+    payload_col: str = "content",
+    id_col: str = "path",
+) -> DataFrame:
+    """(id, afp LONG, decode_status) per blob — audio_fingerprint64
+    with the standard per-row quarantine (non-WAV/corrupt → 'error')."""
+    import pandas as pd
+
+    schema = f"{id_col} string, afp long, decode_status string"
+
+    def _kernel(batches):
+        for pdf in batches:
+            ids, hashes, status = [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(i)
+                try:
+                    hashes.append(audio_fingerprint64(bytes(payload)))
+                    status.append("ok")
+                except Exception:
+                    hashes.append(None)
+                    status.append("error")
+            yield pd.DataFrame(
+                {id_col: ids, "afp": pd.array(hashes, dtype="Int64"),
+                 "decode_status": status}
+            )
+
+    return blobs.select(id_col, payload_col).mapInPandas(_kernel, schema)
+
+
+def hamming64_near_dup(
     hashes: DataFrame,
     max_distance: int = 3,
     id_col: str = "path",
     hash_col: str = "dhash",
 ) -> DataFrame:
-    """(a_id, b_id, distance) for every pair of hashes within
-    `max_distance` Hamming bits, a_id < b_id. EXACT for
-    max_distance ≤ 3 by pigeonhole over 4 disjoint 16-bit bands —
+    """(a_id, b_id, distance) for every pair of 64-bit hashes within
+    `max_distance` Hamming bits, a_id < b_id — generic over ANY 64-bit
+    perceptual code (image dHash, audio fingerprint, SimHash). EXACT
+    for max_distance ≤ 3 by pigeonhole over 4 disjoint 16-bit bands —
     candidates come from the band equi-join (never all-pairs), the
     real distance check removes band-collision false positives.
     max_distance ≥ 4 would silently lose pairs, so it raises."""
@@ -164,3 +229,7 @@ def image_near_dup(
         .filter(F.col("distance") <= max_distance)
         .select("a_id", "b_id", "distance")
     )
+
+
+#: the image-named alias predates the generic name; both are public
+image_near_dup = hamming64_near_dup

@@ -316,9 +316,57 @@ def _multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return status.unionByName(pairs)
 
 
+def _multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of the image near-dup query: 64-bit adjacent-energy
+    fingerprints with a planted gain-scaled duplicate — the fingerprint
+    is gain-invariant modulo integer-floor ties, so the pair lands
+    within the exact ≤3-bit banded Hamming gate while a different
+    signal does not. Every corpus blob quarantines as 'error' BY
+    DESIGN: images/videos are not WAVs, and the corpus's 64-sample
+    micro-WAVs sit one sample below the fingerprint's 65-window floor
+    — the status rows make that quarantine visible, the planted trio
+    carries the positive check. Rows-only (no SQL WAV decoder);
+    invariances pinned in tests/test_imagehash.py."""
+    from aeuc_vector_db_spark.operators.imagehash import (
+        audio_afp,
+        hamming64_near_dup,
+    )
+
+    blobs = MM.read_binary_dir(spark, _blob_dir(spark, sf_dir))
+    tone = [(((i * 13) % 200) - 100) * 30 for i in range(2600)]
+    far = [(((i * 13 + 97) % 200) - 100) * 30 for i in range(2600)]
+    planted = spark.createDataFrame(
+        [
+            ("planted_base", bytearray(MM.wav_encode(tone, 8000))),
+            ("planted_gain", bytearray(MM.wav_encode([s * 2 for s in tone], 8000))),
+            ("planted_far", bytearray(MM.wav_encode(far, 8000))),
+        ],
+        "blob_id string, content binary",
+    )
+    fp = audio_afp(blobs, id_col="blob_id").unionByName(
+        audio_afp(planted, id_col="blob_id")
+    )
+    status = fp.groupBy("decode_status").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("status").alias("kind"),
+        F.col("decode_status").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+        F.col("n").cast("long").alias("v"),
+    )
+    pairs = hamming64_near_dup(
+        fp, max_distance=3, id_col="blob_id", hash_col="afp"
+    ).select(
+        F.lit("pair").alias("kind"),
+        F.col("a_id").alias("a"),
+        F.col("b_id").alias("b"),
+        F.col("distance").cast("long").alias("v"),
+    )
+    return status.unionByName(pairs)
+
+
 QUERIES = {
     "multimodal_feature_stats": (_multimodal_features, None),
     "multimodal_transform_stats": (_multimodal_transform_stats, None),
     "multimodal_native_codec_stats": (_multimodal_native_codec_stats, None),
     "multimodal_image_near_dup": (_multimodal_image_near_dup, None),
+    "multimodal_audio_near_dup": (_multimodal_audio_near_dup, None),
 }

@@ -92,3 +92,52 @@ def test_near_dup_matches_brute_force_and_is_banded(spark):
     assert again == got
     with pytest.raises(ValueError, match="max_distance"):
         image_near_dup(hashes, max_distance=4)
+
+
+# -- audio fingerprint ------------------------------------------------------
+
+from aeuc_vector_db_spark.operators.imagehash import (  # noqa: E402
+    audio_afp,
+    audio_fingerprint64,
+    hamming64_near_dup,
+)
+from aeuc_vector_db_spark.sources.multimodal import wav_encode  # noqa: E402
+
+
+def _tone(n=2600, scale=1, phase=0):
+    return [((((i * 13 + phase) % 200) - 100) * 30) * scale for i in range(n)]
+
+
+def _ham(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_audio_fingerprint_invariances():
+    base = audio_fingerprint64(wav_encode(_tone(), 8000))
+    # declared sample rate is metadata — same samples, same fingerprint
+    assert base == audio_fingerprint64(wav_encode(_tone(), 16000))
+    # gain scaling preserves adjacent-energy ordering modulo integer
+    # floor ties: a handful of bits at most, well under the pair gate
+    assert _ham(base, audio_fingerprint64(wav_encode(_tone(scale=2), 8000))) <= 2
+    # a different signal is far away
+    assert _ham(base, audio_fingerprint64(wav_encode(_tone(phase=97), 8000))) > 8
+    with pytest.raises(ValueError, match="too short"):
+        audio_fingerprint64(wav_encode([0] * 10, 8000))
+
+
+def test_audio_near_dup_via_banded_hamming(spark):
+    rows = [
+        ("base", bytearray(wav_encode(_tone(), 8000))),
+        ("gain", bytearray(wav_encode(_tone(scale=2), 8000))),
+        ("far", bytearray(wav_encode(_tone(phase=97), 8000))),
+        ("junk", bytearray(b"definitely not audio")),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    fp = audio_afp(df)
+    st = {r["path"]: r["decode_status"] for r in fp.collect()}
+    assert st == {"base": "ok", "gain": "ok", "far": "ok", "junk": "error"}
+    pairs = sorted(
+        (r["a_id"], r["b_id"])
+        for r in hamming64_near_dup(fp, max_distance=3, hash_col="afp").collect()
+    )
+    assert pairs == [("base", "gain")]
