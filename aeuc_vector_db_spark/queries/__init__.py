@@ -125,7 +125,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_cms_freq",
     "emb_binary_hamming_topk",
     "doc_substring_dedup",
-    # positions ≥ 51 — the round-8 head. Round 7 added 29 new queries;
+    # positions ≥ 51 — the round-8 head. Round 7 added 30 new queries;
     # the 8 above sit inside the driver's 50-row window, and everything
     # from here down waits for its driver row in r8 (all were verified
     # by this round's full tools/check_correctness.py runs). First the
@@ -162,6 +162,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_curriculum_order",
     "multimodal_image_near_dup",
     "multimodal_audio_near_dup",
+    "doc_bpe_tokenize",
 )
 
 

@@ -967,6 +967,43 @@ FROM assigned GROUP BY split
 """
 
 
+def _doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE (round 7, operators/bpe.py): train 60 merges on
+    the corpus's word-frequency table (one aggregate + a bounded
+    driver-side merge loop — not SQL-expressible, hence rows-only; the
+    sequential-parity and textbook-example semantics are pinned in
+    tests/test_bpe.py), then encode every document map-side and emit
+    the corpus's top-10 subword tokens by frequency plus totals —
+    deterministic given the corpus, so row count and schema are stable
+    across runs."""
+    from aeuc_vector_db_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = bpe_train(docs, n_merges=60)
+    enc = bpe_encode(docs, merges)
+    top = (
+        enc.select(F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(10)
+    )
+    totals = enc.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).select(
+        F.lit("__totals__").alias("tok"),
+        F.col("total_tokens").cast("long").alias("n"),
+        F.col("n_docs").cast("long").alias("extra"),
+        F.lit(len(merges)).cast("long").alias("n_merges"),
+    )
+    return top.select(
+        "tok", F.col("n").cast("long").alias("n"),
+        F.lit(None).cast("long").alias("extra"),
+        F.lit(None).cast("long").alias("n_merges"),
+    ).unionByName(totals)
+
+
 def _doc_leakproof_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-fold generalization of the leakproof split (round 7): fold =
     Fibonacci-spread bucket of the near-dup CLUSTER id mod 5, so a
@@ -1415,6 +1452,7 @@ QUERIES = {
     "doc_cms_freq": (_doc_cms_freq, _CMS_FREQ_ORACLE),
     "doc_leakproof_split": (_doc_leakproof_split, _LEAKPROOF_SPLIT_ORACLE),
     "doc_leakproof_kfold": (_doc_leakproof_kfold, _LEAKPROOF_KFOLD_ORACLE),
+    "doc_bpe_tokenize": (_doc_bpe_tokenize, None),
     "doc_hybrid_rrf_topk": (_doc_hybrid_rrf_topk, _HYBRID_RRF_ORACLE),
     "doc_bm25_topk": (_doc_bm25_topk, _BM25_ORACLE),
     "doc_bm25_indexed_topk": (_doc_bm25_indexed_topk, _BM25_ORACLE),
