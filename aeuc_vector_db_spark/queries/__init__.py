@@ -163,6 +163,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_image_near_dup",
     "multimodal_audio_near_dup",
     "doc_bpe_tokenize",
+    # round-7 session-4 additions: decorrelated-subquery shapes and the
+    # interval RANGE window (driver rows due in r8; oracle-verified
+    # in-repo this round via tools/check_correctness.py)
+    "rel_exists_late_shipment",
+    "rel_small_qty_part_revenue",
+    "rel_waiting_suppliers",
+    "rel_idle_rich_customers",
+    "rel_rolling_30d_revenue",
 )
 
 

@@ -942,7 +942,256 @@ GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# Correlated-subquery shapes (TPC-H Q4/Q17/Q21/Q22). The DataFrame API has
+# no correlated subqueries, so each is written in its DECORRELATED form —
+# the plan Catalyst's subquery rewrite would produce, made explicit:
+# EXISTS → left-semi join, NOT EXISTS → left-anti join, correlated scalar
+# aggregate → grouped aggregate + equi-join. Correlated comparisons against
+# an average are rewritten exactly (qty < avg ⇔ qty·n < sum, all DECIMAL)
+# so Spark and DuckDB agree bit-for-bit with no float-division boundary.
+# At 100 TB: the semi/anti probes never materialize the probe side, the
+# per-part aggregate is partial+final on the same join key it then joins
+# on, and every dimension side broadcasts.
+# ---------------------------------------------------------------------------
+
+
+def _exists_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders placed in 1996H1 with at least one lineitem
+    shipped >60 days after the order date, counted per priority. The
+    EXISTS decorrelates to ONE left-semi hash join on the order key with
+    the date inequality as a join filter — the probe (lineitem) is never
+    materialized into the output, and the semi short-circuits on first
+    match per order."""
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    cond = (orders["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_EXISTS_LATE_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def _small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from Brand#4 lineitems whose quantity is
+    below 20% of that part's average quantity. The correlated scalar
+    AVG decorrelates to a per-part grouped aggregate joined back on the
+    part key; `qty < 0.2·avg` is rewritten exactly as `qty·5·n < sum`
+    in DECIMAL (no float division, no boundary drift). Lineitem is
+    semi-filtered to the brand's parts FIRST (broadcast, 96 keys), so
+    both the aggregate and the join run over the reduced set — at scale
+    the full-corpus pass never happens."""
+    part = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("decimal(9,2)").alias("qd"),
+            _dec("l_extendedprice").alias("pd"),
+        )
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qd").alias("sq"), F.count(F.lit(1)).cast("decimal(9,0)").alias("nq")
+    )
+    flt = li.join(F.broadcast(per_part), "l_partkey").filter(
+        F.col("qd") * F.lit(5).cast("decimal(1,0)") * F.col("nq") < F.col("sq")
+    )
+    return flt.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("pd").cast("double") / F.lit(7.0), 2).alias("avg_yearly"),
+    )
+
+
+_SMALL_QTY_ORACLE = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(l_quantity AS DECIMAL(9,2)) AS qd,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS pd
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4')
+),
+pa AS (
+  SELECT l_partkey, SUM(qd) AS sq, CAST(COUNT(*) AS DECIMAL(9,0)) AS nq
+  FROM li GROUP BY l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(pd) AS DOUBLE) / 7.0, 2) AS avg_yearly
+FROM li JOIN pa USING (l_partkey)
+WHERE qd * 5 * nq < sq
+"""
+
+
+def _waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers whose lineitem shipped >90 days after
+    the order date in a multi-supplier order where NO other supplier was
+    that late — EXISTS and NOT EXISTS over the same fact, decorrelated
+    to one left-semi plus one left-anti hash join on the order key with
+    the supplier inequality as a join filter. The `late` set is computed
+    once and reused for both the driving rows and the anti probe;
+    supplier (100 rows) broadcasts; top-10 is TakeOrderedAndProject over
+    the (numwait DESC, s_name) total order."""
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    l1 = late.join(
+        other,
+        (late["l_orderkey"] == other["o2_orderkey"])
+        & (late["l_suppkey"] != other["o2_suppkey"]),
+        "left_semi",
+    )
+    l1 = l1.join(
+        other_late,
+        (l1["l_orderkey"] == other_late["o3_orderkey"])
+        & (l1["l_suppkey"] != other_late["o3_suppkey"]),
+        "left_anti",
+    )
+    return (
+        l1.join(F.broadcast(sup), l1["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+_WAITING_SUPPLIERS_ORACLE = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3
+                    ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+def _idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average (positive) account
+    balance and no orders since 2001, per nation. The correlated scalar
+    AVG decorrelates to a 1-row aggregate broadcast into the filter;
+    `bal > avg` is rewritten exactly as `bal·n > sum` in DECIMAL. The
+    NOT EXISTS is a left-anti join against the date-filtered orders —
+    at scale the anti probe carries only the filtered custkeys."""
+    cust = load_table(spark, "customer", sf_dir)
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("sbal"),
+        F.count(F.lit(1)).cast("decimal(9,0)").alias("nbal"),
+    )
+    rich = cust.crossJoin(F.broadcast(pos)).filter(
+        F.col("c_acctbal").cast("decimal(9,2)") * F.col("nbal") > F.col("sbal")
+    )
+    o2001 = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderdate") >= "2001-01-01")
+        .select("o_custkey")
+    )
+    idle = rich.join(o2001, rich["c_custkey"] == o2001["o_custkey"], "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("sum_bal"),
+    )
+
+
+_IDLE_RICH_ORACLE = """
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sbal,
+         CAST(COUNT(*) AS DECIMAL(9,0)) AS nbal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM customer CROSS JOIN pos
+WHERE CAST(c_acctbal AS DECIMAL(9,2)) * nbal > sbal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c_nationkey
+"""
+
+
+def _rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval RANGE window: per order, the count and revenue of the
+    same customer's orders in the trailing 30 days (inclusive). Spark
+    expresses the time frame as rangeBetween over epoch seconds (session
+    TZ is UTC, so the mapping to DuckDB's RANGE INTERVAL frame is
+    exact); sums are DECIMAL so peer order inside the frame can't change
+    the result. One shuffle (hash by o_custkey), running-window
+    execution within each partition — no self-join, no point-vs-range
+    blowup."""
+    o = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("sum_price_30d"),
+    )
+
+
+_ROLLING_30D_ORACLE = """
+SELECT o_orderkey,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_30d,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS sum_price_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
+    "rel_exists_late_shipment": (_exists_late_shipment, _EXISTS_LATE_ORACLE),
+    "rel_small_qty_part_revenue": (_small_qty_part_revenue, _SMALL_QTY_ORACLE),
+    "rel_waiting_suppliers": (_waiting_suppliers, _WAITING_SUPPLIERS_ORACLE),
+    "rel_idle_rich_customers": (_idle_rich_customers, _IDLE_RICH_ORACLE),
+    "rel_rolling_30d_revenue": (_rolling_30d_revenue, _ROLLING_30D_ORACLE),
     "rel_bloom_semijoin_revenue": (_bloom_semijoin_revenue, _BLOOM_SEMIJOIN_ORACLE),
     "rel_fk_violations": (_fk_violations, _FK_ORACLE),
     "rel_order_price_drift": (_order_price_drift, _DRIFT_ORACLE),

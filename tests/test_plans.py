@@ -263,3 +263,32 @@ def test_sketch_family_partial_aggregates(spark):
         assert "partial" in plan and "HashAggregate" in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_decorrelated_subquery_plan_shapes(spark):
+    """The Q4/Q17/Q21/Q22 decorrelated shapes must keep their hash
+    semi/anti joins (an EXISTS degrading to an inner join + distinct, or
+    an anti to a cartesian, is the scale regression these pin) and stay
+    Python-free; the rolling-30d window must run as a single Window over
+    one key shuffle, never a self-join."""
+    plan = _plan(spark, "rel_exists_late_shipment")
+    assert "LeftSemi" in plan and "CartesianProduct" not in plan
+
+    plan = _plan(spark, "rel_small_qty_part_revenue")
+    # brand semi-filter AND the per-part aggregate join both broadcast
+    assert "BroadcastHashJoin" in plan and "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = _plan(spark, "rel_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan  # top-10, not a global sort
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(spark, "rel_idle_rich_customers")
+    assert "LeftAnti" in plan  # NOT EXISTS over 2001 orders
+    # the 1-row scalar aggregate joins as a broadcast, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    plan = _plan(spark, "rel_rolling_30d_revenue")
+    assert "Window" in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
