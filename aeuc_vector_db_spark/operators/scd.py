@@ -1,0 +1,131 @@
+"""Slowly-changing-dimension (Type 2) history + point-in-time joins.
+
+The training-data version of this problem is feature leakage: joining a
+fact (a training example at time t) to the CURRENT value of a feature
+instead of the value that was true AT t silently trains on the future.
+The fix is the feature-store pattern — build versioned dimension history
+once, then join each fact to the version whose validity interval covers
+the fact's timestamp.
+
+Spark-first shapes, and why they hold at 100 TB:
+
+- `scd2_from_changes` is two window functions over ONE hash shuffle by
+  the dimension key (same-instant last-wins dedup, then `lead(ts)` to
+  close each version). No self-join, no collect; dimension history is
+  usually orders of magnitude smaller than the fact stream.
+- `point_in_time_join` is an EQUI hash join on the key with the interval
+  predicate as a join filter — each fact row matches exactly one version
+  (intervals are disjoint by construction), so the join output is
+  |facts|, never |facts|·|versions|. Catalyst keeps the equi key as the
+  hash key and evaluates the range residual per collision — the shape
+  AQE can still skew-split. A pure range join (no equi key) would be the
+  cartesian trap; this operator requires the key on both sides.
+
+The reference engine has no temporal surface (it is a vector store);
+this is charter scale-out surface like the manifest table. Semantics
+follow the standard SCD2 / feature-store definition (Kimball DW
+Toolkit ch. 5; e.g. Feast's point-in-time-correct join): versions are
+half-open intervals [eff_from, eff_to), the newest version is open
+(eff_to NULL), and a fact at exactly eff_from sees the NEW version.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_from_changes(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: "list[str]",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Build SCD Type-2 history from a change stream.
+
+    Each input row is "key's attributes became these values at ts".
+    Output: one row per version with half-open validity
+    ``[eff_from, eff_to)``; the latest version per key has
+    ``eff_to = NULL``.
+
+    Same-instant changes (two updates sharing (key, ts)) keep the row
+    with the greatest `tie_col` — a deterministic last-wins; without a
+    tie column, same-instant duplicates are rejected loudly rather than
+    resolved arbitrarily (partition order must never pick the winner).
+    """
+    for c in (key_col, ts_col, *attr_cols):
+        if c not in changes.columns:
+            raise ValueError(f"scd2_from_changes: no column {c!r} in changes")
+    ts_type = changes.schema[ts_col].dataType.simpleString()
+    if tie_col is not None:
+        w_tie = Window.partitionBy(key_col, ts_col).orderBy(F.col(tie_col).desc())
+        deduped = (
+            changes.withColumn("__rn__", F.row_number().over(w_tie))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
+        eff_from = F.col(ts_col)
+    else:
+        # No tie-break requested: a same-instant duplicate would make the
+        # version order depend on partition order — raise AT EVALUATION
+        # (distributed, inside the version projection so it can't be
+        # pruned) instead of resolving arbitrarily.
+        w_dup = Window.partitionBy(key_col, ts_col)
+        changes = changes.withColumn("__dup__", F.count(F.lit(1)).over(w_dup))
+        deduped = changes
+        eff_from = F.when(
+            F.col("__dup__") > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit("scd2_from_changes: same-instant duplicate change for "
+                          f"{key_col}="),
+                    F.col(key_col).cast("string"),
+                    F.lit(" — pass tie_col for deterministic last-wins"),
+                )
+            ).cast(ts_type),
+        ).otherwise(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+    return deduped.select(
+        F.col(key_col),
+        eff_from.alias("eff_from"),
+        F.lead(ts_col).over(w).alias("eff_to"),
+        *[F.col(c) for c in attr_cols],
+    )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    fact_ts_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Join each fact to the dimension version valid at the fact's time.
+
+    `dim` must carry `eff_from`/`eff_to` (from `scd2_from_changes`).
+    The join is equi on `key_col` with the interval predicate as a join
+    filter; intervals are disjoint per key, so each fact matches at most
+    one version. `how='left'` keeps facts that predate the first version
+    (dimension columns NULL) — the honest answer for training data,
+    where dropping early facts silently shifts the distribution.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"point_in_time_join: how must be left|inner, got {how!r}")
+    missing = [c for c in ("eff_from", "eff_to") if c not in dim.columns]
+    if missing:
+        raise ValueError(f"point_in_time_join: dim lacks {missing} (build it "
+                         "with scd2_from_changes)")
+    d = dim
+    if key_col in facts.columns:
+        d = d.withColumnRenamed(key_col, f"__dim_{key_col}__")
+        key_cond = facts[key_col] == d[f"__dim_{key_col}__"]
+    else:
+        raise ValueError(f"point_in_time_join: no column {key_col!r} in facts")
+    ts = facts[fact_ts_col]
+    cond = (
+        key_cond
+        & (ts >= d["eff_from"])
+        & (d["eff_to"].isNull() | (ts < d["eff_to"]))
+    )
+    return facts.join(d, cond, how).drop(f"__dim_{key_col}__")

@@ -171,6 +171,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_waiting_suppliers",
     "rel_idle_rich_customers",
     "rel_rolling_30d_revenue",
+    "events_scd2_point_in_time",
 )
 
 

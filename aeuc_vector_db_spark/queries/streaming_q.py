@@ -266,7 +266,68 @@ FROM j
 """
 
 
+def _events_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 + point-in-time join (operators/scd.py): purchases form a
+    per-user change stream (value = the attribute); every click is then
+    joined to the purchase-version valid AT the click's timestamp —
+    the feature-store leak-proof join. Clicks before a user's first
+    purchase keep NULLs (left join) rather than silently dropping.
+    Oracle: the same SCD2 construction in DuckDB SQL — a cross-engine
+    check of the half-open [eff_from, eff_to) interval semantics,
+    including the ts-tie last-wins and the boundary-inclusive eff_from."""
+    from aeuc_vector_db_spark.operators.scd import (
+        point_in_time_join,
+        scd2_from_changes,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    dim = scd2_from_changes(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        ),
+        key_col="user_id",
+        ts_col="ts",
+        attr_cols=["value"],
+        tie_col="event_id",
+    ).withColumnRenamed("value", "purchase_value")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = point_in_time_join(clicks, dim, key_col="user_id", fact_ts_col="ts")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("purchase_value"),
+        F.col("eff_from").isNotNull().alias("has_version"),
+    )
+
+
+_SCD2_PIT_ORACLE = """
+WITH ch AS (
+  SELECT user_id, ts, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+),
+dim AS (
+  SELECT user_id, ts AS eff_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS eff_to,
+         value AS purchase_value
+  FROM ch WHERE rn = 1
+)
+SELECT f.event_id, f.user_id, d.purchase_value,
+       d.eff_from IS NOT NULL AS has_version
+FROM events f
+LEFT JOIN dim d
+  ON f.user_id = d.user_id
+ AND f.ts >= d.eff_from
+ AND (d.eff_to IS NULL OR f.ts < d.eff_to)
+WHERE f.event_type = 'click'
+"""
+
+
 QUERIES = {
+    "events_scd2_point_in_time": (_events_scd2_point_in_time, _SCD2_PIT_ORACLE),
     "events_resample_locf": (_events_resample_locf, _RESAMPLE_ORACLE),
     "events_windowed_hll": (_events_windowed_hll, _WINDOWED_HLL_ORACLE),
     "events_hourly_window": (_events_hourly_window, _HOURLY_ORACLE),

@@ -1,0 +1,139 @@
+"""SCD Type-2 history + point-in-time join (operators/scd.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from aeuc_vector_db_spark.operators.scd import point_in_time_join, scd2_from_changes
+
+
+def _t(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+
+
+def _facts(spark, rows):
+    return spark.createDataFrame(rows, "fact_id long, user_id long, ts timestamp")
+
+
+CH = [
+    (1, "2024-01-01 00:00:00", 10, 1.0),
+    (1, "2024-01-03 00:00:00", 11, 2.0),
+    (2, "2024-01-02 00:00:00", 12, 9.0),
+]
+
+
+def test_scd2_validity_ranges_hand_computed(spark):
+    dim = scd2_from_changes(
+        _changes(spark, [(u, _t(ts), e, v) for u, ts, e, v in CH]),
+        key_col="user_id", ts_col="ts", attr_cols=["value"], tie_col="event_id",
+    )
+    rows = {(r["user_id"], r["eff_from"]): (r["eff_to"], r["value"])
+            for r in dim.collect()}
+    assert rows[(1, _t("2024-01-01 00:00:00"))] == (_t("2024-01-03 00:00:00"), 1.0)
+    assert rows[(1, _t("2024-01-03 00:00:00"))] == (None, 2.0)  # open version
+    assert rows[(2, _t("2024-01-02 00:00:00"))] == (None, 9.0)
+    assert len(rows) == 3
+
+
+def test_scd2_same_instant_last_wins_by_tie(spark):
+    """Two changes at the same (key, ts): the greater tie_col wins —
+    deterministically, regardless of input partitioning."""
+    ch = CH + [(1, "2024-01-03 00:00:00", 99, 7.0)]  # event 99 beats 11
+    for n_parts in (1, 7):
+        dim = scd2_from_changes(
+            _changes(spark, [(u, _t(ts), e, v) for u, ts, e, v in ch])
+            .repartition(n_parts),
+            key_col="user_id", ts_col="ts", attr_cols=["value"],
+            tie_col="event_id",
+        )
+        got = {(r["user_id"], r["eff_from"]): r["value"] for r in dim.collect()}
+        assert got[(1, _t("2024-01-03 00:00:00"))] == 7.0
+        assert len(got) == 3
+
+
+def test_scd2_same_instant_without_tie_raises(spark):
+    ch = CH + [(1, "2024-01-03 00:00:00", 99, 7.0)]
+    dim = scd2_from_changes(
+        _changes(spark, [(u, _t(ts), e, v) for u, ts, e, v in ch]),
+        key_col="user_id", ts_col="ts", attr_cols=["value"],
+    )
+    with pytest.raises(Exception, match="same-instant duplicate"):
+        dim.collect()
+
+
+def test_scd2_clean_stream_without_tie_is_fine(spark):
+    dim = scd2_from_changes(
+        _changes(spark, [(u, _t(ts), e, v) for u, ts, e, v in CH]),
+        key_col="user_id", ts_col="ts", attr_cols=["value"],
+    )
+    assert dim.count() == 3
+
+
+def test_point_in_time_boundaries(spark):
+    """Half-open [eff_from, eff_to): a fact at exactly eff_from sees the
+    NEW version; a fact before the first version keeps NULLs (left)."""
+    dim = scd2_from_changes(
+        _changes(spark, [(u, _t(ts), e, v) for u, ts, e, v in CH]),
+        key_col="user_id", ts_col="ts", attr_cols=["value"], tie_col="event_id",
+    )
+    facts = _facts(spark, [
+        (100, 1, _t("2023-12-31 00:00:00")),  # before first → NULL
+        (101, 1, _t("2024-01-01 00:00:00")),  # exactly eff_from → v1
+        (102, 1, _t("2024-01-02 23:59:59")),  # inside v1
+        (103, 1, _t("2024-01-03 00:00:00")),  # exactly boundary → v2
+        (104, 1, _t("2024-12-01 00:00:00")),  # open version → v2
+        (105, 3, _t("2024-06-01 00:00:00")),  # unknown key → NULL
+    ])
+    got = {r["fact_id"]: r["value"]
+           for r in point_in_time_join(facts, dim, "user_id", "ts").collect()}
+    assert got == {100: None, 101: 1.0, 102: 1.0, 103: 2.0, 104: 2.0, 105: None}
+    inner = point_in_time_join(facts, dim, "user_id", "ts", how="inner")
+    assert sorted(r["fact_id"] for r in inner.collect()) == [101, 102, 103, 104]
+
+
+def test_point_in_time_output_is_fact_sized(spark):
+    """Disjoint intervals ⇒ exactly one match per fact: the join output
+    equals |facts| even with many versions per key."""
+    ch = [(1, _t(f"2024-01-{d:02d} 00:00:00"), d, float(d)) for d in range(1, 29)]
+    dim = scd2_from_changes(
+        _changes(spark, ch), "user_id", "ts", ["value"], tie_col="event_id")
+    facts = _facts(spark, [
+        (i, 1, _t(f"2024-01-{d:02d} 12:00:00")) for i, d in enumerate(range(1, 29))
+    ])
+    j = point_in_time_join(facts, dim, "user_id", "ts")
+    assert j.count() == facts.count()
+    assert j.filter(F.col("value") != F.dayofmonth("ts")).count() == 0
+
+
+def test_point_in_time_plan_is_equi_join(spark):
+    """The interval predicate must ride as a filter on an EQUI join on
+    the key — never a cartesian/pure-range join."""
+    dim = scd2_from_changes(
+        _changes(spark, [(u, _t(ts), e, v) for u, ts, e, v in CH]),
+        "user_id", "ts", ["value"], tie_col="event_id")
+    facts = _facts(spark, [(100, 1, _t("2024-01-02 00:00:00"))])
+    plan = point_in_time_join(facts, dim, "user_id", "ts")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_validation_errors(spark):
+    df = _changes(spark, [(u, _t(ts), e, v) for u, ts, e, v in CH])
+    with pytest.raises(ValueError, match="no column"):
+        scd2_from_changes(df, "nope", "ts", ["value"])
+    dim = scd2_from_changes(df, "user_id", "ts", ["value"], tie_col="event_id")
+    facts = _facts(spark, [(1, 1, _t("2024-01-02 00:00:00"))])
+    with pytest.raises(ValueError, match="how must be"):
+        point_in_time_join(facts, dim, "user_id", "ts", how="full")
+    with pytest.raises(ValueError, match="dim lacks"):
+        point_in_time_join(facts, dim.drop("eff_to"), "user_id", "ts")
