@@ -172,6 +172,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_idle_rich_customers",
     "rel_rolling_30d_revenue",
     "events_scd2_point_in_time",
+    "rel_unpivot_part_metrics",
+    "rel_grouping_sets_revenue",
 )
 
 

@@ -1186,7 +1186,76 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
 """
 
 
+def _unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): part's numeric columns rotated into long form
+    (metric, value) — the inverse of `rel_pivot_status_by_priority` —
+    then re-aggregated per (brand, metric). Spark's native `unpivot` is
+    a zero-shuffle Expand (each input row fans out to k rows map-side);
+    the only shuffle is the final aggregate's. Long-form stats over
+    wide-schema tables is the canonical reshape a feature pipeline does
+    before per-feature normalization."""
+    part = load_table(spark, "part", sf_dir)
+    long = part.select(
+        "p_brand",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    ).unpivot(["p_brand"], ["size", "retailprice"], "metric", "value")
+    return long.groupBy("p_brand", "metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+_UNPIVOT_ORACLE = """
+WITH long AS (
+  SELECT p_brand, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+  UNION ALL
+  SELECT p_brand, 'retailprice', CAST(p_retailprice AS DOUBLE) FROM part
+)
+SELECT p_brand, metric, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM long GROUP BY p_brand, metric
+"""
+
+
+def _grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form of the existing rollup/cube
+    queries: exactly the (status, priority), (status), () aggregation
+    levels in ONE pass (Expand + single shuffle), with `grouping_id`
+    disambiguating a real NULL group value from an aggregated-out
+    column. Bitmask semantics are standard SQL, so the DuckDB oracle's
+    GROUPING(a, b) must agree bit-for-bit."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
 QUERIES = {
+    "rel_unpivot_part_metrics": (_unpivot_part_metrics, _UNPIVOT_ORACLE),
+    "rel_grouping_sets_revenue": (_grouping_sets_revenue, _GROUPING_SETS_ORACLE),
     "rel_exists_late_shipment": (_exists_late_shipment, _EXISTS_LATE_ORACLE),
     "rel_small_qty_part_revenue": (_small_qty_part_revenue, _SMALL_QTY_ORACLE),
     "rel_waiting_suppliers": (_waiting_suppliers, _WAITING_SUPPLIERS_ORACLE),

@@ -292,3 +292,15 @@ def test_decorrelated_subquery_plan_shapes(spark):
     plan = _plan(spark, "rel_rolling_30d_revenue")
     assert "Window" in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_reshape_queries_expand_map_side(spark):
+    """unpivot and grouping-sets are Expand-based: the row fan-out is
+    map-side (no extra shuffle), the only exchange is the final
+    aggregate's — and no Python operator appears."""
+    for name in ("rel_unpivot_part_metrics", "rel_grouping_sets_revenue"):
+        plan = _plan(spark, name)
+        assert "Expand" in plan, name
+        assert "HashAggregate" in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
