@@ -542,3 +542,37 @@ def windowed_hll_distinct(
         v_zero.cast("long").alias("n_zero_registers"),
         s_scaled.cast("long").alias("s_scaled"),
     )
+
+
+def dedup_within_watermark(
+    entries: DataFrame,
+    key_cols: "tuple[str, ...]" = ("entry_id",),
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """In-flight streaming dedup with BOUNDED state.
+
+    Keeps the first arrival per key; re-deliveries of the same key
+    arriving within `delay` of each other are dropped before they reach
+    the sink — cutting the per-epoch anti-join work the exactly-once
+    sink (`start_ingest`) would otherwise spend on them.
+
+    The watermark is the 100 TB design point: a plain
+    ``dropDuplicates(keys)`` on a stream keeps state for every key EVER
+    seen and grows without bound; ``dropDuplicatesWithinWatermark``
+    evicts a key's state once the watermark passes its event time, so
+    state size tracks the (rate × delay) window, not stream history.
+    The trade is explicit: a duplicate arriving later than `delay` after
+    the original is NOT caught here — that's the sink anti-join's job,
+    which is why this operator composes in FRONT of it rather than
+    replacing it. Works identically on batch DataFrames (watermark is a
+    no-op there), so batch twins can pin the key-set semantics.
+    """
+    missing = [c for c in (*key_cols, ts_col) if c not in entries.columns]
+    if missing:
+        raise ValueError(f"dedup_within_watermark: missing columns {missing}")
+    out = entries
+    if out.isStreaming:
+        out = out.withWatermark(ts_col, delay)
+        return out.dropDuplicatesWithinWatermark(list(key_cols))
+    return out.dropDuplicates(list(key_cols))

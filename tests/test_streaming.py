@@ -600,3 +600,49 @@ def test_manifest_sink_quarantines_constraint_violations(spark, tmp_path):
     rows = {r["entry_id"]: r["reject_reason"] for r in quar.collect()}
     assert set(rows) == {f"e{i}" for i in range(5, 9)}
     assert all(v == "check_constraint:ctx_small" for v in rows.values())
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    """Re-delivered keys within the watermark window are dropped
+    in-flight: exactly one row per key reaches the sink, the key set
+    matches the batch twin, and every survivor is a genuine input row.
+    (Which duplicate survives is per-batch arrival order — asserted
+    membership, not identity.)"""
+    src = f"{tmp_path}/dd_src"
+    os.makedirs(src)
+    rows = []
+    for i in range(40):
+        rows.append({"event_id": i, "ts": f"2024-01-01T00:{i % 50:02d}:00.000Z",
+                     "value": float(i)})
+        if i % 3 == 0:  # re-deliver a third of the keys 1 min later
+            rows.append({"event_id": i, "ts": f"2024-01-01T00:{(i % 50) + 1:02d}:00.000Z",
+                         "value": float(i)})
+    with open(f"{src}/x.jsonl", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    schema = "event_id long, ts timestamp, value double"
+
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        SI.dedup_within_watermark(stream, key_cols=("event_id",), delay="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("dd_sink")
+        .option("checkpointLocation", f"{tmp_path}/dd_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dd_sink").collect()
+    assert len(got) == 40  # one per key, duplicates dropped in-flight
+    assert sorted(r["event_id"] for r in got) == list(range(40))
+    inputs = {(r["event_id"], r["value"]) for r in rows}
+    assert all((r["event_id"], r["value"]) in inputs for r in got)
+
+    batch = spark.read.schema(schema).json(src)
+    batch_keys = sorted(
+        r["event_id"]
+        for r in SI.dedup_within_watermark(batch, key_cols=("event_id",)).collect()
+    )
+    assert batch_keys == sorted(r["event_id"] for r in got)
+
+    with pytest.raises(ValueError, match="missing columns"):
+        SI.dedup_within_watermark(batch, key_cols=("nope",))
