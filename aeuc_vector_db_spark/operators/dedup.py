@@ -349,6 +349,58 @@ def keep_one(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 16,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+    seed: int = 42,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """SemDeDup: embedding-space near-dup removal bucketed by k-means
+    cells (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540).
+
+    Pipeline: coarse cells (a bounded-sample k-means fit + map-side
+    Arrow argmin assignment, `ann.py assign_centroids` — or a caller-
+    provided `cell_col` such as a prebuilt IVF's) → within-cell cosine
+    pairs ≥ threshold (`embedding_near_dup`, pair count Σ nᵢ², never
+    N²) → connected components → keep the min-id representative per
+    cluster. Returns (keeper_id, doc_id, keep) for edge-connected rows;
+    untouched rows are implicitly kept.
+
+    The documented SemDeDup tradeoff carries over: a near-dup pair
+    SPLIT across a cell boundary is missed (identical vectors always
+    co-locate — assignment is a deterministic function of the vector —
+    so EXACT duplicates are never missed). Recall vs cost is tuned by
+    k: fewer cells → bigger Σ nᵢ² → higher recall.
+    """
+    if cell_col is None:
+        from aeuc_vector_db_spark.operators.ann import (
+            assign_centroids,
+            fit_centroids_sample_local,
+        )
+
+        cents = fit_centroids_sample_local(
+            corpus, k=k, seed=seed, sample_mod=sample_mod,
+            id_col=id_col, vec_col=vec_col,
+        )
+        cells = assign_centroids(corpus, cents, id_col=id_col, vec_col=vec_col)
+        blocked = corpus.join(cells, id_col)
+        cell_col = "centroid_id"
+    else:
+        if cell_col not in corpus.columns:
+            raise ValueError(f"semantic_dedup: no column {cell_col!r} in corpus")
+        blocked = corpus
+    pairs = embedding_near_dup(
+        blocked, block_col=cell_col, id_col=id_col, vec_col=vec_col,
+        threshold=threshold,
+    )
+    return keep_one(pairs)
+
+
 def minhash_lsh_mllib(
     df: DataFrame,
     threshold: float = 0.5,

@@ -174,6 +174,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_scd2_point_in_time",
     "rel_unpivot_part_metrics",
     "rel_grouping_sets_revenue",
+    "emb_semantic_dedup_keep_one",
+    "emb_semantic_dedup_learned",
 )
 
 

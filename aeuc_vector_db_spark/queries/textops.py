@@ -476,6 +476,73 @@ FROM pairs WHERE cos >= 0.99
 """
 
 
+def _emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-one over LABEL cells — the SQL-expressible twin of
+    the learned-cells operator (`dedup.py semantic_dedup`, Abbas et al.
+    2023): within-cell cosine pairs ≥ 0.99 → connected components →
+    min-id representative. Planted exact copies (vec_id%25, shifted ids)
+    must collapse onto their originals. Oracle: the same pair set plus a
+    RECURSIVE-CTE transitive closure in DuckDB — a cross-engine
+    connected-components equivalence check in embedding space."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    copies = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    res = D.semantic_dedup(
+        emb.unionByName(copies), threshold=0.99, cell_col="label"
+    )
+    return res.select("keeper_id", F.col("doc_id").alias("vec_id"), "keep")
+
+
+_SEMANTIC_DEDUP_ORACLE = """
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]), (s, x) -> s + x)
+        / (sqrt(list_reduce(list_transform(a.v, x -> x*x), (s, x) -> s + x))
+           * sqrt(list_reduce(list_transform(b.v, x -> x*x), (s, x) -> s + x)) + 1e-12)
+        >= 0.99
+),
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT component AS keeper_id, node AS vec_id, node = component AS keep
+FROM comp
+"""
+
+
+def _emb_semantic_dedup_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with LEARNED cells (k=8 bounded-sample k-means + Arrow
+    argmin assignment) — the 100 TB path. The k-means fit is not
+    SQL-expressible, so this is rows-only like `ann_*_recall`;
+    `test_dedup.py` pins that exact duplicates always collapse
+    (identical vectors co-locate deterministically)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    copies = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    res = D.semantic_dedup(emb.unionByName(copies), k=8, threshold=0.99)
+    return res.select(
+        "keeper_id", F.col("doc_id").alias("vec_id"), "keep"
+    ).orderBy("keeper_id", "vec_id")
+
+
 def _doc_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 end-to-end: minhash pairs → connected components → keep-one.
     Output: one row per duplicate-cluster member with its keeper."""
@@ -1471,6 +1538,8 @@ QUERIES = {
     "doc_minhash_capped": (_doc_minhash_capped, _MINHASH_CAPPED_ORACLE),
     "doc_ngram_jaccard": (_doc_ngram_jaccard, _NGRAM_JACCARD_ORACLE),
     "emb_near_dup_cosine": (_emb_near_dup, _EMB_NEAR_DUP_ORACLE),
+    "emb_semantic_dedup_keep_one": (_emb_semantic_dedup, _SEMANTIC_DEDUP_ORACLE),
+    "emb_semantic_dedup_learned": (_emb_semantic_dedup_learned, None),
     "doc_dedup_keep_one": (_doc_dedup_keep_one, _KEEP_ONE_ORACLE),
     "doc_clean_corpus_pipeline": (_doc_clean_corpus_pipeline, _CLEAN_PIPELINE_ORACLE),
 }

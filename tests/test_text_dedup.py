@@ -464,3 +464,73 @@ def test_substring_dup_spans_partitioning_invariance_and_stride(spark):
     assert {r["doc_id"] for r in r3} == set(range(10))
     with pytest.raises(ValueError, match="stride"):
         substring_dup_spans(df1, min_len=40, stride=0)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (dedup.semantic_dedup): cluster-bucketed embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def _emb_corpus(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_exact_dups_always_collapse(spark):
+    """Identical vectors co-locate under any learned cells (assignment
+    is a deterministic function of the vector), so exact duplicates are
+    never missed — regardless of k or input partitioning."""
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(1000 + i, list(base[i])) for i in range(0, 40, 5)]  # 8 exact copies
+    for n_parts in (1, 9):
+        res = D.semantic_dedup(
+            _emb_corpus(spark, rows).repartition(n_parts), k=4, threshold=0.999
+        ).collect()
+        got = {(r["keeper_id"], r["doc_id"], r["keep"]) for r in res}
+        expect = set()
+        for i in range(0, 40, 5):
+            expect.add((i, i, True))
+            expect.add((i, 1000 + i, False))
+        assert got == expect
+
+
+def test_semantic_dedup_cell_col_matches_learned_on_exact_dups(spark):
+    """A caller-provided cell column (here: one cell) must find at least
+    everything the learned path finds — single-cell is brute force."""
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+    df = _emb_corpus(spark, rows).withColumn("cell", F.lit(0))
+    res = D.semantic_dedup(df, threshold=0.999, cell_col="cell").collect()
+    got = {(r["keeper_id"], r["doc_id"], r["keep"]) for r in res}
+    assert got == {(0, 0, True), (0, 2, False), (1, 1, True), (1, 3, False)}
+
+
+def test_semantic_dedup_boundary_miss_is_the_declared_tradeoff(spark):
+    """Near (not identical) duplicates split across cells are missed —
+    the documented SemDeDup recall/cost trade. Two clusters far apart;
+    a near-dup pair straddling them disappears under per-cluster cells
+    but is found single-cell."""
+    a = [10.0, 0.0]
+    b = [10.0, 0.2]   # cos(a,b) ≈ 0.9998 — a near-dup of a
+    far = [-10.0, 0.0]
+    rows = [(0, a), (1, b), (2, far), (3, [-10.0, 0.1])]
+    df = _emb_corpus(spark, rows)
+    # force a split: cell by sign of x
+    split = df.withColumn("cell", (F.element_at("embedding", 1) < 0).cast("int"))
+    found_split = {tuple(sorted((r["keeper_id"], r["doc_id"])))
+                   for r in D.semantic_dedup(split, threshold=0.999,
+                                             cell_col="cell").collect()}
+    assert (0, 1) in found_split  # same-cell pair found
+    one_cell = df.withColumn("cell", F.lit(0))
+    found_one = {tuple(sorted((r["keeper_id"], r["doc_id"])))
+                 for r in D.semantic_dedup(one_cell, threshold=0.999,
+                                           cell_col="cell").collect()}
+    assert found_split <= found_one  # split never finds MORE than brute force
+
+
+def test_semantic_dedup_validation(spark):
+    df = _emb_corpus(spark, [(0, [1.0, 0.0])])
+    with pytest.raises(ValueError, match="no column"):
+        D.semantic_dedup(df, cell_col="nope")
