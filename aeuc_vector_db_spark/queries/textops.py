@@ -489,7 +489,7 @@ def _emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + 100000
     )
     res = D.semantic_dedup(
-        emb.unionByName(copies), threshold=0.99, cell_col="label"
+        emb.unionByName(copies), threshold=0.99, cell_col="label", engine="sql"
     )
     return res.select("keeper_id", F.col("doc_id").alias("vec_id"), "keep")
 

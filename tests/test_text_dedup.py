@@ -534,3 +534,45 @@ def test_semantic_dedup_validation(spark):
     df = _emb_corpus(spark, [(0, [1.0, 0.0])])
     with pytest.raises(ValueError, match="no column"):
         D.semantic_dedup(df, cell_col="nope")
+
+
+def test_embedding_near_dup_arrow_matches_sql_pairs(spark):
+    """The Arrow gram kernel and the SQL fold must agree on the PAIR SET
+    (cos differs only in low-order bits, asserted ≤ 1e-9) — checked on
+    the sf0.01 fixture with planted exact copies, away from the
+    threshold noise boundary."""
+    from aeuc_vector_db_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    copies = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = emb.unionByName(copies)
+    sql_pairs = {(r["block"], r["a_id"], r["b_id"]): r["cos"]
+                 for r in D.embedding_near_dup(corpus, threshold=0.99).collect()}
+    arrow_pairs = {(r["block"], r["a_id"], r["b_id"]): r["cos"]
+                   for r in D.embedding_near_dup_arrow(corpus, threshold=0.99).collect()}
+    assert sql_pairs.keys() == arrow_pairs.keys() and sql_pairs
+    for k, v in sql_pairs.items():
+        assert abs(v - arrow_pairs[k]) <= 1e-9, k
+
+
+def test_embedding_near_dup_arrow_chunking_invariant(spark):
+    """Row-chunking the gram matrix must not change the pair set."""
+    rows = [(i, [float((i * 7 + j) % 5), float((i + j) % 3), 1.0])
+            for i in range(30) for j in [0]]
+    rows += [(100 + i, list(map(float, r[1]))) for i, r in enumerate(rows[:10])]
+    df = _emb_corpus(spark, [(i, v) for i, v in rows]).withColumn(
+        "label", F.lit(0))
+    full = {(r["a_id"], r["b_id"]) for r in
+            D.embedding_near_dup_arrow(df, threshold=0.999).collect()}
+    tiny = {(r["a_id"], r["b_id"]) for r in
+            D.embedding_near_dup_arrow(df, threshold=0.999, chunk=4).collect()}
+    assert full == tiny and full
+
+
+def test_semantic_dedup_engine_validation(spark):
+    df = _emb_corpus(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    with pytest.raises(ValueError, match="engine must be"):
+        D.semantic_dedup(df.withColumn("cell", F.lit(0)), cell_col="cell",
+                         engine="nope")
