@@ -176,6 +176,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_grouping_sets_revenue",
     "emb_semantic_dedup_keep_one",
     "emb_semantic_dedup_learned",
+    "rel_big_volume_customers",
 )
 
 

@@ -1253,7 +1253,53 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
 
 
+def _big_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds 180
+    — an `IN (SELECT key ... GROUP BY key HAVING agg > x)` subquery,
+    decorrelated to a grouped aggregate semi-joining the fact. The
+    aggregate runs partial+final on l_orderkey and only the QUALIFYING
+    keys flow into the join (the semi probe is the HAVING output, not
+    lineitem); customer broadcasts; top-20 is TakeOrderedAndProject on
+    the (o_totalprice DESC, o_orderkey) total order. Quantities sum as
+    DECIMAL so the HAVING cut is exact on both engines."""
+    li = load_table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(9,2)")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 180)
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"], "inner")
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name", "o_orderkey", "o_orderdate",
+            _dec("o_totalprice").cast("double").alias("totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+_BIG_VOLUME_ORACLE = """
+SELECT c_name, o_orderkey, o_orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM orders o
+JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(9,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(9,2))) > 180) big
+  ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "rel_big_volume_customers": (_big_volume_customers, _BIG_VOLUME_ORACLE),
     "rel_unpivot_part_metrics": (_unpivot_part_metrics, _UNPIVOT_ORACLE),
     "rel_grouping_sets_revenue": (_grouping_sets_revenue, _GROUPING_SETS_ORACLE),
     "rel_exists_late_shipment": (_exists_late_shipment, _EXISTS_LATE_ORACLE),

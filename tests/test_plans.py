@@ -293,6 +293,12 @@ def test_decorrelated_subquery_plan_shapes(spark):
     assert "Window" in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+    # Q18 shape: the HAVING aggregate's qualifying keys drive the join,
+    # and top-20 never becomes a global sort
+    plan = _plan(spark, "rel_big_volume_customers")
+    assert "HashAggregate" in plan and "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
 
 def test_reshape_queries_expand_map_side(spark):
     """unpivot and grouping-sets are Expand-based: the row fan-out is
