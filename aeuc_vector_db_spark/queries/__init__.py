@@ -177,6 +177,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "emb_semantic_dedup_keep_one",
     "emb_semantic_dedup_learned",
     "rel_big_volume_customers",
+    "knn_maxsim_topk",
 )
 
 

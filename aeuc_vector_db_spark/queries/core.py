@@ -571,7 +571,64 @@ FROM u
 """
 
 
+_MAXSIM_SUB = 4  # 64-dim fixture vectors viewed as 4 × 16-dim subvectors
+
+
+def _maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim, Khattab & Zaharia 2020,
+    SIGIR) top-k: each 64-dim vector is viewed as 4 × 16-dim subvectors
+    (a multi-vector representation); score(q, d) = Σᵢ maxⱼ cos(qᵢ, dⱼ).
+    Same plan shape as the flat k-NN family — broadcast query batch,
+    corpus never shuffles, WindowGroupLimit top-k — with a 16-term
+    scoring expression staying entirely JVM-side. The sum is explicit
+    left-to-right and `greatest` is exact, so the DuckDB oracle (same
+    slices, same sequential cosine folds) hash-matches scores."""
+    from aeuc_vector_db_spark.functions.similarity import cosine_col
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    corpus = emb.select("vec_id", as_double("embedding").alias("cv"))
+    qs = _queries_df(spark, sf_dir).select(
+        "query_id", as_double("query_embedding").alias("qv")
+    )
+    j = corpus.crossJoin(F.broadcast(qs))
+
+    def sub(c, i: int):
+        return F.slice(c, i * 16 + 1, 16)
+
+    maxes = [
+        F.greatest(*[cosine_col(sub(F.col("qv"), i), sub(F.col("cv"), jj))
+                     for jj in range(_MAXSIM_SUB)])
+        for i in range(_MAXSIM_SUB)
+    ]
+    score = maxes[0] + maxes[1] + maxes[2] + maxes[3]
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("vec_id").asc()
+    )
+    return (
+        j.select("query_id", "vec_id", score.alias("s"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id", "vec_id", F.round("s", 9).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _dk_maxsim(cv: str, qv: str) -> str:
+    def sl(c: str, i: int) -> str:
+        return f"{c}[{i * 16 + 1}:{(i + 1) * 16}]"
+
+    maxes = [
+        "greatest(" + ", ".join(_dk_cosine(sl(qv, i), sl(cv, jj))
+                                for jj in range(_MAXSIM_SUB)) + ")"
+        for i in range(_MAXSIM_SUB)
+    ]
+    return "(" + " + ".join(maxes) + ")"
+
+
 QUERIES = {
+    "knn_maxsim_topk": (_maxsim_topk, _knn_oracle(_dk_maxsim)),
     "knn_cosine_topk": (_knn_query("cosine"), _knn_oracle(_dk_cosine)),
     "knn_euclidean_topk": (_knn_query("euclidean"), _knn_oracle(_dk_euclid_sim)),
     "knn_dot_topk": (_knn_query("dot"), _knn_oracle(_dk_dot)),

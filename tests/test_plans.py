@@ -310,3 +310,14 @@ def test_reshape_queries_expand_map_side(spark):
         assert "HashAggregate" in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_maxsim_plan_shape(spark):
+    """Late-interaction MaxSim must keep the k-NN family's plan: the
+    corpus reaches the 16-term scorer via a broadcast (never a shuffle
+    join or cartesian), the expression stays JVM-side, and top-k per
+    query is a group-limit window."""
+    plan = _plan(spark, "knn_maxsim_topk")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WindowGroupLimit" in plan
