@@ -79,6 +79,14 @@ HEADLINE = (
     # call)
     "rel_bloom_semijoin_revenue",
     "doc_bm25_indexed_topk",
+    # round-7 session 4: decorrelated semi/anti probes (the heaviest of
+    # the subquery family), the interval RANGE running window, the
+    # feature-store point-in-time join, and late-interaction MaxSim
+    # (16-term JVM scoring on the k-NN plan)
+    "rel_waiting_suppliers",
+    "rel_rolling_30d_revenue",
+    "events_scd2_point_in_time",
+    "knn_maxsim_topk",
 )
 
 

@@ -423,3 +423,52 @@ def test_substring_dup_spans_matches_bruteforce(spark, texts):
         for r in substring_dup_spans(df, min_len=L).collect()
     }
     assert got == _py_substr_spans(docs, L)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 invariants (operators/scd.py): for ANY change stream, the version
+# intervals partition each key's timeline — strictly increasing eff_from,
+# each eff_to equal to the next eff_from, exactly one open version per key —
+# and a point-in-time join matches every fact at most once.
+# ---------------------------------------------------------------------------
+
+CHANGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=0, max_value=50),     # ts (seconds)
+        st.integers(min_value=0, max_value=10**6),  # tie
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SETTINGS
+@given(CHANGES)
+def test_scd2_intervals_partition_timeline(spark, changes):
+    from datetime import datetime, timezone
+
+    from aeuc_vector_db_spark.operators.scd import scd2_from_changes
+
+    rows = [
+        (k, datetime.fromtimestamp(1_700_000_000 + ts, tz=timezone.utc), tie, float(tie))
+        for k, ts, tie in changes
+    ]
+    df = spark.createDataFrame(
+        rows, "key long, ts timestamp, tie long, attr double"
+    )
+    dim = scd2_from_changes(df, "key", "ts", ["attr"], tie_col="tie").collect()
+    by_key: dict = {}
+    for r in dim:
+        by_key.setdefault(r["key"], []).append((r["eff_from"], r["eff_to"]))
+    for key, ivs in by_key.items():
+        ivs.sort(key=lambda t: t[0])
+        froms = [f for f, _ in ivs]
+        assert froms == sorted(set(froms)), "eff_from strictly increasing per key"
+        for (f1, t1), (f2, _) in zip(ivs, ivs[1:]):
+            assert t1 == f2, "no gap/overlap between consecutive versions"
+        assert ivs[-1][1] is None, "exactly one open version per key"
+        assert all(t is not None for _, t in ivs[:-1])
+    # one version per distinct (key, ts)
+    distinct_changes = {(k, ts) for k, ts, _ in changes}
+    assert len(dim) == len(distinct_changes)
