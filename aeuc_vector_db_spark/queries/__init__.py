@@ -61,123 +61,77 @@ for _mod_name in (
 
 
 # The driver's correctness pass checks the FIRST 50 registry entries
-# (CORRECTNESS_r02..r06 each hold exactly 50 rows regardless of registry
+# (CORRECTNESS_r02..r07 each hold exactly 50 rows regardless of registry
 # size). Ordering therefore decides which queries get a driver-verified
-# row each round; the window is rotated so no query's newest driver row
-# is ever more than one round old. Round 6 verified the 50 queries in
-# CORRECTNESS_r06.json; this list puts the 47 queries absent from that
-# file (the r5-window set) FIRST so round 7 re-verifies them, followed
-# by queries new in round 7 (which need a driver row in their first
-# round). COVERAGE.md maps each query to the round whose CORRECTNESS
-# file holds its green row.
+# row each round. With ~135 declared queries and a 50-row window, a
+# query gets a driver row at best every ceil(135/50) = 3 rounds; the
+# rotation policy is: (1) queries that have NEVER had a driver row go
+# first, (2) new-in-this-round queries must sit inside position 50,
+# (3) remaining slots go to the longest-stale previously-verified
+# queries. Every rotation is preceded by a full local
+# tools/check_correctness.py sweep so rotated-out queries stay verified
+# in-repo between their driver rows. COVERAGE.md maps each query to the
+# round whose CORRECTNESS file holds its green row.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # r5-window set: last driver-verified in CORRECTNESS_r05 (re-checked
-    # green via tools/check_correctness.py in round 6)
-    "knn_phi_topk",
-    "knn_cosine_filtered",
-    "knn_cosine_arrow_topk",
-    "centroids_by_label",
-    "inertia_by_label",
-    "form_pglyphs_by_label",
-    "phi_bands",
-    "auto_cluster_phi",
-    "rel_high_value_customers",
-    "rel_acctbal_by_region_nation",
-    "rel_orders_by_month",
-    "rel_rollup_acctbal",
-    "rel_cube_order_status",
-    "rel_customers_both_years",
-    "rel_asof_latest_order",
-    "rel_price_percentiles",
-    "rel_pivot_status_by_priority",
-    "rel_orders_within_30d",
-    "rel_skew_salted_revenue",
-    "doc_token_stats",
-    "doc_term_frequencies",
-    "doc_tfidf_topk",
-    "doc_bigram_topk",
-    "doc_language_id",
-    "doc_quality_score",
-    "doc_fingerprint",
-    "doc_simhash16",
-    "doc_exact_dedup",
-    "doc_minhash_near_dup",
-    "doc_minhash_capped",
-    "doc_ngram_jaccard",
-    "emb_near_dup_cosine",
-    "doc_dedup_keep_one",
-    "ivf_euclidean_pruned_search",
-    "ivf_phi_pruned_search",
-    "events_click_attribution",
-    "manifest_cdc_read",
-    "manifest_bloom_read",
-    "manifest_merge_dv_read",
-    "manifest_skipping_read",
-    "manifest_zorder_read",
-    "manifest_dv_read",
-    # round-7 additions: new queries must land inside the 50-entry window
-    # in their first round so they get a driver row immediately
-    "manifest_widening_read",
-    "doc_pipeline_e2e",
-    "multimodal_native_codec_stats",
-    "manifest_rename_read",
-    "doc_hll_distinct",
-    "doc_cms_freq",
-    "emb_binary_hamming_topk",
-    "doc_substring_dedup",
-    # positions ≥ 51 — the round-8 head. Round 7 added 30 new queries;
-    # the 8 above sit inside the driver's 50-row window, and everything
-    # from here down waits for its driver row in r8 (all were verified
-    # by this round's full tools/check_correctness.py runs). First the
-    # maximal-stability slips: the single-task digest facade and four
-    # trivial single-purpose queries green since r03/r05, plus the
-    # rows-only refine-recall whose semantics test_ann.py pins.
-    "dataset_digest",
-    "stats",
-    "point_lookup",
-    "validation_counts",
-    "search_pglyphs",
-    "ann_pq_refine_recall",
-    # then the late-round-7 additions, in priority order for r8 —
-    # thin compositions of long-green machinery (sliced-knn, sketches,
-    # windows, anti-joins), each oracle-verified in-repo this round.
-    "emb_matryoshka_topk",
-    "rel_price_quantile_sketch",
-    "events_windowed_hll",
-    "events_resample_locf",
-    "doc_quality_gate_sketch",
-    "rel_volume_shipping",
-    "manifest_ndv_read",
-    "rel_fk_violations",
-    "rel_order_price_drift",
-    "sql_entry_hll_distinct",
-    # post-window round-7 additions (driver rows due in r8)
-    "manifest_merge_clauses_read",
-    "rel_bloom_semijoin_revenue",
-    "doc_bm25_indexed_topk",
-    "ivf_incremental_search",
-    "emb_mmr_rerank",
-    "doc_vocab_overlap_hll",
-    "doc_leakproof_kfold",
-    "doc_curriculum_order",
+    # --- round-8 window, positions 1-50 ---
+    # The 34 round-7 queries that have never had a driver row (VERDICT r7
+    # "What's missing" #1): all were green in round 7's full local
+    # check_correctness sweeps; this gives each its first driver row.
+    "events_scd2_point_in_time",
+    "rel_rolling_30d_revenue",
+    "knn_maxsim_topk",
+    "emb_semantic_dedup_keep_one",
+    "emb_semantic_dedup_learned",
+    "doc_bpe_tokenize",
     "multimodal_image_near_dup",
     "multimodal_audio_near_dup",
-    "doc_bpe_tokenize",
-    # round-7 session-4 additions: decorrelated-subquery shapes and the
-    # interval RANGE window (driver rows due in r8; oracle-verified
-    # in-repo this round via tools/check_correctness.py)
     "rel_exists_late_shipment",
     "rel_small_qty_part_revenue",
     "rel_waiting_suppliers",
     "rel_idle_rich_customers",
-    "rel_rolling_30d_revenue",
-    "events_scd2_point_in_time",
+    "rel_big_volume_customers",
     "rel_unpivot_part_metrics",
     "rel_grouping_sets_revenue",
-    "emb_semantic_dedup_keep_one",
-    "emb_semantic_dedup_learned",
-    "rel_big_volume_customers",
-    "knn_maxsim_topk",
+    "rel_bloom_semijoin_revenue",
+    "rel_fk_violations",
+    "rel_order_price_drift",
+    "rel_volume_shipping",
+    "rel_price_quantile_sketch",
+    "doc_quality_gate_sketch",
+    "doc_vocab_overlap_hll",
+    "doc_leakproof_kfold",
+    "doc_curriculum_order",
+    "doc_bm25_indexed_topk",
+    "emb_matryoshka_topk",
+    "ivf_incremental_search",
+    "emb_mmr_rerank",
+    "ann_pq_refine_recall",
+    "events_resample_locf",
+    "events_windowed_hll",
+    "manifest_merge_clauses_read",
+    "manifest_ndv_read",
+    "sql_entry_hll_distinct",
+    # New in round 8: the five maximal-stability singles collapsed into
+    # one tagged-rows composite (frees 4 window slots per rotation).
+    "core_stability_composite",
+    # Longest-stale refresh: last driver-verified in CORRECTNESS_r06.
+    "knn_cosine_topk",
+    "knn_euclidean_topk",
+    "knn_dot_topk",
+    "import_dedup",
+    "delete_recompute",
+    "export_ordered",
+    "embedding_normalize",
+    "ivf_pruned_search",
+    "ivf_arrow_pruned_search",
+    "events_sessionize",
+    "events_hourly_window",
+    "doc_bm25_topk",
+    "doc_hybrid_rrf_topk",
+    "emb_pca_project",
+    "emb_quantize_int8",
+    # --- positions ≥ 51: wait for their r9 window slot; all covered by
+    # the in-repo check_correctness sweeps in the meantime ---
 )
 
 

@@ -469,6 +469,81 @@ FROM embeddings
 """
 
 
+def _stability_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite of the five maximal-stability singles — A2 search_pglyphs,
+    A17 dataset_digest, A23 stats, A14 point_lookup, A24 validation_counts
+    (reference vector_field.{search_pglyphs,digest,stats,get,validate}) —
+    as tagged rows, so one driver-window slot carries all five checks.
+    Schema: (part, k, v_str, v_num) — string payloads in v_str, numeric
+    payloads as exact-in-double integers/rounded scores in v_num.  Each
+    sub-result is a tiny single-row (or ≤10-row) aggregate; the union adds
+    no shuffle beyond what the singles already did."""
+
+    def melt_numeric(df: DataFrame, part_name: str) -> list[DataFrame]:
+        return [
+            df.select(
+                F.lit(part_name).alias("part"),
+                F.lit(c).alias("k"),
+                F.lit(None).cast("string").alias("v_str"),
+                F.col(c).cast("double").alias("v_num"),
+            )
+            for c in df.columns
+        ]
+
+    sp = _search_pglyphs(spark, sf_dir).select(
+        F.lit("search_pglyphs").alias("part"),
+        F.col("label").cast("string").alias("k"),
+        F.lit(None).cast("string").alias("v_str"),
+        F.col("score").cast("double").alias("v_num"),
+    )
+    dig = _dataset_digest(spark, sf_dir)
+    pieces = [
+        sp,
+        dig.select(
+            F.lit("dataset_digest").alias("part"),
+            F.lit("digest").alias("k"),
+            F.col("digest").alias("v_str"),
+            F.lit(None).cast("double").alias("v_num"),
+        ),
+        dig.select(
+            F.lit("dataset_digest").alias("part"),
+            F.lit("n").alias("k"),
+            F.lit(None).cast("string").alias("v_str"),
+            F.col("n").cast("double").alias("v_num"),
+        ),
+    ]
+    pieces += melt_numeric(_stats(spark, sf_dir), "stats")
+    pieces += melt_numeric(_point_lookup(spark, sf_dir), "point_lookup")
+    pieces += melt_numeric(_validation_counts(spark, sf_dir), "validation_counts")
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_STABILITY_COMPOSITE_ORACLE = f"""
+WITH sp AS ({_SEARCH_PGLYPHS_ORACLE}),
+     dg AS ({_DIGEST_ORACLE}),
+     st AS ({_STATS_ORACLE}),
+     pl AS ({_POINT_LOOKUP_ORACLE}),
+     vc AS ({_VALIDATION_ORACLE})
+SELECT 'search_pglyphs' AS part, CAST(label AS VARCHAR) AS k,
+       CAST(NULL AS VARCHAR) AS v_str, CAST(score AS DOUBLE) AS v_num FROM sp
+UNION ALL SELECT 'dataset_digest', 'digest', digest, CAST(NULL AS DOUBLE) FROM dg
+UNION ALL SELECT 'dataset_digest', 'n', NULL, CAST(n AS DOUBLE) FROM dg
+UNION ALL SELECT 'stats', 'iglyph_count', NULL, CAST(iglyph_count AS DOUBLE) FROM st
+UNION ALL SELECT 'stats', 'glyph_addresses_used', NULL, CAST(glyph_addresses_used AS DOUBLE) FROM st
+UNION ALL SELECT 'stats', 'outer_contexts_used', NULL, CAST(outer_contexts_used AS DOUBLE) FROM st
+UNION ALL SELECT 'point_lookup', 'vec_id', NULL, CAST(vec_id AS DOUBLE) FROM pl
+UNION ALL SELECT 'point_lookup', 'label', NULL, CAST(label AS DOUBLE) FROM pl
+UNION ALL SELECT 'point_lookup', 'dim', NULL, CAST(dim AS DOUBLE) FROM pl
+UNION ALL SELECT 'validation_counts', 'glyph_pass', NULL, CAST(glyph_pass AS DOUBLE) FROM vc
+UNION ALL SELECT 'validation_counts', 'ctx_pass', NULL, CAST(ctx_pass AS DOUBLE) FROM vc
+UNION ALL SELECT 'validation_counts', 'dim_pass', NULL, CAST(dim_pass AS DOUBLE) FROM vc
+UNION ALL SELECT 'validation_counts', 'total', NULL, CAST(total AS DOUBLE) FROM vc
+"""
+
+
 def _import_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A21 dup-skip semantics: incoming batch = every 5th row re-imported
     plus 10 genuinely-new ids (vec_id+1000); left_anti against the corpus
@@ -640,11 +715,12 @@ QUERIES = {
     "form_pglyphs_by_label": (_form_pglyphs_by_label, _FORM_PGLYPHS_ORACLE),
     "phi_bands": (_phi_bands, _phi_bands_oracle(3)),
     "auto_cluster_phi": (_auto_cluster_phi, _auto_cluster_oracle(3)),
-    "search_pglyphs": (_search_pglyphs, _SEARCH_PGLYPHS_ORACLE),
-    "dataset_digest": (_dataset_digest, _DIGEST_ORACLE),
-    "stats": (_stats, _STATS_ORACLE),
-    "point_lookup": (_point_lookup, _POINT_LOOKUP_ORACLE),
-    "validation_counts": (_validation_counts, _VALIDATION_ORACLE),
+    # round 8: the five maximal-stability singles (search_pglyphs,
+    # dataset_digest, stats, point_lookup, validation_counts — green since
+    # r03/r05) collapsed into one tagged-rows composite so they cost one
+    # driver-window slot instead of five. The underlying callables remain
+    # individually plan-gated in tests/test_plans.py.
+    "core_stability_composite": (_stability_composite, _STABILITY_COMPOSITE_ORACLE),
     "import_dedup": (_import_dedup, _IMPORT_DEDUP_ORACLE),
     "delete_recompute": (_delete_recompute, _DELETE_RECOMPUTE_ORACLE),
     "export_ordered": (_export_ordered, _EXPORT_ORDERED_ORACLE),

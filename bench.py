@@ -41,7 +41,7 @@ HEADLINE = (
     "rel_late_order_priority",
     "export_ordered",
     "import_dedup",
-    "dataset_digest",
+    "core_stability_composite",
     # text / dedup / ANN entries appended as those modules land
     "doc_exact_dedup",
     "doc_minhash_near_dup",

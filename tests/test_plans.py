@@ -8,12 +8,17 @@ from __future__ import annotations
 import pytest
 
 import aeuc_vector_db_spark.queries as Q
+from aeuc_vector_db_spark.queries import core as Qcore
 
 SF01 = "/root/testdata/sf0.01"
 
 
 def _plan(spark, name: str) -> str:
-    df = Q.queries()[name](spark, SF01)
+    # The five maximal-stability singles were collapsed into
+    # core_stability_composite in round 8; their callables remain
+    # individually plan-gated here via the module-private functions.
+    fn = Q.queries().get(name) or getattr(Qcore, f"_{name}")
+    df = fn(spark, SF01)
     qe = df._jdf.queryExecution()
     return qe.executedPlan().toString() + qe.toString()
 
@@ -50,7 +55,7 @@ def test_knn_corpus_never_shuffles_before_scoring(spark):
 def test_pruned_projection_reaches_scan(spark):
     """Column pruning: dataset_digest touches only vec_id — the 64-float
     embedding column must not be read from parquet."""
-    df = Q.queries()["dataset_digest"](spark, SF01)
+    df = Qcore._dataset_digest(spark, SF01)
     qe = df._jdf.queryExecution().toString()
     scan_lines = [l for l in qe.splitlines() if "ReadSchema" in l]
     assert scan_lines
