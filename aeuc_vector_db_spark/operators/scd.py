@@ -54,10 +54,10 @@ def scd2_from_changes(
     tie column, same-instant duplicates are rejected loudly rather than
     resolved arbitrarily (partition order must never pick the winner).
     """
-    for c in (key_col, ts_col, *attr_cols):
+    required = (key_col, ts_col, *attr_cols) + ((tie_col,) if tie_col else ())
+    for c in required:
         if c not in changes.columns:
             raise ValueError(f"scd2_from_changes: no column {c!r} in changes")
-    ts_type = changes.schema[ts_col].dataType.simpleString()
     if tie_col is not None:
         w_tie = Window.partitionBy(key_col, ts_col).orderBy(F.col(tie_col).desc())
         deduped = (
@@ -65,30 +65,39 @@ def scd2_from_changes(
             .filter(F.col("__rn__") == 1)
             .drop("__rn__")
         )
-        eff_from = F.col(ts_col)
     else:
         # No tie-break requested: a same-instant duplicate would make the
-        # version order depend on partition order — raise AT EVALUATION
-        # (distributed, inside the version projection so it can't be
-        # pruned) instead of resolving arbitrarily.
+        # version order depend on partition order — raise AT EVALUATION,
+        # distributed, as a FILTER predicate. A filter condition is not
+        # subject to column pruning (an earlier version embedded the
+        # raise in the eff_from projection, which Catalyst eliminated
+        # whenever the consumer never read eff_from — silently emitting
+        # overlapping duplicate versions), and it cannot be pushed below
+        # its own window because it references the window's output.
         w_dup = Window.partitionBy(key_col, ts_col)
-        changes = changes.withColumn("__dup__", F.count(F.lit(1)).over(w_dup))
-        deduped = changes
-        eff_from = F.when(
-            F.col("__dup__") > 1,
-            F.raise_error(
-                F.concat(
-                    F.lit("scd2_from_changes: same-instant duplicate change for "
-                          f"{key_col}="),
-                    F.col(key_col).cast("string"),
-                    F.lit(" — pass tie_col for deterministic last-wins"),
-                )
-            ).cast(ts_type),
-        ).otherwise(F.col(ts_col))
+        deduped = (
+            changes.withColumn("__dup__", F.count(F.lit(1)).over(w_dup))
+            .filter(
+                F.when(
+                    F.col("__dup__") > 1,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "scd2_from_changes: same-instant duplicate "
+                                f"change for {key_col}="
+                            ),
+                            F.col(key_col).cast("string"),
+                            F.lit(" — pass tie_col for deterministic last-wins"),
+                        )
+                    ).cast("boolean"),
+                ).otherwise(F.lit(True))
+            )
+            .drop("__dup__")
+        )
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
     return deduped.select(
         F.col(key_col),
-        eff_from.alias("eff_from"),
+        F.col(ts_col).alias("eff_from"),
         F.lead(ts_col).over(w).alias("eff_to"),
         *[F.col(c) for c in attr_cols],
     )
@@ -116,12 +125,23 @@ def point_in_time_join(
     if missing:
         raise ValueError(f"point_in_time_join: dim lacks {missing} (build it "
                          "with scd2_from_changes)")
-    d = dim
-    if key_col in facts.columns:
-        d = d.withColumnRenamed(key_col, f"__dim_{key_col}__")
-        key_cond = facts[key_col] == d[f"__dim_{key_col}__"]
-    else:
+    if key_col not in facts.columns:
         raise ValueError(f"point_in_time_join: no column {key_col!r} in facts")
+    if key_col not in dim.columns:
+        raise ValueError(f"point_in_time_join: no column {key_col!r} in dim")
+    # Overlapping non-key column names would survive the join as duplicate
+    # columns and break every downstream select-by-name; fail loudly here
+    # (the caller renames or prefixes dim attributes).
+    overlap = sorted(
+        (set(facts.columns) & set(dim.columns)) - {key_col}
+    )
+    if overlap:
+        raise ValueError(
+            "point_in_time_join: facts and dim share non-key columns "
+            f"{overlap} — rename or prefix the dim attributes first"
+        )
+    d = dim.withColumnRenamed(key_col, f"__dim_{key_col}__")
+    key_cond = facts[key_col] == d[f"__dim_{key_col}__"]
     ts = facts[fact_ts_col]
     cond = (
         key_cond

@@ -153,6 +153,35 @@ def test_assign_centroids_accepts_local_list(spark, emb):
     assert diff.count() == 0
 
 
+def test_fit_centroids_default_collect_is_bounded(spark):
+    """fit_centroids_sample_local with the DEFAULT sample_mod must not
+    collect O(corpus): on a corpus far above the 256·k cap the derived
+    modulus keeps the driver sample near the cap, the fit still trains
+    valid centroids, and sample_mod=1 remains the explicit full-corpus
+    opt-in (VERDICT r7 'What's wrong' #1)."""
+    n, k = 40_000, 4
+    corpus = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 7).cast("double"),
+                (F.col("id") % 13).cast("double"),
+            ).alias("embedding"),
+        )
+    )
+    cents = A.fit_centroids_sample_local(corpus, k=k, seed=3, iters=3)
+    cap = 256 * k
+    sampled = A.fit_centroids_sample_local._last_sample_rows
+    # expected sample = n / ceil(n/cap) ≤ cap; allow hash-sampling noise
+    assert sampled <= int(cap * 1.25), f"unbounded-ish collect: {sampled} rows"
+    assert sampled >= int(cap * 0.75)
+    assert len(cents) == k and all(len(v) == 2 for _, v in cents)
+    A.fit_centroids_sample_local(corpus.limit(1000), k=k, seed=3, iters=1,
+                                 sample_mod=1)
+    assert A.fit_centroids_sample_local._last_sample_rows == 1000
+
+
 def test_assign_centroids_null_and_ragged_rows_yield_null(spark):
     """A dirty corpus row (NULL or wrong-dim embedding) must assign to
     NULL, not crash the task (np.vstack over a ragged Arrow batch

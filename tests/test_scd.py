@@ -70,6 +70,22 @@ def test_scd2_same_instant_without_tie_raises(spark):
         dim.collect()
 
 
+def test_scd2_same_instant_raises_even_under_column_pruning(spark):
+    """The dup guard lives in a FILTER, so Catalyst column pruning cannot
+    eliminate it: a consumer that never reads eff_from (or reads nothing
+    but the key) must still hit the error instead of silently getting
+    overlapping duplicate versions (ADVICE r7)."""
+    ch = CH + [(1, "2024-01-03 00:00:00", 99, 7.0)]
+    dim = scd2_from_changes(
+        _changes(spark, [(u, _t(ts), e, v) for u, ts, e, v in ch]),
+        key_col="user_id", ts_col="ts", attr_cols=["value"],
+    )
+    with pytest.raises(Exception, match="same-instant duplicate"):
+        dim.select("user_id").collect()
+    with pytest.raises(Exception, match="same-instant duplicate"):
+        dim.count()
+
+
 def test_scd2_clean_stream_without_tie_is_fine(spark):
     dim = scd2_from_changes(
         _changes(spark, [(u, _t(ts), e, v) for u, ts, e, v in CH]),
@@ -137,3 +153,12 @@ def test_validation_errors(spark):
         point_in_time_join(facts, dim, "user_id", "ts", how="full")
     with pytest.raises(ValueError, match="dim lacks"):
         point_in_time_join(facts, dim.drop("eff_to"), "user_id", "ts")
+    # a misspelled tie_col is the operator's ValueError, not a raw Spark
+    # analysis error (ADVICE r7)
+    with pytest.raises(ValueError, match="no column 'event_idd'"):
+        scd2_from_changes(df, "user_id", "ts", ["value"], tie_col="event_idd")
+    # overlapping non-key columns between facts and dim would emit
+    # duplicate column names — rejected loudly (ADVICE r7)
+    facts_clash = facts.withColumn("value", F.lit(0.0))
+    with pytest.raises(ValueError, match="share non-key columns"):
+        point_in_time_join(facts_clash, dim, "user_id", "ts")
