@@ -90,9 +90,25 @@ HEADLINE = (
 )
 
 
+def _loadavg() -> float:
+    """1-minute load average at a probe boundary. A solo run on this box
+    starts near 0; a contended run (pytest / check_correctness sweeps in
+    parallel) starts in the tens — recording it makes a contended bench
+    artifact SELF-identifying instead of needing PLANS.md prose (r7
+    verdict #3: the recorded r7 bench ran contended and nominally
+    breached the ingest gate its own solo re-measure passes)."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return -1.0
+
+
 def main() -> None:
     import aeuc_vector_db_spark.queries as Q
     from aeuc_vector_db_spark.session import get_spark
+
+    load_at_start = _loadavg()
 
     # The pure-Python decode probe runs before ANY Spark session exists:
     # a live in-process driver JVM (32-thread executor pool, GC) steals
@@ -122,14 +138,17 @@ def main() -> None:
         ("bench-probe-retrieval", _bench_retrieval_scale),
     )
     results = {}
+    probe_loads = {}
     spark = None
     for tag, probe in probes:
         if spark is not None:
             spark.stop()
+        probe_loads[tag] = _loadavg()
         spark = get_spark(tag)
         results[tag] = probe(spark)
 
     spark.stop()
+    load_at_headline = _loadavg()
     spark = get_spark("bench-headline")
     registry = Q.queries()
 
@@ -213,6 +232,11 @@ def main() -> None:
     # window (BENCH_r03.json: rc=0 but parsed=null — a silent total loss
     # of the round's bench signal).
     detail = {
+        # /proc/loadavg (1-min) at run start, at each probe's start, and
+        # at the headline loop — near-zero start values certify a solo
+        # run; double-digit values flag contention (see _loadavg)
+        "loadavg": {"start": load_at_start, "headline": load_at_headline,
+                    "end": _loadavg(), "probes": probe_loads},
         "probe_order": "pre-headline",  # probes ran BEFORE the headline
         # loop in fresh sessions — solo-equivalent conditions (r6 verdict
         # #6: in-bench scale numbers must reconcile with solo re-measures
@@ -249,6 +273,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in per_query.items()},
         "sf": sf_val,
+        "loadavg_start": load_at_start,
         "probe_order": "pre-headline",
         "ingest_rows_per_s": ingest_rate,
         "knn_scale": {
