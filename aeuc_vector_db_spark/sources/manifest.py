@@ -2806,6 +2806,36 @@ class BucketedManifestTable(ManifestTable):
                     json.dump(sidecar, fh)
         return files, n
 
+    def read_buckets(
+        self, spark: SparkSession, buckets, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot rows whose hash bucket ∈ `buckets`, reading ONLY the
+        files the manifest's per-file bucket map assigns to those
+        buckets — metadata-only pruning (no parquet footer is opened to
+        decide), with DV rows subtracted and the logical schema applied
+        like read().
+
+        This is the per-epoch dedup read of the bucketed streaming sink
+        (streaming/ingest.py bucketed_manifest_sink): cost is
+        ∝ |touched buckets| / n_buckets of the table, never O(table).
+        Files missing from the bucket map (none are produced by this
+        class; defensive for hand-assembled logs) are read rather than
+        skipped — unknown metadata must degrade to extra IO, not silent
+        row loss."""
+        m = self.manifest(version)
+        bset = {int(b) for b in buckets}
+        bad = [b for b in bset if not (0 <= b < self.n_buckets)]
+        if bad:
+            raise ValueError(
+                f"read_buckets: bucket ids {sorted(bad)} outside "
+                f"[0, {self.n_buckets})"
+            )
+        bmap = m.get("buckets") or {}
+        keep = [
+            f for f in m["files"] if f not in bmap or int(bmap[f]) in bset
+        ]
+        return self._pruned_filtered(spark, keep, None, m)
+
     # delete_where_dv / merge_upsert_dv are inherited: positional
     # deletes compose with the bucketed layout because (a) the DV join
     # key (_file_rel_col) resolves bucketed paths, and (b) the bounded

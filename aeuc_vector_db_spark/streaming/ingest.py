@@ -425,6 +425,41 @@ def attribute_clicks(
     )
 
 
+def _constraint_split(table, accepted: DataFrame, quarantined: DataFrame):
+    """Route declared-CHECK-constraint violators to quarantine (SQL CHECK
+    semantics: NULL passes). Shared by manifest_sink and
+    bucketed_manifest_sink — a schema invariant the TABLE declares is a
+    per-row data-quality verdict in a stream; failing the whole epoch
+    would wedge the query on one bad record."""
+    cons = table.constraints() if table.latest_version() is not None else {}
+    if not cons:
+        return accepted, quarantined
+    ok = None
+    for _cname, _cexpr in sorted(cons.items()):
+        term = F.coalesce(F.expr(_cexpr), F.lit(True))
+        ok = term if ok is None else (ok & term)
+    violators = accepted.filter(~ok).withColumn(
+        "reject_reason",
+        F.lit("check_constraint:" + ",".join(sorted(cons))),
+    )
+    return accepted.filter(ok), quarantined.unionByName(violators)
+
+
+def _write_quarantine(
+    quarantined: DataFrame, quarantine_path: str | None, epoch_id: int
+) -> None:
+    """Exactly-once quarantine: epoch-scoped overwrite, so an epoch
+    replay rewrites the same rows into the same directory instead of
+    duplicating them (readers load the root; partition discovery
+    exposes epoch_id as a column)."""
+    import os
+
+    if quarantine_path is not None and quarantined.limit(1).count() > 0:
+        quarantined.write.mode("overwrite").parquet(
+            os.path.join(quarantine_path, f"epoch_id={epoch_id}")
+        )
+
+
 def manifest_sink(table, dim: int, quarantine_path: str | None = None):
     """foreachBatch body: validated, EXACTLY-ONCE append into a
     transactional ManifestTable (sources/manifest.py).
@@ -443,43 +478,88 @@ def manifest_sink(table, dim: int, quarantine_path: str | None = None):
     """
 
     def body(batch: DataFrame, epoch_id: int) -> None:
-        import os
-
         accepted, quarantined = split_valid(batch, dim)
-        # Declared CHECK constraints quarantine, not crash: a schema
-        # invariant the TABLE declares is a per-row data-quality verdict
-        # in a stream — failing the whole epoch (commit_append's raise)
-        # would wedge the query on one bad record. Violators join the
-        # quarantine under the same reject_reason audit column; the rows
-        # that commit provably satisfy the constraints, so the sink's
-        # own enforcement pass cannot raise. SQL CHECK semantics (NULL
-        # passes) via coalesce(expr, True).
-        cons = table.constraints() if table.latest_version() is not None else {}
-        if cons:
-            ok = None
-            for _cname, _cexpr in sorted(cons.items()):
-                term = F.coalesce(F.expr(_cexpr), F.lit(True))
-                ok = term if ok is None else (ok & term)
-            violators = accepted.filter(~ok).withColumn(
-                "reject_reason",
-                F.lit("check_constraint:" + ",".join(sorted(cons))),
-            )
-            accepted = accepted.filter(ok)
-            quarantined = quarantined.unionByName(violators)
+        accepted, quarantined = _constraint_split(table, accepted, quarantined)
         table.commit_append(
             accepted.dropDuplicates(["entry_id"]), epoch_id=epoch_id
         )
-        # Quarantine must be exactly-once too: a flat mode("append") write
-        # duplicates the rejected rows on every epoch redelivery. Writing
-        # under an epoch-scoped partition dir with overwrite makes the
-        # write idempotent regardless of where in the epoch a crash
-        # landed (before/after the log commit) — a replay rewrites the
-        # same rows into the same directory. Readers load the root
-        # (partition discovery exposes epoch_id as a column).
-        if quarantine_path is not None and quarantined.limit(1).count() > 0:
-            quarantined.write.mode("overwrite").parquet(
-                os.path.join(quarantine_path, f"epoch_id={epoch_id}")
-            )
+        _write_quarantine(quarantined, quarantine_path, epoch_id)
+
+    return body
+
+
+def bucketed_manifest_sink(
+    table,
+    dim: int,
+    quarantine_path: str | None = None,
+    id_col: str = "entry_id",
+):
+    """foreachBatch body: validated, EXACTLY-ONCE append into a
+    BucketedManifestTable (sources/manifest.py) — the streaming story
+    reaching the layout the 100 TB merge path needs.
+
+    Two independent duplicate classes, two mechanisms:
+
+    - **epoch replay** (the same epoch_id redelivered after a crash):
+      absorbed by `commit_append`'s epoch marker exactly like
+      `manifest_sink` — checked up front so a replayed epoch costs one
+      log read and zero data work.
+    - **re-minted ids across DIFFERENT epochs** (an at-least-once
+      producer re-emitting a record with new offsets — the class epoch
+      idempotency fundamentally cannot catch): a PK anti-join against
+      the current snapshot, reading ONLY the hash buckets the batch
+      touches (`read_buckets` — the manifest's per-file bucket map
+      prunes the scan as pure metadata). Per-epoch dedup cost is
+      ∝ |touched buckets| / n_buckets of the table, bounded by the
+      batch's own id spread — the `start_ingest` id-bucket idea,
+      carried onto the transaction log so DVs, time travel, and
+      bounded MERGE all compose with streaming ingest.
+
+    A soft-deleted id (deletion vector) is NOT treated as existing —
+    read_buckets subtracts DV rows — so delete-then-reingest works; an
+    id deleted in the same epoch as its redelivery stays deleted only
+    if the delete committed after this epoch.
+
+    The table must be bucketed by `id_col` so batch rows and stored
+    rows agree on the bucket mapping; a mismatched key raises at sink
+    construction, not mid-stream.
+    """
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    if not isinstance(table, BucketedManifestTable):
+        raise ValueError(
+            "bucketed_manifest_sink requires a BucketedManifestTable; "
+            "use manifest_sink for a flat ManifestTable"
+        )
+    if table.key != id_col:
+        raise ValueError(
+            f"table is bucketed by {table.key!r} but the sink dedups on "
+            f"{id_col!r} — the bucket key must be the PK for pruned dedup"
+        )
+
+    def body(batch: DataFrame, epoch_id: int) -> None:
+        if str(epoch_id) in table.committed_epochs():
+            return  # replayed epoch: already fully committed
+        spark = batch.sparkSession
+        accepted, quarantined = split_valid(batch, dim)
+        accepted = accepted.dropDuplicates([id_col])
+        accepted, quarantined = _constraint_split(table, accepted, quarantined)
+        if table.latest_version() is not None:
+            # small local materialization (micro-batch-sized) so the
+            # bucket-set collect and the anti-join don't recompute the
+            # validation split
+            accepted = accepted.localCheckpoint(eager=True)
+            buckets = [
+                r["__b__"]
+                for r in accepted.select(table._bucket_col().alias("__b__"))
+                .distinct()
+                .collect()
+            ]
+            if buckets:
+                existing = table.read_buckets(spark, buckets).select(id_col)
+                accepted = accepted.join(existing, id_col, "left_anti")
+        table.commit_append(accepted, epoch_id=epoch_id)
+        _write_quarantine(quarantined, quarantine_path, epoch_id)
 
     return body
 

@@ -221,9 +221,19 @@ def run_offset_ingest(
     exactly like `manifest_sink`. Returns the number of batches that
     committed new data."""
     from aeuc_vector_db_spark import schemas
-    from aeuc_vector_db_spark.streaming.ingest import manifest_sink
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+    from aeuc_vector_db_spark.streaming.ingest import (
+        bucketed_manifest_sink,
+        manifest_sink,
+    )
 
-    body = manifest_sink(table, dim, quarantine_path)
+    # A bucketed sink table gets the bucket-pruned PK-dedup body: same
+    # offset/epoch exactly-once contract, plus cross-epoch re-minted-id
+    # dedup bounded by the batch's bucket fan-out.
+    if isinstance(table, BucketedManifestTable):
+        body = bucketed_manifest_sink(table, dim, quarantine_path)
+    else:
+        body = manifest_sink(table, dim, quarantine_path)
     committed = 0
     # resume-point cache: the first iteration pays the full backward
     # walk once; afterwards each call only inspects versions newer than

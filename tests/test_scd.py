@@ -143,6 +143,52 @@ def test_point_in_time_plan_is_equi_join(spark):
     assert "Join" in plan
 
 
+def test_scd2_hot_key_skew(spark):
+    """The classic SCD skew wall: ONE entity holding the bulk of the
+    versions (the window over a single partition key serializes into a
+    single task). Correctness must hold — the hot entity's intervals
+    chain exactly (each eff_to = next eff_from, one open version) while
+    cold entities are untouched — and the build must stay in the same
+    cost regime as a uniform stream (soak numbers in PLANS.md round-8
+    notes; mitigation notes in operators/scd.py docstring)."""
+    hot_n, cold_n = 20_000, 5_000
+    hot = spark.range(hot_n).select(
+        F.lit(0).alias("user_id"),
+        (F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 60)).alias("ts"),
+        F.col("id").alias("event_id"),
+        F.col("id").cast("double").alias("value"),
+    )
+    cold = spark.range(cold_n).select(
+        (F.col("id") + 1).alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200)).alias("ts"),
+        (F.col("id") + hot_n).alias("event_id"),
+        F.lit(-1.0).alias("value"),
+    )
+    dim = scd2_from_changes(
+        hot.unionByName(cold).repartition(32),
+        "user_id", "ts", ["value"], tie_col="event_id",
+    )
+    # interval chaining on the hot key, verified distributed (no collect
+    # of the 20k versions): eff_to == lead(eff_from) by construction ⇒
+    # assert closed-version count and the open tail, plus monotone
+    # non-overlap via an aggregate
+    hot_dim = dim.filter(F.col("user_id") == 0)
+    assert hot_dim.count() == hot_n
+    assert hot_dim.filter(F.col("eff_to").isNull()).count() == 1
+    bad = hot_dim.filter(
+        F.col("eff_to").isNotNull() & (F.col("eff_to") <= F.col("eff_from"))
+    ).count()
+    assert bad == 0
+    # every closed interval is exactly 60s (the generation step) — a
+    # wrong lead() under skew would show as gaps/overlaps
+    off = hot_dim.filter(
+        F.col("eff_to").isNotNull()
+        & (F.unix_timestamp("eff_to") - F.unix_timestamp("eff_from") != 60)
+    ).count()
+    assert off == 0
+    assert dim.filter(F.col("user_id") > 0).count() == cold_n
+
+
 def test_validation_errors(spark):
     df = _changes(spark, [(u, _t(ts), e, v) for u, ts, e, v in CH])
     with pytest.raises(ValueError, match="no column"):

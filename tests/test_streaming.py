@@ -646,3 +646,213 @@ def test_dedup_within_watermark_stream(spark, tmp_path):
 
     with pytest.raises(ValueError, match="missing columns"):
         SI.dedup_within_watermark(batch, key_cols=("nope",))
+
+
+# ---------------------------------------------------------------------------
+# Bucketed-manifest streaming sink (round 8): exactly-once into the layout
+# the 100 TB merge path needs, with bucket-pruned cross-epoch PK dedup
+# ---------------------------------------------------------------------------
+
+def _parsed_batch(spark, ids):
+    from aeuc_vector_db_spark import schemas
+
+    lines = [(_entry(i),) for i in ids]
+    raw = spark.createDataFrame(lines, "value string")
+    return raw.select(
+        F.from_json(F.col("value"), schemas.VECTOR_ENTRY_SCHEMA).alias("r")
+    ).select("r.*")
+
+
+def test_bucketed_sink_replay_dedup_and_layout(spark, tmp_path):
+    """Crash/replay against the BUCKETED manifest sink: epoch replay is
+    absorbed by the epoch marker; a re-minted id in a LATER epoch is
+    absorbed by the bucket-pruned PK anti-join; the data layout stays
+    __bucket__-partitioned so DVs and bounded MERGE keep composing."""
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    t = BucketedManifestTable(
+        str(tmp_path / "bt"), key="entry_id", n_buckets=8
+    )
+    body = SI.bucketed_manifest_sink(t, DIM)
+
+    body(_parsed_batch(spark, range(10)), 0)
+    v0 = t.latest_version()
+    assert t.read(spark).count() == 10
+
+    # crash-before-commit replay: same epoch id redelivered
+    body(_parsed_batch(spark, range(10)), 0)
+    assert t.latest_version() == v0 and t.read(spark).count() == 10
+
+    # at-least-once producer re-mints ids 5..9 under NEW offsets (a new
+    # epoch) — epoch idempotency can't catch these; the pruned anti-join
+    # must
+    body(_parsed_batch(spark, range(5, 15)), 1)
+    got = sorted(r["entry_id"] for r in t.read(spark).collect())
+    assert got == sorted(f"e{i}" for i in range(15))
+
+    # layout parity: every data file lives under a __bucket__= dir and
+    # the manifest's bucket map covers all files
+    m = t.manifest()
+    assert m["files"] and all("__bucket__=" in f for f in m["files"])
+    assert set(m["buckets"]) == set(m["files"])
+
+    # DV compatibility: soft-delete one id, then re-ingest it in a later
+    # epoch — read_buckets subtracts DV rows, so the re-insert lands
+    t.delete_where_dv(spark, [("entry_id", "=", "e3")])
+    assert t.read(spark).count() == 14
+    body(_parsed_batch(spark, [3]), 2)
+    got = sorted(r["entry_id"] for r in t.read(spark).collect())
+    assert got == sorted(f"e{i}" for i in range(15))
+
+
+def test_bucketed_sink_dedup_read_is_bucket_pruned(spark, tmp_path):
+    """The dedup read opens ONLY files of the touched buckets: pruning is
+    decided from the manifest's per-file bucket map (pure metadata), and
+    DataFrame.inputFiles() proves which parquet files the scan planned."""
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    t = BucketedManifestTable(
+        str(tmp_path / "bt2"), key="entry_id", n_buckets=8
+    )
+    body = SI.bucketed_manifest_sink(t, DIM)
+    body(_parsed_batch(spark, range(64)), 0)
+    m = t.manifest()
+    by_bucket = {}
+    for f, b in m["buckets"].items():
+        by_bucket.setdefault(int(b), []).append(f)
+    assert len(by_bucket) > 2  # 64 ids spread over several buckets
+    some = sorted(by_bucket)[:2]
+    pruned = t.read_buckets(spark, some)
+    opened = {os.path.relpath(p.replace("file:", ""), t.root)
+              for p in pruned.inputFiles()}
+    expected = {f for b in some for f in by_bucket[b]}
+    assert opened == expected
+    # parity with the unpruned read + bucket filter
+    import pyspark.sql.functions as _F
+    full = t.read(spark).filter(
+        _F.pmod(_F.xxhash64(_F.col("entry_id").cast("string")), _F.lit(8))
+        .cast("int").isin([int(b) for b in some])
+    )
+    assert sorted(r["entry_id"] for r in pruned.collect()) == sorted(
+        r["entry_id"] for r in full.collect()
+    )
+    with pytest.raises(ValueError, match="outside"):
+        t.read_buckets(spark, [99])
+
+
+def test_bucketed_sink_validation_errors(spark, tmp_path):
+    from aeuc_vector_db_spark.sources.manifest import (
+        BucketedManifestTable,
+        ManifestTable,
+    )
+
+    flat = ManifestTable(str(tmp_path / "flat"))
+    with pytest.raises(ValueError, match="requires a BucketedManifestTable"):
+        SI.bucketed_manifest_sink(flat, DIM)
+    t = BucketedManifestTable(str(tmp_path / "bt3"), key="glyph_id", n_buckets=4)
+    with pytest.raises(ValueError, match="bucketed by 'glyph_id'"):
+        SI.bucketed_manifest_sink(t, DIM)
+
+
+def test_offset_source_exactly_once_into_bucketed_table(spark, tmp_path):
+    """The Kafka-shaped offset source drains into a BUCKETED manifest
+    table: offsets→epoch markers give exactly-once on replay, and the
+    bucket-pruned PK dedup additionally absorbs a record re-minted
+    under fresh offsets (which pure offset idempotency cannot)."""
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+    from aeuc_vector_db_spark.streaming import offset_source as OS
+
+    src = OS.OffsetLogSource(str(tmp_path / "log"), n_partitions=2)
+    t = BucketedManifestTable(str(tmp_path / "bt4"), key="entry_id", n_buckets=8)
+
+    def rec(i):
+        return json.loads(_entry(i))
+
+    src.append(0, [rec(i) for i in range(0, 6)])
+    src.append(1, [rec(i) for i in range(6, 10)])
+    assert OS.run_offset_ingest(spark, src, t, DIM,
+                                max_records_per_partition=3) >= 2
+    got = sorted(r["entry_id"] for r in t.read(spark).collect())
+    assert got == sorted(f"e{i}" for i in range(10))
+
+    # crash-after-commit: resume finds nothing to do
+    assert OS.run_offset_ingest(spark, src, t, DIM) == 0
+
+    # at-least-once producer appends records 8,9 AGAIN under new offsets
+    # plus genuinely-new 10,11: only the new ids land
+    src.append(0, [rec(8), rec(10)])
+    src.append(1, [rec(9), rec(11)])
+    OS.run_offset_ingest(spark, src, t, DIM)
+    got = sorted(r["entry_id"] for r in t.read(spark).collect())
+    assert got == sorted(f"e{i}" for i in range(12))
+    # layout held through every epoch
+    m = t.manifest()
+    assert all("__bucket__=" in f for f in m["files"])
+
+
+def test_rate_stream_restart_into_bucketed_sink(spark, tmp_path):
+    """Real readStream → checkpoint → stop → restart against the
+    bucketed sink: row-set parity (each generated row exactly once) and
+    bucket-dir layout after arbitrary epoch replay."""
+    import time as _time
+
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    dim = 4
+    t = BucketedManifestTable(str(tmp_path / "bt5"), key="entry_id", n_buckets=8)
+    ckpt = str(tmp_path / "ckpt5")
+
+    def entries(stream_df):
+        return stream_df.select(
+            F.concat(F.lit("r"), F.col("value").cast("string")).alias("entry_id"),
+            (F.col("value") % 144000).alias("glyph_id"),
+            (F.col("value") % 10).cast("int").alias("outer_context_id"),
+            F.array(*[(F.col("value") % 7 + i).cast("float") / 7.0
+                      for i in range(dim)]).alias("embedding"),
+            F.lit("rate").alias("source_tag"),
+            F.create_map().cast("map<string,string>").alias("meta"),
+            F.lit("0.1.0").alias("version"),
+            F.col("timestamp").alias("ts"),
+        )
+
+    def start():
+        src = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", 5)
+            .option("numPartitions", 2)
+            .load()
+        )
+        return (
+            entries(src)
+            .writeStream.foreachBatch(SI.bucketed_manifest_sink(t, dim))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def wait_for_epochs(n, timeout_s=60):
+        deadline = _time.time() + timeout_s
+        while _time.time() < deadline:
+            if len(t.committed_epochs()) >= n:
+                return
+            _time.sleep(0.3)
+        raise AssertionError(f"fewer than {n} epochs committed in {timeout_s}s")
+
+    q = start()
+    try:
+        wait_for_epochs(3)
+    finally:
+        q.stop()
+    n_before = len(t.committed_epochs())
+    q = start()
+    try:
+        wait_for_epochs(n_before + 2)
+    finally:
+        q.stop()
+    final = t.read(spark)
+    n_rows = final.count()
+    assert n_rows == 5 * len(t.committed_epochs())
+    assert final.select("entry_id").distinct().count() == n_rows
+    vals = sorted(int(r["entry_id"][1:]) for r in final.select("entry_id").collect())
+    assert vals == list(range(len(vals)))
+    m = t.manifest()
+    assert m["files"] and all("__bucket__=" in f for f in m["files"])
