@@ -109,6 +109,8 @@ def point_in_time_join(
     key_col: str,
     fact_ts_col: str,
     how: str = "left",
+    bucket_seconds: int | None = None,
+    horizon_ts=None,
 ) -> DataFrame:
     """Join each fact to the dimension version valid at the fact's time.
 
@@ -118,6 +120,23 @@ def point_in_time_join(
     one version. `how='left'` keeps facts that predate the first version
     (dimension columns NULL) — the honest answer for training data,
     where dropping early facts silently shifts the distribution.
+
+    **Hot-key skew** (`bucket_seconds`): the plain equi join's per-probe
+    cost is the number of versions under the probed key — an entity with
+    10⁵ versions makes every fact on it scan all 10⁵ interval residuals
+    (measured 11× over uniform at 1M facts / 100k hot versions, PLANS.md
+    round-8 soak). Passing `bucket_seconds` chunks TIME into the join
+    key: the fact side buckets `floor(ts / bucket_seconds)` and each
+    version explodes to the buckets its interval covers, so the equi key
+    becomes (key, time_bucket) and per-probe collisions shrink to the
+    versions overlapping ONE bucket. Open versions (eff_to NULL) explode
+    up to `horizon_ts` (any value ≥ the max fact timestamp; derived with
+    one scalar aggregate over facts when omitted — pass it explicitly at
+    scale to skip that pass). Size the knob so a bucket holds few
+    versions but a version spans few buckets — e.g. versions changing
+    ~hourly → bucket_seconds=86400 gives ≤24 collisions and ~1-bucket
+    explode. Results are identical to the unbucketed plan (parity pinned
+    in test_scd.py).
     """
     if how not in ("left", "inner"):
         raise ValueError(f"point_in_time_join: how must be left|inner, got {how!r}")
@@ -140,12 +159,57 @@ def point_in_time_join(
             "point_in_time_join: facts and dim share non-key columns "
             f"{overlap} — rename or prefix the dim attributes first"
         )
-    d = dim.withColumnRenamed(key_col, f"__dim_{key_col}__")
-    key_cond = facts[key_col] == d[f"__dim_{key_col}__"]
-    ts = facts[fact_ts_col]
+    dim_key = f"__dim_{key_col}__"
+    if bucket_seconds is None:
+        d = dim.withColumnRenamed(key_col, dim_key)
+        key_cond = facts[key_col] == d[dim_key]
+        ts = facts[fact_ts_col]
+        cond = (
+            key_cond
+            & (ts >= d["eff_from"])
+            & (d["eff_to"].isNull() | (ts < d["eff_to"]))
+        )
+        return facts.join(d, cond, how).drop(dim_key)
+
+    if bucket_seconds <= 0:
+        raise ValueError("point_in_time_join: bucket_seconds must be positive")
+    size_us = int(bucket_seconds) * 1_000_000
+    if horizon_ts is None:
+        horizon_ts = facts.agg(F.max(fact_ts_col)).first()[0]
+    if horizon_ts is None:  # empty fact side: nothing can match
+        horizon_b = F.lit(0)
+    else:
+        horizon_b = F.floor(
+            F.unix_micros(F.lit(horizon_ts).cast("timestamp")) / size_us
+        )
+    # Each version row fans out to every bucket its half-open interval
+    # covers: [floor(from/size), floor((to-1)/size)] — the -1 keeps an
+    # eff_to landing exactly on a bucket boundary out of the next bucket.
+    # Open versions fan out to the horizon. The per-key fan-out replaces
+    # per-probe collision scans; the exploded dim stays
+    # |versions| × (avg interval span / bucket) rows.
+    b_from = F.floor(F.unix_micros("eff_from") / size_us)
+    b_to = F.when(
+        F.col("eff_to").isNotNull(),
+        F.floor((F.unix_micros("eff_to") - 1) / size_us),
+    ).otherwise(horizon_b)
+    d = (
+        dim.withColumnRenamed(key_col, dim_key)
+        .withColumn(
+            "__pit_bucket__",
+            F.explode(F.sequence(b_from, F.greatest(b_to, b_from))),
+        )
+    )
+    fb = facts.withColumn(
+        "__pit_bucket__", F.floor(F.unix_micros(F.col(fact_ts_col)) / size_us)
+    )
+    ts = fb[fact_ts_col]
     cond = (
-        key_cond
+        (fb[key_col] == d[dim_key])
+        & (fb["__pit_bucket__"] == d["__pit_bucket__"])
         & (ts >= d["eff_from"])
         & (d["eff_to"].isNull() | (ts < d["eff_to"]))
     )
-    return facts.join(d, cond, how).drop(f"__dim_{key_col}__")
+    return fb.join(d, cond, how).drop(d["__pit_bucket__"]).drop(
+        dim_key
+    ).drop("__pit_bucket__")

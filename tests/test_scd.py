@@ -143,6 +143,53 @@ def test_point_in_time_plan_is_equi_join(spark):
     assert "Join" in plan
 
 
+def test_point_in_time_bucketed_parity(spark):
+    """bucket_seconds chunking must return byte-identical results to the
+    plain plan — including the half-open boundary facts, facts before
+    the first version (left NULLs), unknown keys, open versions past
+    the horizon derivation, and an eff_to landing EXACTLY on a bucket
+    boundary."""
+    # version boundaries at 00:00 each day; bucket = 12h so closed
+    # versions span 4 buckets and one eff_to hits a bucket edge exactly
+    ch = [
+        (1, "2024-01-01 00:00:00", 10, 1.0),
+        (1, "2024-01-03 00:00:00", 11, 2.0),
+        (1, "2024-01-05 12:00:00", 12, 3.0),
+        (2, "2024-01-02 06:30:00", 13, 9.0),
+    ]
+    dim = scd2_from_changes(
+        _changes(spark, [(u, _t(ts), e, v) for u, ts, e, v in ch]),
+        "user_id", "ts", ["value"], tie_col="event_id",
+    )
+    facts = _facts(spark, [
+        (100, 1, _t("2023-12-31 23:59:59")),
+        (101, 1, _t("2024-01-01 00:00:00")),
+        (102, 1, _t("2024-01-02 23:59:59")),
+        (103, 1, _t("2024-01-03 00:00:00")),   # boundary == bucket edge
+        (104, 1, _t("2024-01-05 11:59:59")),
+        (105, 1, _t("2024-01-05 12:00:00")),
+        (106, 1, _t("2024-09-01 00:00:00")),   # deep in the open version
+        (107, 2, _t("2024-01-02 06:30:00")),
+        (108, 3, _t("2024-06-01 00:00:00")),   # unknown key
+    ])
+    for how in ("left", "inner"):
+        plain = point_in_time_join(facts, dim, "user_id", "ts", how=how)
+        for kwargs in (
+            {"bucket_seconds": 43_200},
+            {"bucket_seconds": 43_200, "horizon_ts": _t("2025-01-01 00:00:00")},
+        ):
+            bucketed = point_in_time_join(
+                facts, dim, "user_id", "ts", how=how, **kwargs
+            )
+            key = ["fact_id"]
+            a = sorted(map(tuple, plain.select("fact_id", "value").collect()))
+            b = sorted(map(tuple, bucketed.select("fact_id", "value").collect()))
+            assert a == b, f"parity broke for how={how} kwargs={kwargs}"
+            assert sorted(plain.columns) == sorted(bucketed.columns)
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        point_in_time_join(facts, dim, "user_id", "ts", bucket_seconds=0)
+
+
 def test_scd2_hot_key_skew(spark):
     """The classic SCD skew wall: ONE entity holding the bulk of the
     versions (the window over a single partition key serializes into a
