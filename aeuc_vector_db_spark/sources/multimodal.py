@@ -31,12 +31,18 @@ Decode kernels (all pure stdlib — the formats are public specs):
   (H.264/VP9/…) stay STUBBED — they need ffmpeg, absent here.
 - WebP: lossless (VP8L) is REAL since round 5 — full bitstream decode
   (prefix codes, color cache, LZ77 with 2D distance planes, meta
-  prefix codes, all four transforms) in sources/webp.py; lossy VP8
-  stays STUBBED (needs libwebp) — the stub raises a clearly-marked
-  NotImplementedError (strict) or emits a deterministic fake derived
-  from the payload bytes. The Spark-side plumbing — schemas, batch
-  iteration shape, partition-parallelism, binaryFile source, metadata
-  propagation — is identical for real and stubbed kernels.
+  prefix codes, all four transforms) in sources/webp.py. Lossy VP8
+  key frames are REAL since round 8 — bool coder, token trees,
+  inverse DCT/WHT, intra prediction in sources/vp8.py (see its
+  table-fidelity note: the machinery is complete and pinned; the
+  three empirical default-probability tables are placeholders, so
+  external libwebp-encoded files need a data-only table swap). The
+  stub class is now VIDEO-ONLY (compressed codecs + VP8 inter
+  frames): those raise a clearly-marked NotImplementedError (strict)
+  or emit a deterministic fake derived from the payload bytes. The
+  Spark-side plumbing — schemas, batch iteration shape,
+  partition-parallelism, binaryFile source, metadata propagation —
+  is identical for real and stubbed kernels.
 
 Scale notes: `binaryFile` splits at file granularity — fine for many
 small/medium objects; huge objects should be sharded upstream. Column
@@ -751,7 +757,9 @@ def decode_features(
                 try:
                     w, h, c, pix = decode_image(payload)
                 except NotImplementedError:
-                    # healthy container, declared-stub codec (lossy VP8)
+                    # healthy container, declared-stub codec (VP8 inter
+                    # frame — the video class; lossy key frames decode
+                    # for real since round 8)
                     w, h, c = _fake_dims(payload)
                     digest = hashlib.sha256(payload).digest()
                     feats = [

@@ -1,4 +1,4 @@
-"""Pure-stdlib WebP lossless (VP8L) codec.
+"""Pure-stdlib WebP codec: lossless (VP8L) and lossy (VP8 key frame).
 
 Decodes the lossless half of WebP for REAL from the public bitstream
 spec (RFC 9649 / WebP lossless bitstream specification): LSB-first bit
@@ -7,9 +7,11 @@ incl. repeat codes 16/17/18 and the optional max-symbol cap), color
 cache, LZ77 backward references with the 2D distance-plane mapping,
 meta prefix codes, and all four transforms (predictor ×14 modes,
 cross-color, subtract-green, color-indexing incl. sub-byte pixel
-bundling). Lossy VP8 frames need libwebp/ffmpeg and are rejected with
-NotImplementedError so callers can keep them on the declared-stub path
-(`decode_status='stub'`), never silently wrong.
+bundling). Lossy 'VP8 ' frames decode through the round-8 pure-Python
+VP8 intra codec (sources/vp8.py — bool coder, token trees, inverse
+DCT/WHT, intra prediction; see its table-fidelity note for the
+external-interop caveat). Only VP8 *inter* frames remain
+NotImplementedError (reference buffers — the video stub class).
 
 A minimal encoder (`webp_encode`) emits transform-free fixed-8-bit-code
 VP8L streams for tests and corpus builders; round-trip equality pins
@@ -496,13 +498,14 @@ def vp8l_decode(data: bytes) -> tuple[int, int, int, bytes]:
 
 
 def webp_decode(payload: bytes) -> tuple[int, int, int, bytes]:
-    """RIFF/WEBP container → VP8L decode. Lossy 'VP8 ' frames raise
-    NotImplementedError (needs libwebp) — callers route that to the
-    declared-stub path; malformed bytes raise ValueError (error path)."""
+    """RIFF/WEBP container → VP8L (lossless) or VP8 (lossy key-frame)
+    decode. Lossy frames decode for real via sources/vp8.py since round
+    8 (see that module's table-fidelity note); malformed bytes raise
+    ValueError (error path); VP8 *inter* frames raise
+    NotImplementedError (video-style stub)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a RIFF/WEBP container")
     pos, end = 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
-    saw_lossy = False
     while pos + 8 <= end:
         tag = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
@@ -511,11 +514,11 @@ def webp_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         if tag == b"VP8L":
             return vp8l_decode(payload[pos + 8 : pos + 8 + size])
         if tag == b"VP8 ":
-            saw_lossy = True
+            from aeuc_vector_db_spark.sources.vp8 import vp8_decode_rgb
+
+            return vp8_decode_rgb(payload[pos + 8 : pos + 8 + size])
         pos += 8 + size + (size & 1)
-    if saw_lossy:
-        raise NotImplementedError("lossy VP8 WebP needs libwebp")
-    raise ValueError("WEBP container has no VP8L chunk")
+    raise ValueError("WEBP container has no VP8L/VP8 chunk")
 
 
 class _BitWriter:
@@ -621,6 +624,21 @@ def webp_encode(pixels: bytes, width: int, height: int, channels: int = 3) -> by
     """RIFF/WEBP container around a minimal VP8L stream."""
     stream = vp8l_encode(pixels, width, height, channels)
     chunk = b"VP8L" + struct.pack("<I", len(stream)) + stream
+    if len(stream) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def webp_encode_lossy(pixels: bytes, width: int, height: int,
+                      q_index: int = 8, use_bpred: bool = False) -> bytes:
+    """RIFF/WEBP container around a lossy VP8 key-frame stream
+    (sources/vp8.py) — RGB only (lossy WebP has no alpha channel
+    without an ALPH chunk, which is out of scope)."""
+    from aeuc_vector_db_spark.sources.vp8 import vp8_encode
+
+    stream = vp8_encode(pixels, width, height, q_index=q_index,
+                        use_bpred=use_bpred)
+    chunk = b"VP8 " + struct.pack("<I", len(stream)) + stream
     if len(stream) & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

@@ -137,12 +137,14 @@ def test_png_decompression_bomb_bounded():
 
 
 def test_decode_features_unsupported_vs_corrupt(spark, tmp_path):
-    # healthy LOSSY WebP named .png → stub (VP8 needs libwebp), NOT
-    # error (lossless VP8L decodes for real since round 5; a WEBP
-    # container with no image chunk at all is corrupt → error)
+    # healthy WebP carrying a VP8 INTER frame named .png → stub (inter
+    # frames need reference buffers — the video stub class), NOT error
+    # (lossless VP8L decodes for real since round 5, lossy VP8 key
+    # frames since round 8; a WEBP container with no image chunk at
+    # all is corrupt → error)
     (tmp_path / "ok_webp.png").write_bytes(
-        b"RIFF" + struct.pack("<I", 16) + b"WEBP"
-        + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+        b"RIFF" + struct.pack("<I", 22) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 10) + b"\x01" + b"\x00" * 9
     )
     (tmp_path / "empty_webp.png").write_bytes(
         b"RIFF" + struct.pack("<I", 24) + b"WEBP" + b"\x00" * 20
@@ -710,18 +712,23 @@ def test_sample_frames_real_mjpeg_and_stub_fallback(spark):
     assert all(len(bytes(r["frame_bytes"])) == 32 for r in junk)  # sha256 fakes
 
 
-def test_decode_features_webp_lossless_real_lossy_stub(spark, tmp_path):
+def test_decode_features_webp_lossless_and_lossy_real_inter_stub(spark, tmp_path):
     import struct
 
-    from aeuc_vector_db_spark.sources.webp import webp_encode
+    from aeuc_vector_db_spark.sources.webp import webp_encode, webp_encode_lossy
 
     pix = bytes([120, 40, 220]) * (6 * 4)
     (tmp_path / "l.webp").write_bytes(webp_encode(pix, 6, 4, 3))
-    lossy = (
-        b"RIFF" + struct.pack("<I", 16) + b"WEBP"
-        + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    # flat-color lossy key frame at the finest quantizer: per-channel
+    # mean survives the codec to ~1/255 accuracy
+    (tmp_path / "y.webp").write_bytes(
+        webp_encode_lossy(bytes([120, 40, 220]) * (16 * 16), 16, 16, q_index=0)
     )
-    (tmp_path / "y.webp").write_bytes(lossy)
+    inter = (
+        b"RIFF" + struct.pack("<I", 22) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 10) + b"\x01" + b"\x00" * 9
+    )
+    (tmp_path / "i.webp").write_bytes(inter)
     (tmp_path / "bad.webp").write_bytes(
         b"RIFF" + struct.pack("<I", 8) + b"WEBP\xff\xff\xff\xff"
     )
@@ -732,7 +739,13 @@ def test_decode_features_webp_lossless_real_lossy_stub(spark, tmp_path):
     assert (lossless["width"], lossless["height"], lossless["channels"]) == (6, 4, 4)
     assert abs(lossless["features"][0] - 120 / 255.0) < 1e-6  # exact mean R
     assert abs(lossless["features"][6] - 1.0) < 1e-6          # opaque alpha mean
-    assert rows["y.webp"]["decode_status"] == "stub"   # healthy, needs libwebp
+    lossy = rows["y.webp"]
+    assert lossy["decode_status"] == "real"                  # round 8
+    assert (lossy["width"], lossy["height"], lossy["channels"]) == (16, 16, 3)
+    assert abs(lossy["features"][0] - 120 / 255.0) < 3 / 255.0
+    assert abs(lossy["features"][2] - 40 / 255.0) < 3 / 255.0
+    assert abs(lossy["features"][4] - 220 / 255.0) < 3 / 255.0
+    assert rows["i.webp"]["decode_status"] == "stub"   # inter frame: video class
     assert rows["bad.webp"]["decode_status"] == "error"  # corrupt container
 
 

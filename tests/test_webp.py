@@ -137,12 +137,25 @@ def test_rejects_bad_inputs():
         W.webp_decode(wrap(bw.bytes()))
 
 
-def test_lossy_vp8_is_not_implemented_not_error():
-    lossy = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8 " + struct.pack(
+def test_lossy_vp8_key_frame_decodes_inter_is_stub():
+    """Round 8: lossy key frames decode for real through sources/vp8.py;
+    a VP8 INTER frame (bit 0 of the frame tag set) stays on the
+    declared-stub path; a truncated VP8 chunk is corrupt → ValueError."""
+    rgb = bytes(((x * 5 + y * 9) % 256) for y in range(18)
+                for x in range(18) for _ in range(3))
+    w, h, c, out = W.webp_decode(W.webp_encode_lossy(rgb, 18, 18, q_index=0))
+    assert (w, h, c) == (18, 18, 3)
+    assert max(abs(a - b) for a, b in zip(rgb, out)) <= 8
+    inter = b"RIFF" + struct.pack("<I", 22) + b"WEBP" + b"VP8 " + struct.pack(
+        "<I", 10
+    ) + b"\x01" + b"\x00" * 9
+    with pytest.raises(NotImplementedError):
+        W.webp_decode(inter)
+    trunc = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8 " + struct.pack(
         "<I", 4
     ) + b"\x00\x00\x00\x00"
-    with pytest.raises(NotImplementedError):
-        W.webp_decode(lossy)
+    with pytest.raises(ValueError):
+        W.webp_decode(trunc)
 
 
 # -- handcrafted streams: advanced decode paths --------------------------
