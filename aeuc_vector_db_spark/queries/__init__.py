@@ -112,8 +112,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "manifest_ndv_read",
     "sql_entry_hll_distinct",
     # New in round 8: the five maximal-stability singles collapsed into
-    # one tagged-rows composite (frees 4 window slots per rotation).
+    # one tagged-rows composite (frees 4 window slots per rotation),
+    # plus the scalar-subquery decorrelation family rounds out —
+    # Q2 (per-group MIN equality), Q11 (global-scalar HAVING), Q15
+    # (MAX-equality), all oracled against the correlated SQL forms.
     "core_stability_composite",
+    "rel_cheapest_part_offer",
+    "rel_market_share_customers",
+    "rel_top_quarter_supplier",
     # Longest-stale refresh: last driver-verified in CORRECTNESS_r06.
     "knn_cosine_topk",
     "knn_euclidean_topk",
@@ -127,9 +133,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_sessionize",
     "events_hourly_window",
     "doc_bm25_topk",
-    "doc_hybrid_rrf_topk",
-    "emb_pca_project",
-    "emb_quantize_int8",
     # --- positions ≥ 51: wait for their r9 window slot; all covered by
     # the in-repo check_correctness sweeps in the meantime ---
 )

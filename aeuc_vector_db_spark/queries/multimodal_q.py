@@ -32,11 +32,26 @@ _CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__fil
 def _blob_bytes(doc_id: int, text: str) -> tuple[str, bytes]:
     """Deterministic blob for one documents row, cycling real PNG / real
     WAV / real MP4 skeleton / real BMP / real JPEG / real MJPEG-AVI /
-    real lossless WebP. Returns (filename, payload). Corpus doc_ids are
-    multiples of 25, so the cycle uses (doc_id // 25) — doc_id % 7 would
-    be constant."""
+    real lossless WebP / real LOSSY WebP (VP8 key frame, round 8).
+    Returns (filename, payload). Corpus doc_ids are multiples of 25, so
+    the cycle uses (doc_id // 25) — doc_id % 8 would be constant."""
     h = hashlib.sha256(text.encode()).digest()
-    kind = (doc_id // 25) % 7
+    kind = (doc_id // 25) % 8
+    if kind == 7:
+        # real lossy WebP: VP8 intra key frame, 16x16 RGB from the hash
+        # stream (sources/vp8.py — bool coder, token trees, iDCT/iWHT,
+        # intra prediction run for every such blob in the corpus)
+        from aeuc_vector_db_spark.sources.webp import webp_encode_lossy
+
+        need = 16 * 16 * 3
+        buf = bytearray()
+        cur = h
+        while len(buf) < need:
+            buf += cur
+            cur = hashlib.sha256(cur).digest()
+        return f"blob_{doc_id}.webp", webp_encode_lossy(
+            bytes(buf[:need]), 16, 16, q_index=4
+        )
     if kind == 6:
         # real lossless WebP (VP8L), 4x4 RGB from the hash stream
         from aeuc_vector_db_spark.sources.webp import webp_encode
@@ -114,7 +129,7 @@ def _blob_bytes(doc_id: int, text: str) -> tuple[str, bytes]:
 
 def _blob_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the binary corpus once per sf (marker-cached)."""
-    tag = os.path.basename(sf_dir.rstrip("/")) + "-v6"  # v6: +WebP kind
+    tag = os.path.basename(sf_dir.rstrip("/")) + "-v7"  # v7: +lossy WebP kind
     d = os.path.join(_CACHE_ROOT, tag)
     marker = f"{d}/.complete"
     if not os.path.exists(marker):

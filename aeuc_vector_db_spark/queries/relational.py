@@ -1298,7 +1298,134 @@ LIMIT 20
 """
 
 
+def _cheapest_part_offer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the correlated scalar subquery `price =
+    (SELECT MIN(price) WHERE same part)` selecting each part's
+    best-offer rows. Decorrelates to a per-part MIN aggregate joined
+    back on (part, price=min) — min and equality in DECIMAL, so the
+    boundary is exact on both engines. The supplier dimension (100
+    rows) broadcasts; top-20 by (price, part, supplier) is
+    TakeOrderedAndProject. The mod-10 part filter is pushed to the
+    scan on BOTH passes of lineitem."""
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_partkey") % 10 == 0)
+        .select("l_partkey", "l_suppkey", _dec("l_extendedprice").alias("pd"))
+    )
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.min("pd").alias("minp"))
+        .withColumnRenamed("l_partkey", "pp_partkey")
+    )
+    best = li.join(
+        per_part,
+        (li["l_partkey"] == F.col("pp_partkey")) & (li["pd"] == F.col("minp")),
+    ).select("l_partkey", "l_suppkey", "pd")
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(sup), best["l_suppkey"] == sup["s_suppkey"])
+        .select(
+            "l_partkey", "l_suppkey", "s_name",
+            F.col("pd").cast("double").alias("best_price"),
+        )
+        .orderBy("best_price", "l_partkey", "l_suppkey")
+        .limit(20)
+    )
+
+
+_CHEAPEST_OFFER_ORACLE = """
+SELECT l.l_partkey, l.l_suppkey, s.s_name,
+       CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS best_price
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE l.l_partkey % 10 = 0
+  AND CAST(l.l_extendedprice AS DECIMAL(18,2)) =
+      (SELECT MIN(CAST(l2.l_extendedprice AS DECIMAL(18,2)))
+       FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+ORDER BY best_price, l_partkey, l_suppkey
+LIMIT 20
+"""
+
+
+def _market_share_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: a HAVING threshold against a GLOBAL scalar
+    aggregate — customers whose lifetime order value exceeds 0.1% of
+    the grand total. The scalar subquery decorrelates to a one-row
+    aggregate broadcast-cross-joined into the grouped HAVING filter;
+    the fraction is rewritten `sum·1000 > total` in DECIMAL (exact, no
+    float boundary). Two aggregates over one orders scan shape — at
+    scale the grouped agg is the only shuffle; the scalar is one row."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", _dec("o_totalprice").alias("pd")
+    )
+    per_cust = o.groupBy("o_custkey").agg(F.sum("pd").alias("s"))
+    total = o.agg(F.sum("pd").alias("grand"))
+    return (
+        per_cust.crossJoin(F.broadcast(total))
+        .filter(F.col("s") * F.lit(1000).cast("decimal(4,0)") > F.col("grand"))
+        .select("o_custkey", F.col("s").cast("double").alias("total_spend"))
+        .orderBy(F.col("total_spend").desc(), "o_custkey")
+    )
+
+
+_MARKET_SHARE_ORACLE = """
+SELECT o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 1000 >
+       (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+ORDER BY total_spend DESC, o_custkey
+"""
+
+
+def _top_quarter_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose 1996Q1 revenue equals the
+    maximum over all suppliers — `rev = (SELECT MAX(rev) FROM view)`.
+    Decorrelates to the grouped revenue aggregate plus a one-row MAX
+    re-aggregate broadcast back as an equality filter (ties all
+    returned, deterministically ordered). Revenue is the exact DECIMAL
+    price·(1−disc) sum, cast to DOUBLE only at output."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = F.expr(
+        f"CAST(l_extendedprice AS DECIMAL(18,2)) * ({_ONE} - CAST(l_discount AS DECIMAL(3,2)))"
+    )
+    per_sup = li.groupBy("l_suppkey").agg(F.sum(rev).alias("r"))
+    mx = per_sup.agg(F.max("r").alias("mr"))
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        per_sup.crossJoin(F.broadcast(mx))
+        .filter(F.col("r") == F.col("mr"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_suppkey", "s_name", F.col("r").cast("double").alias("total_revenue")
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+_TOP_QUARTER_SUPPLIER_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * ({_ONE} - CAST(l_discount AS DECIMAL(3,2)))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT rev.l_suppkey, s.s_name, CAST(r AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+WHERE r = (SELECT MAX(r) FROM rev)
+ORDER BY l_suppkey
+"""
+
+
 QUERIES = {
+    "rel_cheapest_part_offer": (_cheapest_part_offer, _CHEAPEST_OFFER_ORACLE),
+    "rel_market_share_customers": (_market_share_customers, _MARKET_SHARE_ORACLE),
+    "rel_top_quarter_supplier": (_top_quarter_supplier, _TOP_QUARTER_SUPPLIER_ORACLE),
     "rel_big_volume_customers": (_big_volume_customers, _BIG_VOLUME_ORACLE),
     "rel_unpivot_part_metrics": (_unpivot_part_metrics, _UNPIVOT_ORACLE),
     "rel_grouping_sets_revenue": (_grouping_sets_revenue, _GROUPING_SETS_ORACLE),
