@@ -120,6 +120,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_cheapest_part_offer",
     "rel_market_share_customers",
     "rel_top_quarter_supplier",
+    # ... and the ordered-funnel + cohort-retention analytics shapes
+    # (per-user MIN chains and first-seen-day bucketing over events).
+    "events_funnel_conversion",
+    "events_cohort_retention",
     # Longest-stale refresh: last driver-verified in CORRECTNESS_r06.
     "knn_cosine_topk",
     "knn_euclidean_topk",
@@ -131,8 +135,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ivf_pruned_search",
     "ivf_arrow_pruned_search",
     "events_sessionize",
-    "events_hourly_window",
-    "doc_bm25_topk",
     # --- positions ≥ 51: wait for their r9 window slot; all covered by
     # the in-repo check_correctness sweeps in the meantime ---
 )

@@ -326,7 +326,115 @@ WHERE f.event_type = 'click'
 """
 
 
+def _events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion: view → click (≤72h later) → purchase
+    (≤72h after the click), earliest-qualifying-event semantics per
+    user. Each stage is a per-user MIN aggregate joined to the next
+    event type on the USER key with the time bound as a join filter —
+    three equi hash joins on the same key (co-partitioned; one logical
+    shuffle per stage, reusable), never a cartesian or a window over
+    the whole event stream. Output: one row of stage counts."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+
+    def stage(prev: DataFrame, etype: str, out: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype).select(
+            F.col("user_id").alias("u"), F.col("ts").alias("ets")
+        )
+        cond = (
+            (prev["user_id"] == e["u"])
+            & (e["ets"] > prev[prev.columns[-1]])
+            & (e["ets"] <= prev[prev.columns[-1]] + F.expr("INTERVAL 72 HOURS"))
+        )
+        return (
+            prev.join(e, cond)
+            .groupBy("user_id", *prev.columns[1:])
+            .agg(F.min("ets").alias(out))
+        )
+
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    clicks = stage(views, "click", "t_click")
+    purchases = stage(clicks, "purchase", "t_purchase")
+    return (
+        views.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(clicks.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(purchases.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT v.user_id, MIN(e.ts) AS t_click
+  FROM v JOIN events e ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+    AND e.ts <= v.t_view + INTERVAL 72 HOUR
+  GROUP BY v.user_id
+), p AS (
+  SELECT c.user_id, MIN(e.ts) AS t_purchase
+  FROM c JOIN events e ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    AND e.ts <= c.t_click + INTERVAL 72 HOUR
+  GROUP BY c.user_id
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_view_click,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_full_funnel
+"""
+
+
+def _events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen DAY, counted by
+    how many distinct days after signup they were active. Two grouped
+    aggregates plus one equi join on the user key; the (user, day)
+    dedup happens BEFORE the join, so the join input is bounded by
+    users × active-days, not raw events. Output: (cohort_day_us,
+    offset_days, n_users)."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("offset_days"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.unix_micros("cohort_day").alias("cohort_day_us"),
+            F.col("offset_days").cast("long").alias("offset_days"),
+            "n_users",
+        )
+    )
+
+
+_COHORT_ORACLE = """
+WITH first AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+)
+SELECT CAST(epoch_us(CAST(cohort_day AS TIMESTAMP)) AS BIGINT) AS cohort_day_us,
+       CAST(date_diff('day', cohort_day, day) AS BIGINT) AS offset_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM active JOIN first USING (user_id)
+GROUP BY cohort_day, day
+"""
+
+
 QUERIES = {
+    "events_funnel_conversion": (_events_funnel_conversion, _FUNNEL_ORACLE),
+    "events_cohort_retention": (_events_cohort_retention, _COHORT_ORACLE),
     "events_scd2_point_in_time": (_events_scd2_point_in_time, _SCD2_PIT_ORACLE),
     "events_resample_locf": (_events_resample_locf, _RESAMPLE_ORACLE),
     "events_windowed_hll": (_events_windowed_hll, _WINDOWED_HLL_ORACLE),

@@ -79,6 +79,31 @@ def test_curation_plan_shape(spark, name, required):
     assert not missing, f"{name}: missing plan shapes {missing}"
 
 
+@pytest.mark.parametrize(
+    "name,required",
+    [
+        # Q2 shape: per-part MIN aggregate + equality join back, top-20
+        # is TakeOrdered, supplier dim broadcasts
+        ("rel_cheapest_part_offer",
+         ["HashAggregate", "TakeOrderedAndProject", "BroadcastHashJoin"]),
+        # Q11 shape: the global scalar rides a broadcast nested-loop
+        # (one row), never a shuffle join
+        ("rel_market_share_customers",
+         ["HashAggregate", "BroadcastNestedLoopJoin"]),
+        # Q15 shape: MAX re-aggregate broadcast as an equality filter
+        ("rel_top_quarter_supplier", ["HashAggregate", "BroadcastHashJoin"]),
+        # funnel: per-user MIN chains as equi joins on the user key
+        ("events_funnel_conversion", ["HashAggregate"]),
+        ("events_cohort_retention", ["HashAggregate"]),
+    ],
+)
+def test_round8_query_plan_shape(spark, name, required):
+    plan = _plan(spark, name)
+    missing = [r for r in required if r not in plan]
+    assert not missing, f"{name}: missing plan shapes {missing}"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
 def test_stratified_sample_is_pure_map_side(spark):
     """The sampling filter must not introduce ANY shuffle: the plan up
     to the (aggregating) declared query's Exchange is scan+filter only.
