@@ -647,3 +647,53 @@ def substring_dup_spans(
         F.sum("nw").cast("long").alias("n_dup_windows"),
         F.sum(F.col("e") - F.col("s") + F.lit(1)).cast("long").alias("dup_chars"),
     ).select(id_col, "n_dup_windows", "dup_chars", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def edit_distance_one_pairs(
+    df: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """All DISTINCT key pairs within Levenshtein distance ≤ 1 — via
+    symmetric-delete (SymSpell-style) blocking, never all-pairs.
+
+    Every key generates |key|+1 block keys: itself plus each
+    single-character deletion. Two strings within edit distance 1
+    PROVABLY share a block key (equal → the string itself; one
+    substitution → the common deletion at the differing position; one
+    insert/delete → the shorter string). The candidate join is an equi
+    join on the block key — candidate volume is Σ per-block n², bounded
+    by true near-match mass plus deletion collisions — and an exact
+    `levenshtein(a, b) <= 1` verify kills the distance-2 collisions
+    (two different deletions landing on the same block). Blocking keys
+    are generated JVM-side (transform over sequence — no UDF).
+
+    At 100 TB this is the spelling-variant/fuzzy-key dedup rung between
+    exact hashing (distance 0) and MinHash (set similarity): exact
+    bounded-distance semantics with linear key fan-out (|key|+1 per
+    row) instead of an O(N²) similarity join. Returns (k_a, k_b) with
+    k_a < k_b, deduplicated across shared blocks.
+    """
+    if key_col not in df.columns:
+        raise ValueError(f"edit_distance_one_pairs: no column {key_col!r}")
+    keys = df.select(F.col(key_col).alias("k")).distinct().filter(
+        F.col("k").isNotNull() & (F.char_length("k") > 0)
+    )
+    blocks = keys.select(
+        "k",
+        F.explode(
+            F.expr(
+                "array_union(array(k), transform(sequence(1, char_length(k)),"
+                " i -> concat(substring(k, 1, i-1),"
+                " substring(k, i+1, char_length(k)))))"
+            )
+        ).alias("b"),
+    )
+    a = blocks.withColumnRenamed("k", "k_a")
+    b = blocks.withColumnRenamed("k", "k_b")
+    cand = (
+        a.join(b, "b")
+        .filter(F.col("k_a") < F.col("k_b"))
+        .select("k_a", "k_b")
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("k_a", "k_b") <= 1)

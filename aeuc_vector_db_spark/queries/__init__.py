@@ -121,9 +121,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_market_share_customers",
     "rel_top_quarter_supplier",
     # ... and the ordered-funnel + cohort-retention analytics shapes
-    # (per-user MIN chains and first-seen-day bucketing over events).
+    # (per-user MIN chains and first-seen-day bucketing over events),
+    # plus symmetric-delete edit-distance-1 blocking whose oracle is
+    # the all-pairs Levenshtein form (completeness check on real data).
     "events_funnel_conversion",
     "events_cohort_retention",
+    "doc_prefix_edit1_pairs",
     # Longest-stale refresh: last driver-verified in CORRECTNESS_r06.
     "knn_cosine_topk",
     "knn_euclidean_topk",
@@ -131,7 +134,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "import_dedup",
     "delete_recompute",
     "export_ordered",
-    "embedding_normalize",
     "ivf_pruned_search",
     "ivf_arrow_pruned_search",
     "events_sessionize",

@@ -1511,7 +1511,35 @@ FROM scored CROSS JOIN hit WHERE lp >= th
 _QUALITY_GATE_ORACLE = _quality_gate_oracle()
 
 
+def _doc_prefix_edit1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-key dedup rung between exact hashing and MinHash: all
+    distinct 12-char lowercase text prefixes within Levenshtein
+    distance ≤ 1 of each other, found by SymSpell-style symmetric-
+    delete blocking (operators/dedup.py edit_distance_one_pairs) — an
+    equi join on |key|+1 deletion keys per prefix plus an exact
+    levenshtein verify, never an all-pairs similarity join. The DuckDB
+    oracle IS the all-pairs form, so the hash match verifies the
+    blocking's completeness on real data."""
+    docs = load_table(spark, "documents", sf_dir)
+    keyed = docs.filter(F.char_length("text") >= 12).select(
+        F.lower(F.substring("text", 1, 12)).alias("prefix")
+    )
+    return D.edit_distance_one_pairs(keyed, "prefix").orderBy("k_a", "k_b")
+
+
+_PREFIX_EDIT1_ORACLE = """
+WITH p AS (
+  SELECT DISTINCT lower(substr(text, 1, 12)) AS k
+  FROM documents WHERE length(text) >= 12
+)
+SELECT a.k AS k_a, b.k AS k_b
+FROM p a JOIN p b ON a.k < b.k AND levenshtein(a.k, b.k) <= 1
+ORDER BY k_a, k_b
+"""
+
+
 QUERIES = {
+    "doc_prefix_edit1_pairs": (_doc_prefix_edit1_pairs, _PREFIX_EDIT1_ORACLE),
     "doc_quality_gate_sketch": (_doc_quality_gate_sketch, _QUALITY_GATE_ORACLE),
     "doc_substring_dedup": (_doc_substring_dedup, _SUBSTRING_DEDUP_ORACLE),
     "doc_hll_distinct": (_doc_hll_distinct, _HLL_DISTINCT_ORACLE),

@@ -576,3 +576,59 @@ def test_semantic_dedup_engine_validation(spark):
     with pytest.raises(ValueError, match="engine must be"):
         D.semantic_dedup(df.withColumn("cell", F.lit(0)), cell_col="cell",
                          engine="nope")
+
+
+# ---------------------------------------------------------------------------
+# Symmetric-delete edit-distance-1 pairs (round 8)
+# ---------------------------------------------------------------------------
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_one_pairs_complete_vs_brute_force(spark):
+    """The deletion-neighborhood blocking must find EXACTLY the pairs a
+    brute-force Levenshtein sweep finds — substitutions, inserts,
+    deletes, equal-after-distinct, and distance-2 lookalikes that share
+    a deletion block but must be rejected by the verify step."""
+    from aeuc_vector_db_spark.operators.dedup import edit_distance_one_pairs
+
+    vocab = [
+        "merge", "marge", "mergee", "merg", "mrge",     # subst/insert/delete
+        "spark", "shark", "spork", "sprk",
+        "ab", "ba",                                     # dist 2, shares block "a"/"b"? (swap)
+        "a", "b", "",                                   # tiny + empty (filtered)
+        "same", "same",                                 # duplicates collapse
+        "käse", "kase",                                 # non-ascii subst
+    ]
+    df = spark.createDataFrame([(v,) for v in vocab], "k string")
+    got = {(r["k_a"], r["k_b"])
+           for r in edit_distance_one_pairs(df, "k").collect()}
+    distinct = sorted({v for v in vocab if v})
+    expect = {(x, y) for i, x in enumerate(distinct) for y in distinct[i + 1:]
+              if x < y and _lev(x, y) <= 1}
+    assert got == expect
+    with pytest.raises(ValueError, match="no column"):
+        edit_distance_one_pairs(df, "nope")
+
+
+def test_edit_distance_one_pairs_plan_is_blocked_join(spark):
+    """The candidate join must be an equi join on the deletion block —
+    a cartesian/BNLJ here would be the O(N²) similarity join the
+    operator exists to avoid."""
+    from aeuc_vector_db_spark.operators.dedup import edit_distance_one_pairs
+
+    df = spark.createDataFrame([(f"word{i}",) for i in range(50)], "k string")
+    plan = edit_distance_one_pairs(df, "k")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
