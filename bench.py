@@ -87,6 +87,12 @@ HEADLINE = (
     "rel_rolling_30d_revenue",
     "events_scd2_point_in_time",
     "knn_maxsim_topk",
+    # round 8: scalar-subquery decorrelation (per-group MIN equality),
+    # the ordered funnel (chained per-user MIN joins), and symmetric-
+    # delete edit-distance blocking (deletion-key equi join + verify)
+    "rel_cheapest_part_offer",
+    "events_funnel_conversion",
+    "doc_prefix_edit1_pairs",
 )
 
 
@@ -956,11 +962,18 @@ def _bench_decode() -> dict:
                 + chunk(b"IDAT", zlib.compress(bytes(raw)))
                 + chunk(b"IEND", b""))
 
+    from aeuc_vector_db_spark.sources.webp import webp_decode, webp_encode_lossy
+
     workloads = {
         "jpeg_noise": (jpeg_decode, jpeg_encode(noise.tobytes(), 128, 96, 3)),
         "jpeg_smooth": (jpeg_decode, jpeg_encode(smooth.tobytes(), 128, 96, 3)),
         "png_f0": (png_decode, png_encode(noise.tobytes(), 128, 96, 2)),
         "png_paeth": (png_decode, paeth_png(noise)),
+        # round 8: lossy VP8 key frame (bool-coder + token trees + iDCT
+        # + intra prediction — the newest pure-Python codec rung)
+        "webp_lossy_smooth": (
+            webp_decode, webp_encode_lossy(smooth.tobytes(), 128, 96, q_index=8)
+        ),
     }
     def best_rate(fn, blob, windows: int = 3, span: float = 0.5) -> float:
         """Best-of-N timed windows: single-core decode rates swing 5-10×
