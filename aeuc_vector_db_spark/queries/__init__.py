@@ -127,11 +127,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_funnel_conversion",
     "events_cohort_retention",
     "doc_prefix_edit1_pairs",
+    "events_value_outliers_mad",
     # Longest-stale refresh: last driver-verified in CORRECTNESS_r06.
     "knn_cosine_topk",
     "knn_euclidean_topk",
     "knn_dot_topk",
-    "import_dedup",
     "delete_recompute",
     "export_ordered",
     "ivf_pruned_search",

@@ -432,7 +432,51 @@ GROUP BY cohort_day, day
 """
 
 
+def _events_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection with median/MAD (the data-quality gate a
+    mean/stddev z-score cannot provide — one extreme value drags the
+    mean, never the median): events whose value deviates from the
+    median by more than 3.5 robust sigmas (MAD · 1.4826). Two EXACT
+    interpolating percentiles (one-row aggregates broadcast back — the
+    scalar never shuffles the fact table) and a map-side filter; the
+    float expression is identical left-to-right on both engines, so
+    the boundary is hash-exact."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", F.col("value").cast("double").alias("x")
+    )
+    med = ev.agg(F.expr("percentile(x, 0.5D)").alias("med"))
+    dev = ev.crossJoin(F.broadcast(med)).select(
+        "event_id", "x", (F.abs(F.col("x") - F.col("med"))).alias("d")
+    )
+    mad = dev.agg(F.expr("percentile(d, 0.5D)").alias("mad"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .filter(F.col("d") > F.lit(3.5) * F.lit(1.4826) * F.col("mad"))
+        .select(
+            "event_id",
+            F.round("x", 2).alias("value"),
+            F.round(F.col("d") / (F.lit(1.4826) * F.col("mad")), 6).alias(
+                "robust_z"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+_MAD_OUTLIERS_ORACLE = """
+WITH p AS (SELECT event_id, CAST(value AS DOUBLE) AS x FROM events),
+m AS (SELECT quantile_cont(x, 0.5) AS med FROM p),
+d AS (SELECT event_id, x, abs(x - med) AS d FROM p CROSS JOIN m),
+md AS (SELECT quantile_cont(d, 0.5) AS mad FROM d)
+SELECT event_id, ROUND(x, 2) AS value, ROUND(d / (1.4826 * mad), 6) AS robust_z
+FROM d CROSS JOIN md
+WHERE d > 3.5 * 1.4826 * mad
+ORDER BY event_id
+"""
+
+
 QUERIES = {
+    "events_value_outliers_mad": (_events_value_outliers_mad, _MAD_OUTLIERS_ORACLE),
     "events_funnel_conversion": (_events_funnel_conversion, _FUNNEL_ORACLE),
     "events_cohort_retention": (_events_cohort_retention, _COHORT_ORACLE),
     "events_scd2_point_in_time": (_events_scd2_point_in_time, _SCD2_PIT_ORACLE),
