@@ -472,3 +472,37 @@ def test_scd2_intervals_partition_timeline(spark, changes):
     # one version per distinct (key, ts)
     distinct_changes = {(k, ts) for k, ts, _ in changes}
     assert len(dim) == len(distinct_changes)
+
+
+def _py_lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(vocab=st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=5), min_size=1, max_size=12
+))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_edit_distance_one_blocking_is_complete(spark, vocab):
+    """For ANY vocabulary, symmetric-delete blocking + exact verify
+    returns exactly the brute-force Levenshtein≤1 pair set — the
+    completeness theorem the operator's scale claim rests on. The
+    tiny 'abcd' alphabet maximizes deletion-block collisions (the
+    false-positive pressure the verify step must absorb)."""
+    from aeuc_vector_db_spark.operators.dedup import edit_distance_one_pairs
+
+    df = spark.createDataFrame([(v,) for v in vocab], "k string")
+    got = {(r["k_a"], r["k_b"])
+           for r in edit_distance_one_pairs(df, "k").collect()}
+    distinct = sorted(set(vocab))
+    expect = {(x, y) for i, x in enumerate(distinct)
+              for y in distinct[i + 1:] if _py_lev(x, y) <= 1}
+    assert got == expect
