@@ -1227,16 +1227,21 @@ def _src_plane(raw: bytes, w: int, h: int, pw: int, ph: int) -> _Plane:
 
 
 def vp8_encode_yuv(y: bytes, u: bytes, v: bytes, width: int, height: int,
-                   q_index: int = 8, use_bpred: bool = False) -> bytes:
+                   q_index: int = 8, use_bpred: bool = False,
+                   n_partitions: int = 1) -> bytes:
     """Encode YUV420 planes as a one-partition VP8 key frame. Luma modes
     are best-of-{DC,V,H,TM} per MB (or B_PRED everywhere with per-
     subblock best-of-{B_DC,B_VE,B_HE,B_TM} when use_bpred) against the
     same reconstruction loop the decoder runs, so encoder and decoder
-    recon are bit-identical."""
+    recon are bit-identical. `n_partitions` ∈ {1, 2, 4, 8} splits the
+    token stream by mb_row %% n (the format's decode-parallelism knob;
+    exercises the decoder's partition table walk)."""
     import struct as _struct
 
     if not (0 <= q_index <= 127):
         raise VP8Error("q_index out of [0, 127]")
+    if n_partitions not in (1, 2, 4, 8):
+        raise VP8Error("n_partitions must be 1, 2, 4, or 8")
     mb_cols = (width + 15) // 16
     mb_rows = (height + 15) // 16
     cw, ch = (width + 1) // 2, (height + 1) // 2
@@ -1256,7 +1261,7 @@ def vp8_encode_yuv(y: bytes, u: bytes, v: bytes, width: int, height: int,
     hdr.write_literal(0, 6)   # filter level 0 (exact decode w/o deblock)
     hdr.write_literal(0, 3)   # sharpness
     hdr.write_literal(0, 1)   # lf deltas off
-    hdr.write_literal(0, 2)   # one token partition
+    hdr.write_literal({1: 0, 2: 1, 4: 2, 8: 3}[n_partitions], 2)
     hdr.write_literal(q_index, 7)
     for _ in range(5):
         hdr.write_literal(0, 1)  # no quantizer deltas
@@ -1269,7 +1274,7 @@ def vp8_encode_yuv(y: bytes, u: bytes, v: bytes, width: int, height: int,
     hdr.write_literal(1, 1)   # mb_no_coeff_skip enabled
     hdr.write_literal(_SKIP_PROB, 8)
 
-    tok = BoolEncoder()
+    toks = [BoolEncoder() for _ in range(n_partitions)]
     above_y = [0] * (mb_cols * 4)
     above_u = [0] * (mb_cols * 2)
     above_v = [0] * (mb_cols * 2)
@@ -1281,6 +1286,7 @@ def vp8_encode_yuv(y: bytes, u: bytes, v: bytes, width: int, height: int,
         left_v = [0] * 2
         left_y2 = 0
         left_sub = [B_DC_PRED] * 4
+        tok = toks[mb_row % n_partitions]
         for mb_col in range(mb_cols):
             x0, y0 = mb_col * 16, mb_row * 16
             have_above, have_left = mb_row > 0, mb_col > 0
@@ -1457,12 +1463,18 @@ def vp8_encode_yuv(y: bytes, u: bytes, v: bytes, width: int, height: int,
             vp.pad_row(py)
 
     part1 = hdr.bytes()
-    tokens = tok.bytes()
+    token_parts = [t.bytes() for t in toks]
+    # (n-1) little-endian 3-byte sizes precede the concatenated token
+    # partitions; the last partition's size is implied by the frame end
+    sizes = b"".join(
+        bytes((len(tp) & 0xFF, (len(tp) >> 8) & 0xFF, (len(tp) >> 16) & 0xFF))
+        for tp in token_parts[:-1]
+    )
     tag = (0) | (1 << 4) | (len(part1) << 5)  # keyframe, show_frame
     head = bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))
     head += b"\x9d\x01\x2a"
     head += _struct.pack("<HH", width & 0x3FFF, height & 0x3FFF)
-    return head + part1 + tokens
+    return head + part1 + sizes + b"".join(token_parts)
 
 
 # ---------------------------------------------------------------------------

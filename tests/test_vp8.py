@@ -237,3 +237,23 @@ def test_yuv_rgb_conversion_identities():
     assert all(abs(b - 128) <= 1 for b in u) and all(abs(b - 128) <= 1 for b in v)
     back = V.yuv420_to_rgb(y, u, v, 4, 4)
     assert max(abs(a - b) for a, b in zip(rgb, back)) <= 3
+
+
+def test_multi_partition_token_streams_decode_identically():
+    """The format's decode-parallelism knob: token streams split by
+    mb_row % n must reconstruct the identical frame for n = 1/2/4/8
+    (exercises the decoder's partition size-table walk and per-row
+    partition selection)."""
+    w, h = 48, 48
+    y = bytes((3 * x + 5 * yy) % 256 for yy in range(h) for x in range(w))
+    u = _flat(24, 24, 100)
+    v = _flat(24, 24, 170)
+    ref = None
+    for n in (1, 2, 4, 8):
+        out = V.vp8_decode_yuv(V.vp8_encode_yuv(y, u, v, w, h, q_index=2,
+                                                n_partitions=n))
+        if ref is None:
+            ref = out
+        assert out == ref
+    with pytest.raises(ValueError):
+        V.vp8_encode_yuv(y, u, v, w, h, n_partitions=3)
