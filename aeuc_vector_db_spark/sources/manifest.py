@@ -2634,15 +2634,127 @@ class BucketedManifestTable(ManifestTable):
 
     TABLE_MARKER = "_table.json"
 
-    def compact_small(self, spark, **kwargs):
-        """Cross-bucket small-file merging would break the hash layout
-        (every file must live under its `__bucket__=N` dir for the
-        bounded merge to prune); within-bucket compaction arrives with
-        the bucketed rewrite itself — use merge_upsert / compact."""
-        raise ValueError(
-            "compact_small does not compose with the bucketed layout; "
-            "use compact() (full, layout-preserving) instead"
-        )
+    def compact_small(
+        self,
+        spark,
+        max_files_per_bucket: int = 4,
+        max_retries: int = 5,
+        **_ignored,
+    ):
+        """WITHIN-BUCKET small-file compaction (round 8) — the
+        maintenance pass the streaming sink story needs: every epoch's
+        bucket-partitioned append adds one file per touched bucket, so
+        after E epochs a hot bucket holds E files and read/merge
+        planning degrades linearly. This pass rewrites ONLY the buckets
+        whose file count exceeds `max_files_per_bucket`; every other
+        bucket's files carry forward BY REFERENCE (no read, no write)
+        — compaction IO tracks epoch debt, never table size, and the
+        hash layout contract (one `__bucket__=N` dir per bucket) is
+        preserved because the rewrite goes through the bucketed
+        `_write_data_dir`. Cross-bucket merging (the base class's
+        size-based selection) is deliberately NOT offered: it would
+        break the per-file bucket map the bounded MERGE prunes with.
+
+        DV-aware like the bounded merge: rewritten buckets materialize
+        their deletion vectors away; DV rows referencing untouched
+        files are carried into one fresh consolidated sidecar. Files
+        with no recorded bucket (foreign/hand-assembled layout) are
+        treated as over-threshold — they get rewritten INTO the bucket
+        layout, healing the table. Returns the new version, or None
+        when no bucket qualifies. Loses cleanly to concurrent writers
+        (CommitConflictError after retries — maintenance never
+        clobbers data)."""
+        if max_files_per_bucket < 1:
+            raise ValueError("max_files_per_bucket must be >= 1")
+        last: CommitConflictError | None = None
+        for _ in range(max_retries):
+            parent = self.latest_version()
+            if parent is None:
+                raise FileNotFoundError(f"no committed version at {self.root!r}")
+            pm = self.manifest(parent)
+            bmap, rmap = pm.get("buckets", {}), pm.get("file_rows", {})
+            per_bucket: dict = {}
+            foreign = []
+            for f in pm["files"]:
+                b = bmap.get(f)
+                if b is None:
+                    foreign.append(f)
+                else:
+                    per_bucket.setdefault(int(b), []).append(f)
+            crowded = {
+                b for b, fs in per_bucket.items()
+                if len(fs) > max_files_per_bucket
+            }
+            rewrite = foreign + [
+                f for b in sorted(crowded) for f in per_bucket[b]
+            ]
+            if not rewrite:
+                return None
+            untouched = [f for f in pm["files"] if f not in set(rewrite)]
+            cur = self._read_files(
+                spark, [os.path.join(self.root, f) for f in rewrite], pm
+            )
+            dvs = pm.get("deletes") or []
+            if dvs:
+                cur = self._apply_deletes(spark, cur, pm)
+            new_files, n_new = self._write_data_dir(cur)
+            carried_rel: str | None = None
+            n_dv_carried = 0
+            if dvs and untouched:
+                from pyspark.sql import Observation
+
+                dv_keep = spark.read.parquet(
+                    *[os.path.join(self.root, d) for d in dvs]
+                ).filter(F.col("file").isin(untouched))
+                token = uuid.uuid4().hex[:16]
+                carried_rel = os.path.join(_DATA_DIR, token)
+                obs = Observation()
+                dv_keep.observe(obs, F.count(F.lit(1)).alias("n")).write.parquet(
+                    os.path.join(self.root, carried_rel)
+                )
+                n_dv_carried = int(obs.get["n"] or 0)
+                if n_dv_carried == 0:
+                    shutil.rmtree(
+                        os.path.join(self.root, carried_rel), ignore_errors=True
+                    )
+                    carried_rel = None
+            n_untouched = sum(rmap.get(f, 0) for f in untouched) - n_dv_carried
+            smap = pm.get("stats", {})
+            nmap = pm.get("nulls", {})
+            self._pending_extra = {
+                "buckets": {**{f: bmap[f] for f in untouched},
+                            **self._pending_extra["buckets"]},
+                "file_rows": {**{f: rmap.get(f, 0) for f in untouched},
+                              **self._pending_extra["file_rows"]},
+                **(
+                    {"stats": {**{f: smap[f] for f in untouched if f in smap},
+                               **self._pending_extra.get("stats", {})}}
+                    if (smap or self.stats_cols) else {}
+                ),
+                **(
+                    {"nulls": {**{f: nmap[f] for f in untouched if f in nmap},
+                               **self._pending_extra.get("nulls", {})}}
+                    if (nmap or self.stats_cols) else {}
+                ),
+            }
+            try:
+                return self._commit(
+                    "compact",
+                    untouched + new_files,
+                    n_untouched + n_new,
+                    keep_parent_files=False,
+                    expected_parent=parent,
+                    deletes=[carried_rel] if carried_rel else None,
+                )
+            except CommitConflictError as exc:
+                last = exc
+                if carried_rel:
+                    shutil.rmtree(
+                        os.path.join(self.root, carried_rel), ignore_errors=True
+                    )
+        raise CommitConflictError(
+            f"compact_small: {max_retries} retries exhausted"
+        ) from last
 
     def __init__(
         self,

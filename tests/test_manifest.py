@@ -2050,13 +2050,17 @@ def test_constraint_commits_do_not_break_incremental_feeds(spark, root):
     assert ch.filter(F.col("_change_type") == "insert").count() == 3
 
 
-def test_compact_small_rejected_on_bucketed(spark, root):
+def test_compact_small_on_bucketed_is_within_bucket(spark, root):
+    """Round 8: the bucketed override compacts WITHIN buckets (file-
+    count threshold) instead of rejecting; the base class's size-based
+    kwargs are ignored rather than crashing callers."""
     from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
 
     t = BucketedManifestTable(root, key="k", n_buckets=4)
     t.commit_append(_df(spark, (0, 10)))
-    with pytest.raises(ValueError, match="bucketed"):
-        t.compact_small(spark)
+    # base-class kwargs accepted and ignored; single file per bucket →
+    # nothing to do
+    assert t.compact_small(spark, target_bytes=1 << 30, min_small=2) is None
 
 
 # ---------------------------------------------------------------------------
@@ -2128,3 +2132,85 @@ def test_ndv_sidecars_survive_vacuum_and_stay_out_of_manifest(spark, root):
     m = t.manifest()
     assert "ndv" not in m
     assert "ndv" not in json.dumps(m)
+
+
+# ---------------------------------------------------------------------------
+# Within-bucket small-file compaction (round 8)
+# ---------------------------------------------------------------------------
+
+def test_bucketed_compact_small_rewrites_only_crowded_buckets(spark, tmp_path):
+    """Epoch-style appends pile one file per bucket per epoch; the
+    compaction must rewrite ONLY buckets over the file threshold, carry
+    every other bucket by reference, keep the __bucket__ layout, and
+    leave the row set untouched."""
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    t = BucketedManifestTable(str(tmp_path / "bt"), key="k", n_buckets=4)
+    # 6 epoch-like appends → up to 6 files in every bucket
+    for e in range(6):
+        t.commit_append(_df(spark, (e * 40, e * 40 + 40), tag=f"e{e}"),
+                        epoch_id=e)
+    m0 = t.manifest()
+    per0: dict = {}
+    for f, b in m0["buckets"].items():
+        per0.setdefault(int(b), []).append(f)
+    assert max(len(fs) for fs in per0.values()) > 4
+    before = sorted((r["k"], r["tag"]) for r in t.read(spark).collect())
+
+    v = t.compact_small(spark, max_files_per_bucket=4)
+    assert v is not None
+    m1 = t.manifest()
+    per1: dict = {}
+    for f, b in m1["buckets"].items():
+        per1.setdefault(int(b), []).append(f)
+    # crowded buckets collapsed; none exceeds the threshold now
+    assert max(len(fs) for fs in per1.values()) <= 4
+    # carried-by-reference: any bucket that was NOT crowded keeps paths
+    for b, fs in per0.items():
+        if len(fs) <= 4:
+            assert set(fs) <= set(m1["files"])
+    # layout + maps intact, rows identical, counts metadata-exact
+    assert all("__bucket__=" in f for f in m1["files"])
+    assert set(m1["buckets"]) == set(m1["files"])
+    after = sorted((r["k"], r["tag"]) for r in t.read(spark).collect())
+    assert after == before and m1["n_rows"] == 240
+    # idempotent: immediately re-running finds nothing to do
+    assert t.compact_small(spark, max_files_per_bucket=4) is None
+    # epoch markers survive compaction (exactly-once resume intact)
+    assert {str(e) for e in range(6)} <= set(t.committed_epochs())
+
+
+def test_bucketed_compact_small_dv_aware(spark, tmp_path):
+    """Soft-deleted rows in rewritten buckets must be materialized away
+    (not resurrected), and DV rows for untouched files must survive."""
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    t = BucketedManifestTable(str(tmp_path / "btdv"), key="k", n_buckets=2)
+    for e in range(6):
+        t.commit_append(_df(spark, (e * 20, e * 20 + 20), tag=f"e{e}"),
+                        epoch_id=e)
+    t.delete_where_dv(spark, [("k", "=", 7)])
+    t.delete_where_dv(spark, [("k", "=", 13)])
+    assert t.read(spark).count() == 118
+    v = t.compact_small(spark, max_files_per_bucket=2)
+    assert v is not None
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert len(got) == 118 and 7 not in got and 13 not in got
+    assert t.manifest()["n_rows"] == 118
+    # deleted keys stay deleted through a further append + compact
+    t.commit_append(_df(spark, (200, 230), tag="late"), epoch_id=99)
+    t.compact_small(spark, max_files_per_bucket=1)
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert len(got) == 148 and 7 not in got and 13 not in got
+
+
+def test_bucketed_compact_small_validation(spark, tmp_path):
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    t = BucketedManifestTable(str(tmp_path / "btv"), key="k", n_buckets=2)
+    with pytest.raises(FileNotFoundError):
+        t.compact_small(spark)
+    t.commit_append(_df(spark, (0, 10)))
+    with pytest.raises(ValueError, match="max_files_per_bucket"):
+        t.compact_small(spark, max_files_per_bucket=0)
+    assert t.compact_small(spark, max_files_per_bucket=4) is None
