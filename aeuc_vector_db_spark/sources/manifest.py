@@ -3083,3 +3083,38 @@ class BucketedManifestTable(ManifestTable):
 
     # compact() is inherited: the overridden _write_data_dir keeps the
     # rewritten snapshot bucket-partitioned automatically.
+
+
+def estimate_equi_join_rows(
+    left: "ManifestTable",
+    right: "ManifestTable",
+    key: str,
+    right_key: str | None = None,
+    left_version: int | None = None,
+    right_version: int | None = None,
+) -> float:
+    """Metadata-only equi-join cardinality estimate — the System-R
+    formula |L|·|R| / max(ndv_L(key), ndv_R(key)) computed entirely
+    from the two manifests: exact live row counts (`count_rows`) and
+    the per-file HLL register sidecars (`ndv_estimate`). ZERO data
+    files are opened.
+
+    This is the optimizer-style pre-flight a 100 TB join deserves:
+    decide broadcast vs shuffle vs bloom-reduction (bloomjoin.py)
+    BEFORE launching any job, from two JSON reads. The estimate
+    inherits the standard independence/containment assumptions (each
+    distinct key on the smaller-NDV side joins uniformly) and
+    ndv_estimate's ~4.6% register error and superset semantics
+    (DV-deleted rows still count toward NDV, while row counts are
+    live-exact — so heavily-deleted tables skew the estimate LOW on
+    rows and HIGH on NDV, both conservative for broadcast decisions).
+    Raises like ndv_estimate when a side lacks registers for its key.
+    """
+    rk = key if right_key is None else right_key
+    nl = left.count_rows(left_version)
+    nr = right.count_rows(right_version)
+    if nl == 0 or nr == 0:
+        return 0.0
+    dl = left.ndv_estimate(key, left_version)
+    dr = right.ndv_estimate(rk, right_version)
+    return (nl * nr) / max(dl, dr, 1.0)
