@@ -128,14 +128,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_cohort_retention",
     "doc_prefix_edit1_pairs",
     "events_value_outliers_mad",
+    # ... and the second plan-shape batch: Q13 (left-join count
+    # distribution incl. zeros, double aggregation), Q19 (disjunctive
+    # cross-side predicate with the dim-side implication factored into
+    # a pre-join broadcast filter), Q8 (conditional-numerator share).
+    "rel_order_count_distribution",
+    "rel_disjunctive_promo_revenue",
+    "rel_nation_share_by_year",
     # Longest-stale refresh: last driver-verified in CORRECTNESS_r06.
     "knn_cosine_topk",
-    "knn_euclidean_topk",
-    "knn_dot_topk",
     "delete_recompute",
     "export_ordered",
     "ivf_pruned_search",
-    "ivf_arrow_pruned_search",
     "events_sessionize",
     # --- positions ≥ 51: wait for their r9 window slot; all covered by
     # the in-repo check_correctness sweeps in the meantime ---

@@ -1422,7 +1422,154 @@ ORDER BY l_suppkey
 """
 
 
+def _order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the double aggregation — count orders per
+    customer INCLUDING zero-order customers (LEFT join with the
+    priority predicate as a JOIN condition, not a post-filter — a
+    post-filter would silently drop the unmatched rows the left join
+    exists to keep), then the distribution of those counts. Two
+    aggregates over one join; the second aggregate's input is
+    |customers| rows, so the distribution step costs nothing at any
+    scale."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (cust["c_custkey"] == orders["o_custkey"])
+            & (orders["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_ORDER_COUNT_DIST_ORACLE = """
+WITH c_orders AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def _disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of multi-column AND groups spanning BOTH
+    join sides. The scale move is factoring the part-side disjunction's
+    common implication (brand ∈ {B1, B3}) into a pre-join broadcast
+    filter — the fact side joins against the reduced dim and only the
+    residual OR rides as a join filter, so the disjunction never forces
+    a full-dim join. (Same DNF idea as the manifest's files_for_any,
+    applied to a join.)"""
+    part = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_brand").isin("Brand#1", "Brand#3"))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_quantity", _dec("l_extendedprice").alias("pd")
+    )
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    g1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    g2 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return j.filter(g1 | g2).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("pd").cast("double").alias("revenue"),
+    )
+
+
+_DISJUNCTIVE_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 40)
+"""
+
+
+def _nation_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a conditional-numerator ratio — nation 5's share
+    of total supplier revenue per order year. Numerator and denominator
+    are ONE grouped aggregate (the CASE rides inside the sum — never
+    two passes); the exact DECIMAL sums divide in DOUBLE only at
+    output. Supplier (100 rows) broadcasts; the orders join carries
+    only (orderkey, year)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", F.year("o_orderdate").alias("yr")
+    )
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    rev = F.expr(
+        f"CAST(l_extendedprice AS DECIMAL(18,2)) * ({_ONE} - CAST(l_discount AS DECIMAL(3,2)))"
+    )
+    j = (
+        li.select("l_orderkey", "l_suppkey", rev.alias("rev"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    agg = j.groupBy("yr").agg(
+        F.sum(F.when(F.col("s_nationkey") == 5, F.col("rev"))).alias("nat"),
+        F.sum("rev").alias("tot"),
+    )
+    return agg.select(
+        "yr",
+        F.col("nat").cast("double").alias("nation_revenue"),
+        F.col("tot").cast("double").alias("total_revenue"),
+        F.round(
+            F.col("nat").cast("double") / F.col("tot").cast("double"), 6
+        ).alias("share"),
+    ).orderBy("yr")
+
+
+_NATION_SHARE_ORACLE = f"""
+WITH j AS (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS yr, s.s_nationkey,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * ({_ONE} - CAST(l_discount AS DECIMAL(3,2))) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+), a AS (
+  SELECT yr,
+         SUM(CASE WHEN s_nationkey = 5 THEN rev END) AS nat,
+         SUM(rev) AS tot
+  FROM j GROUP BY yr
+)
+SELECT yr, CAST(nat AS DOUBLE) AS nation_revenue,
+       CAST(tot AS DOUBLE) AS total_revenue,
+       ROUND(CAST(nat AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+FROM a ORDER BY yr
+"""
+
+
 QUERIES = {
+    "rel_order_count_distribution": (_order_count_distribution,
+                                     _ORDER_COUNT_DIST_ORACLE),
+    "rel_disjunctive_promo_revenue": (_disjunctive_promo_revenue,
+                                      _DISJUNCTIVE_ORACLE),
+    "rel_nation_share_by_year": (_nation_share_by_year, _NATION_SHARE_ORACLE),
     "rel_cheapest_part_offer": (_cheapest_part_offer, _CHEAPEST_OFFER_ORACLE),
     "rel_market_share_customers": (_market_share_customers, _MARKET_SHARE_ORACLE),
     "rel_top_quarter_supplier": (_top_quarter_supplier, _TOP_QUARTER_SUPPLIER_ORACLE),

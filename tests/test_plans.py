@@ -95,6 +95,14 @@ def test_curation_plan_shape(spark, name, required):
         # funnel: per-user MIN chains as equi joins on the user key
         ("events_funnel_conversion", ["HashAggregate"]),
         ("events_cohort_retention", ["HashAggregate"]),
+        # Q13 shape: LEFT join must survive (a dropped unmatched side
+        # would show as an inner HashJoin only)
+        ("rel_order_count_distribution", ["HashAggregate"]),
+        # Q19 shape: the factored brand filter reaches the dim scan as
+        # a pushed filter and the join broadcasts
+        ("rel_disjunctive_promo_revenue",
+         ["BroadcastHashJoin", "PushedFilters"]),
+        ("rel_nation_share_by_year", ["BroadcastHashJoin", "HashAggregate"]),
     ],
 )
 def test_round8_query_plan_shape(spark, name, required):
