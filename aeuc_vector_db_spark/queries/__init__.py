@@ -135,10 +135,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_order_count_distribution",
     "rel_disjunctive_promo_revenue",
     "rel_nation_share_by_year",
+    # ... and the between-waves embedding drift monitor (centroid
+    # cosine + max per-dimension shift over corpus halves).
+    "emb_drift_split_stats",
     # Longest-stale refresh: last driver-verified in CORRECTNESS_r06.
     "knn_cosine_topk",
     "delete_recompute",
-    "export_ordered",
     "ivf_pruned_search",
     "events_sessionize",
     # --- positions ≥ 51: wait for their r9 window slot; all covered by

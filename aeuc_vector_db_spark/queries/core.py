@@ -702,7 +702,71 @@ def _dk_maxsim(cv: str, qv: str) -> str:
     return "(" + " + ".join(maxes) + ")"
 
 
+def _emb_drift_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between two corpus halves (vec_id
+    parity stands in for old-crawl/new-crawl): centroid-vs-centroid
+    cosine, the largest per-dimension centroid shift, and half sizes.
+    The monitoring read a training pipeline runs between ingest waves —
+    a cosine dropping from ~1 or a dimension shifting alone flags an
+    upstream encoder/preprocessing change before any model trains on
+    it. One grouped centroid aggregate (2 groups) + a 2-row comparison:
+    nothing here scales with corpus size except the map-side partial
+    averages."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    halves = emb.withColumn("half", (F.col("vec_id") % 2).cast("int"))
+    cents = C.centroids(halves, ["half"])
+    a = cents.filter(F.col("half") == 0).select(F.col("centroid").alias("ca"))
+    b = cents.filter(F.col("half") == 1).select(F.col("centroid").alias("cb"))
+    counts = halves.groupBy("half").agg(F.count(F.lit(1)).alias("n"))
+    n0 = counts.filter(F.col("half") == 0).select(F.col("n").alias("n_old"))
+    n1 = counts.filter(F.col("half") == 1).select(F.col("n").alias("n_new"))
+    from aeuc_vector_db_spark.functions.similarity import cosine_col
+
+    return (
+        a.crossJoin(b).crossJoin(n0).crossJoin(n1)
+        .select(
+            "n_old",
+            "n_new",
+            F.round(cosine_col(F.col("ca"), F.col("cb")), 9).alias(
+                "centroid_cosine"
+            ),
+            F.round(
+                F.array_max(
+                    F.zip_with("ca", "cb", lambda x, y: F.abs(x - y))
+                ),
+                9,
+            ).alias("max_dim_shift"),
+        )
+    )
+
+
+_EMB_DRIFT_ORACLE = f"""
+WITH pts AS (
+  SELECT CAST(vec_id % 2 AS INTEGER) AS half,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+), cent AS (
+  SELECT half, pos, AVG(val) AS c FROM pts GROUP BY half, pos
+), cvec AS (
+  SELECT half, list(c ORDER BY pos) AS centroid FROM cent GROUP BY half
+), n AS (
+  SELECT CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+  FROM embeddings
+)
+SELECT n_old, n_new,
+       ROUND({_dk_cosine('a.centroid', 'b.centroid')}, 9) AS centroid_cosine,
+       ROUND(list_max(list_transform(list_zip(a.centroid, b.centroid),
+                                     p -> abs(p[1] - p[2]))), 9) AS max_dim_shift
+FROM (SELECT centroid FROM cvec WHERE half = 0) a
+CROSS JOIN (SELECT centroid FROM cvec WHERE half = 1) b
+CROSS JOIN n
+"""
+
+
 QUERIES = {
+    "emb_drift_split_stats": (_emb_drift_split_stats, _EMB_DRIFT_ORACLE),
     "knn_maxsim_topk": (_maxsim_topk, _knn_oracle(_dk_maxsim)),
     "knn_cosine_topk": (_knn_query("cosine"), _knn_oracle(_dk_cosine)),
     "knn_euclidean_topk": (_knn_query("euclidean"), _knn_oracle(_dk_euclid_sim)),
