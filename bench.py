@@ -93,6 +93,10 @@ HEADLINE = (
     "rel_cheapest_part_offer",
     "events_funnel_conversion",
     "doc_prefix_edit1_pairs",
+    # second round-8 batch: the Q13 double aggregation and the Q19
+    # disjunctive join (pre-join factored dim filter)
+    "rel_order_count_distribution",
+    "rel_disjunctive_promo_revenue",
 )
 
 
