@@ -5,11 +5,15 @@ compares row count, column names, and an order-insensitive value hash
 (columns sorted by name, rows sorted by all columns, values stringified).
 
 Usage: python tools/check_correctness.py [query_name ...]
+Set CHECK_SF_DIR to sweep a different scale (e.g. /root/testdata/sf0.1
+— the 10× robustness pass; float-determinism rules must hold at every
+scale, not just the driver's fixture).
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 import traceback
@@ -19,7 +23,7 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
