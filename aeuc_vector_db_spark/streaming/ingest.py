@@ -538,12 +538,23 @@ def bucketed_manifest_sink(
         )
 
     def body(batch: DataFrame, epoch_id: int) -> None:
-        if str(epoch_id) in table.committed_epochs():
-            return  # replayed epoch: already fully committed
         spark = batch.sparkSession
+        # constraint split BEFORE PK dedup (mirrors manifest_sink): with
+        # the reversed order, dropDuplicates could keep the
+        # constraint-VIOLATING copy of a duplicated id and quarantine
+        # it, silently losing the valid copy by partition luck
         accepted, quarantined = split_valid(batch, dim)
-        accepted = accepted.dropDuplicates([id_col])
         accepted, quarantined = _constraint_split(table, accepted, quarantined)
+        accepted = accepted.dropDuplicates([id_col])
+        if str(epoch_id) in table.committed_epochs():
+            # replayed epoch: the DATA commit is already absorbed, but
+            # the quarantine write may have been lost to a crash between
+            # commit_append and _write_quarantine — rewrite it (epoch-
+            # scoped overwrite, idempotent), same guarantee as
+            # manifest_sink: exactly-once regardless of where in the
+            # epoch the crash landed
+            _write_quarantine(quarantined, quarantine_path, epoch_id)
+            return
         if table.latest_version() is not None:
             # small local materialization (micro-batch-sized) so the
             # bucket-set collect and the anti-join don't recompute the

@@ -705,6 +705,70 @@ def test_bucketed_sink_replay_dedup_and_layout(spark, tmp_path):
     assert got == sorted(f"e{i}" for i in range(15))
 
 
+def test_bucketed_sink_replay_rewrites_lost_quarantine(spark, tmp_path):
+    """Two exactly-once edges of the bucketed sink:
+
+    1. A duplicated id whose copies DIFFER in constraint validity must
+       deterministically commit the VALID copy — the constraint split
+       runs before PK dedup, so dropDuplicates can never keep (and then
+       quarantine) the violating copy by partition luck.
+    2. A crash between commit_append and the quarantine write: replaying
+       the epoch must rewrite the lost quarantine rows (epoch-scoped
+       overwrite, idempotent) WITHOUT recommitting the data.
+    """
+    import shutil
+
+    from aeuc_vector_db_spark import schemas
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    t = BucketedManifestTable(str(tmp_path / "btq"), key="entry_id", n_buckets=4)
+    qdir = str(tmp_path / "btq_quar")
+    body = SI.bucketed_manifest_sink(t, DIM, qdir)
+
+    body(_parsed_batch(spark, [0]), 0)
+    t.add_check_constraint(spark, "ctx_small", "outer_context_id < 5")
+
+    # e1 valid; e2 violates; e3 delivered TWICE — one violating copy,
+    # one valid copy (the order-sensitivity trap)
+    lines = [
+        _entry(1, ctx=1),
+        _entry(2, ctx=7),
+        _entry(3, ctx=9),
+        _entry(3, ctx=2),
+    ]
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    batch = raw.select(
+        F.from_json(F.col("value"), schemas.VECTOR_ENTRY_SCHEMA).alias("r")
+    ).select("r.*")
+
+    body(batch, 1)
+    v1 = t.latest_version()
+    committed = {
+        r["entry_id"]: r["outer_context_id"] for r in t.read(spark).collect()
+    }
+    assert committed == {"e0": 0, "e1": 1, "e3": 2}  # the VALID e3 copy
+    quar = {
+        (r["entry_id"], r["outer_context_id"])
+        for r in spark.read.parquet(qdir).collect()
+    }
+    assert quar == {("e2", 7), ("e3", 9)}
+
+    # crash lost the quarantine write; the epoch marker survived
+    shutil.rmtree(qdir)
+    body(batch, 1)  # replayed epoch
+    assert t.latest_version() == v1  # no data recommit
+    assert t.read(spark).count() == 3
+    requar = {
+        (r["entry_id"], r["outer_context_id"])
+        for r in spark.read.parquet(qdir).collect()
+    }
+    assert requar == quar  # quarantine restored, not duplicated
+
+    # replay with the quarantine intact stays idempotent (overwrite)
+    body(batch, 1)
+    assert spark.read.parquet(qdir).count() == 2
+
+
 def test_bucketed_sink_dedup_read_is_bucket_pruned(spark, tmp_path):
     """The dedup read opens ONLY files of the touched buckets: pruning is
     decided from the manifest's per-file bucket map (pure metadata), and
