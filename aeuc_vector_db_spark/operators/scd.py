@@ -132,7 +132,9 @@ def point_in_time_join(
     versions overlapping ONE bucket. Open versions (eff_to NULL) explode
     up to `horizon_ts` (any value ≥ the max fact timestamp; derived with
     one scalar aggregate over facts when omitted — pass it explicitly at
-    scale to skip that pass). Size the knob so a bucket holds few
+    scale to skip that pass; a supplied value below the max fact
+    timestamp raises at evaluation rather than silently unmatching the
+    facts beyond it). Size the knob so a bucket holds few
     versions but a version spans few buckets — e.g. versions changing
     ~hourly → bucket_seconds=86400 gives ≤24 collisions and ~1-bucket
     explode. Results are identical to the unbucketed plan (parity pinned
@@ -174,6 +176,7 @@ def point_in_time_join(
     if bucket_seconds <= 0:
         raise ValueError("point_in_time_join: bucket_seconds must be positive")
     size_us = int(bucket_seconds) * 1_000_000
+    horizon_supplied = horizon_ts is not None
     if horizon_ts is None:
         horizon_ts = facts.agg(F.max(fact_ts_col)).first()[0]
     if horizon_ts is None:  # empty fact side: nothing can match
@@ -203,6 +206,35 @@ def point_in_time_join(
     fb = facts.withColumn(
         "__pit_bucket__", F.floor(F.unix_micros(F.col(fact_ts_col)) / size_us)
     )
+    if horizon_supplied:
+        # The docstring promises parity with the unbucketed plan, but a
+        # user-supplied horizon below the max fact timestamp would
+        # silently unmatch later facts against open (eff_to NULL)
+        # versions — their bucket would lie beyond the open versions'
+        # explode range. Validate the contract where it's free: as a
+        # filter predicate riding the existing fact scan (no extra
+        # aggregate pass), raising AT EVALUATION on the first violating
+        # row. A filter is not subject to column pruning, so Catalyst
+        # cannot eliminate the check (same hazard as scd2's dup guard).
+        fb = fb.filter(
+            F.when(
+                F.col("__pit_bucket__") > horizon_b,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "point_in_time_join: fact timestamp "
+                        ),
+                        F.col(fact_ts_col).cast("string"),
+                        F.lit(
+                            " exceeds the supplied horizon_ts "
+                            f"{horizon_ts} — facts beyond the horizon "
+                            "would silently miss open versions; pass a "
+                            "horizon_ts >= max fact timestamp"
+                        ),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
     ts = fb[fact_ts_col]
     cond = (
         (fb[key_col] == d[dim_key])

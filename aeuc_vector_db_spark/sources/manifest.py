@@ -2718,13 +2718,13 @@ class BucketedManifestTable(ManifestTable):
                         os.path.join(self.root, carried_rel), ignore_errors=True
                     )
                     carried_rel = None
-            n_untouched = sum(rmap.get(f, 0) for f in untouched) - n_dv_carried
+            n_untouched = sum(self._exact_file_rows(rmap, f) for f in untouched) - n_dv_carried
             smap = pm.get("stats", {})
             nmap = pm.get("nulls", {})
             self._pending_extra = {
                 "buckets": {**{f: bmap[f] for f in untouched},
                             **self._pending_extra["buckets"]},
-                "file_rows": {**{f: rmap.get(f, 0) for f in untouched},
+                "file_rows": {**{f: self._exact_file_rows(rmap, f) for f in untouched},
                               **self._pending_extra["file_rows"]},
                 **(
                     {"stats": {**{f: smap[f] for f in untouched if f in smap},
@@ -2752,6 +2752,7 @@ class BucketedManifestTable(ManifestTable):
                     shutil.rmtree(
                         os.path.join(self.root, carried_rel), ignore_errors=True
                     )
+                self._drop_failed_write(new_files)
         raise CommitConflictError(
             f"compact_small: {max_retries} retries exhausted"
         ) from last
@@ -2814,6 +2815,31 @@ class BucketedManifestTable(ManifestTable):
         return F.pmod(
             F.xxhash64(F.col(self.key).cast("string")), F.lit(self.n_buckets)
         ).cast("int")
+
+    def _exact_file_rows(self, rmap: dict, f: str) -> int:
+        """Row count for an untouched carried-forward file. count_rows
+        is documented EXACT, so a file missing from the parent's
+        file_rows map must not silently contribute 0 (that would
+        permanently corrupt the committed n_rows) — fall back to the
+        parquet footer (a metadata read, no data scan) and memoize."""
+        n = rmap.get(f)
+        if n is None:
+            import pyarrow.parquet as _pq
+
+            n = _pq.ParquetFile(
+                os.path.join(self.root, f)
+            ).metadata.num_rows
+            rmap[f] = n
+        return int(n)
+
+    def _drop_failed_write(self, new_files: list[str]) -> None:
+        """After a CommitConflictError, the attempt's freshly written
+        rewrite files are referenced by NO manifest; drop their write
+        dir(s) so conflicted retries don't leak a full rewrite of the
+        touched buckets to disk on every loop."""
+        for d in {os.path.dirname(os.path.dirname(f)) for f in new_files}:
+            if d:
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
 
     def _write_data_dir(
         self,
@@ -3044,14 +3070,14 @@ class BucketedManifestTable(ManifestTable):
                         os.path.join(self.root, carried_rel), ignore_errors=True
                     )
                     carried_rel = None
-            n_untouched = sum(rmap.get(f, 0) for f in untouched) - n_dv_carried
+            n_untouched = sum(self._exact_file_rows(rmap, f) for f in untouched) - n_dv_carried
             # staged extra must also carry the untouched files' map rows
             smap = pm.get("stats", {})
             nmap = pm.get("nulls", {})
             self._pending_extra = {
                 "buckets": {**{f: bmap[f] for f in untouched},
                             **self._pending_extra["buckets"]},
-                "file_rows": {**{f: rmap.get(f, 0) for f in untouched},
+                "file_rows": {**{f: self._exact_file_rows(rmap, f) for f in untouched},
                               **self._pending_extra["file_rows"]},
                 **(
                     {"stats": {**{f: smap[f] for f in untouched if f in smap},
@@ -3079,6 +3105,7 @@ class BucketedManifestTable(ManifestTable):
                     shutil.rmtree(
                         os.path.join(self.root, carried_rel), ignore_errors=True
                     )
+                self._drop_failed_write(new_files)
         raise CommitConflictError(f"merge_upsert: {max_retries} retries exhausted") from last
 
     # compact() is inherited: the overridden _write_data_dir keeps the

@@ -2248,3 +2248,143 @@ def test_estimate_equi_join_rows_metadata_only(spark, tmp_path):
     bare.commit_append(spark.range(10).select(F.col("id").alias("k")))
     with pytest.raises(ValueError, match="no NDV registers"):
         estimate_equi_join_rows(fact, bare, "k")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 hygiene: conflicted-retry disk leaks + exact-count fallback
+# ---------------------------------------------------------------------------
+
+def _orphan_data_dirs(t) -> set:
+    """First-level dirs under root/data referenced by NO live manifest
+    (files or DV sidecars) across every committed version."""
+    import os as _os
+
+    data_root = _os.path.join(t.root, "data")
+    on_disk = {d for d in _os.listdir(data_root)
+               if _os.path.isdir(_os.path.join(data_root, d))}
+    referenced = set()
+    for v in t.versions():
+        m = t.manifest(v)
+        for f in m["files"]:
+            parts = f.split(_os.sep)
+            if len(parts) >= 2 and parts[0] == "data":
+                referenced.add(parts[1])
+        for d in (m.get("deletes") or []):
+            parts = d.split(_os.sep)
+            if len(parts) >= 2 and parts[0] == "data":
+                referenced.add(parts[1])
+    return on_disk - referenced
+
+
+def _induce_conflicts(t, n):
+    """Make the next n _commit calls fail with CommitConflictError."""
+    orig = t._commit
+    state = {"left": n}
+
+    def flaky(*a, **k):
+        if state["left"] > 0:
+            state["left"] -= 1
+            raise CommitConflictError("induced conflict")
+        return orig(*a, **k)
+
+    t._commit = flaky
+    return state
+
+
+def test_bucketed_compact_small_conflict_retry_leaks_no_files(spark, tmp_path):
+    """Every conflicted compact_small attempt writes a full rewrite of
+    the crowded buckets; those files are referenced by no manifest and
+    must be cleaned up on retry — not leaked to disk (ADVICE r8)."""
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    t = BucketedManifestTable(str(tmp_path / "bt"), key="k", n_buckets=2)
+    for e in range(6):
+        t.commit_append(_df(spark, (e * 20, e * 20 + 20), tag=f"e{e}"),
+                        epoch_id=e)
+    # soft-delete so the retry path also exercises the DV sidecar cleanup
+    t.delete_where_dv(spark, [("k", "=", 7)])
+    _induce_conflicts(t, 2)
+    v = t.compact_small(spark, max_files_per_bucket=2)
+    assert v is not None
+    assert _orphan_data_dirs(t) == set()
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert len(got) == 119 and 7 not in got
+    assert t.manifest()["n_rows"] == 119
+
+
+def test_bucketed_merge_upsert_conflict_retry_leaks_no_files(spark, tmp_path):
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    t = BucketedManifestTable(str(tmp_path / "btm"), key="k", n_buckets=4)
+    t.commit_append(_df(spark, (0, 100)))
+    ups = _df(spark, (50, 120), tag="new")
+    _induce_conflicts(t, 2)
+    t.merge_upsert(spark, ups)
+    assert _orphan_data_dirs(t) == set()
+    assert t.read(spark).count() == 120
+    assert t.read(spark).filter("k = 60 and tag = 'new'").count() == 1
+
+
+def test_conflict_retries_exhausted_still_raises(spark, tmp_path):
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    t = BucketedManifestTable(str(tmp_path / "btx"), key="k", n_buckets=2)
+    for e in range(4):
+        t.commit_append(_df(spark, (e * 10, e * 10 + 10)), epoch_id=e)
+    _induce_conflicts(t, 99)
+    with pytest.raises(CommitConflictError, match="retries exhausted"):
+        t.compact_small(spark, max_files_per_bucket=1, max_retries=2)
+    assert _orphan_data_dirs(t) == set()
+
+
+def test_compact_small_missing_file_rows_reads_footer_not_zero(spark, tmp_path):
+    """count_rows is documented exact: an untouched carried-forward file
+    missing from the parent's file_rows map must contribute its REAL
+    footer row count to the committed n_rows, never a silent 0
+    (ADVICE r8)."""
+    import json as _json
+    import os as _os
+
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    t = BucketedManifestTable(str(tmp_path / "btf"), key="k", n_buckets=2)
+    # find keys per bucket so exactly one bucket gets crowded
+    rows = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(2)).alias("b"),
+    ).collect()
+    b0 = [r["k"] for r in rows if r["b"] == 0]
+    b1 = [r["k"] for r in rows if r["b"] == 1]
+    assert len(b0) >= 12 and len(b1) >= 3
+
+    def _keys_df(ks, tag):
+        return spark.createDataFrame(
+            [(int(k), tag) for k in ks], "k long, tag string"
+        )
+
+    # bucket 0: 6 files (crowded); bucket 1: one quiet file of 3 rows
+    for e in range(6):
+        t.commit_append(_keys_df(b0[e * 2:e * 2 + 2], f"e{e}"), epoch_id=e)
+    t.commit_append(_keys_df(b1[:3], "quiet"), epoch_id=100)
+    total = t.read(spark).count()
+    assert total == 15
+
+    # corrupt the latest manifest: drop the quiet bucket's file_rows rows
+    mp = t._manifest_path(t.latest_version())
+    with open(mp) as fh:
+        m = _json.load(fh)
+    quiet = [f for f, b in m["buckets"].items() if int(b) == 1]
+    assert quiet
+    for f in quiet:
+        m["file_rows"].pop(f, None)
+    with open(mp, "w") as fh:
+        _json.dump(m, fh)
+
+    v = t.compact_small(spark, max_files_per_bucket=4)
+    assert v is not None
+    m1 = t.manifest()
+    assert m1["n_rows"] == total            # exact, footer-derived
+    assert t.count_rows() == total
+    assert t.read(spark).count() == total
+    # the healed map carries the real counts forward
+    assert all(n > 0 for n in m1["file_rows"].values())

@@ -255,3 +255,36 @@ def test_validation_errors(spark):
     facts_clash = facts.withColumn("value", F.lit(0.0))
     with pytest.raises(ValueError, match="share non-key columns"):
         point_in_time_join(facts_clash, dim, "user_id", "ts")
+
+
+def test_point_in_time_bucketed_too_small_horizon_raises(spark):
+    """A user-supplied horizon_ts below the max fact timestamp must fail
+    LOUDLY: the bucketed plan's open versions only explode up to the
+    horizon bucket, so facts beyond it would silently unmatch against
+    open versions — diverging from the unbucketed plan the docstring
+    promises parity with (ADVICE r8). The guard is a filter predicate,
+    so column pruning cannot eliminate it either."""
+    dim = scd2_from_changes(
+        _changes(spark, [(u, _t(ts), e, v) for u, ts, e, v in CH]),
+        "user_id", "ts", ["value"], tie_col="event_id",
+    )
+    facts = _facts(spark, [
+        (100, 1, _t("2024-01-02 00:00:00")),
+        (101, 1, _t("2024-09-01 00:00:00")),  # beyond the supplied horizon
+    ])
+    j = point_in_time_join(
+        facts, dim, "user_id", "ts",
+        bucket_seconds=43_200, horizon_ts=_t("2024-02-01 00:00:00"),
+    )
+    with pytest.raises(Exception, match="exceeds the supplied horizon_ts"):
+        j.collect()
+    with pytest.raises(Exception, match="exceeds the supplied horizon_ts"):
+        j.select("fact_id").collect()  # survives column pruning
+    # a horizon >= max fact ts stays clean and matches the plain plan
+    ok = point_in_time_join(
+        facts, dim, "user_id", "ts",
+        bucket_seconds=43_200, horizon_ts=_t("2024-12-31 00:00:00"),
+    )
+    plain = point_in_time_join(facts, dim, "user_id", "ts")
+    assert sorted(map(tuple, ok.select("fact_id", "value").collect())) == \
+        sorted(map(tuple, plain.select("fact_id", "value").collect()))
