@@ -483,15 +483,25 @@ def _doc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("__q") >= 0.5) & (F.col("__rep") < 0.9))
         .drop("__q", "__rep")
     )
-    # 2. exact dedup: keep min-id per identical text
+    # 2. exact dedup: keep min-id per identical text. From here the
+    # chain is consumed by ITERATIVE consumers (keep_one's and
+    # leakproof_split's connected-components rounds each fire actions),
+    # so the checkpoint is load-bearing: without it Spark re-executes
+    # the Arrow quality/repetition kernels per action (the r8 sweep's
+    # 57.6 s entry — VERDICT #2).
     keepers = D.exact_dedup(clean).select("doc_id")
-    s2 = clean.join(keepers, "doc_id", "left_semi")
-    # 3. near dedup at a tight threshold (0.6 Jaccard on 2-shingles)
+    s2 = clean.join(keepers, "doc_id", "left_semi").localCheckpoint(eager=True)
+    # 3+5 share ONE blocked-Jaccard pair computation: the shingle join
+    # runs once at the BROADER 0.25 threshold keeping the jaccard value,
+    # the dedup stage filters >= 0.6 from it. Jaccard is a pure function
+    # of the two texts, so pairs(s2, 0.25) ∩ s4×s4 ≡ pairs(s4, 0.25) —
+    # the semi-joins below reproduce stage 5's pair set exactly.
     blk = (F.col("doc_id") % 100000 % 50).alias("block")
-    pairs_dup = D.ngram_jaccard_pairs(
+    pairs_all = D.ngram_jaccard_pairs(
         s2.withColumn("block", blk), block_col="block",
-        threshold=0.6, shingle_n=2,
-    ).select("a_id", "b_id")
+        threshold=0.25, shingle_n=2,
+    ).select("a_id", "b_id", "jaccard").localCheckpoint(eager=True)
+    pairs_dup = pairs_all.filter(F.col("jaccard") >= 0.6).select("a_id", "b_id")
     drops = D.keep_one(pairs_dup).filter(~F.col("keep")).select("doc_id")
     s3 = s2.join(drops, "doc_id", "left_anti")
     # 4. decontaminate vs the benchmark stand-in (doc_id % 97 = 5)
@@ -499,14 +509,16 @@ def _doc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = CU.contaminated_docs(s3, bench, shingle_n=3, min_overlap=2).select(
         "doc_id"
     )
-    s4 = s3.join(cont, "doc_id", "left_anti")
-    # 5. leakproof split: clusters from a BROADER pair set (0.25) than
-    # dedup removed (0.6) — related-but-not-duplicate docs must not
-    # straddle the train/val boundary
-    pairs_rel = D.ngram_jaccard_pairs(
-        s4.withColumn("block", blk), block_col="block",
-        threshold=0.25, shingle_n=2,
-    ).select("a_id", "b_id")
+    s4 = s3.join(cont, "doc_id", "left_anti").localCheckpoint(eager=True)
+    # 5. leakproof split: clusters from the broader 0.25 pair set
+    # restricted to s4 survivors — related-but-not-duplicate docs must
+    # not straddle the train/val boundary
+    s4_ids = s4.select("doc_id")
+    pairs_rel = (
+        pairs_all.join(s4_ids.withColumnRenamed("doc_id", "a_id"), "a_id", "left_semi")
+        .join(s4_ids.withColumnRenamed("doc_id", "b_id"), "b_id", "left_semi")
+        .select("a_id", "b_id")
+    )
     assigned = CU.leakproof_split(s4, pairs_rel, val_threshold=2000)
     # 6. per-(split, source) token budget in seeded-shuffle order
     budgeted = CU.source_token_budget(
@@ -560,20 +572,26 @@ scored AS (
                {_dk_shingles(_dk_tokens('text'), 2)} AS grams FROM corpus)
 ),
 clean AS (SELECT doc_id, text, lang, source FROM scored WHERE q >= 0.5 AND rep < 0.9),
-s2 AS (
+s2 AS MATERIALIZED (
   SELECT doc_id, text, lang, source FROM (
     SELECT *, MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keeper FROM clean
   ) WHERE doc_id = keeper
 ),
-sh2 AS (
+sh2 AS MATERIALIZED (
   SELECT doc_id % 100000 % 50 AS block, doc_id, {_dk_shingle_hashes('text', 2)} AS shset
   FROM s2
 ),
-p_dup AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+-- ONE blocked-Jaccard pass at the broader 0.25 threshold, keeping the
+-- value (the O(|a|·|b|) list-intersection is the oracle's hot loop —
+-- mirroring the Spark side, stage 3 filters >= 0.6 from this set and
+-- stage 5 restricts it to s4 survivors instead of recomputing)
+p_all AS MATERIALIZED (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         {_dk_jaccard('a.shset', 'b.shset')} AS j
   FROM sh2 a JOIN sh2 b ON a.block = b.block AND a.doc_id < b.doc_id
-  WHERE {_dk_jaccard('a.shset', 'b.shset')} >= 0.6
+  WHERE {_dk_jaccard('a.shset', 'b.shset')} >= 0.25
 ),
+p_dup AS (SELECT a_id, b_id FROM p_all WHERE j >= 0.6),
 e_dup AS (SELECT a_id AS u, b_id AS v FROM p_dup UNION ALL SELECT b_id, a_id FROM p_dup),
 lab_dup(node, comp) AS (
   SELECT a_id, a_id FROM p_dup UNION SELECT b_id, b_id FROM p_dup
@@ -592,15 +610,10 @@ csh AS (SELECT doc_id, unnest({_dk_shingle_hashes('text', 3)}) AS sh FROM s3),
 cont AS (
   SELECT doc_id FROM csh JOIN bsh USING (sh) GROUP BY doc_id HAVING COUNT(*) >= 2
 ),
-s4 AS (SELECT * FROM s3 ANTI JOIN cont USING (doc_id)),
-sh4 AS (
-  SELECT doc_id % 100000 % 50 AS block, doc_id, {_dk_shingle_hashes('text', 2)} AS shset
-  FROM s4
-),
+s4 AS MATERIALIZED (SELECT * FROM s3 ANTI JOIN cont USING (doc_id)),
 p_rel AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM sh4 a JOIN sh4 b ON a.block = b.block AND a.doc_id < b.doc_id
-  WHERE {_dk_jaccard('a.shset', 'b.shset')} >= 0.25
+  SELECT a_id, b_id FROM p_all
+  WHERE a_id IN (SELECT doc_id FROM s4) AND b_id IN (SELECT doc_id FROM s4)
 ),
 e_rel AS (SELECT a_id AS u, b_id AS v FROM p_rel UNION ALL SELECT b_id, a_id FROM p_rel),
 lab_rel(node, comp) AS (

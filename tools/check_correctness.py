@@ -8,11 +8,18 @@ Usage: python tools/check_correctness.py [query_name ...]
 Set CHECK_SF_DIR to sweep a different scale (e.g. /root/testdata/sf0.1
 — the 10× robustness pass; float-determinism rules must hold at every
 scale, not just the driver's fixture).
+
+Per-query wall seconds are persisted to SWEEP_TIMINGS.json (override
+with CHECK_TIMINGS_OUT; full sweeps only — subset runs skip the write)
+so slowest-query drift is diffable round-over-round instead of living
+in scrollback (VERDICT r8 #7: the 57.6 s doc_pipeline_e2e entry was
+only visible in a sweep log).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 import time
@@ -59,6 +66,7 @@ def main() -> int:
     oracles = E.oracle_sql()
     only = set(sys.argv[1:])
     failures = 0
+    timings: dict[str, float] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -70,6 +78,8 @@ def main() -> int:
             traceback.print_exc()
             failures += 1
             continue
+        finally:
+            timings[name] = round(time.time() - t0, 3)
         if name not in oracles:
             print(f"rows-only  {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
             continue
@@ -99,6 +109,23 @@ def main() -> int:
         else:
             print(f"ok    {name}  ({sn} rows, {time.time()-t0:.1f}s)")
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    if not only:  # full sweep: persist the timing profile (spark side only)
+        out = os.environ.get("CHECK_TIMINGS_OUT", "/root/repo/SWEEP_TIMINGS.json")
+        with open(out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "total_s": round(sum(timings.values()), 3),
+                    "slowest": sorted(
+                        timings, key=timings.get, reverse=True
+                    )[:10],
+                    "queries": timings,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"timings → {out}")
     return 1 if failures else 0
 
 
