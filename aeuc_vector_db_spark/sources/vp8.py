@@ -30,9 +30,18 @@ deterministic, structurally sensible placeholder distributions
 (`_placeholder_*` below). Consequences: streams produced by
 `vp8_encode` decode BIT-EXACTLY (both sides share the tables, and
 every code path is pinned by tests), while a stream from an external
-encoder (libwebp) would desync at the first residual token. To gain
-external interop, replace the three placeholders with the RFC §13.5 /
-§11.5 values — a data-only change; the machinery is complete.
+encoder (libwebp) would desync at the first residual token — and a
+desynced arithmetic decoder does NOT raise, it produces silently wrong
+pixels. The limitation therefore fails LOUD at the container router
+(round 9): `webp_decode` only routes 'VP8 ' payloads here when the
+container carries the engine's AEUC marker chunk (everything
+`webp_encode_lossy` writes) or after `load_probability_tables()` has
+installed the real RFC §13.5 / §13.4 / §11.5 values — a data-only,
+shape-validated injection; the machinery is complete. Unmarked
+external lossy WebP raises NotImplementedError (declared stub →
+`decode_status='stub'`), never garbage labeled 'real'. Callers using
+`vp8_decode_rgb` directly bypass the gate knowingly (that is the
+round-trip test path).
 
 Reference analog: none — the reference engine has no multimodal
 surface; this continues charter extension E5 (the VP8L story from
@@ -215,6 +224,65 @@ def _placeholder_kf_bmode_probs() -> list:
 
 
 KF_BMODE_PROBS = _placeholder_kf_bmode_probs()
+
+#: True while the three empirical tables above are the in-repo
+#: placeholders. webp_decode consults this to keep UNMARKED external
+#: 'VP8 ' payloads on the declared-stub path — the arithmetic decoder
+#: does not raise on desync, it returns silently wrong pixels, so the
+#: limitation must fail loud at the router (ADVICE r8).
+TABLES_ARE_PLACEHOLDER = True
+
+
+def tables_are_placeholder() -> bool:
+    return TABLES_ARE_PLACEHOLDER
+
+
+def load_probability_tables(
+    coef_probs,
+    update_probs,
+    kf_bmode_probs,
+) -> None:
+    """Data-only swap point for external-stream interop: install the
+    REAL RFC 6386 §13.5 default coefficient probabilities, §13.4
+    update-flag probabilities, and §11.5 key-frame B-mode
+    probabilities. Shapes are validated ([4][8][3][11], [4][8][3][11],
+    [10][10][9]; every entry an int in [1, 255]); on success the
+    placeholder flag flips and webp_decode starts accepting unmarked
+    (externally encoded) lossy streams. The decode machinery itself is
+    complete — this is the only change external interop needs."""
+
+    def _check(t, dims, name):
+        if len(t) != dims[0]:
+            raise ValueError(f"{name}: axis 0 must be {dims[0]}, got {len(t)}")
+        for sub in t:
+            if len(dims) > 1:
+                _check(sub, dims[1:], name)
+            elif not (isinstance(sub, int) and 1 <= sub <= 255):
+                raise ValueError(f"{name}: entries must be ints in [1, 255]")
+
+    _check(coef_probs, (4, 8, 3, 11), "coef_probs")
+    _check(update_probs, (4, 8, 3, 11), "update_probs")
+    _check(kf_bmode_probs, (10, 10, 9), "kf_bmode_probs")
+    globals()["DEFAULT_COEF_PROBS"] = [
+        tuple(tuple(tuple(c) for c in b) for b in t) for t in coef_probs
+    ]
+    globals()["COEF_UPDATE_PROBS"] = [
+        [[list(c) for c in b] for b in t] for t in update_probs
+    ]
+    globals()["KF_BMODE_PROBS"] = [
+        [tuple(l) for l in a] for a in kf_bmode_probs  # noqa: E741
+    ]
+    globals()["TABLES_ARE_PLACEHOLDER"] = False
+
+
+def reset_placeholder_tables() -> None:
+    """Restore the in-repo placeholder tables (test hook)."""
+    globals()["DEFAULT_COEF_PROBS"] = _placeholder_coef_probs()
+    globals()["COEF_UPDATE_PROBS"] = [
+        [[[252] * 11 for _ in range(3)] for _ in range(8)] for _ in range(4)
+    ]
+    globals()["KF_BMODE_PROBS"] = _placeholder_kf_bmode_probs()
+    globals()["TABLES_ARE_PLACEHOLDER"] = True
 
 
 # ---------------------------------------------------------------------------

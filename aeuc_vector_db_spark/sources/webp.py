@@ -497,27 +497,61 @@ def vp8l_decode(data: bytes) -> tuple[int, int, int, bytes]:
     return xsize, h, 4, bytes(rgba)
 
 
+#: RIFF chunk marking an engine-encoded lossy stream. The VP8 decoder's
+#: three empirical probability tables are in-repo placeholders (see
+#: sources/vp8.py); a stream from any OTHER encoder desyncs the
+#: arithmetic decoder into silently wrong pixels rather than an error,
+#: so only marked streams (or a session that has loaded the real RFC
+#: tables) take the real-decode path (ADVICE r8: fail loud, not wrong).
+ENGINE_MARKER_TAG = b"AEUC"
+_ENGINE_MARKER_CHUNK = ENGINE_MARKER_TAG + struct.pack("<I", 4) + b"VP8E"
+
+
 def webp_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     """RIFF/WEBP container → VP8L (lossless) or VP8 (lossy key-frame)
-    decode. Lossy frames decode for real via sources/vp8.py since round
-    8 (see that module's table-fidelity note); malformed bytes raise
-    ValueError (error path); VP8 *inter* frames raise
-    NotImplementedError (video-style stub)."""
+    decode. Lossy frames decode for real via sources/vp8.py ONLY when
+    the container carries the engine's AEUC marker chunk (everything
+    `webp_encode_lossy` emits) or the real RFC probability tables have
+    been loaded (`vp8.load_probability_tables`); unmarked external
+    lossy streams raise NotImplementedError (declared stub — the
+    placeholder tables would desync into silent garbage, see the vp8
+    module's table-fidelity note). Malformed bytes raise ValueError
+    (error path); VP8 *inter* frames raise NotImplementedError
+    (video-style stub)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a RIFF/WEBP container")
     pos, end = 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    chunks = []
     while pos + 8 <= end:
         tag = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         if pos + 8 + size > end:
             raise ValueError(f"truncated WEBP chunk {tag!r}")
-        if tag == b"VP8L":
-            return vp8l_decode(payload[pos + 8 : pos + 8 + size])
-        if tag == b"VP8 ":
-            from aeuc_vector_db_spark.sources.vp8 import vp8_decode_rgb
-
-            return vp8_decode_rgb(payload[pos + 8 : pos + 8 + size])
+        chunks.append((tag, pos + 8, size))
         pos += 8 + size + (size & 1)
+    engine_marked = any(t == ENGINE_MARKER_TAG for t, _, _ in chunks)
+    for tag, off, size in chunks:
+        if tag == b"VP8L":
+            return vp8l_decode(payload[off : off + size])
+        if tag == b"VP8 ":
+            from aeuc_vector_db_spark.sources import vp8 as _vp8
+
+            chunk = payload[off : off + size]
+            if engine_marked or not _vp8.tables_are_placeholder():
+                return _vp8.vp8_decode_rgb(chunk)
+            # Structural header parse first, so corrupt bytes keep the
+            # ValueError error path and inter frames keep their own
+            # stub message; only a well-formed external KEY frame lands
+            # on the placeholder-table stub below.
+            _vp8._parse_frame_header(chunk)
+            raise NotImplementedError(
+                "external lossy WebP ('VP8 ' chunk without the engine's "
+                "AEUC marker): the decoder's empirical probability "
+                "tables are placeholders and an external stream would "
+                "desync into silently wrong pixels — declared stub "
+                "until vp8.load_probability_tables() installs the "
+                "RFC 6386 §13.5/§11.5 values"
+            )
     raise ValueError("WEBP container has no VP8L/VP8 chunk")
 
 
@@ -641,4 +675,7 @@ def webp_encode_lossy(pixels: bytes, width: int, height: int,
     chunk = b"VP8 " + struct.pack("<I", len(stream)) + stream
     if len(stream) & 1:
         chunk += b"\x00"
+    # engine marker: lets webp_decode accept this stream as decodable
+    # while the VP8 probability tables remain placeholders
+    chunk = _ENGINE_MARKER_CHUNK + chunk
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

@@ -749,6 +749,24 @@ def test_decode_features_webp_lossless_and_lossy_real_inter_stub(spark, tmp_path
     assert rows["bad.webp"]["decode_status"] == "error"  # corrupt container
 
 
+def test_decode_features_external_lossy_webp_is_stub_not_real(spark, tmp_path):
+    """Round 9 (ADVICE r8 high): an UNMARKED lossy WebP — the byte shape
+    every external encoder produces — must land as decode_status='stub'
+    through the full Spark kernel, never as 'real' with silently wrong
+    pixels (the placeholder probability tables desync without raising)."""
+    from tests.test_webp import _strip_marker
+    from aeuc_vector_db_spark.sources.webp import webp_encode_lossy
+
+    marked = webp_encode_lossy(bytes([120, 40, 220]) * (16 * 16), 16, 16,
+                               q_index=0)
+    (tmp_path / "engine.webp").write_bytes(marked)
+    (tmp_path / "external.webp").write_bytes(_strip_marker(marked))
+    blobs = MM.read_binary_dir(spark, str(tmp_path))
+    rows = {r["blob_id"]: r for r in MM.decode_features(blobs).collect()}
+    assert rows["engine.webp"]["decode_status"] == "real"
+    assert rows["external.webp"]["decode_status"] == "stub"
+
+
 def test_native_codec_swap_seam():
     """The decode dispatch boundary (sources/multimodal.py
     decode_image): a registered decoder replaces the pure-Python one

@@ -532,3 +532,95 @@ def test_meta_prefix_groups():
     trivial(bw, 0)
     w, h, c, out = W.webp_decode(wrap(bw.bytes()))
     assert out == rgba([(0xFF, 1, 10, 2)] * 4 + [(0xFF, 3, 200, 4)] * 4)
+
+
+# -- round 9: external lossy streams fail LOUD, never silently wrong -----
+
+
+def _strip_marker(container: bytes) -> bytes:
+    """Rebuild an engine lossy container without the AEUC marker chunk —
+    the byte shape of an externally encoded lossy WebP."""
+    assert container[:4] == b"RIFF" and container[8:12] == b"WEBP"
+    pos, out = 12, b""
+    while pos + 8 <= len(container):
+        tag = container[pos:pos + 4]
+        (size,) = struct.unpack("<I", container[pos + 4:pos + 8])
+        step = 8 + size + (size & 1)
+        if tag != W.ENGINE_MARKER_TAG:
+            out += container[pos:pos + step]
+        pos += step
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WEBP" + out
+
+
+def test_external_lossy_webp_is_declared_stub_not_garbage():
+    """An unmarked 'VP8 ' key frame (external encoder shape) must raise
+    NotImplementedError while the probability tables are placeholders:
+    the arithmetic decoder would NOT raise on desync — it would return
+    silently wrong pixels labeled real (ADVICE r8)."""
+    rgb = bytes(((x * 7 + y * 3) % 256) for y in range(16)
+                for x in range(16) for _ in range(3))
+    marked = W.webp_encode_lossy(rgb, 16, 16, q_index=0)
+    # engine container decodes for real
+    w, h, c, out = W.webp_decode(marked)
+    assert (w, h, c) == (16, 16, 3)
+    external = _strip_marker(marked)
+    assert W.ENGINE_MARKER_TAG not in external[:20]
+    with pytest.raises(NotImplementedError, match="AEUC marker"):
+        W.webp_decode(external)
+    # corrupt unmarked bytes keep the ValueError error path (the gate
+    # parses the structural header first)
+    bad = bytearray(external)
+    vp8_off = external.index(b"VP8 ") + 8
+    bad[vp8_off + 3:vp8_off + 6] = b"\x00\x00\x00"  # break start code
+    with pytest.raises(ValueError):
+        W.webp_decode(bytes(bad))
+
+
+def test_loading_real_tables_opens_the_external_path():
+    """load_probability_tables is the data-only interop seam: installing
+    (shape-valid) tables flips the gate so unmarked streams decode; the
+    placeholder reset restores the stub behavior."""
+    from aeuc_vector_db_spark.sources import vp8 as V
+
+    rgb = bytes(((x * 5 + y * 11) % 256) for y in range(16)
+                for x in range(16) for _ in range(3))
+    external = _strip_marker(W.webp_encode_lossy(rgb, 16, 16, q_index=0))
+    assert V.tables_are_placeholder()
+    try:
+        # install tables VALUE-identical to the placeholders (the only
+        # tables the in-repo encoder can pair with) via the public hook:
+        # the flag must flip and the unmarked stream must now decode
+        V.load_probability_tables(
+            [[[list(V.DEFAULT_COEF_PROBS[t][b][c]) for c in range(3)]
+              for b in range(8)] for t in range(4)],
+            [[[list(V.COEF_UPDATE_PROBS[t][b][c]) for c in range(3)]
+              for b in range(8)] for t in range(4)],
+            [[list(V.KF_BMODE_PROBS[a][l]) for l in range(10)]
+             for a in range(10)],
+        )
+        assert not V.tables_are_placeholder()
+        w, h, c, out = W.webp_decode(external)
+        assert (w, h, c) == (16, 16, 3)
+        assert max(abs(a - b) for a, b in zip(rgb, out)) <= 8
+    finally:
+        V.reset_placeholder_tables()
+    assert V.tables_are_placeholder()
+    with pytest.raises(NotImplementedError, match="AEUC marker"):
+        W.webp_decode(external)
+
+
+def test_load_probability_tables_validates_shapes():
+    from aeuc_vector_db_spark.sources import vp8 as V
+
+    good_coef = [[[[128] * 11 for _ in range(3)] for _ in range(8)]
+                 for _ in range(4)]
+    good_bmode = [[[128] * 9 for _ in range(10)] for _ in range(10)]
+    with pytest.raises(ValueError, match="axis 0"):
+        V.load_probability_tables(good_coef[:3], good_coef, good_bmode)
+    with pytest.raises(ValueError, match="entries must be ints"):
+        bad = [[[[0] * 11 for _ in range(3)] for _ in range(8)]
+               for _ in range(4)]  # 0 outside [1, 255]
+        V.load_probability_tables(bad, good_coef, good_bmode)
+    with pytest.raises(ValueError):
+        V.load_probability_tables(good_coef, good_coef, good_bmode[:9])
+    assert V.tables_are_placeholder()  # failed loads never flip the flag
