@@ -73,78 +73,68 @@ for _mod_name in (
 # in-repo between their driver rows. COVERAGE.md maps each query to the
 # round whose CORRECTNESS file holds its green row.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-8 window, positions 1-50 ---
-    # The 34 round-7 queries that have never had a driver row (VERDICT r7
-    # "What's missing" #1): all were green in round 7's full local
-    # check_correctness sweeps; this gives each its first driver row.
-    "events_scd2_point_in_time",
-    "rel_rolling_30d_revenue",
-    "knn_maxsim_topk",
-    "emb_semantic_dedup_keep_one",
-    "emb_semantic_dedup_learned",
-    "doc_bpe_tokenize",
-    "multimodal_image_near_dup",
-    "multimodal_audio_near_dup",
-    "rel_exists_late_shipment",
-    "rel_small_qty_part_revenue",
-    "rel_waiting_suppliers",
-    "rel_idle_rich_customers",
-    "rel_big_volume_customers",
-    "rel_unpivot_part_metrics",
-    "rel_grouping_sets_revenue",
-    "rel_bloom_semijoin_revenue",
-    "rel_fk_violations",
-    "rel_order_price_drift",
-    "rel_volume_shipping",
-    "rel_price_quantile_sketch",
-    "doc_quality_gate_sketch",
-    "doc_vocab_overlap_hll",
-    "doc_leakproof_kfold",
-    "doc_curriculum_order",
-    "doc_bm25_indexed_topk",
-    "emb_matryoshka_topk",
-    "ivf_incremental_search",
-    "emb_mmr_rerank",
-    "ann_pq_refine_recall",
-    "events_resample_locf",
-    "events_windowed_hll",
-    "manifest_merge_clauses_read",
-    "manifest_ndv_read",
-    "sql_entry_hll_distinct",
-    # New in round 8: the five maximal-stability singles collapsed into
-    # one tagged-rows composite (frees 4 window slots per rotation),
-    # plus the scalar-subquery decorrelation family rounds out —
-    # Q2 (per-group MIN equality), Q11 (global-scalar HAVING), Q15
-    # (MAX-equality), all oracled against the correlated SQL forms.
-    "core_stability_composite",
-    "rel_cheapest_part_offer",
-    "rel_market_share_customers",
-    "rel_top_quarter_supplier",
-    # ... and the ordered-funnel + cohort-retention analytics shapes
-    # (per-user MIN chains and first-seen-day bucketing over events),
-    # plus symmetric-delete edit-distance-1 blocking whose oracle is
-    # the all-pairs Levenshtein form (completeness check on real data).
-    "events_funnel_conversion",
-    "events_cohort_retention",
-    "doc_prefix_edit1_pairs",
-    "events_value_outliers_mad",
-    # ... and the second plan-shape batch: Q13 (left-join count
-    # distribution incl. zeros, double aggregation), Q19 (disjunctive
-    # cross-side predicate with the dim-side implication factored into
-    # a pre-join broadcast filter), Q8 (conditional-numerator share).
-    "rel_order_count_distribution",
-    "rel_disjunctive_promo_revenue",
-    "rel_nation_share_by_year",
-    # ... and the between-waves embedding drift monitor (centroid
-    # cosine + max per-dimension shift over corpus halves).
-    "emb_drift_split_stats",
-    # Longest-stale refresh: last driver-verified in CORRECTNESS_r06.
-    "knn_cosine_topk",
-    "delete_recompute",
-    "ivf_pruned_search",
-    "events_sessionize",
-    # --- positions ≥ 51: wait for their r9 window slot; all covered by
-    # the in-repo check_correctness sweeps in the meantime ---
+    # --- round-9 window, positions 1-50 (VERDICT r8 #1) ---
+    # The 46 queries whose last driver row is CORRECTNESS_r06 — exactly
+    # the stale set the round-8 verdict enumerated. All were green in
+    # the round-9 full local sweep (SWEEP_TIMINGS_r9.json) before this
+    # rotation; after it, no registry query is older than 3 rounds.
+    "ann_ivf_recall",
+    "ann_ivfadc_recall",
+    "ann_pq_recall",
+    "doc_bm25_topk",
+    "doc_clean_corpus_pipeline",
+    "doc_decontaminate",
+    "doc_epoch_shuffle",
+    "doc_heavy_hitters",
+    "doc_hybrid_rrf_topk",
+    "doc_leakproof_split",
+    "doc_pii_scrub",
+    "doc_repetition_ratio",
+    "doc_sequence_pack",
+    "doc_source_rebalance",
+    "doc_source_token_budget",
+    "doc_stratified_sample",
+    "doc_unigram_logprob",
+    "emb_pca_project",
+    "emb_quantize_int8",
+    "embedding_normalize",
+    "events_hourly_window",
+    "events_json_props",
+    "export_ordered",
+    "import_dedup",
+    "ivf_arrow_pruned_search",
+    "knn_dot_topk",
+    "knn_euclidean_topk",
+    "manifest_bucketed_dv_read",
+    "manifest_cdc_incremental_agg",
+    "manifest_dnf_skipping_read",
+    "manifest_in_skipping_read",
+    "manifest_incremental_read",
+    "manifest_merge_read",
+    "manifest_null_skipping_read",
+    "manifest_schema_evolution_read",
+    "multimodal_feature_stats",
+    "multimodal_transform_stats",
+    "rel_late_order_priority",
+    "rel_parts_never_ordered",
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_top_orders_per_customer",
+    "rel_top_revenue_orders",
+    "sql_entry_knn_cosine",
+    "sql_entry_pricing",
+    "two_level_search",
+    # New in round 9 (must sit inside position 50 per the rotation
+    # policy): Q9-shape product-type profit (widest join tree, all dims
+    # broadcast), Q10-shape returned-item top-20, winnowing document
+    # fingerprints (SIGMOD'03; window-min over rolling k-gram hashes),
+    # and cosine radius search (thresholded dual of top-k).
+    "rel_product_type_profit",
+    "rel_returned_item_revenue",
+    "doc_winnowing_fingerprint",
+    "knn_cosine_range",
+    # --- positions ≥ 51: r8's window rotates out; everything stays
+    # covered by the in-repo full sweeps between driver rows ---
 )
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aeuc_vector_db_spark.functions.similarity import PHI_POWERS
+from aeuc_vector_db_spark.functions.similarity import PHI_POWERS, cosine_col
 from aeuc_vector_db_spark.functions.vector import as_double
 from aeuc_vector_db_spark.operators import clustering as C
 from aeuc_vector_db_spark.operators.search import knn_search_batch
@@ -765,7 +765,50 @@ CROSS JOIN n
 """
 
 
+# ---------------------------------------------------------------------------
+# Radius (range) search (round 9): every corpus vector whose cosine to
+# the query clears a threshold — the thresholded dual of top-k (the
+# reference's A1 surfaces only top-k; range search is its standard
+# companion, e.g. FAISS range_search). Plan shape: broadcast the query
+# batch, score inside whole-stage codegen, filter — the corpus never
+# shuffles; output size is data-dependent, which is exactly what the
+# oracle pins (a wrong scoring fold changes membership, not just order).
+# ---------------------------------------------------------------------------
+
+_RANGE_THRESHOLD = 0.2
+
+
+def _knn_cosine_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    corpus = emb.select("vec_id", as_double("embedding").alias("cv"))
+    qs = _queries_df(spark, sf_dir).select(
+        "query_id", as_double("query_embedding").alias("qv")
+    )
+    scored = corpus.crossJoin(F.broadcast(qs)).select(
+        "query_id", "vec_id", cosine_col("cv", "qv").alias("s")
+    )
+    return scored.filter(F.col("s") >= F.lit(_RANGE_THRESHOLD)).select(
+        "query_id", "vec_id", F.round("s", 9).alias("score")
+    )
+
+
+_KNN_RANGE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {_dk_double('embedding')} AS qv
+  FROM embeddings WHERE {QUERY_FILTER}
+), c AS (
+  SELECT vec_id, {_dk_double('embedding')} AS cv FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.vec_id, {_dk_cosine('cv', 'qv')} AS s
+  FROM c CROSS JOIN q
+)
+SELECT query_id, vec_id, ROUND(s, 9) AS score
+FROM scored WHERE s >= {_RANGE_THRESHOLD}
+"""
+
+
 QUERIES = {
+    "knn_cosine_range": (_knn_cosine_range, _KNN_RANGE_ORACLE),
     "emb_drift_split_stats": (_emb_drift_split_stats, _EMB_DRIFT_ORACLE),
     "knn_maxsim_topk": (_maxsim_topk, _knn_oracle(_dk_maxsim)),
     "knn_cosine_topk": (_knn_query("cosine"), _knn_oracle(_dk_cosine)),

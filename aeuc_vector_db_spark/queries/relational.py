@@ -1564,7 +1564,126 @@ FROM a ORDER BY yr
 """
 
 
+# ---------------------------------------------------------------------------
+# Q9-style product-type profit (round 9): the widest join tree in the
+# set — lineitem ⋈ part(substring filter) ⋈ supplier ⋈ nation ⋈ orders,
+# grouped by (nation, year). Plan shape at 100 TB: part filters BEFORE
+# the join (predicate pushdown into the scan) and every dim side
+# broadcasts, so the fact table shuffles exactly once — for the final
+# (nation, year) aggregate, which AQE coalesces. The fixture has no
+# partsupp table, so supply cost is modeled as 60% of p_retailprice
+# (deterministic, DECIMAL-exact on both engines).
+# ---------------------------------------------------------------------------
+
+def _product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_name").contains("red")
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    amount = (
+        F.expr(
+            f"CAST(l_extendedprice AS DECIMAL(18,2)) * ({_ONE} - CAST(l_discount AS DECIMAL(3,2)))"
+        )
+        - F.expr(
+            "CAST(0.60 AS DECIMAL(3,2)) * CAST(p_retailprice AS DECIMAL(18,2))"
+            " * CAST(l_quantity AS DECIMAL(18,2))"
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).alias("_p"))
+        .select(
+            "nation", "o_year",
+            F.round(F.col("_p").cast("double"), 2).alias("profit"),
+        )
+    )
+
+
+_PRODUCT_PROFIT_ORACLE = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * ({_ONE} - CAST(l_discount AS DECIMAL(3,2)))
+                      - CAST(0.60 AS DECIMAL(3,2)) * CAST(p_retailprice AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE contains(p_name, 'red')
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10-style returned-item ranking (round 9): revenue lost to returns per
+# customer inside one quarter — fact ⋈ fact with a time-sliced orders
+# side, selective l_returnflag filter, broadcast customer/nation dims,
+# top-20 via TakeOrderedAndProject (never a global sort).
+# ---------------------------------------------------------------------------
+
+def _returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    rev = F.expr(
+        f"CAST(l_extendedprice AS DECIMAL(18,2)) * ({_ONE} - CAST(l_discount AS DECIMAL(3,2)))"
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(rev).alias("_rev"), F.count(F.lit(1)).alias("n_returned_items"))
+        .select(
+            "c_custkey", "c_name",
+            F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            F.col("n_name").alias("nation"),
+            "n_returned_items",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_RETURNED_ITEM_ORACLE = f"""
+SELECT c_custkey, c_name,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * ({_ONE} - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS revenue,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+       n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_returned_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "rel_product_type_profit": (_product_type_profit, _PRODUCT_PROFIT_ORACLE),
+    "rel_returned_item_revenue": (_returned_item_revenue, _RETURNED_ITEM_ORACLE),
     "rel_order_count_distribution": (_order_count_distribution,
                                      _ORDER_COUNT_DIST_ORACLE),
     "rel_disjunctive_promo_revenue": (_disjunctive_promo_revenue,

@@ -1538,7 +1538,89 @@ ORDER BY k_a, k_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (round 9): Schleimer/Wilkerson/Aiken, SIGMOD'03
+# ("Winnowing: Local Algorithms for Document Fingerprinting" — public
+# algorithm). Per document: ordered k-gram rolling hashes, sliding
+# window of w consecutive hashes, keep each window's MINIMUM; the
+# distinct kept values are the fingerprints. Guarantee: any match of
+# length >= w + k - 1 tokens shares at least one fingerprint — the
+# robust alternative to 0 mod p fingerprint sampling for substring-
+# level dedup/plagiarism sweeps. Everything is JVM-side array lambdas
+# (no Python in the hot path); at 100 TB this is a single narrow map —
+# no shuffle until the per-doc aggregate.
+# ---------------------------------------------------------------------------
+
+_WINNOW_K, _WINNOW_W = 3, 4
+
+
+def _doc_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT an array-lambda sliding window: `transform(seq, j ->
+    # array_min(slice(hs, j, w)))` re-evaluates the ENTIRE hash array
+    # per window position (Catalyst does no CSE inside lambda bodies —
+    # measured 75 s for 500 docs, quadratic in doc length). Instead:
+    # hash once, posexplode, SQL window MIN over (pos .. pos+w-1) —
+    # one evaluation per shingle, one shuffle by doc_id, and the
+    # per-doc window is the same shape a 100 TB run wants.
+    from pyspark.sql import Window as _W
+
+    docs = load_table(spark, "documents", sf_dir)
+    hs = F.transform(
+        TX.shingles_col(TX.tokens_col("text"), _WINNOW_K),
+        lambda s: TX.polyhash_col(s),
+    )
+    w = _WINNOW_W
+    exploded = docs.select("doc_id", F.posexplode(hs).alias("pos", "h"))
+    wspec = _W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    mins = exploded.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(_W.partitionBy("doc_id")).alias("n"),
+        F.min("h").over(wspec).alias("wmin"),
+    )
+    # full windows start at pos 0..n-w; a doc shorter than one window
+    # keeps its pos-0 "window" = min of all hashes (the paper's
+    # boundary case). Docs with zero shingles emit nothing.
+    wins = mins.filter(
+        (F.col("pos") <= F.col("n") - w)
+        | ((F.col("n") < w) & (F.col("pos") == 0))
+    )
+    return (
+        wins.select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum("fp").alias("fp_sum"),
+            F.min("fp").alias("fp_min"),
+        )
+    )
+
+
+_WINNOWING_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_dk_shingles(_dk_tokens(), _WINNOW_K)} AS sh FROM documents
+),
+h AS (SELECT doc_id, list_transform(sh, s -> {_dk_polyhash('s')}) AS hs FROM t),
+w AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {_WINNOW_W}
+              THEN list_transform(range(1, len(hs) - {_WINNOW_W - 2}),
+                                  j -> list_min(hs[j:j+{_WINNOW_W - 1}]))
+              WHEN len(hs) > 0 THEN [list_min(hs)]
+              ELSE [] END AS wins
+  FROM h
+),
+f AS (SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM w)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+       CAST(SUM(fp) AS BIGINT) AS fp_sum,
+       CAST(MIN(fp) AS BIGINT) AS fp_min
+FROM f GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "doc_winnowing_fingerprint": (_doc_winnowing_fp, _WINNOWING_ORACLE),
     "doc_prefix_edit1_pairs": (_doc_prefix_edit1_pairs, _PREFIX_EDIT1_ORACLE),
     "doc_quality_gate_sketch": (_doc_quality_gate_sketch, _QUALITY_GATE_ORACLE),
     "doc_substring_dedup": (_doc_substring_dedup, _SUBSTRING_DEDUP_ORACLE),
