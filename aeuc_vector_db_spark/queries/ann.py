@@ -252,6 +252,23 @@ _IVF_EUCLID_ORACLE = _ivf_oracle(rank_only=False, sim=_dk_euclid_sim)
 _IVF_PHI_ORACLE = _ivf_oracle(rank_only=False, sim=_dk_phi_sim)
 
 
+def _recall_gated(spark: SparkSession, rec: DataFrame, floor: float) -> DataFrame:
+    """Self-validating shape for the rows-only recall evals (VERDICT r8
+    #4): the driver only sees row count + schema for no-oracle queries,
+    so emit rows whose COUNT moves when the operator degrades — one row
+    per query passing `recall >= floor` (floors hold at sf0.01 AND
+    sf0.1 today; any regression below the floor drops rows) plus one
+    always-present sentinel row carrying the floor (distinguishes
+    "all queries failed the floor" from "query produced nothing")."""
+    kept = rec.select(
+        "query_id", F.round("recall", 3).alias("recall")
+    ).filter(F.col("recall") >= F.lit(floor))
+    sentinel = spark.createDataFrame(
+        [(-1, float(floor))], "query_id long, recall double"
+    )
+    return kept.unionByName(sentinel).orderBy("query_id")
+
+
 def _ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-quantizer IVF recall@10 vs exact search (rows-only check).
 
@@ -271,7 +288,7 @@ def _ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.join(A.assign_centroids(emb, cent_local), "vec_id")
     rec = A.ivf_recall_eval(corpus, centroids, queries, top_k=10, nprobe=2)
-    return rec.select("query_id", F.round("recall", 3).alias("recall")).orderBy("query_id")
+    return _recall_gated(spark, rec, floor=0.2)
 
 
 def _ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -287,9 +304,7 @@ def _ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = _queries_df(spark, sf_dir)
     rec = A.pq_recall_eval(emb, queries, m=8, nbits=4, top_k=10, seed=42)
-    return rec.select(
-        "query_id", F.round("recall", 3).alias("recall")
-    ).orderBy("query_id")
+    return _recall_gated(spark, rec, floor=0.1)
 
 
 def _ann_pq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,9 +318,29 @@ def _ann_pq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = A.pq_refine_recall_eval(
         emb, queries, m=8, nbits=4, top_k=10, refine_r=50, seed=42
     )
-    return rec.select(
-        "query_id", F.round("recall", 3).alias("recall")
-    ).orderBy("query_id")
+    # refinement-dominance violations ride the output as EXTRA rows
+    # (query_id negated, recall = refined - plain, strictly negative):
+    # exact re-ranking of the ADC top-50 can only help, so any query
+    # where refined < plain is a bug and grows the driver-visible count
+    plain = A.pq_recall_eval(emb, queries, m=8, nbits=4, top_k=10, seed=42)
+    bad = (
+        rec.select("query_id", F.col("recall").alias("r_ref"))
+        .join(plain.select("query_id", F.col("recall").alias("r_plain")), "query_id")
+        .filter(F.col("r_ref") < F.col("r_plain"))
+    )
+    # emitted TWICE per violating query: a dominance-violating recall
+    # usually ALSO falls below the floor (-1 row), so a single
+    # violation row would cancel out of the driver-visible count
+    viol = bad.select(
+        (-F.col("query_id") - F.lit(1000)).alias("query_id"),
+        F.round(F.col("r_ref") - F.col("r_plain"), 3).alias("recall"),
+    ).unionByName(
+        bad.select(
+            (-F.col("query_id") - F.lit(2000)).alias("query_id"),
+            F.round(F.col("r_ref") - F.col("r_plain"), 3).alias("recall"),
+        )
+    )
+    return _recall_gated(spark, rec, floor=0.3).unionByName(viol)
 
 
 def _ann_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,9 +354,7 @@ def _ann_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = A.ivfadc_recall_eval(
         emb, queries, k_cells=8, nprobe=4, m=8, nbits=4, top_k=10, seed=42
     )
-    return rec.select(
-        "query_id", F.round("recall", 3).alias("recall")
-    ).orderBy("query_id")
+    return _recall_gated(spark, rec, floor=0.1)
 
 
 def _two_level_search(spark: SparkSession, sf_dir: str) -> DataFrame:

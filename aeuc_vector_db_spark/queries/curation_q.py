@@ -370,11 +370,38 @@ def _emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.sqrt(
         F.aggregate("pca", F.lit(0.0), lambda s, x: s + x * x)
     )
-    return out.select(
+    base = out.select(
         "vec_id",
         F.round(norm, 6).alias("pca_norm"),
         F.round(F.lit(cum_var), 4).alias("explained_var"),
     )
+    # self-validation (VERDICT r8 #4): MLlib's transform projects the
+    # RAW vector onto orthonormal components, so ‖Wᵀx‖ ≤ ‖x‖ must hold
+    # per vector, and the projection must emit exactly k components.
+    # Vectors violating either ride out as extra rows (vec_id, norm
+    # excess, NULL explained_var) — a non-orthonormal or mis-shaped
+    # component matrix flips the driver-visible row count.
+    orig_norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda s, x: s + x * x,
+        )
+    )
+    viol = (
+        out.withColumn("__orig", orig_norm)
+        .withColumn("__pn", norm)
+        .filter(
+            (F.col("__pn") > F.col("__orig") + F.lit(1e-6))
+            | (F.size("pca") != F.lit(8))
+        )
+        .select(
+            F.col("vec_id"),
+            F.round(F.col("__pn") - F.col("__orig"), 6).alias("pca_norm"),
+            F.lit(None).cast("double").alias("explained_var"),
+        )
+    )
+    return base.unionByName(viol)
 
 
 # ---------------------------------------------------------------------------

@@ -149,10 +149,48 @@ def _blob_dir(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+def _expected_modality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's expected (modality, decode_status, count) derived
+    from the DETERMINISTIC kind cycle alone — no decoding. This is what
+    makes the rows-only checks self-validating (VERDICT r8 #4): a
+    decode regression (e.g. a codec starting to quarantine) moves a
+    group's count off this table and surfaces as extra violation rows,
+    i.e. a driver-visible row-count change."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 25 == 0)
+    kind = (F.col("doc_id") / 25).cast("long") % 8
+    modality = (
+        F.when(kind == 1, "audio").when(kind.isin(2, 5), "video").otherwise("image")
+    )
+    status = F.when(kind == 2, "meta").otherwise("real")
+    return (
+        docs.select(modality.alias("modality"), status.alias("decode_status"))
+        .groupBy("modality", "decode_status")
+        .agg(F.count(F.lit(1)).alias("n_exp"))
+    )
+
+
+def _count_violations(
+    actual: DataFrame, expected: DataFrame, keys: list, n_act: str, tag: str
+) -> DataFrame:
+    """Rows where an actual per-group count differs from the derived
+    expectation (missing / extra groups included) — empty when healthy."""
+    a = actual.select(*keys, F.col(n_act).alias("__act__"))
+    j = a.join(expected, keys, "full_outer")
+    return j.filter(
+        F.coalesce(F.col("__act__"), F.lit(-1)) != F.coalesce(F.col("n_exp"), F.lit(-1))
+    ).select(
+        F.lit(tag).alias(keys[0]),
+        F.concat_ws("/", *[F.col(k) for k in keys]).alias(keys[1]),
+        (F.coalesce(F.col("__act__"), F.lit(0)) - F.coalesce(F.col("n_exp"), F.lit(0))).alias(
+            "__delta__"
+        ),
+    )
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = MM.read_binary_dir(spark, _blob_dir(spark, sf_dir))
     feats = MM.decode_features(blobs, feature_dim=8)
-    return (
+    agg = (
         feats.groupBy("modality", "decode_status")
         .agg(
             F.count(F.lit(1)).alias("n_blobs"),
@@ -160,8 +198,22 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("duration_ms"), 6).alias("avg_duration_ms"),
             F.round(F.avg(F.element_at("features", 1)), 9).alias("avg_f0"),
         )
-        .orderBy("modality", "decode_status")
     )
+    viol = _count_violations(
+        agg,
+        _expected_modality_counts(spark, sf_dir),
+        ["modality", "decode_status"],
+        "n_blobs",
+        "__violation__",
+    ).select(
+        "modality",
+        "decode_status",
+        F.col("__delta__").alias("n_blobs"),
+        F.lit(None).cast("double").alias("avg_width"),
+        F.lit(None).cast("double").alias("avg_duration_ms"),
+        F.lit(None).cast("double").alias("avg_f0"),
+    )
+    return agg.unionByName(viol).orderBy("modality", "decode_status")
 
 
 def _multimodal_transform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,7 +271,34 @@ def _multimodal_transform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("avg_frame_bytes").alias("metric"),
         )
     )
-    return img.unionByName(aud).unionByName(vid).orderBy("op", "decode_status")
+    actual = img.unionByName(aud).unionByName(vid)
+    # derived expectations, no decoding: every image resizes (n_img),
+    # each 64-sample 8 kHz WAV frames into 2×4 ms windows (2·n_audio),
+    # each 3-frame 4 fps AVI yields 3 real frames at 250 ms sampling,
+    # each mp4 skeleton yields max_frames=3 declared fakes
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 25 == 0)
+    kind = (F.col("doc_id") / 25).cast("long") % 8
+    per_blob = F.when(kind == 1, 2).when(kind.isin(2, 5), 3).otherwise(1)
+    op = (
+        F.when(kind == 1, "audio_frames")
+        .when(kind.isin(2, 5), "video_frames")
+        .otherwise("image_resize")
+    )
+    status = F.when(kind == 2, "stub").otherwise("real")
+    expected = (
+        docs.select(op.alias("op"), status.alias("decode_status"), per_blob.alias("w"))
+        .groupBy("op", "decode_status")
+        .agg(F.sum("w").alias("n_exp"))
+    )
+    viol = _count_violations(
+        actual, expected, ["op", "decode_status"], "n", "__violation__"
+    ).select(
+        "op",
+        "decode_status",
+        F.col("__delta__").alias("n"),
+        F.lit(None).cast("double").alias("metric"),
+    )
+    return actual.unionByName(viol).orderBy("op", "decode_status")
 
 
 def _native_png(payload: bytes):
@@ -270,7 +349,20 @@ def _multimodal_native_codec_stats(spark: SparkSession, sf_dir: str) -> DataFram
         ),
         "native",
     )
-    return builtin.unionByName(native).orderBy("path", "modality", "decode_status")
+    # self-validation (VERDICT r8 #4): the bit-identity contract rides
+    # the output — the two halves' symmetric difference (ignoring the
+    # path tag) is emitted as '__diff__' rows, so ANY divergence between
+    # builtin and native decode grows the driver-visible row count
+    b = builtin.drop("path")
+    n = native.drop("path")
+    diff = (
+        b.exceptAll(n).unionByName(n.exceptAll(b))
+        .select(F.lit("__diff__").alias("path"), "*")
+    )
+    return (
+        builtin.unionByName(native).unionByName(diff)
+        .orderBy("path", "modality", "decode_status")
+    )
 
 
 def _multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,7 +420,41 @@ def _multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_id").alias("b"),
         F.col("distance").cast("long").alias("v"),
     )
-    return status.unionByName(pairs)
+    # self-validation (VERDICT r8 #4): the pair set must be EXACTLY the
+    # planted triangle — corpus images derive from distinct sha256
+    # streams and must not collide, planted_far must stay out, and a
+    # missing planted pair means the hash or the banded join broke.
+    # Either direction of drift emits 'violation' rows (count change).
+    expected = spark.createDataFrame(
+        [
+            ("planted_bmp", "planted_png"),
+            ("planted_bmp", "planted_tweak"),
+            ("planted_png", "planted_tweak"),
+        ],
+        "a string, b string",
+    )
+    # scope the contract to the PLANTED blobs: corpus-corpus pairs are
+    # legitimate findings (tiny fixture images DO collide at sf0.1),
+    # but any pair touching a planted id must match the expectation
+    actual_keys = pairs.filter(
+        F.col("a").startswith("planted_") | F.col("b").startswith("planted_")
+    ).select("a", "b")
+    drift = actual_keys.exceptAll(expected).unionByName(
+        expected.exceptAll(actual_keys)
+    )
+    # each drift row is emitted TWICE (v=0 and v=1): a missing pair
+    # removes one 'pair' row, so a single violation row would leave the
+    # driver-visible row count unchanged — doubling guarantees every
+    # drift moves the count
+    viol = drift.select(
+        F.lit("violation").alias("kind"), "a", "b", F.lit(0).cast("long").alias("v")
+    ).unionByName(
+        drift.select(
+            F.lit("violation").alias("kind"), "a", "b",
+            F.lit(1).cast("long").alias("v"),
+        )
+    )
+    return status.unionByName(pairs).unionByName(viol)
 
 
 def _multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,7 +501,34 @@ def _multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_id").alias("b"),
         F.col("distance").cast("long").alias("v"),
     )
-    return status.unionByName(pairs)
+    # self-validation (VERDICT r8 #4): exactly the gain-invariance pair
+    # — planted_far must stay out, the gain twin must land in. Drift in
+    # either direction emits 'violation' rows.
+    expected = spark.createDataFrame(
+        [("planted_base", "planted_gain")], "a string, b string"
+    )
+    # scope the contract to the PLANTED blobs: corpus-corpus pairs are
+    # legitimate findings (tiny fixture images DO collide at sf0.1),
+    # but any pair touching a planted id must match the expectation
+    actual_keys = pairs.filter(
+        F.col("a").startswith("planted_") | F.col("b").startswith("planted_")
+    ).select("a", "b")
+    drift = actual_keys.exceptAll(expected).unionByName(
+        expected.exceptAll(actual_keys)
+    )
+    # each drift row is emitted TWICE (v=0 and v=1): a missing pair
+    # removes one 'pair' row, so a single violation row would leave the
+    # driver-visible row count unchanged — doubling guarantees every
+    # drift moves the count
+    viol = drift.select(
+        F.lit("violation").alias("kind"), "a", "b", F.lit(0).cast("long").alias("v")
+    ).unionByName(
+        drift.select(
+            F.lit("violation").alias("kind"), "a", "b",
+            F.lit(1).cast("long").alias("v"),
+        )
+    )
+    return status.unionByName(pairs).unionByName(viol)
 
 
 QUERIES = {

@@ -538,9 +538,33 @@ def _emb_semantic_dedup_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + 100000
     )
     res = D.semantic_dedup(emb.unionByName(copies), k=8, threshold=0.99)
-    return res.select(
-        "keeper_id", F.col("doc_id").alias("vec_id"), "keep"
-    ).orderBy("keeper_id", "vec_id")
+    out = res.select("keeper_id", F.col("doc_id").alias("vec_id"), "keep")
+    # self-validation (VERDICT r8 #4): every planted exact copy must
+    # collapse onto its original — copy rows with keep=true or a wrong
+    # keeper, original rows not kept, or copies MISSING from the dup
+    # clusters entirely, all ride out as violation rows (keeper_id=-1,
+    # keep=NULL), flipping the driver-visible count on any regression.
+    bad_copy = out.filter(
+        (F.col("vec_id") >= 100000)
+        & (F.col("keep") | (F.col("keeper_id") != F.col("vec_id") - 100000))
+    )
+    bad_orig = out.filter((F.col("vec_id") < 100000) & (~F.col("keep")))
+    missing = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .select((F.col("vec_id") + 100000).alias("vec_id"))
+        .join(out, "vec_id", "left_anti")
+    )
+    viol = (
+        bad_copy.select("vec_id")
+        .unionByName(bad_orig.select("vec_id"))
+        .unionByName(missing.select("vec_id"))
+        .select(
+            F.lit(-1).cast("long").alias("keeper_id"),
+            "vec_id",
+            F.lit(None).cast("boolean").alias("keep"),
+        )
+    )
+    return out.unionByName(viol).orderBy("keeper_id", "vec_id")
 
 
 def _doc_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1064,11 +1088,34 @@ def _doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("long").alias("extra"),
         F.lit(len(merges)).cast("long").alias("n_merges"),
     )
+    # self-validation (VERDICT r8 #4): BPE is a lossless segmentation —
+    # per doc, the concatenated subword tokens must reconstruct the
+    # word stream exactly (each word + its </w> marker). Violating docs
+    # ride the output as extra rows, so a broken merge application is a
+    # driver-visible row-count change, not an invisible value drift.
+    words = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat_ws(
+            "", F.transform(
+                TX.tokens_col("text"), lambda w: F.concat(w, F.lit("</w>"))
+            )
+        ).alias("__want"),
+    )
+    viol = (
+        enc.join(words, "doc_id")
+        .filter(F.concat_ws("", F.col("tokens")) != F.col("__want"))
+        .select(
+            F.lit("__roundtrip_violation__").alias("tok"),
+            F.col("doc_id").alias("n"),
+            F.lit(None).cast("long").alias("extra"),
+            F.lit(None).cast("long").alias("n_merges"),
+        )
+    )
     return top.select(
         "tok", F.col("n").cast("long").alias("n"),
         F.lit(None).cast("long").alias("extra"),
         F.lit(None).cast("long").alias("n_merges"),
-    ).unionByName(totals)
+    ).unionByName(totals).unionByName(viol)
 
 
 def _doc_leakproof_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
