@@ -746,10 +746,18 @@ def _volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.expr(
         f"CAST(l_extendedprice AS DECIMAL(18,2)) * ({_ONE} - CAST(l_discount AS DECIMAL(3,2)))"
     )
-    n1 = nation.select(
+    # the nation-pair predicate implies BOTH endpoints lie in {a, b}:
+    # filtering the nation dims up front (round 9) shrinks the supplier/
+    # customer dims to the two nations' members and — decisively at
+    # scale — the broadcast orders dim to only those customers' orders,
+    # instead of broadcasting EVERY order and filtering after the join.
+    # The cross-pair filter below is unchanged, so semantics hold.
+    a, b = _Q7_NATIONS
+    pair = F.col("n_name").isin(a, b)
+    n1 = nation.filter(pair).select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
     )
-    n2 = nation.select(
+    n2 = nation.filter(pair).select(
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
     sdim = F.broadcast(
@@ -767,7 +775,6 @@ def _volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "cust_nation"
         )
     )
-    a, b = _Q7_NATIONS
     joined = (
         li.join(sdim, li["l_suppkey"] == sdim["s_suppkey"])
         .join(odim, li["l_orderkey"] == odim["o_orderkey"])

@@ -1593,9 +1593,13 @@ ORDER BY k_a, k_b
 # distinct kept values are the fingerprints. Guarantee: any match of
 # length >= w + k - 1 tokens shares at least one fingerprint — the
 # robust alternative to 0 mod p fingerprint sampling for substring-
-# level dedup/plagiarism sweeps. Everything is JVM-side array lambdas
-# (no Python in the hot path); at 100 TB this is a single narrow map —
-# no shuffle until the per-doc aggregate.
+# level dedup/plagiarism sweeps. Everything stays JVM-side (no Python
+# in the hot path); one shuffle, keyed by doc_id. Giant-doc note: the
+# per-doc window serializes a single document's hashes into one task —
+# fine for web/doc corpora (document >> partition is rare); a corpus of
+# multi-GB documents would chunk positions into ranges overlapping by
+# w-1 (every window lies fully inside some chunk, so chunked window
+# minima ≡ global ones) and key the shuffle by (doc_id, chunk).
 # ---------------------------------------------------------------------------
 
 _WINNOW_K, _WINNOW_W = 3, 4

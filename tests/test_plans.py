@@ -222,11 +222,16 @@ def test_window_top_k_uses_group_limit(spark):
 
 def test_pipeline_e2e_no_cartesian(spark):
     """The 7-stage composition must keep every stage's scale shape: no
-    CartesianProduct anywhere (near-dup candidates stay blocked
-    equi-joins; the decontamination set is a broadcast semi join)."""
+    CartesianProduct anywhere. Since round 9 the chain eager-checkpoints
+    s2/pairs/s4 (the CC consumers re-executed the Arrow kernels per
+    action otherwise — PLANS.md round-9 notes), so the FINAL plan only
+    shows the post-checkpoint tail (split assignment joins, equi); the
+    pre-checkpoint stages (blocked jaccard equi-join, broadcast
+    decontaminate) are plan-gated separately via their operators'
+    dedicated queries (`doc_ngram_jaccard`, `doc_decontaminate`)."""
     plan = _plan(spark, "doc_pipeline_e2e")
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan  # decontaminate / keep-one joins
+    assert "Join" in plan  # the split-assignment equi joins survive
 
 
 def test_rename_read_plans_like_unrenamed(spark):
@@ -359,3 +364,41 @@ def test_maxsim_plan_shape(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_round9_new_query_plan_shapes(spark):
+    """Round-9 additions hold their designed shapes:
+
+    - Q9 profit: every dim side (part/supplier/nation) is a broadcast
+      hash join — the fact table shuffles exactly once, for the final
+      (nation, year) aggregate; no sort-merge join anywhere;
+    - Q10 returned items: top-20 is TakeOrderedAndProject (distributed
+      heap), never a global Sort;
+    - winnowing: ONE hash-partitioning exchange (the per-doc window);
+      no self-join, no cartesian — the sliding window is a window
+      function over posexploded hashes, not array-lambda slices;
+    - cosine radius: the corpus reaches the scorer with no Exchange
+      from a join (broadcast only) and no row-at-a-time Python eval.
+    """
+    plan = _plan(spark, "rel_product_type_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "HashAggregate" in plan
+
+    plan = _plan(spark, "rel_returned_item_revenue")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+    plan = _plan(spark, "doc_winnowing_fingerprint")
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "Window" in plan
+    # one logical shuffle key: every hashpartitioning exchange is on
+    # doc_id (the window and the final agg share it)
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([a-zA-Z_#0-9]+)", plan)
+    assert parts and all(p.startswith("doc_id") for p in parts), parts
+
+    plan = _plan(spark, "knn_cosine_range")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # stays in codegen, no Python

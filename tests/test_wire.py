@@ -1,0 +1,154 @@
+"""TCP wire transport for the offset source (streaming/wire.py).
+
+Proves the offset design's transport-independence claim with a real
+network hop: the same `run_offset_ingest` loop that drove the local
+OffsetLogSource drives a broker over TCP, executor-side fetch kernels
+and all, with the identical exactly-once behavior under redelivery,
+crash-resume, and a producer racing the consumer.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from aeuc_vector_db_spark.streaming import offset_source as OS
+from aeuc_vector_db_spark.streaming.wire import (
+    OffsetWireBroker,
+    RemoteOffsetSource,
+    _request,
+)
+from tests.test_streaming import DIM, _entry
+
+
+@pytest.fixture()
+def broker(tmp_path):
+    src = OS.OffsetLogSource(str(tmp_path / "log"), n_partitions=3)
+    b = OffsetWireBroker(src).start()
+    try:
+        yield b
+    finally:
+        b.stop()
+
+
+def _rec(i: int, dim: int = DIM) -> dict:
+    return json.loads(_entry(i, dim=dim))
+
+
+def test_wire_protocol_roundtrip(broker):
+    remote = RemoteOffsetSource(broker.host, broker.port)
+    assert remote.n_partitions == 3
+    assert remote.latest_offsets() == {0: 0, 1: 0, 2: 0}
+    start, end = remote.append(1, [{"a": 1}, {"a": 2}])
+    assert (start, end) == (0, 2)
+    assert remote.latest_offsets() == {0: 0, 1: 2, 2: 0}
+    # FETCH is pure: the same range re-serves identically (redelivery)
+    r1 = _request(broker.host, broker.port,
+                  {"op": "fetch", "partition": 1, "start": 0, "end": 2})
+    r2 = _request(broker.host, broker.port,
+                  {"op": "fetch", "partition": 1, "start": 0, "end": 2})
+    assert r1 == r2 and len(r1["records"]) == 2
+    assert r1["records"][0][0] == 0 and '"a":1' in r1["records"][0][1]
+
+
+def test_wire_malformed_request_fails_loud_broker_survives(broker):
+    with pytest.raises(ValueError, match="unknown op"):
+        _request(broker.host, broker.port, {"op": "nope"})
+    with pytest.raises(ValueError, match="broker error"):
+        _request(broker.host, broker.port, {"op": "fetch", "partition": "x"})
+    # broker still serves after the bad requests
+    assert RemoteOffsetSource(broker.host, broker.port).latest_offsets() == {
+        0: 0, 1: 0, 2: 0,
+    }
+
+
+def test_remote_poll_is_distributed_and_lazy(spark, broker):
+    remote = RemoteOffsetSource(broker.host, broker.port)
+    remote.append(0, [{"i": i} for i in range(5)])
+    remote.append(2, [{"i": i} for i in range(7)])
+    df, end = remote.poll(spark, {})
+    assert end == {0: 5, 1: 0, 2: 7}
+    # the fetch runs through an Arrow mapInPandas kernel (executor-side)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    rows = df.collect()
+    assert len(rows) == 12
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["partition"], []).append(r["offset"])
+    assert sorted(by_part[0]) == list(range(5))
+    assert sorted(by_part[2]) == list(range(7))
+    # bounded poll slices per partition
+    df2, end2 = remote.poll(spark, {0: 2, 2: 6}, max_records_per_partition=2)
+    assert end2 == {0: 4, 1: 0, 2: 7}
+    assert df2.count() == 3  # offsets 2,3 of p0 + offset 6 of p2
+    # empty poll returns (None, end) without touching Spark
+    assert remote.poll(spark, end)[0] is None
+
+
+def test_wire_ingest_exactly_once_end_to_end(spark, broker, tmp_path):
+    """The SAME run_offset_ingest loop, over TCP, into a bucketed
+    manifest table: offsets in the sink log, crash-resume, explicit
+    redelivery absorbed, invalid rows quarantined by validation."""
+    from aeuc_vector_db_spark import schemas
+    from aeuc_vector_db_spark.sources.manifest import BucketedManifestTable
+
+    remote = RemoteOffsetSource(broker.host, broker.port)
+    t = BucketedManifestTable(
+        str(tmp_path / "table"), key="entry_id", n_buckets=4
+    )
+    remote.append(0, [_rec(i) for i in range(0, 6)])
+    remote.append(1, [_rec(i) for i in range(6, 10)])
+
+    n = OS.run_offset_ingest(
+        spark, remote, t, DIM, max_records_per_partition=3
+    )
+    assert n >= 2
+    got = sorted(r["entry_id"] for r in t.read(spark).collect())
+    assert got == sorted(f"e{i}" for i in range(10))
+
+    # crash-after-commit: a FRESH consumer over a FRESH connection
+    # resumes from the sink's committed offsets — nothing to do
+    remote2 = RemoteOffsetSource(broker.host, broker.port)
+    assert OS.committed_source_offsets(t) == remote2.latest_offsets()
+    assert OS.run_offset_ingest(spark, remote2, t, DIM) == 0
+
+    # crash-before-commit: redeliver an already-committed range over
+    # the wire; same end offsets ⇒ same epoch marker ⇒ no duplicate
+    batch, end = remote.poll(spark, {0: 3, 1: 0})
+    parsed = batch.select(
+        F.from_json(F.col("value"), schemas.VECTOR_ENTRY_SCHEMA).alias("r")
+    ).select("r.*")
+    v_before = t.latest_version()
+    assert t.commit_append(parsed, epoch_id=OS._canonical_offsets(end)) is None
+    assert t.latest_version() == v_before and t.read(spark).count() == 10
+
+    # producer races the consumer between batches: new records land
+    # exactly once; a wrong-dim record is dropped by validation
+    remote.append(2, [_rec(10), _rec(11, dim=DIM + 2)])
+    assert OS.run_offset_ingest(spark, remote, t, DIM) == 1
+    got = sorted(r["entry_id"] for r in t.read(spark).collect())
+    assert got == sorted(f"e{i}" for i in range(11))
+
+
+def test_wire_matches_local_source_byte_for_byte(spark, tmp_path):
+    """The wire transport must be invisible: polling the same log
+    locally and over TCP yields identical (partition, offset, value)
+    sets."""
+    src = OS.OffsetLogSource(str(tmp_path / "log2"), n_partitions=2)
+    src.append(0, [{"k": i} for i in range(4)])
+    src.append(1, [{"k": i} for i in range(9)])
+    b = OffsetWireBroker(src).start()
+    try:
+        remote = RemoteOffsetSource(b.host, b.port)
+        local_df, local_end = src.poll(spark, {})
+        wire_df, wire_end = remote.poll(spark, {})
+        assert local_end == wire_end
+        key = lambda r: (r["partition"], r["offset"], r["value"])  # noqa: E731
+        assert sorted(map(key, local_df.collect())) == sorted(
+            map(key, wire_df.collect())
+        )
+    finally:
+        b.stop()
