@@ -779,13 +779,30 @@ _RANGE_THRESHOLD = 0.2
 
 
 def _knn_cosine_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aeuc_vector_db_spark.functions.vector import dot_col, l2_norm_col
+
     emb = load_table(spark, "embeddings", sf_dir)
-    corpus = emb.select("vec_id", as_double("embedding").alias("cv"))
-    qs = _queries_df(spark, sf_dir).select(
-        "query_id", as_double("query_embedding").alias("qv")
+    # norms precomputed ONCE PER ROW, not per pair: the HOF lambdas are
+    # interpreted (not codegen'd), so folding each side's sqnorm inside
+    # the pair expression tripled the lambda work (measured 0.46 s →
+    # 0.34 s hot at sf0.1; the residual is the per-pair dot fold —
+    # the Arrow matmul path in operators/search.py is the scale answer
+    # when radius search outgrows the HOF form). Same fold over the
+    # same input ⇒ the same double bits as the oracle's per-pair
+    # formulation.
+    corpus = emb.select(
+        "vec_id",
+        as_double("embedding").alias("cv"),
+    ).withColumn("cn", l2_norm_col("cv"))
+    qs = (
+        _queries_df(spark, sf_dir)
+        .select("query_id", as_double("query_embedding").alias("qv"))
+        .withColumn("qn", l2_norm_col("qv"))
     )
     scored = corpus.crossJoin(F.broadcast(qs)).select(
-        "query_id", "vec_id", cosine_col("cv", "qv").alias("s")
+        "query_id",
+        "vec_id",
+        (dot_col("cv", "qv") / (F.col("cn") * F.col("qn") + F.lit(1e-12))).alias("s"),
     )
     return scored.filter(F.col("s") >= F.lit(_RANGE_THRESHOLD)).select(
         "query_id", "vec_id", F.round("s", 9).alias("score")

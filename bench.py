@@ -264,6 +264,10 @@ def main() -> None:
         # loop in fresh sessions — solo-equivalent conditions (r6 verdict
         # #6: in-bench scale numbers must reconcile with solo re-measures
         # without consulting prose)
+        # FULL hot map (the stdout line prunes veteran entries to fit
+        # the driver's tail window since round 9 — the detail file is
+        # where their timings live on)
+        "hot_queries": per_query,
         "cold_queries": cold_query,
         "ingest_rows_per_s": ingest_rate,
         "knn_scale": knn_scale,
