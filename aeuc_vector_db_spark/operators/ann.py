@@ -435,6 +435,147 @@ def ivf_search_batch_arrow(
     )
 
 
+def _range_prune(
+    corpus_with_cells: DataFrame,
+    centroids,
+    queries: DataFrame,
+    threshold: float,
+    eps: float,
+    id_col: str,
+    vec_col: str,
+):
+    """Shared core of `ivf_range_search`/`probed_cells`: returns
+    (corpus, kept) where corpus carries per-row norms and kept is the
+    (query_id, centroid_id, __qv, __qn) set surviving the spherical
+    triangle-inequality bound."""
+    import math
+
+    from aeuc_vector_db_spark.functions.vector import as_double, dot_col, l2_norm_col
+
+    if isinstance(centroids, DataFrame):
+        cent = centroids.select("centroid_id", as_double("centroid").alias("cvec"))
+    else:
+        spark = corpus_with_cells.sparkSession
+        cent = spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in centroids],
+            "centroid_id int, cvec array<double>",
+        )
+    cent = cent.withColumn("cnorm", l2_norm_col("cvec"))
+    corpus = corpus_with_cells.select(
+        id_col, "centroid_id", as_double(vec_col).alias("__cv")
+    ).withColumn("__cn", l2_norm_col("__cv"))
+
+    def clamp(c):
+        return F.least(F.greatest(c, F.lit(-1.0)), F.lit(1.0))
+
+    def cell_angle(v, n):
+        return F.acos(
+            clamp(
+                dot_col(v, "cvec") / (F.col(n) * F.col("cnorm") + F.lit(1e-12))
+            )
+        )
+
+    # per-cell max angle to the centroid: one broadcast join + agg —
+    # index-build-time work (constant per cell, reusable across batches)
+    radii = (
+        corpus.join(F.broadcast(cent), "centroid_id")
+        .select("centroid_id", cell_angle("__cv", "__cn").alias("__ang"))
+        .groupBy("centroid_id")
+        .agg(F.max("__ang").alias("max_ang"))
+    )
+    qs = queries.select(
+        "query_id", as_double("query_embedding").alias("__qv")
+    ).withColumn("__qn", l2_norm_col("__qv"))
+    kept = (
+        qs.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "__qv", "__qn", "centroid_id",
+            cell_angle("__qv", "__qn").alias("__ang_qc"),
+        )
+        .join(F.broadcast(radii), "centroid_id")
+        .filter(
+            F.col("__ang_qc") - F.col("max_ang")
+            <= F.lit(math.acos(threshold) + eps)
+        )
+        .select("query_id", "centroid_id", "__qv", "__qn")
+    )
+    return corpus, kept
+
+
+def ivf_range_search(
+    corpus_with_cells: DataFrame,
+    centroids: "DataFrame | list[tuple[int, list[float]]]",
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 1e-9,
+) -> DataFrame:
+    """EXACT-COMPLETE cosine radius search with IVF cell pruning — the
+    thresholded companion to `ivf_search_batch` (FAISS `range_search`
+    on an IVF index; Jégou et al., TPAMI 2011 for the coarse structure).
+
+    Returns every (query_id, vec_id, score) with ``score >= threshold``
+    — the SAME row set a brute-force scan produces (no recall loss),
+    but scanning only the cells that COULD contain a hit. The pruning
+    bound is the spherical triangle inequality, which depends only on
+    vector DIRECTIONS (cosine ignores norms): for x in cell c,
+
+        ang(q, x) >= ang(q, c) - max_ang(c),   max_ang(c) = max ang(c, x)
+
+    so a cell can hold a hit only if ``ang(q, c) - max_ang(c) <=
+    arccos(threshold)``. `eps` widens the bound against acos rounding —
+    a borderline cell is scanned rather than wrongly pruned; the exact
+    per-row filter still decides membership, so slack never admits a
+    wrong row, and completeness is proven by the brute-force DuckDB
+    oracle hash-matching the declared query (`ivf_radius_pruned_search`).
+
+    Plan shape: per-cell radii are one broadcast-joined aggregate over
+    the corpus; queries × centroids is a tiny broadcast cross; the fine
+    scan joins the corpus to the kept (query, cell) pairs BY CELL with
+    the pairs broadcast — the corpus never shuffles. The prune factor
+    is data-dependent: tight clusters and high thresholds prune hard
+    (pinned in test_ann.py with planted clusters); on isotropic random
+    vectors (angles concentrated near 90°) nothing prunes and the plan
+    degrades gracefully to the brute-force scan plus one tiny
+    aggregate. Scores use the identical fold as the brute-force radius
+    query (per-row norms + per-pair dot) — bit-comparable results.
+    """
+    if not (-1.0 <= threshold <= 1.0):
+        raise ValueError(f"cosine threshold must be in [-1, 1], got {threshold}")
+    from aeuc_vector_db_spark.functions.vector import dot_col
+
+    corpus, kept = _range_prune(
+        corpus_with_cells, centroids, queries, threshold, eps, id_col, vec_col
+    )
+    scored = corpus.join(F.broadcast(kept), "centroid_id").select(
+        "query_id",
+        id_col,
+        (
+            dot_col("__cv", "__qv") / (F.col("__cn") * F.col("__qn") + F.lit(1e-12))
+        ).alias("score"),
+    )
+    return scored.filter(F.col("score") >= F.lit(threshold))
+
+
+def probed_cells(
+    corpus_with_cells: DataFrame,
+    centroids: "DataFrame | list[tuple[int, list[float]]]",
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 1e-9,
+) -> DataFrame:
+    """The (query_id, centroid_id) pairs `ivf_range_search` would scan
+    — exposed so tests/benchmarks can assert the prune actually fires
+    (scanned cells < queries × cells) without re-deriving the bound."""
+    _, kept = _range_prune(
+        corpus_with_cells, centroids, queries, threshold, eps, id_col, vec_col
+    )
+    return kept.select("query_id", "centroid_id")
+
+
 def ivf_recall_eval(
     corpus_with_cells: DataFrame,
     centroids: DataFrame,

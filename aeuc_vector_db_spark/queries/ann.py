@@ -554,7 +554,33 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def _ivf_radius_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-complete IVF radius search (round 9): the pruned plan must
+    reproduce the brute-force radius row set EXACTLY — the oracle is
+    the same SQL as `knn_cosine_range` (threshold locked together), so
+    a hash match IS the completeness proof for the spherical
+    triangle-inequality prune. Trained coarse quantizer (deterministic
+    sample-fit Lloyd), threshold 0.2."""
+    from aeuc_vector_db_spark.queries.core import _RANGE_THRESHOLD
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cent_local = A.fit_centroids_sample_local(emb, k=8, seed=42, iters=10)
+    corpus = emb.join(A.assign_centroids(emb, cent_local), "vec_id")
+    res = A.ivf_range_search(
+        corpus, cent_local, _queries_df(spark, sf_dir),
+        threshold=_RANGE_THRESHOLD,
+    )
+    return res.select("query_id", "vec_id", F.round("score", 9).alias("score"))
+
+
+def _radius_oracle() -> str:
+    from aeuc_vector_db_spark.queries.core import _KNN_RANGE_ORACLE
+
+    return _KNN_RANGE_ORACLE
+
+
 QUERIES = {
+    "ivf_radius_pruned_search": (_ivf_radius_pruned_search, _radius_oracle()),
     "emb_binary_hamming_topk": (_emb_binary_hamming_topk, _BINARY_HAMMING_ORACLE),
     "emb_matryoshka_topk": (_emb_matryoshka_topk, _MATRYOSHKA_ORACLE),
     "ivf_pruned_search": (_ivf_pruned_search, _IVF_ORACLE),

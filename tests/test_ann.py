@@ -655,3 +655,106 @@ def test_ivfadc_disk_prunes_partitions_and_matches_memory(spark, emb, queries, t
         (r["query_id"], r["rank"], r["vec_id"]) for r in mem.collect()
     )
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# Round 9: exact-complete IVF radius search (spherical triangle prune)
+# ---------------------------------------------------------------------------
+
+def _clustered_corpus(spark, n_per=40, k=4, dim=8):
+    """k tight direction-clusters on the unit sphere: cluster c points
+    near axis c with small jitter — max cell angle is small, so the
+    triangle-inequality prune has something to bite."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for c in range(k):
+        axis = np.zeros(dim)
+        axis[c] = 1.0
+        for _ in range(n_per):
+            v = axis + rng.normal(0, 0.05, dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _brute_radius(spark, corpus, queries, t):
+    from aeuc_vector_db_spark.functions.vector import as_double, dot_col, l2_norm_col
+
+    c = corpus.select(
+        "vec_id", as_double("embedding").alias("cv")
+    ).withColumn("cn", l2_norm_col("cv"))
+    q = queries.select(
+        "query_id", as_double("query_embedding").alias("qv")
+    ).withColumn("qn", l2_norm_col("qv"))
+    s = c.crossJoin(q).select(
+        "query_id", "vec_id",
+        (dot_col("cv", "qv") / (F.col("cn") * F.col("qn") + F.lit(1e-12))).alias("s"),
+    )
+    return s.filter(F.col("s") >= t)
+
+
+def test_ivf_range_search_complete_and_actually_prunes(spark):
+    from aeuc_vector_db_spark.operators import ann as A
+
+    corpus = _clustered_corpus(spark)
+    cent = A.fit_centroids_sample_local(corpus, k=4, seed=42, iters=10)
+    with_cells = corpus.join(A.assign_centroids(corpus, cent), "vec_id")
+    # queries: one per cluster axis (plus jitter), high threshold so
+    # only the home cluster can match
+    queries = spark.createDataFrame(
+        [(100 + c, [1.0 if i == c else 0.02 for i in range(8)]) for c in range(4)],
+        "query_id long, query_embedding array<double>",
+    )
+    t = 0.8
+    got = A.ivf_range_search(with_cells, cent, queries, threshold=t)
+    want = _brute_radius(spark, corpus, queries, t)
+    key = lambda r: (r["query_id"], r["vec_id"], round(r[2], 9))  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    assert got.count() > 0  # non-vacuous
+    # the prune FIRES: with 4 tight clusters and per-axis queries, each
+    # query scans ~1 cell, far below queries × cells = 16
+    probed = A.probed_cells(with_cells, cent, queries, threshold=t)
+    n_probed = probed.count()
+    assert n_probed < 16, n_probed
+    assert n_probed <= 8  # ≈ one home cell per query (+ slack cells)
+
+
+def test_ivf_range_search_isotropic_degrades_to_full_scan_but_exact(spark, embeddings):
+    """Random fixture vectors: angles concentrate near 90°, nothing
+    prunes — the result must STILL equal brute force (graceful
+    degradation, no wrong pruning)."""
+    from aeuc_vector_db_spark.operators import ann as A
+
+    emb = embeddings.limit(200)
+    cent = A.fit_centroids_sample_local(emb, k=4, seed=42, iters=5)
+    with_cells = emb.join(A.assign_centroids(emb, cent), "vec_id")
+    queries = emb.filter(F.col("vec_id") % 50 == 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    t = 0.15
+    got = A.ivf_range_search(with_cells, cent, queries, threshold=t)
+    want = _brute_radius(spark, emb, queries, t)
+    key = lambda r: (r["query_id"], r["vec_id"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_ivf_range_search_validation_and_plan(spark, embeddings):
+    from aeuc_vector_db_spark.operators import ann as A
+
+    emb = embeddings.limit(50)
+    cent = A.fit_centroids_sample_local(emb, k=2, seed=42, iters=3)
+    with_cells = emb.join(A.assign_centroids(emb, cent), "vec_id")
+    queries = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    with pytest.raises(ValueError, match="threshold"):
+        A.ivf_range_search(with_cells, cent, queries, threshold=1.5)
+    # corpus side never shuffles: kept pairs + centroids broadcast
+    df = A.ivf_range_search(with_cells, cent, queries, threshold=0.2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
