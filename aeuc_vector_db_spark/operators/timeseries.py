@@ -95,3 +95,57 @@ def _step_us(step: str) -> int:
     if scale is None or n <= 0:
         raise ValueError(f"unsupported step {step!r}")
     return n * scale
+
+
+def grouped_ols(
+    df: DataFrame,
+    key_cols: "tuple[str, ...]",
+    x_col: str,
+    y_col: str,
+    *,
+    min_n: int = 2,
+) -> DataFrame:
+    """Per-group simple linear regression (closed-form OLS): the
+    trend-monitoring primitive (is this user's metric drifting up?)
+    computed as ONE pass of sufficient statistics — never an iterative
+    solver, never a per-group collect. (Charter extension: reference
+    has no analytics surface; this is the `regr_slope`/`regr_intercept`
+    feature of ANSI engines re-expressed as exact partial aggregates.)
+
+    Determinism contract (FIXTURES.md): callers pass x and y already
+    cast to DECIMAL, so the five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²) are EXACT integer arithmetic —
+    order-independent under any partitioning and bit-identical to any
+    other engine's decimal sums. Only the final slope/intercept division
+    happens in double, as one fixed-shape scalar expression per group.
+
+    Scale shape: map-side partial aggregation of five sums, one shuffle
+    on the group keys carrying five numbers per group — the classic
+    "algebraic aggregate" decomposition; groups ≫ executors parallelize
+    trivially and a hot group costs no more than a cold one.
+
+    Returns (key_cols..., n BIGINT, slope DOUBLE, intercept DOUBLE),
+    groups with n < min_n or zero x-variance dropped (slope undefined).
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    s = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    den = nd * sxxd - sxd * sxd
+    slope = (nd * sxyd - sxd * syd) / den
+    return (
+        s.filter((F.col("n") >= min_n) & (den != 0))
+        .select(
+            *key_cols,
+            F.col("n").cast("long").alias("n"),
+            slope.alias("slope"),
+            ((syd - slope * sxd) / nd).alias("intercept"),
+        )
+    )

@@ -135,6 +135,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_cosine_range",
     # --- positions ≥ 51: r8's window rotates out; everything stays
     # covered by the in-repo full sweeps between driver rows ---
+    # Late round-9 additions (window already at 50 — first in line for
+    # the r10 window; each oracle-verified green on landing by the
+    # in-repo checker): exact-complete IVF radius search, Q16-shape
+    # grouped COUNT(DISTINCT) with anti-join exclusion, per-group
+    # closed-form OLS trend over exact decimal sufficient statistics.
+    "ivf_radius_pruned_search",
+    "rel_part_supplier_variety",
+    "events_value_trend_ols",
 )
 
 

@@ -1688,7 +1688,73 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape (parts/supplier relationship, round 9): how many
+# DISTINCT suppliers ship each (brand, size) bucket, excluding a
+# blocklist of suppliers derived by predicate (the fixture has no
+# partsupp table or s_comment column, so lineitem is the part↔supplier
+# relationship and negative s_acctbal stands in for the "complaints"
+# blocklist — the SHAPE is the point: grouped COUNT(DISTINCT) with a
+# NOT-IN exclusion, cf. reference has no relational surface).
+#
+# Plan shape (the 100 TB design points):
+# - part filter + projection push to the scan; the filtered part dim
+#   (5 of 50 sizes, 24 of 25 brands) broadcasts — the lineitem fact
+#   never shuffles for the join;
+# - the supplier blocklist is a broadcast ANTI join (never materializes
+#   the probe side, no shuffle);
+# - COUNT(DISTINCT supp) runs as the two-phase distinct aggregate:
+#   partial (brand,size,supp) dedup map-side, one shuffle on the GROUP
+#   keys carrying only pre-deduped narrow triples.
+# ---------------------------------------------------------------------------
+
+_Q16_SIZES = (1, 9, 19, 29, 39, 49)
+_Q16_BRAND = "Brand#21"
+
+
+def _part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != _Q16_BRAND) & F.col("p_size").isin(*_Q16_SIZES)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    blocked = load_table(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(blocked),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .select(
+            "p_brand",
+            F.col("p_size").cast("long").alias("p_size"),
+            F.col("supplier_cnt").cast("long").alias("supplier_cnt"),
+        )
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+_PART_SUPPLIER_VARIETY_ORACLE = f"""
+SELECT p_brand,
+       CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> '{_Q16_BRAND}'
+  AND p_size IN {_Q16_SIZES}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
 QUERIES = {
+    "rel_part_supplier_variety": (_part_supplier_variety,
+                                  _PART_SUPPLIER_VARIETY_ORACLE),
     "rel_product_type_profit": (_product_type_profit, _PRODUCT_PROFIT_ORACLE),
     "rel_returned_item_revenue": (_returned_item_revenue, _RETURNED_ITEM_ORACLE),
     "rel_order_count_distribution": (_order_count_distribution,

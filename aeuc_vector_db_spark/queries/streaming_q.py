@@ -475,7 +475,69 @@ ORDER BY event_id
 """
 
 
+def _events_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, user bucket) value trend: closed-form OLS slope
+    of value against hours since the fixture epoch (2024-01-01), via
+    `operators.timeseries.grouped_ols` — exact decimal sufficient
+    statistics (order-independent), one fixed-shape double division at
+    the end, so the oracle hash-matches. x is integer hours (exact
+    floor division of epoch micros on both engines); y is the 2-decimal
+    value column cast to DECIMAL(10,2) (exact, FIXTURES.md)."""
+    from aeuc_vector_db_spark.operators.timeseries import grouped_ols
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        (F.col("user_id") % 8).cast("long").alias("user_bucket"),
+        # 473352 = 1704067200 s / 3600 — hours from 1970 to 2024-01-01
+        (F.expr("unix_micros(ts) div 3600000000") - F.lit(473352))
+        .cast("decimal(10,0)")
+        .alias("x"),
+        F.col("value").cast("decimal(10,2)").alias("y"),
+    )
+    res = grouped_ols(ev, ("event_type", "user_bucket"), "x", "y")
+    return res.select(
+        "event_type",
+        "user_bucket",
+        "n",
+        F.round("slope", 9).alias("slope_per_hour"),
+        F.round("intercept", 6).alias("intercept"),
+    ).orderBy("event_type", "user_bucket")
+
+
+_TREND_OLS_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         CAST(user_id % 8 AS BIGINT) AS user_bucket,
+         CAST((epoch_us(ts) // 3600000000) - 473352 AS DECIMAL(10,0)) AS x,
+         CAST(value AS DECIMAL(10,2)) AS y
+  FROM events
+), s AS (
+  SELECT event_type, user_bucket,
+         COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+  FROM b GROUP BY event_type, user_bucket
+), f AS (
+  SELECT event_type, user_bucket, n,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+         CAST(sxx AS DOUBLE) AS sxxd
+  FROM s
+), g AS (
+  SELECT event_type, user_bucket, n, syd, sxd, nd,
+         (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope
+  FROM f
+  WHERE n >= 2 AND (nd * sxxd - sxd * sxd) <> 0
+)
+SELECT event_type, user_bucket, CAST(n AS BIGINT) AS n,
+       ROUND(slope, 9) AS slope_per_hour,
+       ROUND((syd - slope * sxd) / nd, 6) AS intercept
+FROM g
+ORDER BY event_type, user_bucket
+"""
+
+
 QUERIES = {
+    "events_value_trend_ols": (_events_value_trend_ols, _TREND_OLS_ORACLE),
     "events_value_outliers_mad": (_events_value_outliers_mad, _MAD_OUTLIERS_ORACLE),
     "events_funnel_conversion": (_events_funnel_conversion, _FUNNEL_ORACLE),
     "events_cohort_retention": (_events_cohort_retention, _COHORT_ORACLE),

@@ -110,6 +110,13 @@ HEADLINE = (
     "rel_returned_item_revenue",
     "doc_winnowing_fingerprint",
     "knn_cosine_range",
+    # late round 9: triangle-inequality-pruned radius search (the
+    # exact-complete IVF dual of knn_cosine_range), the Q16-shape
+    # distinct-supplier variety count, and per-group closed-form OLS
+    # (five-number algebraic aggregate — the cheapest of the three)
+    "ivf_radius_pruned_search",
+    "rel_part_supplier_variety",
+    "events_value_trend_ols",
 )
 
 

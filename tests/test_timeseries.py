@@ -82,3 +82,61 @@ def test_step_parsing():
     for bad in ("monthly", "2 months", "0 hours", "-1 hour"):
         with pytest.raises(ValueError):
             _step_us(bad)
+
+
+# ---------------------------------------------------------------------------
+# grouped_ols (round 9): closed-form per-group OLS over exact decimal
+# sufficient statistics.
+# ---------------------------------------------------------------------------
+
+
+def _xy(spark, rows):
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    return df.select(
+        "g",
+        F.col("x").cast("decimal(10,0)").alias("x"),
+        F.col("y").cast("decimal(10,2)").alias("y"),
+    )
+
+
+def test_ols_exact_line(spark):
+    """Points exactly on y = 2x + 3 recover slope 2, intercept 3."""
+    from aeuc_vector_db_spark.operators.timeseries import grouped_ols
+
+    rows = [("a", x, 2.0 * x + 3.0) for x in range(10)]
+    [r] = grouped_ols(_xy(spark, rows), ("g",), "x", "y").collect()
+    assert r["n"] == 10
+    assert abs(r["slope"] - 2.0) < 1e-12
+    assert abs(r["intercept"] - 3.0) < 1e-12
+
+
+def test_ols_hand_computed_and_degenerate_groups_dropped(spark):
+    """Known 3-point fit; n=1 and zero-variance groups are dropped
+    (slope undefined), never emitted as NaN/Inf rows."""
+    from aeuc_vector_db_spark.operators.timeseries import grouped_ols
+
+    rows = [
+        ("fit", 0, 1.0), ("fit", 1, 2.0), ("fit", 2, 4.0),
+        ("single", 5, 7.0),                    # n = 1 → dropped
+        ("flatx", 3, 1.0), ("flatx", 3, 9.0),  # zero x-variance → dropped
+    ]
+    got = {r["g"]: r for r in
+           grouped_ols(_xy(spark, rows), ("g",), "x", "y").collect()}
+    assert set(got) == {"fit"}
+    # n=3, Sx=3, Sy=7, Sxy=10, Sxx=5 → slope = (30-21)/(15-9) = 1.5
+    assert abs(got["fit"]["slope"] - 1.5) < 1e-12
+    # intercept = (7 - 1.5*3)/3 = 2.5/3
+    assert abs(got["fit"]["intercept"] - 2.5 / 3.0) < 1e-12
+
+
+def test_ols_order_independent(spark):
+    """Decimal sufficient statistics make the result identical under
+    any partitioning/arrival order (the determinism contract)."""
+    from aeuc_vector_db_spark.operators.timeseries import grouped_ols
+
+    rows = [("a", x, (x * 37 % 11) + 0.25) for x in range(200)]
+    a = grouped_ols(_xy(spark, rows), ("g",), "x", "y").collect()[0]
+    b = grouped_ols(
+        _xy(spark, rows[::-1]).repartition(7), ("g",), "x", "y"
+    ).collect()[0]
+    assert (a["n"], a["slope"], a["intercept"]) == (b["n"], b["slope"], b["intercept"])
