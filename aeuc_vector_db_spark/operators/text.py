@@ -93,19 +93,83 @@ def polyhash_col(s: Column | str) -> Column:
 
 
 def shingles_col(tokens: Column | str, n: int = 3) -> Column:
-    """n-word shingles as space-joined strings; < n tokens → empty array."""
-    t = _c(tokens)
-    idx = F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
-    make = F.transform(
-        idx,
-        lambda j: F.concat_ws(" ", *[F.element_at(t, (j + F.lit(k)).cast("int")) for k in range(n)]),
-    )
-    return F.when(F.size(t) >= n, make).otherwise(F.array().cast("array<string>"))
+    """n-word shingles as space-joined strings; < n tokens → empty array.
+
+    The token array is `let_col`-bound: callers routinely pass the
+    whole `tokens_col(text)` expression, and every `element_at` inside
+    the per-shingle lambda would otherwise re-evaluate the full
+    tokenize (lambda bodies get no CSE) — O(n²) characters per doc,
+    measured as the dominant cost of every shingle consumer.
+    """
+
+    def make(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
+        sh = F.transform(
+            idx,
+            lambda j: F.concat_ws(
+                " ", *[F.element_at(t, (j + F.lit(k)).cast("int")) for k in range(n)]
+            ),
+        )
+        return F.when(F.size(t) >= n, sh).otherwise(F.array().cast("array<string>"))
+
+    return let_col(_c(tokens), make)
 
 
 def shingle_hashes_col(text: Column | str, n: int = 3) -> Column:
     """Distinct polyhashes of the text's n-word shingles (the MinHash input set)."""
     return F.array_distinct(F.transform(shingles_col(tokens_col(text), n), polyhash_col))
+
+
+def let_col(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate `value` ONCE per
+    row and pass it to `body` as a lambda variable —
+    ``transform(array(value), v -> body(v))[0]``.
+
+    Why this exists: Catalyst freely DUPLICATES non-cheap projection
+    aliases — CollapseProject inlines them into consumers and
+    filter-pushdown substitutes them into predicates — and higher-
+    order-function expressions are CodegenFallback, so codegen
+    subexpression elimination never rescues the copies. Measured on
+    the winnowing query: the shingle-hash transform inlined ~8× and
+    the query went 3× SLOWER than the shuffle formulation it was
+    meant to beat. A NamedLambdaVariable reference is the one
+    user-level binding every rewrite treats as cheap, so `body` may
+    reference it any number of times at one evaluation's cost.
+    """
+    return F.transform(F.array(value), body)[0]
+
+
+def sliding_min_col(arr: Column | str, w: int) -> Column:
+    """Per-position minimum over the length-`w` window ``[j, j+w-1]``
+    of an array column, via the sparse-table doubling trick: ⌈log₂ w⌉
+    `zip_with(a, slice(a, 1+step, ·), least)` passes, each linear in
+    the array — never `transform(positions, j -> array_min(slice(a,
+    j, w)))`, which re-evaluates inside the lambda per window position
+    (lambda bodies get no CSE — measured quadratic on long docs).
+    Each doubling step is `let_col`-bound so the whole ladder costs
+    one evaluation per level even though every level is referenced
+    twice by the next. zip_with null-pads the shorter side and `least`
+    skips nulls, so tail entries ``j > n-w+1`` hold the min of the
+    TRUNCATED window; callers wanting full windows only slice to the
+    first ``n-w+1`` entries. Same length and element type as `arr`;
+    empty in → empty out.
+    """
+    if w < 1:
+        raise ValueError(f"window must be >= 1, got {w}")
+
+    def fold(a: Column, span: int) -> Column:
+        if span >= w:
+            return a
+        step = min(span, w - span)
+        tail = F.greatest(F.size(a) - F.lit(step), F.lit(0))
+        nxt = F.zip_with(
+            a,
+            F.slice(a, F.lit(step + 1), tail),
+            lambda x, y: F.least(x, y),
+        )
+        return let_col(nxt, lambda v: fold(v, span + step))
+
+    return fold(_c(arr), 1)
 
 
 def _py_tokens(s: str | None) -> list[str]:

@@ -1594,58 +1594,73 @@ ORDER BY k_a, k_b
 # length >= w + k - 1 tokens shares at least one fingerprint — the
 # robust alternative to 0 mod p fingerprint sampling for substring-
 # level dedup/plagiarism sweeps. Everything stays JVM-side (no Python
-# in the hot path); one shuffle, keyed by doc_id. Giant-doc note: the
-# per-doc window serializes a single document's hashes into one task —
-# fine for web/doc corpora (document >> partition is rare); a corpus of
+# in the hot path) and — since round 9 — entirely WITHIN the row: the
+# sliding minimum folds inside the hash array (sliding_min_col), so
+# the operator is a pure projection with zero shuffles. Giant-doc
+# note: a single document's hashes live in one row/task — fine for
+# web/doc corpora (document >> partition is rare); a corpus of
 # multi-GB documents would chunk positions into ranges overlapping by
 # w-1 (every window lies fully inside some chunk, so chunked window
-# minima ≡ global ones) and key the shuffle by (doc_id, chunk).
+# minima ≡ global ones) keyed by (doc_id, chunk).
 # ---------------------------------------------------------------------------
 
 _WINNOW_K, _WINNOW_W = 3, 4
 
 
 def _doc_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NOT an array-lambda sliding window: `transform(seq, j ->
-    # array_min(slice(hs, j, w)))` re-evaluates the ENTIRE hash array
-    # per window position (Catalyst does no CSE inside lambda bodies —
-    # measured 75 s for 500 docs, quadratic in doc length). Instead:
-    # hash once, posexplode, SQL window MIN over (pos .. pos+w-1) —
-    # one evaluation per shingle, one shuffle by doc_id, and the
-    # per-doc window is the same shape a 100 TB run wants.
-    from pyspark.sql import Window as _W
-
+    # MAP-ONLY plan: the w-window sliding minimum is computed INSIDE
+    # the hash array with ⌈log₂ w⌉ zip_with passes (operators/text.py
+    # sliding_min_col), then distinct/count/sum/min fold per row — so
+    # the whole query is a projection over the scan: ZERO shuffles,
+    # zero explode (gated in tests/test_plans.py). Earlier shapes and
+    # why they lost: `transform(seq, j -> array_min(slice(hs, j, w)))`
+    # re-evaluates the hash array per window position (no CSE inside
+    # lambda bodies — 75 s for 500 docs); posexplode + window MIN over
+    # (pos..pos+w-1) is linear but ships ~#shingles rows through a
+    # doc_id shuffle + sort (14.8 s at sf0.1 — the shuffle WAS the
+    # query). Giant-doc caveat unchanged: one multi-GB document is one
+    # row either way; the chunked-overlap formulation in the section
+    # comment above is the escape hatch, not a different operator.
     docs = load_table(spark, "documents", sf_dir)
+    w = _WINNOW_W
     hs = F.transform(
         TX.shingles_col(TX.tokens_col("text"), _WINNOW_K),
         lambda s: TX.polyhash_col(s),
     )
-    w = _WINNOW_W
-    exploded = docs.select("doc_id", F.posexplode(hs).alias("pos", "h"))
-    wspec = _W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    mins = exploded.select(
-        "doc_id",
-        "pos",
-        F.count(F.lit(1)).over(_W.partitionBy("doc_id")).alias("n"),
-        F.min("h").over(wspec).alias("wmin"),
-    )
-    # full windows start at pos 0..n-w; a doc shorter than one window
-    # keeps its pos-0 "window" = min of all hashes (the paper's
-    # boundary case). Docs with zero shingles emit nothing.
-    wins = mins.filter(
-        (F.col("pos") <= F.col("n") - w)
-        | ((F.col("n") < w) & (F.col("pos") == 0))
-    )
-    return (
-        wins.select("doc_id", F.col("wmin").alias("fp"))
-        .distinct()
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_fp"),
-            F.sum("fp").alias("fp_sum"),
-            F.min("fp").alias("fp_min"),
+
+    def stats(fps: F.Column) -> F.Column:
+        return F.struct(
+            F.size(fps).cast("long").alias("n_fp"),
+            F.aggregate(
+                fps, F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("fp_sum"),
+            F.array_min(fps).alias("fp_min"),
         )
+
+    def packed(h: F.Column) -> F.Column:
+        n = F.size(h)
+        # full windows start at 1..n-w+1; a doc shorter than one
+        # window keeps a single "window" = min of all hashes (the
+        # paper's boundary case). Docs with zero shingles emit an
+        # EMPTY pack — inline() drops the row, so no filter exists
+        # for predicate-pushdown to substitute the expression into.
+        wins = (
+            F.when(n >= w, F.slice(TX.sliding_min_col(h, w), F.lit(1), n - (w - 1)))
+            .when(n > 0, F.array(F.array_min(h)))
+            .otherwise(F.array().cast("array<long>"))
+        )
+        return TX.let_col(
+            F.array_distinct(wins), lambda fps: F.array(stats(fps))
+        )
+
+    empty = F.array().cast(
+        "array<struct<n_fp:bigint,fp_sum:bigint,fp_min:bigint>>"
     )
+    pack = TX.let_col(
+        hs,
+        lambda h: F.when(F.size(h) > 0, packed(h)).otherwise(empty),
+    )
+    return docs.select("doc_id", F.inline(pack))
 
 
 _WINNOWING_ORACLE = f"""

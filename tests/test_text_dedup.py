@@ -632,3 +632,34 @@ def test_edit_distance_one_pairs_plan_is_blocked_join(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# sliding_min_col (late round 9): the in-row sliding-window minimum
+# that makes winnowing a map-only plan.
+# ---------------------------------------------------------------------------
+
+
+def _smin(spark, arr, w):
+    df = spark.createDataFrame([(arr,)], "a array<long>")
+    return df.select(TX.sliding_min_col("a", w).alias("m")).first()["m"]
+
+
+def test_sliding_min_matches_bruteforce(spark):
+    """Every position of the doubling-trick result equals the brute
+    min over the (possibly truncated at the tail) w-window, across
+    window sizes including non-powers-of-two."""
+    arr = [5, 3, 8, 1, 9, 2, 7, 4, 6, 0, 11, 10]
+    for w in (1, 2, 3, 4, 5, 7, 12, 20):
+        got = _smin(spark, arr, w)
+        want = [min(arr[j:j + w]) for j in range(len(arr))]
+        assert got == want, (w, got, want)
+
+
+def test_sliding_min_edges(spark):
+    import pytest as _pt
+
+    assert _smin(spark, [], 4) == []
+    assert _smin(spark, [7], 3) == [7]
+    with _pt.raises(ValueError):
+        TX.sliding_min_col("a", 0)
