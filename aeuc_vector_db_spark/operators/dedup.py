@@ -560,6 +560,7 @@ def substring_dup_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     stride: int = 1,
+    screen_hash=F.xxhash64,
 ) -> DataFrame:
     """EXACT duplicated-substring detection (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better" ExactSubstr
@@ -583,10 +584,25 @@ def substring_dup_spans(
     screening knob (windows at stride s still catch every duplicated
     run of length ≥ min_len + s − 1, at 1/s the shuffle volume).
 
-    sha256 window keys, not polyhash: corpus-scale window counts make
-    2³¹ polyhash collisions certain, and a collision here MARKS A
-    FALSE DUPLICATE — the hash must be cryptographic. DuckDB mirrors
-    sha256, so the operator stays oracle-checkable.
+    Window keys are an xxhash64 SCREEN plus an exact content VERIFY,
+    not a cryptographic hash: sha2-hex keys made the count shuffle
+    carry 64-char strings per window and burned a SHA-256 per corpus
+    character (measured: the hash pass WAS the query, 13.9 s at
+    sf0.1). xxhash64 keys are 8 bytes and ~10× cheaper to compute,
+    but at corpus scale 64-bit collisions are plausible and a
+    collision here would MARK A FALSE DUPLICATE — so candidates are
+    re-grouped by the actual 40-char substring (re-extracted via an
+    id equi-join against the docs) and only content-count ≥ 2
+    survives. Exactness argument: every occurrence of a truly
+    duplicated content hashes equal, so ALL its occurrences reach the
+    candidate set, and content counts among candidates equal global
+    content counts. The expensive wide key exists only for the
+    candidate sliver; the corpus-sized shuffles carry longs.
+
+    `screen_hash` is a test seam: the exactness argument must hold for
+    ANY screen function, so the suite also runs a degenerate constant
+    screen (every window collides → everything is a candidate) and
+    asserts bit-identical output.
     """
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
@@ -607,7 +623,7 @@ def substring_dup_spans(
         id_col,
         "n_chars",
         "pos",
-        F.sha2(F.col("__t__").substr(F.col("pos"), F.lit(min_len)), 256).alias("h"),
+        screen_hash(F.col("__t__").substr(F.col("pos"), F.lit(min_len))).alias("h"),
     )
     # duplicated window = its hash occurs at >= 2 locations. NOT a
     # window count over h: WindowExec has no partial aggregation, so a
@@ -623,7 +639,23 @@ def substring_dup_spans(
         .filter(F.col("__occ__") > 1)
         .select("h")
     )
-    dup = win.join(dup_hashes, "h").select(id_col, "n_chars", "pos")
+    cand = win.join(dup_hashes, "h").select(id_col, "n_chars", "pos")
+    # exact verify (see docstring): re-extract the candidate windows'
+    # CONTENT and keep only content-count >= 2, killing xxhash64
+    # collisions. All shuffles here touch only the candidate sliver.
+    cand_s = cand.join(docs.select(id_col, t.alias("__t__")), id_col).select(
+        id_col,
+        "n_chars",
+        "pos",
+        F.col("__t__").substr(F.col("pos"), F.lit(min_len)).alias("__s__"),
+    )
+    dup_contents = (
+        cand_s.groupBy("__s__")
+        .agg(F.count(F.lit(1)).alias("__occ__"))
+        .filter(F.col("__occ__") > 1)
+        .select("__s__")
+    )
+    dup = cand_s.join(dup_contents, "__s__").select(id_col, "n_chars", "pos")
     # gaps-and-islands per doc: a window starts a new span iff it does
     # not overlap/abut the running span end (prev max pos + min_len).
     w_doc = Window.partitionBy(id_col).orderBy("pos")

@@ -663,3 +663,34 @@ def test_sliding_min_edges(spark):
     assert _smin(spark, [7], 3) == [7]
     with _pt.raises(ValueError):
         TX.sliding_min_col("a", 0)
+
+
+def test_substring_dup_spans_survives_total_screen_collision(spark):
+    """The xxhash64 SCREEN may collide arbitrarily without changing the
+    result — the content verify is what decides. Run with a degenerate
+    constant screen (every window lands in one bucket, so everything
+    becomes a candidate) and assert output identical to the real
+    screen's on a corpus with true dups, near-misses, and uniques."""
+    from aeuc_vector_db_spark.operators.dedup import substring_dup_spans
+
+    s = "S" * 10 + "0123456789" * 4
+    rows = [
+        (1, "a" * 25 + s + "b" * 25),
+        (2, "c" * 10 + s + "d" * 40),
+        # aperiodic (distinct 2-char codes) — genuinely unique windows,
+        # must not appear ("xyzw"*30 would self-duplicate at period 4)
+        (3, "".join(chr(97 + i % 26) + chr(97 + i // 26 % 26) for i in range(60))),
+        (4, s[:-1] + "!" + "e" * 30),        # 49-char near miss of s
+    ]
+    df = _span_df(spark, rows)
+    real = sorted(map(tuple, substring_dup_spans(df, min_len=40).collect()))
+    degenerate = sorted(
+        map(
+            tuple,
+            substring_dup_spans(
+                df, min_len=40, screen_hash=lambda c: F.lit(0).cast("long")
+            ).collect(),
+        )
+    )
+    assert real == degenerate
+    assert {r[0] for r in real} == {1, 2, 4}  # 4 shares windows inside s[:-1]
