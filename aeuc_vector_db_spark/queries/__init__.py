@@ -143,6 +143,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ivf_radius_pruned_search",
     "rel_part_supplier_variety",
     "events_value_trend_ols",
+    # Second late round-9 batch (oracle-verified green on landing):
+    # Pareto-frontier skyline (per-size reduction, NOT-EXISTS oracle),
+    # sweep-line peak-concurrency histogram, per-session Markov
+    # transition counts, exact-arithmetic lexical diversity.
+    "rel_part_skyline",
+    "rel_peak_open_orders_hist",
+    "events_transition_matrix",
+    "doc_token_diversity",
 )
 
 

@@ -1752,7 +1752,146 @@ ORDER BY supplier_cnt DESC, p_brand, p_size
 """
 
 
+# ---------------------------------------------------------------------------
+# Pareto frontier / skyline (late round 9): parts optimal under
+# (minimize p_retailprice, maximize p_size) — the classic SKYLINE
+# operator (Börzsönyi/Kossmann/Stocker, ICDE'01; no SQL-standard
+# spelling, engines express it as NOT EXISTS dominance). The oracle IS
+# the quadratic NOT-EXISTS form; the Spark plan is the reduction that
+# survives 100 TB:
+#
+# only the cheapest part at each size can be on the frontier, so the
+# corpus folds to ≤ |size domain| candidate pairs (groupBy(p_size)
+# MIN — map-side combine, one tiny shuffle), the dominance test
+# becomes a suffix-min over ~50 rows (single-task window on a
+# provably bounded set, never over the full table), and the winners
+# broadcast back to fetch the actual part rows. A point (c_s, s) is
+# dominated iff some larger size is at most as expensive: keep iff
+# c_s < min over s' > s of c_s' (equality loses: same price, larger
+# size strictly dominates). Ties WITHIN a size at the min price are
+# all frontier members (equal in both dims — nothing dominates them).
+# For two continuous dims the same operator is the sort-based running
+# max over range-partitioned order — still one sort, no self-join.
+# ---------------------------------------------------------------------------
+
+
+def _part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    cheapest = part.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("c")
+    )
+    w = Window.orderBy(F.col("p_size").asc()).rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    frontier = (
+        cheapest.withColumn("m", F.min("c").over(w))
+        .filter(F.col("m").isNull() | (F.col("c") < F.col("m")))
+        .select(F.col("p_size").alias("f_size"), F.col("c").alias("f_price"))
+    )
+    return (
+        part.join(
+            F.broadcast(frontier),
+            (F.col("p_size") == F.col("f_size"))
+            & (F.col("p_retailprice") == F.col("f_price")),
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("p_size").cast("long").alias("p_size"),
+            "p_retailprice",
+        )
+        .orderBy("p_size", "p_partkey")
+    )
+
+
+_PART_SKYLINE_ORACLE = """
+SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size, p_retailprice
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+ORDER BY p_size, p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency via sweep line (late round 9): for each customer,
+# the maximum number of SIMULTANEOUSLY open orders, where an order is
+# open for 30 days from o_orderdate ([start, end) — an order closing
+# at instant t does not overlap one opening at t). The interval-
+# overlap problem re-expressed as the classic +1/−1 event sweep: each
+# order emits (start, +1) and (end, −1), a per-customer running sum
+# ordered by (ts, delta) — deltas ascending so closes precede opens at
+# the same instant — traces the concurrency curve, and its MAX is the
+# peak. Tie-order among identical (ts, delta) rows is arbitrary but
+# the MAX is invariant (the running sum visits the same extremes).
+# Reported as a histogram: peak level → number of customers.
+#
+# Scale shape: the event explode is map-side ×2; the only data-sized
+# shuffle is the per-customer window (one key exchange); the histogram
+# is a ≤ few-dozen-row aggregate. Never an interval self-join —
+# the naive overlap join is O(n²) per hot customer, the sweep is
+# O(n log n) and skew-bounded by one customer's own order count.
+# ---------------------------------------------------------------------------
+
+
+def _peak_open_orders_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", F.expr("unix_micros(o_orderdate)").alias("s")
+    )
+    horizon = 30 * 86_400_000_000  # 30 days in epoch micros
+    ev = orders.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("ts"), F.lit(1).alias("delta")),
+                F.struct(
+                    (F.col("s") + F.lit(horizon)).alias("ts"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("e"),
+    ).select("o_custkey", "e.ts", "e.delta")
+    w = Window.partitionBy("o_custkey").orderBy("ts", "delta")
+    peaks = (
+        ev.withColumn(
+            "open",
+            F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("o_custkey")
+        .agg(F.max("open").alias("peak"))
+    )
+    return (
+        peaks.groupBy(F.col("peak").cast("long").alias("peak_open"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("peak_open")
+    )
+
+
+_PEAK_OPEN_ORACLE = """
+WITH ev AS (
+  SELECT o_custkey, epoch_us(o_orderdate) AS ts, 1 AS delta FROM orders
+  UNION ALL
+  SELECT o_custkey, epoch_us(o_orderdate) + 2592000000000, -1 FROM orders
+), run AS (
+  SELECT o_custkey,
+         SUM(delta) OVER (PARTITION BY o_custkey ORDER BY ts, delta
+                          ROWS UNBOUNDED PRECEDING) AS open
+  FROM ev
+), peaks AS (
+  SELECT o_custkey, MAX(open) AS peak FROM run GROUP BY o_custkey
+)
+SELECT CAST(peak AS BIGINT) AS peak_open,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM peaks GROUP BY peak ORDER BY peak_open
+"""
+
+
 QUERIES = {
+    "rel_part_skyline": (_part_skyline, _PART_SKYLINE_ORACLE),
+    "rel_peak_open_orders_hist": (_peak_open_orders_hist, _PEAK_OPEN_ORACLE),
     "rel_part_supplier_variety": (_part_supplier_variety,
                                   _PART_SUPPLIER_VARIETY_ORACLE),
     "rel_product_type_profit": (_product_type_profit, _PRODUCT_PROFIT_ORACLE),

@@ -7,7 +7,7 @@ tests/test_streaming.py, which drives a real readStream).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aeuc_vector_db_spark.sources.tables import load_table
@@ -536,7 +536,77 @@ ORDER BY event_type, user_bucket
 """
 
 
+def _events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session event-type transition counts (the Markov-chain /
+    behavioral-sequence primitive a training-data pipeline uses to
+    featurize clickstreams): sessionize per user with the same strict
+    >30 min gap as `events_sessionize`, then count (event_type →
+    next event_type) adjacencies WITHIN each session, ordered by
+    (ts, event_id) — a total order, so lead() is deterministic.
+
+    Plan shape: ONE hash exchange on user_id serves the session-mark
+    window, the session-number running sum, and the lead() window (all
+    partition on user_id or (user_id, session) — Spark reuses the sort
+    since the keys share the prefix); the transition count is a tiny
+    (src,dst)-keyed aggregate with map-side combine. No self-join —
+    adjacency via lead, never ts-offset equi-joins."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(ts)")
+    marked = ev.withColumn("prev_us", F.lag(us).over(w)).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev_us").isNull()
+            | (us - F.col("prev_us") > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w2 = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    adj = sess.withColumn("dst_type", F.lead("event_type").over(w2)).filter(
+        F.col("dst_type").isNotNull()
+    )
+    return (
+        adj.groupBy(
+            F.col("event_type").alias("src_type"), "dst_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("src_type", "dst_type")
+    )
+
+
+_TRANSITION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+), adj AS (
+  SELECT event_type AS src_type,
+         lead(event_type) OVER (PARTITION BY user_id, session_no
+                                ORDER BY ts, event_id) AS dst_type
+  FROM sess
+)
+SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM adj WHERE dst_type IS NOT NULL
+GROUP BY src_type, dst_type
+ORDER BY src_type, dst_type
+"""
+
+
 QUERIES = {
+    "events_transition_matrix": (_events_transition_matrix, _TRANSITION_ORACLE),
     "events_value_trend_ols": (_events_value_trend_ols, _TREND_OLS_ORACLE),
     "events_value_outliers_mad": (_events_value_outliers_mad, _MAD_OUTLIERS_ORACLE),
     "events_funnel_conversion": (_events_funnel_conversion, _FUNNEL_ORACLE),

@@ -1685,7 +1685,82 @@ FROM f GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Lexical diversity (late round 9): per-doc type/token stats plus the
+# Gini–Simpson index 1 − Σc(c−1)/(n(n−1)) — the exact-arithmetic
+# diversity measure (probability two random tokens differ). Chosen
+# over Shannon entropy deliberately: entropy needs log(), which is not
+# correctly-rounded and can differ between libm implementations,
+# while Gini–Simpson is integer sums with ONE final IEEE division —
+# bit-identical on any engine and any partitioning. Repetition-heavy
+# (low-diversity) docs are a standard LLM-corpus quality cut.
+# Map-only plan: everything folds inside the row (let_col-bound token
+# and count arrays); zero shuffles.
+# ---------------------------------------------------------------------------
+
+
+def _doc_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+
+    def stats(toks: F.Column) -> F.Column:
+        counts = F.transform(
+            F.array_distinct(toks),
+            lambda u: F.size(F.filter(toks, lambda x: x == u)),
+        )
+
+        def fields(cnts: F.Column) -> F.Column:
+            n = F.size(toks)
+            nl = n.cast("long")
+            sumc2 = F.aggregate(
+                cnts,
+                F.lit(0).cast("long"),
+                lambda acc, c: acc + c.cast("long") * (c.cast("long") - 1),
+            )
+            denom = (nl * (nl - 1)).cast("double")
+            return F.struct(
+                nl.alias("n_tokens"),
+                F.size(cnts).cast("long").alias("n_types"),
+                F.when(n >= 2, F.lit(1.0) - sumc2.cast("double") / denom)
+                .alias("gini_simpson"),
+                F.when(
+                    n >= 1,
+                    F.array_max(cnts).cast("double") / n.cast("double"),
+                ).alias("top_share"),
+            )
+
+        return TX.let_col(counts, fields)
+
+    return docs.select(
+        "doc_id", TX.let_col(TX.tokens_col("text"), stats).alias("s")
+    ).select("doc_id", "s.*")
+
+
+_TOKEN_DIVERSITY_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_dk_tokens()} AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         list_transform(list_distinct(toks),
+                        u -> len(list_filter(toks, x -> x = u))) AS cnts
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(cnts) AS BIGINT) AS n_types,
+       CASE WHEN len(toks) >= 2 THEN
+         1.0 - CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(cnts, c -> CAST(c AS BIGINT)*(c-1))),
+                   (a, b) -> a + b) AS DOUBLE)
+             / CAST(CAST(len(toks) AS BIGINT) * (len(toks) - 1) AS DOUBLE)
+       END AS gini_simpson,
+       CASE WHEN len(toks) >= 1 THEN
+         CAST(list_max(cnts) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+       END AS top_share
+FROM c
+"""
+
+
 QUERIES = {
+    "doc_token_diversity": (_doc_token_diversity, _TOKEN_DIVERSITY_ORACLE),
     "doc_winnowing_fingerprint": (_doc_winnowing_fp, _WINNOWING_ORACLE),
     "doc_prefix_edit1_pairs": (_doc_prefix_edit1_pairs, _PREFIX_EDIT1_ORACLE),
     "doc_quality_gate_sketch": (_doc_quality_gate_sketch, _QUALITY_GATE_ORACLE),

@@ -117,6 +117,13 @@ HEADLINE = (
     "ivf_radius_pruned_search",
     "rel_part_supplier_variety",
     "events_value_trend_ols",
+    # second late-round-9 batch: skyline (per-size reduce + 50-row
+    # window), sweep-line concurrency, session Markov transitions,
+    # map-only lexical diversity
+    "rel_part_skyline",
+    "rel_peak_open_orders_hist",
+    "events_transition_matrix",
+    "doc_token_diversity",
 )
 
 

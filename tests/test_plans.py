@@ -410,3 +410,44 @@ def test_round9_new_query_plan_shapes(spark):
     plan = _plan(spark, "knn_cosine_range")
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # stays in codegen, no Python
+
+
+def test_late_round9_batch2_plan_shapes(spark):
+    """Second late-round-9 batch holds its designed shapes:
+
+    - skyline: the dominance test runs on the per-size reduction
+      (bounded candidate set), never a part-x-part self-join, and the
+      winners BROADCAST back;
+    - peak-concurrency: sweep line, never an interval self-join — no
+      join operator at all; the running sum is the only wide stage;
+    - transition matrix: all windows and the session numbering reuse
+      ONE user_id hash exchange (plus the tiny final (src,dst) agg and
+      the presentation sort);
+    - token diversity: map-only — zero shuffles beyond presentation.
+    """
+    import re
+
+    plan = _plan(spark, "rel_part_skyline")
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    plan = _plan(spark, "rel_peak_open_orders_hist")
+    assert "Join" not in plan, "sweep line must not join intervals"
+    assert "Window" in plan
+
+    phys = (
+        Q.queries()["events_transition_matrix"](spark, SF01)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    hp = re.findall(r"hashpartitioning\(([a-zA-Z_#0-9]+)", phys)
+    assert sum(1 for p in hp if p.startswith("user_id")) <= 1, hp
+
+    phys = (
+        Q.queries()["doc_token_diversity"](spark, SF01)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in phys, "token diversity must be map-only"
