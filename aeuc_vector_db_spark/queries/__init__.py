@@ -151,6 +151,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_peak_open_orders_hist",
     "events_transition_matrix",
     "doc_token_diversity",
+    # integer PageRank over the trade graph: the iterative-algorithm
+    # category made hash-checkable (unrolled-CTE oracle)
+    "rel_trade_pagerank",
 )
 
 

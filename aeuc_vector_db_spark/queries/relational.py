@@ -1889,9 +1889,81 @@ FROM peaks GROUP BY peak ORDER BY peak_open
 """
 
 
+# ---------------------------------------------------------------------------
+# Integer PageRank over the customer↔supplier trade graph (late round
+# 9): the iterative-algorithm category, made ORACLE-CHECKABLE. Float
+# PageRank is order-dependent under partial aggregation, so engines
+# can't hash-match it; `operators/graph.py integer_pagerank` runs the
+# damped update entirely in integer floor divisions — deterministic
+# under any partitioning — and the DuckDB oracle UNROLLS the same 3
+# iterations (r0→r1→r2→r3 CTEs), so the hash match proves the whole
+# iterative computation, not just a final projection. Nodes are
+# 'c<custkey>' / 's<suppkey>', edges both directions per distinct
+# trading pair (customer bought from supplier via orders⋈lineitem).
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+
+
+def _trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aeuc_vector_db_spark.operators.graph import integer_pagerank
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = integer_pagerank(edges, iters=_PR_ITERS)
+    return ranks.orderBy(F.desc("rank"), "node").limit(100)
+
+
+def _pagerank_oracle() -> str:
+    head = """
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (SELECT c AS src, s AS dst FROM pairs
+          UNION ALL SELECT s, c FROM pairs),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes)"""
+    step = """,
+r{i} AS (
+  SELECT n.node, CAST(150000000000 + COALESCE(s.s, 0) AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM((85 * r.rank) // (100 * d.deg)) AS s
+    FROM edges e JOIN deg d ON d.src = e.src
+    JOIN r{p} r ON r.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+    tail = f"""
+SELECT node, rank FROM r{_PR_ITERS}
+ORDER BY rank DESC, node LIMIT 100
+"""
+    return (
+        head
+        + "".join(step.format(i=i, p=i - 1) for i in range(1, _PR_ITERS + 1))
+        + tail
+    )
+
+
+_TRADE_PAGERANK_ORACLE = _pagerank_oracle()
+
+
 QUERIES = {
     "rel_part_skyline": (_part_skyline, _PART_SKYLINE_ORACLE),
     "rel_peak_open_orders_hist": (_peak_open_orders_hist, _PEAK_OPEN_ORACLE),
+    "rel_trade_pagerank": (_trade_pagerank, _TRADE_PAGERANK_ORACLE),
     "rel_part_supplier_variety": (_part_supplier_variety,
                                   _PART_SUPPLIER_VARIETY_ORACLE),
     "rel_product_type_profit": (_product_type_profit, _PRODUCT_PROFIT_ORACLE),

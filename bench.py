@@ -124,6 +124,7 @@ HEADLINE = (
     "rel_peak_open_orders_hist",
     "events_transition_matrix",
     "doc_token_diversity",
+    "rel_trade_pagerank",
 )
 
 
