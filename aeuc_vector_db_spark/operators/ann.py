@@ -435,6 +435,58 @@ def ivf_search_batch_arrow(
     )
 
 
+def ivf_recall_eval_arrow(
+    corpus_with_cells: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    nprobe: int = 4,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """Arrow twin of `ivf_recall_eval`: exact baseline = full Arrow
+    scan, IVF branch = `ivf_search_batch_arrow` (same coarse probe).
+
+    Two scans instead of the shared-scored-table form — but each pair
+    scores in the NumPy matmul kernel, ~100× cheaper than the
+    interpreted HOF fold, so two cheap passes beat one expensive
+    shared pass. Determinism: per-pair Arrow scores are
+    row-independent (a row's score never depends on batch
+    composition, so any partitioning gives the same score), and ranks
+    agree with the SQL twin (test-pinned), so the recall values are
+    identical to `ivf_recall_eval`'s — asserted in test_ann.py. The
+    SQL form remains the cross-engine-parity tool; this is the one to
+    run."""
+    from aeuc_vector_db_spark.operators.search import knn_search_batch_arrow
+
+    exact = knn_search_batch_arrow(
+        corpus_with_cells,
+        queries,
+        top_k=top_k,
+        metric=metric,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col)
+    approx = ivf_search_batch_arrow(
+        corpus_with_cells,
+        centroids,
+        queries,
+        top_k=top_k,
+        nprobe=nprobe,
+        metric=metric,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col)
+    return recall_at_k(approx, exact, query_id_col, id_col)
+
+
 def _range_prune(
     corpus_with_cells: DataFrame,
     centroids,

@@ -276,10 +276,11 @@ def _ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the FAISS IVF training recipe, deterministic NumPy) rather than the
     MLlib fit: same IVF semantics, ~20× cheaper cold (the MLlib fit alone
     cost 14.6 s at a 500-row sf, blowing the per-query verification
-    budget). The evaluation itself is the shared-scan ivf_recall_eval —
-    exact baseline and IVF ranking from one scored pass (scoring
-    everything twice is pure waste when the baseline already pays the
-    full scan)."""
+    budget). The evaluation is ivf_recall_eval_arrow (late round 9):
+    both branches score in the NumPy kernel — recall values identical
+    to the SQL-fold ivf_recall_eval (ranks agree, test-pinned), at a
+    fraction of the interpreted-HOF cost that made this the slowest
+    sweep entry."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = _queries_df(spark, sf_dir)
     cent_local = A.fit_centroids_sample_local(emb, k=8, seed=42, iters=10)
@@ -287,7 +288,7 @@ def _ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent_local, "centroid_id int, centroid array<double>"
     )
     corpus = emb.join(A.assign_centroids(emb, cent_local), "vec_id")
-    rec = A.ivf_recall_eval(corpus, centroids, queries, top_k=10, nprobe=2)
+    rec = A.ivf_recall_eval_arrow(corpus, centroids, queries, top_k=10, nprobe=2)
     return _recall_gated(spark, rec, floor=0.2)
 
 

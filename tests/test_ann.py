@@ -142,6 +142,28 @@ def test_ivf_recall_eval_matches_two_pass(emb, queries, index):
     assert fused == two_pass
 
 
+def test_ivf_recall_eval_arrow_matches_sql_eval(emb, queries, index):
+    """The Arrow evaluator (NumPy kernel both branches) must report the
+    SAME recall values as the SQL-fold evaluator — ranks agree between
+    the twins (low-order score bits differ, order doesn't), and recall
+    compares id SETS, so the numbers are identical, not merely close."""
+    centroids, assignments = index
+    corpus = emb.join(assignments, "vec_id")
+    sql_eval = {
+        r["query_id"]: r["recall"]
+        for r in A.ivf_recall_eval(
+            corpus, centroids, queries, top_k=10, nprobe=2
+        ).collect()
+    }
+    arrow_eval = {
+        r["query_id"]: r["recall"]
+        for r in A.ivf_recall_eval_arrow(
+            corpus, centroids, queries, top_k=10, nprobe=2
+        ).collect()
+    }
+    assert sql_eval == arrow_eval
+
+
 def test_assign_centroids_accepts_local_list(spark, emb):
     """DataFrame and pre-collected-list centroid inputs must assign
     identically (the list path skips a collect job)."""
