@@ -154,6 +154,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # integer PageRank over the trade graph: the iterative-algorithm
     # category made hash-checkable (unrolled-CTE oracle)
     "rel_trade_pagerank",
+    # per-user time-weighted average (exact decimal*micros accumulators)
+    "events_time_weighted_avg",
 )
 
 

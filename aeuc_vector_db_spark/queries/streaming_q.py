@@ -605,8 +605,77 @@ ORDER BY src_type, dst_type
 """
 
 
+def _events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of `value` (the irregular-
+    timeseries mean: each reading holds until the next one, so it is
+    weighted by its holding duration — the kdb/TimescaleDB `twa`
+    primitive, which a plain AVG gets wrong whenever sampling is
+    bursty). Exact by construction: value is DECIMAL(10,2), the
+    holding duration is integer epoch micros from lead(), so the
+    Σ value·dt and Σ dt accumulators are exact integer/decimal sums
+    (order-independent); the final division is one IEEE op, but the
+    Σv·dt DECIMAL exceeds 2⁵³ so the decimal→double CAST itself is
+    the nondeterminism (Java converts the exact value in one rounding,
+    DuckDB converts the unscaled hugeint then divides by the scale —
+    two roundings), hence the standard round(·, 9) on the result.
+
+    Plan: one user_id exchange feeds the lead() window and the
+    per-user aggregate (shared partitioning); users with < 2 events
+    carry no interval and drop out. The last event per user has no
+    successor and contributes no weight — the window is
+    [first_ts, last_ts], the standard closed-interval TWA."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").cast("decimal(10,2)").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(ts)")
+    dt = (F.lead(us).over(w) - us).alias("dt")
+    seg = ev.select("user_id", "v", dt).filter(F.col("dt").isNotNull())
+    agg = seg.groupBy("user_id").agg(
+        F.sum(F.col("v") * F.col("dt").cast("decimal(20,0)")).alias("svdt"),
+        F.sum("dt").alias("sdt"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+    return (
+        agg.filter(F.col("sdt") > 0)
+        .select(
+            "user_id",
+            F.col("n_intervals").cast("long").alias("n_intervals"),
+            F.round(
+                F.col("svdt").cast("double") / F.col("sdt").cast("double"), 9
+            ).alias("twa_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_TWA_ORACLE = """
+WITH seg AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(10,2)) AS v,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS dt
+  FROM events
+), agg AS (
+  SELECT user_id,
+         SUM(v * CAST(dt AS DECIMAL(20,0))) AS svdt,
+         SUM(dt) AS sdt,
+         COUNT(*) AS n_intervals
+  FROM seg WHERE dt IS NOT NULL GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_intervals AS BIGINT) AS n_intervals,
+       ROUND(CAST(svdt AS DOUBLE) / CAST(sdt AS DOUBLE), 9) AS twa_value
+FROM agg WHERE sdt > 0 ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_transition_matrix": (_events_transition_matrix, _TRANSITION_ORACLE),
+    "events_time_weighted_avg": (_events_time_weighted_avg, _TWA_ORACLE),
     "events_value_trend_ols": (_events_value_trend_ols, _TREND_OLS_ORACLE),
     "events_value_outliers_mad": (_events_value_outliers_mad, _MAD_OUTLIERS_ORACLE),
     "events_funnel_conversion": (_events_funnel_conversion, _FUNNEL_ORACLE),

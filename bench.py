@@ -125,6 +125,7 @@ HEADLINE = (
     "events_transition_matrix",
     "doc_token_diversity",
     "rel_trade_pagerank",
+    "events_time_weighted_avg",
 )
 
 
@@ -142,11 +143,43 @@ def _loadavg() -> float:
         return -1.0
 
 
+def _cpu_calibration() -> dict:
+    """Fixed-work CPU probes, independent of any engine code: a pure-
+    Python arithmetic loop (single-core interpreter speed) and a NumPy
+    matmul (BLAS/SIMD throughput). Recorded so cross-ROUND bench
+    comparisons can be normalized for the BOX, not just for load:
+    the loadavg stamp catches concurrent work on this VM, but not the
+    host running slower (round 9: the same decode code measured
+    116.9 imgs/s in round 8 and 75.6 on an idle box in round 9 —
+    every absolute number that round was ~35% depressed by the host,
+    with loadavg 0.1)."""
+    import time as _t
+
+    t0 = _t.time()
+    x = 0
+    for i in range(10**7):
+        x += i * i
+    loop_s = _t.time() - t0
+    try:
+        import numpy as _np
+
+        a = _np.random.default_rng(42).random((1024, 1024))
+        t0 = _t.time()
+        for _ in range(8):
+            a = (a @ a) % 1.0 + 0.5
+        matmul_s = (_t.time() - t0) / 8
+    except Exception:
+        matmul_s = -1.0
+    return {"python_loop_1e7_s": round(loop_s, 3),
+            "numpy_matmul_1024_s": round(matmul_s, 4)}
+
+
 def main() -> None:
     import aeuc_vector_db_spark.queries as Q
     from aeuc_vector_db_spark.session import get_spark
 
     load_at_start = _loadavg()
+    cpu_cal = _cpu_calibration()
 
     # The pure-Python decode probe runs before ANY Spark session exists:
     # a live in-process driver JVM (32-thread executor pool, GC) steals
@@ -295,6 +328,11 @@ def main() -> None:
         "sketch_scale": sketch_scale,
         "retrieval_scale": retrieval_scale,
         "decode_imgs_per_s": decode_rate,
+        # start AND end stamps: the round-9 host oscillated 2x on a
+        # 20-minute scale (python_loop 0.65 s <-> 1.33 s, loadavg 0 both
+        # times), so a single stamp can misrepresent a long run
+        "cpu_calibration": cpu_cal,
+        "cpu_calibration_end": _cpu_calibration(),
     }
     print("# detail: " + json.dumps(detail), file=sys.stderr)
     try:
@@ -316,6 +354,9 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in per_query.items()},
         "sf": sf_val,
         "loadavg_start": load_at_start,
+        # compact: [python_loop_1e7_s, numpy_matmul_1024_s] — the box-
+        # speed stamp must survive line pruning, so keep it tiny
+        "cal": [cpu_cal["python_loop_1e7_s"], cpu_cal["numpy_matmul_1024_s"]],
         "probe_order": "pre-headline",
         "ingest_rows_per_s": ingest_rate,
         "knn_scale": {
@@ -365,6 +406,31 @@ QUERY_PRUNE_ORDER = (
     "sql_entry_knn_cosine",
     "doc_hll_distinct",
     "doc_cms_freq",
+    # extended in late round 9 (the set reached 56 entries + the cpu_cal
+    # stamp): more long-stable veterans — anything pruned here keeps its
+    # timing in BENCH_DETAIL.json's hot_queries
+    "import_dedup",
+    "export_ordered",
+    "doc_decontaminate",
+    "emb_quantize_int8",
+    "knn_cosine_arrow_topk",
+    "ivf_arrow_pruned_search",
+    "rel_bloom_semijoin_revenue",
+    "doc_bm25_indexed_topk",
+    "rel_waiting_suppliers",
+    "knn_maxsim_topk",
+    "rel_cheapest_part_offer",
+    "events_funnel_conversion",
+    "doc_prefix_edit1_pairs",
+    "rel_order_count_distribution",
+    "rel_disjunctive_promo_revenue",
+    "auto_cluster_phi",
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "core_stability_composite",
+    "doc_minhash_near_dup",
+    "ivf_pruned_search",
+    "events_scd2_point_in_time",
 )
 
 
