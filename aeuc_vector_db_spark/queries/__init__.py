@@ -156,6 +156,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_trade_pagerank",
     # per-user time-weighted average (exact decimal*micros accumulators)
     "events_time_weighted_avg",
+    # exact grouped median by two-pass bucket selection (never a full sort)
+    "rel_exact_median_price",
 )
 
 

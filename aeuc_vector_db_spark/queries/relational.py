@@ -1960,10 +1960,83 @@ ORDER BY rank DESC, node LIMIT 100
 _TRADE_PAGERANK_ORACLE = _pagerank_oracle()
 
 
+# ---------------------------------------------------------------------------
+# EXACT grouped median via two-pass bucket selection (late round 9):
+# the order-statistic-at-scale primitive. A global/per-group sort of
+# the fact table is the naive plan; the scale plan is selection: pass 1
+# folds the corpus into per-(group, $10-bucket) counts (one map-side-
+# combining shuffle whose volume is #buckets, not #rows), a tiny
+# cumulative window over the bucket histogram locates WHICH bucket
+# holds the median rank and at what offset, and pass 2 sorts ONLY that
+# bucket's sliver of rows per group. Exact integer arithmetic
+# throughout (prices as cents); median defined as the ⌈n/2⌉-th
+# smallest (lower median — no averaging, so the answer is an actual
+# data value and ties cannot break determinism: equal cents around the
+# offset yield the same value whatever the row order). The oracle is
+# the naive full-sort row_number form — hash equality proves the
+# selection plan picks the identical order statistic.
+# ---------------------------------------------------------------------------
+
+
+def _exact_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grp = ["l_returnflag", "l_linestatus"]
+    li = load_table(spark, "lineitem", sf_dir).select(
+        *grp,
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    b = li.withColumn("bkt", F.expr("cents div 1000"))
+    bc = b.groupBy(*grp, "bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    wg = Window.partitionBy(*grp).orderBy("bkt")
+    wall = Window.partitionBy(*grp)
+    cum = (
+        bc.withColumn(
+            "cum", F.sum("cnt").over(wg.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("n", F.sum("cnt").over(wall))
+        .withColumn("r", F.expr("(n + 1) div 2"))
+    )
+    target = cum.filter(
+        (F.col("cum") >= F.col("r")) & (F.col("cum") - F.col("cnt") < F.col("r"))
+    ).select(*grp, "bkt", (F.col("r") - (F.col("cum") - F.col("cnt"))).alias("off"))
+    sliver = b.join(F.broadcast(target), [*grp, "bkt"])
+    ws = Window.partitionBy(*grp).orderBy("cents")
+    return (
+        sliver.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") == F.col("off"))
+        .select(
+            *grp,
+            (F.col("cents").cast("double") / 100).alias("median_price"),
+        )
+        .orderBy(*grp)
+    )
+
+
+_EXACT_MEDIAN_ORACLE = """
+WITH r AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM lineitem
+), rk AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                            ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+  FROM r
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(cents AS DOUBLE) / 100 AS median_price
+FROM rk WHERE rn = (n + 1) // 2
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 QUERIES = {
     "rel_part_skyline": (_part_skyline, _PART_SKYLINE_ORACLE),
     "rel_peak_open_orders_hist": (_peak_open_orders_hist, _PEAK_OPEN_ORACLE),
     "rel_trade_pagerank": (_trade_pagerank, _TRADE_PAGERANK_ORACLE),
+    "rel_exact_median_price": (_exact_median_price, _EXACT_MEDIAN_ORACLE),
     "rel_part_supplier_variety": (_part_supplier_variety,
                                   _PART_SUPPLIER_VARIETY_ORACLE),
     "rel_product_type_profit": (_product_type_profit, _PRODUCT_PROFIT_ORACLE),

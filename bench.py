@@ -126,6 +126,7 @@ HEADLINE = (
     "doc_token_diversity",
     "rel_trade_pagerank",
     "events_time_weighted_avg",
+    "rel_exact_median_price",
 )
 
 

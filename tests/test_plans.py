@@ -451,3 +451,15 @@ def test_late_round9_batch2_plan_shapes(spark):
         .toString()
     )
     assert "Exchange" not in phys, "token diversity must be map-only"
+
+
+def test_exact_median_selection_plan(spark):
+    """Two-pass selection must never sort the full fact table: the
+    bucket histogram is a partial+final HashAggregate, the located
+    target buckets BROADCAST back, and the only per-row sort feeds the
+    row_number window over the joined SLIVER (post-join), not the
+    scan."""
+    plan = _plan(spark, "rel_exact_median_price")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
