@@ -158,6 +158,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_time_weighted_avg",
     # exact grouped median by two-pass bucket selection (never a full sort)
     "rel_exact_median_price",
+    # RFM quartile segmentation (NTILE with total-order tie-breaks)
+    "rel_rfm_segments",
 )
 
 

@@ -2032,11 +2032,77 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+# ---------------------------------------------------------------------------
+# RFM segmentation (late round 9): the classic customer-scoring shape —
+# quartile-bucket each customer on Recency (latest order), Frequency
+# (order count), and Monetary (exact decimal spend), then count
+# customers per 3-digit segment. Exercises NTILE, which is only
+# deterministic given a TOTAL order: every ranking breaks ties by
+# custkey, so both engines bucket identically (an untied NTILE over
+# equal frequencies would hash-diverge). Plan shape: one aggregate over
+# orders (map-side combine, #customers rows out), three NTILE windows
+# over the customer-sized aggregate. Honest scale note: an unpartitioned
+# window collapses to ONE task — fine while #customers ≪ #order-rows
+# (the aggregate is the small output of a big input), but a 10⁹-customer
+# corpus would instead compute the three quartile BOUNDARIES with the
+# two-pass selection primitive (rel_exact_median_price's machinery, rank
+# = n/4, n/2, 3n/4 with (value, custkey) tie tuples) and bucket
+# map-side by comparison; the sketch-based cut (doc_quality_gate_sketch)
+# is the approximate alternative.
+# ---------------------------------------------------------------------------
+
+
+def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.expr("unix_micros(o_orderdate)")).alias("recency_us"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+    )
+    nt = lambda *cols: F.ntile(4).over(Window.orderBy(*cols))  # noqa: E731
+    scored = per_cust.select(
+        nt(F.desc("recency_us"), F.asc("o_custkey")).alias("r"),
+        nt(F.desc("freq"), F.asc("o_custkey")).alias("f"),
+        nt(F.desc("spend"), F.asc("o_custkey")).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("f").cast("long").alias("f"),
+            F.col("m").cast("long").alias("m"),
+            "n_customers",
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+_RFM_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(epoch_us(o_orderdate)) AS recency_us,
+         COUNT(*) AS freq,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT NTILE(4) OVER (ORDER BY recency_us DESC, o_custkey) AS r,
+         NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
+         NTILE(4) OVER (ORDER BY spend DESC, o_custkey) AS m
+  FROM per_cust
+)
+SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+       CAST(m AS BIGINT) AS m, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM scored GROUP BY r, f, m ORDER BY r, f, m
+"""
+
+
 QUERIES = {
     "rel_part_skyline": (_part_skyline, _PART_SKYLINE_ORACLE),
     "rel_peak_open_orders_hist": (_peak_open_orders_hist, _PEAK_OPEN_ORACLE),
     "rel_trade_pagerank": (_trade_pagerank, _TRADE_PAGERANK_ORACLE),
     "rel_exact_median_price": (_exact_median_price, _EXACT_MEDIAN_ORACLE),
+    "rel_rfm_segments": (_rfm_segments, _RFM_ORACLE),
     "rel_part_supplier_variety": (_part_supplier_variety,
                                   _PART_SUPPLIER_VARIETY_ORACLE),
     "rel_product_type_profit": (_product_type_profit, _PRODUCT_PROFIT_ORACLE),

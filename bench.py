@@ -127,6 +127,7 @@ HEADLINE = (
     "rel_trade_pagerank",
     "events_time_weighted_avg",
     "rel_exact_median_price",
+    "rel_rfm_segments",
 )
 
 
