@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from aeuc_vector_db_spark.functions.vector import dot_col, l2_norm_col, _c
+from aeuc_vector_db_spark.functions.vector import let_col, dot_col, l2_norm_col, _c
 
 PHI: float = (1.0 + 5.0**0.5) / 2.0
 # φⁿ for n ∈ {-3..6} (similarity.py:22-23); computed once, folded as literals
@@ -66,11 +66,28 @@ def phi_weighted_col(a: Column | str, b: Column | str) -> Column:
     """
     a_, b_ = _c(a), _c(b)
     avg_mag = F.zip_with(a_, b_, lambda x, y: (F.abs(x) + F.abs(y)) / F.lit(2.0) + F.lit(1e-12))
-    w_raw = F.transform(avg_mag, lambda m: F.lit(1.0) / (_phi_min_dist(m) + F.lit(1e-8)))
-    w_sum = F.aggregate(w_raw, F.lit(0.0), lambda s, x: s + x) + F.lit(1e-12)
-    wa = F.zip_with(a_, w_raw, lambda x, w: x * (w / w_sum))
-    wb = F.zip_with(b_, w_raw, lambda x, w: x * (w / w_sum))
-    return cosine_col(wa, wb)
+    w_raw_expr = F.transform(avg_mag, lambda m: F.lit(1.0) / (_phi_min_dist(m) + F.lit(1e-8)))
+    # Every intermediate is let_col-bound (evaluated ONCE per pair).
+    # The unbound form re-evaluated w_raw three times (w_sum, wa, wb),
+    # w_sum PER ELEMENT inside both zip_with lambdas (an O(d²) fold),
+    # and wa/wb twice each inside cosine's dot+norm — measured 5-10×
+    # the arithmetic actually required. Binding changes evaluation
+    # COUNT only, never the operations or their order, so the score
+    # stays bit-identical to the DuckDB oracle and the Arrow twin
+    # (pinned by the existing parity tests).
+    return let_col(
+        w_raw_expr,
+        lambda w_raw: let_col(
+            F.aggregate(w_raw, F.lit(0.0), lambda s, x: s + x) + F.lit(1e-12),
+            lambda w_sum: let_col(
+                F.zip_with(a_, w_raw, lambda x, w: x * (w / w_sum)),
+                lambda wa: let_col(
+                    F.zip_with(b_, w_raw, lambda x, w: x * (w / w_sum)),
+                    lambda wb: cosine_col(wa, wb),
+                ),
+            ),
+        ),
+    )
 
 
 METRICS: dict[str, Callable[[Column | str, Column | str], Column]] = {

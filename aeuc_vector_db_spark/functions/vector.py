@@ -47,7 +47,39 @@ def l2_norm_col(a: Column | str) -> Column:
 
 
 def l2_normalize_col(a: Column | str, eps: float = 1e-12) -> Column:
-    """Unit-normalize a vector; zero vectors stay (near-)zero via eps guard."""
+    """Unit-normalize a vector; zero vectors stay (near-)zero via eps guard.
+
+    The norm is let_col-bound: referenced from inside the transform
+    lambda it would otherwise re-evaluate the whole O(d) fold per
+    element — O(d²) per row."""
     arr = _c(a)
-    norm = l2_norm_col(arr) + F.lit(eps)
-    return F.transform(arr, lambda x: x / norm)
+    return let_col(
+        arr,
+        lambda v: let_col(
+            l2_norm_col(v) + F.lit(eps),
+            lambda norm: F.transform(v, lambda x: x / norm),
+        ),
+    )
+
+
+def let_col(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate `value` ONCE per
+    row and pass it to `body` as a lambda variable —
+    ``transform(array(value), v -> body(v))[0]``.
+
+    Why this exists: Catalyst freely DUPLICATES non-cheap projection
+    aliases — CollapseProject inlines them into consumers and
+    filter-pushdown substitutes them into predicates — and an outer
+    expression referenced inside a higher-order-function lambda body is
+    re-evaluated PER ELEMENT (lambda bodies get no CSE, and HOFs are
+    CodegenFallback so codegen subexpression elimination never rescues
+    the copies). Measured: the winnowing shingle-hash transform inlined
+    ~8×; the φ-similarity weight normalizer re-ran its d-element fold
+    once per element (O(d²)). A NamedLambdaVariable reference is the
+    one user-level binding every rewrite treats as cheap, so `body` may
+    reference it any number of times at one evaluation's cost. Works
+    for scalars and arrays alike; binding changes evaluation COUNT
+    only, never the operations or their order, so bit-parity contracts
+    are preserved.
+    """
+    return F.transform(F.array(value), body)[0]

@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from aeuc_vector_db_spark.functions.vector import _c
+from aeuc_vector_db_spark.functions.vector import _c, let_col
 
 #: mod for the rolling hash — the Mersenne prime 2³¹ − 1.
 HASH_MOD = 2_147_483_647
@@ -118,25 +118,6 @@ def shingles_col(tokens: Column | str, n: int = 3) -> Column:
 def shingle_hashes_col(text: Column | str, n: int = 3) -> Column:
     """Distinct polyhashes of the text's n-word shingles (the MinHash input set)."""
     return F.array_distinct(F.transform(shingles_col(tokens_col(text), n), polyhash_col))
-
-
-def let_col(value: Column, body) -> Column:
-    """Let-binding for Column expressions: evaluate `value` ONCE per
-    row and pass it to `body` as a lambda variable —
-    ``transform(array(value), v -> body(v))[0]``.
-
-    Why this exists: Catalyst freely DUPLICATES non-cheap projection
-    aliases — CollapseProject inlines them into consumers and
-    filter-pushdown substitutes them into predicates — and higher-
-    order-function expressions are CodegenFallback, so codegen
-    subexpression elimination never rescues the copies. Measured on
-    the winnowing query: the shingle-hash transform inlined ~8× and
-    the query went 3× SLOWER than the shuffle formulation it was
-    meant to beat. A NamedLambdaVariable reference is the one
-    user-level binding every rewrite treats as cheap, so `body` may
-    reference it any number of times at one evaluation's cost.
-    """
-    return F.transform(F.array(value), body)[0]
 
 
 def sliding_min_col(arr: Column | str, w: int) -> Column:
