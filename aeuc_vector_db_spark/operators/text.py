@@ -81,10 +81,15 @@ def polyhash_col(s: Column | str) -> Column:
     list_reduce(list_transform(range(1, length(s)+1),
                 i -> ascii(substr(s, i, 1))), (h, c) -> (h*31 + c) % m).
     """
-    s_ = _c(s)
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length(s_)), lambda i: F.ascii(s_.substr(i, F.lit(1)))
-    )
+    # split('') yields the char array in ONE pass. The previous
+    # transform(sequence(1, len), i -> ascii(substr(s, i, 1))) form paid
+    # an O(i) UTF8 char-seek per position — O(len²) per string — and
+    # referenced the string expression from inside the lambda (per-
+    # element re-evaluation when callers pass an expression). Values
+    # are identical: ascii(per-char split element) ≡ ascii(substr(s,i,1))
+    # code point by code point, and ''→[''] folds to the same 0 as the
+    # old empty-sequence fold (ascii('') = 0).
+    chars = F.transform(F.split(_c(s), ""), lambda c: F.ascii(c))
     return F.aggregate(
         chars,
         F.lit(0).cast("long"),
@@ -207,10 +212,15 @@ def minhash_signature_col(hash_set: Column, k: int = 8) -> Column:
         # pyspark treat it as the (element, index) two-arg transform form)
         return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_MOD)
 
-    sigs = [
-        F.array_min(F.transform(hash_set, affine(a, b))) for a, b in MINHASH_COEFFS[:k]
-    ]
-    return F.array(*sigs)
+    # let-bound: the k per-coefficient transforms each reference the
+    # hash set, and callers pass the whole shingle-hash EXPRESSION —
+    # unbound it would re-run the shingle kernel k times per row
+    return let_col(
+        _c(hash_set),
+        lambda hs: F.array(
+            *[F.array_min(F.transform(hs, affine(a, b))) for a, b in MINHASH_COEFFS[:k]]
+        ),
+    )
 
 
 def simhash16_col(tokens: Column | str) -> Column:
@@ -219,22 +229,27 @@ def simhash16_col(tokens: Column | str) -> Column:
     bit b of the fingerprint is 1 iff Σ_tokens (2·((h ≫ b) & 1) − 1) > 0.
     The shift is floor(h / 2ᵇ) — h < 2³¹ so double division is exact.
     """
-    hashes = F.transform(_c(tokens), polyhash_col)
+    # the token-hash array is let-bound: bit_contrib runs inside a
+    # 16-element transform, and an unbound `hashes` re-ran polyhash
+    # over every token 16 times per row (lambda bodies get no CSE)
+    def fp(hashes: Column) -> Column:
+        def bit_contrib(b: Column) -> Column:
+            pw = F.floor(F.pow(F.lit(2.0), b.cast("double"))).cast("long")
+            vote = F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + (F.lit(2) * (F.floor(h / pw) % F.lit(2)) - F.lit(1)),
+            )
+            return F.when(vote > 0, pw).otherwise(F.lit(0).cast("long"))
 
-    def bit_contrib(b: Column) -> Column:
-        pw = F.floor(F.pow(F.lit(2.0), b.cast("double"))).cast("long")
-        vote = F.aggregate(
-            hashes,
+        return F.aggregate(
+            F.transform(F.sequence(F.lit(0), F.lit(15)), bit_contrib),
             F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.lit(2) * (F.floor(h / pw) % F.lit(2)) - F.lit(1)),
+            lambda acc, x: acc + x,
         )
-        return F.when(vote > 0, pw).otherwise(F.lit(0).cast("long"))
 
-    return F.aggregate(
-        F.transform(F.sequence(F.lit(0), F.lit(15)), bit_contrib),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    return let_col(F.transform(_c(tokens), polyhash_col), fp)
 
 
 def jaccard_col(a: Column, b: Column) -> Column:
