@@ -362,10 +362,18 @@ def quantize_int8(
     whole array per element (O(d²); HOFs are interpreted, no CSE rescue
     — the jaccard_col lesson).
     """
+    from aeuc_vector_db_spark.functions.vector import let_col
+
     v = as_double(vec_col)
     amax = F.aggregate(v, F.lit(0.0), lambda s, x: F.greatest(s, F.abs(x)))
+    # let-bound: the when() references the max-abs fold in both the
+    # predicate and the value — unbound it folds the array twice per row
     out = df.withColumn(
-        scale_col, F.when(amax > 0.0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+        scale_col,
+        let_col(
+            amax,
+            lambda m: F.when(m > 0.0, m / F.lit(127.0)).otherwise(F.lit(1.0)),
+        ),
     )
     s = F.col(scale_col)
     return out.withColumn(
