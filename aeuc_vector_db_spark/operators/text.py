@@ -264,27 +264,36 @@ def jaccard_col(a: Column, b: Column) -> Column:
 
 def language_id_col(tokens: Column | str) -> Column:
     """Keyword-profile language ID: argmax profile hit-count, ties broken
-    by language code ascending; zero hits everywhere → 'und'."""
-    t = _c(tokens)
-    scored = []
-    for lang in sorted(LANG_PROFILES):
-        prof = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
-        score = F.size(F.filter(t, lambda x: F.array_contains(prof, x)))
-        scored.append(F.struct(score.alias("s"), F.lit(lang).alias("lang")))
-    # array_max on (score, lang) structs picks highest score; for equal
-    # scores it picks the LAST lang lexicographically, so order langs
-    # descending and flip: use array_sort and take the element that wins
-    # (score DESC, lang ASC) — encode as (-score, lang) sorted ascending.
-    ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct((-s["s"]).alias("neg"), s["lang"].alias("lang"), s["s"].alias("s"))
-                for s in scored
-            ]
+    by language code ascending; zero hits everywhere → 'und'.
+
+    let_col-bound at three levels (tokens, per-language score, winning
+    struct): unbound, the token expression was re-evaluated once per
+    (language × struct-field × consumer) reference — up to ~24
+    tokenizations per row when callers pass `tokens_col(text)`."""
+
+    def body(t: Column) -> Column:
+        def lang_struct(lang: str) -> Column:
+            prof = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+            score = F.size(F.filter(t, lambda x: F.array_contains(prof, x)))
+            # (-score, lang) sorts ascending to (score DESC, lang ASC)
+            return let_col(
+                score,
+                lambda sc: F.struct(
+                    (-sc).alias("neg"), F.lit(lang).alias("lang"), sc.alias("s")
+                ),
+            )
+
+        ranked = F.array_sort(
+            F.array(*[lang_struct(lang) for lang in sorted(LANG_PROFILES)])
         )
-    )
-    best = F.element_at(ranked, 1)
-    return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+        return let_col(
+            F.element_at(ranked, 1),
+            lambda best: F.when(best["s"] > 0, best["lang"]).otherwise(
+                F.lit("und")
+            ),
+        )
+
+    return let_col(_c(tokens), body)
 
 
 def language_id_pandas():
