@@ -329,20 +329,29 @@ def quality_score_col(text: Column | str) -> Column:
           + 0.3·min(stopword_ratio/0.1, 1)
           + 0.3·(1 − |mean_len − 5| / 5, floored at 0)
     """
-    t = tokens_col(text)
-    n = F.size(t).cast("double")
-    sw = F.array(*[F.lit(w) for w in STOPWORDS])
-    sw_ratio = F.size(F.filter(t, lambda x: F.array_contains(sw, x))).cast("double") / n
-    total_len = F.aggregate(
-        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
-    )
-    mean_len = total_len.cast("double") / n
-    len_term = F.greatest(F.lit(0.0), F.lit(1.0) - F.abs(mean_len - F.lit(5.0)) / F.lit(5.0))
-    return (
-        F.lit(0.4) * F.least(n / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.3) * F.least(sw_ratio / F.lit(0.1), F.lit(1.0))
-        + F.lit(0.3) * len_term
-    )
+    # token array let-bound: the score references it ~6 times (n appears
+    # in three terms, plus the stopword filter and the length fold) —
+    # unbound, each reference re-ran the tokenize
+    def body(t: Column) -> Column:
+        n = F.size(t).cast("double")  # O(1) on the bound array variable
+        sw = F.array(*[F.lit(w) for w in STOPWORDS])
+        sw_ratio = (
+            F.size(F.filter(t, lambda x: F.array_contains(sw, x))).cast("double") / n
+        )
+        total_len = F.aggregate(
+            t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+        )
+        mean_len = total_len.cast("double") / n
+        len_term = F.greatest(
+            F.lit(0.0), F.lit(1.0) - F.abs(mean_len - F.lit(5.0)) / F.lit(5.0)
+        )
+        return (
+            F.lit(0.4) * F.least(n / F.lit(100.0), F.lit(1.0))
+            + F.lit(0.3) * F.least(sw_ratio / F.lit(0.1), F.lit(1.0))
+            + F.lit(0.3) * len_term
+        )
+
+    return let_col(tokens_col(text), body)
 
 
 def token_count_bpe_ish(text: Column | str) -> Column:
