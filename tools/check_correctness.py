@@ -97,6 +97,15 @@ def main() -> int:
             continue
         finally:
             timings[name] = round(time.time() - t0, 3)
+            # drop py4j refs promptly: iterative queries (pagerank,
+            # pipeline_e2e) eagerly localCheckpoint loop-invariant
+            # tables, and their storage blocks are only released when
+            # the Python DataFrame objects are collected — over a
+            # 160-query session the leak showed up as mid-sweep
+            # slowdown bursts on unrelated queries
+            import gc
+
+            gc.collect()
         if name not in oracles:
             print(f"rows-only  {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
             continue
