@@ -37,6 +37,29 @@ TABLES = (
 )
 
 
+def _cpu_cal() -> dict:
+    """Fixed-work CPU stamp — same probes as bench.py _cpu_calibration."""
+    import time as _t
+
+    t0 = _t.time()
+    x = 0
+    for i in range(10**7):
+        x += i * i
+    loop_s = _t.time() - t0
+    try:
+        import numpy as _np
+
+        a = _np.random.default_rng(42).random((1024, 1024))
+        t0 = _t.time()
+        for _ in range(8):
+            a = (a @ a) % 1.0 + 0.5
+        matmul_s = (_t.time() - t0) / 8
+    except Exception:
+        matmul_s = -1.0
+    return {"python_loop_1e7_s": round(loop_s, 3),
+            "numpy_matmul_1024_s": round(matmul_s, 4)}
+
+
 def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
     cols = sorted(df.columns)
     df = df[cols].copy()
@@ -146,6 +169,11 @@ def main() -> int:
                         timings, key=timings.get, reverse=True
                     )[:10],
                     "queries": timings,
+                    # box-speed stamp (see bench.py _cpu_calibration):
+                    # the round-9 host oscillated 2x at zero load, so
+                    # per-query drift across sweeps must be read
+                    # against this, not assumed to be code
+                    "cpu_calibration": _cpu_cal(),
                 },
                 fh,
                 indent=1,
