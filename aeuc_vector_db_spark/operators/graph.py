@@ -60,7 +60,10 @@ def integer_pagerank(
     #nodes·scale, and the update multiplies a rank by `damp_num`, so
     callers must keep damp_num·#nodes·scale < 2⁶³ — at 10⁸ nodes use
     scale ≤ 10⁹. The fixture default (10¹² at ≤10⁵ nodes) has 50×
-    headroom.
+    headroom. Violations fail LOUD, not wrong: Spark's ANSI mode
+    (default) raises on long overflow — verified empirically at 10⁶
+    nodes × 10¹² scale (PLANS.md round-9 soaks; 10⁹ runs clean there,
+    1.73M nodes / 4M edges / 3 iters in 12.5 s).
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
