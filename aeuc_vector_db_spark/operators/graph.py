@@ -30,8 +30,11 @@ def integer_pagerank(
     """Fixed-iteration PageRank in exact integer arithmetic.
 
     `edges` is a DIRECTED edge list with columns (src, dst) — pass both
-    directions for an undirected graph. Ranks start at `scale` per
-    node; each iteration computes
+    directions for an undirected graph. An optional integer `weight`
+    column switches to the weighted update (contribution proportional
+    to w(u→v)/W(u), W(u) = Σ out-weights, still all-integer; duplicate
+    (src, dst) rows sum). Ranks start at `scale` per node; each
+    iteration computes
 
         rank'(v) = floor(scale·(damp_den−damp_num)/damp_den)
                  + Σ_{u→v} floor(damp_num·rank(u) / (damp_den·deg(u)))
@@ -69,10 +72,22 @@ def integer_pagerank(
         raise ValueError(f"iters must be >= 1, got {iters}")
     if not (0 < damp_num < damp_den):
         raise ValueError(f"need 0 < damp_num < damp_den, got {damp_num}/{damp_den}")
-    e = edges.select(
-        F.col("src").alias("src"), F.col("dst").alias("dst")
-    ).distinct()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if "weight" in edges.columns:
+        # weighted update: floor(damp_num·r(u)·w(u→v) / (damp_den·W(u)))
+        # with W(u) = Σ out-weights — still all-integer, still exact;
+        # duplicate (src, dst) rows sum into one edge weight. Overflow
+        # bound tightens to damp_num·max_w·#nodes·scale < 2⁶³.
+        e = edges.groupBy("src", "dst").agg(
+            F.sum(F.col("weight").cast("long")).alias("w")
+        )
+        deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
+        contrib_expr = f"({damp_num} * rank * w) div ({damp_den} * deg)"
+    else:
+        e = edges.select(
+            F.col("src").alias("src"), F.col("dst").alias("dst")
+        ).distinct()
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        contrib_expr = f"({damp_num} * rank) div ({damp_den} * deg)"
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -87,7 +102,7 @@ def integer_pagerank(
     for _ in range(iters):
         contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
             F.col("dst").alias("node"),
-            F.expr(f"({damp_num} * rank) div ({damp_den} * deg)").alias("c"),
+            F.expr(contrib_expr).alias("c"),
         )
         recv = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = nodes.join(recv, "node", "left").select(

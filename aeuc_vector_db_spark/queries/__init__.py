@@ -160,6 +160,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_exact_median_price",
     # RFM quartile segmentation (NTILE with total-order tie-breaks)
     "rel_rfm_segments",
+    # volume-weighted integer PageRank (same unrolled-CTE oracle discipline)
+    "rel_trade_pagerank_weighted",
 )
 
 

@@ -1960,6 +1960,71 @@ ORDER BY rank DESC, node LIMIT 100
 _TRADE_PAGERANK_ORACLE = _pagerank_oracle()
 
 
+def _trade_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted variant: each customer↔supplier edge carries the number
+    of lineitems traded, so a customer's rank splits across suppliers
+    proportionally to trade VOLUME (floor(85·r·w / (100·W)) — still
+    all-integer, oracle unrolls the same 3 iterations)."""
+    from aeuc_vector_db_spark.operators.graph import integer_pagerank
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), F.col("w").alias("weight")
+    ).union(
+        pairs.select(
+            F.col("s").alias("src"), F.col("c").alias("dst"), F.col("w").alias("weight")
+        )
+    )
+    ranks = integer_pagerank(edges, iters=_PR_ITERS)
+    return ranks.orderBy(F.desc("rank"), "node").limit(100)
+
+
+def _pagerank_weighted_oracle() -> str:
+    head = """
+WITH pairs AS (
+  SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+edges AS (SELECT c AS src, s AS dst, w FROM pairs
+          UNION ALL SELECT s, c, w FROM pairs),
+deg AS (SELECT src, SUM(w) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes)"""
+    step = """,
+r{i} AS (
+  SELECT n.node, CAST(150000000000 + COALESCE(s.s, 0) AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM((85 * r.rank * e.w) // (100 * d.deg)) AS s
+    FROM edges e JOIN deg d ON d.src = e.src
+    JOIN r{p} r ON r.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+    tail = f"""
+SELECT node, rank FROM r{_PR_ITERS}
+ORDER BY rank DESC, node LIMIT 100
+"""
+    return (
+        head
+        + "".join(step.format(i=i, p=i - 1) for i in range(1, _PR_ITERS + 1))
+        + tail
+    )
+
+
+_TRADE_PAGERANK_W_ORACLE = _pagerank_weighted_oracle()
+
+
 # ---------------------------------------------------------------------------
 # EXACT grouped median via two-pass bucket selection (late round 9):
 # the order-statistic-at-scale primitive. A global/per-group sort of
@@ -2101,6 +2166,8 @@ QUERIES = {
     "rel_part_skyline": (_part_skyline, _PART_SKYLINE_ORACLE),
     "rel_peak_open_orders_hist": (_peak_open_orders_hist, _PEAK_OPEN_ORACLE),
     "rel_trade_pagerank": (_trade_pagerank, _TRADE_PAGERANK_ORACLE),
+    "rel_trade_pagerank_weighted": (_trade_pagerank_weighted,
+                                    _TRADE_PAGERANK_W_ORACLE),
     "rel_exact_median_price": (_exact_median_price, _EXACT_MEDIAN_ORACLE),
     "rel_rfm_segments": (_rfm_segments, _RFM_ORACLE),
     "rel_part_supplier_variety": (_part_supplier_variety,

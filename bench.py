@@ -128,6 +128,7 @@ HEADLINE = (
     "events_time_weighted_avg",
     "rel_exact_median_price",
     "rel_rfm_segments",
+    "rel_trade_pagerank_weighted",
 )
 
 

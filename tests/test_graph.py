@@ -67,3 +67,37 @@ def test_pagerank_no_incoming_gets_base_only(spark):
     }
     # x: no incoming -> 150; y: 150 + floor(85*1000/100) = 1000
     assert got == {"x": 150, "y": 1000}
+
+
+def test_pagerank_weighted_hand_computed(spark):
+    """Weighted star: x→y weight 3, x→z weight 1 (W(x)=4), y→x, z→x
+    weight 1. scale=1000, one iteration:
+    y gets floor(85·1000·3/(100·4)) = 637, z floor(85000/400) = 212,
+    x gets 850 + 850 = 1700; all plus base 150."""
+    from aeuc_vector_db_spark.operators.graph import integer_pagerank
+
+    e = spark.createDataFrame(
+        [("x", "y", 3), ("x", "z", 1), ("y", "x", 1), ("z", "x", 1)],
+        "src string, dst string, weight int",
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in integer_pagerank(e, iters=1, scale=1000).collect()
+    }
+    assert got == {"x": 1850, "y": 787, "z": 362}
+
+
+def test_pagerank_weighted_duplicate_edges_sum(spark):
+    """Duplicate (src, dst) rows sum their weights (3 = 2+1), unlike the
+    unweighted form where duplicates collapse."""
+    from aeuc_vector_db_spark.operators.graph import integer_pagerank
+
+    e = spark.createDataFrame(
+        [("x", "y", 2), ("x", "y", 1), ("x", "z", 1), ("y", "x", 1), ("z", "x", 1)],
+        "src string, dst string, weight int",
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in integer_pagerank(e, iters=1, scale=1000).collect()
+    }
+    assert got == {"x": 1850, "y": 787, "z": 362}
