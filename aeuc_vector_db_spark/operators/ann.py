@@ -495,11 +495,17 @@ def _range_prune(
     eps: float,
     id_col: str,
     vec_col: str,
+    radii: "DataFrame | None" = None,
 ):
     """Shared core of `ivf_range_search`/`probed_cells`: returns
     (corpus, kept) where corpus carries per-row norms and kept is the
     (query_id, centroid_id, __qv, __qn) set surviving the spherical
-    triangle-inequality bound."""
+    triangle-inequality bound.
+
+    ``radii`` — a precomputed (centroid_id, max_ang) DataFrame from
+    `cell_radii` — skips the per-call corpus aggregate; without it every
+    call recomputes the radii (one corpus scan), which is index-build
+    work a caller serving repeated query batches should hoist out."""
     import math
 
     from aeuc_vector_db_spark.functions.vector import as_double, dot_col, l2_norm_col
@@ -528,13 +534,17 @@ def _range_prune(
         )
 
     # per-cell max angle to the centroid: one broadcast join + agg —
-    # index-build-time work (constant per cell, reusable across batches)
-    radii = (
-        corpus.join(F.broadcast(cent), "centroid_id")
-        .select("centroid_id", cell_angle("__cv", "__cn").alias("__ang"))
-        .groupBy("centroid_id")
-        .agg(F.max("__ang").alias("max_ang"))
-    )
+    # index-build-time work (constant per cell); callers pass a
+    # `cell_radii` result to amortize it across query batches
+    if radii is None:
+        radii = (
+            corpus.join(F.broadcast(cent), "centroid_id")
+            .select("centroid_id", cell_angle("__cv", "__cn").alias("__ang"))
+            .groupBy("centroid_id")
+            .agg(F.max("__ang").alias("max_ang"))
+        )
+    else:
+        radii = radii.select("centroid_id", "max_ang")
     qs = queries.select(
         "query_id", as_double("query_embedding").alias("__qv")
     ).withColumn("__qn", l2_norm_col("__qv"))
@@ -554,6 +564,51 @@ def _range_prune(
     return corpus, kept
 
 
+def cell_radii(
+    corpus_with_cells: DataFrame,
+    centroids: "DataFrame | list[tuple[int, list[float]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell max angle to the centroid — (centroid_id, max_ang).
+
+    Index-build-time companion to `ivf_range_search`/`probed_cells`:
+    computing it once (and caching / persisting it alongside the index)
+    lets repeated query batches skip the per-call corpus aggregate that
+    `_range_prune` otherwise runs. The result is tiny (one row per
+    cell) and broadcast-joined by the consumers."""
+    from aeuc_vector_db_spark.functions.vector import as_double, dot_col, l2_norm_col
+
+    if isinstance(centroids, DataFrame):
+        cent = centroids.select("centroid_id", as_double("centroid").alias("cvec"))
+    else:
+        spark = corpus_with_cells.sparkSession
+        cent = spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in centroids],
+            "centroid_id int, cvec array<double>",
+        )
+    cent = cent.withColumn("cnorm", l2_norm_col("cvec"))
+    corpus = corpus_with_cells.select(
+        "centroid_id", as_double(vec_col).alias("__cv")
+    ).withColumn("__cn", l2_norm_col("__cv"))
+    ang = F.acos(
+        F.least(
+            F.greatest(
+                dot_col("__cv", "cvec")
+                / (F.col("__cn") * F.col("cnorm") + F.lit(1e-12)),
+                F.lit(-1.0),
+            ),
+            F.lit(1.0),
+        )
+    )
+    return (
+        corpus.join(F.broadcast(cent), "centroid_id")
+        .select("centroid_id", ang.alias("__ang"))
+        .groupBy("centroid_id")
+        .agg(F.max("__ang").alias("max_ang"))
+    )
+
+
 def ivf_range_search(
     corpus_with_cells: DataFrame,
     centroids: "DataFrame | list[tuple[int, list[float]]]",
@@ -561,7 +616,8 @@ def ivf_range_search(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    eps: float = 1e-9,
+    eps: float = 1e-6,
+    radii: "DataFrame | None" = None,
 ) -> DataFrame:
     """EXACT-COMPLETE cosine radius search with IVF cell pruning — the
     thresholded companion to `ivf_search_batch` (FAISS `range_search`
@@ -581,6 +637,13 @@ def ivf_range_search(
     per-row filter still decides membership, so slack never admits a
     wrong row, and completeness is proven by the brute-force DuckDB
     oracle hash-matching the declared query (`ivf_radius_pruned_search`).
+    The default eps is 1e-6, deliberately far wider than double-rounding
+    noise: acos amplifies argument error without bound as cos → ±1
+    (d/dx acos = -1/sqrt(1-x²)), and the 1e-12 denominator guard itself
+    perturbs near-collinear angles by more than 1e-9 — borderline cells
+    are cheap to scan, wrongly pruned ones are a silent completeness
+    hole. ``radii`` accepts a precomputed `cell_radii` result so
+    repeated batches skip the per-call corpus aggregate.
 
     Plan shape: per-cell radii are one broadcast-joined aggregate over
     the corpus; queries × centroids is a tiny broadcast cross; the fine
@@ -598,7 +661,8 @@ def ivf_range_search(
     from aeuc_vector_db_spark.functions.vector import dot_col
 
     corpus, kept = _range_prune(
-        corpus_with_cells, centroids, queries, threshold, eps, id_col, vec_col
+        corpus_with_cells, centroids, queries, threshold, eps, id_col, vec_col,
+        radii=radii,
     )
     scored = corpus.join(F.broadcast(kept), "centroid_id").select(
         "query_id",
@@ -617,13 +681,17 @@ def probed_cells(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    eps: float = 1e-9,
+    eps: float = 1e-6,
+    radii: "DataFrame | None" = None,
 ) -> DataFrame:
     """The (query_id, centroid_id) pairs `ivf_range_search` would scan
     — exposed so tests/benchmarks can assert the prune actually fires
-    (scanned cells < queries × cells) without re-deriving the bound."""
+    (scanned cells < queries × cells) without re-deriving the bound.
+    Pass the same precomputed `cell_radii` result as the search call to
+    avoid a second corpus aggregate."""
     _, kept = _range_prune(
-        corpus_with_cells, centroids, queries, threshold, eps, id_col, vec_col
+        corpus_with_cells, centroids, queries, threshold, eps, id_col, vec_col,
+        radii=radii,
     )
     return kept.select("query_id", "centroid_id")
 

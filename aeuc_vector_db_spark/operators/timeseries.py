@@ -140,8 +140,14 @@ def grouped_ols(
     sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
     den = nd * sxxd - sxd * sxd
     slope = (nd * sxyd - sxd * syd) / den
+    # zero-x-variance drop decided on the EXACT decimal statistics, not
+    # the double casts: a constant-x group has n·Σx² ≡ (Σx)² in decimal,
+    # but the two double roundings can disagree by one ulp, leaving a
+    # tiny nonzero double `den` that would emit an astronomical garbage
+    # slope instead of dropping the group (the docstring contract)
+    den_exact = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     return (
-        s.filter((F.col("n") >= min_n) & (den != 0))
+        s.filter((F.col("n") >= min_n) & (den_exact != 0))
         .select(
             *key_cols,
             F.col("n").cast("long").alias("n"),

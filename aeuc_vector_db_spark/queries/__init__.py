@@ -73,95 +73,84 @@ for _mod_name in (
 # in-repo between their driver rows. COVERAGE.md maps each query to the
 # round whose CORRECTNESS file holds its green row.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-9 window, positions 1-50 (VERDICT r8 #1) ---
-    # The 46 queries whose last driver row is CORRECTNESS_r06 — exactly
-    # the stale set the round-8 verdict enumerated. All were green in
-    # the round-9 full local sweep (SWEEP_TIMINGS_r9.json) before this
-    # rotation; after it, no registry query is older than 3 rounds.
-    "ann_ivf_recall",
-    "ann_ivfadc_recall",
-    "ann_pq_recall",
-    "doc_bm25_topk",
-    "doc_clean_corpus_pipeline",
-    "doc_decontaminate",
-    "doc_epoch_shuffle",
-    "doc_heavy_hitters",
-    "doc_hybrid_rrf_topk",
-    "doc_leakproof_split",
-    "doc_pii_scrub",
-    "doc_repetition_ratio",
-    "doc_sequence_pack",
-    "doc_source_rebalance",
-    "doc_source_token_budget",
-    "doc_stratified_sample",
-    "doc_unigram_logprob",
-    "emb_pca_project",
-    "emb_quantize_int8",
-    "embedding_normalize",
-    "events_hourly_window",
-    "events_json_props",
-    "export_ordered",
-    "import_dedup",
-    "ivf_arrow_pruned_search",
-    "knn_dot_topk",
-    "knn_euclidean_topk",
-    "manifest_bucketed_dv_read",
-    "manifest_cdc_incremental_agg",
-    "manifest_dnf_skipping_read",
-    "manifest_in_skipping_read",
-    "manifest_incremental_read",
-    "manifest_merge_read",
-    "manifest_null_skipping_read",
-    "manifest_schema_evolution_read",
-    "multimodal_feature_stats",
-    "multimodal_transform_stats",
-    "rel_late_order_priority",
-    "rel_parts_never_ordered",
-    "rel_pricing_summary",
-    "rel_revenue_by_nation",
-    "rel_top_orders_per_customer",
-    "rel_top_revenue_orders",
-    "sql_entry_knn_cosine",
-    "sql_entry_pricing",
-    "two_level_search",
-    # New in round 9 (must sit inside position 50 per the rotation
-    # policy): Q9-shape product-type profit (widest join tree, all dims
-    # broadcast), Q10-shape returned-item top-20, winnowing document
-    # fingerprints (SIGMOD'03; window-min over rolling k-gram hashes),
-    # and cosine radius search (thresholded dual of top-k).
-    "rel_product_type_profit",
-    "rel_returned_item_revenue",
-    "doc_winnowing_fingerprint",
-    "knn_cosine_range",
-    # --- positions ≥ 51: r8's window rotates out; everything stays
-    # covered by the in-repo full sweeps between driver rows ---
-    # Late round-9 additions (window already at 50 — first in line for
-    # the r10 window; each oracle-verified green on landing by the
-    # in-repo checker): exact-complete IVF radius search, Q16-shape
-    # grouped COUNT(DISTINCT) with anti-join exclusion, per-group
-    # closed-form OLS trend over exact decimal sufficient statistics.
+    # --- round-10 window, positions 1-50 (VERDICT r9 #1) ---
+    # Positions 1-12: the twelve late-round-9 queries that have NEVER
+    # had a driver row (they landed after the r9 window filled; each
+    # was oracle-verified green at sf0.01 on landing and re-verified in
+    # the round-10 full local sweep before this rotation).
     "ivf_radius_pruned_search",
     "rel_part_supplier_variety",
     "events_value_trend_ols",
-    # Second late round-9 batch (oracle-verified green on landing):
-    # Pareto-frontier skyline (per-size reduction, NOT-EXISTS oracle),
-    # sweep-line peak-concurrency histogram, per-session Markov
-    # transition counts, exact-arithmetic lexical diversity.
     "rel_part_skyline",
     "rel_peak_open_orders_hist",
     "events_transition_matrix",
     "doc_token_diversity",
-    # integer PageRank over the trade graph: the iterative-algorithm
-    # category made hash-checkable (unrolled-CTE oracle)
     "rel_trade_pagerank",
-    # per-user time-weighted average (exact decimal*micros accumulators)
     "events_time_weighted_avg",
-    # exact grouped median by two-pass bucket selection (never a full sort)
     "rel_exact_median_price",
-    # RFM quartile segmentation (NTILE with total-order tie-breaks)
     "rel_rfm_segments",
-    # volume-weighted integer PageRank (same unrolled-CTE oracle discipline)
     "rel_trade_pagerank_weighted",
+    # Positions 13-50: the longest-stale set — queries whose last
+    # driver row is CORRECTNESS_r07 (stale exactly 3 rounds at r10).
+    # The twelve r7-window queries that do NOT fit (the clustering
+    # family and the doc text-stats singles) are the composite
+    # candidates queued right after position 50; they stay covered by
+    # the in-repo full sweep and are exactly 3 rounds stale, never
+    # more.
+    "doc_cms_freq",
+    "doc_dedup_keep_one",
+    "doc_exact_dedup",
+    "doc_hll_distinct",
+    "doc_minhash_capped",
+    "doc_minhash_near_dup",
+    "doc_ngram_jaccard",
+    "doc_pipeline_e2e",
+    "doc_simhash16",
+    "doc_substring_dedup",
+    "emb_binary_hamming_topk",
+    "emb_near_dup_cosine",
+    "events_click_attribution",
+    "ivf_euclidean_pruned_search",
+    "ivf_phi_pruned_search",
+    "knn_cosine_arrow_topk",
+    "knn_cosine_filtered",
+    "knn_phi_topk",
+    "manifest_bloom_read",
+    "manifest_cdc_read",
+    "manifest_dv_read",
+    "manifest_merge_dv_read",
+    "manifest_rename_read",
+    "manifest_skipping_read",
+    "manifest_widening_read",
+    "manifest_zorder_read",
+    "multimodal_native_codec_stats",
+    "rel_acctbal_by_region_nation",
+    "rel_asof_latest_order",
+    "rel_cube_order_status",
+    "rel_customers_both_years",
+    "rel_high_value_customers",
+    "rel_orders_by_month",
+    "rel_orders_within_30d",
+    "rel_pivot_status_by_priority",
+    "rel_price_percentiles",
+    "rel_rollup_acctbal",
+    "rel_skew_salted_revenue",
+    # --- positions ≥ 51: everything below stays covered by the
+    # in-repo full sweeps between driver rows. First in line for r11:
+    # the r7-window stragglers above (clustering family + text-stats
+    # singles), then the r8-window set rotates back in.
+    "centroids_by_label",
+    "inertia_by_label",
+    "form_pglyphs_by_label",
+    "phi_bands",
+    "auto_cluster_phi",
+    "doc_token_stats",
+    "doc_term_frequencies",
+    "doc_tfidf_topk",
+    "doc_bigram_topk",
+    "doc_language_id",
+    "doc_quality_score",
+    "doc_fingerprint",
 )
 
 

@@ -517,7 +517,7 @@ WITH b AS (
          SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
   FROM b GROUP BY event_type, user_bucket
 ), f AS (
-  SELECT event_type, user_bucket, n,
+  SELECT event_type, user_bucket, n, sx, sxx,
          CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
          CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
          CAST(sxx AS DOUBLE) AS sxxd
@@ -526,7 +526,10 @@ WITH b AS (
   SELECT event_type, user_bucket, n, syd, sxd, nd,
          (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope
   FROM f
-  WHERE n >= 2 AND (nd * sxxd - sxd * sxd) <> 0
+  -- zero-variance drop on the EXACT decimal statistics, mirroring
+  -- operators/timeseries.py grouped_ols (the double-cast den can be a
+  -- one-ulp nonzero for a constant-x group)
+  WHERE n >= 2 AND (n * sxx - sx * sx) <> 0
 )
 SELECT event_type, user_bucket, CAST(n AS BIGINT) AS n,
        ROUND(slope, 9) AS slope_per_hour,

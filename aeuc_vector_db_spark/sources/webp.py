@@ -517,7 +517,17 @@ def webp_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     placeholder tables would desync into silent garbage, see the vp8
     module's table-fidelity note). Malformed bytes raise ValueError
     (error path); VP8 *inter* frames raise NotImplementedError
-    (video-style stub)."""
+    (video-style stub).
+
+    Strict-container contract (since round 9): the FULL chunk list is
+    validated before any decode — a truncated or malformed chunk AFTER
+    the image chunk rejects the container (ValueError) even though the
+    image itself would decode. Deliberate: the AEUC marker chunk may
+    legally follow the image chunk, so the marker scan must walk the
+    whole list anyway, and a container whose tail is garbage is treated
+    as corrupt rather than half-trusted. Encoders that emit trailing
+    junk past the declared RIFF size are unaffected (the walk stops at
+    the RIFF-declared end)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a RIFF/WEBP container")
     pos, end = 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])

@@ -59,6 +59,18 @@ def _request(host: str, port: int, payload: dict, timeout: float = 30.0) -> dict
             line = fh.readline(_MAX_LINE)
     if not line:
         raise ConnectionError(f"broker at {host}:{port} closed the connection")
+    if not line.endswith(b"\n"):
+        # readline(_MAX_LINE) silently truncates at the cap; a single
+        # FETCH returns its whole offset range as one JSON line, so a
+        # large backlog can plausibly hit it. Fail with the real cause
+        # instead of the opaque JSONDecodeError the truncated prefix
+        # would raise — callers should bound the range (max_records) or
+        # split the fetch.
+        raise ValueError(
+            f"broker response exceeds _MAX_LINE ({_MAX_LINE} bytes) — "
+            "bound the fetch range (smaller offset slices / max_records) "
+            "or raise the cap"
+        )
     reply = json.loads(line)
     if "error" in reply:
         raise ValueError(f"broker error: {reply['error']}")
