@@ -453,6 +453,34 @@ def test_late_round9_batch2_plan_shapes(spark):
     assert "Exchange" not in phys, "token diversity must be map-only"
 
 
+def test_rfm_segments_has_no_unpartitioned_window(spark):
+    """VERDICT r9 #2: the RFM quartile path must be the selection-based
+    plan — NTILE boundary tuples located by bucket selection and the
+    bucketing done map-side by comparison. An unpartitioned window (the
+    r9 implementation's three global NTILEs) surfaces as an `Exchange
+    SinglePartition` feeding a Window; neither it nor any ntile may
+    appear in the executed plan. Every Window that remains partitions
+    by metric(/seg) over the bounded bucket histogram."""
+    phys = (
+        Q.queries()["rel_rfm_segments"](spark, SF01)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ntile" not in phys.lower(), "NTILE must not run in the engine plan"
+    # every Window node must carry a partition spec naming `metric`
+    # (histogram cumulative + sliver rank) — the r9 failure mode was a
+    # Window whose partition spec was empty. (The one remaining
+    # SinglePartition exchange is the 9-row boundary-tuple scalar agg —
+    # constant-size, map-side combined, fine at any scale.)
+    window_lines = [ln for ln in phys.splitlines() if "Window [" in ln]
+    assert window_lines, "selection path should still use bounded windows"
+    for ln in window_lines:
+        assert "metric" in ln.split("], [", 1)[1], (
+            f"unpartitioned/wrongly-partitioned Window in RFM plan: {ln}"
+        )
+
+
 def test_exact_median_selection_plan(spark):
     """Two-pass selection must never sort the full fact table: the
     bucket histogram is a partial+final HashAggregate, the located
