@@ -535,13 +535,15 @@ def _range_prune(
 
     # per-cell max angle to the centroid: one broadcast join + agg —
     # index-build-time work (constant per cell); callers pass a
-    # `cell_radii` result to amortize it across query batches
+    # `cell_radii` result to amortize it across query batches. The
+    # radii-is-None branch CALLS cell_radii rather than duplicating its
+    # angle formula (round-11 ADVICE): both paths are definitionally
+    # identical, so a clamp/guard tweak can never silently diverge the
+    # precomputed radii from the inline aggregate and void the prune
+    # bound's completeness guarantee.
     if radii is None:
-        radii = (
-            corpus.join(F.broadcast(cent), "centroid_id")
-            .select("centroid_id", cell_angle("__cv", "__cn").alias("__ang"))
-            .groupBy("centroid_id")
-            .agg(F.max("__ang").alias("max_ang"))
+        radii = cell_radii(
+            corpus_with_cells, centroids, id_col=id_col, vec_col=vec_col
         )
     else:
         radii = radii.select("centroid_id", "max_ang")

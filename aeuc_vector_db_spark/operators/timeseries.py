@@ -144,10 +144,15 @@ def grouped_ols(
     # the double casts: a constant-x group has n·Σx² ≡ (Σx)² in decimal,
     # but the two double roundings can disagree by one ulp, leaving a
     # tiny nonzero double `den` that would emit an astronomical garbage
-    # slope instead of dropping the group (the docstring contract)
+    # slope instead of dropping the group (the docstring contract).
+    # BOTH guards are kept (round-11 ADVICE): a group whose den_exact is
+    # nonzero but whose double `den` rounds to exactly 0.0 (catastrophic
+    # cancellation at |Σx²| ≳ 2⁵³) would otherwise divide by zero, where
+    # Spark (non-ANSI double) yields NULL but DuckDB yields ±Inf — the
+    # oracle SQL mirrors the same two-condition filter.
     den_exact = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     return (
-        s.filter((F.col("n") >= min_n) & (den_exact != 0))
+        s.filter((F.col("n") >= min_n) & (den_exact != 0) & (den != 0.0))
         .select(
             *key_cols,
             F.col("n").cast("long").alias("n"),

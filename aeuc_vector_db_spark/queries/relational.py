@@ -2115,16 +2115,31 @@ ORDER BY l_returnflag, l_linestatus
 # and with a strict total order (negv = −value, custkey ASC), rn > c_i
 # ⟺ tuple > tuple_at(c_i). So: pass 1 folds the per-customer aggregate
 # into per-(metric, coarse-bucket) counts (one map-side-combining
-# shuffle whose volume is #buckets, not #customers), a tiny cumulative
-# window over the 3-metric bucket histogram locates which bucket holds
-# each boundary rank and at what offset, pass 2 sorts only those
-# buckets' slivers, and the 9 boundary tuples broadcast back for a
+# shuffle whose volume is #buckets, not #customers) and a tiny
+# cumulative window over the 3-metric bucket histogram locates which
+# bucket holds each boundary rank and at what offset. Pass 2 (round 11,
+# ADVICE: tie-run shortcut) refines WITHIN the located buckets instead
+# of sorting them whole — a coarse bucket can be a full tie-run holding
+# O(N/4) customers when a metric is heavily tied (frequency uses width
+# 1, so its boundary bucket IS one negv tie-run), and a row_number over
+# that would be the same single-task straggler the rewrite removes. The
+# refinement histograms the bucket's rows by (exact negv, ck div 65536),
+# a cumulative window over THAT locates the sub-group holding the
+# boundary rank, and only the located sub-group — at most 65536 rows by
+# construction, because each customer appears once per metric and a
+# ck-sub-bucket spans 65536 custkeys — gets a row_number. Under heavy
+# ties the refinement histogram collapses to ~max_ck/65536 rows (one
+# negv, many ck sub-buckets); under spread values its size is the
+# coarse bucket's row count, which the width constants (~1 day of
+# recency, $1000 of spend) keep small — each skew regime is bounded by
+# its own mechanism (sliver sizes measured under synthetic 90%-tie skew
+# in PLANS.md). The 9 boundary tuples then broadcast back for a
 # map-side comparison bucket. Exact integer arithmetic throughout
 # (spend as cents), so hash equality with the NTILE oracle proves the
-# selection picks identical buckets. At 10⁹ customers every wide stage
-# is either map-side-combined (histogram, final 64-group count) or
-# bounded (#buckets rows, 3 slivers) — no single-task sort anywhere
-# (plan-gated: no SinglePartition exchange, no ntile).
+# selection picks identical buckets. Plan-gated (test_plans.py
+# test_rfm_segments_has_no_unpartitioned_window): no ntile anywhere,
+# every Window partitioned by metric; the one SinglePartition exchange
+# that remains is the constant-size 9-tuple boundary scalar agg.
 # ---------------------------------------------------------------------------
 
 
@@ -2177,11 +2192,34 @@ def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c") - (F.col("cum") - F.col("cnt"))).alias("off"),
         )
     )
-    ws = Window.partitionBy("metric", "seg").orderBy("negv", "ck")
+    # two-level refinement (see block comment): sub-histogram the
+    # boundary buckets by (exact negv, ck div CKW), locate the sub-group
+    # holding each boundary rank, and rank only that ≤CKW-row sliver.
+    # Within a located sub-group negv is constant, so ORDER BY ck alone
+    # equals the (negv, ck) total order; ck ≥ 0 keeps `div` monotone.
+    CKW = 65536
+    cand = melted.join(F.broadcast(targets), ["metric", "bkt"]).withColumn(
+        "ckb", F.expr(f"ck div {CKW}L")
+    )
+    h2 = cand.groupBy("metric", "seg", "off", "negv", "ckb").agg(
+        F.count(F.lit(1)).alias("cnt2")
+    )
+    w2 = Window.partitionBy("metric", "seg").orderBy("negv", "ckb")
+    c2 = h2.withColumn(
+        "cum2", F.sum("cnt2").over(w2.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    t2 = c2.filter(
+        (F.col("cum2") >= F.col("off"))
+        & (F.col("cum2") - F.col("cnt2") < F.col("off"))
+    ).select(
+        "metric", "seg", "negv", "ckb",
+        (F.col("off") - (F.col("cum2") - F.col("cnt2"))).alias("off2"),
+    )
+    ws = Window.partitionBy("metric", "seg").orderBy("ck")
     bounds = (
-        melted.join(F.broadcast(targets), ["metric", "bkt"])
+        cand.join(F.broadcast(t2), ["metric", "seg", "negv", "ckb"])
         .withColumn("rn", F.row_number().over(ws))
-        .filter(F.col("rn") == F.col("off"))
+        .filter(F.col("rn") == F.col("off2"))
         .select("metric", "seg", "negv", "ck")
     )
     # 9 boundary tuples → one wide row, broadcast to the scorer

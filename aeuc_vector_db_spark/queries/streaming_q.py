@@ -528,8 +528,11 @@ WITH b AS (
   FROM f
   -- zero-variance drop on the EXACT decimal statistics, mirroring
   -- operators/timeseries.py grouped_ols (the double-cast den can be a
-  -- one-ulp nonzero for a constant-x group)
+  -- one-ulp nonzero for a constant-x group); the double-den guard is
+  -- ALSO mirrored — a cancellation-to-0.0 double den divides by zero,
+  -- where Spark yields NULL but DuckDB yields ±Inf
   WHERE n >= 2 AND (n * sxx - sx * sx) <> 0
+    AND (nd * sxxd - sxd * sxd) <> 0.0
 )
 SELECT event_type, user_bucket, CAST(n AS BIGINT) AS n,
        ROUND(slope, 9) AS slope_per_hour,

@@ -476,7 +476,17 @@ def test_rfm_segments_has_no_unpartitioned_window(spark):
     window_lines = [ln for ln in phys.splitlines() if "Window [" in ln]
     assert window_lines, "selection path should still use bounded windows"
     for ln in window_lines:
-        assert "metric" in ln.split("], [", 1)[1], (
+        # Window lines render as `Window [exprs], [partitionSpec]` with
+        # an optional trailing `, [orderSpec]` — check `metric` in the
+        # PARTITION-SPEC segment specifically (a one-shot split-once
+        # would also scan the order spec / remainder, so a Window with
+        # an EMPTY partition spec but `metric` elsewhere on the line
+        # would wrongly pass), and fail cleanly instead of
+        # IndexError-ing if the line shape ever changes.
+        segments = ln.split("], [")
+        if len(segments) < 2:
+            pytest.fail(f"unexpected Window line shape in RFM plan: {ln}")
+        assert "metric" in segments[1], (
             f"unpartitioned/wrongly-partitioned Window in RFM plan: {ln}"
         )
 
