@@ -365,6 +365,78 @@ def _multimodal_native_codec_stats(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _canary_bad_png(payload: bytes):
+    """Deliberately-WRONG PNG decoder for the codec canary: decodes
+    correctly, then shifts every pixel byte by +101 mod 256 — a large,
+    unmissable perturbation (avg_f0 moves by ~0.4, far above the 1e-9
+    output rounding), exactly the kind of silent corruption a bad
+    native-codec integration would introduce."""
+    import numpy as np
+
+    from aeuc_vector_db_spark.sources.multimodal import png_decode
+
+    w, h, c, raw = png_decode(payload)
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    bad = ((arr.astype(np.int16) + 101) % 256).astype(np.uint8).tobytes()
+    return w, h, c, bad
+
+
+def _multimodal_codec_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible canary for the native-codec diff machinery
+    (round 11, VERDICT r10 #8): `multimodal_native_codec_stats` is
+    rows-only and self-validating — its '__diff__' rows fire when the
+    builtin and native decode paths diverge — but that violation
+    machinery had never fired in a driver artifact. This query PROVES,
+    in every driver run, that a decoder regression would flip a
+    driver-visible count: it runs the same builtin-vs-native diff twice,
+    once healthy (delegating wrappers — must produce ZERO diff rows)
+    and once with a deliberately mis-registered PNG decoder
+    (`_canary_bad_png` — must produce SOME diff rows). Healthy output
+    is exactly one ('checks_ran', 2) row; a builtin/native divergence
+    adds a 'healthy_diff_present' row, and a rotted diff machinery
+    (the planted corruption NOT detected) adds a 'canary_diff_missing'
+    row — either way the driver's rows-only count changes. Rows-only
+    (no SQL decoder oracle possible); the corpus is the small blob
+    fixture, so the three decode passes are bounded."""
+    blobs = MM.read_binary_dir(spark, _blob_dir(spark, sf_dir))
+
+    def agg(feats: DataFrame) -> DataFrame:
+        return (
+            feats.groupBy("modality", "decode_status")
+            .agg(
+                F.count(F.lit(1)).alias("n_blobs"),
+                F.round(F.avg("width"), 6).alias("avg_width"),
+                F.round(F.avg(F.element_at("features", 1)), 9).alias("avg_f0"),
+            )
+        )
+
+    builtin = agg(MM.decode_features(blobs, feature_dim=8))
+    native = agg(
+        MM.decode_features(
+            blobs,
+            feature_dim=8,
+            decoder_overrides={"png": _native_png, "jpeg": _native_jpeg},
+        )
+    )
+    corrupted = agg(
+        MM.decode_features(
+            blobs, feature_dim=8, decoder_overrides={"png": _canary_bad_png}
+        )
+    )
+
+    def n_diff(a: DataFrame, b: DataFrame) -> int:
+        return a.exceptAll(b).unionByName(b.exceptAll(a)).count()
+
+    healthy_diffs = n_diff(builtin, native)
+    canary_diffs = n_diff(builtin, corrupted)
+    rows = [("checks_ran", 2)]
+    if healthy_diffs != 0:
+        rows.append(("healthy_diff_present", healthy_diffs))
+    if canary_diffs == 0:
+        rows.append(("canary_diff_missing", 0))
+    return spark.createDataFrame(rows, "check string, v long").orderBy("check")
+
+
 def _multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup (round 7, operators/imagehash.py): dHash
     every image blob in the corpus (audio/video rows quarantine as
@@ -535,6 +607,7 @@ QUERIES = {
     "multimodal_feature_stats": (_multimodal_features, None),
     "multimodal_transform_stats": (_multimodal_transform_stats, None),
     "multimodal_native_codec_stats": (_multimodal_native_codec_stats, None),
+    "multimodal_codec_canary": (_multimodal_codec_canary, None),
     "multimodal_image_near_dup": (_multimodal_image_near_dup, None),
     "multimodal_audio_near_dup": (_multimodal_audio_near_dup, None),
 }

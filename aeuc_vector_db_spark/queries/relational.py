@@ -2025,6 +2025,80 @@ ORDER BY rank DESC, node LIMIT 100
 _TRADE_PAGERANK_W_ORACLE = _pagerank_weighted_oracle()
 
 
+def _trade_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the high-volume 1995 trade graph
+    (round 11, VERDICT r10 #3): `operators/dedup.py
+    connected_components` — alternating large-star/small-star
+    contraction, O(log n) rounds on ANY topology, loop-invariant tables
+    localCheckpoint-ed — exposed DIRECTLY as a declared query instead
+    of only as the dedup-cluster resolver. The graph is customer↔
+    supplier pairs restricted to quantity-≥49 lineitems shipped under
+    1995 orders (the restriction sparsifies the bipartite graph enough
+    that the fixture yields a real multi-component histogram rather
+    than one giant blob). Output is the component-size histogram —
+    (component_size, n_components) — which fully determines the
+    component count; the oracle recomputes the SAME components via
+    DuckDB's recursive min-label propagation, so a single node landing
+    in the wrong component moves two histogram cells and breaks the
+    hash. Component ids are min node-id strings; both engines compare
+    strings with plain binary collation, so the grouping identity is
+    cross-engine exact.
+
+    Scale shape: each contraction round is two grouped mins plus one
+    key-equi join, all shuffling on the node key (iterations share that
+    one exchange pattern); rounds are bounded 2·⌈log₂ n⌉ + 8 and each
+    round's output is eagerly checkpointed so lineage stays O(1). The
+    histogram tail is two map-side-combining aggregates."""
+    from aeuc_vector_db_spark.operators.dedup import connected_components
+
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_quantity") >= 49)
+        .select("l_orderkey", "l_suppkey")
+    )
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.year("o_orderdate") == 1995)
+        .select("o_orderkey", "o_custkey")
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a_id"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b_id"),
+        )
+        .distinct()
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").cast("long").alias("component_size"))
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .orderBy("component_size")
+    )
+
+
+_TRADE_COMPONENTS_ORACLE = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_quantity >= 49 AND year(o_orderdate) = 1995
+),
+edges AS (SELECT c AS u, s AS v FROM pairs UNION ALL SELECT s, c FROM pairs),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+lab(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.u, lab.comp FROM edges e JOIN lab ON lab.node = e.v
+),
+comp AS (SELECT node, MIN(comp) AS component FROM lab GROUP BY node),
+sizes AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+SELECT CAST(sz AS BIGINT) AS component_size,
+       CAST(COUNT(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY sz ORDER BY component_size
+"""
+
+
 # ---------------------------------------------------------------------------
 # EXACT grouped median via two-pass bucket selection (late round 9):
 # the order-statistic-at-scale primitive. A global/per-group sort of
@@ -2287,6 +2361,7 @@ QUERIES = {
     "rel_trade_pagerank": (_trade_pagerank, _TRADE_PAGERANK_ORACLE),
     "rel_trade_pagerank_weighted": (_trade_pagerank_weighted,
                                     _TRADE_PAGERANK_W_ORACLE),
+    "rel_trade_components": (_trade_components, _TRADE_COMPONENTS_ORACLE),
     "rel_exact_median_price": (_exact_median_price, _EXACT_MEDIAN_ORACLE),
     "rel_rfm_segments": (_rfm_segments, _RFM_ORACLE),
     "rel_part_supplier_variety": (_part_supplier_variety,

@@ -101,3 +101,70 @@ def test_pagerank_weighted_duplicate_edges_sum(spark):
         for r in integer_pagerank(e, iters=1, scale=1000).collect()
     }
     assert got == {"x": 1850, "y": 787, "z": 362}
+
+
+def test_trade_components_matches_union_find_and_round_bound(spark):
+    """rel_trade_components (round 11): the declared star-contraction
+    query's size histogram must equal a driver-side union-find over the
+    SAME edge set (independent algorithm, exhaustive at sf0.001), and
+    the contraction must converge within its documented
+    2*ceil(log2 n) + 8 bound (floor 16)."""
+    import math
+
+    import aeuc_vector_db_spark.queries as Q
+    from aeuc_vector_db_spark.operators.dedup import connected_components
+    from aeuc_vector_db_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = (
+        load_table(spark, "lineitem", sf)
+        .filter(F.col("l_quantity") >= 49)
+        .select("l_orderkey", "l_suppkey")
+    )
+    orders = (
+        load_table(spark, "orders", sf)
+        .filter(F.year("o_orderdate") == 1995)
+        .select("o_orderkey", "o_custkey")
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a_id"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b_id"),
+        )
+        .distinct()
+    )
+    edge_rows = [(r["a_id"], r["b_id"]) for r in pairs.collect()]
+    assert edge_rows, "sparsifier must leave a non-empty sf0.001 graph"
+
+    # independent reference: union-find with path compression
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    from collections import Counter
+
+    comp_sizes = Counter(Counter(find(n) for n in parent).values())
+    expected = sorted((int(s), int(c)) for s, c in comp_sizes.items())
+
+    got = sorted(
+        (r["component_size"], r["n_components"])
+        for r in Q.queries()["rel_trade_components"](spark, sf).collect()
+    )
+    assert got == expected
+
+    # convergence-round bound on the same graph
+    rounds: list[int] = []
+    n_nodes = len({n for e in edge_rows for n in e})
+    connected_components(pairs, _rounds_out=rounds)
+    bound = max(16, 2 * math.ceil(math.log2(max(n_nodes, 2))) + 8)
+    assert rounds and rounds[0] <= bound, (rounds, bound)

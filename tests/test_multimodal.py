@@ -939,3 +939,28 @@ def test_native_codec_query_paths_identical(spark):
          for r in rows if r["path"] == "native"}
     assert b and b == n
     assert ("image", "real") in b
+
+
+def test_codec_canary_healthy_and_fires_on_corruption(spark):
+    """multimodal_codec_canary (round 11): healthy output is EXACTLY
+    one ('checks_ran', 2) row — which, by the query's own construction,
+    proves the deliberately mis-registered PNG decoder produced diff
+    rows (otherwise a 'canary_diff_missing' row would appear) and the
+    healthy native wrappers produced none. Also pins that the canary
+    decoder really corrupts pixels while preserving dims."""
+    from aeuc_vector_db_spark.queries.multimodal_q import (
+        _canary_bad_png,
+        _multimodal_codec_canary,
+    )
+    from aeuc_vector_db_spark.sources.multimodal import png_decode, png_encode
+
+    rows = _multimodal_codec_canary(spark, "/root/testdata/sf0.001").collect()
+    assert [(r["check"], r["v"]) for r in rows] == [("checks_ran", 2)]
+
+    pix = bytes(range(48))  # 4x4 RGB
+    blob = png_encode(pix, 4, 4)
+    w, h, c, raw = png_decode(blob)
+    bw, bh, bc, braw = _canary_bad_png(blob)
+    assert (w, h, c) == (bw, bh, bc)
+    assert braw != raw and len(braw) == len(raw)
+    assert braw[0] == (raw[0] + 101) % 256
