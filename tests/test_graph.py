@@ -165,6 +165,14 @@ def test_trade_components_matches_union_find_and_round_bound(spark):
     # convergence-round bound on the same graph
     rounds: list[int] = []
     n_nodes = len({n for e in edge_rows for n in e})
-    connected_components(pairs, _rounds_out=rounds)
+    comp = connected_components(pairs, _rounds_out=rounds)
     bound = max(16, 2 * math.ceil(math.log2(max(n_nodes, 2))) + 8)
     assert rounds and rounds[0] <= bound, (rounds, bound)
+
+    # plan gate (VERDICT r10 #3): the loop invariants are eagerly
+    # localCheckpoint-ed, so the final component assignment reads from
+    # materialized RDDs (no lineage re-derivation of the whole join
+    # tree per reference) and never degenerates to a cartesian product
+    plan = comp._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    assert "CartesianProduct" not in plan

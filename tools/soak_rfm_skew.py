@@ -211,3 +211,7 @@ def main() -> int:
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
