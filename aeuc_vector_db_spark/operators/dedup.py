@@ -78,6 +78,32 @@ def shingle_sets(
     return out
 
 
+def _band_rows(
+    sigs: DataFrame, id_col: str, k: int, band_size: int
+) -> DataFrame:
+    """(id, band, vals) — the LSH band explosion of a signature table.
+
+    Map-side only (an explode over the stored sig array, no text
+    access) — which is what makes the incremental path below cheap: a
+    persisted (id, sig) index re-derives its band rows without ever
+    touching the original documents."""
+    n_bands = k // band_size
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice("sig", b * band_size + 1, band_size).alias("vals"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.vals").alias("vals"))
+
+
 def _candidates_from_sigs(
     sigs: DataFrame, id_col: str, k: int, band_size: int,
     max_band_size: int | None = None,
@@ -95,21 +121,7 @@ def _candidates_from_sigs(
     moderate skew. Default None = exact LSH semantics (oracle-checked
     queries use None; scale pipelines set a cap).
     """
-    n_bands = k // band_size
-    bands = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.slice("sig", b * band_size + 1, band_size).alias("vals"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.vals").alias("vals"))
+    bands = _band_rows(sigs, id_col, k, band_size)
     if max_band_size is not None:
         w_cnt = (
             bands.groupBy("band", "vals")
@@ -180,6 +192,96 @@ def minhash_near_dup(
         cands.join(a_sets, "a_id")
         .join(b_sets, "b_id")
         .select("a_id", "b_id", jaccard_col(F.col("a_sh"), F.col("b_sh")).alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def minhash_doc_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig, sh) — the PERSISTABLE dedup-index row set (round 11).
+
+    The expensive part of MinHash dedup is the text pass (tokenize +
+    shingle + hash); everything after is arithmetic over the stored
+    arrays. Materializing this table (parquet / a ManifestTable keyed
+    by id) turns corpus dedup INCREMENTAL: a new batch dedups against
+    the whole corpus via `incremental_minhash_near_dup` with the
+    corpus's band rows derived MAP-SIDE from `sig` and its exact
+    Jaccard verification served from `sh` — the corpus documents are
+    never re-read, never re-shingled. Index size is O(corpus) in rows
+    but only the shingle-hash arrays in bytes (no text)."""
+    sets_ = shingle_sets(df, id_col, text_col, shingle_n)
+    return sets_.filter(F.size("sh") > 0).select(
+        F.col(id_col),
+        minhash_signature_col(F.col("sh"), k).alias("sig"),
+        F.col("sh"),
+    )
+
+
+def incremental_minhash_near_dup(
+    batch: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.5,
+    k: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_band_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING a new batch, against a prebuilt
+    `minhash_doc_index` — the incremental form of `minhash_near_dup`
+    (round 11): returns every (a_id, b_id, jaccard) with a_id < b_id,
+    jaccard ≥ threshold, and at least one side in `batch` (batch-vs-
+    corpus AND batch-internal pairs; corpus-internal pairs were the
+    previous runs' output and are not recomputed).
+
+    Scale shape: only the BATCH text is shingled (one Arrow kernel
+    pass over the new documents); the corpus side is a map-side band
+    explosion of the stored `sig` column plus a hash join on the band
+    key, and verification joins the stored `sh` arrays — the corpus is
+    never re-read as text. Identical semantics to running the batch
+    path on (corpus ∪ batch) and keeping pairs that touch the batch —
+    which is exactly what the DuckDB oracle recomputes, so the hash
+    match proves the incremental plan loses nothing. `max_band_size`
+    caps hot bands with counts over index ∪ batch (same boilerplate
+    guard as `_candidates_from_sigs`)."""
+    new_index = minhash_doc_index(batch, id_col, text_col, k, shingle_n)
+    all_idx = index.select(id_col, "sig", "sh").unionByName(new_index)
+    nb = _band_rows(new_index.select(id_col, "sig"), id_col, k, band_size)
+    ab = _band_rows(all_idx.select(id_col, "sig"), id_col, k, band_size)
+    if max_band_size is not None:
+        keep = (
+            ab.groupBy("band", "vals")
+            .agg(F.count(F.lit(1)).alias("__bn__"))
+            .filter(F.col("__bn__") <= max_band_size)
+            .select("band", "vals")
+        )
+        ab = ab.join(keep, ["band", "vals"], "left_semi")
+        nb = nb.join(keep, ["band", "vals"], "left_semi")
+    pairs = (
+        nb.select(F.col(id_col).alias("x"), "band", "vals")
+        .join(ab.select(F.col(id_col).alias("y"), "band", "vals"), ["band", "vals"])
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a_id"),
+            F.greatest("x", "y").alias("b_id"),
+        )
+        .distinct()
+    )
+    a_sets = all_idx.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
+    b_sets = all_idx.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
+    return (
+        pairs.join(a_sets, "a_id")
+        .join(b_sets, "b_id")
+        .select(
+            "a_id", "b_id",
+            jaccard_col(F.col("a_sh"), F.col("b_sh")).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
 

@@ -53,6 +53,51 @@ GROUP BY doc_id HAVING COUNT(*) >= 2
 """
 
 
+def _doc_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix (round 11): for every unordered
+    pair of corpus sources, the number of DISTINCT trigram-shingle
+    hashes the two sources share — the source-level contamination
+    report a pipeline reads before deciding which sources may co-exist
+    in train vs eval (the generalization of `doc_decontaminate`'s
+    corpus-vs-benchmark probe to all-pairs-of-sources).
+
+    Scale shape: one Arrow shingle pass + one DISTINCT shuffle to the
+    (source, shingle) level — volume is the distinct-shingle vocabulary
+    per source, not the corpus; the self-join keys on the shingle hash
+    (hash join, never cross), and a shingle shared by s sources emits
+    s·(s−1)/2 pairs — bounded by the SOURCE count squared per hash, a
+    constant. The final aggregate has ≤ #sources² groups."""
+    from aeuc_vector_db_spark.operators.text import shingle_hashes_pandas
+
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(
+        "source",
+        F.explode(shingle_hashes_pandas(3)(F.col("text"))).alias("sh"),
+    ).distinct()
+    a = sh.select(F.col("source").alias("src_a"), "sh")
+    b = sh.select(F.col("source").alias("src_b"), "sh")
+    return (
+        a.join(b, "sh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+_CROSS_SOURCE_ORACLE = f"""
+WITH s AS (
+  SELECT DISTINCT source, sh FROM (
+    SELECT source, unnest({_dk_shingle_hashes('text', 3)}) AS sh FROM documents
+  )
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Stratified sampling
 # ---------------------------------------------------------------------------
@@ -754,6 +799,8 @@ QUERIES = {
     "doc_curriculum_order": (_doc_curriculum_order, _CURRICULUM_ORACLE),
     "doc_pipeline_e2e": (_doc_pipeline_e2e, _pipeline_oracle()),
     "doc_decontaminate": (_doc_decontaminate, _DECONTAMINATE_ORACLE),
+    "doc_cross_source_contamination": (_doc_cross_source_contamination,
+                                       _CROSS_SOURCE_ORACLE),
     "doc_epoch_shuffle": (_doc_epoch_shuffle, _EPOCH_SHUFFLE_ORACLE),
     "doc_source_token_budget": (_doc_source_token_budget, _TOKEN_BUDGET_ORACLE),
     "doc_repetition_ratio": (_doc_repetition_ratio, _REPETITION_ORACLE),

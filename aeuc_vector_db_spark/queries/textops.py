@@ -376,6 +376,63 @@ SELECT a_id, b_id, ROUND(jaccard, 9) AS jaccard FROM verified WHERE jaccard >= 0
 """
 
 
+def _doc_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup against a persisted index (round 11):
+    the corpus (80% of the near-dup corpus) is folded into a
+    `minhash_doc_index` (id, sig, sh) and MATERIALIZED (eager
+    localCheckpoint — standing in for the parquet/ManifestTable a
+    deployment persists); the 20% batch then dedups against corpus ∪
+    batch with the corpus's band rows derived map-side from the stored
+    signatures and its Jaccard verification served from the stored
+    shingle sets — the corpus text is never re-shingled (plan-gated:
+    exactly one Arrow shingle kernel, corpus side reads the
+    materialized RDD). The oracle recomputes the SAME pairs
+    non-incrementally (full cand/verify, filtered to pairs touching
+    the batch), so the hash match proves the incremental plan loses
+    nothing."""
+    full = _near_dup_corpus(spark, sf_dir)
+    is_batch = (F.col("doc_id") % 100000) % 5 == 0
+    index = D.minhash_doc_index(full.filter(~is_batch)).localCheckpoint(
+        eager=True
+    )
+    pairs = D.incremental_minhash_near_dup(
+        full.filter(is_batch), index, threshold=0.5, k=8, band_size=2,
+        shingle_n=3,
+    )
+    return pairs.select("a_id", "b_id", F.round("jaccard", 9).alias("jaccard"))
+
+
+_INCREMENTAL_MINHASH_ORACLE = f"""
+WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}),
+sh AS (
+  SELECT doc_id, {_dk_shingle_hashes('text', 3)} AS shset FROM corpus
+),
+sig AS (
+  SELECT doc_id, shset, {_dk_minhash('shset', 8)} AS sig FROM sh WHERE len(shset) > 0
+),
+bands AS (
+  SELECT doc_id, 0 AS band, sig[1] AS v1, sig[2] AS v2 FROM sig
+  UNION ALL SELECT doc_id, 1, sig[3], sig[4] FROM sig
+  UNION ALL SELECT doc_id, 2, sig[5], sig[6] FROM sig
+  UNION ALL SELECT doc_id, 3, sig[7], sig[8] FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT a_id, b_id, {_dk_jaccard('sa.shset', 'sb.shset')} AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = a_id
+  JOIN sh sb ON sb.doc_id = b_id
+)
+SELECT a_id, b_id, ROUND(jaccard, 9) AS jaccard FROM verified
+WHERE jaccard >= 0.5
+  AND ((a_id % 100000) % 5 = 0 OR (b_id % 100000) % 5 = 0)
+"""
+
+
 def _doc_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate generation with the hot-band cap (max_band_size=4):
     band buckets holding more than 4 docs are excluded from pair
@@ -1787,6 +1844,8 @@ QUERIES = {
     "doc_exact_dedup": (_doc_exact_dedup, _EXACT_DEDUP_ORACLE),
     "doc_minhash_near_dup": (_doc_minhash_near_dup, _MINHASH_ORACLE),
     "doc_minhash_capped": (_doc_minhash_capped, _MINHASH_CAPPED_ORACLE),
+    "doc_incremental_minhash_dedup": (_doc_incremental_minhash_dedup,
+                                      _INCREMENTAL_MINHASH_ORACLE),
     "doc_ngram_jaccard": (_doc_ngram_jaccard, _NGRAM_JACCARD_ORACLE),
     "emb_near_dup_cosine": (_emb_near_dup, _EMB_NEAR_DUP_ORACLE),
     "emb_semantic_dedup_keep_one": (_emb_semantic_dedup, _SEMANTIC_DEDUP_ORACLE),

@@ -694,3 +694,41 @@ def test_substring_dup_spans_survives_total_screen_collision(spark):
     )
     assert real == degenerate
     assert {r[0] for r in real} == {1, 2, 4}  # 4 shares windows inside s[:-1]
+
+
+def test_incremental_minhash_matches_batch_path_and_reads_index(spark):
+    """incremental_minhash_near_dup (round 11): against a materialized
+    minhash_doc_index, a new batch's pairs must equal the full batch
+    path restricted to pairs touching the batch — and the plan must
+    read the corpus side from the materialized index (Scan
+    ExistingRDD), never re-shingling corpus text."""
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog tonight again"),
+        (2, "The quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely different text about spark engines and tables"),
+        (4, "another unrelated sentence mentioning parquet manifests"),
+        (5, "The quick brown fox jumps over the lazy dog yesterday"),  # batch
+        (15, "completely different text about spark engines and tables"),  # batch, dup of 3
+        (10, "The quick brown fox jumps over the lazy dog yesterday too"),  # batch
+    ]
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    is_batch = F.col("doc_id") % 5 == 0
+    index = D.minhash_doc_index(full.filter(~is_batch)).localCheckpoint(
+        eager=True
+    )
+    inc = D.incremental_minhash_near_dup(
+        full.filter(is_batch), index, threshold=0.3
+    )
+    ref = D.minhash_near_dup(full, threshold=0.3).filter(
+        (F.col("a_id") % 5 == 0) | (F.col("b_id") % 5 == 0)
+    )
+    key = lambda r: (r["a_id"], r["b_id"], round(r["jaccard"], 9))  # noqa: E731
+    got, want = sorted(map(key, inc.collect())), sorted(map(key, ref.collect()))
+    assert got == want
+    assert got, "planted cross-boundary near-dups must be found"
+    # batch-internal pair (5,10) and cross pair (3,15) must both appear
+    ids = {(a, b) for a, b, _ in got}
+    assert (3, 15) in ids and (5, 10) in ids
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
