@@ -160,3 +160,69 @@ def grouped_ols(
             ((syd - slope * sxd) / nd).alias("intercept"),
         )
     )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    key_col: str,
+    order_cols: "tuple[str, ...]",
+    value_col: str,
+    id_col: str,
+    k: int,
+    h: int,
+) -> DataFrame:
+    """Per-group one-sided upper CUSUM change-point detection with
+    restart-after-alarm (Page 1954 — the classic sequential
+    drift/anomaly monitor a data pipeline runs over metric streams):
+
+        s_0 = 0;  s_i = max(0, s_{i-1} + (v_i − k));
+        alarm at i when s_i ≥ h, then s resets to 0.
+
+    `v_i` must be an INTEGER column (e.g. cents) and k, h integer
+    thresholds, so the whole recurrence is exact integer arithmetic —
+    deterministic under any partitioning and bit-identical to the
+    DuckDB oracle that unrolls the same recurrence as a recursive CTE.
+
+    This is a genuine sequential recurrence (running max with reset),
+    not window-expressible — the custom-stateful category: an
+    applyInPandas kernel per group, ordered inside the kernel by
+    `order_cols` (callers pass a total order). Scale shape: one
+    shuffle on the group key; groups process independently and in
+    parallel, the recurrence is inherently sequential WITHIN a group
+    (state is O(1), time O(group size)); a hot group costs its length,
+    never more — the same per-key sequential bound as sessionization.
+
+    Returns (key_col, n_events LONG, n_alarms LONG, first_alarm_id
+    LONG?) — one row per group, `first_alarm_id` = `id_col` of the
+    first alarming event (NULL when no alarm fired).
+    """
+
+    def kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(list(order_cols), kind="mergesort")
+        s = 0
+        alarms = 0
+        first = None
+        for v, eid in zip(pdf[value_col], pdf[id_col]):
+            s += int(v) - k
+            if s < 0:
+                s = 0
+            if s >= h:
+                alarms += 1
+                if first is None:
+                    first = int(eid)
+                s = 0
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n_events": [len(pdf)],
+                "n_alarms": [alarms],
+                "first_alarm_id": [first],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(
+        kernel,
+        f"{key_col} long, n_events long, n_alarms long, first_alarm_id long",
+    )

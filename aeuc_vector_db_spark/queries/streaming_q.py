@@ -542,6 +542,69 @@ ORDER BY event_type, user_bucket
 """
 
 
+def _events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user one-sided CUSUM drift alarms (round 11 —
+    `operators/timeseries.py cusum_alarms`): drift allowance k = $50,
+    alarm threshold h = $200, values as exact cents, events ordered by
+    the total (ts, event_id) order. A sequential recurrence (running
+    max with reset) — NOT window-expressible — run as an exact-integer
+    applyInPandas kernel per user; the DuckDB oracle unrolls the SAME
+    recurrence as a recursive CTE stepping rn → rn+1 per user, so the
+    hash match proves every step of the stateful computation, the same
+    standard the PageRank/components oracles set for iterative ops."""
+    from aeuc_vector_db_spark.operators.timeseries import cusum_alarms
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id",
+        (F.col("value").cast("decimal(10,2)") * 100)
+        .cast("long")
+        .alias("v"),
+    )
+    res = cusum_alarms(
+        ev, "user_id", ("ts", "event_id"), "v", "event_id",
+        k=5000, h=20000,
+    )
+    return (
+        res.filter(F.col("n_alarms") > 0)
+        .select("user_id", "n_events", "n_alarms", "first_alarm_id")
+        .orderBy("user_id")
+    )
+
+
+_CUSUM_ORACLE = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_id,
+         CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+),
+rec AS (
+  SELECT user_id, rn, n_events,
+         CASE WHEN GREATEST(0, v - 5000) >= 20000 THEN 0
+              ELSE GREATEST(0, v - 5000) END AS s,
+         CASE WHEN GREATEST(0, v - 5000) >= 20000 THEN 1 ELSE 0 END AS n_alarms,
+         CASE WHEN GREATEST(0, v - 5000) >= 20000 THEN event_id END AS first_alarm_id
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.n_events,
+         CASE WHEN GREATEST(0, r.s + e.v - 5000) >= 20000 THEN 0
+              ELSE GREATEST(0, r.s + e.v - 5000) END,
+         r.n_alarms + CASE WHEN GREATEST(0, r.s + e.v - 5000) >= 20000
+                           THEN 1 ELSE 0 END,
+         COALESCE(r.first_alarm_id,
+                  CASE WHEN GREATEST(0, r.s + e.v - 5000) >= 20000
+                       THEN e.event_id END)
+  FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_alarms AS BIGINT) AS n_alarms,
+       CAST(first_alarm_id AS BIGINT) AS first_alarm_id
+FROM rec WHERE rn = n_events AND n_alarms > 0
+ORDER BY user_id
+"""
+
+
 def _events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-session event-type transition counts (the Markov-chain /
     behavioral-sequence primitive a training-data pipeline uses to
@@ -681,6 +744,7 @@ FROM agg WHERE sdt > 0 ORDER BY user_id
 
 QUERIES = {
     "events_transition_matrix": (_events_transition_matrix, _TRANSITION_ORACLE),
+    "events_cusum_alarms": (_events_cusum_alarms, _CUSUM_ORACLE),
     "events_time_weighted_avg": (_events_time_weighted_avg, _TWA_ORACLE),
     "events_value_trend_ols": (_events_value_trend_ols, _TREND_OLS_ORACLE),
     "events_value_outliers_mad": (_events_value_outliers_mad, _MAD_OUTLIERS_ORACLE),

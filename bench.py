@@ -136,6 +136,7 @@ HEADLINE = (
     "rel_trade_components",
     "doc_incremental_minhash_dedup",
     "doc_cross_source_contamination",
+    "events_cusum_alarms",
 )
 
 

@@ -140,3 +140,32 @@ def test_ols_order_independent(spark):
         _xy(spark, rows[::-1]).repartition(7), ("g",), "x", "y"
     ).collect()[0]
     assert (a["n"], a["slope"], a["intercept"]) == (b["n"], b["slope"], b["intercept"])
+
+
+def test_cusum_alarms_hand_computed_and_plan(spark):
+    """cusum_alarms (round 11): hand-computed recurrence with restart
+    semantics — k=10, h=25, sequence v = [15, 20, 5, 40, 12, 9]:
+      s: 5, 15, 10, 40→alarm(reset), 2, 1  ⇒ 1 alarm at the 4th event;
+    second user drifts below k throughout ⇒ no alarm (filtered-out
+    shape verified via the full output). Plan: one exchange on the
+    group key feeding FlatMapGroupsInPandas."""
+    from aeuc_vector_db_spark.operators.timeseries import cusum_alarms
+
+    rows = [
+        (1, i, i, v) for i, v in enumerate([15, 20, 5, 40, 12, 9])
+    ] + [(2, i, 10 + i, 3) for i in range(4)]
+    df = spark.createDataFrame(rows, "user_id long, t long, eid long, v long")
+    out = cusum_alarms(
+        df, "user_id", ("t", "eid"), "v", "eid", k=10, h=25
+    )
+    got = {r["user_id"]: (r["n_events"], r["n_alarms"], r["first_alarm_id"])
+           for r in out.collect()}
+    assert got == {1: (6, 1, 3), 2: (4, 0, None)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    # every shuffle keys on the group column only (AQE repeats the plan
+    # text in Final/Initial sections, so count keys, not Exchange nodes)
+    import re
+
+    keys = re.findall(r"hashpartitioning\(([a-zA-Z_0-9#]+)", plan)
+    assert keys and all(k.startswith("user_id") for k in keys), keys
