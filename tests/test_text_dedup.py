@@ -732,3 +732,29 @@ def test_incremental_minhash_matches_batch_path_and_reads_index(spark):
     plan = inc._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_minhash_band_cap_matches_batch_path(spark):
+    """max_band_size parity: the incremental path counts band
+    occupancy over index UNION batch, so a boilerplate band shared by
+    many docs across the corpus/batch split is capped exactly like the
+    batch path caps it (a cap computed over only one side would leak
+    quadratic pairs through the split)."""
+    base = "The quick brown fox jumps over the lazy dog tonight"
+    rows = [(i, base) for i in range(1, 13)]  # 12 near-identical docs
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    is_batch = F.col("doc_id") % 5 == 0
+    index = D.minhash_doc_index(full.filter(~is_batch)).localCheckpoint(
+        eager=True
+    )
+    inc = D.incremental_minhash_near_dup(
+        full.filter(is_batch), index, threshold=0.3, max_band_size=4
+    )
+    ref = D.minhash_near_dup(full, threshold=0.3, max_band_size=4).filter(
+        (F.col("a_id") % 5 == 0) | (F.col("b_id") % 5 == 0)
+    )
+    key = lambda r: (r["a_id"], r["b_id"], round(r["jaccard"], 9))  # noqa: E731
+    assert sorted(map(key, inc.collect())) == sorted(map(key, ref.collect()))
+    # with 12 identical docs every band bucket holds 12 > 4: everything
+    # is capped away on both paths
+    assert inc.count() == 0
