@@ -175,8 +175,17 @@ class RemoteOffsetSource:
     a task retry re-fetches its pure range safely.
     """
 
-    def __init__(self, host: str, port: int) -> None:
+    def __init__(self, host: str, port: int, fetch_chunk: int = 10_000) -> None:
+        if fetch_chunk < 1:
+            raise ValueError(f"fetch_chunk must be >= 1, got {fetch_chunk}")
         self.host, self.port = host, port
+        #: max records per FETCH round trip: each executor task slices
+        #: its [lo, hi) range into chunks, so a single broker response
+        #: line stays bounded (~chunk x record size) no matter how big
+        #: the backlog — the 64 MB _MAX_LINE guard becomes a true
+        #: can't-happen backstop instead of a reachable ceiling, and a
+        #: task retry still replays pure, byte-identical slices
+        self.fetch_chunk = fetch_chunk
         self.n_partitions = int(
             _request(host, port, {"op": "meta"})["n_partitions"]
         )
@@ -215,26 +224,31 @@ class RemoteOffsetSource:
         if not tasks:
             return None, end
 
-        host, port = self.host, self.port
+        host, port, chunk = self.host, self.port, self.fetch_chunk
 
         def fetch(batches):
             import pandas as pd
 
             for pdf in batches:
                 for p, lo, hi in zip(pdf["partition"], pdf["lo"], pdf["hi"]):
-                    r = _request(
-                        host, int(port),
-                        {"op": "fetch", "partition": int(p),
-                         "start": int(lo), "end": int(hi)},
-                    )
-                    recs = r["records"]
-                    yield pd.DataFrame(
-                        {
-                            "partition": [int(p)] * len(recs),
-                            "offset": [int(o) for o, _ in recs],
-                            "value": [v for _, v in recs],
-                        }
-                    )
+                    # chunked range fetch: bounded response lines +
+                    # pipelined Arrow batches downstream; FETCH purity
+                    # makes each slice independently retry-safe
+                    for start in range(int(lo), int(hi), chunk):
+                        end = min(start + chunk, int(hi))
+                        r = _request(
+                            host, int(port),
+                            {"op": "fetch", "partition": int(p),
+                             "start": start, "end": end},
+                        )
+                        recs = r["records"]
+                        yield pd.DataFrame(
+                            {
+                                "partition": [int(p)] * len(recs),
+                                "offset": [int(o) for o, _ in recs],
+                                "value": [v for _, v in recs],
+                            }
+                        )
 
         plan = spark.createDataFrame(
             tasks, "partition INT, lo LONG, hi LONG"

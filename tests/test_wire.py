@@ -152,3 +152,21 @@ def test_wire_matches_local_source_byte_for_byte(spark, tmp_path):
         )
     finally:
         b.stop()
+
+
+def test_remote_poll_chunked_fetch_parity(spark, broker):
+    """fetch_chunk (round 11): slicing each partition's range into
+    bounded FETCH round trips must return the byte-identical record
+    set as one big fetch — the 64 MB response-line guard becomes a
+    can't-happen backstop instead of a reachable ceiling."""
+    remote_big = RemoteOffsetSource(broker.host, broker.port)
+    remote_small = RemoteOffsetSource(broker.host, broker.port, fetch_chunk=7)
+    remote_big.append(0, [{"i": i} for i in range(100)])
+    remote_big.append(2, [{"i": i} for i in range(23)])
+    df1, end1 = remote_big.poll(spark, {})
+    df2, end2 = remote_small.poll(spark, {})
+    assert end1 == end2
+    k = lambda r: (r["partition"], r["offset"], r["value"])  # noqa: E731
+    assert sorted(map(k, df1.collect())) == sorted(map(k, df2.collect()))
+    with pytest.raises(ValueError, match="fetch_chunk"):
+        RemoteOffsetSource(broker.host, broker.port, fetch_chunk=0)
