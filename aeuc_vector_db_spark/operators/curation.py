@@ -125,6 +125,48 @@ def sample_bucket_col(id_col: Column | str, salt: int = 0, buckets: int = 10000)
     return F.pmod(spread, F.lit(buckets))
 
 
+def weighted_priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic weight-proportional sample WITHOUT replacement —
+    priority sampling (Duffield/Lund/Thorup, JACM 2007; public
+    algorithm): each row draws a pseudo-uniform u from the same
+    content-addressed spread hash as `stratified_sample`, gets priority
+    u/weight, and the k smallest priorities are kept — heavier rows
+    draw proportionally smaller priorities, so inclusion probability
+    tracks weight (the length/quality-weighted document sampling a
+    training pipeline runs). All-integer: priority is
+    (u · 2²⁰) div weight with u < 2³² (product < 2⁵³ — exact in BIGINT
+    on both engines), ties broken by id, so the sample is a pure
+    function of (corpus, salt) and the DuckDB oracle reproduces the
+    exact membership.
+
+    Scale shape: the hash/priority is map-side; the k-smallest
+    selection is a TakeOrderedAndProject (per-partition top-k, then a
+    k-row merge on the driver side of the exchange) — no global sort,
+    no shuffle of the corpus. Weights < 1 clamp to 1 (priority needs a
+    positive integer divisor)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key = F.concat_ws(":", F.lit(str(salt)), F.col(id_col).cast("string"))
+    u = F.pmod(
+        polyhash_col(key) * F.lit(SAMPLE_SPREAD), F.lit(4294967296)
+    ) + F.lit(1)
+    w = F.greatest(F.col(weight_col).cast("long"), F.lit(1))
+    out = (
+        df.withColumn("__u__", u)
+        .withColumn("__w__", w)
+        .withColumn("__pri__", F.expr("(__u__ * 1048576) div __w__"))
+        .orderBy("__pri__", id_col)
+        .limit(k)
+    )
+    return out.drop("__u__", "__w__", "__pri__")
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -63,8 +63,8 @@ for _mod_name in (
 # The driver's correctness pass checks the FIRST 50 registry entries
 # (CORRECTNESS_r02..r10 each hold exactly 50 rows regardless of registry
 # size). Ordering therefore decides which queries get a driver-verified
-# row each round. With 167 declared queries and a 50-row window, a
-# query gets a driver row at best every ceil(167/50) ≈ 3-4 rounds; the
+# row each round. With 168 declared queries and a 50-row window, a
+# query gets a driver row at best every ceil(168/50) ≈ 3-4 rounds; the
 # rotation policy is: (1) queries that have NEVER had a driver row go
 # first, (2) new-in-this-round queries must sit inside position 50,
 # (3) remaining slots go to the longest-stale previously-verified
@@ -91,18 +91,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_language_id",
     "doc_quality_score",
     "doc_fingerprint",
-    # Positions 13-17: new in round 11 (never had a driver row):
+    # Positions 13-18: new in round 11 (never had a driver row):
     # the declared star-contraction components query, the native-codec
     # canary, the incremental MinHash dedup-index query, the
-    # cross-source contamination matrix, and the CUSUM change-point
-    # detector.
+    # cross-source contamination matrix, the CUSUM change-point
+    # detector, and the weighted priority sample.
     "rel_trade_components",
     "multimodal_codec_canary",
     "doc_incremental_minhash_dedup",
     "doc_cross_source_contamination",
     "events_cusum_alarms",
-    # Positions 18-50: 33 of the 50 queries whose newest driver row is
-    # CORRECTNESS_r08 (3 rounds stale at r11). The 17 that do not fit
+    "doc_weighted_sample",
+    # Positions 19-50: 32 of the 50 queries whose newest driver row is
+    # CORRECTNESS_r08 (3 rounds stale at r11). The 18 that do not fit
     # (the alphabetical tail — all from the heavily-redundant rel_*
     # family plus sql_entry_hll_distinct) are queued right after
     # position 50, first in line for r12; they stay covered by the
@@ -139,10 +140,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_image_near_dup",
     "rel_big_volume_customers",
     "rel_bloom_semijoin_revenue",
-    "rel_cheapest_part_offer",
     # --- positions ≥ 51: everything below stays covered by the
     # in-repo full sweeps between driver rows. First in line for r12:
     # the r8-window tail here, then the r9-window set rotates back in.
+    "rel_cheapest_part_offer",
     "rel_disjunctive_promo_revenue",
     "rel_exists_late_shipment",
     "rel_fk_violations",

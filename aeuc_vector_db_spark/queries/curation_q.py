@@ -98,6 +98,46 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sample (round 11 —
+    `operators/curation.py weighted_priority_sample`): 200 docs drawn
+    without replacement with inclusion probability tracking n_chars
+    (priority sampling, Duffield/Lund/Thorup JACM 2007), deterministic
+    via the content-addressed spread hash — re-running reproduces the
+    EXACT membership, which the per-source (count, sum of ids)
+    aggregate pins against the oracle's identical integer arithmetic."""
+    from aeuc_vector_db_spark.operators.curation import weighted_priority_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    sampled = weighted_priority_sample(docs, "n_chars", k=200, salt=0)
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, source,
+         (({_dk_polyhash("('0:' || CAST(doc_id AS VARCHAR))")}
+           * 2654435761) % 4294967296) + 1 AS u,
+         GREATEST(n_chars, 1) AS w
+  FROM documents
+),
+top AS (
+  SELECT source, doc_id
+  FROM u ORDER BY (u * 1048576) // w, doc_id LIMIT 200
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM top GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Stratified sampling
 # ---------------------------------------------------------------------------
@@ -801,6 +841,7 @@ QUERIES = {
     "doc_decontaminate": (_doc_decontaminate, _DECONTAMINATE_ORACLE),
     "doc_cross_source_contamination": (_doc_cross_source_contamination,
                                        _CROSS_SOURCE_ORACLE),
+    "doc_weighted_sample": (_doc_weighted_sample, _WEIGHTED_SAMPLE_ORACLE),
     "doc_epoch_shuffle": (_doc_epoch_shuffle, _EPOCH_SHUFFLE_ORACLE),
     "doc_source_token_budget": (_doc_source_token_budget, _TOKEN_BUDGET_ORACLE),
     "doc_repetition_ratio": (_doc_repetition_ratio, _REPETITION_ORACLE),

@@ -137,6 +137,7 @@ HEADLINE = (
     "doc_incremental_minhash_dedup",
     "doc_cross_source_contamination",
     "events_cusum_alarms",
+    "doc_weighted_sample",
 )
 
 

@@ -625,3 +625,34 @@ def test_histogram_drift_partitioning_invariance_and_bounds(spark):
     b = spark.createDataFrame(rows_b, "v double")
     fixed = histogram_drift(a, b, "v", bins=64, lo=0.0, hi=96.0).first()["tvd"]
     assert fixed == vals[0]
+
+
+def test_weighted_priority_sample_bias_determinism_and_plan(spark):
+    """weighted_priority_sample (round 11): (a) deterministic — same
+    (corpus, salt) reproduces the exact id set, different salts draw
+    different sets; (b) weight-proportional — heavy rows (weight 100)
+    are included at a far higher rate than light rows (weight 1) in a
+    50-of-2000 sample; (c) the selection is a TakeOrderedAndProject
+    (per-partition top-k), never a global sort."""
+    from aeuc_vector_db_spark.operators import curation as CU
+    from pyspark.sql import functions as F
+
+    df = spark.range(1, 2001).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, 100).otherwise(1).alias("w"),
+    )
+    s1 = CU.weighted_priority_sample(df, "w", k=50, salt=0)
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids1b = sorted(r["doc_id"] for r in
+                   CU.weighted_priority_sample(df, "w", k=50, salt=0).collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  CU.weighted_priority_sample(df, "w", k=50, salt=1).collect())
+    assert ids1 == ids1b and ids1 != ids2 and len(ids1) == 50
+    heavy = sum(1 for i in ids1 if i % 10 == 0)
+    # heavy rows are 10% of the corpus but carry ~91% of total weight;
+    # they must dominate the sample (a uniform draw would give ~5)
+    assert heavy >= 35, heavy
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    with __import__("pytest").raises(ValueError, match="k must be"):
+        CU.weighted_priority_sample(df, "w", k=0)
