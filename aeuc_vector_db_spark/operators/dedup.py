@@ -251,7 +251,18 @@ def incremental_minhash_near_dup(
     caps hot bands with counts over index ∪ batch (same boilerplate
     guard as `_candidates_from_sigs`)."""
     new_index = minhash_doc_index(batch, id_col, text_col, k, shingle_n)
-    all_idx = index.select(id_col, "sig", "sh").unionByName(new_index)
+    # re-ingest safety (round-12 ADVICE): a batch doc_id already present
+    # in the index would otherwise union into duplicate (id, sig, sh)
+    # rows and the verification joins would emit duplicate output pairs.
+    # The BATCH version of a re-ingested id wins (its text is the newer
+    # one); the anti-join probes the index with the batch's id column
+    # only — broadcast-sized, map-side, the corpus never shuffles.
+    batch_ids = batch.select(id_col).distinct()
+    all_idx = (
+        index.select(id_col, "sig", "sh")
+        .join(F.broadcast(batch_ids), id_col, "left_anti")
+        .unionByName(new_index)
+    )
     nb = _band_rows(new_index.select(id_col, "sig"), id_col, k, band_size)
     ab = _band_rows(all_idx.select(id_col, "sig"), id_col, k, band_size)
     if max_band_size is not None:

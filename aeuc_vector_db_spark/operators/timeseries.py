@@ -222,7 +222,11 @@ def cusum_alarms(
             }
         )
 
+    # the key column keeps ITS OWN type in the output (round-12 ADVICE:
+    # hardcoding `long` here made any string/decimal group key fail at
+    # runtime despite the generic operator signature)
+    key_type = df.schema[key_col].dataType.simpleString()
     return df.groupBy(key_col).applyInPandas(
         kernel,
-        f"{key_col} long, n_events long, n_alarms long, first_alarm_id long",
+        f"{key_col} {key_type}, n_events long, n_alarms long, first_alarm_id long",
     )

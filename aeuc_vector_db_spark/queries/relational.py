@@ -2191,33 +2191,57 @@ ORDER BY l_returnflag, l_linestatus
 # into per-(metric, coarse-bucket) counts (one map-side-combining
 # shuffle whose volume is #buckets, not #customers) and a tiny
 # cumulative window over the 3-metric bucket histogram locates which
-# bucket holds each boundary rank and at what offset. Pass 2 (round 11,
-# ADVICE: tie-run shortcut) refines WITHIN the located buckets instead
-# of sorting them whole — a coarse bucket can be a full tie-run holding
-# O(N/4) customers when a metric is heavily tied (frequency uses width
-# 1, so its boundary bucket IS one negv tie-run), and a row_number over
-# that would be the same single-task straggler the rewrite removes. The
-# refinement histograms the bucket's rows by (exact negv, ck div 65536),
-# a cumulative window over THAT locates the sub-group holding the
-# boundary rank, and only the located sub-group — at most 65536 rows by
-# construction, because each customer appears once per metric and a
-# ck-sub-bucket spans 65536 custkeys — gets a row_number. Under heavy
-# ties the refinement histogram collapses to ~max_ck/65536 rows (one
-# negv, many ck sub-buckets); under spread values its size is the
-# coarse bucket's row count, which the width constants (~1 day of
-# recency, $1000 of spend) keep small — each skew regime is bounded by
-# its own mechanism (sliver sizes measured under synthetic 90%-tie skew
-# in PLANS.md). The 9 boundary tuples then broadcast back for a
-# map-side comparison bucket. Exact integer arithmetic throughout
-# (spend as cents), so hash equality with the NTILE oracle proves the
-# selection picks identical buckets. Plan-gated (test_plans.py
+# bucket holds each boundary rank and at what offset. Pass 2 is
+# ADAPTIVE per boundary bucket (round 12, VERDICT r11 #2 — round 11
+# ran the refinement unconditionally and paid two extra histogram jobs
+# on friendly data, 0.058 → 0.217 s headline):
+#
+#   - a boundary bucket holding ≤ _RFM_SLIVER_MAX rows takes the
+#     DIRECT path (the round-10 plan): its rows rank once per
+#     (metric, seg) with row_number over (negv, ck) — a single task
+#     bounded by the sliver cap;
+#   - a bigger bucket — a full tie-run holding O(N/4) customers when
+#     a metric is heavily tied (frequency uses width 1, so its
+#     boundary bucket IS one negv tie-run) — takes the round-11
+#     REFINEMENT: histogram its rows by (exact negv, ck div 65536), a
+#     cumulative window over THAT locates the sub-group holding the
+#     boundary rank, and only the located sub-group — at most 65536
+#     rows by construction, because each customer appears once per
+#     metric and a ck-sub-bucket spans 65536 custkeys — gets a
+#     row_number. Under heavy ties the refinement histogram collapses
+#     to ~max_ck/65536 rows (one negv, many ck sub-buckets).
+#
+# The branch decision reads the NINE located-boundary histogram rows
+# (a metadata-sized collect: 3 metrics × 3 segment boundaries — the
+# cumulative window that produces them is over the bucket histogram,
+# never the customers), so on untied data the refinement jobs never
+# run at all (plan-gated: test_plans.py
+# test_rfm_segments_direct_path_on_untied_data) while each skew regime
+# stays bounded by its own mechanism (sliver sizes measured under
+# synthetic 90%-tie skew in PLANS.md; tools/soak_rfm_skew.py plants
+# ~45k-row tie-runs, above the 16384 sliver cap, so the soak exercises
+# the refinement branch end-to-end with a hash-matched oracle). The 9
+# boundary tuples then broadcast back for a map-side comparison
+# bucket. Exact integer arithmetic throughout (spend as cents), so
+# hash equality with the NTILE oracle proves the selection picks
+# identical buckets. Plan-gated (test_plans.py
 # test_rfm_segments_has_no_unpartitioned_window): no ntile anywhere,
 # every Window partitioned by metric; the one SinglePartition exchange
 # that remains is the constant-size 9-tuple boundary scalar agg.
 # ---------------------------------------------------------------------------
 
+#: boundary buckets at or under this take the direct single-rank path;
+#: bigger ones (tie-runs) take the two-level refinement. 16384 keeps
+#: the direct path's one-task rank trivially small while sitting far
+#: under the soak's planted ~45k tie-runs (so the refinement branch
+#: keeps real end-to-end coverage) and far over any real boundary
+#: bucket the width constants produce on spread data.
+_RFM_SLIVER_MAX = 16384
 
-def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _rfm_segments(
+    spark: SparkSession, sf_dir: str, _refine_out: "list | None" = None
+) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(F.expr("unix_micros(o_orderdate)")).alias("recency_us"),
@@ -2264,38 +2288,70 @@ def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "metric", "bkt", "seg",
             (F.col("c") - (F.col("cum") - F.col("cnt"))).alias("off"),
+            "cnt",
         )
     )
-    # two-level refinement (see block comment): sub-histogram the
-    # boundary buckets by (exact negv, ck div CKW), locate the sub-group
-    # holding each boundary rank, and rank only that ≤CKW-row sliver.
-    # Within a located sub-group negv is constant, so ORDER BY ck alone
-    # equals the (negv, ck) total order; ck ≥ 0 keeps `div` monotone.
-    CKW = 65536
-    cand = melted.join(F.broadcast(targets), ["metric", "bkt"]).withColumn(
-        "ckb", F.expr(f"ck div {CKW}L")
-    )
-    h2 = cand.groupBy("metric", "seg", "off", "negv", "ckb").agg(
-        F.count(F.lit(1)).alias("cnt2")
-    )
-    w2 = Window.partitionBy("metric", "seg").orderBy("negv", "ckb")
-    c2 = h2.withColumn(
-        "cum2", F.sum("cnt2").over(w2.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    t2 = c2.filter(
-        (F.col("cum2") >= F.col("off"))
-        & (F.col("cum2") - F.col("cnt2") < F.col("off"))
-    ).select(
-        "metric", "seg", "negv", "ckb",
-        (F.col("off") - (F.col("cum2") - F.col("cnt2"))).alias("off2"),
-    )
-    ws = Window.partitionBy("metric", "seg").orderBy("ck")
-    bounds = (
-        cand.join(F.broadcast(t2), ["metric", "seg", "negv", "ckb"])
-        .withColumn("rn", F.row_number().over(ws))
-        .filter(F.col("rn") == F.col("off2"))
-        .select("metric", "seg", "negv", "ck")
-    )
+    # adaptive branch (see block comment): the 9 located boundary rows
+    # are metadata — collect them and send each down the path its size
+    # warrants, so untied data never runs the refinement jobs.
+    collected = targets.collect()
+    tgt_rows = [
+        (str(r["metric"]), int(r["bkt"]), int(r["seg"]), int(r["off"]), int(r["cnt"]))
+        for r in collected
+    ]
+    direct_t = [t[:4] for t in tgt_rows if t[4] <= _RFM_SLIVER_MAX]
+    refine_t = [t[:4] for t in tgt_rows if t[4] > _RFM_SLIVER_MAX]
+    if _refine_out is not None:
+        _refine_out.extend(sorted((t[0], t[2]) for t in refine_t))
+    tgt_schema = "metric string, bkt long, seg int, off long"
+    bounds_parts = []
+    if direct_t:
+        # direct path (round 10): rank the whole boundary bucket —
+        # ≤ _RFM_SLIVER_MAX rows per (metric, seg) by the branch test.
+        tdf = spark.createDataFrame(direct_t, tgt_schema)
+        wd = Window.partitionBy("metric", "seg").orderBy("negv", "ck")
+        bounds_parts.append(
+            melted.join(F.broadcast(tdf), ["metric", "bkt"])
+            .withColumn("rn", F.row_number().over(wd))
+            .filter(F.col("rn") == F.col("off"))
+            .select("metric", "seg", "negv", "ck")
+        )
+    if refine_t:
+        # two-level refinement (round 11): sub-histogram the boundary
+        # bucket by (exact negv, ck div CKW), locate the sub-group
+        # holding each boundary rank, and rank only that ≤CKW-row
+        # sliver. Within a located sub-group negv is constant, so
+        # ORDER BY ck alone equals the (negv, ck) total order; ck ≥ 0
+        # keeps `div` monotone.
+        CKW = 65536
+        tdf = spark.createDataFrame(refine_t, tgt_schema)
+        cand = melted.join(F.broadcast(tdf), ["metric", "bkt"]).withColumn(
+            "ckb", F.expr(f"ck div {CKW}L")
+        )
+        h2 = cand.groupBy("metric", "seg", "off", "negv", "ckb").agg(
+            F.count(F.lit(1)).alias("cnt2")
+        )
+        w2 = Window.partitionBy("metric", "seg").orderBy("negv", "ckb")
+        c2 = h2.withColumn(
+            "cum2", F.sum("cnt2").over(w2.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        t2 = c2.filter(
+            (F.col("cum2") >= F.col("off"))
+            & (F.col("cum2") - F.col("cnt2") < F.col("off"))
+        ).select(
+            "metric", "seg", "negv", "ckb",
+            (F.col("off") - (F.col("cum2") - F.col("cnt2"))).alias("off2"),
+        )
+        ws = Window.partitionBy("metric", "seg").orderBy("ck")
+        bounds_parts.append(
+            cand.join(F.broadcast(t2), ["metric", "seg", "negv", "ckb"])
+            .withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == F.col("off2"))
+            .select("metric", "seg", "negv", "ck")
+        )
+    bounds = bounds_parts[0]
+    for extra in bounds_parts[1:]:
+        bounds = bounds.unionByName(extra)
     # 9 boundary tuples → one wide row, broadcast to the scorer
     cell = lambda m, s, c: F.max(  # noqa: E731
         F.when((F.col("metric") == m) & (F.col("seg") == s), F.col(c))

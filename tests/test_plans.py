@@ -476,19 +476,65 @@ def test_rfm_segments_has_no_unpartitioned_window(spark):
     window_lines = [ln for ln in phys.splitlines() if "Window [" in ln]
     assert window_lines, "selection path should still use bounded windows"
     for ln in window_lines:
-        # Window lines render as `Window [exprs], [partitionSpec]` with
-        # an optional trailing `, [orderSpec]` — check `metric` in the
-        # PARTITION-SPEC segment specifically (a one-shot split-once
-        # would also scan the order spec / remainder, so a Window with
-        # an EMPTY partition spec but `metric` elsewhere on the line
-        # would wrongly pass), and fail cleanly instead of
-        # IndexError-ing if the line shape ever changes.
-        segments = ln.split("], [")
-        if len(segments) < 2:
-            pytest.fail(f"unexpected Window line shape in RFM plan: {ln}")
-        assert "metric" in segments[1], (
+        assert _window_partition_spec_contains(ln, "metric"), (
             f"unpartitioned/wrongly-partitioned Window in RFM plan: {ln}"
         )
+
+
+def _window_partition_spec_contains(ln: str, token: str) -> bool:
+    """True iff `token` appears in the PARTITION-SPEC segment of a
+    physical-plan Window line. Window lines render as
+    `Window [exprs], [partitionSpec]` with an optional trailing
+    `, [orderSpec]` — checking the partition-spec segment specifically
+    matters because a one-shot split-once (or a bare `token in ln`)
+    would also scan the order spec / remainder, so a Window with an
+    EMPTY partition spec but `token` in its ORDER spec would wrongly
+    pass (the round-11 ADVICE false-pass shape, pinned negative in
+    test_window_spec_parser_rejects_order_spec_match). Malformed lines
+    fail as a clean pytest.fail instead of IndexError-ing."""
+    segments = ln.split("], [")
+    if len(segments) < 2:
+        pytest.fail(f"unexpected Window line shape: {ln}")
+    return token in segments[1]
+
+
+def test_window_spec_parser_rejects_order_spec_match():
+    """The advisor's described false-pass shape (r11 ADVICE item, made
+    a negative test per VERDICT r11 #8): a Window with an EMPTY
+    partition spec whose ORDER spec mentions the token must NOT pass
+    the partition-spec check, and a malformed line must fail cleanly
+    rather than slip through or IndexError."""
+    # empty partition spec, token only in the order spec → reject
+    bad = ("Window [sum(cnt#12L) windowspecdefinition(...) AS cum#9L], "
+           "[], [metric#5 ASC NULLS FIRST]")
+    assert not _window_partition_spec_contains(bad, "metric")
+    # healthy shape with the token in the partition spec → accept
+    good = ("Window [sum(cnt#12L) windowspecdefinition(metric#5, ...) "
+            "AS cum#9L], [metric#5], [bkt#7L ASC NULLS FIRST]")
+    assert _window_partition_spec_contains(good, "metric")
+    # token in the partition spec, order spec empty-ish → accept
+    good2 = "Window [row_number() ...], [metric#5, seg#6], [ck#8L ASC]"
+    assert _window_partition_spec_contains(good2, "metric")
+    # malformed line shape → clean pytest.fail, not a silent pass
+    with pytest.raises(BaseException) as ei:
+        _window_partition_spec_contains("Window garbage with no specs", "metric")
+    assert "unexpected Window line shape" in str(ei.value)
+
+
+def test_rfm_segments_direct_path_on_untied_data(spark):
+    """VERDICT r11 #2: on untied data (the TPC-H fixture — every
+    boundary bucket far under _RFM_SLIVER_MAX) the adaptive RFM must
+    take the round-10 DIRECT path: no refinement jobs, no `ckb`
+    sub-bucket column anywhere in the final plan, and the refinement
+    debug hook reports nothing."""
+    from aeuc_vector_db_spark.queries.relational import _rfm_segments
+
+    out: list = []
+    df = _rfm_segments(spark, SF01, _refine_out=out)
+    assert out == [], f"refinement fired on untied data: {out}"
+    qe = df._jdf.queryExecution()
+    phys = qe.executedPlan().toString() + qe.toString()
+    assert "ckb" not in phys, "refinement lineage present in direct-path plan"
 
 
 def test_exact_median_selection_plan(spark):

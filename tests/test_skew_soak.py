@@ -189,3 +189,47 @@ def test_stateful_running_counts_hot_key_live(spark, tmp_path):
     assert got[7] == n // 2 + n // 500
     # a cold key: ids ≡ 9 (mod 500), all odd → n/500 rows
     assert got[9] == n // 500
+
+
+def test_rfm_refinement_fires_on_planted_tie_run(spark, tmp_path):
+    """VERDICT r11 #2 (adaptive RFM): a frequency tie-run bigger than
+    _RFM_SLIVER_MAX must route that metric's boundary buckets through
+    the two-level refinement (the debug hook reports it), the spread
+    metrics must stay on the direct path, and the output must still
+    hash-match the canonical NTILE oracle on the same parquet — both
+    branches feeding one result. 20k customers × 1 order each: the
+    f-metric boundary bucket is one 20k-row tie-run (> 16384); dates
+    and prices spread, so r/m boundary buckets stay tiny."""
+    import duckdb
+
+    from aeuc_vector_db_spark.queries.relational import (
+        _RFM_ORACLE,
+        _RFM_SLIVER_MAX,
+        _rfm_segments,
+    )
+
+    n = _RFM_SLIVER_MAX + 4000
+    orders = spark.range(1, n + 1).select(
+        F.col("id").alias("o_custkey"),
+        F.timestamp_seconds(F.lit(BASE) + F.col("id") * 90_000).alias(
+            "o_orderdate"
+        ),
+        (F.round((F.col("id") * 977 % 100_000) + F.lit(0.13), 2)).cast(
+            "double"
+        ).alias("o_totalprice"),
+    )
+    orders.write.parquet(f"{tmp_path}/orders.parquet")
+
+    out: list = []
+    sdf = _rfm_segments(spark, str(tmp_path), _refine_out=out).toPandas()
+    # all three f boundaries sit in the single freq=1 tie-run bucket
+    assert out == [("f", 1), ("f", 2), ("f", 3)], out
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet/*.parquet')"
+    )
+    odf = con.execute(_RFM_ORACLE).fetchdf()
+    scan = sorted(map(tuple, sdf[sorted(sdf.columns)].itertuples(index=False)))
+    ocan = sorted(map(tuple, odf[sorted(odf.columns)].itertuples(index=False)))
+    assert scan == ocan and len(scan) > 0

@@ -758,3 +758,45 @@ def test_incremental_minhash_band_cap_matches_batch_path(spark):
     # with 12 identical docs every band bucket holds 12 > 4: everything
     # is capped away on both paths
     assert inc.count() == 0
+
+
+def test_incremental_minhash_reingest_batch_wins(spark):
+    """round-12 ADVICE: a batch doc_id already present in the index
+    (re-ingest) must not produce duplicate (id, sig, sh) rows — the
+    batch's NEWER text replaces the stored index row, so the output
+    equals the batch path over (corpus-minus-reingested) UNION batch,
+    with no duplicate pairs."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog tonight again"),
+            (2, "completely different text about spark engines and tables"),
+            (3, "another unrelated sentence mentioning parquet manifests"),
+        ],
+        "doc_id long, text string",
+    )
+    # doc 1 RE-INGESTED with changed text; doc 10 is genuinely new
+    batch = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog yesterday"),
+            (10, "The quick brown fox jumps over the lazy dog yesterday too"),
+        ],
+        "doc_id long, text string",
+    )
+    index = D.minhash_doc_index(corpus).localCheckpoint(eager=True)
+    inc = D.incremental_minhash_near_dup(batch, index, threshold=0.3)
+    got = sorted(
+        (r["a_id"], r["b_id"], round(r["jaccard"], 9)) for r in inc.collect()
+    )
+    # no duplicate pairs
+    assert len(got) == len({(a, b) for a, b, _ in got})
+    # reference: batch path over corpus-without-doc-1 plus the batch
+    ref_docs = corpus.filter(F.col("doc_id") != 1).unionByName(batch)
+    ref = D.minhash_near_dup(ref_docs, threshold=0.3).filter(
+        F.col("a_id").isin(1, 10) | F.col("b_id").isin(1, 10)
+    )
+    want = sorted(
+        (r["a_id"], r["b_id"], round(r["jaccard"], 9)) for r in ref.collect()
+    )
+    assert got == want
+    assert (1, 10) in {(a, b) for a, b, _ in got}
+

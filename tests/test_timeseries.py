@@ -169,3 +169,20 @@ def test_cusum_alarms_hand_computed_and_plan(spark):
 
     keys = re.findall(r"hashpartitioning\(([a-zA-Z_0-9#]+)", plan)
     assert keys and all(k.startswith("user_id") for k in keys), keys
+
+
+def test_cusum_alarms_non_integral_group_key(spark):
+    """round-12 ADVICE: the output schema derives the key field's type
+    from the input, so a STRING group key works (the r11 kernel
+    hardcoded `long` and failed at runtime on anything non-integral)."""
+    from aeuc_vector_db_spark.operators.timeseries import cusum_alarms
+
+    rows = [
+        ("a", i, i, v) for i, v in enumerate([15, 20, 5, 40, 12, 9])
+    ] + [("b", i, 10 + i, 3) for i in range(4)]
+    df = spark.createDataFrame(rows, "src string, t long, eid long, v long")
+    out = cusum_alarms(df, "src", ("t", "eid"), "v", "eid", k=10, h=25)
+    assert out.schema["src"].dataType.simpleString() == "string"
+    got = {r["src"]: (r["n_events"], r["n_alarms"], r["first_alarm_id"])
+           for r in out.collect()}
+    assert got == {"a": (6, 1, 3), "b": (4, 0, None)}
