@@ -620,7 +620,7 @@ def ivf_range_search(
     vec_col: str = "embedding",
     eps: float = 1e-6,
     radii: "DataFrame | None" = None,
-    brute_floor: "float | None" = None,
+    brute_floor: "float | None" = 0.5,
 ) -> DataFrame:
     """EXACT-COMPLETE cosine radius search with IVF cell pruning — the
     thresholded companion to `ivf_search_batch` (FAISS `range_search`
@@ -662,19 +662,37 @@ def ivf_range_search(
     ``brute_floor`` (round 11, VERDICT r10 #4) makes that graceful
     degradation EXPLICIT instead of incidental: when set, a
     metadata-sized decision job (#queries × #cells kept-pair count —
-    beyond the radii aggregate the pruned plan needs anyway, never a
-    corpus scan) measures the cell prune rate, and if it falls below
-    the floor the operator runs the plain brute radius scan instead —
-    same scoring fold, same exact row set, but WITHOUT the per-cell
-    join bookkeeping that, at a radius admitting ~half the corpus,
-    adds overhead while pruning nothing (quantified in the PLANS.md
-    round-11 adversarial-radius soak). Callers serving repeated
-    batches should pass `radii` so the decision job costs only the
-    tiny queries × cells aggregate.
+    never a corpus scan) measures the cell prune rate, and if it falls
+    below the floor the operator runs the plain brute radius scan
+    instead — same scoring fold, same exact row set, but WITHOUT the
+    per-cell join bookkeeping that, at a radius admitting ~half the
+    corpus, adds overhead while pruning nothing (quantified in the
+    PLANS.md round-11 adversarial-radius soak: the prune LOSES ~5× at
+    47.7% admitted, and the fallback returns the bit-identical rows in
+    3.2 s). The DEFAULT is 0.5 since round 12 (VERDICT r11 #5): the
+    soak proved the degradation regime is real and the decision is
+    metadata-sized, so a naive caller must not hit the slow path by
+    default — pass ``brute_floor=None`` to opt out and force the
+    pruned plan unconditionally. The decision's inputs are computed
+    ONCE (round-12 ADVICE): when `radii` is None it is materialized
+    (tiny — one row per cell) before the decision so the returned plan
+    reuses it instead of re-running the corpus aggregate, and the
+    kept-pair set is likewise materialized so the decision count and
+    the fine scan share it. Callers serving repeated batches should
+    still pass `radii` to skip even that one corpus aggregate.
     """
     if not (-1.0 <= threshold <= 1.0):
         raise ValueError(f"cosine threshold must be in [-1, 1], got {threshold}")
     from aeuc_vector_db_spark.functions.vector import as_double, dot_col, l2_norm_col
+
+    if brute_floor is not None and radii is None:
+        # materialize the per-cell radii ONCE: the decision below and
+        # the returned pruned plan both read it; unmaterialized, the
+        # corpus aggregate would run twice (decision + execution) and
+        # be pure waste when the brute path wins (round-12 ADVICE)
+        radii = cell_radii(
+            corpus_with_cells, centroids, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)
 
     corpus, kept = _range_prune(
         corpus_with_cells, centroids, queries, threshold, eps, id_col, vec_col,
@@ -694,6 +712,9 @@ def ivf_range_search(
             else len(centroids)
         )
         n_q = queries.count()
+        # kept is queries × cells at most — materialize so the decision
+        # count and the fine-scan broadcast share one computation
+        kept = kept.localCheckpoint(eager=True)
         n_kept = kept.count()
         prune_rate = 1.0 - (n_kept / float(max(n_q * n_cells, 1)))
         if prune_rate < brute_floor:

@@ -570,6 +570,11 @@ def _ivf_radius_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = A.ivf_range_search(
         corpus, cent_local, _queries_df(spark, sf_dir),
         threshold=_RANGE_THRESHOLD,
+        # opt out of the (round-12) default brute_floor fallback: this
+        # query IS the prune-completeness proof — the oracle is the
+        # brute-force radius SQL, so the hash match only certifies the
+        # triangle-inequality prune if the pruned plan actually runs
+        brute_floor=None,
     )
     return res.select("query_id", "vec_id", F.round("score", 9).alias("score"))
 

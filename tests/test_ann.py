@@ -783,11 +783,13 @@ def test_ivf_range_search_validation_and_plan(spark, embeddings):
 
 
 def test_ivf_range_search_brute_floor_fallback(spark):
-    """brute_floor (round 11, VERDICT r10 #4): an adversarially wide
-    radius (threshold -1 admits everything, prune rate 0) must take the
-    brute path — same exact rows, a broadcast nested-loop plan with no
-    per-cell hash join — while a floor of 0 (never triggers, prune_rate
-    >= 0) keeps the pruned plan."""
+    """brute_floor (round 11, VERDICT r10 #4; DEFAULT-ON since round 12,
+    VERDICT r11 #5): an adversarially wide radius (threshold -1 admits
+    everything, prune rate 0) must take the brute path BY DEFAULT —
+    same exact rows, a broadcast nested-loop plan with no per-cell hash
+    join. `brute_floor=None` is the opt-out that pins the pruned plan
+    unconditionally, and a floor of 0 (never triggers, prune_rate >= 0)
+    also keeps it."""
     from aeuc_vector_db_spark.operators import ann as A
 
     corpus = _clustered_corpus(spark)
@@ -798,15 +800,26 @@ def test_ivf_range_search_brute_floor_fallback(spark):
         "query_id long, query_embedding array<double>",
     )
     t = -1.0  # admits the whole corpus; no cell can be pruned
-    pruned = A.ivf_range_search(with_cells, cent, queries, threshold=t,
-                                brute_floor=0.0)
-    brute = A.ivf_range_search(with_cells, cent, queries, threshold=t,
-                               brute_floor=0.5)
+    pruned_none = A.ivf_range_search(with_cells, cent, queries, threshold=t,
+                                     brute_floor=None)
+    pruned_zero = A.ivf_range_search(with_cells, cent, queries, threshold=t,
+                                     brute_floor=0.0)
+    brute = A.ivf_range_search(with_cells, cent, queries, threshold=t)
     key = lambda r: (r["query_id"], r["vec_id"], round(r["score"], 9))  # noqa: E731
-    got_p = sorted(map(key, pruned.collect()))
+    got_n = sorted(map(key, pruned_none.collect()))
+    got_z = sorted(map(key, pruned_zero.collect()))
     got_b = sorted(map(key, brute.collect()))
-    assert got_p == got_b and len(got_p) == 2 * corpus.count()
+    assert got_n == got_z == got_b and len(got_b) == 2 * corpus.count()
     plan_b = brute._jdf.queryExecution().executedPlan().toString()
-    plan_p = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan_b
-    assert "BroadcastHashJoin" in plan_p
+    assert "BroadcastNestedLoopJoin" in plan_b, "default must take brute path"
+    # discriminator: the pruned plans hash-join the corpus to the kept
+    # pairs ON centroid_id; the brute plan has no centroid_id join (its
+    # only hash join is the test input's own vec_id lineage, and its
+    # final join is the cross with the broadcast queries)
+    import re as _re
+
+    cell_join = _re.compile(r"BroadcastHashJoin \[centroid_id")
+    assert not cell_join.search(plan_b)
+    for pruned in (pruned_none, pruned_zero):
+        plan_p = pruned._jdf.queryExecution().executedPlan().toString()
+        assert cell_join.search(plan_p)

@@ -113,14 +113,19 @@ def main() -> int:
         n_kept = kept.count()
         prune_rate = 1.0 - n_kept / float(NQ * K)
 
+        # brute_floor=None pins the PRUNED plan (round 12 made the
+        # fallback the default): these measurements exist to quantify
+        # the prune itself across the admit spectrum
         t0 = time.time()
         n1, h1 = agg_check(
-            A.ivf_range_search(cwc, cent_local, queries, thr, radii=radii)
+            A.ivf_range_search(cwc, cent_local, queries, thr, radii=radii,
+                               brute_floor=None)
         )
         pruned_first = time.time() - t0
         t0 = time.time()
         n1b, _ = agg_check(
-            A.ivf_range_search(cwc, cent_local, queries, thr, radii=radii)
+            A.ivf_range_search(cwc, cent_local, queries, thr, radii=radii,
+                               brute_floor=None)
         )
         pruned_repeat = time.time() - t0
 
@@ -158,17 +163,16 @@ def main() -> int:
         out.append(rec)
         print(json.dumps(rec))
 
-    # brute_floor fallback at the widest radius: must take the brute
-    # path (prune_rate < floor) and return the identical result
+    # brute_floor fallback at the widest radius: the DEFAULT call
+    # (round 12: brute_floor defaults to 0.5) must take the brute path
+    # (prune_rate < floor) and return the identical result
     thr = targets[-1][1]
     t0 = time.time()
     nf, hf = agg_check(
-        A.ivf_range_search(
-            cwc, cent_local, queries, thr, radii=radii, brute_floor=0.5
-        )
+        A.ivf_range_search(cwc, cent_local, queries, thr, radii=radii)
     )
     fb = {
-        "fallback_floor": 0.5,
+        "fallback_floor": "default-0.5",
         "threshold": round(thr, 6),
         "fallback_s": round(time.time() - t0, 2),
         "matches_brute": (nf, hf) == last_brute,
