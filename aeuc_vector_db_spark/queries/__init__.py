@@ -73,76 +73,12 @@ for _mod_name in (
 # in-repo between their driver rows. COVERAGE.md maps each query to the
 # round whose CORRECTNESS file holds its green row.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-11 window, positions 1-50 (VERDICT r10 #2) ---
-    # Positions 1-12: the r7-window stragglers — the clustering family
-    # and the doc text-stats singles, whose newest driver rows are
-    # CORRECTNESS_r07 (4 rounds stale at r11, the oldest anywhere in
-    # the registry); each re-verified green in the round-11 full local
-    # sweep before this rotation.
-    "centroids_by_label",
-    "inertia_by_label",
-    "form_pglyphs_by_label",
-    "phi_bands",
-    "auto_cluster_phi",
-    "doc_token_stats",
-    "doc_term_frequencies",
-    "doc_tfidf_topk",
-    "doc_bigram_topk",
-    "doc_language_id",
-    "doc_quality_score",
-    "doc_fingerprint",
-    # Positions 13-18: new in round 11 (never had a driver row):
-    # the declared star-contraction components query, the native-codec
-    # canary, the incremental MinHash dedup-index query, the
-    # cross-source contamination matrix, the CUSUM change-point
-    # detector, and the weighted priority sample.
-    "rel_trade_components",
-    "multimodal_codec_canary",
-    "doc_incremental_minhash_dedup",
-    "doc_cross_source_contamination",
-    "events_cusum_alarms",
-    "doc_weighted_sample",
-    # Positions 19-50: 32 of the 50 queries whose newest driver row is
-    # CORRECTNESS_r08 (3 rounds stale at r11). The 18 that do not fit
-    # (the alphabetical tail — all from the heavily-redundant rel_*
-    # family plus sql_entry_hll_distinct) are queued right after
-    # position 50, first in line for r12; they stay covered by the
-    # in-repo full sweep meanwhile.
-    "ann_pq_refine_recall",
-    "core_stability_composite",
-    "delete_recompute",
-    "doc_bm25_indexed_topk",
-    "doc_bpe_tokenize",
-    "doc_curriculum_order",
-    "doc_leakproof_kfold",
-    "doc_prefix_edit1_pairs",
-    "doc_quality_gate_sketch",
-    "doc_vocab_overlap_hll",
-    "emb_drift_split_stats",
-    "emb_matryoshka_topk",
-    "emb_mmr_rerank",
-    "emb_semantic_dedup_keep_one",
-    "emb_semantic_dedup_learned",
-    "events_cohort_retention",
-    "events_funnel_conversion",
-    "events_resample_locf",
-    "events_scd2_point_in_time",
-    "events_sessionize",
-    "events_value_outliers_mad",
-    "events_windowed_hll",
-    "ivf_incremental_search",
-    "ivf_pruned_search",
-    "knn_cosine_topk",
-    "knn_maxsim_topk",
-    "manifest_merge_clauses_read",
-    "manifest_ndv_read",
-    "multimodal_audio_near_dup",
-    "multimodal_image_near_dup",
-    "rel_big_volume_customers",
-    "rel_bloom_semijoin_revenue",
-    # --- positions ≥ 51: everything below stays covered by the
-    # in-repo full sweeps between driver rows. First in line for r12:
-    # the r8-window tail here, then the r9-window set rotates back in.
+    # --- round-12 window, positions 1-50 (VERDICT r11 #4) ---
+    # Positions 1-18: the r8-window tail — the rel_* alphabetical
+    # remainder plus sql_entry_hll_distinct, whose newest driver rows
+    # are CORRECTNESS_r08 (4 rounds stale at r12, the oldest anywhere
+    # in the registry); each re-verified green in the round-12 full
+    # local sweep before this rotation.
     "rel_cheapest_part_offer",
     "rel_disjunctive_promo_revenue",
     "rel_exists_late_shipment",
@@ -161,6 +97,69 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_volume_shipping",
     "rel_waiting_suppliers",
     "sql_entry_hll_distinct",
+    # Position 19: new in round 12 (never had a driver row): the
+    # bucketed incremental-dedup serve path (VERDICT r11 #1), hash-
+    # checked against the same full-recompute oracle as the flat path.
+    "doc_incremental_minhash_bucketed",
+    # Positions 20-50: the alphabetical head (31) of the 50 queries
+    # whose newest driver row is CORRECTNESS_r09 (3 rounds stale at
+    # r12). The 19 that do not fit (manifest_dnf_skipping_read …
+    # two_level_search, alphabetical tail) are queued right after
+    # position 50, first in line for r13; they stay covered by the
+    # in-repo full sweep meanwhile.
+    "ann_ivf_recall",
+    "ann_ivfadc_recall",
+    "ann_pq_recall",
+    "doc_bm25_topk",
+    "doc_clean_corpus_pipeline",
+    "doc_decontaminate",
+    "doc_epoch_shuffle",
+    "doc_heavy_hitters",
+    "doc_hybrid_rrf_topk",
+    "doc_leakproof_split",
+    "doc_pii_scrub",
+    "doc_repetition_ratio",
+    "doc_sequence_pack",
+    "doc_source_rebalance",
+    "doc_source_token_budget",
+    "doc_stratified_sample",
+    "doc_unigram_logprob",
+    "doc_winnowing_fingerprint",
+    "emb_pca_project",
+    "emb_quantize_int8",
+    "embedding_normalize",
+    "events_hourly_window",
+    "events_json_props",
+    "export_ordered",
+    "import_dedup",
+    "ivf_arrow_pruned_search",
+    "knn_cosine_range",
+    "knn_dot_topk",
+    "knn_euclidean_topk",
+    "manifest_bucketed_dv_read",
+    "manifest_cdc_incremental_agg",
+    # --- positions ≥ 51: everything below stays covered by the
+    # in-repo full sweeps between driver rows. First in line for r13:
+    # the r9-window tail here, then the r10-window set rotates back in.
+    "manifest_dnf_skipping_read",
+    "manifest_in_skipping_read",
+    "manifest_incremental_read",
+    "manifest_merge_read",
+    "manifest_null_skipping_read",
+    "manifest_schema_evolution_read",
+    "multimodal_feature_stats",
+    "multimodal_transform_stats",
+    "rel_late_order_priority",
+    "rel_parts_never_ordered",
+    "rel_pricing_summary",
+    "rel_product_type_profit",
+    "rel_returned_item_revenue",
+    "rel_revenue_by_nation",
+    "rel_top_orders_per_customer",
+    "rel_top_revenue_orders",
+    "sql_entry_knn_cosine",
+    "sql_entry_pricing",
+    "two_level_search",
 )
 
 

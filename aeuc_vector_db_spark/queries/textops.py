@@ -402,6 +402,40 @@ def _doc_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     return pairs.select("a_id", "b_id", F.round("jaccard", 9).alias("jaccard"))
 
 
+def _doc_incremental_minhash_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-12 bucketed serve path (VERDICT r11 #1): same
+    corpus/batch split and the SAME oracle as
+    `doc_incremental_minhash_dedup`, but the corpus band rows come from
+    a catalog table bucketed on bkey (`write_minhash_band_table`) —
+    the static-side-pre-bucketed join where only the batch side
+    shuffles. The hash match against the full-recompute oracle proves
+    the bucketed plan loses nothing; the corpus-side Exchange-free
+    property is plan-gated in test_bucketed_join.py and soaked at 200k
+    docs in tools/soak_incremental_dedup_bucketed.py."""
+    full = _near_dup_corpus(spark, sf_dir)
+    is_batch = (F.col("doc_id") % 100000) % 5 == 0
+    index = D.minhash_doc_index(full.filter(~is_batch)).localCheckpoint(
+        eager=True
+    )
+    table = "q_minhash_bands"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a previous SESSION's managed-table directory can survive with no
+    # catalog entry (in-memory catalog, on-disk warehouse) and then
+    # fail the write with LOCATION_ALREADY_EXISTS — clear the orphan
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    shutil.rmtree(os.path.join(wh.path or wh.geturl(), table), ignore_errors=True)
+    D.write_minhash_band_table(index, table, n_buckets=16)
+    pairs = D.incremental_minhash_near_dup_bucketed(
+        full.filter(is_batch), index, table, threshold=0.5, k=8,
+        band_size=2, shingle_n=3,
+    )
+    return pairs.select("a_id", "b_id", F.round("jaccard", 9).alias("jaccard"))
+
+
 _INCREMENTAL_MINHASH_ORACLE = f"""
 WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}),
 sh AS (
@@ -1846,6 +1880,8 @@ QUERIES = {
     "doc_minhash_capped": (_doc_minhash_capped, _MINHASH_CAPPED_ORACLE),
     "doc_incremental_minhash_dedup": (_doc_incremental_minhash_dedup,
                                       _INCREMENTAL_MINHASH_ORACLE),
+    "doc_incremental_minhash_bucketed": (_doc_incremental_minhash_bucketed,
+                                         _INCREMENTAL_MINHASH_ORACLE),
     "doc_ngram_jaccard": (_doc_ngram_jaccard, _NGRAM_JACCARD_ORACLE),
     "emb_near_dup_cosine": (_emb_near_dup, _EMB_NEAR_DUP_ORACLE),
     "emb_semantic_dedup_keep_one": (_emb_semantic_dedup, _SEMANTIC_DEDUP_ORACLE),

@@ -62,3 +62,71 @@ def test_bucketed_tables_join_without_exchange(spark, no_broadcast):
     finally:
         for t in ("t_bj_orders", "t_bj_customer"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_minhash_band_table_serves_without_corpus_exchange(spark, no_broadcast):
+    """VERDICT r11 #1: the bucketed MinHash band table must make the
+    incremental-dedup serve path Exchange-free on the CORPUS side —
+    (a) the hot-band cap aggregate over the table runs with zero
+    Exchange (the bucketed scan's HashPartitioning(bkey) already
+    satisfies the groupBy distribution), (b) the candidate join
+    shuffles exactly one side (the batch), with the same join over a
+    non-bucketed copy shuffling both (the control), and (c) the
+    end-to-end bucketed serve returns the identical pair set as the
+    flat incremental path."""
+    from aeuc_vector_db_spark.operators import dedup as D
+
+    rows = [
+        (i, f"shared boilerplate prefix tokens alpha beta gamma delta {i % 7} "
+            f"tail {i}")
+        for i in range(1, 41)
+    ]
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    is_batch = F.col("doc_id") % 5 == 0
+    corpus, batch = full.filter(~is_batch), full.filter(is_batch)
+    index = D.minhash_doc_index(corpus).localCheckpoint(eager=True)
+    t = "t_bj_minhash_bands"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        D.write_minhash_band_table(index, t, n_buckets=8)
+
+        # (a) the cap aggregate over the table: zero Exchange
+        agg = spark.table(t).groupBy("bkey", "band", "vals").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan, aplan
+
+        # (b) candidate join: one Exchange (batch side), corpus side fed
+        # by the bucketed scan
+        new_index = D.minhash_doc_index(batch)
+        nb = D.minhash_band_rows_keyed(new_index)
+        j = nb.select(F.col("doc_id").alias("x"), "bkey").join(
+            spark.table(t).select(F.col("doc_id").alias("y"), "bkey"), "bkey"
+        )
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in jplan
+        assert jplan.count("Exchange hashpartitioning") == 1, jplan
+        # control: same join against a non-bucketed copy shuffles BOTH
+        flat_bands = D.minhash_band_rows_keyed(index).localCheckpoint(eager=True)
+        cj = nb.select(F.col("doc_id").alias("x"), "bkey").join(
+            flat_bands.select(F.col("doc_id").alias("y"), "bkey"), "bkey"
+        )
+        cplan = cj._jdf.queryExecution().executedPlan().toString()
+        assert cplan.count("Exchange hashpartitioning") >= 2, cplan
+
+        # (c) identical pair set, with and without the hot-band cap
+        key = lambda r: (r["a_id"], r["b_id"], round(r["jaccard"], 9))  # noqa: E731
+        for cap in (None, 6):
+            bk = D.incremental_minhash_near_dup_bucketed(
+                batch, index, t, threshold=0.3, max_band_size=cap
+            )
+            fl = D.incremental_minhash_near_dup(
+                batch, index, threshold=0.3, max_band_size=cap
+            )
+            got = sorted(map(key, bk.collect()))
+            want = sorted(map(key, fl.collect()))
+            assert got == want
+            assert got, "planted near-dups must survive"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -1,0 +1,149 @@
+"""Bucketed incremental-dedup scale soak (round 12, VERDICT r11 #1).
+
+Claim under test (operators/dedup.py write_minhash_band_table /
+incremental_minhash_near_dup_bucketed): persisting the corpus band rows
+as a catalog table BUCKETED on bkey removes the per-batch corpus-side
+shuffle the flat incremental path still paid (its band rows reshuffled
+on the band key for the hot-band cap count and the candidate join every
+served batch — per-batch cost growing with corpus size). Same synthetic
+corpus as tools/soak_incremental_dedup.py (200k docs, planted near-dups
+crossing the corpus/batch split); this soak:
+
+  1. writes the (id, sig, sh) index to parquet (both serve paths read
+     it from DISK — as deployed; no in-memory head start) and the
+     bucketed band table over the 160k corpus side (timed —
+     index-build work, paid once);
+  2. serves the 40k batch three ways — bucketed, flat incremental, and
+     full recompute — asserting the IDENTICAL pair set (count + xxhash
+     sum) across all three;
+  3. plan-gates the candidate join: with broadcast disabled it must
+     shuffle exactly ONE side (the batch), the table side feeding
+     straight from the bucketed scan.
+
+Prints JSON lines; results go to PLANS.md (round-12 section).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from aeuc_vector_db_spark.operators import dedup as D  # noqa: E402
+from aeuc_vector_db_spark.session import get_spark  # noqa: E402
+
+N = 200_000
+WORDS = [f"w{i:04d}" for i in range(4096)]
+TABLE = "soak_minhash_bands"
+
+
+def main() -> int:
+    spark = get_spark("soak-incremental-dedup-bucketed")
+    vocab = F.array(*[F.lit(w) for w in WORDS])
+    # identical generator to soak_incremental_dedup.py: 30-word docs,
+    # per-group 25-word shared prefix (planted near-dups), the
+    # (g div 64)*i*i term keeps prefixes unique per group
+    g = (F.col("id") / 2).cast("long")
+
+    def word_at(i: int):
+        jitter = F.col("id") if i >= 25 else F.lit(0)
+        idx = (
+            (g * 7 + i * 3 + (g / 64).cast("long") * (i * i) + jitter)
+            % 4096 + 1
+        ).cast("int")
+        return F.element_at(vocab, idx)
+
+    docs = spark.range(1, N + 1).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[word_at(i) for i in range(30)]).alias("text"),
+    ).localCheckpoint(eager=True)
+    is_batch = F.col("doc_id") % 5 == 0
+    corpus = docs.filter(~is_batch)
+    batch = docs.filter(is_batch)
+    n_corpus, n_batch = corpus.count(), batch.count()
+
+    # the index lives on DISK, as deployed (a 100 TB corpus's index
+    # does not fit in executor memory): both serve paths read the same
+    # parquet, so neither gets an in-memory head start
+    root = tempfile.mkdtemp(prefix="soak_bk_idx_")
+    t0 = time.time()
+    D.minhash_doc_index(corpus).write.parquet(f"{root}/index")
+    index = spark.read.parquet(f"{root}/index")
+    index_build_s = time.time() - t0
+    spark.sql(f"DROP TABLE IF EXISTS {TABLE}")
+    t0 = time.time()
+    D.write_minhash_band_table(index, TABLE, n_buckets=32)
+    band_write_s = time.time() - t0
+
+    def agg_check(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(F.col("a_id"), F.col("b_id")).cast("decimal(20,0)")
+            ).alias("h"),
+        ).collect()[0]
+        return int(r["n"]), int(r["h"] or 0)
+
+    def timed(df):
+        t0 = time.time()
+        n, h = agg_check(df)
+        return time.time() - t0, n, h
+
+    bk_df = D.incremental_minhash_near_dup_bucketed(
+        batch, index, TABLE, threshold=0.5, max_band_size=64
+    )
+    inc_df = D.incremental_minhash_near_dup(
+        batch, index, threshold=0.5, max_band_size=64
+    )
+    full_df = D.minhash_near_dup(docs, threshold=0.5, max_band_size=64).filter(
+        (F.col("a_id") % 5 == 0) | (F.col("b_id") % 5 == 0)
+    )
+    # warm codegen/worker bring-up once, then measure
+    agg_check(bk_df.limit(1000))
+    bk_s, bk_n, bk_h = timed(bk_df)
+    inc_s, inc_n, inc_h = timed(inc_df)
+    full_s, full_n, full_h = timed(full_df)
+
+    # plan gate: candidate join shuffles only the batch side
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        nb = D.minhash_band_rows_keyed(D.minhash_doc_index(batch))
+        j = nb.select(F.col("doc_id").alias("x"), "bkey").join(
+            spark.table(TABLE).select(F.col("doc_id").alias("y"), "bkey"),
+            "bkey",
+        )
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+        one_exchange = jplan.count("Exchange hashpartitioning") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    out = {
+        "n_corpus": n_corpus,
+        "n_batch": n_batch,
+        "index_build_s": round(index_build_s, 2),
+        "band_table_write_s": round(band_write_s, 2),
+        "bucketed_s": round(bk_s, 2),
+        "incremental_flat_s": round(inc_s, 2),
+        "full_recompute_s": round(full_s, 2),
+        "speedup_vs_full": round(full_s / bk_s, 2) if bk_s > 0 else None,
+        "speedup_vs_flat": round(inc_s / bk_s, 2) if bk_s > 0 else None,
+        "pairs": bk_n,
+        "match": (bk_n, bk_h) == (inc_n, inc_h) == (full_n, full_h),
+        "corpus_side_exchange_free": one_exchange,
+    }
+    print(json.dumps(out))
+    spark.sql(f"DROP TABLE IF EXISTS {TABLE}")
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+    return 0 if out["match"] and out["corpus_side_exchange_free"] and bk_n > 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
