@@ -344,11 +344,13 @@ def write_minhash_band_table(
     BATCH side shuffles — per-batch cost tracks the batch, with one
     map-only streaming pass over the corpus bands.
 
-    Maintenance contract: after serving a batch, append its band rows
-    (`minhash_band_rows_keyed(new_index)`) with
-    ``.write.bucketBy(n_buckets, "bkey").sortBy("bkey")
-    .mode("append").insertInto/saveAsTable`` so the table stays the
-    full-corpus band set (same n_buckets — Spark enforces the spec)."""
+    Maintenance contract: after serving a batch, fold it in with
+    `append_minhash_band_table` (same bucket spec, enforced by Spark)
+    so the table stays the full-corpus band set; appends add one file
+    per touched bucket, so periodically rewrite via this function
+    (mode overwrite of the same name) to restore the one-file-per-
+    bucket layout the sort elision wants — the same epoch-debt
+    compaction story as BucketedManifestTable.compact_small."""
     rows = minhash_band_rows_keyed(index, id_col, k, band_size)
     # repartition by bkey into exactly n_buckets partitions BEFORE the
     # bucketed write: repartition's HashPartitioning is the same
@@ -363,6 +365,42 @@ def write_minhash_band_table(
         .write.bucketBy(n_buckets, "bkey")
         .sortBy("bkey")
         .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+
+
+def append_minhash_band_table(
+    new_index: DataFrame,
+    table_name: str,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    k: int = 8,
+    band_size: int = 2,
+) -> None:
+    """Fold a served batch's band rows into an existing bucketed band
+    table — the maintenance half of the incremental-dedup contract:
+    serve batch N against the table, then append batch N so batch N+1
+    dedups against corpus ∪ batch N without any rebuild.
+
+    The append writes bucket-correctly (Spark validates the spec
+    against the catalog — a mismatched n_buckets raises rather than
+    mis-bucketing, the BucketedManifestTable lesson), so joins stay
+    corpus-shuffle-free across appends. Each append adds one file per
+    touched bucket; multi-file buckets still join Exchange-free but
+    lose the single-file sort elision, so after many epochs rewrite
+    the table once from the full index (`write_minhash_band_table`,
+    mode overwrite) — compaction IO tracks epoch debt, never corpus
+    size beyond the one rewrite. Callers pass the SAME n_buckets as
+    the original write; `id_col`/`k`/`band_size` must also match or
+    the stored band space is inconsistent (not detectable from the
+    rows — the caller owns index parameters, as with every LSH
+    parameter in this module)."""
+    rows = minhash_band_rows_keyed(new_index, id_col, k, band_size)
+    (
+        rows.repartition(n_buckets, F.col("bkey"))
+        .write.bucketBy(n_buckets, "bkey")
+        .sortBy("bkey")
+        .mode("append")
         .saveAsTable(table_name)
     )
 

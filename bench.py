@@ -138,6 +138,11 @@ HEADLINE = (
     "doc_cross_source_contamination",
     "events_cusum_alarms",
     "doc_weighted_sample",
+    # round 12: the bucketed incremental-dedup serve path. The table
+    # write happens at DataFrame-build time, so `cold` carries
+    # build+write and `hot` is the pure serve — the number to compare
+    # against doc_incremental_minhash_dedup's hot
+    "doc_incremental_minhash_bucketed",
 )
 
 
@@ -355,16 +360,8 @@ def main() -> None:
                 spark.stop()
 
     load_at_headline = _loadavg()
-    spark = get_spark("bench-headline")
     registry = Q.queries()
-
-    # Warm the JVM/codegen/Arrow/python-worker paths once with real code
-    # paths at the smallest sf so the first measured query doesn't pay
-    # session bring-up (the baseline numbers are warm-loop measurements).
     warm_dir = "/root/testdata/sf0.001"
-    for warm_q in ("knn_cosine_topk", "knn_phi_topk"):
-        if warm_q in registry:
-            registry[warm_q](spark, warm_dir).collect()
 
     # BASELINE.md methodology is warm-loop latency (the reference scores
     # in-memory after JIT warm-up), so the comparable number is the hot
@@ -376,48 +373,102 @@ def main() -> None:
     # execution with the plan already compiled, which is both how a
     # serving system runs (plan reuse) and what the warm-loop baseline
     # measures.
-    per_query: dict[str, float] = {}
-    cold_query: dict[str, float] = {}
-    total = 0.0
-    measured = 0
-    for name in HEADLINE:
-        fn = registry.get(name)
-        if fn is None:
-            continue
-        # Bound session aging: round 4's phantom warm regressions
-        # (export_ordered 0.056→0.286 s, events_sessionize +27%) vanished
-        # in isolated fresh sessions (r5: 0.086 s / 0.374 s) — the drift
-        # is accumulated driver/Python-worker state in the shared bench
-        # session, not the plans. A restart every 8 queries caps how much
-        # aging any query's warm loop can absorb.
-        if measured and measured % 8 == 0:
-            spark.stop()
-            spark = get_spark(f"bench-{measured}")
-            for warm_q in ("knn_cosine_topk", "knn_phi_topk"):
-                if warm_q in registry:
-                    registry[warm_q](spark, warm_dir).collect()
-        measured += 1
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        rows = df.collect()
-        cold = time.time() - t0
-        # min of 3 re-collects: single-run timings at the ~50 ms action
-        # floor carry ±30 ms scheduler jitter (PLANS.md), which previously
-        # produced phantom per-metric regressions (e.g. "dot 2× cosine")
-        hot = float("inf")
-        for _ in range(3):
+    def _headline_pass(tag: str) -> tuple[dict, dict]:
+        # Warm the JVM/codegen/Arrow/python-worker paths once with real
+        # code paths at the smallest sf so the first measured query
+        # doesn't pay session bring-up.
+        spark = get_spark(tag)
+        for warm_q in ("knn_cosine_topk", "knn_phi_topk"):
+            if warm_q in registry:
+                registry[warm_q](spark, warm_dir).collect()
+        hot_q: dict[str, float] = {}
+        cold_q: dict[str, float] = {}
+        measured = 0
+        for name in HEADLINE:
+            fn = registry.get(name)
+            if fn is None:
+                continue
+            # Bound session aging: round 4's phantom warm regressions
+            # (export_ordered 0.056→0.286 s, events_sessionize +27%)
+            # vanished in isolated fresh sessions (r5: 0.086 s /
+            # 0.374 s) — the drift is accumulated driver/Python-worker
+            # state in the shared bench session, not the plans. A
+            # restart every 8 queries caps how much aging any query's
+            # warm loop can absorb.
+            if measured and measured % 8 == 0:
+                spark.stop()
+                spark = get_spark(f"{tag}-{measured}")
+                for warm_q in ("knn_cosine_topk", "knn_phi_topk"):
+                    if warm_q in registry:
+                        registry[warm_q](spark, warm_dir).collect()
+            measured += 1
             t0 = time.time()
+            df = fn(spark, SF_DIR)
             rows = df.collect()
-            hot = min(hot, time.time() - t0)
-        per_query[name] = round(hot, 4)
-        cold_query[name] = round(cold, 4)
-        total += hot
-        print(f"# {name}: hot {hot:.3f}s / cold {cold:.3f}s ({len(rows)} rows)",
-              file=sys.stderr)
+            cold = time.time() - t0
+            # min of 3 re-collects: single-run timings at the ~50 ms
+            # action floor carry ±30 ms scheduler jitter (PLANS.md),
+            # which previously produced phantom per-metric regressions
+            # (e.g. "dot 2× cosine")
+            hot = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                rows = df.collect()
+                hot = min(hot, time.time() - t0)
+            hot_q[name] = round(hot, 4)
+            cold_q[name] = round(cold, 4)
+            print(
+                f"# {tag} {name}: hot {hot:.3f}s / cold {cold:.3f}s "
+                f"({len(rows)} rows)",
+                file=sys.stderr,
+            )
+        spark.stop()
+        return hot_q, cold_q
+
+    # The headline block runs TWICE with loop stamps at the pass
+    # boundaries (VERDICT r11 #3): single-sample entries produced nine
+    # phantom >1.3x regressions in round 11 with zero changed code —
+    # the same best-of-N + stamp treatment the gated probes already
+    # have makes the per-query numbers capability measurements
+    # (interference is one-sided slow, so min-of-passes is the honest
+    # pick and every pass's numbers land in BENCH_DETAIL.json).
+    HEADLINE_TRIES = 2
+    headline_stamps = [_loop_stamp()]
+    passes: list[dict[str, float]] = []
+    cold_query: dict[str, float] = {}
+    for i in range(HEADLINE_TRIES):
+        hot_q, cold_q = _headline_pass(f"bench-headline-p{i}")
+        passes.append(hot_q)
+        if not cold_query:
+            # only the FIRST pass's cold is a true cold (later passes
+            # reuse compiled codegen classes across sessions)
+            cold_query = cold_q
+        headline_stamps.append(_loop_stamp())
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        vals = [p[name] for p in passes if name in p]
+        if vals:
+            per_query[name] = min(vals)
+    total = sum(per_query.values())
 
     ingest_rate = results["bench-probe-ingest"]
     knn_scale = results["bench-probe-knn"]
     wire_stats = results["bench-probe-wire"]
+
+    # median-of-attempts rides NEXT TO best-of-N (round-12 ADVICE: max
+    # rate + upward-only normalization both bias one way; the median is
+    # the unbiased companion the reader can cross-check)
+    def _median(xs):
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+    def _probe_median(tag):
+        vals = [
+            GATED_PROBES[tag](a["result"])
+            for a in gated_cal[tag]["attempts"]
+        ]
+        return round(_median(vals), 1)
 
     # cal-normalized headline rates (VERDICT r10 #1): raw stays primary,
     # the normalized twin + the engine-independent stamp it used ride
@@ -428,6 +479,7 @@ def main() -> None:
     ingest_rate = dict(
         ingest_rate,
         fixture_norm=_cal_norm(ingest_rate["fixture"], ing_stamp),
+        fixture_med=_probe_median("bench-probe-ingest"),
         cal=ing_stamp,
         tries=gated_cal["bench-probe-ingest"]["tries"],
     )
@@ -436,8 +488,12 @@ def main() -> None:
         pair_scores_per_s_norm=_cal_norm(
             knn_scale["pair_scores_per_s"], knn_stamp
         ),
+        pair_scores_per_s_med=_probe_median("bench-probe-knn"),
         cal=knn_stamp,
         tries=gated_cal["bench-probe-knn"]["tries"],
+    )
+    wire_stats = dict(
+        wire_stats, wire_rows_per_s_med=_probe_median("bench-probe-wire")
     )
     cluster_scale = results["bench-probe-cluster"]
     dedup_skew = results["bench-probe-dedup"]
@@ -474,6 +530,12 @@ def main() -> None:
         # where their timings live on)
         "hot_queries": per_query,
         "cold_queries": cold_query,
+        # per-pass hot maps + the loop stamps bracketing each pass
+        # (VERDICT r11 #3): per_query is min across passes; a phantom
+        # regression now needs BOTH passes slow with clean stamps
+        "hot_queries_passes": passes,
+        "headline_tries": HEADLINE_TRIES,
+        "headline_stamps": headline_stamps,
         "ingest_rows_per_s": ingest_rate,
         "knn_scale": knn_scale,
         "cluster_scale": cluster_scale,
@@ -516,17 +578,23 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in per_query.items()},
         "sf": sf_val,
+        # best-of-N headline block: per-query min across this many
+        # full passes, each bracketed by a loop stamp (VERDICT r11 #3;
+        # stamps rounded for the line — full precision in the detail)
+        "headline_tries": HEADLINE_TRIES,
+        "headline_stamps": [round(s, 2) for s in headline_stamps],
         "loadavg_start": load_at_start,
         # compact: [python_loop_1e7_s, numpy_matmul_1024_s] — the box-
         # speed stamp must survive line pruning, so keep it tiny
         "cal": [cpu_cal["python_loop_1e7_s"], cpu_cal["numpy_matmul_1024_s"]],
         "probe_order": "pre-headline",
         "ingest_rows_per_s": ingest_rate,
+        # compact on the LINE: the gated headline rate + its norm/med/
+        # stamp; the long-stable pq/binary twins live in BENCH_DETAIL
         "knn_scale": {
             "pair_scores_per_s": knn_scale["pair_scores_per_s"],
-            "pq_pair_scores_per_s": knn_scale["pq_pair_scores_per_s"],
-            "binary_pair_scores_per_s": knn_scale["binary_pair_scores_per_s"],
             "norm": knn_scale["pair_scores_per_s_norm"],
+            "med": knn_scale["pair_scores_per_s_med"],
             "cal": knn_scale["cal"],
         },
         "wire_rows_per_s": wire_stats["wire_rows_per_s"],
@@ -598,6 +666,24 @@ QUERY_PRUNE_ORDER = (
     "doc_minhash_near_dup",
     "ivf_pruned_search",
     "events_scd2_point_in_time",
+    # extended in round 12 (headline_tries/stamps + the r12 queries
+    # grew the line past what the r9 prune list could absorb — the
+    # first r12 trial line silently lost knn_scale, a gated headline
+    # claim): more long-stable r9 veterans, flat for 3+ rounds
+    "events_cohort_retention",
+    "events_value_outliers_mad",
+    "rel_market_share_customers",
+    "rel_top_quarter_supplier",
+    "emb_drift_split_stats",
+    "rel_product_type_profit",
+    "rel_returned_item_revenue",
+    "knn_cosine_range",
+    "rel_part_supplier_variety",
+    "events_value_trend_ols",
+    "doc_token_diversity",
+    "events_transition_matrix",
+    "rel_part_skyline",
+    "rel_peak_open_orders_hist",
 )
 
 

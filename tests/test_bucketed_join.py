@@ -130,3 +130,71 @@ def test_minhash_band_table_serves_without_corpus_exchange(spark, no_broadcast):
             assert got, "planted near-dups must survive"
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_minhash_band_table_append_epoch_parity(spark, no_broadcast):
+    """append_minhash_band_table (round 12): serving batch N and then
+    FOLDING it in must leave the table equivalent to a fresh build —
+    batch N+1's pairs against (table + append, index ∪ batchN-index)
+    equal both the fresh-table bucketed serve and the flat incremental
+    path over the grown corpus; and the candidate join stays
+    one-Exchange after the append (multi-file buckets lose only the
+    sort elision, never the bucket layout)."""
+    from aeuc_vector_db_spark.operators import dedup as D
+
+    def mkdocs(ids):
+        return spark.createDataFrame(
+            [
+                (i, f"shared boilerplate prefix tokens alpha beta gamma "
+                    f"delta {i % 4} tail {i}")
+                for i in ids
+            ],
+            "doc_id long, text string",
+        )
+
+    corpus = mkdocs(range(1, 21))
+    b1 = mkdocs(range(21, 27))
+    b2 = mkdocs(range(27, 34))
+    t, t2 = "t_bj_bands_epoch", "t_bj_bands_fresh"
+    for name in (t, t2):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        idx_c = D.minhash_doc_index(corpus).localCheckpoint(eager=True)
+        D.write_minhash_band_table(idx_c, t, n_buckets=8)
+        idx_b1 = D.minhash_doc_index(b1).localCheckpoint(eager=True)
+        D.append_minhash_band_table(idx_b1, t, n_buckets=8)
+        idx2 = idx_c.unionByName(idx_b1)
+
+        got = D.incremental_minhash_near_dup_bucketed(
+            b2, idx2, t, threshold=0.3
+        )
+        # fresh-table reference over the grown corpus
+        grown = corpus.unionByName(b1)
+        idx_fresh = D.minhash_doc_index(grown).localCheckpoint(eager=True)
+        D.write_minhash_band_table(idx_fresh, t2, n_buckets=8)
+        want_bk = D.incremental_minhash_near_dup_bucketed(
+            b2, idx_fresh, t2, threshold=0.3
+        )
+        want_fl = D.incremental_minhash_near_dup(b2, idx_fresh, threshold=0.3)
+        key = lambda r: (r["a_id"], r["b_id"], round(r["jaccard"], 9))  # noqa: E731
+        g = sorted(map(key, got.collect()))
+        assert g == sorted(map(key, want_bk.collect()))
+        assert g == sorted(map(key, want_fl.collect()))
+        assert g, "planted near-dups must survive the epoch fold"
+        # bucket layout survives the append: candidate join still
+        # shuffles exactly one side
+        nb = D.minhash_band_rows_keyed(D.minhash_doc_index(b2))
+        j = nb.select(F.col("doc_id").alias("x"), "bkey").join(
+            spark.table(t).select(F.col("doc_id").alias("y"), "bkey"), "bkey"
+        )
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in jplan
+        assert jplan.count("Exchange hashpartitioning") == 1, jplan
+        # and a mismatched bucket spec must raise, not mis-bucket
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="[Bb]ucket"):
+            D.append_minhash_band_table(idx_b1, t, n_buckets=4)
+    finally:
+        for name in (t, t2):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -28,15 +28,22 @@ def test_recall_gate_drops_rows_below_floor(spark):
         [(3, 0.6), (103, 0.5), (203, 0.7)], "query_id long, recall double"
     )
     assert _recall_gated(spark, healthy, floor=0.2).count() == 4  # 3 + sentinel
-    # deliberate bug: one query's recall collapses below the floor
+    # deliberate bug: one query's recall collapses below the floor —
+    # since round 12 the kept row drops AND an explicit below-floor
+    # canary row (query_id = -9000 - query_id) appears, so the count
+    # moves in both directions and the failing value itself surfaces
     degraded = spark.createDataFrame(
         [(3, 0.6), (103, 0.05), (203, 0.7)], "query_id long, recall double"
     )
-    assert _recall_gated(spark, degraded, floor=0.2).count() == 3
-    # total collapse leaves only the sentinel — still distinguishable
-    # from a query that produced nothing at all
+    rows = _recall_gated(spark, degraded, floor=0.2).collect()
+    assert len(rows) == 4  # 2 kept + 1 canary + sentinel
+    canary = [r for r in rows if r["query_id"] <= -9000]
+    assert [(r["query_id"], r["recall"]) for r in canary] == [(-9103, 0.05)]
+    # total collapse leaves canaries + the sentinel — still
+    # distinguishable from a query that produced nothing at all
     dead = spark.createDataFrame([(3, 0.0)], "query_id long, recall double")
-    assert _recall_gated(spark, dead, floor=0.2).count() == 1
+    drows = _recall_gated(spark, dead, floor=0.2).collect()
+    assert {r["query_id"] for r in drows} == {-9003, -1}
 
 
 def test_refine_dominance_violation_grows_count(spark, monkeypatch):
