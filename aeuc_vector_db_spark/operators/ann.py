@@ -915,6 +915,16 @@ def pq_train(
     if len(rows) < ksub:
         raise ValueError(f"sample has {len(rows)} rows < ksub={ksub}")
     mat = np.asarray([list(r["__v__"]) for r in rows], dtype=np.float64)
+    return _fit_pq_books_local(mat, m, ksub, seed, iters)
+
+
+def _fit_pq_books_local(mat, m: int, ksub: int, seed: int, iters: int):
+    """Per-subspace seeded Lloyd over a local sample matrix — the
+    driver-side kernel shared by `pq_train` and `opq_train` (identical
+    arithmetic by construction: same seeded init, same first-minimum
+    assignment, same mean update)."""
+    import numpy as np
+
     d = mat.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
@@ -1138,6 +1148,169 @@ def pq_recall_eval(
     codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
     approx = pq_search_batch(
         codes, books, queries, top_k=top_k, id_col=id_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
+    exact = knn_search_batch_arrow(
+        corpus, queries, top_k=top_k, metric="euclidean",
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
+    return recall_at_k(approx, exact, query_id_col, id_col)
+
+
+def opq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    iters: int = 8,
+    pq_iters: int = 6,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 0,
+) -> "tuple[list[list[float]], list[list[list[float]]]]":
+    """Optimized Product Quantization: learn an ORTHOGONAL rotation R
+    so the PQ subspace split aligns with the data's principal
+    directions (Ge et al., "Optimized Product Quantization", CVPR 2013
+    — the non-parametric OPQ-NP alternation; FAISS `OPQMatrix`). Plain
+    PQ quantizes fixed contiguous dim blocks independently, so
+    variance that straddles block boundaries (correlated dims landing
+    in different subspaces) is invisible to every codebook; rotating
+    first recovers it. Returns (R as d×d nested lists, codebooks
+    trained in the rotated space).
+
+    Alternation on the SAME deterministic bounded sample recipe as
+    `pq_train` (id-sorted, seeded, ≤256·ksub rows in expectation —
+    no O(corpus) collect):
+
+      R ← I
+      repeat `iters`: B ← Lloyd codebooks on X·R (seeded, identical
+        kernel to pq_train via _fit_pq_books_local); X̂ ← decode(B,
+        encode(X·R)); R ← U·Vᵀ from SVD(Xᵀ·X̂)  (orthogonal
+        Procrustes: the rotation minimizing ‖X·R − X̂‖²)
+
+    Distance semantics: R is orthogonal, so euclidean distances are
+    invariant — searching rotated queries against rotated-then-encoded
+    vectors approximates the SAME neighbor set, and the exact-search
+    recall baseline can score the original vectors (test-pinned).
+    """
+    import numpy as np
+
+    if not (1 <= nbits <= 8):
+        raise ValueError(f"nbits must be in [1, 8] (one code byte), got {nbits}")
+    ksub = 1 << nbits
+    df = corpus.select(F.col(id_col), as_double(vec_col).alias("__v__"))
+    sample_mod = _derive_sample_mod(
+        df, sample_mod, sample_cap if sample_cap > 0 else 256 * ksub
+    )
+    if sample_mod and sample_mod > 1:
+        df = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+    rows = sorted(df.collect(), key=lambda r: r[id_col])
+    opq_train._last_sample_rows = len(rows)  # boundedness probe (tests)
+    if len(rows) < ksub:
+        raise ValueError(f"sample has {len(rows)} rows < ksub={ksub}")
+    mat = np.asarray([list(r["__v__"]) for r in rows], dtype=np.float64)
+    d = mat.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    R = np.eye(d)
+    books = None
+    for _ in range(max(1, iters)):
+        xr = mat @ R
+        books = np.asarray(
+            _fit_pq_books_local(xr, m, ksub, seed, pq_iters), dtype=np.float64
+        )  # (m, ksub, dsub)
+        # encode xr, reconstruct (decode) — vectorized per subspace
+        xhat = np.empty_like(xr)
+        for j in range(m):
+            sub = xr[:, j * dsub : (j + 1) * dsub]
+            cb = books[j]
+            d2 = (cb * cb).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
+            xhat[:, j * dsub : (j + 1) * dsub] = cb[d2.argmin(axis=1)]
+        # orthogonal Procrustes: argmin_R ||mat @ R - xhat||_F
+        u, _s, vt = np.linalg.svd(mat.T @ xhat)
+        R = u @ vt
+    return (
+        [[float(x) for x in row] for row in R],
+        [[[float(x) for x in c] for c in b] for b in books],
+    )
+
+
+def rotate_vectors(
+    df: DataFrame,
+    rotation: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Map-only orthogonal rotation of a vector column: (id, R·x) via
+    an Arrow kernel closing over the tiny d×d matrix (broadcast in the
+    task closure — no shuffle, no join; the `pq_encode` shape). NULL /
+    wrong-dim vectors rotate to NULL rather than aborting the task."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    R = np.asarray(rotation, dtype=np.float64)
+    dim = R.shape[0]
+
+    def _rot(v):
+        vals = v.tolist()
+        ok = np.array([x is not None and len(x) == dim for x in vals], dtype=bool)
+        out = np.full(len(vals), None, dtype=object)
+        if ok.any():
+            matv = np.asarray(
+                [vals[i] for i in np.flatnonzero(ok)], dtype=np.float64
+            )
+            rot = matv @ R
+            for i, row in zip(np.flatnonzero(ok), rot):
+                out[i] = row.tolist()
+        return pd.Series(out, dtype=object)
+
+    _rot.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    rot_udf = pandas_udf(_rot, "array<double>")
+    return df.select(
+        F.col(id_col), rot_udf(as_double(vec_col)).alias(out_col or vec_col)
+    )
+
+
+def opq_recall_eval(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    nbits: int = 4,
+    top_k: int = 10,
+    seed: int = 42,
+    iters: int = 8,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """recall@k of OPQ (rotate → ADC) vs exact euclidean search. The
+    exact baseline scores the ORIGINAL vectors — legitimate because R
+    is orthogonal (euclidean-invariant), so the true neighbor set is
+    identical in both spaces (pinned by
+    test_rotation_preserves_exact_topk). Returns (query_id, recall),
+    the same contract as `pq_recall_eval` for an apples-to-apples
+    OPQ-vs-PQ comparison."""
+    from aeuc_vector_db_spark.operators.search import knn_search_batch_arrow
+
+    R, books = opq_train(
+        corpus, m=m, nbits=nbits, seed=seed, iters=iters,
+        sample_mod=sample_mod, id_col=id_col, vec_col=vec_col,
+    )
+    rot_corpus = rotate_vectors(corpus, R, id_col=id_col, vec_col=vec_col)
+    rot_queries = rotate_vectors(
+        queries, R, id_col=query_id_col, vec_col=query_vec_col,
+        out_col=query_vec_col,
+    )
+    codes = pq_encode(rot_corpus, books, id_col=id_col, vec_col=vec_col)
+    approx = pq_search_batch(
+        codes, books, rot_queries, top_k=top_k, id_col=id_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
     )
     exact = knn_search_batch_arrow(

@@ -363,6 +363,27 @@ def _ann_pq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_gated(spark, rec, floor=0.3).unionByName(viol)
 
 
+def _ann_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ recall@10 vs exact euclidean search (rows-only check —
+    rotation + codebook training is not SQL-expressible, the
+    ann_pq_recall situation). A learned orthogonal rotation (Ge et
+    al. CVPR'13 OPQ-NP, `operators/ann.py opq_train`) aligns the PQ
+    subspace split with the data's principal directions before
+    encoding; distances are rotation-invariant, so the exact baseline
+    scores the ORIGINAL vectors (test-pinned). On the near-isotropic
+    fixture OPQ ≈ plain PQ by design (nothing to align); the rotation
+    win is pinned on planted anisotropic data in
+    test_opq_beats_plain_pq_on_cross_subspace_correlation. Fully
+    deterministic: seeded sample fit, deterministic SVD, first-minimum
+    tie-breaks."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = _queries_df(spark, sf_dir)
+    rec = A.opq_recall_eval(
+        emb, queries, m=8, nbits=4, top_k=10, seed=42, iters=8
+    )
+    return _recall_gated(spark, rec, floor=0.1)
+
+
 def _ann_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVFADC recall@10 vs exact euclidean (rows-only): IVF
     coarse probe bounds WHICH rows each query scores, PQ ADC bounds
@@ -617,6 +638,7 @@ QUERIES = {
     "ann_ivf_recall": (_ann_ivf_recall, None),
     "ann_pq_recall": (_ann_pq_recall, None),
     "ann_pq_refine_recall": (_ann_pq_refine_recall, None),
+    "ann_opq_recall": (_ann_opq_recall, None),
     "ann_ivfadc_recall": (_ann_ivfadc_recall, None),
     "two_level_search": (_two_level_search, _TWO_LEVEL_ORACLE),
 }

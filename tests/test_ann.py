@@ -936,3 +936,111 @@ def test_recall_canary_fires_on_ivfadc_collapse(spark):
     )
     out = _recall_gated(spark, rec, floor=0.1)  # the ann_ivfadc floor
     assert _canary_ids(out) == [-9007]
+
+
+# --- OPQ: optimized product quantization (round 12) ------------------------
+
+
+def _cross_subspace_corpus(spark, n=400, dim=8, seed=3):
+    """Anisotropic data whose two dominant principal directions are
+    SMEARED across all PQ subspaces by a fixed orthogonal mix Q —
+    the construction plain PQ is provably bad at (every per-block
+    codebook sees a slice of the same shared variance and the
+    inter-block correlation PQ assumes away is maximal), and exactly
+    what the OPQ rotation exists to undo. Returns (df, x) — the
+    DataFrame plus the raw matrix so tests can derive in-distribution
+    queries (recall@k against far-off-distribution queries is mostly
+    arbitrary and discriminates nothing)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    scales = np.array([10.0, 8.0] + [0.15] * (dim - 2))
+    z = rng.normal(0, 1, (n, dim)) * scales
+    q, _ = np.linalg.qr(rng.normal(0, 1, (dim, dim)))
+    x = z @ q
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, x
+
+
+def test_opq_rotation_is_orthogonal_and_deterministic(spark):
+    import numpy as np
+
+    corpus, _x = _cross_subspace_corpus(spark)
+    R1, b1 = A.opq_train(corpus, m=4, nbits=2, seed=42, iters=4)
+    R2, b2 = A.opq_train(corpus, m=4, nbits=2, seed=42, iters=4)
+    assert R1 == R2 and b1 == b2  # seeded fit on an id-sorted sample
+    R = np.asarray(R1)
+    assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-9)
+
+
+def test_rotation_preserves_exact_topk(spark):
+    """R is orthogonal, so exact euclidean top-k over rotated vectors
+    and rotated queries returns the SAME ids — the fact that lets
+    opq_recall_eval score its exact baseline on the original space."""
+    from aeuc_vector_db_spark.operators.search import knn_search_batch_arrow
+
+    corpus, _x = _cross_subspace_corpus(spark)
+    queries = spark.createDataFrame(
+        [(100 + i, [float(0.3 * i + j * 0.1) for j in range(8)]) for i in range(3)],
+        "query_id long, query_embedding array<double>",
+    )
+    R, _books = A.opq_train(corpus, m=4, nbits=2, seed=42, iters=3)
+    rc = A.rotate_vectors(corpus, R)
+    rq = A.rotate_vectors(
+        queries, R, id_col="query_id", vec_col="query_embedding",
+        out_col="query_embedding",
+    )
+    def ids(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], []).append(r["vec_id"])
+        return out
+    orig = ids(knn_search_batch_arrow(corpus, queries, top_k=5, metric="euclidean"))
+    rot = ids(knn_search_batch_arrow(rc, rq, top_k=5, metric="euclidean"))
+    assert set(orig) == set(rot)
+    for k in orig:
+        assert set(orig[k]) == set(rot[k]), k
+
+
+def test_opq_beats_plain_pq_on_cross_subspace_correlation(spark):
+    """The OPQ claim itself: on data whose principal directions
+    straddle the fixed subspace split, the learned rotation must
+    recover recall plain PQ loses. Average recall@10 OPQ > PQ on the
+    planted anisotropic corpus (both fully seeded — deterministic).
+    Queries are perturbed corpus points: recall against
+    in-distribution queries is what the knob controls (a far-off
+    query's top-10 is arbitrary under ANY quantizer and
+    discriminates nothing — the first draft of this test proved it).
+    Prototype numbers for this exact construction: PQ 0.62 / OPQ 0.78
+    at (m=4, nbits=4); the assert leaves slack for kernel-order
+    differences but the gap must stay."""
+    corpus, x = _cross_subspace_corpus(spark)
+    queries = spark.createDataFrame(
+        [
+            (100 + i, [float(v + 0.05) for v in x[i * 71]])
+            for i in range(5)
+        ],
+        "query_id long, query_embedding array<double>",
+    )
+    pq = A.pq_recall_eval(corpus, queries, m=4, nbits=4, top_k=10, seed=42)
+    opq = A.opq_recall_eval(
+        corpus, queries, m=4, nbits=4, top_k=10, seed=42, iters=8
+    )
+    pq_avg = sum(r["recall"] for r in pq.collect()) / 5
+    opq_avg = sum(r["recall"] for r in opq.collect()) / 5
+    assert opq_avg > pq_avg, (opq_avg, pq_avg)
+    assert opq_avg >= 0.6, opq_avg
+
+
+def test_rotate_vectors_null_and_wrong_dim_degrade(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, None), (3, [1.0] * 4)],
+        "vec_id long, embedding array<double>",
+    )
+    import numpy as np
+
+    R = np.eye(8).tolist()
+    got = {r["vec_id"]: r["embedding"] for r in A.rotate_vectors(corpus, R).collect()}
+    assert got[1] == [1.0] * 8
+    assert got[2] is None and got[3] is None
