@@ -26,6 +26,7 @@ Prints JSON lines; results go to PLANS.md (round-12 section).
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -38,7 +39,13 @@ from pyspark.sql import functions as F  # noqa: E402
 from aeuc_vector_db_spark.operators import dedup as D  # noqa: E402
 from aeuc_vector_db_spark.session import get_spark  # noqa: E402
 
-N = 200_000
+#: corpus size and batch modulus are env-tunable so the corpus:batch
+#: ratio claim is reproducible at other operating points (the flat
+#: path's per-batch cost carries the corpus; the bucketed path's
+#: should track the batch): SOAK_N=648000 SOAK_BATCH_MOD=81 gives
+#: ~80:1 vs the default 4:1.
+N = int(os.environ.get("SOAK_N", 200_000))
+BATCH_MOD = int(os.environ.get("SOAK_BATCH_MOD", 5))
 WORDS = [f"w{i:04d}" for i in range(4096)]
 TABLE = "soak_minhash_bands"
 
@@ -63,7 +70,7 @@ def main() -> int:
         F.col("id").alias("doc_id"),
         F.concat_ws(" ", *[word_at(i) for i in range(30)]).alias("text"),
     ).localCheckpoint(eager=True)
-    is_batch = F.col("doc_id") % 5 == 0
+    is_batch = F.col("doc_id") % BATCH_MOD == 0
     corpus = docs.filter(~is_batch)
     batch = docs.filter(is_batch)
     n_corpus, n_batch = corpus.count(), batch.count()
@@ -102,7 +109,7 @@ def main() -> int:
         batch, index, threshold=0.5, max_band_size=64
     )
     full_df = D.minhash_near_dup(docs, threshold=0.5, max_band_size=64).filter(
-        (F.col("a_id") % 5 == 0) | (F.col("b_id") % 5 == 0)
+        (F.col("a_id") % BATCH_MOD == 0) | (F.col("b_id") % BATCH_MOD == 0)
     )
     # warm codegen/worker bring-up once, then measure
     agg_check(bk_df.limit(1000))
