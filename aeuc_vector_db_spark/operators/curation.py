@@ -759,3 +759,174 @@ def histogram_drift(
         F.lit(2.0) * F.col("n_a").cast("double") * F.col("n_b").cast("double")
     )
     return num.select(tvd.alias("tvd"), "n_a", "n_b")
+
+
+def lsh_hyperplanes(n_planes: int, dim: int) -> "list[list[float]]":
+    """Deterministic pseudo-random hyperplanes for cosine-LSH
+    bucketing (Charikar, STOC'02 random hyperplane rounding) — pure
+    integer arithmetic so the SAME literals are constructible in any
+    engine (the DuckDB oracle embeds them verbatim):
+
+        h[i][j] = ((i·97 + j·31) mod 19 − 9) / 9  ∈ [−1, 1]
+    """
+    return [
+        [((i * 97 + j * 31) % 19 - 9) / 9.0 for j in range(dim)]
+        for i in range(n_planes)
+    ]
+
+
+def hard_negatives_within_buckets(
+    emb: DataFrame,
+    k: int = 3,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for every
+    anchor vector, the top-k most-similar vectors with a DIFFERENT
+    label — the negatives that actually move an embedding model
+    (random negatives are trivially separable; the informative ones
+    are the near-misses).
+
+    All-pairs mining is O(N²) — a non-starter at corpus scale — so
+    pairs form only WITHIN cosine-LSH buckets (sign pattern of
+    `n_planes` fixed random hyperplanes, Charikar STOC'02): vectors
+    that could be hard negatives of each other point the same way and
+    land in the same bucket with high probability. Pair volume is
+    Σ nᵢ² over bucket sizes (the SemDeDup-style bound, never N²), and
+    `n_planes` is the knob — each extra plane halves expected bucket
+    size, quartering pair volume. Plan shape: one map-side bucket
+    assignment (the hyperplane dots are literal-array folds inside
+    codegen), one shuffle on the bucket key for the self-join, one
+    shuffle on the anchor for the per-anchor top-k window; the rank
+    order (cos DESC, id ASC) is total, and every float fold matches
+    the DuckDB oracle's bit-for-bit (same sequential left-to-right
+    fold as the k-NN family).
+
+    Returns (a_id, neg_id, r, cos) with r ≤ k per anchor.
+    """
+    from aeuc_vector_db_spark.functions.vector import dot_col, sq_norm_col
+
+    planes = lsh_hyperplanes(n_planes, dim)
+    v = as_double(vec_col)
+    bucket = None
+    for i, h in enumerate(planes):
+        bit = F.when(
+            dot_col(v, F.array(*[F.lit(x) for x in h])) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    base = emb.select(
+        F.col(id_col), F.col(label_col).alias("__lbl__"), v.alias("__v__"),
+        bucket.alias("__bkt__"),
+    )
+    a = base.select(
+        F.col(id_col).alias("a_id"), F.col("__lbl__").alias("a_lbl"),
+        F.col("__v__").alias("av"), "__bkt__",
+    )
+    c = base.select(
+        F.col(id_col).alias("neg_id"), F.col("__lbl__").alias("n_lbl"),
+        F.col("__v__").alias("nv"), "__bkt__",
+    )
+    cos = dot_col("av", "nv") / (
+        F.sqrt(sq_norm_col("av")) * F.sqrt(sq_norm_col("nv")) + F.lit(1e-12)
+    )
+    pairs = (
+        a.join(c, "__bkt__")
+        .filter(
+            (F.col("a_id") != F.col("neg_id"))
+            & (F.col("a_lbl") != F.col("n_lbl"))
+        )
+        .select("a_id", "neg_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("neg_id"))
+    return (
+        pairs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select("a_id", "neg_id", F.col("r").cast("long").alias("r"), "cos")
+    )
+
+
+def temperature_budgets(
+    counts: "dict[str, int]", total: int
+) -> "dict[str, int]":
+    """Per-stratum budgets for temperature-smoothed source mixing
+    (τ = 2): budget_i ∝ √count_i, allocated EXACTLY to `total` rows by
+    floor + largest-remainder (Hamilton apportionment) in pure integer
+    arithmetic — the standard multilingual-pretraining mix (mT5 /
+    XLM-R style: raw proportions overfeed the head sources; p^(1/τ)
+    flattens the tail up without inverting the order).
+
+    w_i = ⌊√count_i · 10⁶⌋ (IEEE sqrt is correctly rounded, so the
+    double round-trip is bit-identical in any engine; the 10⁶ grid
+    makes everything after it BIGINT-exact): b_i = ⌊T·w_i / W⌋, the
+    D = T − Σb_i leftover units go to the D largest remainders
+    r_i = T·w_i − b_i·W (ties broken by stratum ascending). A budget
+    never exceeds the stratum's count (clamped, leftover re-ranked
+    among unclamped strata)."""
+    import math
+
+    w = {
+        k: int(math.floor(math.sqrt(c) * 1_000_000.0))
+        for k, c in counts.items()
+        if c > 0
+    }
+    W = sum(w.values())
+    if W == 0 or total <= 0:
+        return {k: 0 for k in counts}
+    b = {k: (total * wi) // W for k, wi in w.items()}
+    rem = {k: total * wi - b[k] * W for k, wi in w.items()}
+    leftover = total - sum(b.values())
+    for k in sorted(rem, key=lambda k: (-rem[k], k))[:leftover]:
+        b[k] += 1
+    # clamp to stratum size (a tiny stratum can't fill a √-smoothed
+    # budget); the shortfall is NOT redistributed — redistribution
+    # would need a fixpoint loop and the declared semantics is one
+    # Hamilton pass over the √ weights
+    return {k: min(bi, counts[k]) for k, bi in b.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    total: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Select ~`total` rows with per-stratum counts following the
+    τ = 2 temperature mix (see `temperature_budgets`): one tiny
+    aggregate collect (|strata| rows) derives the integer budgets,
+    then each stratum keeps its EXACT budget — rank by the
+    content-addressed spread hash (the stratified_sample draw, so the
+    selection is reproducible across engines and re-runs) with the id
+    as the total-order tie-break, row_number ≤ budget. One shuffle on
+    the stratum key for the per-stratum window; groups are bounded by
+    stratum sizes. Rank selection (not a rate threshold) because the
+    budgets are exact counts — Hamilton allocation is the point."""
+    counts = {
+        r[stratum_col]: r["count"]
+        for r in df.groupBy(stratum_col).count().collect()
+    }
+    budgets = temperature_budgets(
+        {k: v for k, v in counts.items() if k is not None}, total
+    )
+    bcol = None
+    for k, t in sorted(budgets.items()):
+        cond = F.col(stratum_col) == F.lit(k)
+        lit = F.lit(int(t))
+        bcol = F.when(cond, lit) if bcol is None else bcol.when(cond, lit)
+    bcol = F.lit(0) if bcol is None else bcol.otherwise(F.lit(0))
+    key = F.pmod(
+        polyhash_col(
+            F.concat_ws(":", F.lit(str(salt)), F.col(id_col).cast("string"))
+        )
+        * F.lit(SAMPLE_SPREAD),
+        F.lit(4294967296),
+    )
+    w = Window.partitionBy(stratum_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= bcol)
+        .drop("__rn__")
+    )

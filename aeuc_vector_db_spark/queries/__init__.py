@@ -97,19 +97,25 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_volume_shipping",
     "rel_waiting_suppliers",
     "sql_entry_hll_distinct",
-    # Positions 19-20: new in round 12 (never had a driver row): the
+    # Positions 19-22: new in round 12 (never had a driver row): the
     # bucketed incremental-dedup serve path (VERDICT r11 #1), hash-
-    # checked against the same full-recompute oracle as the flat path,
-    # and OPQ recall (rows-only, floor+canary gated like the rest of
-    # the recall family).
+    # checked against the same full-recompute oracle as the flat path;
+    # OPQ recall (rows-only, floor+canary gated like the rest of the
+    # recall family); LSH-blocked contrastive hard-negative mining
+    # (oracle = the identical bucket/cosine arithmetic in SQL); and
+    # the τ=2 temperature source mix (Hamilton integer allocation,
+    # oracle-exact).
     "doc_incremental_minhash_bucketed",
     "ann_opq_recall",
-    # Positions 21-50: the alphabetical head (30) of the 50 queries
+    "emb_hard_negatives",
+    "doc_temperature_mix",
+    # Positions 23-50: the alphabetical head (28) of the 50 queries
     # whose newest driver row is CORRECTNESS_r09 (3 rounds stale at
-    # r12). The 20 that do not fit (manifest_cdc_incremental_agg,
-    # manifest_dnf_skipping_read … two_level_search, alphabetical
-    # tail) are queued right after position 50, first in line for
-    # r13; they stay covered by the in-repo full sweep meanwhile.
+    # r12). The 22 that do not fit (knn_euclidean_topk,
+    # manifest_bucketed_dv_read, manifest_cdc_incremental_agg …
+    # two_level_search, alphabetical tail) are queued right after
+    # position 50, first in line for r13; they stay covered by the
+    # in-repo full sweep meanwhile.
     "ann_ivf_recall",
     "ann_ivfadc_recall",
     "ann_pq_recall",
@@ -138,11 +144,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ivf_arrow_pruned_search",
     "knn_cosine_range",
     "knn_dot_topk",
-    "knn_euclidean_topk",
-    "manifest_bucketed_dv_read",
     # --- positions ≥ 51: everything below stays covered by the
     # in-repo full sweeps between driver rows. First in line for r13:
     # the r9-window tail here, then the r10-window set rotates back in.
+    "knn_euclidean_topk",
+    "manifest_bucketed_dv_read",
     "manifest_cdc_incremental_agg",
     "manifest_dnf_skipping_read",
     "manifest_in_skipping_read",

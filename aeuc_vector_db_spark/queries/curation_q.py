@@ -835,6 +835,143 @@ FROM assigned a GROUP BY a.bucket
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (round 12)
+# ---------------------------------------------------------------------------
+
+
+def _emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining over the embeddings fixture:
+    per anchor, the top-3 most-cosine-similar vectors with a DIFFERENT
+    label, mined within cosine-LSH buckets (sign pattern of 4 fixed
+    hyperplanes) so pair volume is sum(bucket^2), never N^2 — see
+    `operators/curation.py hard_negatives_within_buckets`. The
+    hyperplanes are pure-integer-derived literals embedded verbatim in
+    the DuckDB oracle, and every float fold (hyperplane dots, cosine)
+    is the same sequential left-to-right fold as the k-NN family, so
+    the rank order — which compares UNROUNDED doubles — hash-matches
+    cross-engine."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = CU.hard_negatives_within_buckets(emb, k=3, n_planes=4, dim=64)
+    return out.select(
+        "a_id", "neg_id", "r", F.round("cos", 9).alias("cos")
+    ).orderBy("a_id", "r")
+
+
+def _hard_negatives_oracle() -> str:
+    from aeuc_vector_db_spark.operators.curation import lsh_hyperplanes
+
+    planes = lsh_hyperplanes(4, 64)
+
+    def dot_h(h):
+        lits = "[" + ", ".join(repr(x) for x in h) + "]"
+        return (f"list_reduce(list_transform(list_zip(v, {lits}), "
+                "p -> p[1]*p[2]), (s, x) -> s + x)")
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_h(h)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, h in enumerate(planes)
+    )
+    cos = (
+        "(list_reduce(list_transform(list_zip(a.v, c.v), p -> p[1]*p[2]), (s, x) -> s + x)"
+        " / (sqrt(list_reduce(list_transform(a.v, x -> x*x), (s, x) -> s + x))"
+        " * sqrt(list_reduce(list_transform(c.v, x -> x*x), (s, x) -> s + x)) + 1e-12))"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (SELECT vec_id, label, v, {bucket} AS bkt FROM v),
+p AS (
+  SELECT a.vec_id AS a_id, c.vec_id AS neg_id, {cos} AS cos
+  FROM b a JOIN b c ON a.bkt = c.bkt
+  WHERE a.vec_id <> c.vec_id AND a.label <> c.label
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, neg_id) AS r
+  FROM p
+)
+SELECT a_id, neg_id, CAST(r AS BIGINT) AS r, ROUND(cos, 9) AS cos
+FROM r WHERE r <= 3 ORDER BY a_id, r
+"""
+
+
+
+
+# ---------------------------------------------------------------------------
+# Temperature-smoothed source mixing (round 12)
+# ---------------------------------------------------------------------------
+
+
+def _doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """τ=2 temperature mix over the language strata (the mT5/XLM-R
+    multilingual recipe: per-stratum budgets ∝ √count, Hamilton
+    largest-remainder allocation to exactly half the corpus, exact
+    per-stratum rank selection by the content-addressed draw) — see
+    `operators/curation.py temperature_budgets` / `temperature_mix`.
+    Everything after the one IEEE √ (whose 10⁶-grid floor is
+    bit-identical cross-engine) is BIGINT arithmetic, so the oracle
+    reproduces the budgets exactly; the per-stratum (count, id-sum)
+    aggregate pins exact membership."""
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("lang").isNotNull()
+    )
+    total = docs.count() // 2
+    sampled = CU.temperature_mix(docs, total, stratum_col="lang", salt=0)
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TEMPERATURE_MIX_ORACLE = f"""
+WITH d AS (SELECT lang, doc_id FROM documents WHERE lang IS NOT NULL),
+tt AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS total FROM d),
+c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY lang),
+w AS (
+  SELECT lang, cnt,
+         CAST(FLOOR(SQRT(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+  FROM c
+),
+ws AS (SELECT SUM(w) AS tw FROM w),
+b0 AS (
+  SELECT lang, cnt, w, (total * w) // tw AS b,
+         total * w - ((total * w) // tw) * tw AS rem
+  FROM w CROSS JOIN ws CROSS JOIN tt
+),
+lo AS (SELECT total - SUM(b) AS leftover FROM b0 CROSS JOIN tt GROUP BY total),
+rk AS (
+  SELECT lang, cnt, b, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rr
+  FROM b0
+),
+bud AS (
+  SELECT lang,
+         LEAST(b + CASE WHEN rr <= leftover THEN 1 ELSE 0 END, cnt) AS budget
+  FROM rk CROSS JOIN lo
+),
+s AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY (({_dk_polyhash("('0:' || CAST(doc_id AS VARCHAR))")}
+                      * 2654435761) % 4294967296), doc_id
+         ) AS rn
+  FROM d
+)
+SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(s.doc_id) AS BIGINT) AS sum_doc_id
+FROM s JOIN bud USING (lang) WHERE s.rn <= bud.budget
+GROUP BY s.lang ORDER BY s.lang
+"""
+
+
 QUERIES = {
     "doc_curriculum_order": (_doc_curriculum_order, _CURRICULUM_ORACLE),
     "doc_pipeline_e2e": (_doc_pipeline_e2e, _pipeline_oracle()),
@@ -851,4 +988,6 @@ QUERIES = {
     "doc_pii_scrub": (_doc_pii_scrub, _PII_ORACLE),
     "doc_sequence_pack": (_doc_sequence_pack, _SEQUENCE_PACK_ORACLE),
     "emb_quantize_int8": (_emb_quantize_int8, _QUANTIZE_ORACLE),
+    "emb_hard_negatives": (_emb_hard_negatives, _hard_negatives_oracle()),
+    "doc_temperature_mix": (_doc_temperature_mix, _TEMPERATURE_MIX_ORACLE),
 }

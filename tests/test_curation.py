@@ -656,3 +656,107 @@ def test_weighted_priority_sample_bias_determinism_and_plan(spark):
     assert "TakeOrderedAndProject" in plan
     with __import__("pytest").raises(ValueError, match="k must be"):
         CU.weighted_priority_sample(df, "w", k=0)
+
+
+# --- hard-negative mining (round 12) ----------------------------------------
+
+
+def test_hard_negatives_exact_on_single_bucket(spark):
+    """With vectors crafted to share one LSH bucket, the blocked miner
+    IS exact: per anchor, top-k most-cosine-similar different-label
+    vectors, rank order (cos desc, id asc). Hand-checkable geometry:
+    anchors on axis 0, negatives at known angles."""
+    import math
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [math.cos(0.1), math.sin(0.1)], 1),   # closest to 1, label differs
+        (3, [math.cos(0.3), math.sin(0.3)], 1),
+        (4, [math.cos(0.05), math.sin(0.05)], 0),  # same label as 1 — excluded
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = CU.hard_negatives_within_buckets(
+        emb, k=2, n_planes=1, dim=2, label_col="label"
+    )
+    got = {
+        (r["a_id"], r["r"]): r["neg_id"] for r in out.collect()
+    }
+    # all four vectors have positive dot with h_0 (h[0][0] = -1.0? it's
+    # deterministic — just assert anchor 1's ranked negatives)
+    assert got[(1, 1)] == 2 and got[(1, 2)] == 3
+    # labels always differ
+    lbl = {1: 0, 2: 1, 3: 1, 4: 0}
+    for (a, _r), n in got.items():
+        assert lbl[a] != lbl[n]
+
+
+def test_hard_negatives_respects_k_and_buckets(spark):
+    """Pairs only form within a bucket, at most k per anchor, ranks
+    contiguous from 1."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 8)], int(i % 3))
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = CU.hard_negatives_within_buckets(
+        emb, k=3, n_planes=3, dim=8, label_col="label"
+    ).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["a_id"], []).append(r["r"])
+    for a, ranks in per.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+
+
+# --- temperature mixing (round 12) ------------------------------------------
+
+
+def test_temperature_budgets_hamilton_exact():
+    counts = {"en": 400, "de": 100, "fr": 25}
+    b = CU.temperature_budgets(counts, 105)
+    # √ weights 20:10:5 → proportions 4:2:1 → 60/30/15 exactly
+    assert b == {"en": 60, "de": 30, "fr": 15}
+    assert sum(b.values()) == 105
+    # smoothing direction: the tail's share rises vs raw proportion
+    raw_fr = 25 / 525
+    assert b["fr"] / 105 > raw_fr
+    # and the head still leads
+    assert b["en"] > b["de"] > b["fr"]
+
+
+def test_temperature_budgets_leftover_and_clamp():
+    # non-divisible total exercises largest-remainder; sum still exact
+    counts = {"a": 100, "b": 100, "c": 100}
+    b = CU.temperature_budgets(counts, 10)
+    assert sum(b.values()) == 10
+    assert sorted(b.values()) in ([3, 3, 4], [3, 4, 3])
+    # a stratum smaller than its √-smoothed budget clamps to its count
+    counts = {"big": 10000, "tiny": 2}
+    b = CU.temperature_budgets(counts, 5000)
+    assert b["tiny"] == 2
+
+
+def test_temperature_mix_selects_exact_budgets(spark):
+    df = spark.range(1, 526).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") <= 400, "en")
+        .when(F.col("id") <= 500, "de")
+        .otherwise("fr")
+        .alias("source"),
+    )
+    out = CU.temperature_mix(df, total=105, stratum_col="source", salt=0)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"en": 60, "de": 30, "fr": 15}
+    # a different salt draws different members, identical counts
+    out2 = CU.temperature_mix(df, total=105, stratum_col="source", salt=7)
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {r["doc_id"] for r in out2.collect()}
+    assert ids1 != ids2
+    got2 = {r["source"]: r["n"] for r in
+            out2.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got2 == got
