@@ -32,11 +32,23 @@ _CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__fil
 def _blob_bytes(doc_id: int, text: str) -> tuple[str, bytes]:
     """Deterministic blob for one documents row, cycling real PNG / real
     WAV / real MP4 skeleton / real BMP / real JPEG / real MJPEG-AVI /
-    real lossless WebP / real LOSSY WebP (VP8 key frame, round 8).
-    Returns (filename, payload). Corpus doc_ids are multiples of 25, so
-    the cycle uses (doc_id // 25) — doc_id % 8 would be constant."""
+    real lossless WebP / real LOSSY WebP (VP8 key frame, round 8) /
+    real QOI (round 12). Returns (filename, payload). Corpus doc_ids
+    are multiples of 25, so the cycle uses (doc_id // 25) — doc_id % 9
+    would alias the cycle."""
     h = hashlib.sha256(text.encode()).digest()
-    kind = (doc_id // 25) % 8
+    kind = (doc_id // 25) % 9
+    if kind == 8:
+        # real QOI, 5x5 RGB from the hash stream (qoiformat.org spec;
+        # sources/multimodal.py qoi_encode/qoi_decode — round-trip
+        # lossless, so decode_status='real' like PNG/BMP)
+        need = 5 * 5 * 3
+        buf = bytearray()
+        cur = h
+        while len(buf) < need:
+            buf += cur
+            cur = hashlib.sha256(cur).digest()
+        return f"blob_{doc_id}.qoi", MM.qoi_encode(bytes(buf[:need]), 5, 5)
     if kind == 7:
         # real lossy WebP: VP8 intra key frame, 16x16 RGB from the hash
         # stream (sources/vp8.py — bool coder, token trees, iDCT/iWHT,
@@ -129,7 +141,7 @@ def _blob_bytes(doc_id: int, text: str) -> tuple[str, bytes]:
 
 def _blob_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the binary corpus once per sf (marker-cached)."""
-    tag = os.path.basename(sf_dir.rstrip("/")) + "-v7"  # v7: +lossy WebP kind
+    tag = os.path.basename(sf_dir.rstrip("/")) + "-v8"  # v8: +QOI kind
     d = os.path.join(_CACHE_ROOT, tag)
     marker = f"{d}/.complete"
     if not os.path.exists(marker):
@@ -157,7 +169,7 @@ def _expected_modality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     group's count off this table and surfaces as extra violation rows,
     i.e. a driver-visible row-count change."""
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 25 == 0)
-    kind = (F.col("doc_id") / 25).cast("long") % 8
+    kind = (F.col("doc_id") / 25).cast("long") % 9
     modality = (
         F.when(kind == 1, "audio").when(kind.isin(2, 5), "video").otherwise("image")
     )
@@ -277,7 +289,7 @@ def _multimodal_transform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each 3-frame 4 fps AVI yields 3 real frames at 250 ms sampling,
     # each mp4 skeleton yields max_frames=3 declared fakes
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 25 == 0)
-    kind = (F.col("doc_id") / 25).cast("long") % 8
+    kind = (F.col("doc_id") / 25).cast("long") % 9
     per_blob = F.when(kind == 1, 2).when(kind.isin(2, 5), 3).otherwise(1)
     op = (
         F.when(kind == 1, "audio_frames")

@@ -494,6 +494,128 @@ def tiff_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, spp, out
 
 
+_QOI_SIG = b"qoif"
+_QOI_END = b"\x00" * 7 + b"\x01"
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def qoi_encode(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal valid QOI writer (RGB, 3 channels; qoiformat.org spec —
+    public 1-page format): used by tests and corpus builders to
+    produce REAL files the decoder below round-trips losslessly. Emits
+    every op class the data allows (RUN for repeats, INDEX for
+    previously-seen pixels, DIFF/LUMA for small deltas, RGB
+    otherwise), so a corpus built from hash-stream pixels exercises
+    the whole op space."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel buffer does not match width*height*3")
+    out = bytearray()
+    out += _QOI_SIG
+    out += struct.pack(">IIBB", width, height, 3, 0)
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    for i in range(0, len(pixels), 3):
+        r, g, b, a = pixels[i], pixels[i + 1], pixels[i + 2], 255
+        if (r, g, b, a) == (pr, pg, pb, pa):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+        else:
+            if run:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            h = _qoi_hash(r, g, b, a)
+            if index[h] == (r, g, b, a):
+                out.append(h)  # QOI_OP_INDEX
+            else:
+                index[h] = (r, g, b, a)
+                dr = (r - pr + 128) % 256 - 128
+                dg = (g - pg + 128) % 256 - 128
+                db = (b - pb + 128) % 256 - 128
+                dr_dg, db_dg = dr - dg, db - dg
+                if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                    out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+                elif -32 <= dg <= 31 and -8 <= dr_dg <= 7 and -8 <= db_dg <= 7:
+                    out.append(0x80 | (dg + 32))
+                    out.append(((dr_dg + 8) << 4) | (db_dg + 8))
+                else:
+                    out += bytes((0xFE, r, g, b))  # QOI_OP_RGB
+        pr, pg, pb, pa = r, g, b, a
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += _QOI_END
+    return bytes(out)
+
+
+def qoi_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-stdlib QOI decode → (width, height, channels, raw RGB
+    bytes). Full op coverage per the spec (INDEX / DIFF / LUMA / RUN /
+    RGB / RGBA — an RGBA stream decodes with alpha tracked for the
+    running index and dropped from the 3-channel output, matching the
+    header-declared channel handling of the other image codecs here).
+    Raises ValueError on bad magic / truncation / pixel-count
+    mismatch — dirty blobs become decode_status='error' rows upstream,
+    never task crashes."""
+    if payload[:4] != _QOI_SIG or len(payload) < 14 + len(_QOI_END):
+        raise ValueError("not a QOI stream")
+    width, height, channels, _cs = struct.unpack(">IIBB", payload[4:14])
+    if channels not in (3, 4):
+        raise ValueError(f"bad QOI channel count {channels}")
+    n_px = width * height
+    out = bytearray()
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos = 14
+    end = len(payload) - len(_QOI_END)
+    if payload[end:] != _QOI_END:
+        raise ValueError("missing QOI end marker")
+    px = 0
+    while px < n_px:
+        if pos >= end:
+            raise ValueError("truncated QOI stream")
+        op = payload[pos]
+        pos += 1
+        if op == 0xFE:  # RGB
+            r, g, b = payload[pos], payload[pos + 1], payload[pos + 2]
+            pos += 3
+        elif op == 0xFF:  # RGBA
+            r, g, b, a = (
+                payload[pos], payload[pos + 1], payload[pos + 2], payload[pos + 3]
+            )
+            pos += 4
+        elif op >> 6 == 0:  # INDEX
+            r, g, b, a = index[op]
+        elif op >> 6 == 1:  # DIFF
+            r = (r + ((op >> 4) & 3) - 2) % 256
+            g = (g + ((op >> 2) & 3) - 2) % 256
+            b = (b + (op & 3) - 2) % 256
+        elif op >> 6 == 2:  # LUMA
+            dg = (op & 0x3F) - 32
+            nxt = payload[pos]
+            pos += 1
+            r = (r + dg + ((nxt >> 4) & 0xF) - 8) % 256
+            g = (g + dg) % 256
+            b = (b + dg + (nxt & 0xF) - 8) % 256
+        else:  # RUN
+            run = (op & 0x3F) + 1
+            if px + run > n_px:
+                raise ValueError("QOI run overflows pixel count")
+            out += bytes((r, g, b)) * run
+            px += run
+            continue
+        index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+        out += bytes((r, g, b))
+        px += 1
+    if px != n_px:
+        raise ValueError("QOI pixel count mismatch")
+    return width, height, 3, bytes(out)
+
+
 def wav_encode(samples: "list[int]", sample_rate: int = 8000, channels: int = 1) -> bytes:
     """Minimal valid PCM16 RIFF/WAVE writer (canonical 44-byte header)."""
     data = struct.pack(f"<{len(samples)}h", *samples)
@@ -621,6 +743,7 @@ _IMAGE_SIGS: "list[tuple[str, Callable[[bytes], bool]]]" = [
     ("jpeg", lambda p: p[:3] == b"\xff\xd8\xff"),
     ("tiff", lambda p: p[:4] in (b"II*\x00", b"MM\x00*")),
     ("webp", lambda p: p[:4] == b"RIFF" and p[8:12] == b"WEBP"),
+    ("qoi", lambda p: p[:4] == _QOI_SIG),
 ]
 
 _IMAGE_DECODERS: dict = {}
@@ -637,6 +760,7 @@ def _builtin_image_decoders() -> dict:
         "jpeg": jpeg_decode,
         "tiff": tiff_decode,
         "webp": webp_decode,
+        "qoi": qoi_decode,
     }
 
 

@@ -964,3 +964,63 @@ def test_codec_canary_healthy_and_fires_on_corruption(spark):
     assert (w, h, c) == (bw, bh, bc)
     assert braw != raw and len(braw) == len(raw)
     assert braw[0] == (raw[0] + 101) % 256
+
+
+# --- QOI (round 12) ----------------------------------------------------------
+
+
+def _hash_pixels(seed: bytes, n: int) -> bytes:
+    import hashlib
+
+    buf = bytearray()
+    cur = hashlib.sha256(seed).digest()
+    while len(buf) < n:
+        buf += cur
+        cur = hashlib.sha256(cur).digest()
+    return bytes(buf[:n])
+
+
+def test_qoi_roundtrip_hash_stream():
+    """Encode→decode lossless over hash-stream pixels (exercises
+    RGB/DIFF/LUMA/INDEX ops) and over run-heavy pixels (RUN/INDEX);
+    runs must actually compress."""
+    px = _hash_pixels(b"qoi-test", 16 * 16 * 3)
+    enc = MM.qoi_encode(px, 16, 16)
+    assert MM.qoi_decode(enc) == (16, 16, 3, px)
+    px2 = bytes([10, 20, 30] * 160 + [200, 0, 0] * 40)
+    enc2 = MM.qoi_encode(px2, 20, 10)
+    assert MM.qoi_decode(enc2)[3] == px2
+    assert len(enc2) < len(px2) // 3
+
+
+def test_qoi_handcrafted_vector_and_rgba_ops():
+    """Byte-level spec pin: RGB op + RUN op decode to known pixels; an
+    RGBA-op stream (alpha tracked for the index, dropped from the
+    3-channel output) decodes too."""
+    hand = (
+        b"qoif" + struct.pack(">IIBB", 3, 1, 3, 0)
+        + bytes((0xFE, 5, 6, 7)) + bytes((0xC0 | 1,)) + b"\x00" * 7 + b"\x01"
+    )
+    assert MM.qoi_decode(hand) == (3, 1, 3, bytes((5, 6, 7) * 3))
+    rgba = (
+        b"qoif" + struct.pack(">IIBB", 2, 1, 4, 0)
+        + bytes((0xFF, 9, 8, 7, 128)) + bytes((0xC0 | 0,)) + b"\x00" * 7 + b"\x01"
+    )
+    assert MM.qoi_decode(rgba) == (2, 1, 3, bytes((9, 8, 7) * 2))
+
+
+def test_qoi_dispatch_and_rejects():
+    px = _hash_pixels(b"d", 5 * 5 * 3)
+    enc = MM.qoi_encode(px, 5, 5)
+    assert MM.sniff_image_format(enc) == "qoi"
+    assert MM.decode_image(enc) == (5, 5, 3, px)
+    for bad in (b"nope", enc[:20], enc[:-1]):
+        with pytest.raises(ValueError):
+            MM.qoi_decode(bad)
+    # run overflowing the declared pixel count must raise, not OOM
+    overflow = (
+        b"qoif" + struct.pack(">IIBB", 2, 1, 3, 0)
+        + bytes((0xFE, 1, 2, 3)) + bytes((0xC0 | 40,)) + b"\x00" * 7 + b"\x01"
+    )
+    with pytest.raises(ValueError):
+        MM.qoi_decode(overflow)
