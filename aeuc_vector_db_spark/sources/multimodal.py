@@ -103,7 +103,12 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
     raw = spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
     ext = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
     modality = (
-        F.when(ext.isin("png", "jpg", "jpeg", "bmp", "gif", "tif", "tiff", "webp"), "image")
+        F.when(
+            ext.isin(
+                "png", "jpg", "jpeg", "bmp", "gif", "tif", "tiff", "webp", "qoi"
+            ),
+            "image",
+        )
         .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
         .when(ext.isin("mp4", "avi", "mkv", "webm"), "video")
         .otherwise("binary")

@@ -143,6 +143,10 @@ HEADLINE = (
     # build+write and `hot` is the pure serve — the number to compare
     # against doc_incremental_minhash_dedup's hot
     "doc_incremental_minhash_bucketed",
+    # round 12: LSH-blocked contrastive hard-negative mining and the
+    # τ=2 temperature source mix (Hamilton integer allocation)
+    "emb_hard_negatives",
+    "doc_temperature_mix",
 )
 
 
