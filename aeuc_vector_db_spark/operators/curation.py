@@ -930,3 +930,55 @@ def temperature_mix(
         .filter(F.col("__rn__") <= bcol)
         .drop("__rn__")
     )
+
+
+def luhn_valid_col(run: Column) -> Column:
+    """Exact-integer Luhn checksum validity (ISO/IEC 7812 mod-10) of a
+    digit-string column: from the right, every second digit doubles
+    (minus 9 when > 9), total ≡ 0 (mod 10). Pure integer HOF fold —
+    whole-stage codegen, no UDF, and the DuckDB oracle computes the
+    character-identical arithmetic."""
+    d = lambda i: F.ascii(F.substr(run, i, F.lit(1))) - F.lit(48)  # noqa: E731
+
+    def term(acc, i):
+        dd = d(i)
+        pos_right = F.length(run) - i + F.lit(1)
+        dbl = dd * 2
+        return acc + F.when(
+            pos_right % 2 == 0, F.when(dbl > 9, dbl - 9).otherwise(dbl)
+        ).otherwise(dd)
+
+    total = F.aggregate(F.sequence(F.lit(1), F.length(run)), F.lit(0), term)
+    return total % 10 == 0
+
+
+def ccn_detect(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 13,
+    max_len: int = 19,
+) -> DataFrame:
+    """Credit-card-number detection — the PII scrubber stage regexes
+    alone get wrong in both directions: a bare \\d{13,19} regex flags
+    every order id and misses nothing, so production scrubbers gate
+    candidates on the Luhn checksum (PAN lengths 13-19 per ISO/IEC
+    7812; ~10% of random digit runs pass, so Luhn cuts false positives
+    ~10× while true PANs always pass).
+
+    Candidates are MAXIMAL digit runs (regexp_extract_all('[0-9]+') —
+    maximality gives exact boundaries without lookarounds, which RE2
+    oracles don't support) of plausible PAN length. Entirely map-side:
+    the length filter and the Luhn fold are nested higher-order
+    functions over the per-row candidate array — no explode, no
+    shuffle, no UDF. Returns (id, n_ccn_candidates, n_ccn_valid)."""
+    runs = F.regexp_extract_all(F.col(text_col), F.lit("[0-9]+"), 0)
+    cand = F.filter(
+        runs,
+        lambda r: (F.length(r) >= min_len) & (F.length(r) <= max_len),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(cand).cast("long").alias("n_ccn_candidates"),
+        F.size(F.filter(cand, luhn_valid_col)).cast("long").alias("n_ccn_valid"),
+    )

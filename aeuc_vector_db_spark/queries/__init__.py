@@ -109,9 +109,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_opq_recall",
     "emb_hard_negatives",
     "doc_temperature_mix",
-    # Positions 23-50: the alphabetical head (28) of the 50 queries
+    "doc_pii_ccn",
+    # Positions 24-50: the alphabetical head (27) of the 50 queries
     # whose newest driver row is CORRECTNESS_r09 (3 rounds stale at
-    # r12). The 22 that do not fit (knn_euclidean_topk,
+    # r12). The 23 that do not fit (knn_dot_topk, knn_euclidean_topk,
     # manifest_bucketed_dv_read, manifest_cdc_incremental_agg …
     # two_level_search, alphabetical tail) are queued right after
     # position 50, first in line for r13; they stay covered by the
@@ -143,10 +144,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "import_dedup",
     "ivf_arrow_pruned_search",
     "knn_cosine_range",
-    "knn_dot_topk",
     # --- positions ≥ 51: everything below stays covered by the
     # in-repo full sweeps between driver rows. First in line for r13:
     # the r9-window tail here, then the r10-window set rotates back in.
+    "knn_dot_topk",
     "knn_euclidean_topk",
     "manifest_bucketed_dv_read",
     "manifest_cdc_incremental_agg",

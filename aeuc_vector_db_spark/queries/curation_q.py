@@ -972,6 +972,82 @@ GROUP BY s.lang ORDER BY s.lang
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Luhn-gated credit-card detection (round 12)
+# ---------------------------------------------------------------------------
+
+
+def _ccn_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture texts carry no card numbers, so plant them (the
+    _pii_corpus pattern): a KNOWN-VALID PAN literal (doc_id % 9 = 0),
+    a near-miss with the check digit off by one (doc_id % 10 = 0), and
+    a doc-id-derived 16-digit run (doc_id % 12 = 0) whose Luhn
+    validity varies — the detector, not the plant, decides."""
+    docs = load_table(spark, "documents", sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 9 == 0,
+               F.lit(" pay 4111111111111111 now")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 10 == 0,
+               F.lit(" card 4111111111111112 maybe")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 12 == 0,
+            F.concat(
+                F.lit(" ref "),
+                F.lpad(
+                    ((F.col("doc_id") * F.col("doc_id") * 7919)
+                     % F.lit(10_000_000_000_000_000)).cast("string"),
+                    16, "0",
+                ),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.withColumn("text", planted)
+
+
+def _doc_pii_ccn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-gated credit-card detection over the planted corpus — see
+    `operators/curation.py ccn_detect` (map-side nested HOFs, exact
+    integer mod-10 arithmetic identical in the oracle)."""
+    out = CU.ccn_detect(_ccn_corpus(spark, sf_dir))
+    return out.filter(F.col("n_ccn_candidates") > 0).orderBy("doc_id")
+
+
+_CCN_ORACLE = """
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || (CASE WHEN doc_id % 9 = 0 THEN ' pay 4111111111111111 now' ELSE '' END)
+         || (CASE WHEN doc_id % 10 = 0 THEN ' card 4111111111111112 maybe' ELSE '' END)
+         || (CASE WHEN doc_id % 12 = 0
+                  THEN ' ref ' || lpad(CAST((doc_id * doc_id * 7919) % 10000000000000000
+                                            AS VARCHAR), 16, '0')
+                  ELSE '' END) AS text
+  FROM documents
+),
+runs AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[0-9]+')) AS run
+  FROM planted
+),
+cand AS (
+  SELECT doc_id, run,
+         CASE WHEN list_sum(list_transform(range(1, length(run)+1), i ->
+                CASE WHEN (length(run) - i + 1) % 2 = 0
+                     THEN CASE WHEN 2*(ascii(substr(run,i,1))-48) > 9
+                               THEN 2*(ascii(substr(run,i,1))-48)-9
+                               ELSE 2*(ascii(substr(run,i,1))-48) END
+                     ELSE ascii(substr(run,i,1))-48 END)) % 10 = 0
+              THEN 1 ELSE 0 END AS ok
+  FROM runs WHERE length(run) BETWEEN 13 AND 19
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ccn_candidates,
+       CAST(SUM(ok) AS BIGINT) AS n_ccn_valid
+FROM cand GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_curriculum_order": (_doc_curriculum_order, _CURRICULUM_ORACLE),
     "doc_pipeline_e2e": (_doc_pipeline_e2e, _pipeline_oracle()),
@@ -990,4 +1066,5 @@ QUERIES = {
     "emb_quantize_int8": (_emb_quantize_int8, _QUANTIZE_ORACLE),
     "emb_hard_negatives": (_emb_hard_negatives, _hard_negatives_oracle()),
     "doc_temperature_mix": (_doc_temperature_mix, _TEMPERATURE_MIX_ORACLE),
+    "doc_pii_ccn": (_doc_pii_ccn, _CCN_ORACLE),
 }

@@ -143,10 +143,12 @@ HEADLINE = (
     # build+write and `hot` is the pure serve — the number to compare
     # against doc_incremental_minhash_dedup's hot
     "doc_incremental_minhash_bucketed",
-    # round 12: LSH-blocked contrastive hard-negative mining and the
-    # τ=2 temperature source mix (Hamilton integer allocation)
+    # round 12: LSH-blocked contrastive hard-negative mining, the τ=2
+    # temperature source mix (Hamilton integer allocation), and
+    # Luhn-gated credit-card detection (map-side nested HOFs)
     "emb_hard_negatives",
     "doc_temperature_mix",
+    "doc_pii_ccn",
 )
 
 

@@ -760,3 +760,28 @@ def test_temperature_mix_selects_exact_budgets(spark):
     got2 = {r["source"]: r["n"] for r in
             out2.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got2 == got
+
+
+def test_luhn_and_ccn_detect_known_vectors(spark):
+    """Known Luhn vectors: the classic valid test PANs pass, off-by-one
+    check digits fail, plausible-length gate respected, multiple runs
+    per row counted map-side."""
+    rows = [
+        (1, "pay 4111111111111111 ok"),             # valid Visa test PAN
+        (2, "card 4111111111111112 nope"),           # check digit off by one
+        (3, "amex 378282246310005 and mc 5555555555554444"),  # both valid
+        (4, "order 123456789012 too-short 12345678901234567890 too-long"),
+        (5, "79927398713 is the classic Luhn example but only 11 digits"),
+        (6, "no digits at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_ccn_candidates"], r["n_ccn_valid"])
+        for r in CU.ccn_detect(df).collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 0), 3: (2, 2), 4: (0, 0),
+                   5: (0, 0), 6: (0, 0)}
+    # the fold itself: doubled-digit > 9 branch (5555...4444 exercises
+    # it) and plan stays UDF-free / map-only
+    plan = CU.ccn_detect(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
