@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from aeuc_vector_db_spark.functions.vector import as_double
 from aeuc_vector_db_spark.operators.text import (
@@ -863,8 +864,14 @@ def temperature_budgets(
     makes everything after it BIGINT-exact): b_i = ⌊T·w_i / W⌋, the
     D = T − Σb_i leftover units go to the D largest remainders
     r_i = T·w_i − b_i·W (ties broken by stratum ascending). A budget
-    never exceeds the stratum's count (clamped, leftover re-ranked
-    among unclamped strata)."""
+    never exceeds the stratum's count — clamping happens AFTER the one
+    Hamilton pass and the clamped shortfall is NOT redistributed, so
+    sum(budgets) may come in under `total` when a tiny stratum binds
+    (e.g. counts {big: 10000, tiny: 2}, total 5000 → 4932 + 2).
+    Callers that must hit `total` exactly can detect the shortfall as
+    `total - sum(budgets.values())`; redistribution would need a
+    fixpoint loop and the declared (oracle-matched) semantics is one
+    pass over the √ weights."""
     import math
 
     w = {
@@ -903,7 +910,15 @@ def temperature_mix(
     as the total-order tie-break, row_number ≤ budget. One shuffle on
     the stratum key for the per-stratum window; groups are bounded by
     stratum sizes. Rank selection (not a rate threshold) because the
-    budgets are exact counts — Hamilton allocation is the point."""
+    budgets are exact counts — Hamilton allocation is the point.
+
+    The budgets attach via a BROADCAST JOIN on the stratum key, not a
+    per-stratum `when()` chain: at the 10⁴-10⁵ source strata this
+    operator exists for, a literal chain that long is a driver
+    plan-compile hazard (the bloomjoin lesson — ~20 s to compile a
+    2²¹-child literal; see operators/bloomjoin.py). The budget table is
+    |strata| rows, always broadcastable."""
+    spark = df.sparkSession
     counts = {
         r[stratum_col]: r["count"]
         for r in df.groupBy(stratum_col).count().collect()
@@ -911,12 +926,13 @@ def temperature_mix(
     budgets = temperature_budgets(
         {k: v for k, v in counts.items() if k is not None}, total
     )
-    bcol = None
-    for k, t in sorted(budgets.items()):
-        cond = F.col(stratum_col) == F.lit(k)
-        lit = F.lit(int(t))
-        bcol = F.when(cond, lit) if bcol is None else bcol.when(cond, lit)
-    bcol = F.lit(0) if bcol is None else bcol.otherwise(F.lit(0))
+    bschema = T.StructType([
+        T.StructField("__stratum__", df.schema[stratum_col].dataType, True),
+        T.StructField("__budget__", T.LongType(), False),
+    ])
+    bdf = spark.createDataFrame(
+        [(k, int(t)) for k, t in sorted(budgets.items())], bschema
+    )
     key = F.pmod(
         polyhash_col(
             F.concat_ws(":", F.lit(str(salt)), F.col(id_col).cast("string"))
@@ -926,9 +942,14 @@ def temperature_mix(
     )
     w = Window.partitionBy(stratum_col).orderBy(key, F.col(id_col))
     return (
-        df.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") <= bcol)
-        .drop("__rn__")
+        df.join(
+            F.broadcast(bdf),
+            F.col(stratum_col).eqNullSafe(F.col("__stratum__")),
+            "left",
+        )
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= F.coalesce(F.col("__budget__"), F.lit(0)))
+        .drop("__rn__", "__stratum__", "__budget__")
     )
 
 

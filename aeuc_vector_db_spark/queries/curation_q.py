@@ -996,8 +996,15 @@ def _ccn_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 12 == 0,
             F.concat(
                 F.lit(" ref "),
+                # overflow-safe derived run: mod doc_id down BEFORE the
+                # square — Spark (non-ANSI) silently wraps int64 while
+                # DuckDB raises on BIGINT overflow, so the raw
+                # doc_id*doc_id*7919 form diverges once doc_id > ~3.4e7
+                # (larger scale factors). Operands stay < 1e8, products
+                # < 1e16 « 2^63, identical in both engines.
                 F.lpad(
-                    ((F.col("doc_id") * F.col("doc_id") * 7919)
+                    (((F.col("doc_id") % 100000003)
+                      * (((F.col("doc_id") % 100000003) * 7919) % 100000003))
                      % F.lit(10_000_000_000_000_000)).cast("string"),
                     16, "0",
                 ),
@@ -1022,8 +1029,10 @@ WITH planted AS (
          || (CASE WHEN doc_id % 9 = 0 THEN ' pay 4111111111111111 now' ELSE '' END)
          || (CASE WHEN doc_id % 10 = 0 THEN ' card 4111111111111112 maybe' ELSE '' END)
          || (CASE WHEN doc_id % 12 = 0
-                  THEN ' ref ' || lpad(CAST((doc_id * doc_id * 7919) % 10000000000000000
-                                            AS VARCHAR), 16, '0')
+                  THEN ' ref ' || lpad(CAST(
+                         ((doc_id % 100000003)
+                          * (((doc_id % 100000003) * 7919) % 100000003))
+                         % 10000000000000000 AS VARCHAR), 16, '0')
                   ELSE '' END) AS text
   FROM documents
 ),

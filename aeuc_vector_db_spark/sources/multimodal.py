@@ -612,6 +612,13 @@ def qoi_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("QOI run overflows pixel count")
             out += bytes((r, g, b)) * run
             px += run
+            # The reference qoi.c decoder writes index[hash(px)] = px
+            # after EVERY chunk, RUN included. Usually a no-op (the pixel
+            # was indexed when produced), but not when the run repeats the
+            # implicit (0,0,0,255) start pixel that was never explicitly
+            # produced — a spec-literal encoder may then emit an INDEX op
+            # for that slot. Keep the slot in sync before continuing.
+            index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
             continue
         index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
         out += bytes((r, g, b))

@@ -127,6 +127,11 @@ HEADLINE = (
     "rel_trade_pagerank",
     "events_time_weighted_avg",
     "rel_exact_median_price",
+    # rel_rfm_segments (adaptive since round 12): the 9-row boundary
+    # histogram collect runs at DataFrame-BUILD time, so like the
+    # bucketed-dedup table write the `cold` number carries the eager
+    # aggregate+histogram jobs (~2.9 s sf0.1) and `hot` is the pure
+    # map-side bucketing re-collect
     "rel_rfm_segments",
     "rel_trade_pagerank_weighted",
     # round 11: the declared star-contraction components query (the

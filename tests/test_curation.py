@@ -762,6 +762,36 @@ def test_temperature_mix_selects_exact_budgets(spark):
     assert got2 == got
 
 
+def test_temperature_mix_many_strata_broadcast_join(spark):
+    """The budgets attach via a broadcast join, not a per-stratum
+    when() chain — with 2,000 strata a literal chain is a driver
+    plan-compile hazard (the bloomjoin lesson). Gates: (1) the plan
+    holds a BroadcastHashJoin and no 2,000-branch CASE WHEN, (2) plan
+    build + execution completes in bounded time, (3) the selection
+    still sums to the Hamilton total (all strata equal → no clamp)."""
+    import time
+
+    n_strata, per = 2000, 5
+    df = spark.range(n_strata * per).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % n_strata).cast("string")).alias(
+            "source"
+        ),
+    )
+    t0 = time.monotonic()
+    out = CU.temperature_mix(df, total=4000, stratum_col="source", salt=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    built = time.monotonic() - t0
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CASE WHEN" not in plan.replace("CASE WHEN", "", 1), (
+        "budget attachment regressed to a literal when() chain"
+    )
+    assert out.count() == 4000
+    # generous wall bound: the r12 when-chain variant at 2k strata took
+    # tens of seconds to compile; the join variant is sub-second + exec
+    assert built < 30.0
+
+
 def test_luhn_and_ccn_detect_known_vectors(spark):
     """Known Luhn vectors: the classic valid test PANs pass, off-by-one
     check digits fail, plausible-length gate respected, multiple runs

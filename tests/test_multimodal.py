@@ -1009,6 +1009,28 @@ def test_qoi_handcrafted_vector_and_rgba_ops():
     assert MM.qoi_decode(rgba) == (2, 1, 3, bytes((9, 8, 7) * 2))
 
 
+def test_qoi_run_updates_running_index():
+    """Reference qoi.c writes index[hash(px)] = px after EVERY chunk,
+    RUN included. The one case where that write is not a no-op: a RUN of
+    the implicit (0,0,0,255) start pixel, which was never produced by a
+    chunk. An INDEX op must then yield alpha=255 (not the stale all-zero
+    slot), and that alpha feeds later hash slots — making the divergence
+    visible in the RGB output two chunks later."""
+    # hash(0,0,0,255) = (255*11) % 64 = 53; hash(7,7,7,255) = 30
+    hand = (
+        b"qoif" + struct.pack(">IIBB", 6, 1, 3, 0)
+        + bytes((0xC0 | 0,))            # RUN(1): implicit start pixel
+        + bytes((0xFE, 200, 100, 50))   # RGB
+        + bytes((53,))                  # INDEX → (0,0,0,255) per reference
+        + bytes((0xFE, 7, 7, 7))        # RGB → indexed at hash(...,a=255)=30
+        + bytes((0xFE, 99, 98, 97))     # RGB (move off the pixel)
+        + bytes((30,))                  # INDEX → (7,7,7) iff alpha tracked
+        + b"\x00" * 7 + b"\x01"
+    )
+    expect = bytes((0, 0, 0, 200, 100, 50, 0, 0, 0, 7, 7, 7, 99, 98, 97, 7, 7, 7))
+    assert MM.qoi_decode(hand) == (6, 1, 3, expect)
+
+
 def test_qoi_dispatch_and_rejects():
     px = _hash_pixels(b"d", 5 * 5 * 3)
     enc = MM.qoi_encode(px, 5, 5)
