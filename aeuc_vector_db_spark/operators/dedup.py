@@ -387,14 +387,25 @@ def append_minhash_band_table(
     mis-bucketing, the BucketedManifestTable lesson), so joins stay
     corpus-shuffle-free across appends. Each append adds one file per
     touched bucket; multi-file buckets still join Exchange-free but
-    lose the single-file sort elision, so after many epochs rewrite
-    the table once from the full index (`write_minhash_band_table`,
-    mode overwrite) — compaction IO tracks epoch debt, never corpus
-    size beyond the one rewrite. Callers pass the SAME n_buckets as
-    the original write; `id_col`/`k`/`band_size` must also match or
-    the stored band space is inconsistent (not detectable from the
-    rows — the caller owns index parameters, as with every LSH
-    parameter in this module)."""
+    lose the single-file sort elision, so after many epochs run
+    `compact_minhash_band_table` — compaction IO tracks corpus size
+    once per compaction, amortized over the appends it cleans up.
+    Callers pass the SAME n_buckets as the original write;
+    `id_col`/`k`/`band_size` must also match or the stored band space
+    is inconsistent (not detectable from the rows — the caller owns
+    index parameters, as with every LSH parameter in this module).
+
+    RE-INGEST CONTRACT (round-13, ADVICE r12): appends are append-only,
+    so a batch containing an id ALREADY in the table leaves that id's
+    old-signature band rows in the table alongside the new ones. Until
+    the next `compact_minhash_band_table`, every serve must receive
+    those ids via `incremental_minhash_near_dup_bucketed(...,
+    superseded_ids=...)` — the serve then ignores the table's rows for
+    them and re-derives their band rows map-side from the authoritative
+    index. Compaction rewrites from the index and resets the set to
+    empty. Without this, stale rows distort hot-band cap counts (a
+    capped band silently drops TRUE pairs) and generate candidates from
+    signatures that no longer exist."""
     rows = minhash_band_rows_keyed(new_index, id_col, k, band_size)
     (
         rows.repartition(n_buckets, F.col("bkey"))
@@ -403,6 +414,39 @@ def append_minhash_band_table(
         .mode("append")
         .saveAsTable(table_name)
     )
+
+
+def compact_minhash_band_table(
+    index: DataFrame,
+    table_name: str,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    k: int = 8,
+    band_size: int = 2,
+) -> None:
+    """One-shot rewrite of the band table from the authoritative
+    (id, sig, sh) index (round 13, VERDICT r12 #3) — the periodic
+    maintenance op that pays down append debt:
+
+      1. restores the ONE-FILE-PER-BUCKET layout: each append adds a
+         file generation per touched bucket, and Spark only trusts
+         (and elides) the sortBy order for single-file buckets — after
+         N appends the serve's SMJ re-sorts the corpus side every
+         batch, paying in sort what the bucketing saved in shuffle.
+         Post-compact the candidate join is Sort-free on the table
+         side again (plan-gated in tests/test_bucketed_join.py);
+      2. purges STALE band rows of re-ingested ids: the index is keyed
+         one row per id (batch-wins maintenance), so rewriting from it
+         drops superseded signatures the append-only table still holds
+         — after a compact, serves no longer need `superseded_ids`
+         until the next re-ingesting epoch.
+
+    Cost: one full shuffle of the corpus band rows (the same
+    repartition(n_buckets, bkey) + sortBy write recipe as the original
+    write — it IS that write, mode overwrite), so compaction IO tracks
+    corpus size once per compaction, amortized over the epochs between
+    compactions. Parameters must match the original write's."""
+    write_minhash_band_table(index, table_name, n_buckets, id_col, k, band_size)
 
 
 def incremental_minhash_near_dup_bucketed(
@@ -416,6 +460,7 @@ def incremental_minhash_near_dup_bucketed(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_band_size: int | None = None,
+    superseded_ids: DataFrame | None = None,
 ) -> DataFrame:
     """`incremental_minhash_near_dup` served from a bucketed band table
     (round 12, VERDICT r11 #1): identical pair set — every
@@ -442,7 +487,19 @@ def incremental_minhash_near_dup_bucketed(
     contract as the flat path). Proven: the soak twin
     (tools/soak_incremental_dedup_bucketed.py) asserts the identical
     pair set vs the flat incremental AND the full recompute at 200k
-    docs, with the index-side Exchange gone from the plan."""
+    docs, with the index-side Exchange gone from the plan.
+
+    `superseded_ids` (round 13, ADVICE r12): ids re-ingested in a
+    PRIOR epoch since the last `compact_minhash_band_table` — the
+    append-only table still holds their OLD-signature band rows next
+    to the new ones, which would both distort the hot-band cap counts
+    (dropping true pairs when a stale row pushes a band over the cap)
+    and generate candidates from signatures that no longer exist. The
+    serve anti-joins the table against them (broadcast, map-side — the
+    corpus never shuffles) and re-derives their band rows from the
+    authoritative `index`, whose row set IS current. The set is small
+    (re-ingests since last compact), so its side of every join
+    broadcasts."""
     spark = batch.sparkSession
     # lazy checkpoint: ONE Arrow shingle pass over the batch per action
     # (see the flat path's matching note)
@@ -457,6 +514,24 @@ def incremental_minhash_near_dup_bucketed(
     cb = spark.table(band_table).join(
         F.broadcast(batch_ids), id_col, "left_anti"
     )
+    sb = None
+    if superseded_ids is not None:
+        # ids re-ingested again in THIS batch are already handled by the
+        # batch_ids anti-join above (and live in nb); the remainder get
+        # their table rows dropped and fresh band rows derived map-side
+        # from the index — a small union kept SEPARATE from cb so the
+        # bucketed scan's HashPartitioning survives for the main join
+        sup = (
+            superseded_ids.select(id_col).distinct()
+            .join(batch_ids, id_col, "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        cb = cb.join(F.broadcast(sup), id_col, "left_anti")
+        sup_idx = index.select(id_col, "sig").join(
+            F.broadcast(sup), id_col, "left_semi"
+        )
+        sb = minhash_band_rows_keyed(sup_idx, id_col, k, band_size)
+        sb = sb.localCheckpoint(eager=False)
     if max_band_size is not None:
         # per-batch work must track the BATCH, not the corpus: only
         # batch-touched keys can form pairs, so the corpus's role in
@@ -476,10 +551,23 @@ def incremental_minhash_near_dup_bucketed(
         nbc = nb.groupBy("bkey", "band", "vals").agg(
             F.count(F.lit(1)).alias("__bn__")
         )
-        tot = nbc.join(cbc, ["bkey", "band", "vals"], "left").select(
+        tot = nbc.join(cbc, ["bkey", "band", "vals"], "left")
+        if sb is not None:
+            # superseded docs' FRESH rows count toward the cap exactly
+            # like the flat path would count them (their stale table
+            # rows were anti-joined out of cb before cbc)
+            sbc = sb.groupBy("bkey", "band", "vals").agg(
+                F.count(F.lit(1)).alias("__sn__")
+            )
+            tot = tot.join(sbc, ["bkey", "band", "vals"], "left")
+        else:
+            tot = tot.withColumn("__sn__", F.lit(None).cast("long"))
+        tot = tot.select(
             "bkey", "band", "vals",
             (
-                F.col("__bn__") + F.coalesce(F.col("__cn__"), F.lit(0))
+                F.col("__bn__")
+                + F.coalesce(F.col("__cn__"), F.lit(0))
+                + F.coalesce(F.col("__sn__"), F.lit(0))
             ).alias("__tn__"),
         )
         keep = tot.filter(F.col("__tn__") <= max_band_size).select(
@@ -487,6 +575,8 @@ def incremental_minhash_near_dup_bucketed(
         )
         nb = nb.join(keep, ["bkey", "band", "vals"], "left_semi")
         cb = cb.join(keep, ["bkey", "band", "vals"], "left_semi")
+        if sb is not None:
+            sb = sb.join(keep, ["bkey", "band", "vals"], "left_semi")
     nbx = nb.select(
         F.col(id_col).alias("x"), "bkey",
         F.col("band").alias("b1"), F.col("vals").alias("v1"),
@@ -502,8 +592,19 @@ def incremental_minhash_near_dup_bucketed(
     same_band = (F.col("b1") == F.col("b2")) & (F.col("v1") == F.col("v2"))
     bc = nbx.join(cby, "bkey").filter(same_band).select("x", "y")
     bb = nbx.join(nby, "bkey").filter(same_band).select("x", "y")
+    cand = bc.unionByName(bb)
+    if sb is not None:
+        # batch × superseded-fresh-rows: a SEPARATE small join (both
+        # sides tiny) so the main batch × table join above keeps reading
+        # the bucketed scan's partitioning untouched
+        sby = sb.select(
+            F.col(id_col).alias("y"), "bkey",
+            F.col("band").alias("b2"), F.col("vals").alias("v2"),
+        )
+        bs = nbx.join(sby, "bkey").filter(same_band).select("x", "y")
+        cand = cand.unionByName(bs)
     pairs = (
-        bc.unionByName(bb)
+        cand
         .filter(F.col("x") != F.col("y"))
         .select(
             F.least("x", "y").alias("a_id"),

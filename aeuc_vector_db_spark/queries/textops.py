@@ -1699,19 +1699,49 @@ _WINNOW_K, _WINNOW_W = 3, 4
 
 
 def _doc_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # MAP-ONLY plan: the w-window sliding minimum is computed INSIDE
-    # the hash array with ⌈log₂ w⌉ zip_with passes (operators/text.py
-    # sliding_min_col), then distinct/count/sum/min fold per row — so
-    # the whole query is a projection over the scan: ZERO shuffles,
-    # zero explode (gated in tests/test_plans.py). Earlier shapes and
-    # why they lost: `transform(seq, j -> array_min(slice(hs, j, w)))`
-    # re-evaluates the hash array per window position (no CSE inside
-    # lambda bodies — 75 s for 500 docs); posexplode + window MIN over
-    # (pos..pos+w-1) is linear but ships ~#shingles rows through a
-    # doc_id shuffle + sort (14.8 s at sf0.1 — the shuffle WAS the
-    # query). Giant-doc caveat unchanged: one multi-GB document is one
-    # row either way; the chunked-overlap formulation in the section
-    # comment above is the escape hatch, not a different operator.
+    # MAP-ONLY plan, vectorized Arrow kernel (round 13): tokenize →
+    # k-gram polyhash → w-window sliding min → distinct →
+    # (count, sum, min), the whole batch folded FLAT in numpy
+    # (operators/text.py winnow_batch) — exact integer arithmetic,
+    # bit-identical to the SQL-HOF twin below (pinned in
+    # tests/test_text_dedup.py) and to the DuckDB oracle. ZERO
+    # shuffles, zero explode, exactly ONE MapInPandas (gated in
+    # tests/test_plans.py): mapInPandas both drops the no-shingle rows
+    # inside the kernel (no filter to re-trigger UDF evaluation — a
+    # filter over the pandas_udf form re-ran the kernel on both sides,
+    # 2 ArrowEvalPython nodes measured) and keeps one kernel pass. The
+    # r9-r12 SQL-HOF form (kept as _doc_winnowing_fp_sql) was the
+    # slowest healthy headline at 1.17 s sf0.1 — interpreted lambda
+    # evaluation over the shingle arrays was the entire cost.
+    docs = load_table(spark, "documents", sf_dir)
+    k, w = _WINNOW_K, _WINNOW_W
+
+    def gen(it):
+        for pdf in it:
+            st = TX.winnow_batch(pdf["text"], k, w)
+            st.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield st[st["n_fp"].notna()]
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "doc_id long, n_fp long, fp_sum long, fp_min long"
+    )
+
+
+def _doc_winnowing_fp_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The pure-SQL-HOF twin (the r9-r12 hot path, now the bit-parity
+    # reference for the Arrow kernel): the w-window sliding minimum is
+    # computed INSIDE the hash array with ⌈log₂ w⌉ zip_with passes
+    # (operators/text.py sliding_min_col), then distinct/count/sum/min
+    # fold per row — the whole query is a projection over the scan.
+    # Earlier shapes and why they lost: `transform(seq, j ->
+    # array_min(slice(hs, j, w)))` re-evaluates the hash array per
+    # window position (no CSE inside lambda bodies — 75 s for 500
+    # docs); posexplode + window MIN over (pos..pos+w-1) is linear but
+    # ships ~#shingles rows through a doc_id shuffle + sort (14.8 s at
+    # sf0.1 — the shuffle WAS the query). Giant-doc caveat unchanged:
+    # one multi-GB document is one row either way; the chunked-overlap
+    # formulation in the section comment above is the escape hatch,
+    # not a different operator.
     docs = load_table(spark, "documents", sf_dir)
     w = _WINNOW_W
     hs = F.transform(

