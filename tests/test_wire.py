@@ -18,6 +18,7 @@ from aeuc_vector_db_spark.streaming import offset_source as OS
 from aeuc_vector_db_spark.streaming.wire import (
     OffsetWireBroker,
     RemoteOffsetSource,
+    _fetch_raw,
     _request,
 )
 from tests.test_streaming import DIM, _entry
@@ -51,6 +52,30 @@ def test_wire_protocol_roundtrip(broker):
                   {"op": "fetch", "partition": 1, "start": 0, "end": 2})
     assert r1 == r2 and len(r1["records"]) == 2
     assert r1["records"][0][0] == 0 and '"a":1' in r1["records"][0][1]
+
+
+def test_raw_frame_fetch_matches_json_fetch(broker):
+    """The length-prefixed raw-frame FETCH (the poll kernel's hot path)
+    serves byte-identical records to the legacy all-JSON FETCH — same
+    range, same order, offsets implicit lo+index — including non-ASCII
+    payloads and the empty range."""
+    remote = RemoteOffsetSource(broker.host, broker.port)
+    vals = [{"i": i, "s": f"véc–{i}"} for i in range(7)]
+    remote.append(2, vals)
+    legacy = _request(
+        broker.host, broker.port,
+        {"op": "fetch", "partition": 2, "start": 1, "end": 5},
+    )["records"]
+    raw = _fetch_raw(broker.host, broker.port, 2, 1, 5)
+    assert [v for _o, v in legacy] == raw
+    assert [o for o, _v in legacy] == list(range(1, 5))
+    assert [json.loads(v)["i"] for v in raw] == [1, 2, 3, 4]
+    # empty slice: zero records, zero body bytes — not an error
+    assert _fetch_raw(broker.host, broker.port, 2, 5, 5) == []
+    assert _fetch_raw(broker.host, broker.port, 0, 0, 10) == []
+    # errors still arrive as a JSON header line
+    with pytest.raises(ValueError, match="broker error"):
+        _fetch_raw(broker.host, broker.port, "x", 0, 1)  # type: ignore[arg-type]
 
 
 def test_wire_malformed_request_fails_loud_broker_survives(broker):
