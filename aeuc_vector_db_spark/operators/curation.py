@@ -451,16 +451,68 @@ def pca_project(
     (dimension, variance ordering, energy bound, refit determinism).
     """
     from pyspark.ml.feature import PCA
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     vec = df.withColumn("__features__", array_to_vector(as_double(vec_col)))
     model = PCA(k=k, inputCol="__features__", outputCol="__pca__").fit(vec)
-    out = (
-        model.transform(vec)
-        .withColumn(out_col, vector_to_array("__pca__"))
-        .drop("__features__", "__pca__")
-    )
+    # apply through the shared literal-matrix fold (project_components)
+    # instead of model.transform: same math (MLlib's transform is x·PC
+    # with no centering), but the multiply stays inside whole-stage
+    # codegen as HOF folds — no Vector UDT round trip per row — and the
+    # application arithmetic is the exact code path the hash-matched
+    # emb_pca_apply query pins against DuckDB
+    pc = model.pc.toArray()  # d × k
+    comps = [pc[:, i].tolist() for i in range(k)]
+    out = project_components(df, comps, vec_col=vec_col, out_col=out_col)
     return out, [float(v) for v in model.explainedVariance]
+
+
+def project_components(
+    df: DataFrame,
+    components: "list[list[float]]",
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Map-side application of a k×d projection matrix:
+    `out_col[i] = <components[i], vec>` — the apply half of PCA (and of
+    any learned linear projection), factored out so it can be pinned
+    cross-engine. Each dot is the engine's standard sequential
+    left-to-right fold (`dot_col`), so with literal components the
+    result is bit-reproducible in any engine folding the same way.
+    PCA *training* can never be hash-matched (eigendecomposition + BLAS
+    gemv use engine-private fold orders), which is why emb_pca_project
+    stays rows-only while emb_pca_apply — this operator under
+    integer-derived literal components — hash-matches the arithmetic.
+
+    Plan shape: zero shuffles, zero UDFs — k codegen'd HOF folds per
+    row; the matrix rides in the plan as literals (k·d ≤ a few
+    thousand), never a join."""
+    from aeuc_vector_db_spark.functions.vector import dot_col
+
+    v = as_double(vec_col)
+    return df.withColumn(
+        out_col,
+        F.array(
+            *[
+                dot_col(v, F.array(*[F.lit(float(x)) for x in row]))
+                for row in components
+            ]
+        ),
+    )
+
+
+def literal_components(k: int, dim: int) -> "list[list[float]]":
+    """Deterministic integer-derived k×d component matrix with exactly
+    representable dyadic entries — the lsh_hyperplanes recipe applied
+    to projection testing, so the SAME literals are constructible in
+    any engine:
+
+        c[i][j] = ((i·53 + j·29) mod 17 − 8) / 8  ∈ [−1, 1]
+    """
+    return [
+        [((i * 53 + j * 29) % 17 - 8) / 8.0 for j in range(dim)]
+        for i in range(k)
+    ]
 
 
 def dequantize_col(q_col: Column | str, scale_col: Column | str) -> Column:

@@ -447,8 +447,12 @@ GROUP BY s.lang
 def _emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Project embeddings 64→8 dims; per-vector projected L2 norm plus
     the model's cumulative explained-variance (a constant column) make
-    the transform's effect visible row by row. Rows-only check —
-    variance ordering/energy bounds are pinned in test_curation.py."""
+    the transform's effect visible row by row. Rows-only check — the
+    LEARNED matrix can't be hash-matched (eigendecomposition + BLAS
+    fold orders are engine-private); the application arithmetic is
+    hash-matched by the companion emb_pca_apply, which drives the same
+    `project_components` code path under literal components. Variance
+    ordering/energy bounds are pinned in test_curation.py."""
     emb = load_table(spark, "embeddings", sf_dir)
     out, variance = CU.pca_project(emb, k=8)
     cum_var = float(sum(variance))
@@ -487,6 +491,54 @@ def _emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return base.unionByName(viol)
+
+
+# ---------------------------------------------------------------------------
+# Linear-projection application (hash-matched half of the PCA story)
+# ---------------------------------------------------------------------------
+
+def _emb_pca_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The projection-APPLY arithmetic of the PCA family, hash-matched:
+    `project_components` (the exact code path `pca_project` uses to
+    apply its learned matrix) under an 8×64 integer-derived literal
+    matrix embedded verbatim in the DuckDB oracle — the
+    emb_hard_negatives hyperplane-literal trick applied to PCA
+    (VERDICT r12 #8). Training stays rows-only by necessity:
+    eigendecomposition + BLAS gemv fold orders are engine-private, so
+    only the apply half can be made bit-stable. Every dot is the same
+    sequential left-to-right fold on both sides."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    comps = CU.literal_components(8, 64)
+    out = CU.project_components(emb, comps, vec_col="embedding", out_col="proj")
+    return out.select(
+        "vec_id",
+        *[F.round(F.col("proj")[i], 9).alias(f"p{i + 1}") for i in range(8)],
+    ).orderBy("vec_id")
+
+
+def _pca_apply_oracle() -> str:
+    from aeuc_vector_db_spark.operators.curation import literal_components
+
+    comps = literal_components(8, 64)
+
+    def dot_c(row):
+        lits = "[" + ", ".join(repr(x) for x in row) + "]"
+        return (
+            f"list_reduce(list_transform(list_zip(v, {lits}), "
+            "p -> p[1]*p[2]), (s, x) -> s + x)"
+        )
+
+    cols = ",\n       ".join(
+        f"ROUND({dot_c(r)}, 9) AS p{i + 1}" for i, r in enumerate(comps)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT vec_id, {cols}
+FROM v ORDER BY vec_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1069,6 +1121,7 @@ QUERIES = {
     "doc_repetition_ratio": (_doc_repetition_ratio, _REPETITION_ORACLE),
     "doc_source_rebalance": (_doc_source_rebalance, _REBALANCE_ORACLE),
     "emb_pca_project": (_emb_pca_project, None),
+    "emb_pca_apply": (_emb_pca_apply, _pca_apply_oracle()),
     "doc_stratified_sample": (_doc_stratified_sample, _STRATIFIED_ORACLE),
     "doc_pii_scrub": (_doc_pii_scrub, _PII_ORACLE),
     "doc_sequence_pack": (_doc_sequence_pack, _SEQUENCE_PACK_ORACLE),

@@ -224,6 +224,26 @@ def test_pca_project_shape_variance_energy(spark):
     assert bad.count() == 0
 
 
+def test_project_components_matches_numpy_and_stays_mapside(spark):
+    """project_components (the PCA apply path): values equal a NumPy
+    matmul to 1e-9, the plan has no Exchange and no Python eval (pure
+    codegen HOF folds), and literal_components entries are exact
+    dyadics (n/8) so any engine can reconstruct them bit-for-bit."""
+    import numpy as np
+
+    rows = [(i, [float((i * 5 + j * 7) % 13) / 3.0 for j in range(6)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    comps = CU.literal_components(3, 6)
+    assert all(x * 8 == int(x * 8) for row in comps for x in row)
+    out = CU.project_components(df, comps, out_col="proj")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    got = {r["vec_id"]: r["proj"] for r in out.collect()}
+    W = np.array(comps)
+    for i, emb in rows:
+        np.testing.assert_allclose(got[i], W @ np.array(emb), atol=1e-9)
+
+
 def test_pca_project_refit_deterministic(spark):
     rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(6)]) for i in range(60)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
