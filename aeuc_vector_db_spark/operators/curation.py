@@ -828,10 +828,33 @@ def lsh_hyperplanes(n_planes: int, dim: int) -> "list[list[float]]":
     ]
 
 
+def derive_n_planes(
+    n_rows: int,
+    target_bucket_rows: int = 2048,
+    min_planes: int = 4,
+    max_planes: int = 16,
+) -> int:
+    """Auto-derive the LSH plane count from corpus size (the
+    `_derive_sample_mod` pattern applied to bucketed mining): enough
+    planes that the EXPECTED bucket size n/2^p falls at or below
+    `target_bucket_rows`, clamped to [min_planes, max_planes]. With
+    even buckets the pair volume Σnᵢ² is then ≈ n·target — linear in
+    n, the property that keeps mining feasible at 100 TB instead of
+    N². Real buckets skew with directional clustering (same-pointing
+    vectors are the POINT of the bucketing), so measured Σnᵢ² runs
+    above the even-bucket floor; tools/soak_hard_negatives.py measures
+    the real curve at 500k vectors. Derivation is a starting point,
+    not a guarantee — pass n_planes explicitly to pin a plan."""
+    import math
+
+    p = math.ceil(math.log2(max(1.0, n_rows / max(1, target_bucket_rows))))
+    return max(min_planes, min(max_planes, p))
+
+
 def hard_negatives_within_buckets(
     emb: DataFrame,
     k: int = 3,
-    n_planes: int = 4,
+    n_planes: "int | None" = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -858,10 +881,17 @@ def hard_negatives_within_buckets(
     the DuckDB oracle's bit-for-bit (same sequential left-to-right
     fold as the k-NN family).
 
+    `n_planes=None` auto-derives the plane count from the corpus size
+    (`derive_n_planes`) at the cost of one count job at build time —
+    the adaptive-RFM pattern; pass an explicit value to keep the build
+    action-free and the plan pinned (the declared query does).
+
     Returns (a_id, neg_id, r, cos) with r ≤ k per anchor.
     """
     from aeuc_vector_db_spark.functions.vector import dot_col, sq_norm_col
 
+    if n_planes is None:
+        n_planes = derive_n_planes(emb.count())
     planes = lsh_hyperplanes(n_planes, dim)
     v = as_double(vec_col)
     bucket = None

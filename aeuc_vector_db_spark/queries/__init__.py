@@ -73,80 +73,11 @@ for _mod_name in (
 # in-repo between their driver rows. COVERAGE.md maps each query to the
 # round whose CORRECTNESS file holds its green row.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-12 window, positions 1-50 (VERDICT r11 #4) ---
-    # Positions 1-18: the r8-window tail — the rel_* alphabetical
-    # remainder plus sql_entry_hll_distinct, whose newest driver rows
-    # are CORRECTNESS_r08 (4 rounds stale at r12, the oldest anywhere
-    # in the registry); each re-verified green in the round-12 full
-    # local sweep before this rotation.
-    "rel_cheapest_part_offer",
-    "rel_disjunctive_promo_revenue",
-    "rel_exists_late_shipment",
-    "rel_fk_violations",
-    "rel_grouping_sets_revenue",
-    "rel_idle_rich_customers",
-    "rel_market_share_customers",
-    "rel_nation_share_by_year",
-    "rel_order_count_distribution",
-    "rel_order_price_drift",
-    "rel_price_quantile_sketch",
-    "rel_rolling_30d_revenue",
-    "rel_small_qty_part_revenue",
-    "rel_top_quarter_supplier",
-    "rel_unpivot_part_metrics",
-    "rel_volume_shipping",
-    "rel_waiting_suppliers",
-    "sql_entry_hll_distinct",
-    # Positions 19-22: new in round 12 (never had a driver row): the
-    # bucketed incremental-dedup serve path (VERDICT r11 #1), hash-
-    # checked against the same full-recompute oracle as the flat path;
-    # OPQ recall (rows-only, floor+canary gated like the rest of the
-    # recall family); LSH-blocked contrastive hard-negative mining
-    # (oracle = the identical bucket/cosine arithmetic in SQL); and
-    # the τ=2 temperature source mix (Hamilton integer allocation,
-    # oracle-exact).
-    "doc_incremental_minhash_bucketed",
-    "ann_opq_recall",
-    "emb_hard_negatives",
-    "doc_temperature_mix",
-    "doc_pii_ccn",
-    # Positions 24-50: the alphabetical head (27) of the 50 queries
-    # whose newest driver row is CORRECTNESS_r09 (3 rounds stale at
-    # r12). The 23 that do not fit (knn_dot_topk, knn_euclidean_topk,
-    # manifest_bucketed_dv_read, manifest_cdc_incremental_agg …
-    # two_level_search, alphabetical tail) are queued right after
-    # position 50, first in line for r13; they stay covered by the
-    # in-repo full sweep meanwhile.
-    "ann_ivf_recall",
-    "ann_ivfadc_recall",
-    "ann_pq_recall",
-    "doc_bm25_topk",
-    "doc_clean_corpus_pipeline",
-    "doc_decontaminate",
-    "doc_epoch_shuffle",
-    "doc_heavy_hitters",
-    "doc_hybrid_rrf_topk",
-    "doc_leakproof_split",
-    "doc_pii_scrub",
-    "doc_repetition_ratio",
-    "doc_sequence_pack",
-    "doc_source_rebalance",
-    "doc_source_token_budget",
-    "doc_stratified_sample",
-    "doc_unigram_logprob",
-    "doc_winnowing_fingerprint",
-    "emb_pca_project",
-    "emb_quantize_int8",
-    "embedding_normalize",
-    "events_hourly_window",
-    "events_json_props",
-    "export_ordered",
-    "import_dedup",
-    "ivf_arrow_pruned_search",
-    "knn_cosine_range",
-    # --- positions ≥ 51: everything below stays covered by the
-    # in-repo full sweeps between driver rows. First in line for r13:
-    # the r9-window tail here, then the r10-window set rotates back in.
+    # --- round-13 window, positions 1-50 (VERDICT r12 #1) ---
+    # Positions 1-23: the r9-window tail — the 23 queries whose newest
+    # driver rows are CORRECTNESS_r09 (4 rounds stale at r13, the
+    # oldest anywhere in the registry); each re-verified green in the
+    # round-13 full local sweep before this rotation.
     "knn_dot_topk",
     "knn_euclidean_topk",
     "manifest_bucketed_dv_read",
@@ -170,6 +101,70 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_entry_knn_cosine",
     "sql_entry_pricing",
     "two_level_search",
+    # Position 24: new in round 13 (never had a driver row): the
+    # hash-matched PCA-apply arithmetic — project_components under an
+    # integer-derived literal matrix, the same code path pca_project
+    # uses to apply its learned components (VERDICT r12 #8).
+    "emb_pca_apply",
+    # Positions 25-50: the alphabetical head (26) of the 50 queries
+    # whose newest driver row is CORRECTNESS_r10 (3 rounds stale). The
+    # 24 that do not fit (manifest_merge_dv_read … rel_trade_pagerank_
+    # weighted, alphabetical tail) are queued right after position 50,
+    # first in line for r14; they stay covered by the in-repo full
+    # sweep meanwhile.
+    "doc_cms_freq",
+    "doc_dedup_keep_one",
+    "doc_exact_dedup",
+    "doc_hll_distinct",
+    "doc_minhash_capped",
+    "doc_minhash_near_dup",
+    "doc_ngram_jaccard",
+    "doc_pipeline_e2e",
+    "doc_simhash16",
+    "doc_substring_dedup",
+    "doc_token_diversity",
+    "emb_binary_hamming_topk",
+    "emb_near_dup_cosine",
+    "events_click_attribution",
+    "events_time_weighted_avg",
+    "events_transition_matrix",
+    "events_value_trend_ols",
+    "ivf_euclidean_pruned_search",
+    "ivf_phi_pruned_search",
+    "ivf_radius_pruned_search",
+    "knn_cosine_arrow_topk",
+    "knn_cosine_filtered",
+    "knn_phi_topk",
+    "manifest_bloom_read",
+    "manifest_cdc_read",
+    "manifest_dv_read",
+    # --- positions ≥ 51: everything below stays covered by the
+    # in-repo full sweeps between driver rows. First in line for r14:
+    # the r10-window tail here, then the r11 set rotates back in.
+    "manifest_merge_dv_read",
+    "manifest_rename_read",
+    "manifest_skipping_read",
+    "manifest_widening_read",
+    "manifest_zorder_read",
+    "multimodal_native_codec_stats",
+    "rel_acctbal_by_region_nation",
+    "rel_asof_latest_order",
+    "rel_cube_order_status",
+    "rel_customers_both_years",
+    "rel_exact_median_price",
+    "rel_high_value_customers",
+    "rel_orders_by_month",
+    "rel_orders_within_30d",
+    "rel_part_skyline",
+    "rel_part_supplier_variety",
+    "rel_peak_open_orders_hist",
+    "rel_pivot_status_by_priority",
+    "rel_price_percentiles",
+    "rel_rfm_segments",
+    "rel_rollup_acctbal",
+    "rel_skew_salted_revenue",
+    "rel_trade_pagerank",
+    "rel_trade_pagerank_weighted",
 )
 
 
