@@ -129,6 +129,22 @@ def main() -> int:
             import gc
 
             gc.collect()
+            # gc.collect() alone is NOT enough: dropping the JVM
+            # DataFrame reference queues the RDD for Spark's
+            # ContextCleaner, which only unpersists after a JVM GC —
+            # and its safety-net periodic GC defaults to 30 MINUTES,
+            # longer than the whole sweep, so checkpoint/cache blocks
+            # from 174 queries pile up in executor storage for the
+            # session's whole life. Unpersist every still-tracked RDD
+            # explicitly — queries are independent, so nothing live is
+            # evicted. (Round-13 note: in-sweep vs solo timing swings
+            # on this box turned out to be mostly shared-host noise —
+            # the single-thread calibration stamp itself swung 0.57 →
+            # 0.88 s within one session — so read per-query numbers
+            # against the embedded cpu_calibration, not raw.)
+            spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist(False)
         if name not in oracles:
             print(f"rows-only  {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
             continue
