@@ -234,8 +234,15 @@ GATED_PROBES = {
     # ungated in the first r11 runs, the wire probe swung 674-3,710
     # rows/s across same-day runs (host oscillation, single sample);
     # it has no baseline gate but the best-of-N policy is ~20 s per
-    # extra attempt and turns the number into a capability measurement
-    "bench-probe-wire": lambda r: r["wire_rows_per_s"],
+    # extra attempt and turns the number into a capability measurement.
+    # Selection is by RATIO, not raw rows/s: the probe's metric of
+    # record is wire-vs-local, and local and wire run back-to-back
+    # within one attempt, so the per-attempt ratio is the
+    # noise-controlled quantity — selecting on raw wire rate once
+    # picked an attempt whose LOCAL leg caught a fast-host burst
+    # (r13: ratios 0.635 / 0.463 across two attempts purely from the
+    # local denominator swinging 6.8k → 10.3k rows/s)
+    "bench-probe-wire": lambda r: r["ratio"],
 }
 
 
