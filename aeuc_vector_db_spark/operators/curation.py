@@ -892,6 +892,17 @@ def hard_negatives_within_buckets(
 
     if n_planes is None:
         n_planes = derive_n_planes(emb.count())
+    # Parallelism floor: the pair cos folds evaluate in the JOIN's
+    # stage, which inherits the LEFT side's partitioning — a
+    # single-file corpus (the sf fixtures) otherwise runs every pair
+    # on ONE core while the window stage beyond it gets 32 (measured
+    # 3.9 s for 324k pairs at sf0.1, core-bound on interpreted HOF
+    # folds). A corpus big enough to matter already arrives in many
+    # partitions, so this round-robin widen only ever fires on small
+    # inputs; results are partitioning-invariant (soak-asserted).
+    target = emb.sparkSession.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < target:
+        emb = emb.repartition(target)
     planes = lsh_hyperplanes(n_planes, dim)
     v = as_double(vec_col)
     bucket = None
