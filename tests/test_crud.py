@@ -97,8 +97,18 @@ def test_digest_scalable_ansi_mode(spark):
         spark.conf.set("spark.sql.ansi.enabled", "false")
         off = crud.dataset_digest_scalable(df)
     finally:
+        # `before` is None when the session never explicitly set the
+        # key (conf.get(key, default) does NOT consult Spark's own
+        # default) — skipping the restore then left ANSI forced to the
+        # last set() ("false") for every later test in the session,
+        # which flipped size(NULL) from NULL to -1 and broke the
+        # winnowing SQL twin's zero-shingle drop (order-dependent
+        # failure found in the r13 full-suite run). Unset to return to
+        # the session default instead.
         if before is not None:
             spark.conf.set("spark.sql.ansi.enabled", before)
+        else:
+            spark.conf.unset("spark.sql.ansi.enabled")
     assert on == off >= 0
 
 
