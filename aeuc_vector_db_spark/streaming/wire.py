@@ -202,9 +202,21 @@ class OffsetWireBroker:
         path = self.source._log_path(partition)
         if not os.path.exists(path):
             return []
+        # Stream line-by-line, skipping to lo and breaking at hi — a
+        # full-file read made each chunked poll O(log_size) in time AND
+        # memory, quadratic across a fetch_chunk'd backlog drain.
+        # Records are JSONL (offset_source.append writes "\n"-terminated
+        # json.dumps output, which never contains raw newlines), so
+        # binary line iteration splits exactly at record boundaries.
+        out: list[bytes] = []
         with open(path, "rb") as fh:
-            lines = fh.read().splitlines()
-        return lines[lo:hi]
+            for i, line in enumerate(fh):
+                if i < lo:
+                    continue
+                if i >= hi:
+                    break
+                out.append(line.rstrip(b"\r\n"))
+        return out
 
     def _dispatch(self, req: dict) -> dict:
         op = req.get("op")

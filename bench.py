@@ -510,8 +510,23 @@ def main() -> None:
         cal=knn_stamp,
         tries=gated_cal["bench-probe-knn"]["tries"],
     )
+    # the wire probe's best-of-N selector is the RATIO (see GATED_PROBES),
+    # so _probe_median("bench-probe-wire") would be a median of ratios —
+    # recording that under a rows/s name mislabeled the artifact in r13
+    # (BENCH_DETAIL showed 0.5 beside wire_rows_per_s 4619). Compute the
+    # rows/s median directly from the attempts, and carry the ratio
+    # median under its own honestly-named field at full precision.
+    _wire_attempts = [
+        a["result"] for a in gated_cal["bench-probe-wire"]["attempts"]
+    ]
     wire_stats = dict(
-        wire_stats, wire_rows_per_s_med=_probe_median("bench-probe-wire")
+        wire_stats,
+        wire_rows_per_s_med=round(
+            _median([r["wire_rows_per_s"] for r in _wire_attempts]), 1
+        ),
+        wire_ratio_med=round(
+            _median([r["ratio"] for r in _wire_attempts]), 3
+        ),
     )
     cluster_scale = results["bench-probe-cluster"]
     dedup_skew = results["bench-probe-dedup"]

@@ -4,8 +4,8 @@
 output rows at sf0.01). Its 100 TB claim is the Σnᵢ² pair-volume bound:
 pairs form only within cosine-LSH buckets, and each extra hyperplane
 should roughly halve expected bucket size and quarter pair volume. This
-soak, at ~500k clustered vectors (dim 64, 50 directional label
-clusters + noise — the regime that SKEWS sign-pattern buckets, unlike
+soak, at ~500k clustered vectors (dim 64, N_LABELS = 500 directional
+label clusters + noise — the regime that SKEWS sign-pattern buckets, unlike
 uniform random):
 
   1. measures the real bucket-size distribution and Σnᵢ² for
