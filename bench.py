@@ -878,24 +878,44 @@ def _bench_wire(spark) -> dict:
         warm_src.append(0, [rec(i) for i in range(100)])
         OS.run_offset_ingest(spark, warm_src, ManifestTable(f"{root}/t_warm"), dim)
 
-        t0 = time.time()
-        OS.run_offset_ingest(spark, src, ManifestTable(f"{root}/t_local"), dim)
-        local_s = time.time() - t0
-
-        broker = OffsetWireBroker(src).start()
-        try:
-            remote = RemoteOffsetSource(broker.host, broker.port)
+        # WARM BEST-OF-3 PER LEG (round 14, VERDICT r13 #3): the r13
+        # probe ran each leg once after a LOCAL-source-only warm, so the
+        # wire leg also paid the one-time bring-up of the executor-side
+        # fetch kernel (a different code path from the local source's
+        # driver-side createDataFrame) — the artifact recorded a colder
+        # wire path than the PLANS.md warm measurement and the two
+        # contradicted (0.597 vs 1.40). Three timed runs per leg, min
+        # taken, makes the probe measure the claimed warm steady state;
+        # run 1 of each leg IS that leg's warm-up. Every run drains the
+        # full log into a fresh table, so work per run is identical.
+        local_times: list[float] = []
+        for i in range(3):
             t0 = time.time()
             OS.run_offset_ingest(
-                spark, remote, ManifestTable(f"{root}/t_wire"), dim
+                spark, src, ManifestTable(f"{root}/t_local_{i}"), dim
             )
-            wire_s = time.time() - t0
+            local_times.append(time.time() - t0)
+
+        broker = OffsetWireBroker(src).start()
+        wire_times: list[float] = []
+        try:
+            remote = RemoteOffsetSource(broker.host, broker.port)
+            for i in range(3):
+                t0 = time.time()
+                OS.run_offset_ingest(
+                    spark, remote, ManifestTable(f"{root}/t_wire_{i}"), dim
+                )
+                wire_times.append(time.time() - t0)
         finally:
             broker.stop()
 
-        got = ManifestTable(f"{root}/t_wire").read(spark).count()
-        if got != n:  # the throughput number is meaningless if rows were lost
-            raise RuntimeError(f"wire ingest committed {got} rows, expected {n}")
+        for i in range(3):  # throughput is meaningless if rows were lost
+            got = ManifestTable(f"{root}/t_wire_{i}").read(spark).count()
+            if got != n:
+                raise RuntimeError(
+                    f"wire ingest run {i} committed {got} rows, expected {n}"
+                )
+        local_s, wire_s = min(local_times), min(wire_times)
         local_rate = round(n / local_s, 1) if local_s > 0 else 0.0
         wire_rate = round(n / wire_s, 1) if wire_s > 0 else 0.0
         out = {
@@ -903,6 +923,8 @@ def _bench_wire(spark) -> dict:
             "local_rows_per_s": local_rate,
             "ratio": round(wire_rate / local_rate, 3) if local_rate else 0.0,
             "n": n,
+            "local_s_runs": [round(t, 3) for t in local_times],
+            "wire_s_runs": [round(t, 3) for t in wire_times],
         }
         print(f"# wire_ingest: {_json.dumps(out)}", file=sys.stderr)
         return out
