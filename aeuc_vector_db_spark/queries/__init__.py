@@ -39,6 +39,8 @@ for _mod_name in (
     "curation_q",
     "manifest_q",
     "sql_q",
+    # composites LAST: it imports the other query modules' FOLDED dicts
+    "composites",
 ):
     try:
         _mod = __import__(
@@ -61,10 +63,12 @@ for _mod_name in (
 
 
 # The driver's correctness pass checks the FIRST 50 registry entries
-# (CORRECTNESS_r02..r10 each hold exactly 50 rows regardless of registry
+# (CORRECTNESS_r02..r13 each hold exactly 50 rows regardless of registry
 # size). Ordering therefore decides which queries get a driver-verified
-# row each round. With 168 declared queries and a 50-row window, a
-# query gets a driver row at best every ceil(168/50) ≈ 3-4 rounds; the
+# row each round. With 147 declared queries (round 14: 32 long-green
+# singles folded into 5 tagged composites, VERDICT r13 #2) and a 50-row
+# window, every query gets a driver row every ceil(147/50) = 3 rounds —
+# the freshness discipline is arithmetically satisfiable again. The
 # rotation policy is: (1) queries that have NEVER had a driver row go
 # first, (2) new-in-this-round queries must sit inside position 50,
 # (3) remaining slots go to the longest-stale previously-verified
@@ -73,98 +77,120 @@ for _mod_name in (
 # in-repo between their driver rows. COVERAGE.md maps each query to the
 # round whose CORRECTNESS file holds its green row.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-13 window, positions 1-50 (VERDICT r12 #1) ---
-    # Positions 1-23: the r9-window tail — the 23 queries whose newest
-    # driver rows are CORRECTNESS_r09 (4 rounds stale at r13, the
-    # oldest anywhere in the registry); each re-verified green in the
-    # round-13 full local sweep before this rotation.
-    "knn_dot_topk",
-    "knn_euclidean_topk",
-    "manifest_bucketed_dv_read",
-    "manifest_cdc_incremental_agg",
-    "manifest_dnf_skipping_read",
-    "manifest_in_skipping_read",
-    "manifest_incremental_read",
-    "manifest_merge_read",
-    "manifest_null_skipping_read",
-    "manifest_schema_evolution_read",
-    "multimodal_feature_stats",
-    "multimodal_transform_stats",
-    "rel_late_order_priority",
-    "rel_parts_never_ordered",
-    "rel_pricing_summary",
-    "rel_product_type_profit",
-    "rel_returned_item_revenue",
-    "rel_revenue_by_nation",
-    "rel_top_orders_per_customer",
-    "rel_top_revenue_orders",
-    "sql_entry_knn_cosine",
-    "sql_entry_pricing",
-    "two_level_search",
-    # Position 24: new in round 13 (never had a driver row): the
-    # hash-matched PCA-apply arithmetic — project_components under an
-    # integer-derived literal matrix, the same code path pca_project
-    # uses to apply its learned components (VERDICT r12 #8).
-    "emb_pca_apply",
-    # Positions 25-50: the alphabetical head (26) of the 50 queries
-    # whose newest driver row is CORRECTNESS_r10 (3 rounds stale). The
-    # 24 that do not fit (manifest_merge_dv_read … rel_trade_pagerank_
-    # weighted, alphabetical tail) are queued right after position 50,
-    # first in line for r14; they stay covered by the in-repo full
-    # sweep meanwhile.
-    "doc_cms_freq",
-    "doc_dedup_keep_one",
-    "doc_exact_dedup",
-    "doc_hll_distinct",
-    "doc_minhash_capped",
-    "doc_minhash_near_dup",
-    "doc_ngram_jaccard",
-    "doc_pipeline_e2e",
-    "doc_simhash16",
-    "doc_substring_dedup",
-    "doc_token_diversity",
-    "emb_binary_hamming_topk",
-    "emb_near_dup_cosine",
-    "events_click_attribution",
-    "events_time_weighted_avg",
-    "events_transition_matrix",
-    "events_value_trend_ols",
-    "ivf_euclidean_pruned_search",
-    "ivf_phi_pruned_search",
-    "ivf_radius_pruned_search",
-    "knn_cosine_arrow_topk",
-    "knn_cosine_filtered",
-    "knn_phi_topk",
-    "manifest_bloom_read",
-    "manifest_cdc_read",
-    "manifest_dv_read",
-    # --- positions ≥ 51: everything below stays covered by the
-    # in-repo full sweeps between driver rows. First in line for r14:
-    # the r10-window tail here, then the r11 set rotates back in.
-    "manifest_merge_dv_read",
-    "manifest_rename_read",
-    "manifest_skipping_read",
-    "manifest_widening_read",
-    "manifest_zorder_read",
+    # --- round-14 window, positions 1-50 (VERDICT r13 #1 + #2) ---
+    # Positions 1-5: the five new composites (never had a driver row).
+    # Between them they carry r14-fresh driver rows for all 32 folded
+    # singles — including the 15 r10-window singles that were 4 rounds
+    # stale (rel_* trivial aggregates + the 5 manifest reads) and the
+    # 14 r11-window singles (cluster family + text statistics).
+    "rel_agg_composite",
+    "manifest_read_composite",
+    "cluster_family_composite",
+    "text_stats_composite",
+    "io_roundtrip_composite",
+    # Positions 6-14: the unfolded remainder of the r10-window tail —
+    # their newest driver rows are CORRECTNESS_r10 (4 rounds stale at
+    # r14, the oldest anywhere in the registry).
     "multimodal_native_codec_stats",
-    "rel_acctbal_by_region_nation",
     "rel_asof_latest_order",
-    "rel_cube_order_status",
-    "rel_customers_both_years",
-    "rel_exact_median_price",
-    "rel_high_value_customers",
-    "rel_orders_by_month",
-    "rel_orders_within_30d",
     "rel_part_skyline",
     "rel_part_supplier_variety",
     "rel_peak_open_orders_hist",
-    "rel_pivot_status_by_priority",
-    "rel_price_percentiles",
     "rel_rfm_segments",
-    "rel_rollup_acctbal",
     "rel_skew_salted_revenue",
     "rel_trade_pagerank",
     "rel_trade_pagerank_weighted",
+    # Positions 15-50: the full unfolded r11-window set (36 queries,
+    # 3 rounds stale at r14 — they must take rows now or they break
+    # the ≤3 discipline at r15).
+    "ann_pq_refine_recall",
+    "core_stability_composite",
+    "doc_bm25_indexed_topk",
+    "doc_bpe_tokenize",
+    "doc_cross_source_contamination",
+    "doc_curriculum_order",
+    "doc_incremental_minhash_dedup",
+    "doc_leakproof_kfold",
+    "doc_prefix_edit1_pairs",
+    "doc_quality_gate_sketch",
+    "doc_weighted_sample",
+    "emb_drift_split_stats",
+    "emb_matryoshka_topk",
+    "emb_mmr_rerank",
+    "emb_semantic_dedup_keep_one",
+    "emb_semantic_dedup_learned",
+    "events_cohort_retention",
+    "events_cusum_alarms",
+    "events_funnel_conversion",
+    "events_resample_locf",
+    "events_scd2_point_in_time",
+    "events_sessionize",
+    "events_value_outliers_mad",
+    "events_windowed_hll",
+    "ivf_incremental_search",
+    "ivf_pruned_search",
+    "knn_cosine_topk",
+    "knn_maxsim_topk",
+    "manifest_merge_clauses_read",
+    "manifest_ndv_read",
+    "multimodal_audio_near_dup",
+    "multimodal_codec_canary",
+    "multimodal_image_near_dup",
+    "rel_big_volume_customers",
+    "rel_bloom_semijoin_revenue",
+    "rel_trade_components",
+    # --- positions ≥ 51: everything below stays covered by the
+    # in-repo full sweeps between driver rows. First in line for r15:
+    # the r12-window set (47 unfolded queries — export_ordered,
+    # import_dedup, and embedding_normalize now ride
+    # io_roundtrip_composite), then the r13 set at r16.
+    "ann_ivf_recall",
+    "ann_ivfadc_recall",
+    "ann_opq_recall",
+    "ann_pq_recall",
+    "doc_bm25_topk",
+    "doc_clean_corpus_pipeline",
+    "doc_decontaminate",
+    "doc_epoch_shuffle",
+    "doc_heavy_hitters",
+    "doc_hybrid_rrf_topk",
+    "doc_incremental_minhash_bucketed",
+    "doc_leakproof_split",
+    "doc_pii_ccn",
+    "doc_pii_scrub",
+    "doc_repetition_ratio",
+    "doc_sequence_pack",
+    "doc_source_rebalance",
+    "doc_source_token_budget",
+    "doc_stratified_sample",
+    "doc_temperature_mix",
+    "doc_unigram_logprob",
+    "doc_winnowing_fingerprint",
+    "emb_hard_negatives",
+    "emb_pca_project",
+    "emb_quantize_int8",
+    "events_hourly_window",
+    "events_json_props",
+    "ivf_arrow_pruned_search",
+    "knn_cosine_range",
+    "rel_cheapest_part_offer",
+    "rel_disjunctive_promo_revenue",
+    "rel_exists_late_shipment",
+    "rel_fk_violations",
+    "rel_grouping_sets_revenue",
+    "rel_idle_rich_customers",
+    "rel_market_share_customers",
+    "rel_nation_share_by_year",
+    "rel_order_count_distribution",
+    "rel_order_price_drift",
+    "rel_price_quantile_sketch",
+    "rel_rolling_30d_revenue",
+    "rel_small_qty_part_revenue",
+    "rel_top_quarter_supplier",
+    "rel_unpivot_part_metrics",
+    "rel_volume_shipping",
+    "rel_waiting_suppliers",
+    "sql_entry_hll_distinct",
 )
 
 

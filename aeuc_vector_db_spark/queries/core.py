@@ -834,17 +834,26 @@ QUERIES = {
     "knn_phi_topk": (_knn_query("phi_weighted"), _PHI_ORACLE),
     "knn_cosine_filtered": (_knn_filtered, _KNN_FILTERED_ORACLE),
     "knn_cosine_arrow_topk": (_knn_arrow_rank, _knn_oracle(_dk_cosine, rank_only=True)),
-    "centroids_by_label": (_centroids_by_label, _CENTROIDS_ORACLE),
-    "inertia_by_label": (_inertia_by_label, _INERTIA_ORACLE),
-    "form_pglyphs_by_label": (_form_pglyphs_by_label, _FORM_PGLYPHS_ORACLE),
-    "phi_bands": (_phi_bands, _phi_bands_oracle(3)),
-    "auto_cluster_phi": (_auto_cluster_phi, _auto_cluster_oracle(3)),
     # round 8: the five maximal-stability singles (search_pglyphs,
     # dataset_digest, stats, point_lookup, validation_counts — green since
     # r03/r05) collapsed into one tagged-rows composite so they cost one
     # driver-window slot instead of five. The underlying callables remain
     # individually plan-gated in tests/test_plans.py.
     "core_stability_composite": (_stability_composite, _STABILITY_COMPOSITE_ORACLE),
+}
+
+# Round 14 (VERDICT r13 #2): long-green singles folded into the tagged
+# composites in queries/composites.py — the cluster family rides
+# cluster_family_composite, the I/O round-trips ride
+# io_roundtrip_composite. Each entry keeps its (fn, oracle) pair here so
+# the composite reuses the arithmetic verbatim and tests/bench can still
+# drive the callables individually.
+FOLDED = {
+    "centroids_by_label": (_centroids_by_label, _CENTROIDS_ORACLE),
+    "inertia_by_label": (_inertia_by_label, _INERTIA_ORACLE),
+    "form_pglyphs_by_label": (_form_pglyphs_by_label, _FORM_PGLYPHS_ORACLE),
+    "phi_bands": (_phi_bands, _phi_bands_oracle(3)),
+    "auto_cluster_phi": (_auto_cluster_phi, _auto_cluster_oracle(3)),
     "import_dedup": (_import_dedup, _IMPORT_DEDUP_ORACLE),
     "delete_recompute": (_delete_recompute, _DELETE_RECOMPUTE_ORACLE),
     "export_ordered": (_export_ordered, _EXPORT_ORDERED_ORACLE),

@@ -2429,7 +2429,6 @@ QUERIES = {
     "rel_trade_pagerank_weighted": (_trade_pagerank_weighted,
                                     _TRADE_PAGERANK_W_ORACLE),
     "rel_trade_components": (_trade_components, _TRADE_COMPONENTS_ORACLE),
-    "rel_exact_median_price": (_exact_median_price, _EXACT_MEDIAN_ORACLE),
     "rel_rfm_segments": (_rfm_segments, _RFM_ORACLE),
     "rel_part_supplier_variety": (_part_supplier_variety,
                                   _PART_SUPPLIER_VARIETY_ORACLE),
@@ -2462,15 +2461,23 @@ QUERIES = {
     "rel_top_orders_per_customer": (_top_orders_per_customer, _TOP_PER_CUSTOMER_ORACLE),
     "rel_parts_never_ordered": (_parts_never_ordered, _PARTS_NEVER_ORACLE),
     "rel_late_order_priority": (_late_order_priority_counts, _LATE_PRIORITY_ORACLE),
+    "rel_asof_latest_order": (_asof_latest_order, _ASOF_ORACLE),
+    "rel_skew_salted_revenue": (_skew_salted_revenue, _SKEW_SALTED_ORACLE),
+}
+
+# Round 14 (VERDICT r13 #2): trivial long-green aggregates folded into
+# rel_agg_composite (queries/composites.py); (fn, oracle) pairs stay here
+# so the composite reuses the arithmetic verbatim and tests/bench can
+# still drive the callables individually.
+FOLDED = {
+    "rel_exact_median_price": (_exact_median_price, _EXACT_MEDIAN_ORACLE),
     "rel_high_value_customers": (_high_value_customers, _HIGH_VALUE_ORACLE),
     "rel_acctbal_by_region_nation": (_acctbal_by_region_nation, _ACCTBAL_ORACLE),
     "rel_orders_by_month": (_orders_by_month, _ORDERS_MONTH_ORACLE),
     "rel_rollup_acctbal": (_rollup_acctbal, _ROLLUP_ORACLE),
     "rel_cube_order_status": (_cube_order_status, _CUBE_ORACLE),
     "rel_customers_both_years": (_customers_both_years, _SET_OPS_ORACLE),
-    "rel_asof_latest_order": (_asof_latest_order, _ASOF_ORACLE),
     "rel_price_percentiles": (_price_percentiles, _PERCENTILES_ORACLE),
     "rel_pivot_status_by_priority": (_pivot_status_by_priority, _PIVOT_ORACLE),
     "rel_orders_within_30d": (_orders_within_30d, _RANGE_JOIN_ORACLE),
-    "rel_skew_salted_revenue": (_skew_salted_revenue, _SKEW_SALTED_ORACLE),
 }

@@ -1887,7 +1887,6 @@ QUERIES = {
     "doc_quality_gate_sketch": (_doc_quality_gate_sketch, _QUALITY_GATE_ORACLE),
     "doc_substring_dedup": (_doc_substring_dedup, _SUBSTRING_DEDUP_ORACLE),
     "doc_hll_distinct": (_doc_hll_distinct, _HLL_DISTINCT_ORACLE),
-    "doc_vocab_overlap_hll": (_doc_vocab_overlap_hll, _VOCAB_OVERLAP_ORACLE),
     "doc_cms_freq": (_doc_cms_freq, _CMS_FREQ_ORACLE),
     "doc_leakproof_split": (_doc_leakproof_split, _LEAKPROOF_SPLIT_ORACLE),
     "doc_leakproof_kfold": (_doc_leakproof_kfold, _LEAKPROOF_KFOLD_ORACLE),
@@ -1897,13 +1896,6 @@ QUERIES = {
     "doc_bm25_indexed_topk": (_doc_bm25_indexed_topk, _BM25_ORACLE),
     "doc_heavy_hitters": (_doc_heavy_hitters, _HEAVY_HITTERS_ORACLE),
     "doc_unigram_logprob": (_doc_unigram_logprob, _UNIGRAM_LOGPROB_ORACLE),
-    "doc_token_stats": (_doc_token_stats, _TOKEN_STATS_ORACLE),
-    "doc_term_frequencies": (_doc_term_frequencies, _TERM_FREQ_ORACLE),
-    "doc_tfidf_topk": (_doc_tfidf_topk, _TFIDF_ORACLE),
-    "doc_bigram_topk": (_doc_bigram_topk, _BIGRAM_ORACLE),
-    "doc_language_id": (_doc_language_id, _LANG_ORACLE),
-    "doc_quality_score": (_doc_quality_score, _QUALITY_ORACLE),
-    "doc_fingerprint": (_doc_fingerprint, _FINGERPRINT_ORACLE),
     "doc_simhash16": (_doc_simhash16, _SIMHASH_ORACLE),
     "doc_exact_dedup": (_doc_exact_dedup, _EXACT_DEDUP_ORACLE),
     "doc_minhash_near_dup": (_doc_minhash_near_dup, _MINHASH_ORACLE),
@@ -1918,4 +1910,19 @@ QUERIES = {
     "emb_semantic_dedup_learned": (_emb_semantic_dedup_learned, None),
     "doc_dedup_keep_one": (_doc_dedup_keep_one, _KEEP_ONE_ORACLE),
     "doc_clean_corpus_pipeline": (_doc_clean_corpus_pipeline, _CLEAN_PIPELINE_ORACLE),
+}
+
+# Round 14 (VERDICT r13 #2): long-green text-statistics singles folded
+# into text_stats_composite (queries/composites.py); (fn, oracle) pairs
+# stay here so the composite reuses the arithmetic verbatim and
+# tests/bench can still drive the callables individually.
+FOLDED = {
+    "doc_bigram_topk": (_doc_bigram_topk, _BIGRAM_ORACLE),
+    "doc_fingerprint": (_doc_fingerprint, _FINGERPRINT_ORACLE),
+    "doc_language_id": (_doc_language_id, _LANG_ORACLE),
+    "doc_quality_score": (_doc_quality_score, _QUALITY_ORACLE),
+    "doc_term_frequencies": (_doc_term_frequencies, _TERM_FREQ_ORACLE),
+    "doc_tfidf_topk": (_doc_tfidf_topk, _TFIDF_ORACLE),
+    "doc_token_stats": (_doc_token_stats, _TOKEN_STATS_ORACLE),
+    "doc_vocab_overlap_hll": (_doc_vocab_overlap_hll, _VOCAB_OVERLAP_ORACLE),
 }

@@ -379,6 +379,19 @@ def main() -> None:
 
     load_at_headline = _loadavg()
     registry = Q.queries()
+    # singles folded into driver-window composites (round 14) keep their
+    # individual headline timings: resolve them from the owning modules'
+    # FOLDED dicts so BENCH_r* continuity survives the registry fold
+    from aeuc_vector_db_spark.queries import (
+        core as _Qcore,
+        manifest_q as _Qmanifest,
+        relational as _Qrel,
+        textops as _Qtext,
+    )
+
+    for _mod in (_Qcore, _Qmanifest, _Qrel, _Qtext):
+        for _n, (_fn, _sql) in _mod.FOLDED.items():
+            registry.setdefault(_n, _fn)
     warm_dir = "/root/testdata/sf0.001"
 
     # BASELINE.md methodology is warm-loop latency (the reference scores

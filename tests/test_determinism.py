@@ -16,7 +16,10 @@ SF = "/root/testdata/sf0.01"
 # session windows (gaps-and-islands), minhash banding, window top-k.
 REPRESENTATIVE = [
     "rel_pricing_summary",
-    "centroids_by_label",
+    # centroids_by_label rides cluster_family_composite since round 14 —
+    # the composite covers the same posexplode vector-agg path plus five
+    # more cluster-family parts
+    "cluster_family_composite",
     "events_sessionize",
     "doc_minhash_near_dup",
     "knn_cosine_topk",

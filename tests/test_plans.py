@@ -9,15 +9,27 @@ import pytest
 
 import aeuc_vector_db_spark.queries as Q
 from aeuc_vector_db_spark.queries import core as Qcore
+from aeuc_vector_db_spark.queries import manifest_q as Qmanifest
+from aeuc_vector_db_spark.queries import relational as Qrel
+from aeuc_vector_db_spark.queries import textops as Qtext
 
 SF01 = "/root/testdata/sf0.01"
 
 
 def _plan(spark, name: str) -> str:
-    # The five maximal-stability singles were collapsed into
-    # core_stability_composite in round 8; their callables remain
-    # individually plan-gated here via the module-private functions.
-    fn = Q.queries().get(name) or getattr(Qcore, f"_{name}")
+    # Singles collapsed into driver-window composites (round 8's
+    # core_stability_composite, round 14's five registry folds) remain
+    # individually plan-gated here via their modules' FOLDED dicts or
+    # module-private functions.
+    fn = Q.queries().get(name)
+    if fn is None:
+        for mod in (Qcore, Qmanifest, Qrel, Qtext):
+            folded = getattr(mod, "FOLDED", {})
+            if name in folded:
+                fn = folded[name][0]
+                break
+    if fn is None:
+        fn = getattr(Qcore, f"_{name}")
     df = fn(spark, SF01)
     qe = df._jdf.queryExecution()
     return qe.executedPlan().toString() + qe.toString()

@@ -107,6 +107,24 @@ def main() -> int:
     only = set(sys.argv[1:])
     failures = 0
     timings: dict[str, float] = {}
+
+    def _loop_stamp() -> float:
+        # the stable per-block stamp (loop, not matmul — see bench.py
+        # _cal_norm for the r11 forensics on matmul's turbo lottery)
+        t = time.time()
+        x = 0
+        for i in range(10**7):
+            x += i * i
+        return round(time.time() - t, 3)
+
+    # Per-BLOCK calibration stamps (round 14, VERDICT r13 #4): one
+    # stamp every 10 completed queries, so tail drift in the persisted
+    # sweep artifact is attributable to host vs code from the artifact
+    # alone — the r13 sf0.1 sweep embedded a single run-level stamp and
+    # its 2-30x tail swings (sql_entry_pricing 30.9 s vs its 1.3 s
+    # bit-identical twin) were undecidable without a solo rerun.
+    block_stamps: list[dict] = [{"n_done": 0, "python_loop_1e7_s": _loop_stamp()}]
+    n_done = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -145,6 +163,11 @@ def main() -> int:
             spark.catalog.clearCache()
             for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 rdd.unpersist(False)
+            n_done += 1
+            if n_done % 10 == 0:
+                block_stamps.append(
+                    {"n_done": n_done, "python_loop_1e7_s": _loop_stamp()}
+                )
         if name not in oracles:
             print(f"rows-only  {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
             continue
@@ -190,6 +213,11 @@ def main() -> int:
                     # per-query drift across sweeps must be read
                     # against this, not assumed to be code
                     "cpu_calibration": _cpu_cal(),
+                    # per-10-query loop stamps (round 14, VERDICT r13
+                    # #4): burst noise vs regression is decidable from
+                    # the artifact — find the block a slow query sits
+                    # in and read its bracketing stamps
+                    "block_stamps": block_stamps,
                 },
                 fh,
                 indent=1,
