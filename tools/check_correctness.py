@@ -117,13 +117,38 @@ def main() -> int:
             x += i * i
         return round(time.time() - t, 3)
 
+    def _io_state() -> tuple[float, int, int]:
+        """(loadavg_1m, iowait_ticks, total_ticks) — the CPU loop stamp
+        is blind to the OTHER host-noise axis found in round-14
+        forensics: shared-DISK contention (observed loadavg 14.5 at
+        96.9% idle CPU — dozens of tasks in D-state I/O sleep). A
+        32-thread Spark scan stalls on that while the 1-thread stamp
+        reads healthy, which is exactly the r13 'clean stamps, slow
+        tail' signature."""
+        load1 = float(open("/proc/loadavg").read().split()[0])
+        parts = open("/proc/stat").readline().split()
+        ticks = [int(x) for x in parts[1:]]
+        return load1, ticks[4], sum(ticks)
+
     # Per-BLOCK calibration stamps (round 14, VERDICT r13 #4): one
     # stamp every 10 completed queries, so tail drift in the persisted
     # sweep artifact is attributable to host vs code from the artifact
     # alone — the r13 sf0.1 sweep embedded a single run-level stamp and
     # its 2-30x tail swings (sql_entry_pricing 30.9 s vs its 1.3 s
-    # bit-identical twin) were undecidable without a solo rerun.
-    block_stamps: list[dict] = [{"n_done": 0, "python_loop_1e7_s": _loop_stamp()}]
+    # bit-identical twin) were undecidable without a solo rerun. Each
+    # block carries the loop stamp (CPU), loadavg, and the iowait share
+    # of ALL cpu ticks since the previous block (disk contention).
+    def _block_stamp(n: int, prev: tuple[float, int, int] | None) -> dict:
+        load1, iow, tot = _io_state()
+        d = {"n_done": n, "python_loop_1e7_s": _loop_stamp(),
+             "loadavg_1m": load1}
+        if prev is not None:
+            dt = tot - prev[2]
+            d["iowait_frac"] = round((iow - prev[1]) / dt, 4) if dt else 0.0
+        return d
+
+    _prev_io = _io_state()
+    block_stamps: list[dict] = [_block_stamp(0, None)]
     n_done = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -165,9 +190,8 @@ def main() -> int:
                 rdd.unpersist(False)
             n_done += 1
             if n_done % 10 == 0:
-                block_stamps.append(
-                    {"n_done": n_done, "python_loop_1e7_s": _loop_stamp()}
-                )
+                block_stamps.append(_block_stamp(n_done, _prev_io))
+                _prev_io = _io_state()
         if name not in oracles:
             print(f"rows-only  {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
             continue
