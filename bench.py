@@ -292,18 +292,35 @@ def _calibrated_probe(tag, probe, get_spark, headline):
         capability number, with interference one-sided slow. Every
         attempt (stamps + full result) is recorded in the detail file.
     """
+    def _io_state():
+        load1 = float(open("/proc/loadavg").read().split()[0])
+        parts = open("/proc/stat").readline().split()
+        ticks = [int(x) for x in parts[1:]]
+        return load1, ticks[4], sum(ticks)
+
     attempts = []
     best = None
     for i in range(CAL_MAX_ATTEMPTS):
         pre = _loop_stamp()
+        io0 = _io_state()
         spark = get_spark(f"{tag}-a{i}")
         try:
             result = probe(spark)
         finally:
             spark.stop()
+        io1 = _io_state()
         post = _loop_stamp()
         stamp = min(pre, post)
-        att = {"pre": pre, "post": post, "stamp": stamp, "result": result}
+        # the CPU loop stamp is blind to shared-DISK contention (round-14
+        # forensics: loadavg 14.5 at 96.9% idle CPU, D-state I/O sleep,
+        # clean stamps — yet 32-thread scans 2-4x slow); record the
+        # iowait tick share across the attempt so a depressed rate with
+        # clean stamps is attributable from the artifact
+        dt = io1[2] - io0[2]
+        att = {"pre": pre, "post": post, "stamp": stamp,
+               "loadavg_1m": io1[0],
+               "iowait_frac": round((io1[1] - io0[1]) / dt, 4) if dt else 0.0,
+               "result": result}
         attempts.append(att)
         if best is None or headline(result) > headline(best["result"]):
             best = att
