@@ -166,47 +166,50 @@ def png_encode(pixels: bytes, width: int, height: int, color_type: int = 2) -> b
 
 
 def _png_unfilter_wavefront(
-    rows: "np.ndarray", fts: "np.ndarray", height: int, width: int, bpp: int
+    x_px: "np.ndarray", fts: "np.ndarray"
 ) -> "np.ndarray":
     """Exact PNG unfilter for rows containing Average/Paeth, vectorized
     over ANTI-DIAGONALS (round 14, VERDICT r13 #7 — the winnowing/QOI
-    playbook: same arithmetic, batch the inner loop).
+    playbook: same arithmetic, batch the inner loop), and BATCHED over
+    same-shape images (trailing batch axis — an Arrow kernel decodes
+    whole column batches, so amortizing the H+W-1 numpy dispatches over
+    B images divides the per-image fixed cost by B).
 
     The dependency stencil of every PNG filter is (left, up, up-left):
     byte (y, x) needs at most out[y, x-1], out[y-1, x], out[y-1, x-1].
     On the anti-diagonal d = y + x, all three live on diagonals d-1 and
     d-2 — so every byte on a diagonal computes simultaneously, the
     classic wavefront. Skewing the buffer (row y shifted right by y
-    pixels) turns each diagonal into a contiguous COLUMN, so the scan is
-    H+W-1 small numpy steps over views instead of H·W·bpp Python
-    iterations (~5× on the all-Paeth 128×96 worst case). One zero top
-    row and two zero left columns make the spec's out-of-frame zeros
-    fall out of the layout instead of needing masks. All arithmetic in
-    int16 (max intermediate 510), byte-exact vs the scalar loop —
-    pinned per-filter vectors in tests/test_multimodal.py."""
-    x_px = rows[:, 1:].astype(np.int16).reshape(height, width, bpp)
-    # DIAGONAL-MAJOR skewed buffers — cell (y, x) lives at
-    # [x + y + 2, y + 1]: each anti-diagonal is then a CONTIGUOUS
-    # (rows, bpp) slab S[D], so every read/write below is a dense view
-    # and every arithmetic op runs allocation-free into preallocated
-    # scratch (small-array numpy cost is dominated by allocation and
-    # strided access, not flops)
+    pixels) turns each diagonal into a contiguous SLAB S[D] of shape
+    (rows, B, bpp), so the scan is H+W-1 numpy steps over dense views
+    instead of B·H·W·bpp Python iterations (~5× single-image on the
+    all-Paeth 128×96 worst case; another ~2× amortized at B=8). One
+    zero top row and two zero left columns make the spec's out-of-frame
+    zeros fall out of the layout instead of needing masks. All
+    arithmetic in int16 (max intermediate 510), byte-exact vs the
+    scalar recurrence — pinned per-filter vectors in
+    tests/test_multimodal.py.
+
+    `x_px`: (B, H, W, bpp) uint8 filtered bytes; `fts`: (B, H) filter
+    types. Returns (B, H, W*bpp) uint8 reconstructed pixels."""
+    n_batch, height, width, bpp = x_px.shape
     n_diag = width + height - 1
-    S = np.zeros((n_diag + 2, height + 1, bpp), dtype=np.int16)
+    S = np.zeros((n_diag + 2, height + 1, n_batch, bpp), dtype=np.int16)
     R = np.zeros_like(S)
+    xt = x_px.transpose(1, 2, 0, 3)  # (H, W, B, bpp)
     for y in range(height):
-        R[y + 2 : y + 2 + width, y + 1] = x_px[y]
+        R[y + 2 : y + 2 + width, y + 1] = xt[y]  # uint8→int16 widening
     m_max = min(height, width)
-    t1 = np.empty((m_max, bpp), dtype=np.int16)
+    t1 = np.empty((m_max, n_batch, bpp), dtype=np.int16)
     t2 = np.empty_like(t1)
     t3 = np.empty_like(t1)
     t4 = np.empty_like(t1)
-    m1 = np.empty((m_max, bpp), dtype=bool)
-    m2 = np.empty_like(m1)
-    ft_i = fts.astype(np.int64)
-    uniform = int(ft_i.min()) == int(ft_i.max())
-    uft = int(ft_i[0]) if uniform else -1
     t5 = np.empty_like(t1)
+    m1 = np.empty((m_max, n_batch, bpp), dtype=bool)
+    m2 = np.empty_like(m1)
+    ft_i = fts.T.astype(np.int64)  # (H, B)
+    uniform = int(ft_i.min()) == int(ft_i.max())
+    uft = int(ft_i[0, 0]) if uniform else -1
     _sub, _add, _abs = np.subtract, np.add, np.abs
     _le, _min, _cpt = np.less_equal, np.minimum, np.copyto
     for d in range(n_diag):
@@ -237,7 +240,7 @@ def _png_unfilter_wavefront(
             _cpt(pred, b, where=w2)
             _cpt(pred, a, where=w1)
             if not uniform:
-                ft = ft_i[y0 : y1 + 1, None]
+                ft = ft_i[y0 : y1 + 1, :, None]
                 _cpt(pred, 0, where=(ft == 0))
                 _cpt(pred, a, where=(ft == 1))
                 _cpt(pred, b, where=(ft == 2))
@@ -259,10 +262,12 @@ def _png_unfilter_wavefront(
         else:
             _add(R[D][cur], pred, out=dst)
             dst &= 0xFF
-    out = np.empty((height, width * bpp), dtype=np.uint8)
+    out_t = np.empty((height, width, n_batch, bpp), dtype=np.uint8)
     for y in range(height):
-        out[y] = S[y + 2 : y + 2 + width, y + 1].ravel()
-    return out
+        out_t[y] = S[y + 2 : y + 2 + width, y + 1]
+    return np.ascontiguousarray(out_t.transpose(2, 0, 1, 3)).reshape(
+        n_batch, height, width * bpp
+    )
 
 
 def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
@@ -273,6 +278,16 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     non-interlaced only — raises ValueError otherwise (honest about the
     subset; the feature-extraction contract needs dims + pixel stats,
     not full spec coverage)."""
+    width, height, channels, rows, fts = _png_parse(payload)
+    return width, height, channels, _png_reconstruct(
+        width, height, channels, rows, fts
+    )
+
+
+def _png_parse(payload: bytes):
+    """Signature + IHDR parse and bounded IDAT inflate → (width, height,
+    channels, rows, fts): `rows` the (H, stride+1) uint8 filtered frame,
+    `fts` its filter-type column."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos, width, height, channels, bit_depth, interlace = 8, 0, 0, 0, 0, 0
@@ -322,18 +337,26 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     fts = rows[:, 0]
     if (fts > 4).any():
         raise ValueError(f"bad PNG filter type {int(fts[fts > 4][0])}")
+    return width, height, channels, rows, fts
+
+
+def _png_reconstruct(
+    width: int, height: int, channels: int, rows, fts
+) -> bytes:
+    """Reverse the scanline filters of one parsed frame → pixel bytes."""
     if not fts.any():
         # every row unfiltered (what simple writers, ours included, emit):
         # the pixel data is the frame minus the filter-byte column
-        return width, height, channels, np.ascontiguousarray(rows[:, 1:]).tobytes()
+        return np.ascontiguousarray(rows[:, 1:]).tobytes()
     bpp = channels  # bytes per pixel at depth 8
+    stride = width * bpp
     if (fts >= 3).any():
         # any Average/Paeth row: the whole image goes through the
         # anti-diagonal wavefront (handles all five filters uniformly —
         # a mixed image can't split by row, later rows depend on
         # earlier ones through `prev`)
-        out = _png_unfilter_wavefront(rows, fts, height, width, bpp)
-        return width, height, channels, out.tobytes()
+        x_px = rows[:, 1:].reshape(1, height, width, bpp)
+        return _png_unfilter_wavefront(x_px, fts.reshape(1, height))[0].tobytes()
     # only None/Sub/Up remain: whole-row vectorized reconstruction
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -350,7 +373,58 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
             cur = line + prev
         out[y] = cur
         prev = cur
-    return width, height, channels, out.tobytes()
+    return out.tobytes()
+
+
+#: soft cap on the batched wavefront's skew-buffer footprint (S + R,
+#: int16, ~4x the pixel volume each) — groups chunk to stay under it
+_PNG_BATCH_BUDGET_BYTES = 256 << 20
+
+
+def png_decode_batch(payloads, on_error: str = "raise") -> list:
+    """Decode many PNGs, amortizing the wavefront's fixed numpy-dispatch
+    cost across same-shape images (round 14): Average/Paeth images that
+    share (width, height, channels) run ONE batched anti-diagonal scan
+    (trailing batch axis — H+W-1 numpy steps total, not per image),
+    which is the Arrow-kernel shape: a mapInPandas batch hands the
+    decoder hundreds of payloads at once, and training corpora are
+    dominated by a few canonical resolutions. Images without
+    Average/Paeth rows take their whole-row vectorized paths (already
+    dispatch-light). Groups chunk so the skew buffers stay under
+    _PNG_BATCH_BUDGET_BYTES.
+
+    Returns results in input order, each `(w, h, channels, pixels)` —
+    byte-identical to `png_decode` per item (pinned in
+    tests/test_multimodal.py). `on_error="raise"` (default) propagates
+    the first bad payload's error like the single decode;
+    `on_error="capture"` stores the exception INSTANCE at that item's
+    position instead, the quarantine-kernel contract."""
+    if on_error not in ("raise", "capture"):
+        raise ValueError(f"bad on_error {on_error!r}")
+    results: list = [None] * len(payloads)
+    groups: dict = {}
+    for i, p in enumerate(payloads):
+        try:
+            w, h, c, rows, fts = _png_parse(bytes(p))
+            if (fts >= 3).any():
+                groups.setdefault((w, h, c), []).append((i, rows, fts))
+            else:
+                results[i] = (w, h, c, _png_reconstruct(w, h, c, rows, fts))
+        except Exception as exc:  # noqa: BLE001 — quarantine contract
+            if on_error == "raise":
+                raise
+            results[i] = exc
+    for (w, h, c), items in groups.items():
+        per_img = (w + h + 2) * (h + 1) * c * 2 * 2
+        chunk = max(1, min(len(items), _PNG_BATCH_BUDGET_BYTES // max(1, per_img)))
+        for j in range(0, len(items), chunk):
+            part = items[j : j + chunk]
+            x = np.stack([r[:, 1:].reshape(h, w, c) for _, r, _ in part])
+            f = np.stack([ft for _, _, ft in part])
+            pix = _png_unfilter_wavefront(x, f)
+            for (i, _, _), img in zip(part, pix):
+                results[i] = (w, h, c, img.tobytes())
+    return results
 
 
 def bmp_encode(pixels: bytes, width: int, height: int) -> bytes:

@@ -74,6 +74,37 @@ def test_png_unfilter_sub_up_average_paeth():
     assert got[16:20] == [9, 15, 20, 25]
 
 
+def test_png_decode_batch_matches_single():
+    """png_decode_batch (round 14): byte-identical to png_decode per
+    item across mixed shapes, channel counts, and filter mixes; shared
+    (w, h, c) Average/Paeth images ride one batched wavefront. Error
+    contract: on_error='raise' propagates like the single decode,
+    on_error='capture' stores the exception instance in place."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    blobs = []
+    for h, w, c in [(5, 4, 1), (5, 4, 1), (6, 3, 3), (5, 4, 1), (2, 2, 4)]:
+        rows = [
+            (int(rng.integers(0, 5)),
+             [int(v) for v in rng.integers(0, 256, w * c)])
+            for _ in range(h)
+        ]
+        ct = {1: 0, 3: 2, 4: 6}[c]
+        blobs.append(_png_with_filters(w, h, c, rows, color_type=ct))
+    singles = [MM.png_decode(b) for b in blobs]
+    assert MM.png_decode_batch(blobs) == singles
+    # error contract
+    mixed = blobs[:1] + [b"junk"] + blobs[1:2]
+    with pytest.raises(ValueError):
+        MM.png_decode_batch(mixed)
+    out = MM.png_decode_batch(mixed, on_error="capture")
+    assert out[0] == singles[0] and out[2] == singles[1]
+    assert isinstance(out[1], ValueError)
+    # empty batch is a no-op
+    assert MM.png_decode_batch([]) == []
+
+
 def test_png_rejects_garbage():
     with pytest.raises(ValueError):
         MM.png_decode(b"not a png at all")
