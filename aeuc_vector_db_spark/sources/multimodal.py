@@ -962,6 +962,34 @@ def _restore_image_decoders(prev: dict) -> None:
             _IMAGE_DECODERS[f] = old
 
 
+def _png_batch_eligible() -> bool:
+    """True when the effective PNG decoder is the builtin — the batched
+    wavefront pre-pass must stand aside for a registered native codec
+    (seam contract: overrides route per item through decode_image).
+    Module-level for the same cloudpickle reason as
+    _snapshot_image_decoders."""
+    dec = _IMAGE_DECODERS.get("png")
+    return dec is None or dec is png_decode
+
+
+def _png_batch_prepass(modalities, contents) -> dict:
+    """Batch-decode the builtin-PNG image rows of one Arrow batch:
+    {row_position: (w, h, c, pixels) | Exception}. Same-shape
+    Average/Paeth images share one wavefront scan (png_decode_batch);
+    captured exceptions re-raise inside decode_one so the error-row
+    taxonomy is identical to the per-item path."""
+    idxs: list[int] = []
+    payloads: list[bytes] = []
+    for j, (m, c) in enumerate(zip(modalities, contents)):
+        p = bytes(c) if c is not None else b""
+        if m == "image" and p[:8] == _PNG_SIG:
+            idxs.append(j)
+            payloads.append(p)
+    if not idxs:
+        return {}
+    return dict(zip(idxs, png_decode_batch(payloads, on_error="capture")))
+
+
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode any registered image container: (w, h, channels, pixels).
     ValueError on corrupt/unrecognized bytes; NotImplementedError rides
@@ -1028,12 +1056,20 @@ def decode_features(
             )
         return modality not in ("image", "audio")    # video/unknown → stub
 
-    def decode_one(blob_id: str, modality: str, content) -> tuple:
+    def decode_one(blob_id: str, modality: str, content, pre=None) -> tuple:
         payload = bytes(content) if content is not None else b""
         try:
             if modality == "image" and sniff_image_format(payload) is not None:
                 try:
-                    w, h, c, pix = decode_image(payload)
+                    if pre is not None:
+                        # batched-wavefront pre-pass result (or its
+                        # captured exception — re-raise so the error
+                        # taxonomy matches the per-item path exactly)
+                        if isinstance(pre, Exception):
+                            raise pre
+                        w, h, c, pix = pre
+                    else:
+                        w, h, c, pix = decode_image(payload)
                 except NotImplementedError:
                     # healthy container, declared-stub codec (VP8 inter
                     # frame — the video class; lossy key frames decode
@@ -1144,11 +1180,18 @@ def decode_features(
             register_image_decoder(f, fn)
         try:
             for pdf in batches:
+                # batched PNG wavefront over the whole Arrow batch when
+                # the effective decoder is the builtin (a registered
+                # native codec keeps per-item routing through the seam)
+                pre = (
+                    _png_batch_prepass(pdf["modality"], pdf["content"])
+                    if _png_batch_eligible() else {}
+                )
                 rows = [
-                    decode_one(b, m, c)
-                    for b, m, c in zip(
+                    decode_one(b, m, c, pre.get(j))
+                    for j, (b, m, c) in enumerate(zip(
                         pdf["blob_id"], pdf["modality"], pdf["content"]
-                    )
+                    ))
                 ]
                 yield pd.DataFrame(rows, columns=cols)
         finally:
