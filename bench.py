@@ -480,10 +480,18 @@ def main() -> None:
     # have makes the per-query numbers capability measurements
     # (interference is one-sided slow, so min-of-passes is the honest
     # pick and every pass's numbers land in BENCH_DETAIL.json).
+    def _io_snap():
+        load1 = float(open("/proc/loadavg").read().split()[0])
+        parts = open("/proc/stat").readline().split()
+        ticks = [int(x) for x in parts[1:]]
+        return load1, ticks[4], sum(ticks)
+
     HEADLINE_TRIES = 2
     headline_stamps = [_loop_stamp()]
+    headline_io: list[dict] = []
     passes: list[dict[str, float]] = []
     cold_query: dict[str, float] = {}
+    _io_prev = _io_snap()
     for i in range(HEADLINE_TRIES):
         hot_q, cold_q = _headline_pass(f"bench-headline-p{i}")
         passes.append(hot_q)
@@ -492,6 +500,15 @@ def main() -> None:
             # reuse compiled codegen classes across sessions)
             cold_query = cold_q
         headline_stamps.append(_loop_stamp())
+        # disk-contention axis per pass (round 14 — see the gated probes'
+        # iowait_frac note): iowait share of all cpu ticks over the pass
+        _io_now = _io_snap()
+        _dt = _io_now[2] - _io_prev[2]
+        headline_io.append({
+            "loadavg_1m": _io_now[0],
+            "iowait_frac": round((_io_now[1] - _io_prev[1]) / _dt, 4) if _dt else 0.0,
+        })
+        _io_prev = _io_now
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         vals = [p[name] for p in passes if name in p]
@@ -599,6 +616,7 @@ def main() -> None:
         "hot_queries_passes": passes,
         "headline_tries": HEADLINE_TRIES,
         "headline_stamps": headline_stamps,
+        "headline_io": headline_io,
         "ingest_rows_per_s": ingest_rate,
         "knn_scale": knn_scale,
         "cluster_scale": cluster_scale,
