@@ -186,6 +186,18 @@ def test_decode_features_unsupported_vs_corrupt(spark, tmp_path):
     (tmp_path / "trunc.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
     # unrecognizable bytes under an image extension → error
     (tmp_path / "junk.png").write_bytes(b"\x00\x01\x02\x03" * 8)
+    # TRUE PNG signature + garbage body: routes through the round-14
+    # batched-wavefront pre-pass (capture → re-raise inside decode_one),
+    # and must land on the same error row as the per-item path
+    (tmp_path / "sig_junk.png").write_bytes(
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x01\x02\x03" * 8
+    )
+    # healthy all-Paeth PNG in the SAME batch: the pre-pass must decode
+    # it for real while quarantining its corrupt neighbor
+    (tmp_path / "ok_paeth.png").write_bytes(
+        _png_with_filters(4, 2, 1, [(4, [7, 7, 7, 7]), (4, [1, 1, 1, 1])],
+                          color_type=0)
+    )
     # corrupt WAV fmt (rate=0) → error row, job survives
     wav = bytearray(MM.wav_encode([0, 0], sample_rate=8000))
     wav[24:28] = b"\x00\x00\x00\x00"
@@ -197,6 +209,9 @@ def test_decode_features_unsupported_vs_corrupt(spark, tmp_path):
     assert rows["trunc.tif"]["decode_status"] == "error"
     assert rows["trunc.jpg"]["decode_status"] == "error"
     assert rows["junk.png"]["decode_status"] == "error"
+    assert rows["sig_junk.png"]["decode_status"] == "error"
+    assert rows["ok_paeth.png"]["decode_status"] == "real"
+    assert (rows["ok_paeth.png"]["width"], rows["ok_paeth.png"]["height"]) == (4, 2)
     assert rows["bad.wav"]["decode_status"] == "error"
 
 
