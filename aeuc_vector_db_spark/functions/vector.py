@@ -29,6 +29,23 @@ def lit_vector(values: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(v)).cast("double") for v in values])
 
 
+def quantize_dyadic_col(a: Column | str, scale: int = 64) -> Column:
+    """Snap each element to the nearest multiple of 1/scale (scale a
+    power of two): `floor(x·scale + 0.5) / scale` — every output is an
+    exactly-representable dyadic rational, so downstream products and
+    sums against other dyadics are EXACT in IEEE double regardless of
+    fold order. This is what lets the literal-parameter apply queries
+    (ann_pq_adc_apply, emb_cell_assign_literal) drive the NumPy/BLAS
+    kernels verbatim and still hash-match a DuckDB oracle: with exact
+    inputs, BLAS reassociation cannot change a bit. x·scale is exact
+    (power-of-two multiply), `+0.5` and `floor` round identically in
+    Spark, NumPy, and DuckDB (round-half-up toward +inf)."""
+    s = float(scale)
+    return F.transform(
+        _c(a), lambda x: F.floor(x.cast("double") * s + 0.5) / s
+    )
+
+
 def dot_col(a: Column | str, b: Column | str) -> Column:
     """a·b as a sequential double fold (similarity.py:47-49 parity)."""
     return F.aggregate(

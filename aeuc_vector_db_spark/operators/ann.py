@@ -867,6 +867,47 @@ def lsh_bucket_assignments(
 # vector_field.py:328-345) to the compressed domain.
 
 
+def literal_codebooks(
+    m: int = 8, ksub: int = 16, dsub: int = 8
+) -> "list[list[list[float]]]":
+    """Deterministic integer-derived PQ codebooks with exactly
+    representable dyadic entries (the `literal_components` recipe,
+    operators/curation.py) — constructible verbatim in any engine:
+
+        cb[j][c][t] = ((j·31 + c·17 + t·7) mod 33 − 16) / 32  ∈ [−0.5, 0.5]
+
+    With dyadic codebooks AND dyadic inputs (quantize_dyadic_col),
+    every intermediate in `pq_encode` / `pq_search_batch` (products,
+    partial sums, LUT entries, ADC sums) is an exact dyadic rational:
+    BLAS fold order cannot change a bit, so the full NumPy kernels
+    hash-match a DuckDB oracle. This is what lets ann_pq_adc_apply
+    pin the ADC arithmetic of the rows-only ann_pq_recall /
+    ann_pq_refine_recall / ann_ivfadc_recall family."""
+    return [
+        [
+            [((j * 31 + c * 17 + t * 7) % 33 - 16) / 32.0 for t in range(dsub)]
+            for c in range(ksub)
+        ]
+        for j in range(m)
+    ]
+
+
+def literal_centroids(k: int = 16, dim: int = 64) -> "list[tuple[int, list[float]]]":
+    """Deterministic dyadic coarse centroids for the literal-parameter
+    cell-assignment query (emb_cell_assign_literal):
+
+        cent[c][t] = ((c·37 + t·11) mod 33 − 16) / 32  ∈ [−0.5, 0.5]
+
+    Returned in `assign_centroids`'s local [(centroid_id, vector)]
+    form. Same exactness argument as `literal_codebooks`: with dyadic
+    inputs the argmin of ‖c‖² − 2x·c is computed over exact values, so
+    the NumPy argmin and a DuckDB ORDER BY d2, cid LIMIT 1 agree."""
+    return [
+        (c, [((c * 37 + t * 11) % 33 - 16) / 32.0 for t in range(dim)])
+        for c in range(k)
+    ]
+
+
 def pq_train(
     corpus: DataFrame,
     m: int = 8,

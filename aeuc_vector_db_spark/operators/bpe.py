@@ -37,6 +37,54 @@ from pyspark.sql import functions as F
 _EOW = "</w>"  # end-of-word marker (Sennrich et al. §3.2)
 
 
+def literal_merges() -> "list[tuple[str, str]]":
+    """A fixed, WELL-FORMED merge list for the literal-parameter encode
+    query (doc_bpe_encode_literal) — the `literal_components` pattern
+    applied to BPE serving. Well-formed means every merge's input
+    symbols exist before it is reached (base characters, _EOW, or the
+    output of an EARLIER merge). That property is what makes
+    one-pair-at-a-time leftmost merging (the only shape a DuckDB
+    recursive CTE can express) provably equivalent to
+    `bpe_encode_word`'s merge-all-occurrences step: a merge at rank r
+    can only create pairs whose ranks are > r, so the lowest-ranked
+    present pair stays lowest until its occurrences are exhausted, and
+    both procedures consume occurrences left to right.
+    `tests/test_bpe.py` pins well-formedness structurally."""
+    return [
+        ("e", _EOW),
+        ("t", "a"),
+        ("r", "o"),
+        ("s", "t"),
+        ("a", "s"),
+        ("h", "a"),
+        ("l", "e" + _EOW),
+        ("ta", "b"),
+        ("tab", "le" + _EOW),
+        ("ro", "w"),
+        ("row", _EOW),
+        ("ha", "s"),
+        ("has", "h"),
+        ("hash", _EOW),
+        ("s", "c"),
+        ("sc", "a"),
+        ("sca", "n"),
+        ("scan", _EOW),
+        ("q", "u"),
+        ("e", "r"),
+        ("er", "y"),
+        ("qu", "ery"),
+        ("st", "r"),
+        ("a", _EOW),
+        ("o", "r"),
+        ("or", "t"),
+        ("s", "ort"),
+        ("w", "i"),
+        ("wi", "n"),
+        ("d", "o"),
+        ("win", "do"),
+    ]
+
+
 def _pair_counts(words: "list[tuple[tuple[str, ...], int]]") -> dict:
     counts: dict = {}
     for syms, freq in words:

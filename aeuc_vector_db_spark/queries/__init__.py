@@ -63,12 +63,14 @@ for _mod_name in (
 
 
 # The driver's correctness pass checks the FIRST 50 registry entries
-# (CORRECTNESS_r02..r13 each hold exactly 50 rows regardless of registry
+# (CORRECTNESS_r02..r14 each hold exactly 50 rows regardless of registry
 # size). Ordering therefore decides which queries get a driver-verified
-# row each round. With 147 declared queries (round 14: 32 long-green
-# singles folded into 5 tagged composites, VERDICT r13 #2) and a 50-row
-# window, every query gets a driver row every ceil(147/50) = 3 rounds —
-# the freshness discipline is arithmetically satisfiable again. The
+# row each round. With 150 declared queries (round 14 folded 32
+# long-green singles into 5 tagged composites; round 15 added the three
+# literal-parameter oracle twins, VERDICT r14 #1) and a 50-row window,
+# every query gets a driver row every ceil(150/50) = 3 rounds — the
+# freshness discipline stays arithmetically satisfiable with ZERO slack
+# slots left: the next new query must displace via a further fold. The
 # rotation policy is: (1) queries that have NEVER had a driver row go
 # first, (2) new-in-this-round queries must sit inside position 50,
 # (3) remaining slots go to the longest-stale previously-verified
@@ -77,73 +79,17 @@ for _mod_name in (
 # in-repo between their driver rows. COVERAGE.md maps each query to the
 # round whose CORRECTNESS file holds its green row.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-14 window, positions 1-50 (VERDICT r13 #1 + #2) ---
-    # Positions 1-5: the five new composites (never had a driver row).
-    # Between them they carry r14-fresh driver rows for all 32 folded
-    # singles — including the 15 r10-window singles that were 4 rounds
-    # stale (rel_* trivial aggregates + the 5 manifest reads) and the
-    # 14 r11-window singles (cluster family + text statistics).
-    "rel_agg_composite",
-    "manifest_read_composite",
-    "cluster_family_composite",
-    "text_stats_composite",
-    "io_roundtrip_composite",
-    # Positions 6-14: the unfolded remainder of the r10-window tail —
-    # their newest driver rows are CORRECTNESS_r10 (4 rounds stale at
-    # r14, the oldest anywhere in the registry).
-    "multimodal_native_codec_stats",
-    "rel_asof_latest_order",
-    "rel_part_skyline",
-    "rel_part_supplier_variety",
-    "rel_peak_open_orders_hist",
-    "rel_rfm_segments",
-    "rel_skew_salted_revenue",
-    "rel_trade_pagerank",
-    "rel_trade_pagerank_weighted",
-    # Positions 15-50: the full unfolded r11-window set (36 queries,
-    # 3 rounds stale at r14 — they must take rows now or they break
-    # the ≤3 discipline at r15).
-    "ann_pq_refine_recall",
-    "core_stability_composite",
-    "doc_bm25_indexed_topk",
-    "doc_bpe_tokenize",
-    "doc_cross_source_contamination",
-    "doc_curriculum_order",
-    "doc_incremental_minhash_dedup",
-    "doc_leakproof_kfold",
-    "doc_prefix_edit1_pairs",
-    "doc_quality_gate_sketch",
-    "doc_weighted_sample",
-    "emb_drift_split_stats",
-    "emb_matryoshka_topk",
-    "emb_mmr_rerank",
-    "emb_semantic_dedup_keep_one",
-    "emb_semantic_dedup_learned",
-    "events_cohort_retention",
-    "events_cusum_alarms",
-    "events_funnel_conversion",
-    "events_resample_locf",
-    "events_scd2_point_in_time",
-    "events_sessionize",
-    "events_value_outliers_mad",
-    "events_windowed_hll",
-    "ivf_incremental_search",
-    "ivf_pruned_search",
-    "knn_cosine_topk",
-    "knn_maxsim_topk",
-    "manifest_merge_clauses_read",
-    "manifest_ndv_read",
-    "multimodal_audio_near_dup",
-    "multimodal_codec_canary",
-    "multimodal_image_near_dup",
-    "rel_big_volume_customers",
-    "rel_bloom_semijoin_revenue",
-    "rel_trade_components",
-    # --- positions ≥ 51: everything below stays covered by the
-    # in-repo full sweeps between driver rows. First in line for r15:
-    # the r12-window set (47 unfolded queries — export_ordered,
-    # import_dedup, and embedding_normalize now ride
-    # io_roundtrip_composite), then the r13 set at r16.
+    # --- round-15 window, positions 1-50 (VERDICT r14 #1 + #2) ---
+    # Positions 1-3: the three slack slots, spent on the NEW
+    # literal-parameter oracle twins (VERDICT r14 #1 — never had a
+    # driver row; each drives the same kernel as its rows-only twin
+    # under integer-derived dyadic literals, with a real DuckDB hash).
+    "ann_pq_adc_apply",
+    "doc_bpe_encode_literal",
+    "emb_cell_assign_literal",
+    # Positions 4-50: the full r12-window set (47 queries, 3 rounds
+    # stale at r15 — the COVERAGE.md schedule's r15 slot; they must
+    # take rows now or they break the ≤3-round freshness discipline).
     "ann_ivf_recall",
     "ann_ivfadc_recall",
     "ann_opq_recall",
@@ -191,6 +137,110 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_volume_shipping",
     "rel_waiting_suppliers",
     "sql_entry_hll_distinct",
+    # --- positions ≥ 51: everything below stays covered by the
+    # in-repo full sweeps between driver rows. First in line for r16:
+    # the r13-window set (50 queries), then the r14 window (5
+    # composites + unfolded r10-tail + r11 set) again at r17.
+    "knn_dot_topk",
+    "knn_euclidean_topk",
+    "manifest_bucketed_dv_read",
+    "manifest_cdc_incremental_agg",
+    "manifest_dnf_skipping_read",
+    "manifest_in_skipping_read",
+    "manifest_incremental_read",
+    "manifest_merge_read",
+    "manifest_null_skipping_read",
+    "manifest_schema_evolution_read",
+    "multimodal_feature_stats",
+    "multimodal_transform_stats",
+    "rel_late_order_priority",
+    "rel_parts_never_ordered",
+    "rel_pricing_summary",
+    "rel_product_type_profit",
+    "rel_returned_item_revenue",
+    "rel_revenue_by_nation",
+    "rel_top_orders_per_customer",
+    "rel_top_revenue_orders",
+    "sql_entry_knn_cosine",
+    "sql_entry_pricing",
+    "two_level_search",
+    "emb_pca_apply",
+    "doc_cms_freq",
+    "doc_dedup_keep_one",
+    "doc_exact_dedup",
+    "doc_hll_distinct",
+    "doc_minhash_capped",
+    "doc_minhash_near_dup",
+    "doc_ngram_jaccard",
+    "doc_pipeline_e2e",
+    "doc_simhash16",
+    "doc_substring_dedup",
+    "doc_token_diversity",
+    "emb_binary_hamming_topk",
+    "emb_near_dup_cosine",
+    "events_click_attribution",
+    "events_time_weighted_avg",
+    "events_transition_matrix",
+    "events_value_trend_ols",
+    "ivf_euclidean_pruned_search",
+    "ivf_phi_pruned_search",
+    "ivf_radius_pruned_search",
+    "knn_cosine_arrow_topk",
+    "knn_cosine_filtered",
+    "knn_phi_topk",
+    "manifest_bloom_read",
+    "manifest_cdc_read",
+    "manifest_dv_read",
+    "rel_agg_composite",
+    "manifest_read_composite",
+    "cluster_family_composite",
+    "text_stats_composite",
+    "io_roundtrip_composite",
+    "multimodal_native_codec_stats",
+    "rel_asof_latest_order",
+    "rel_part_skyline",
+    "rel_part_supplier_variety",
+    "rel_peak_open_orders_hist",
+    "rel_rfm_segments",
+    "rel_skew_salted_revenue",
+    "rel_trade_pagerank",
+    "rel_trade_pagerank_weighted",
+    "ann_pq_refine_recall",
+    "core_stability_composite",
+    "doc_bm25_indexed_topk",
+    "doc_bpe_tokenize",
+    "doc_cross_source_contamination",
+    "doc_curriculum_order",
+    "doc_incremental_minhash_dedup",
+    "doc_leakproof_kfold",
+    "doc_prefix_edit1_pairs",
+    "doc_quality_gate_sketch",
+    "doc_weighted_sample",
+    "emb_drift_split_stats",
+    "emb_matryoshka_topk",
+    "emb_mmr_rerank",
+    "emb_semantic_dedup_keep_one",
+    "emb_semantic_dedup_learned",
+    "events_cohort_retention",
+    "events_cusum_alarms",
+    "events_funnel_conversion",
+    "events_resample_locf",
+    "events_scd2_point_in_time",
+    "events_sessionize",
+    "events_value_outliers_mad",
+    "events_windowed_hll",
+    "ivf_incremental_search",
+    "ivf_pruned_search",
+    "knn_cosine_topk",
+    "knn_maxsim_topk",
+    "manifest_merge_clauses_read",
+    "manifest_ndv_read",
+    "multimodal_audio_near_dup",
+    "multimodal_codec_canary",
+    "multimodal_image_near_dup",
+    "rel_big_volume_customers",
+    "rel_bloom_semijoin_revenue",
+    "rel_trade_components",
 )
 
 

@@ -625,6 +625,106 @@ def _radius_oracle() -> str:
     return _KNN_RANGE_ORACLE
 
 
+def _ann_pq_adc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ADC arithmetic of the PQ family, hash-matched (VERDICT r14
+    #1): the exact NumPy kernels the rows-only recall evals serve with
+    — `pq_encode` (per-subspace ‖c‖²−2x·c argmin) and `pq_search_batch`
+    (per-query LUT + gather-sum + 1/(1+√d̃²) + tie-aware rank) — run
+    VERBATIM under literal dyadic codebooks (`literal_codebooks`) over
+    dyadic-quantized embeddings (`quantize_dyadic_col`). With every
+    input dyadic, every intermediate (products, partial sums, LUT
+    entries, ADC sums) is exact in IEEE double, so BLAS fold order
+    cannot change a bit and a DuckDB CTE chain reproduces codes,
+    distances, scores, and ranks bit-for-bit. Training (the Lloyd fit)
+    stays rows-only in ann_pq_recall by necessity; this pins the whole
+    serve path those evals share (pq_search_batch is also the scan
+    inside pq_search_refined and ivfadc_search_batch)."""
+    from aeuc_vector_db_spark.functions.vector import quantize_dyadic_col
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    embq = emb.select(
+        "vec_id", quantize_dyadic_col("embedding").alias("embedding")
+    )
+    cb = A.literal_codebooks(8, 16, 8)
+    codes = A.pq_encode(embq, cb)
+    qdf = embq.filter(F.expr(QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    res = A.pq_search_batch(codes, cb, qdf, top_k=10)
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.round("score", 9).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _pq_adc_apply_oracle() -> str:
+    m, ksub, dsub = 8, 16, 8
+    cb = A.literal_codebooks(m, ksub, dsub)
+    cb_rows = ", ".join(
+        f"({j}, {c}, [{', '.join(repr(x) for x in cb[j][c])}]::DOUBLE[])"
+        for j in range(m)
+        for c in range(ksub)
+    )
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1]*p[2]),"
+        " (s, x) -> s + x)"
+    )
+    return f"""
+WITH eq AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(CAST(x AS DOUBLE)*64 + 0.5)/64) AS v
+  FROM embeddings
+),
+cb(j, c, cv) AS (VALUES {cb_rows}),
+cbsq AS (SELECT j, c, cv, {dot.format(a='cv', b='cv')} AS c2 FROM cb),
+sub AS (
+  SELECT vec_id, j, v[j*{dsub}+1 : j*{dsub}+{dsub}] AS vs
+  FROM eq CROSS JOIN range({m}) r(j)
+),
+enc AS (
+  SELECT vec_id, j, c FROM (
+    SELECT sub.vec_id, sub.j, cbsq.c,
+           row_number() OVER (
+             PARTITION BY sub.vec_id, sub.j
+             ORDER BY cbsq.c2 - 2 * {dot.format(a='sub.vs', b='cbsq.cv')} ASC,
+                      cbsq.c ASC
+           ) AS rn
+    FROM sub JOIN cbsq ON sub.j = cbsq.j
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v FROM eq WHERE {QUERY_FILTER.replace('vec_id', 'eq.vec_id')}),
+qsub AS (
+  SELECT query_id, j, v[j*{dsub}+1 : j*{dsub}+{dsub}] AS qs
+  FROM q CROSS JOIN range({m}) r(j)
+),
+lut AS (
+  SELECT query_id, qsub.j, cbsq.c,
+         cbsq.c2 - 2 * {dot.format(a='qsub.qs', b='cbsq.cv')}
+           + {dot.format(a='qsub.qs', b='qsub.qs')} AS d2
+  FROM qsub JOIN cbsq ON qsub.j = cbsq.j
+),
+adc AS (
+  SELECT lut.query_id, enc.vec_id, SUM(lut.d2) AS d2
+  FROM enc JOIN lut ON enc.j = lut.j AND enc.c = lut.c
+  GROUP BY lut.query_id, enc.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         1.0 / (1.0 + sqrt(greatest(d2, 0.0))) AS s,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY 1.0 / (1.0 + sqrt(greatest(d2, 0.0))) DESC, vec_id ASC
+         ) AS rank
+  FROM adc
+)
+SELECT query_id, vec_id, ROUND(s, 9) AS score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 QUERIES = {
     "ivf_radius_pruned_search": (_ivf_radius_pruned_search, _radius_oracle()),
     "emb_binary_hamming_topk": (_emb_binary_hamming_topk, _BINARY_HAMMING_ORACLE),
@@ -640,5 +740,6 @@ QUERIES = {
     "ann_pq_refine_recall": (_ann_pq_refine_recall, None),
     "ann_opq_recall": (_ann_opq_recall, None),
     "ann_ivfadc_recall": (_ann_ivfadc_recall, None),
+    "ann_pq_adc_apply": (_ann_pq_adc_apply, _pq_adc_apply_oracle()),
     "two_level_search": (_two_level_search, _TWO_LEVEL_ORACLE),
 }

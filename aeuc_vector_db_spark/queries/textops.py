@@ -658,6 +658,122 @@ def _emb_semantic_dedup_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.unionByName(viol).orderBy("keeper_id", "vec_id")
 
 
+def _emb_cell_assign_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVE half of SemDeDup-with-learned-cells, hash-matched
+    (VERDICT r14 #1): `assign_centroids` — the exact NumPy argmin
+    kernel `semantic_dedup` assigns with — driven by LITERAL dyadic
+    centroids (`literal_centroids`) over dyadic-quantized embeddings
+    (`quantize_dyadic_col`), so ‖c‖² − 2x·c is computed over exact
+    dyadic rationals and the BLAS argmin equals a DuckDB ORDER BY
+    d2, cid argmin bit-for-bit. The within-cell pair scoring + keep-one
+    closure then run on the RAW embeddings through the same
+    `semantic_dedup(engine='sql')` path the keep_one twin pins.
+    Training (the k-means fit) stays rows-only in
+    emb_semantic_dedup_learned by necessity; this pins everything else.
+    Output: one row per corpus vector (planted copies included) with
+    its cell and keeper/keep; rows in no ≥0.99 dup cluster are their
+    own keeper (keep_one leaves them untouched ⇒ kept), which also
+    keeps every column non-null — the driver's value canon stringifies
+    a Spark null and a DuckDB NaN differently."""
+    from aeuc_vector_db_spark.functions.vector import quantize_dyadic_col
+    from aeuc_vector_db_spark.operators.ann import (
+        assign_centroids,
+        literal_centroids,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    copies = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = emb.unionByName(copies)
+    quant = corpus.select(
+        "vec_id", quantize_dyadic_col("embedding").alias("qv")
+    )
+    cells = assign_centroids(quant, literal_centroids(16, 64), vec_col="qv")
+    blocked = corpus.join(cells, "vec_id")
+    dup = D.semantic_dedup(
+        blocked, threshold=0.99, cell_col="centroid_id", engine="sql"
+    ).withColumnRenamed("doc_id", "vec_id")
+    return (
+        cells.join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            F.coalesce(F.col("keeper_id"), F.col("vec_id"))
+            .cast("long")
+            .alias("keeper_id"),
+            F.coalesce(F.col("keep"), F.lit(True)).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _cell_assign_literal_oracle() -> str:
+    from aeuc_vector_db_spark.operators.ann import literal_centroids
+
+    cents = literal_centroids(16, 64)
+    cent_rows = ", ".join(
+        f"({cid}, [{', '.join(repr(x) for x in vec)}]::DOUBLE[])"
+        for cid, vec in cents
+    )
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1]*p[2]),"
+        " (s, x) -> s + x)"
+    )
+    return f"""
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+quant AS (
+  SELECT vec_id, list_transform(v, x -> floor(x*64 + 0.5)/64) AS qv FROM corpus
+),
+cents(cid, cv) AS (VALUES {cent_rows}),
+csq AS (SELECT cid, cv, {dot.format(a='cv', b='cv')} AS c2 FROM cents),
+asn AS (
+  SELECT vec_id, cid FROM (
+    SELECT quant.vec_id, csq.cid,
+           row_number() OVER (
+             PARTITION BY quant.vec_id
+             ORDER BY csq.c2 - 2 * {dot.format(a='quant.qv', b='csq.cv')} ASC,
+                      csq.cid ASC
+           ) AS rn
+    FROM quant CROSS JOIN csq
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM (SELECT c.vec_id, c.v, asn.cid FROM corpus c JOIN asn ON c.vec_id = asn.vec_id) a
+  JOIN (SELECT c.vec_id, c.v, asn.cid FROM corpus c JOIN asn ON c.vec_id = asn.vec_id) b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {dot.format(a='a.v', b='b.v')}
+        / (sqrt({dot.format(a='a.v', b='a.v')})
+           * sqrt({dot.format(a='b.v', b='b.v')}) + 1e-12)
+        >= 0.99
+),
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT asn.vec_id,
+       CAST(asn.cid AS INTEGER) AS centroid_id,
+       CAST(coalesce(comp.component, asn.vec_id) AS BIGINT) AS keeper_id,
+       coalesce(comp.node = comp.component, TRUE) AS keep
+FROM asn LEFT JOIN comp ON asn.vec_id = comp.node
+"""
+
+
 def _doc_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 end-to-end: minhash pairs → connected components → keep-one.
     Output: one row per duplicate-cluster member with its keeper."""
@@ -1207,6 +1323,83 @@ def _doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("extra"),
         F.lit(None).cast("long").alias("n_merges"),
     ).unionByName(totals).unionByName(viol)
+
+
+def _doc_bpe_encode_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE half of the BPE family, hash-matched (VERDICT r14 #1):
+    `bpe_encode` — the exact Arrow kernel `doc_bpe_tokenize` serves
+    with — driven by the fixed well-formed merge list
+    `operators/bpe.py literal_merges()` instead of a trained one, so a
+    DuckDB recursive CTE can replay rank-greedy merging and pin every
+    token of every document. Training stays rows-only by necessity
+    (the merge loop is a driver-side iterative argmax); the serve
+    arithmetic — tokenize, per-word lowest-rank-first merge descent,
+    per-doc reassembly — is what this query makes falsifiable."""
+    from aeuc_vector_db_spark.operators.bpe import bpe_encode, literal_merges
+
+    docs = load_table(spark, "documents", sf_dir)
+    enc = bpe_encode(docs, literal_merges())
+    return enc.select(
+        "doc_id",
+        F.concat_ws("|", F.col("tokens")).alias("toks"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+def _bpe_encode_literal_oracle() -> str:
+    """Recursive-CTE replay of rank-greedy BPE over the literal merge
+    list: per DISTINCT word, repeatedly merge the LEFTMOST occurrence
+    of the lowest-ranked adjacent pair (equivalent to the kernel's
+    merge-all step because the list is well-formed — see
+    literal_merges); per doc, reassemble tokens in word order."""
+    from aeuc_vector_db_spark.operators.bpe import literal_merges
+
+    merges = literal_merges()
+    keys = ", ".join(f"'{l}|{r}'" for l, r in merges)
+    vals = ", ".join(str(i) for i in range(len(merges)))
+    rankmap = f"map([{keys}], [{vals}])"
+    return f"""
+WITH RECURSIVE words AS (
+  SELECT DISTINCT unnest({_dk_tokens()}) AS w FROM documents
+),
+rec(w, syms, n) AS (
+  SELECT w, list_append(string_split(w, ''), '</w>'), 0 FROM words
+  UNION ALL
+  SELECT w,
+         list_concat(
+           list_concat(syms[1:pos-1], [syms[pos] || syms[pos+1]]),
+           syms[pos+2:len(syms)]),
+         n + 1
+  FROM (
+    SELECT w, syms, n,
+           list_position(ranks, list_min(ranks)) AS pos,
+           list_min(ranks) AS br
+    FROM (
+      SELECT w, syms, n,
+             list_transform(range(1, len(syms)),
+               i -> coalesce({rankmap}[syms[i] || '|' || syms[i+1]][1], 999999)) AS ranks
+      FROM rec
+      WHERE len(syms) > 1
+    )
+  )
+  WHERE br < 999999
+),
+enc AS (
+  SELECT w, array_to_string(syms, '|') AS wtoks, len(syms) AS wn
+  FROM rec QUALIFY row_number() OVER (PARTITION BY w ORDER BY n DESC) = 1
+),
+docw AS (
+  SELECT doc_id, unnest(range(len(ts))) AS i, unnest(ts) AS w
+  FROM (SELECT doc_id, {_dk_tokens()} AS ts FROM documents) d
+)
+SELECT dd.doc_id,
+       coalesce(string_agg(e.wtoks, '|' ORDER BY d.i), '') AS toks,
+       CAST(coalesce(SUM(e.wn), 0) AS BIGINT) AS n_tokens
+FROM documents dd
+LEFT JOIN docw d ON dd.doc_id = d.doc_id
+LEFT JOIN enc e ON d.w = e.w
+GROUP BY dd.doc_id
+"""
 
 
 def _doc_leakproof_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1908,6 +2101,8 @@ QUERIES = {
     "emb_near_dup_cosine": (_emb_near_dup, _EMB_NEAR_DUP_ORACLE),
     "emb_semantic_dedup_keep_one": (_emb_semantic_dedup, _SEMANTIC_DEDUP_ORACLE),
     "emb_semantic_dedup_learned": (_emb_semantic_dedup_learned, None),
+    "emb_cell_assign_literal": (_emb_cell_assign_literal, _cell_assign_literal_oracle()),
+    "doc_bpe_encode_literal": (_doc_bpe_encode_literal, _bpe_encode_literal_oracle()),
     "doc_dedup_keep_one": (_doc_dedup_keep_one, _KEEP_ONE_ORACLE),
     "doc_clean_corpus_pipeline": (_doc_clean_corpus_pipeline, _CLEAN_PIPELINE_ORACLE),
 }

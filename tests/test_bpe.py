@@ -70,3 +70,66 @@ def test_vocab_cap_and_guards(spark):
         assert set(a + b.replace("</w>", "")) <= set("common")
     with pytest.raises(ValueError, match="n_merges"):
         bpe_train(docs, n_merges=0)
+
+
+def test_literal_merges_well_formed():
+    """The literal list must be WELL-FORMED: every merge's inputs exist
+    before it is reached (base chars, the _EOW marker, a char+_EOW
+    tail, or an EARLIER merge's output). That property is the proof
+    obligation behind the doc_bpe_encode_literal oracle: it makes
+    one-pair-at-a-time leftmost merging (the recursive-CTE shape)
+    equivalent to bpe_encode_word's merge-all step, because a merge at
+    rank r can only create pairs of rank > r."""
+    from aeuc_vector_db_spark.operators.bpe import _EOW, literal_merges
+
+    merges = literal_merges()
+    assert len(merges) == len(set(merges))  # ranks are unambiguous
+
+    def base(sym: str) -> bool:
+        core = sym[: -len(_EOW)] if sym.endswith(_EOW) else sym
+        return len(core) <= 1  # single char, bare _EOW, or char+_EOW
+
+    available = set()
+    for left, right in merges:
+        assert base(left) or left in available, (left, right)
+        assert base(right) or right in available, (left, right)
+        available.add(left + right)
+
+
+def test_literal_merges_one_at_a_time_equivalence():
+    """bpe_encode_word (merge ALL occurrences of the best pair) vs the
+    oracle's one-occurrence-at-a-time leftmost replay — equal on every
+    corpus word plus adversarial repeats/overlaps, pinning the
+    equivalence the DuckDB recursive CTE relies on."""
+    from aeuc_vector_db_spark.operators.bpe import (
+        _EOW,
+        bpe_encode_word,
+        literal_merges,
+    )
+
+    merges = literal_merges()
+    rank = {p: i for i, p in enumerate(merges)}
+
+    def one_at_a_time(word: str) -> list:
+        syms = list(word) + [_EOW]
+        while len(syms) > 1:
+            cands = [
+                (rank[(syms[i], syms[i + 1])], i)
+                for i in range(len(syms) - 1)
+                if (syms[i], syms[i + 1]) in rank
+            ]
+            if not cands:
+                break
+            _, i = min(cands)  # lowest rank, then leftmost
+            syms[i : i + 2] = [syms[i] + syms[i + 1]]
+        return syms
+
+    words = [
+        "table", "row", "hash", "scan", "query", "sort", "window",
+        "stream", "fast", "a", "the", "customer", "vector",
+        # adversarial: overlapping/repeated pairs and rank collisions
+        "aaa", "aaaa", "aaaaa", "tata", "roro", "stst", "hashhash",
+        "tabletable", "erer", "sss", "asas", "squery", "xyzzy", "",
+    ]
+    for w in words:
+        assert bpe_encode_word(w, rank) == one_at_a_time(w), w
