@@ -205,12 +205,24 @@ def _dht_segment(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
 
 
-def jpeg_encode(pixels: bytes, width: int, height: int, channels: int = 3) -> bytes:
+def jpeg_encode(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 3,
+    restart_interval: int = 0,
+) -> bytes:
     """Minimal conforming baseline JPEG writer (4:4:4 or grayscale).
 
-    `pixels`: row-major RGB (channels=3) or grayscale (channels=1)."""
+    `pixels`: row-major RGB (channels=3) or grayscale (channels=1).
+    `restart_interval` > 0 emits a DRI segment and an RSTn marker every
+    that many MCUs (T.81 §B.2.4.4 / §E.1.4) — byte-identical output to
+    the default stream when 0. Restart segments are independently
+    decodable, which is what gives `jpeg_decode_batch` its lane axis."""
     if channels not in (1, 3):
         raise ValueError("jpeg_encode: channels must be 1 or 3")
+    if restart_interval < 0 or restart_interval > 0xFFFF:
+        raise ValueError("jpeg_encode: restart_interval must be in [0, 65535]")
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer does not match width*height*channels")
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
@@ -241,6 +253,8 @@ def jpeg_encode(pixels: bytes, width: int, height: int, channels: int = 3) -> by
     if channels == 3:
         out += _dht_segment(0x01, DC_CHROM_BITS, DC_CHROM_VALS)
         out += _dht_segment(0x11, AC_CHROM_BITS, AC_CHROM_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([channels])
     for ci in range(channels):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -254,8 +268,17 @@ def jpeg_encode(pixels: bytes, width: int, height: int, channels: int = 3) -> by
     w = _BitWriter()
     preds = [0] * channels
     bw, bh = (width + 7) // 8, (height + 7) // 8
+    mcu_count = 0
     for by in range(bh):
         for bx in range(bw):
+            # 4:4:4 ⇒ one MCU per 8×8 position; RSTn between intervals
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                w.flush()
+                w.out += bytes(
+                    [0xFF, 0xD0 + ((mcu_count // restart_interval - 1) % 8)]
+                )
+                preds = [0] * channels
+            mcu_count += 1
             for ci, plane in enumerate(planes):
                 block = np.empty((8, 8))
                 ys = np.clip(np.arange(by * 8, by * 8 + 8), 0, height - 1)
@@ -385,8 +408,11 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
 
 
-def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Baseline JPEG decode: (width, height, channels, RGB/gray bytes)."""
+def _parse_jpeg(payload: bytes):
+    """Marker-segment walk shared by the scalar and lockstep decoders:
+    returns (quants, huff_dc, huff_ac, comps, width, height,
+    restart_interval, scan_map, scan_data) with the same validation
+    errors `jpeg_decode` always raised."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -474,6 +500,18 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("truncated JPEG: missing SOF/SOS")
     if width * height > 1 << 26:
         raise ValueError(f"JPEG dimensions implausible: {width}x{height}")
+    return (
+        quants, huff_dc, huff_ac, comps, width, height,
+        restart_interval, scan_map, scan_data,
+    )
+
+
+def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Baseline JPEG decode: (width, height, channels, RGB/gray bytes)."""
+    (
+        quants, huff_dc, huff_ac, comps, width, height,
+        restart_interval, scan_map, scan_data,
+    ) = _parse_jpeg(payload)
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -672,7 +710,7 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                         k += 1
             mcu_count += 1
 
-    out_planes = []
+    zz_dense = []
     for (cid, h, v, tq), (dc_i, dc_v, ac_p) in zip(comps, coeff_zz):
         nb = n_mcus * h * v
         zz = np.zeros(nb * 64)
@@ -681,7 +719,19 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         if ac_p:
             arr = np.array(ac_p, dtype=np.int64)
             zz[arr >> 16] = (arr & 0xFFFF).astype(np.float64) - 32768.0
-        zz = zz.reshape(nb, 64)
+        zz_dense.append(zz.reshape(nb, 64))
+    return _reconstruct(
+        comps, zz_dense, quants, width, height, mcus_x, mcus_y, hmax, vmax
+    )
+
+
+def _reconstruct(comps, zz_dense, quants, width, height, mcus_x, mcus_y, hmax, vmax):
+    """Dense zigzag coefficients → pixels (dequant, batched IDCT, plane
+    assembly, upsample, color) — shared by the scalar and lockstep
+    entropy decoders, so the two paths cannot drift."""
+    out_planes = []
+    for (cid, h, v, tq), zz in zip(comps, zz_dense):
+        nb = mcus_y * mcus_x * h * v
         nat = np.zeros((nb, 64))
         nat[:, ZIGZAG] = zz  # batched zigzag → natural order
         blocks = nat.reshape(nb, 8, 8) * quants[tq]  # batched dequant
@@ -704,3 +754,421 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     b = y + 1.772 * cb
     rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
     return width, height, 3, rgb.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Lockstep batch decoder (round 15) — restart segments × images as lanes
+# ---------------------------------------------------------------------------
+
+_LUT_NP_CACHE: dict[int, tuple] = {}
+
+
+def _lut_np(lut):
+    """NumPy views of a cached (sym, ln, fused) list triple, keyed by
+    the triple's identity (a strong ref rides in the value, so the id
+    cannot be reused while the entry lives; the `is` check guards the
+    cleared-and-recycled case)."""
+    k = id(lut)
+    hit = _LUT_NP_CACHE.get(k)
+    if hit is None or hit[0] is not lut:
+        if len(_LUT_NP_CACHE) > 64:
+            _LUT_NP_CACHE.clear()
+        hit = _LUT_NP_CACHE[k] = (
+            lut,
+            np.asarray(lut[0], dtype=np.int64),
+            np.asarray(lut[1], dtype=np.int64),
+            np.asarray(lut[2], dtype=np.int64),
+        )
+    return hit[1], hit[2], hit[3]
+
+
+_STACK_CACHE: dict[tuple, tuple] = {}
+
+
+class _LaneError(Exception):
+    """Internal: a lane hit a stream anomaly — the owning payload is
+    re-decoded through the scalar path to reproduce its exact error."""
+
+
+def jpeg_decode_batch(payloads, on_error: str = "raise") -> list:
+    """Decode many baseline JPEGs with ONE lockstep entropy pass
+    (round 15 — the `png_decode_batch` shape applied to T.81): every
+    restart-interval segment of every image is an independent bitstream
+    by spec (T.81 §E.1.4 — the encoder resets the DC predictor and
+    byte-aligns at each RSTn), so segments × images form a lane axis
+    and the Huffman state machine advances ALL lanes one symbol per
+    step through vectorized fused-LUT gathers. Per-symbol Python
+    dispatch — 88% of scalar decode time — is amortized across the
+    whole batch; scalar throughput is recovered per lane at ≥~64 lanes
+    and exceeded well beyond (bench: `jpeg_noise_rst_batch8`).
+
+    This is the Arrow-kernel shape: `decode_features` hands the decoder
+    a mapInPandas batch of payloads, and a restart-interval corpus
+    (every hardware encoder emits DRI for error resilience) fans each
+    image into many lanes. Images without restart markers still ride
+    the batch as one lane each.
+
+    Returns results in input order, each `(w, h, channels, pixels)` —
+    byte-identical to `jpeg_decode` per item. `on_error="raise"`
+    (default) propagates the first bad payload's error (input order);
+    `on_error="capture"` stores the exception INSTANCE at that item's
+    position — the quarantine-kernel contract. Any lane anomaly
+    (truncation, invalid code, index overflow) routes the owning
+    payload through the SCALAR decoder so its error message and type
+    are exactly the single-decode ones."""
+    if on_error not in ("raise", "capture"):
+        raise ValueError(f"bad on_error {on_error!r}")
+    results: list = [None] * len(payloads)
+    metas = []  # (input index, meta dict)
+    bad: list[int] = []  # input indexes needing scalar replay
+    for i, p in enumerate(payloads):
+        try:
+            blob = bytes(p)
+            (
+                quants, huff_dc, huff_ac, comps, width, height,
+                ri, scan_map, scan_data,
+            ) = _parse_jpeg(blob)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+            n_mcus = mcus_x * mcus_y
+            # per-MCU block pattern in scan order (comp idx + LUT ids)
+            pattern = []
+            for (ci, dct, act) in scan_map:
+                for _ in range(comps[ci][1] * comps[ci][2]):
+                    pattern.append(
+                        (ci, huff_dc[dct], huff_ac[act])  # may KeyError
+                    )
+            segs = _split_destuff(scan_data)
+            n_lanes = (n_mcus + ri - 1) // ri if ri else 1
+            if len(segs) < n_lanes:
+                raise _LaneError(i)  # scalar replay raises the exact error
+            mcus_per_lane = (
+                [ri] * (n_lanes - 1) + [n_mcus - (n_lanes - 1) * ri]
+                if ri
+                else [n_mcus]
+            )
+            metas.append(
+                (i, {
+                    "blob": blob, "quants": quants, "comps": comps,
+                    "width": width, "height": height, "mcus_x": mcus_x,
+                    "mcus_y": mcus_y, "pattern": pattern,
+                    "segs": segs[:n_lanes], "mcus_per_lane": mcus_per_lane,
+                })
+            )
+        except _LaneError:
+            bad.append(i)
+        except Exception as exc:  # noqa: BLE001 — quarantine contract
+            if on_error == "raise":
+                raise
+            results[i] = exc
+
+    if metas:
+        lane_bad = _jpeg_entropy_lockstep(metas, results)
+        bad.extend(lane_bad)
+    for i in sorted(bad):
+        try:
+            results[i] = jpeg_decode(bytes(payloads[i]))
+        except Exception as exc:  # noqa: BLE001
+            if on_error == "raise":
+                raise
+            results[i] = exc
+    return results
+
+
+def _jpeg_entropy_lockstep(metas, results) -> list[int]:
+    """Advance every lane one Huffman symbol per iteration with fused
+    16-bit-LUT gathers; fill `results` for clean blobs, return input
+    indexes of blobs whose lanes hit an anomaly (for scalar replay).
+
+    State is DENSE per live lane (finished/dead lanes are physically
+    compacted out rather than masked, so the hot loop does direct
+    vector ops, not per-op fancy gathers): absolute bit position,
+    blocks remaining, coefficient index k (k == 0 ⇔ DC phase), current
+    output row, per-component DC predictors, and the current block's
+    comp/table ids (advanced incrementally at block boundaries instead
+    of re-derived with a modulo every symbol). One iteration = one
+    symbol per live lane: one gather from a precomputed 3-byte-window
+    array → 16-bit peek → fused-LUT gather → masked DC/AC/EOB/ZRL
+    updates. Codes whose extra bits spill past the 16-bit window
+    (fused entry 0) take a per-lane scalar step — rare by construction
+    (Annex K covers sizes ≤ 10 entirely)."""
+    # ---- stack Huffman tables (identity-dedup via the np LUT cache) ----
+    tbl_index: dict[int, int] = {}
+    fused_stack, ln_stack, sym_stack = [], [], []
+
+    def tid(lut):
+        k = id(lut)
+        got = tbl_index.get(k)
+        if got is None:
+            sym_a, ln_a, fused_a = _lut_np(lut)
+            got = tbl_index[k] = len(fused_stack)
+            fused_stack.append(fused_a)
+            ln_stack.append(ln_a)
+            sym_stack.append(sym_a)
+        return got
+
+    # ---- flatten lanes across blobs ----
+    buf = bytearray()
+    lane_base, lane_bits, lane_nblocks, lane_outbase = [], [], [], []
+    lane_patbase, lane_bpm, lane_blob = [], [], []
+    pat_comp, pat_dc, pat_ac = [], [], []
+    block_off = 0
+    for bi, (idx, m) in enumerate(metas):
+        bpm = len(m["pattern"])
+        pb = len(pat_comp)
+        for (ci, dlut, alut) in m["pattern"]:
+            pat_comp.append(ci)
+            pat_dc.append(tid(dlut))
+            pat_ac.append(tid(alut))
+        for seg, mc in zip(m["segs"], m["mcus_per_lane"]):
+            lane_base.append(len(buf))
+            buf += seg
+            buf += b"\xff" * 8
+            lane_bits.append(len(seg) * 8)
+            lane_nblocks.append(mc * bpm)
+            lane_outbase.append(block_off)
+            lane_patbase.append(pb)
+            lane_bpm.append(bpm)
+            lane_blob.append(bi)
+            block_off += mc * bpm
+    data = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.int64)
+    # 3-byte windows, ONE gather per peek in the hot loop
+    w24_all = np.empty(len(data), dtype=np.int64)
+    w24_all[: len(data) - 2] = (
+        (data[:-2] << 16) | (data[1:-1] << 8) | data[2:]
+    )
+    w24_all[-2:] = 0xFFFFFF
+    # stacked-table cache: batches overwhelmingly reuse the same table
+    # combination (Annex K), and re-stacking copies ~6 MB per call
+    skey = tuple(tbl_index)  # ids in first-use order == stack order
+    hit = _STACK_CACHE.get(skey)
+    if hit is None:
+        if len(_STACK_CACHE) > 16:
+            _STACK_CACHE.clear()
+        hit = _STACK_CACHE[skey] = (
+            np.stack(fused_stack).reshape(-1),
+            np.stack(ln_stack),
+            np.stack(sym_stack),
+        )
+    fused_flat, ln_all, sym_all = hit
+    n_lanes = len(lane_base)
+    lane_nblocks = np.asarray(lane_nblocks, dtype=np.int64)
+    lane_blob_g = np.asarray(lane_blob, dtype=np.int64)
+    pat_comp = np.asarray(pat_comp, dtype=np.int64)
+    pat_dc = np.asarray(pat_dc, dtype=np.int64)
+    pat_ac = np.asarray(pat_ac, dtype=np.int64)
+
+    coef = np.zeros((block_off, 64), dtype=np.int64)  # zigzag, DC cumulative
+    blob_bad = np.zeros(len(metas), dtype=bool)
+
+    # ---- dense live-lane state ----
+    live = np.flatnonzero(lane_nblocks > 0)
+    bp = np.zeros(live.size, dtype=np.int64)
+    bits_d = np.asarray(lane_bits, dtype=np.int64)[live]
+    base_d = np.asarray(lane_base, dtype=np.int64)[live]
+    rem_d = lane_nblocks[live].copy()          # blocks remaining
+    row_d = np.asarray(lane_outbase, dtype=np.int64)[live]  # current coef row
+    blob_d = lane_blob_g[live]
+    patbase_d = np.asarray(lane_patbase, dtype=np.int64)[live]
+    bpm_d = np.asarray(lane_bpm, dtype=np.int64)[live]
+    pp_d = np.zeros(live.size, dtype=np.int64)  # pattern position
+    kk = np.zeros(live.size, dtype=np.int64)
+    preds = np.zeros((live.size, 4), dtype=np.int64)
+    cur_dc = pat_dc[patbase_d] * 65536
+    cur_ac = pat_ac[patbase_d] * 65536
+    cur_comp = pat_comp[patbase_d]
+    dead = np.zeros(live.size, dtype=bool)
+    n_dead = 0
+
+    # bound: one symbol yields ≥1 coefficient slot or ends a block, so a
+    # clean lane never needs more than 65 symbols per block; anomalies
+    # beyond that mean a stream error → replay those lanes' blobs
+    max_iter = int((rem_d.max() if live.size else 0) * 65 + 16)
+    it = 0
+    while bp.size:
+        it += 1
+        if it > max_iter:
+            blob_bad[np.unique(blob_d)] = True
+            break
+        w24 = w24_all[base_d + (bp >> 3)]
+        p16 = (w24 >> (8 - (bp & 7))) & 0xFFFF
+        isdc = kk == 0
+        e = fused_flat[np.where(isdc, cur_dc, cur_ac) + p16]
+        any_bad = False
+        unc = () if e.all() else np.flatnonzero(e == 0)
+        if len(unc):
+            # two-step fallback, per lane (rare): code length + symbol
+            # from the flat LUTs, magnitude bits read directly
+            for u in unc:
+                t_i = (cur_dc[u] if isdc[u] else cur_ac[u]) >> 16
+                p_i = int(p16[u])
+                ln_i = int(ln_all[t_i, p_i])
+                if ln_i == 0:
+                    blob_bad[blob_d[u]] = True
+                    any_bad = True
+                    e[u] = 8  # consume something harmless; lane dies below
+                    continue
+                s_i = int(sym_all[t_i, p_i])
+                if isdc[u]:
+                    t = s_i
+                    tot = ln_i + t
+                    if bp[u] + tot > bits_d[u]:
+                        blob_bad[blob_d[u]] = True
+                        any_bad = True
+                        e[u] = 8
+                        continue
+                    if t:
+                        o = int(base_d[u] + ((bp[u] + ln_i) >> 3))
+                        sh = int((bp[u] + ln_i) & 7)
+                        w40 = 0
+                        for bb in range(5):
+                            w40 = (w40 << 8) | int(data[o + bb])
+                        v = (w40 >> (40 - sh - t)) & ((1 << t) - 1)
+                        d = v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+                    else:
+                        d = 0
+                    # synthesize a fused DC entry for the common path
+                    e[u] = (d << 16) | tot
+                else:
+                    s = s_i & 0x0F
+                    run = s_i >> 4
+                    tot = ln_i + s
+                    if bp[u] + tot > bits_d[u]:
+                        blob_bad[blob_d[u]] = True
+                        any_bad = True
+                        e[u] = 8
+                        continue
+                    if s_i == 0x00:
+                        e[u] = (255 << 8) | ln_i
+                    elif s_i == 0xF0:
+                        e[u] = (254 << 8) | ln_i
+                    else:
+                        o = int(base_d[u] + ((bp[u] + ln_i) >> 3))
+                        sh = int((bp[u] + ln_i) & 7)
+                        w40 = 0
+                        for bb in range(5):
+                            w40 = (w40 << 8) | int(data[o + bb])
+                        v = (w40 >> (40 - sh - s)) & ((1 << s) - 1)
+                        d = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+                        e[u] = (d << 24) | (run << 8) | tot
+        adv = e & 0xFF
+        newbp = bp + adv
+        trunc = newbp > bits_d
+        if trunc.any():
+            blob_bad[np.unique(blob_d[trunc])] = True
+            any_bad = True
+        if any_bad:
+            newdead = blob_bad[blob_d]
+            newbp = np.where(newdead, bp, newbp)
+            dead |= newdead
+            n_dead = int(dead.sum())
+            ok = ~dead
+        else:
+            ok = None
+        bp = newbp
+
+        # DC phase
+        dcm = (isdc & ok) if ok is not None else isdc
+        dci = np.flatnonzero(dcm)
+        if dci.size:
+            ci = cur_comp[dci]
+            preds[dci, ci] += e[dci] >> 16
+            coef[row_d[dci], 0] = preds[dci, ci]
+            kk[dci] = 1
+        # AC phase
+        acm = (~isdc & ok) if ok is not None else ~isdc
+        aci = np.flatnonzero(acm)
+        if aci.size:
+            e_ac = e[aci]
+            act = (e_ac >> 8) & 0xFF
+            k_ac = kk[aci]
+            is_val = act < 64
+            is_eob = act == 255
+            # value placement: k += run, bounds-checked like the scalar
+            newk = np.where(is_val, k_ac + act, k_ac)
+            over = is_val & (newk > 63)
+            if over.any():
+                bad_l = aci[over]
+                blob_bad[np.unique(blob_d[bad_l])] = True
+                dead |= blob_bad[blob_d]
+                n_dead = int(dead.sum())
+                is_val = is_val & ~over
+            pl = aci[is_val]
+            if pl.size:
+                coef[row_d[pl], newk[is_val]] = e_ac[is_val] >> 24
+            kk[aci] = np.where(
+                is_eob, 64,
+                np.where(is_val, newk + 1, k_ac + 16),  # 254 = ZRL
+            )
+        # block / lane advance
+        dbi = np.flatnonzero(kk >= 64)
+        if dbi.size:
+            rem_d[dbi] -= 1
+            row_d[dbi] += 1
+            kk[dbi] = 0
+            pp = pp_d[dbi] + 1
+            pp[pp == bpm_d[dbi]] = 0
+            pp_d[dbi] = pp
+            pidx = patbase_d[dbi] + pp
+            cur_dc[dbi] = pat_dc[pidx] * 65536
+            cur_ac[dbi] = pat_ac[pidx] * 65536
+            cur_comp[dbi] = pat_comp[pidx]
+            fin = rem_d[dbi] == 0
+            if fin.any():
+                dead[dbi[fin]] = True
+                n_dead += int(fin.sum())
+        # physical compaction keeps the hot loop dense. It must run the
+        # SAME iteration anything dies: a finished lane left in the
+        # arrays would keep "decoding" its 1-padding, hit the
+        # truncation guard, and wrongly poison its whole blob into the
+        # scalar-replay path.
+        if n_dead:
+            keep = ~dead
+            bp = bp[keep]
+            bits_d = bits_d[keep]
+            base_d = base_d[keep]
+            rem_d = rem_d[keep]
+            row_d = row_d[keep]
+            blob_d = blob_d[keep]
+            patbase_d = patbase_d[keep]
+            bpm_d = bpm_d[keep]
+            pp_d = pp_d[keep]
+            kk = kk[keep]
+            preds = preds[keep]
+            cur_dc = cur_dc[keep]
+            cur_ac = cur_ac[keep]
+            cur_comp = cur_comp[keep]
+            dead = np.zeros(bp.size, dtype=bool)
+            n_dead = 0
+
+    # ---- assemble per blob ----
+    bad_idx: list[int] = []
+    lane_ptr = 0
+    lane_outbase_g = np.asarray(lane_outbase, dtype=np.int64)
+    for bi, (idx, m) in enumerate(metas):
+        n_lane_blobs = len(m["segs"])
+        first = lane_ptr
+        lane_ptr += n_lane_blobs
+        if blob_bad[bi]:
+            bad_idx.append(idx)
+            continue
+        bpm = len(m["pattern"])
+        n_mcus = m["mcus_x"] * m["mcus_y"]
+        base = lane_outbase_g[first]
+        flat = coef[base : base + n_mcus * bpm].reshape(n_mcus, bpm, 64)
+        pat_ci = np.asarray([c for (c, _, _) in m["pattern"]], dtype=np.int64)
+        zz_dense = []
+        for ci, (cid, h, v, tq) in enumerate(m["comps"]):
+            pos = np.flatnonzero(pat_ci == ci)
+            zz_dense.append(
+                flat[:, pos, :].reshape(n_mcus * h * v, 64).astype(np.float64)
+            )
+        hmax = max(c[1] for c in m["comps"])
+        vmax = max(c[2] for c in m["comps"])
+        results[idx] = _reconstruct(
+            m["comps"], zz_dense, m["quants"], m["width"], m["height"],
+            m["mcus_x"], m["mcus_y"], hmax, vmax,
+        )
+    return bad_idx

@@ -1588,6 +1588,34 @@ def _bench_decode() -> dict:
             n += 8
         best8 = max(best8, n / (time.time() - t0))
     out["png_paeth_batch8"] = round(best8, 1)
+    # lockstep JPEG (round 15): restart-interval segments × images form
+    # the lane axis of jpeg_decode_batch — 8 distinct noise images
+    # encoded with DRI=2 (the resilience interval real encoders emit)
+    # fan into ~770 lanes advancing one Huffman symbol per numpy step.
+    # Same Arrow-batch shape as png_paeth_batch8; the no-DRI single
+    # stream stays measured above as jpeg_noise (the Python-dispatch
+    # floor, ~0.45 µs/symbol — restart-free single images cannot beat
+    # it, which is WHY the batch shape exists).
+    from aeuc_vector_db_spark.sources.jpeg import jpeg_decode_batch
+
+    _jb8 = [
+        jpeg_encode(
+            np.random.default_rng(s).integers(0, 255, (96, 128, 3))
+            .astype(np.uint8).tobytes(),
+            128, 96, 3, restart_interval=2,
+        )
+        for s in range(8)
+    ]
+    jpeg_decode_batch(_jb8)  # warm
+    bestj = 0.0
+    for _ in range(4):
+        t0 = time.time()
+        n = 0
+        while time.time() - t0 < 0.5:
+            jpeg_decode_batch(_jb8)
+            n += 8
+        bestj = max(bestj, n / (time.time() - t0))
+    out["jpeg_noise_rst_batch8"] = round(bestj, 1)
     out["cal"] = min(_decode_pre, _loop_stamp())
 
     # Native-codec swap seam (round-6 verdict #2): the declared 10× path

@@ -1092,3 +1092,155 @@ def test_qoi_dispatch_and_rejects():
     )
     with pytest.raises(ValueError):
         MM.qoi_decode(overflow)
+
+
+# ---------------------------------------------------------------------------
+# round 15: lockstep batch JPEG decode (restart segments × images as lanes)
+# ---------------------------------------------------------------------------
+
+def _jpeg_blob(seed=0, shape=(96, 128, 3), ri=0):
+    import numpy as np
+
+    from aeuc_vector_db_spark.sources.jpeg import jpeg_encode
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, shape).astype(np.uint8)
+    h, w = shape[0], shape[1]
+    c = shape[2] if len(shape) == 3 else 1
+    return jpeg_encode(img.tobytes(), w, h, c, restart_interval=ri)
+
+
+def test_jpeg_encode_restart_interval_roundtrip():
+    """DRI streams decode to the SAME pixels as the no-DRI stream of
+    the same image (restarts change entropy segmentation, not values),
+    and restart_interval=0 keeps encoder output byte-identical."""
+    import numpy as np
+
+    from aeuc_vector_db_spark.sources.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (41, 53, 3)).astype(np.uint8)
+    base = jpeg_encode(img.tobytes(), 53, 41, 3)
+    assert base == jpeg_encode(img.tobytes(), 53, 41, 3, restart_interval=0)
+    ref = jpeg_decode(base)
+    for ri in (1, 2, 3, 5, 100):
+        blob = jpeg_encode(img.tobytes(), 53, 41, 3, restart_interval=ri)
+        assert b"\xff\xdd" in blob
+        assert jpeg_decode(blob) == ref
+    with pytest.raises(ValueError, match="restart_interval"):
+        jpeg_encode(img.tobytes(), 53, 41, 3, restart_interval=-1)
+
+
+def test_jpeg_decode_batch_matches_scalar():
+    """Lockstep batch decode is byte-identical to the scalar decoder
+    per item across restart intervals, grayscale, odd dims, and
+    no-restart single-lane streams."""
+    from aeuc_vector_db_spark.sources.jpeg import jpeg_decode, jpeg_decode_batch
+
+    blobs = [
+        _jpeg_blob(0, (96, 128, 3), 0),
+        _jpeg_blob(1, (96, 128, 3), 1),
+        _jpeg_blob(2, (96, 128, 3), 2),
+        _jpeg_blob(3, (96, 128, 3), 7),
+        _jpeg_blob(4, (32, 32, 1), 3),
+        _jpeg_blob(5, (41, 53, 3), 5),
+        _jpeg_blob(6, (8, 8, 3), 0),
+    ]
+    got = jpeg_decode_batch(blobs)
+    for i, b in enumerate(blobs):
+        assert got[i] == jpeg_decode(b), f"item {i}"
+
+
+def test_jpeg_decode_batch_subsampled_parity():
+    """4:2:0 (two-lane) parity: the lockstep block-pattern machinery
+    (4 Y blocks + Cb + Cr per MCU) must agree with the scalar decoder
+    on a hand-built subsampled stream — the encoder only writes 4:4:4,
+    so the stream is assembled here from the module's own primitives."""
+    import struct
+
+    import numpy as np
+
+    from aeuc_vector_db_spark.sources import jpeg as J
+
+    rng = np.random.default_rng(11)
+    ph, pw = 16, 32  # 1x2 MCUs at 4:2:0
+    y_plane = rng.integers(0, 255, (ph, pw)).astype(np.float64)
+    cb_plane = rng.integers(0, 255, (ph // 2, pw // 2)).astype(np.float64)
+    cr_plane = rng.integers(0, 255, (ph // 2, pw // 2)).astype(np.float64)
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in ((0, J.QUANT_LUM), (1, J.QUANT_CHROM)):
+        zz = q.astype(int).flatten()[J.ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
+            int(x) for x in zz
+        )
+    sof = bytes([8]) + struct.pack(">HH", ph, pw) + bytes([3])
+    sof += bytes([1, 0x22, 0])  # Y: h=v=2
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += J._dht_segment(0x00, J.DC_LUM_BITS, J.DC_LUM_VALS)
+    out += J._dht_segment(0x10, J.AC_LUM_BITS, J.AC_LUM_VALS)
+    out += J._dht_segment(0x01, J.DC_CHROM_BITS, J.DC_CHROM_VALS)
+    out += J._dht_segment(0x11, J.AC_CHROM_BITS, J.AC_CHROM_VALS)
+    out += b"\xff\xdd" + struct.pack(">HH", 4, 1)  # DRI: restart every MCU
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    dc_lum = J._canonical_codes(J.DC_LUM_BITS, J.DC_LUM_VALS)
+    ac_lum = J._canonical_codes(J.AC_LUM_BITS, J.AC_LUM_VALS)
+    dc_chrom = J._canonical_codes(J.DC_CHROM_BITS, J.DC_CHROM_VALS)
+    ac_chrom = J._canonical_codes(J.AC_CHROM_BITS, J.AC_CHROM_VALS)
+    w = J._BitWriter()
+    preds = [0, 0, 0]
+    for mx in range(2):
+        if mx:
+            w.flush()
+            w.out += bytes([0xFF, 0xD0])
+            preds = [0, 0, 0]
+        for by in range(2):  # 4 Y blocks, raster order within MCU
+            for bx in range(2):
+                blk = y_plane[by * 8 : by * 8 + 8,
+                              mx * 16 + bx * 8 : mx * 16 + bx * 8 + 8]
+                preds[0] = J._encode_block(
+                    w, blk, J.QUANT_LUM, dc_lum, ac_lum, preds[0]
+                )
+        for ci, plane in ((1, cb_plane), (2, cr_plane)):
+            blk = plane[0:8, mx * 8 : mx * 8 + 8]
+            preds[ci] = J._encode_block(
+                w, blk, J.QUANT_CHROM, dc_chrom, ac_chrom, preds[ci]
+            )
+    w.flush()
+    out += w.out + b"\xff\xd9"
+    blob = bytes(out)
+
+    scalar = J.jpeg_decode(blob)
+    [batch] = J.jpeg_decode_batch([blob])
+    assert scalar == batch
+    assert scalar[0] == pw and scalar[1] == ph and scalar[2] == 3
+
+
+def test_jpeg_decode_batch_error_quarantine_parity():
+    """Bad payloads quarantine with EXACTLY the scalar decoder's error
+    type and message (lane anomalies replay through the scalar path);
+    on_error='raise' propagates the first bad item in input order."""
+    from aeuc_vector_db_spark.sources.jpeg import jpeg_decode, jpeg_decode_batch
+
+    good = _jpeg_blob(0, (32, 32, 3), 2)
+    bads = [
+        _jpeg_blob(1, (32, 32, 3), 2)[:-40],  # entropy truncation
+        b"\xff\xd8junk",                       # marker misalignment
+        b"not a jpeg",                         # missing SOI
+    ]
+    res = jpeg_decode_batch([good, *bads], on_error="capture")
+    assert res[0] == jpeg_decode(good)
+    for got, blob in zip(res[1:], bads):
+        assert isinstance(got, Exception)
+        with pytest.raises(type(got)) as ei:
+            jpeg_decode(blob)
+        assert str(ei.value) == str(got)
+    with pytest.raises(ValueError) as ei_raise:
+        jpeg_decode_batch([good, bads[0]])
+    assert str(ei_raise.value) == str(res[1])  # same error as capture mode
+    with pytest.raises(ValueError, match="bad on_error"):
+        jpeg_decode_batch([good], on_error="nope")
