@@ -354,9 +354,16 @@ def _png_reconstruct(
         # any Average/Paeth row: the whole image goes through the
         # anti-diagonal wavefront (handles all five filters uniformly —
         # a mixed image can't split by row, later rows depend on
-        # earlier ones through `prev`)
-        x_px = rows[:, 1:].reshape(1, height, width, bpp)
-        return _png_unfilter_wavefront(x_px, fts.reshape(1, height))[0].tobytes()
+        # earlier ones through `prev`) — UNLESS its skew buffers would
+        # be outsized (the wavefront trades ~16× pixel volume of int16
+        # for dispatch amortization; a healthy 8192×8192 RGBA passes
+        # the 64M-pixel guard but would need ~2.1 GB). Oversized images
+        # take the kept scalar per-row unfilter instead of risking a
+        # MemoryError being misclassified as a decode error.
+        if _png_wavefront_bytes(width, height, bpp, 1) <= _PNG_BATCH_BUDGET_BYTES:
+            x_px = rows[:, 1:].reshape(1, height, width, bpp)
+            return _png_unfilter_wavefront(x_px, fts.reshape(1, height))[0].tobytes()
+        return _png_unfilter_rows(rows, fts, width, height, bpp)
     # only None/Sub/Up remain: whole-row vectorized reconstruction
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -376,9 +383,65 @@ def _png_reconstruct(
     return out.tobytes()
 
 
-#: soft cap on the batched wavefront's skew-buffer footprint (S + R,
-#: int16, ~4x the pixel volume each) — groups chunk to stay under it
+#: soft cap on the batched wavefront's WHOLE footprint — groups chunk
+#: to stay under it, and a single decode over it takes the scalar path
 _PNG_BATCH_BUDGET_BYTES = 256 << 20
+
+
+def _png_wavefront_bytes(w: int, h: int, c: int, batch: int) -> int:
+    """Estimated peak extra bytes for a `batch`-image wavefront call:
+    the S + R skew buffers (int16, (W+H+2)·(H+1)·bpp each) PLUS the
+    input np.stack copy, the out_t staging buffer, and the final
+    ascontiguousarray copy (~3× raw pixel volume, uint8) — the terms
+    the round-14 budget under-counted by ~50% (ADVICE r14)."""
+    return batch * ((w + h + 2) * (h + 1) * c * 2 * 2 + 3 * h * w * c)
+
+
+def _png_unfilter_rows(rows, fts, width: int, height: int, bpp: int) -> bytes:
+    """Scalar per-row unfilter for all five PNG filters — the memory-
+    bounded fallback behind the wavefront gate (O(stride) extra bytes,
+    byte-exact vs the wavefront; pinned against it in
+    tests/test_multimodal.py). Average/Paeth rows pay the per-byte
+    Python recurrence; this path only runs for images whose wavefront
+    skew buffers would exceed the batch budget."""
+    stride = width * bpp
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ft = int(fts[y])
+        line = rows[y, 1:]
+        if ft == 0:
+            cur = line.copy()
+        elif ft == 1:  # Sub: per-lane prefix sum mod 256
+            cur = (
+                np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.uint32) & 0xFF
+            ).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up: wrapping uint8 add of the previous row
+            cur = line + prev
+        else:  # Average/Paeth: sequential left-neighbor dependency
+            cur = np.empty(stride, dtype=np.uint8)
+            li = line.tolist()
+            pv = prev.tolist()
+            cl = [0] * stride
+            if ft == 3:
+                for i in range(stride):
+                    a = cl[i - bpp] if i >= bpp else 0
+                    cl[i] = (li[i] + ((a + pv[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    a = cl[i - bpp] if i >= bpp else 0
+                    b = pv[i]
+                    c = pv[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cl[i] = (li[i] + pr) & 0xFF
+            cur[:] = cl
+        out[y] = cur
+        prev = cur
+    return out.tobytes()
 
 
 def png_decode_batch(payloads, on_error: str = "raise") -> list:
@@ -415,13 +478,29 @@ def png_decode_batch(payloads, on_error: str = "raise") -> list:
                 raise
             results[i] = exc
     for (w, h, c), items in groups.items():
-        per_img = (w + h + 2) * (h + 1) * c * 2 * 2
+        per_img = _png_wavefront_bytes(w, h, c, 1)
         chunk = max(1, min(len(items), _PNG_BATCH_BUDGET_BYTES // max(1, per_img)))
         for j in range(0, len(items), chunk):
             part = items[j : j + chunk]
-            x = np.stack([r[:, 1:].reshape(h, w, c) for _, r, _ in part])
-            f = np.stack([ft for _, _, ft in part])
-            pix = _png_unfilter_wavefront(x, f)
+            try:
+                x = np.stack([r[:, 1:].reshape(h, w, c) for _, r, _ in part])
+                f = np.stack([ft for _, _, ft in part])
+                pix = _png_unfilter_wavefront(x, f)
+            except Exception:  # noqa: BLE001 — group-stage quarantine
+                # a grouped-stage failure (e.g. MemoryError on the
+                # skew buffers when chunking floors at 1 image) must
+                # quarantine like a parse-stage one, not fail the whole
+                # Arrow batch (ADVICE r14): retry each item singly
+                # through the gated single-image path and capture (or
+                # raise) per item.
+                for (i, r, ft) in part:
+                    try:
+                        results[i] = (w, h, c, _png_reconstruct(w, h, c, r, ft))
+                    except Exception as exc:  # noqa: BLE001
+                        if on_error == "raise":
+                            raise
+                        results[i] = exc
+                continue
             for (i, _, _), img in zip(part, pix):
                 results[i] = (w, h, c, img.tobytes())
     return results

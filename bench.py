@@ -21,6 +21,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+
+def _io_state() -> tuple[float, int, int]:
+    """(loadavg_1m, iowait_ticks, total_ticks) — ONE shared parser for
+    the disk-contention axis (round-14 forensics: loadavg 14.5 at 96.9%
+    idle CPU), used by both bench stamp sites and
+    tools/check_correctness.py. A drifting iowait-tick index between
+    copies would silently desynchronize the artifacts."""
+    load1 = float(open("/proc/loadavg").read().split()[0])
+    parts = open("/proc/stat").readline().split()
+    ticks = [int(x) for x in parts[1:]]
+    return load1, ticks[4], sum(ticks)
+
+
+
 #: The driver captures only the LAST 2000 chars of stdout and parses the
 #: JSON line out of that window; leave margin for a trailing newline and
 #: any straggler log line.
@@ -292,12 +306,6 @@ def _calibrated_probe(tag, probe, get_spark, headline):
         capability number, with interference one-sided slow. Every
         attempt (stamps + full result) is recorded in the detail file.
     """
-    def _io_state():
-        load1 = float(open("/proc/loadavg").read().split()[0])
-        parts = open("/proc/stat").readline().split()
-        ticks = [int(x) for x in parts[1:]]
-        return load1, ticks[4], sum(ticks)
-
     attempts = []
     best = None
     for i in range(CAL_MAX_ATTEMPTS):
@@ -480,12 +488,7 @@ def main() -> None:
     # have makes the per-query numbers capability measurements
     # (interference is one-sided slow, so min-of-passes is the honest
     # pick and every pass's numbers land in BENCH_DETAIL.json).
-    def _io_snap():
-        load1 = float(open("/proc/loadavg").read().split()[0])
-        parts = open("/proc/stat").readline().split()
-        ticks = [int(x) for x in parts[1:]]
-        return load1, ticks[4], sum(ticks)
-
+    _io_snap = _io_state  # shared module-level parser
     HEADLINE_TRIES = 2
     headline_stamps = [_loop_stamp()]
     headline_io: list[dict] = []

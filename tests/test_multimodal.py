@@ -1244,3 +1244,142 @@ def test_jpeg_decode_batch_error_quarantine_parity():
     assert str(ei_raise.value) == str(res[1])  # same error as capture mode
     with pytest.raises(ValueError, match="bad on_error"):
         jpeg_decode_batch([good], on_error="nope")
+
+
+# ---------------------------------------------------------------------------
+# round 15: wavefront memory gate + group-stage quarantine (ADVICE r14)
+# ---------------------------------------------------------------------------
+
+def test_png_scalar_unfilter_matches_wavefront(monkeypatch):
+    """The gated scalar fallback (_png_unfilter_rows) is byte-exact vs
+    the wavefront on mixed-filter images, and png_decode routed through
+    the gate (budget forced to 0) still decodes identically."""
+    import numpy as np
+
+    from aeuc_vector_db_spark.sources import multimodal as MM
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (24, 17, 3)).astype(np.uint8)
+    # build a PNG cycling through all five filters per row, each row
+    # filtered against the RECONSTRUCTED previous row
+    import struct
+    import zlib
+
+    h, w, c = img.shape
+    stride = w * c
+    flat = img.reshape(h, stride)
+    raw = bytearray()
+    rec_prev = bytes(stride)
+    for y in range(h):
+        line = flat[y].tobytes()
+        ft = y % 5
+        row = bytearray(stride)
+        for i in range(stride):
+            a = line[i - c] if i >= c else 0
+            b = rec_prev[i]
+            cc = rec_prev[i - c] if i >= c else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            row[i] = (line[i] - pred) & 0xFF
+        raw += bytes([ft]) + bytes(row)
+        rec_prev = line
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+    ref = MM.png_decode(blob)
+    assert ref[3] == img.tobytes()
+    # force the gate: wavefront budget 0 → scalar per-row fallback
+    monkeypatch.setattr(MM, "_PNG_BATCH_BUDGET_BYTES", 0)
+    gated = MM.png_decode(blob)
+    assert gated == ref
+
+
+def test_png_decode_batch_group_stage_quarantine(monkeypatch):
+    """A grouped-wavefront-stage failure must quarantine per item in
+    capture mode (items recover through the gated single path), and
+    propagate in raise mode — not fail the whole batch (ADVICE r14)."""
+    import numpy as np
+
+    from aeuc_vector_db_spark.sources import multimodal as MM
+
+    rng = np.random.default_rng(4)
+    imgs = [rng.integers(0, 255, (16, 16, 3)).astype(np.uint8) for _ in range(3)]
+
+    # all-Paeth blobs so they take the grouped wavefront path
+    def paeth_png(img):
+        import struct
+        import zlib
+
+        h, w, c = img.shape
+        stride = w * c
+        raw = bytearray()
+        prev = bytes(stride)
+        flat = img.reshape(h, stride)
+        for y in range(h):
+            line = flat[y].tobytes()
+            row = bytearray(stride)
+            for i in range(stride):
+                a = line[i - c] if i >= c else 0
+                b = prev[i]
+                cc = prev[i - c] if i >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                row[i] = (line[i] - pr) & 0xFF
+            raw += b"\x04" + bytes(row)
+            prev = line
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    blobs = [paeth_png(i) for i in imgs]
+    expected = [MM.png_decode(b) for b in blobs]
+
+    calls = {"n": 0}
+    real = MM._png_unfilter_wavefront
+
+    def boom(x, f):
+        # grouped (multi-image) calls fail like an allocation would;
+        # single-image retries succeed through the real kernel
+        if x.shape[0] > 1:
+            calls["n"] += 1
+            raise MemoryError("simulated skew-buffer allocation failure")
+        return real(x, f)
+
+    monkeypatch.setattr(MM, "_png_unfilter_wavefront", boom)
+    got = MM.png_decode_batch(blobs, on_error="capture")
+    assert calls["n"] == 1  # the grouped call failed once
+    assert got == expected  # every item recovered singly
+    # raise mode with an unrecoverable item: single path also fails
+    monkeypatch.setattr(
+        MM, "_png_unfilter_wavefront",
+        lambda x, f: (_ for _ in ()).throw(MemoryError("always")),
+    )
+    monkeypatch.setattr(MM, "_PNG_BATCH_BUDGET_BYTES", 1 << 62)
+    with pytest.raises(MemoryError):
+        MM.png_decode_batch(blobs)
+    res = MM.png_decode_batch(blobs, on_error="capture")
+    assert all(isinstance(r, MemoryError) for r in res)

@@ -117,18 +117,14 @@ def main() -> int:
             x += i * i
         return round(time.time() - t, 3)
 
-    def _io_state() -> tuple[float, int, int]:
-        """(loadavg_1m, iowait_ticks, total_ticks) — the CPU loop stamp
-        is blind to the OTHER host-noise axis found in round-14
-        forensics: shared-DISK contention (observed loadavg 14.5 at
-        96.9% idle CPU — dozens of tasks in D-state I/O sleep). A
-        32-thread Spark scan stalls on that while the 1-thread stamp
-        reads healthy, which is exactly the r13 'clean stamps, slow
-        tail' signature."""
-        load1 = float(open("/proc/loadavg").read().split()[0])
-        parts = open("/proc/stat").readline().split()
-        ticks = [int(x) for x in parts[1:]]
-        return load1, ticks[4], sum(ticks)
+    # the CPU loop stamp is blind to the OTHER host-noise axis found in
+    # round-14 forensics: shared-DISK contention (observed loadavg 14.5
+    # at 96.9% idle CPU — dozens of tasks in D-state I/O sleep). A
+    # 32-thread Spark scan stalls on that while the 1-thread stamp
+    # reads healthy — the r13 'clean stamps, slow tail' signature.
+    # ONE shared parser (bench._io_state) so the iowait-tick index
+    # cannot drift between the three stamp sites.
+    from bench import _io_state
 
     # Per-BLOCK calibration stamps (round 14, VERDICT r13 #4): one
     # stamp every 10 completed queries, so tail drift in the persisted
