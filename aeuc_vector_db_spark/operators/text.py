@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from aeuc_vector_db_spark.functions.ranking import global_ranked_topk
+
 from aeuc_vector_db_spark.functions.vector import _c, let_col
 
 #: mod for the rolling hash — the Mersenne prime 2³¹ − 1.
@@ -743,16 +745,14 @@ def bm25_topk(
         ).alias("score"),
         F.count(F.lit(1)).alias("n_matched"),
     )
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        per_doc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
-        .select(
-            id_col,
-            "score",
-            F.col("n_matched").cast("bigint").alias("n_matched"),
-            F.col("rank").cast("long").alias("rank"),
-        )
+    ranked = global_ranked_topk(
+        per_doc, [F.col("score").desc(), F.col(id_col).asc()], top_k
+    )
+    return ranked.select(
+        id_col,
+        "score",
+        F.col("n_matched").cast("bigint").alias("n_matched"),
+        "rank",
     )
 
 
@@ -806,14 +806,12 @@ def rrf_fuse(
         ).alias("rrf_score"),
         F.count(F.lit(1)).alias("n_lists"),
     )
-    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
-    return (
-        fused.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
-        .select(
-            id_col,
-            "rrf_score",
-            F.col("n_lists").cast("bigint").alias("n_lists"),
-            F.col("rank").cast("long").alias("rank"),
-        )
+    ranked = global_ranked_topk(
+        fused, [F.col("rrf_score").desc(), F.col(id_col).asc()], top_k
+    )
+    return ranked.select(
+        id_col,
+        "rrf_score",
+        F.col("n_lists").cast("bigint").alias("n_lists"),
+        "rank",
     )

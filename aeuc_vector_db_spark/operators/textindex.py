@@ -40,6 +40,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aeuc_vector_db_spark.functions.ranking import global_ranked_topk
+
 from aeuc_vector_db_spark.operators.text import tokens_col
 from aeuc_vector_db_spark.sources.manifest import ManifestTable
 
@@ -204,14 +206,12 @@ class TextIndex:
             ).alias("score"),
             F.count(F.lit(1)).alias("n_matched"),
         )
-        w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        return (
-            per_doc.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= top_k)
-            .select(
-                "doc_id",
-                "score",
-                F.col("n_matched").cast("bigint").alias("n_matched"),
-                F.col("rank").cast("long").alias("rank"),
-            )
+        ranked = global_ranked_topk(
+            per_doc, [F.col("score").desc(), F.col("doc_id").asc()], top_k
+        )
+        return ranked.select(
+            "doc_id",
+            "score",
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+            "rank",
         )

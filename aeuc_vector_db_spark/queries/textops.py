@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aeuc_vector_db_spark.functions.ranking import global_ranked_topk
+
 from aeuc_vector_db_spark.operators import dedup as D
 from aeuc_vector_db_spark.operators import text as TX
 from aeuc_vector_db_spark.sources.tables import load_table
@@ -104,12 +106,10 @@ def _doc_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     tok = docs.select(F.explode(TX.tokens_col("text")).alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
-        .select("token", "cnt", F.col("rank").cast("long").alias("rank"))
+    ranked = global_ranked_topk(
+        counts, [F.col("cnt").desc(), F.col("token").asc()], 50
     )
+    return ranked.select("token", "cnt", "rank")
 
 
 _TERM_FREQ_ORACLE = f"""
@@ -177,12 +177,10 @@ def _doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(TX.shingles_col(TX.tokens_col("text"), n=2)).alias("bigram")
     )
     counts = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("bigram").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select("bigram", "cnt", F.col("rank").cast("long").alias("rank"))
+    ranked = global_ranked_topk(
+        counts, [F.col("cnt").desc(), F.col("bigram").asc()], 20
     )
+    return ranked.select("bigram", "cnt", "rank")
 
 
 _BIGRAM_ORACLE = f"""
@@ -1103,16 +1101,14 @@ def _doc_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
     ]
-    w = Window.orderBy(F.col("__s__").desc(), F.col("doc_id").asc())
-    vec = (
+    vec = global_ranked_topk(
         emb.select(
             F.col("vec_id").alias("doc_id"),
             cosine_col(as_double("embedding"), lit_vector(qvec)).alias("__s__"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select("doc_id", "rank")
-    )
+        ),
+        [F.col("__s__").desc(), F.col("doc_id").asc()],
+        20,
+    ).select("doc_id", "rank")
     fused = TX.rrf_fuse([bm25, vec], k=60, top_k=10)
     return fused.select(
         "doc_id", F.round("rrf_score", 9).alias("rrf_score"), "n_lists", "rank"

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import struct
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -97,24 +98,136 @@ class OffsetLogSource:
             )
         return os.path.join(self.root, f"partition-{partition:05d}.jsonl")
 
+    def _idx_path(self, partition: int) -> str:
+        return self._log_path(partition) + ".idx"
+
     def append(self, partition: int, values: list[dict]) -> tuple[int, int]:
         """Producer API: append `values` (JSON-serializable records) to
-        one partition; returns the assigned offset range [start, end)."""
+        one partition; returns the assigned offset range [start, end).
+
+        Alongside each record line, its cumulative END byte offset is
+        appended to a fixed-width sidecar index (8 bytes big-endian per
+        record, round 15) — that is what makes `slice_lines` seek
+        straight to a record range instead of scanning from byte 0
+        (quadratic across a chunked backlog drain), and `_end_offset`
+        a stat instead of a line count. Write order is log-then-index,
+        each fsynced: a crash between the two leaves the index SHORT,
+        which the validity check detects and falls back to a scan —
+        never a wrong slice."""
         p = self._log_path(partition)
         start = self._end_offset(partition)
-        with open(p, "a") as fh:
+        if self._idx_records(partition) != start:
+            # the index does not cover exactly the existing records
+            # (pre-index log, crash-truncated index, or a deleted index
+            # whose tail-only regrowth would wrongly re-validate — the
+            # last-entry==filesize probe alone cannot see missing HEAD
+            # entries). One amortized rebuild restores O(1) slices.
+            self._rebuild_index(partition)
+        ends = []
+        with open(p, "ab") as fh:
+            pos = fh.tell()
             for v in values:
-                fh.write(json.dumps(v, separators=(",", ":")) + "\n")
+                line = (json.dumps(v, separators=(",", ":")) + "\n").encode()
+                fh.write(line)
+                pos += len(line)
+                ends.append(pos)
             fh.flush()
             os.fsync(fh.fileno())
+        with open(self._idx_path(partition), "ab") as ix:
+            ix.write(b"".join(struct.pack(">Q", e) for e in ends))
+            ix.flush()
+            os.fsync(ix.fileno())
         return start, start + len(values)
+
+    def _rebuild_index(self, partition: int) -> None:
+        """Re-derive the sidecar index from the log with one scan,
+        atomically (temp + rename). Removes the index when the log is
+        absent/empty."""
+        p = self._log_path(partition)
+        ip = self._idx_path(partition)
+        if not os.path.exists(p) or os.path.getsize(p) == 0:
+            if os.path.exists(ip):
+                os.remove(ip)
+            return
+        tmp = ip + ".tmp"
+        pos = 0
+        with open(p, "rb") as fh, open(tmp, "wb") as ix:
+            for line in fh:
+                pos += len(line)
+                ix.write(struct.pack(">Q", pos))
+            ix.flush()
+            os.fsync(ix.fileno())
+        os.replace(tmp, ip)
+
+    def _idx_records(self, partition: int) -> int:
+        """Record count per the sidecar index, or -1 when the index is
+        absent/stale (missing file, truncated entry, or a last-entry
+        byte offset that does not equal the log size — e.g. a log
+        written by the pre-index code or a crash between log and index
+        appends). O(1): two stats + one 8-byte read."""
+        p = self._log_path(partition)
+        ip = self._idx_path(partition)
+        if not os.path.exists(p) or not os.path.exists(ip):
+            return -1
+        isize = os.path.getsize(ip)
+        if isize == 0 or isize % 8:
+            return -1
+        with open(ip, "rb") as ix:
+            ix.seek(isize - 8)
+            (last_end,) = struct.unpack(">Q", ix.read(8))
+        if last_end != os.path.getsize(p):
+            return -1
+        return isize // 8
 
     def _end_offset(self, partition: int) -> int:
         p = self._log_path(partition)
         if not os.path.exists(p):
             return 0
+        n = self._idx_records(partition)
+        if n >= 0:
+            return n
         with open(p) as fh:
             return sum(1 for _ in fh)
+
+    def slice_lines(self, partition: int, lo: int, hi: int) -> "list[bytes]":
+        """[lo, hi) of one partition log as raw record lines (no
+        terminators). With a valid sidecar index this is two bounded
+        seeks — O(slice), not O(log): read index entries [lo-1, hi),
+        then exactly the byte range they delimit. Index absent/stale →
+        the line-scan fallback (correct on any log the old writer
+        produced)."""
+        if hi <= lo:
+            return []
+        path = self._log_path(partition)
+        if not os.path.exists(path):
+            return []
+        n = self._idx_records(partition)
+        if n >= 0:
+            hi = min(hi, n)
+            if hi <= lo:
+                return []
+            with open(self._idx_path(partition), "rb") as ix:
+                if lo == 0:
+                    start_byte = 0
+                    ix.seek(0)
+                else:
+                    ix.seek((lo - 1) * 8)
+                    (start_byte,) = struct.unpack(">Q", ix.read(8))
+                ix.seek((hi - 1) * 8)
+                (end_byte,) = struct.unpack(">Q", ix.read(8))
+            with open(path, "rb") as fh:
+                fh.seek(start_byte)
+                data = fh.read(end_byte - start_byte)
+            return data.splitlines()
+        out: "list[bytes]" = []
+        with open(path, "rb") as fh:
+            for i, line in enumerate(fh):
+                if i < lo:
+                    continue
+                if i >= hi:
+                    break
+                out.append(line.rstrip(b"\r\n"))
+        return out
 
     def latest_offsets(self) -> dict[int, int]:
         """End offset per partition (the next offset a producer would
@@ -143,13 +256,8 @@ class OffsetLogSource:
             end[p] = hi
             if hi <= lo:
                 continue
-            path = self._log_path(p)
-            with open(path) as fh:
-                for off, line in enumerate(fh):
-                    if off >= hi:
-                        break
-                    if off >= lo:
-                        rows.append((p, off, line.rstrip("\n")))
+            for i, ln in enumerate(self.slice_lines(p, lo, hi)):
+                rows.append((p, lo + i, ln.decode("utf-8")))
         if not rows:
             return None, end
         return (

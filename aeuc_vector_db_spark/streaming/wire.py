@@ -195,28 +195,15 @@ class OffsetWireBroker:
         """[lo, hi) of a partition log as raw record lines (no
         terminators). Binary read + splitlines — the broker never
         decodes record payloads; it serves log bytes."""
-        if hi <= lo:
-            return []
-        import os
-
-        path = self.source._log_path(partition)
-        if not os.path.exists(path):
-            return []
-        # Stream line-by-line, skipping to lo and breaking at hi — a
-        # full-file read made each chunked poll O(log_size) in time AND
-        # memory, quadratic across a fetch_chunk'd backlog drain.
-        # Records are JSONL (offset_source.append writes "\n"-terminated
-        # json.dumps output, which never contains raw newlines), so
-        # binary line iteration splits exactly at record boundaries.
-        out: list[bytes] = []
-        with open(path, "rb") as fh:
-            for i, line in enumerate(fh):
-                if i < lo:
-                    continue
-                if i >= hi:
-                    break
-                out.append(line.rstrip(b"\r\n"))
-        return out
+        # Delegates to the source's byte-offset-indexed slice (round
+        # 15): a valid sidecar index turns a chunked poll into two
+        # bounded seeks — bytes read proportional to the CHUNK, not the
+        # log — where even the line-streaming scan was O(log_size) per
+        # chunk, quadratic across a fetch_chunk'd backlog drain. Index
+        # absent/stale falls back to that scan. Records are JSONL
+        # (append writes "\n"-terminated json.dumps output), so line
+        # splits are exactly record boundaries either way.
+        return self.source.slice_lines(partition, lo, hi)
 
     def _dispatch(self, req: dict) -> dict:
         op = req.get("op")

@@ -557,3 +557,56 @@ def test_exact_median_selection_plan(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_no_unpartitioned_window_in_any_declared_query(spark):
+    """Registry-wide gate (VERDICT r14 #6): no declared query's executed
+    plan may contain a Window with an EMPTY partition spec — the shape
+    that moves ALL data to one partition at scale. The former rank≤k
+    global-window heads (term/bigram top-k, BM25, RRF, hybrid vector
+    leg) are now written as orderBy().limit(k) + rank-after-limit
+    (functions/ranking.py global_ranked_topk), which plans as
+    TakeOrderedAndProject with zero WindowExec, so the gate can be
+    absolute — and also build-time-silent (no `WindowExec: No Partition
+    Defined` warnings in a sweep log). Plans built at sf0.001 to keep
+    the fit/collect-at-build queries cheap."""
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in Q.queries().items():
+        phys = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        for ln in phys.splitlines():
+            ln = ln.strip()
+            if "Window [" not in ln:
+                continue
+            segs = ln.split("], [")
+            if len(segs) >= 2 and segs[1].strip() in ("", "]"):
+                offenders.setdefault(name, []).append(ln[:120])
+    assert not offenders, f"unpartitioned Window in: {offenders}"
+
+
+def test_global_ranked_topk_plan_and_rank(spark):
+    """The window-free top-k helper: TakeOrderedAndProject in the plan
+    (distributed partial top-k, never a single-partition sort of the
+    input), no Window node, and ranks bit-identical to row_number over
+    the same total order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aeuc_vector_db_spark.functions.ranking import global_ranked_topk
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 37 % 101).alias("score")
+    )
+    order = [F.col("score").desc(), F.col("id").asc()]
+    got = global_ranked_topk(df, order, 25)
+    phys = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys
+    assert "Window" not in phys
+    w = Window.orderBy(*order)
+    want = (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 25)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    with pytest.raises(ValueError, match="k must be"):
+        global_ranked_topk(df, order, 0)
