@@ -394,3 +394,109 @@ def test_minhash_band_table_reingest_superseded_parity(spark, no_broadcast):
         assert post == flat
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_auto_compaction_soak_under_hot_bucket_skew(spark, no_broadcast):
+    """VERDICT r14 #7: adversarial append SKEW — every epoch's batch
+    carries near-identical texts, so its band rows hash into the same
+    handful of hot buckets while the rest of the table is never
+    touched. The max-per-bucket trigger must then:
+      * NOT fire while the hottest bucket is under the threshold
+        (untouched buckets must never trip it),
+      * fire exactly when the hot bucket reaches `threshold` files,
+      * restore one-file-per-bucket + the corpus-side Sort-free join
+        after each firing,
+    across 8 epochs with ZERO manual compact calls, ending in exact
+    serve parity with the flat incremental path."""
+    from aeuc_vector_db_spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(
+        [
+            (i, f"cold doc number{i} filler tok{i} pad{i * 7} q{i * 13} "
+                f"r{i * 31} s{i * 3}")
+            for i in range(1, 13)
+        ],
+        "doc_id long, text string",
+    )
+    t = "t_bj_bands_hot_skew"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        full_idx = D.minhash_doc_index(corpus).localCheckpoint(eager=True)
+        D.write_minhash_band_table(full_idx, t, n_buckets=8)
+        base_counts = D.band_table_bucket_file_counts(spark, t)
+        assert base_counts and max(base_counts.values()) == 1
+        # hot workload: identical text every epoch → identical minhash
+        # signatures → identical band keys → the SAME buckets each time
+        hot_text = "hot shard alpha beta gamma delta epsilon zeta eta theta"
+        hot_buckets = None
+        fired_log = []
+        threshold = 3
+        files_in_hot = 1  # post-initial-write generation count
+        last_batch = None
+        for e in range(8):
+            batch = spark.createDataFrame(
+                [(500 + 10 * e + j, hot_text) for j in range(2)],
+                "doc_id long, text string",
+            )
+            last_batch = batch
+            new_idx = D.minhash_doc_index(batch).localCheckpoint(eager=True)
+            full_idx = (
+                full_idx.join(batch.select("doc_id"), "doc_id", "left_anti")
+                .unionByName(new_idx)
+                .localCheckpoint(eager=True)
+            )
+            fired = D.append_minhash_band_table(
+                new_idx, t, n_buckets=8,
+                index=full_idx, compact_file_threshold=threshold,
+            )
+            fired_log.append(bool(fired))
+            counts = D.band_table_bucket_file_counts(spark, t)
+            if hot_buckets is None:
+                hot_buckets = {
+                    b for b, c in counts.items()
+                    if c > base_counts.get(b, 0)
+                } or None
+            if fired:
+                # post-compact: every bucket back to one file, join
+                # corpus side Sort-free again
+                assert max(counts.values()) == 1, (e, counts)
+                files_in_hot = 1
+                nb = D.minhash_band_rows_keyed(new_idx)
+                jplan = (
+                    nb.select(F.col("doc_id").alias("x"), "bkey")
+                    .join(
+                        spark.table(t).select(
+                            F.col("doc_id").alias("y"), "bkey"
+                        ),
+                        "bkey",
+                    )
+                    ._jdf.queryExecution().executedPlan().toString()
+                )
+                assert "SortMergeJoin" in jplan
+                assert jplan.count("Sort [") == 1, (e, jplan)
+            else:
+                files_in_hot += 1
+                # fired only when the HOT bucket hit the threshold —
+                # never early (cold buckets must stay un-counted at 1)
+                assert files_in_hot < threshold, (e, counts)
+                assert max(counts.values()) == files_in_hot, (e, counts)
+                cold = {
+                    b: c for b, c in counts.items()
+                    if b not in (hot_buckets or set())
+                }
+                assert all(c == 1 for c in cold.values()), (e, counts)
+        # threshold 3 + same buckets every epoch ⇒ fire every 2nd epoch
+        assert fired_log == [False, True] * 4, fired_log
+        # end-state serve parity vs the flat incremental path
+        pre_ids = last_batch.select("doc_id")
+        pre_idx = full_idx.join(pre_ids, "doc_id", "left_anti")
+        key = lambda r: (r["a_id"], r["b_id"], round(r["jaccard"], 9))  # noqa: E731
+        flat = sorted(map(key, D.incremental_minhash_near_dup(
+            last_batch, pre_idx, threshold=0.3
+        ).collect()))
+        bucketed = sorted(map(key, D.incremental_minhash_near_dup_bucketed(
+            last_batch, pre_idx, t, threshold=0.3,
+        ).collect()))
+        assert bucketed == flat
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
