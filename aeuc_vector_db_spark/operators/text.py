@@ -672,7 +672,6 @@ def bm25_topk(
     lexical retrieval is charter surface (E4 text analysis applied as
     search).
     """
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     qt = sorted({t for t in query_terms if t})
@@ -776,7 +775,6 @@ def rrf_fuse(
     Output: (id_col, rrf_score, n_lists, rank), ranked
     (rrf_score DESC, id ASC).
     """
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     if not rankings:

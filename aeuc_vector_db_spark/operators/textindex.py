@@ -150,8 +150,6 @@ class TextIndex:
         (shared oracle). The corpus is never touched: the only reads
         are the term-pruned postings files, the slim doc-length table
         (semi-bounded to matched docs), and the one-row stats table."""
-        from pyspark.sql import Window
-
         qt = sorted({t for t in query_terms if t})
         if not qt:
             raise ValueError("bm25_topk: empty query")
