@@ -1069,6 +1069,38 @@ def _png_batch_prepass(modalities, contents) -> dict:
     return dict(zip(idxs, png_decode_batch(payloads, on_error="capture")))
 
 
+def _jpeg_batch_eligible() -> bool:
+    """True when the effective JPEG decoder is the builtin — the
+    lockstep batch pre-pass must stand aside for a registered native
+    codec, exactly like `_png_batch_eligible`."""
+    from aeuc_vector_db_spark.sources.jpeg import jpeg_decode
+
+    dec = _IMAGE_DECODERS.get("jpeg")
+    return dec is None or dec is jpeg_decode
+
+
+def _jpeg_batch_prepass(modalities, contents) -> dict:
+    """Batch-decode the builtin-JPEG image rows of one Arrow batch via
+    the lockstep lane kernel (round 15): {row_position: (w, h, c,
+    pixels) | Exception}. Restart-interval segments × images form the
+    lane axis (`jpeg_decode_batch`); captured exceptions re-raise
+    inside decode_one so the error-row taxonomy is identical to the
+    per-item path (lane anomalies already replay the scalar decoder
+    inside the batch kernel)."""
+    from aeuc_vector_db_spark.sources.jpeg import jpeg_decode_batch
+
+    idxs: list[int] = []
+    payloads: list[bytes] = []
+    for j, (m, c) in enumerate(zip(modalities, contents)):
+        p = bytes(c) if c is not None else b""
+        if m == "image" and p[:3] == b"\xff\xd8\xff":
+            idxs.append(j)
+            payloads.append(p)
+    if not idxs:
+        return {}
+    return dict(zip(idxs, jpeg_decode_batch(payloads, on_error="capture")))
+
+
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode any registered image container: (w, h, channels, pixels).
     ValueError on corrupt/unrecognized bytes; NotImplementedError rides
@@ -1266,6 +1298,10 @@ def decode_features(
                     _png_batch_prepass(pdf["modality"], pdf["content"])
                     if _png_batch_eligible() else {}
                 )
+                if _jpeg_batch_eligible():
+                    pre.update(
+                        _jpeg_batch_prepass(pdf["modality"], pdf["content"])
+                    )
                 rows = [
                     decode_one(b, m, c, pre.get(j))
                     for j, (b, m, c) in enumerate(zip(

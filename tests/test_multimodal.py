@@ -1383,3 +1383,59 @@ def test_png_decode_batch_group_stage_quarantine(monkeypatch):
         MM.png_decode_batch(blobs)
     res = MM.png_decode_batch(blobs, on_error="capture")
     assert all(isinstance(r, MemoryError) for r in res)
+
+
+def test_decode_features_jpeg_batch_prepass_parity(spark, tmp_path):
+    """The lockstep JPEG batch pre-pass inside decode_features (round
+    15): DRI and no-DRI JPEGs in one Arrow batch decode through
+    jpeg_decode_batch with per-row results identical to the per-item
+    path, a corrupt JPEG neighbor quarantines to the same error row,
+    and a registered native JPEG codec makes the pre-pass stand aside
+    (seam contract — override results must win)."""
+    import numpy as np
+
+    from aeuc_vector_db_spark.sources.jpeg import jpeg_encode
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, (16, 24, 3)).astype(np.uint8)
+    flat = np.full((8, 8, 3), [10, 200, 60], dtype=np.uint8)
+    (tmp_path / "a_dri.jpg").write_bytes(
+        jpeg_encode(img.tobytes(), 24, 16, 3, restart_interval=2)
+    )
+    (tmp_path / "b_plain.jpg").write_bytes(
+        jpeg_encode(flat.tobytes(), 8, 8, 3)
+    )
+    (tmp_path / "c_trunc.jpg").write_bytes(
+        jpeg_encode(img.tobytes(), 24, 16, 3, restart_interval=1)[:-30]
+    )
+    blobs = MM.read_binary_dir(spark, str(tmp_path))
+    rows = {r["blob_id"]: r for r in MM.decode_features(blobs).collect()}
+    assert rows["a_dri.jpg"]["decode_status"] == "real"
+    assert (rows["a_dri.jpg"]["width"], rows["a_dri.jpg"]["height"]) == (24, 16)
+    assert rows["b_plain.jpg"]["decode_status"] == "real"
+    # features are [meanR, stdR, meanG, stdG, ...] — G mean at index 2
+    assert abs(rows["b_plain.jpg"]["features"][2] - 200 / 255.0) < 0.02
+    assert rows["c_trunc.jpg"]["decode_status"] == "error"
+    # features must equal the pre-round-15 per-item arithmetic exactly:
+    # recompute from a direct scalar decode of the same payload
+    from aeuc_vector_db_spark.sources.jpeg import jpeg_decode
+
+    w, h, c, pix = jpeg_decode((tmp_path / "a_dri.jpg").read_bytes())
+    arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, c)
+    assert abs(
+        rows["a_dri.jpg"]["features"][0] - arr[..., 0].mean() / 255.0
+    ) < 1e-6
+    # native-codec override: prepass stands aside, override result wins
+    fixed = (5, 4, 3, bytes(5 * 4 * 3))
+
+    def fake_jpeg(payload: bytes):
+        return fixed
+
+    over = {
+        r["blob_id"]: r
+        for r in MM.decode_features(
+            blobs, decoder_overrides={"jpeg": fake_jpeg}
+        ).collect()
+    }
+    assert (over["a_dri.jpg"]["width"], over["a_dri.jpg"]["height"]) == (5, 4)
+    assert (over["b_plain.jpg"]["width"], over["b_plain.jpg"]["height"]) == (5, 4)
