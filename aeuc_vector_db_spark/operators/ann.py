@@ -908,6 +908,33 @@ def literal_centroids(k: int = 16, dim: int = 64) -> "list[tuple[int, list[float
     ]
 
 
+def literal_rotation(dim: int = 64) -> "list[list[float]]":
+    """Deterministic ORTHOGONAL dyadic rotation for the literal-
+    parameter OPQ-apply check (emb_rotation_apply_literal): the
+    Sylvester–Hadamard matrix scaled to unit rows,
+
+        R[i][j] = (−1)^popcount(i AND j) / sqrt(dim)
+
+    H·Hᵀ = dim·I exactly, so R·Rᵀ = I in EXACT arithmetic when
+    1/sqrt(dim) is dyadic — which requires dim to be a power of 4
+    (64 ⇒ scale 1/8). Every entry is ±1/8: with dyadic-quantized
+    inputs, `rotate_vectors`' BLAS matmul is exact and a DuckDB mirror
+    (`bit_count(i & j) % 2` over range×range — the SAME defining
+    formula, no 4096-literal table) matches bit-for-bit."""
+    root = 1
+    while root * root < dim:
+        root *= 2
+    if root * root != dim:
+        raise ValueError(
+            f"literal_rotation: dim must be a power of 4, got {dim}"
+        )
+    s = 1.0 / root
+    return [
+        [(-s if ((i & j).bit_count() & 1) else s) for j in range(dim)]
+        for i in range(dim)
+    ]
+
+
 def pq_train(
     corpus: DataFrame,
     m: int = 8,

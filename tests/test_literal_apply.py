@@ -137,3 +137,40 @@ def test_cell_assign_argmin_bit_parity_on_dyadic_inputs(spark):
     for vid, v in vecs:
         d2 = [csq[c] - 2.0 * dot(v, cents[c][1]) for c in range(k)]
         assert got[vid] == d2.index(min(d2)), vid
+
+
+def test_literal_rotation_exactly_orthogonal_and_kernel_parity(spark):
+    """R = Hadamard/8: R·Rᵀ must equal I EXACTLY in float (every dot is
+    a sum of ±1/64 terms — dyadic, order-free), and `rotate_vectors`
+    (BLAS matv @ R) must match a pure-Python sequential recomputation
+    bit-for-bit on dyadic inputs — the emb_rotation_apply_literal
+    claim. Non-power-of-4 dims are rejected (1/sqrt(dim) not dyadic)."""
+    from aeuc_vector_db_spark.operators.ann import (
+        literal_rotation,
+        rotate_vectors,
+    )
+
+    R = literal_rotation(64)
+    for i in range(64):
+        for j in range(0, 64, 7):  # spot-spread rows x columns
+            dot = 0.0
+            for t in range(64):
+                dot += R[i][t] * R[j][t]
+            assert dot == (1.0 if i == j else 0.0), (i, j, dot)
+    with pytest.raises(ValueError, match="power of 4"):
+        literal_rotation(32)
+
+    vecs = [
+        (i, [((i * 17 + t * 3) % 129 - 64) / 64.0 for t in range(64)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: list(r["r"])
+        for r in rotate_vectors(df, R, out_col="r").collect()
+    }
+    for vid, v in vecs:
+        want = [
+            sum(v[i] * R[i][j] for i in range(64)) for j in range(64)
+        ]  # python sum: left-to-right; equality must hold EXACTLY anyway
+        assert got[vid] == want, vid
