@@ -46,9 +46,19 @@ round-trip test path).
 Reference analog: none — the reference engine has no multimodal
 surface; this continues charter extension E5 (the VP8L story from
 round 5, now covering the lossy half).
+
+Round 15: the reconstruction stage (inverse DCT, whole-block intra
+prediction, residual add/clamp, plane pad/crop, YUV→RGB) is vectorized
+with numpy — bit-exact integer twins of the scalar forms, which are
+kept (`_reconstruct_mb_scalar`, `_yuv420_to_rgb_scalar`) as the parity
+oracles pinned by test_vp8.py. The boolean arithmetic decoder and the
+token state machine stay scalar: they are inherently sequential per
+stream. Everything else in the module remains stdlib-only.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 # ---------------------------------------------------------------------------
 # Quantizer lookup tables (RFC 6386 §14.1)
@@ -476,6 +486,37 @@ def idct4x4(coeffs: "list[int]") -> "list[int]":
     return out
 
 
+def idct4x4_batch(coeffs: "np.ndarray") -> "np.ndarray":
+    """`idct4x4` over N blocks at once: (N, 16) int64 row-major
+    coefficients → (N, 4, 4) residuals. Bit-exact vectorization — the
+    butterflies are pure integer adds/multiplies and `>>`, and numpy's
+    right shift on negative int64 is the same arithmetic (floor) shift
+    as Python's. int64 headroom: dequantized coefficients are bounded
+    by 2047·284 (§14.1 tables × token cap), far inside 2**62/35468."""
+    c = coeffs.reshape(-1, 4, 4)
+    ip0, ip4, ip8, ip12 = c[:, 0], c[:, 1], c[:, 2], c[:, 3]
+    a1 = ip0 + ip8
+    b1 = ip0 - ip8
+    c1 = ((ip4 * _SIN) >> 16) - (ip12 + ((ip12 * _COS) >> 16))
+    d1 = (ip4 + ((ip4 * _COS) >> 16)) + ((ip12 * _SIN) >> 16)
+    tmp = np.empty_like(c)
+    tmp[:, 0] = a1 + d1
+    tmp[:, 3] = a1 - d1
+    tmp[:, 1] = b1 + c1
+    tmp[:, 2] = b1 - c1
+    ip0, ip1, ip2, ip3 = tmp[:, :, 0], tmp[:, :, 1], tmp[:, :, 2], tmp[:, :, 3]
+    a1 = ip0 + ip2
+    b1 = ip0 - ip2
+    c1 = ((ip1 * _SIN) >> 16) - (ip3 + ((ip3 * _COS) >> 16))
+    d1 = (ip1 + ((ip1 * _COS) >> 16)) + ((ip3 * _SIN) >> 16)
+    out = np.empty_like(c)
+    out[:, :, 0] = (a1 + d1 + 4) >> 3
+    out[:, :, 3] = (a1 - d1 + 4) >> 3
+    out[:, :, 1] = (b1 + c1 + 4) >> 3
+    out[:, :, 2] = (b1 - c1 + 4) >> 3
+    return out
+
+
 def iwht4x4(coeffs: "list[int]") -> "list[int]":
     """Inverse Walsh-Hadamard for the Y2 (luma DC) block (§14.4);
     output[k] becomes the DC coefficient of luma subblock k."""
@@ -849,21 +890,52 @@ def _tree_path_from(tree, leaf: int, start: int) -> "list[int]":
 def _decode_block(bd, probs, first, dq_dc, dq_ac, first_ctx):
     """One 4x4 block's dequantized coefficients (raster order) and
     the has-nonzero flag; `first_ctx` is the neighbor-derived context
-    for the first coefficient."""
+    for the first coefficient.
+
+    The BoolDecoder read is inlined over local variables (state loaded
+    once per block, written back once) — this loop decodes every
+    residual token in the frame and per-bit attribute access plus a
+    method call per `read` was ~45% of decode time. The arithmetic is
+    `BoolDecoder.read`'s verbatim; `test_vp8.py` pins both the scalar
+    parity and the handcrafted exact frames."""
     out = [0] * 16
     c = first
     prev_zero = False
     abs_prev = 0
     any_nz = 0
+    data = bd.data
+    dpos = bd.pos
+    value = bd.value
+    rng = bd.range
+    bit_count = bd.bit_count
+    dlen = len(data)
     while c < 16:
         ctx = first_ctx if c == first else (
             0 if prev_zero else (1 if abs_prev == 1 else 2)
         )
         p = probs[COEFF_BANDS[c]][ctx]
-        start = 2 if prev_zero else 0
-        i = start
+        i = 2 if prev_zero else 0
         while True:
-            i = COEF_TREE[i + bd.read(p[i >> 1])]
+            prob = p[i >> 1]
+            split = 1 + (((rng - 1) * prob) >> 8)
+            big = split << 8
+            if value >= big:
+                bit = 1
+                rng -= split
+                value -= big
+            else:
+                bit = 0
+                rng = split
+            while rng < 128:
+                value = (value << 1) & 0xFFFF
+                rng <<= 1
+                bit_count += 1
+                if bit_count == 8:
+                    bit_count = 0
+                    if dpos < dlen:
+                        value |= data[dpos]
+                    dpos += 1
+            i = COEF_TREE[i + bit]
             if i <= 0:
                 token = -i
                 break
@@ -880,16 +952,53 @@ def _decode_block(bd, probs, first, dq_dc, dq_ac, first_ctx):
             base, bit_probs = CAT_EXTRA[token]
             extra = 0
             for bp in bit_probs:
-                extra = (extra << 1) | bd.read(bp)
+                split = 1 + (((rng - 1) * bp) >> 8)
+                big = split << 8
+                if value >= big:
+                    bit = 1
+                    rng -= split
+                    value -= big
+                else:
+                    bit = 0
+                    rng = split
+                while rng < 128:
+                    value = (value << 1) & 0xFFFF
+                    rng <<= 1
+                    bit_count += 1
+                    if bit_count == 8:
+                        bit_count = 0
+                        if dpos < dlen:
+                            value |= data[dpos]
+                        dpos += 1
+                extra = (extra << 1) | bit
             v = base + extra
-        if bd.read(128):
+        split = 1 + (((rng - 1) * 128) >> 8)
+        big = split << 8
+        if value >= big:
+            rng -= split
+            value -= big
             v = -v
+        else:
+            rng = split
+        while rng < 128:
+            value = (value << 1) & 0xFFFF
+            rng <<= 1
+            bit_count += 1
+            if bit_count == 8:
+                bit_count = 0
+                if dpos < dlen:
+                    value |= data[dpos]
+                dpos += 1
         pos = ZIGZAG[c]
         out[pos] = v * (dq_dc if pos == 0 else dq_ac)
         any_nz = 1
         prev_zero = False
         abs_prev = abs(v)
         c += 1
+    bd.pos = dpos
+    bd.value = value
+    bd.range = rng
+    bd.bit_count = bit_count
     return out, any_nz
 
 
@@ -900,13 +1009,14 @@ def _decode_block(bd, probs, first, dq_dc, dq_ac, first_ctx):
 # ---------------------------------------------------------------------------
 
 class _Plane:
-    __slots__ = ("w", "h", "stride", "data")
+    __slots__ = ("w", "h", "stride", "data", "_view")
 
     def __init__(self, w: int, h: int) -> None:
         self.w = w
         self.h = h
         self.stride = 1 + w + 4
         self.data = bytearray(self.stride * (h + 1))
+        self._view = None
         row0 = self.data
         for x in range(self.stride):
             row0[x] = 127  # above border incl. above-left corner
@@ -916,6 +1026,16 @@ class _Plane:
     def idx(self, y: int, x: int) -> int:
         return (y + 1) * self.stride + (x + 1)
 
+    def view(self) -> "np.ndarray":
+        """Writable uint8 view over the padded buffer, (h+1, stride);
+        pixel (y, x) sits at view[y+1, x+1]. Shares memory with
+        `data`, so scalar writes and numpy writes stay coherent."""
+        if self._view is None:
+            self._view = np.frombuffer(self.data, dtype=np.uint8).reshape(
+                self.h + 1, self.stride
+            )
+        return self._view
+
     def pad_row(self, y: int) -> None:
         """Replicate the last real pixel into the 4-px right pad."""
         base = self.idx(y, self.w - 1)
@@ -923,12 +1043,14 @@ class _Plane:
         for i in range(1, 5):
             self.data[base + i] = v
 
+    def pad_rows(self, y0: int, n: int) -> None:
+        """pad_row over n consecutive rows as one vector op."""
+        v = self.view()
+        rows = v[y0 + 1:y0 + 1 + n]
+        rows[:, self.w + 1:self.w + 5] = rows[:, self.w:self.w + 1]
+
     def crop(self) -> bytes:
-        out = bytearray(self.w * self.h)
-        for y in range(self.h):
-            b = self.idx(y, 0)
-            out[y * self.w:(y + 1) * self.w] = self.data[b:b + self.w]
-        return bytes(out)
+        return self.view()[1:self.h + 1, 1:self.w + 1].tobytes()
 
 
 def _add_residual(plane: _Plane, x: int, y: int, res: "list[int]") -> None:
@@ -972,6 +1094,12 @@ def _parse_frame_header(data: bytes):
     if 10 + first_part_size > len(data):
         raise VP8Error("VP8 first partition overruns frame")
     return width, height, data[10:10 + first_part_size], data[10 + first_part_size:]
+
+
+#: 24 shared all-zero coefficient blocks for skip MBs — read-only (fed
+#: to np.asarray / idct4x4; never mutated: the y2-DC substitution only
+#: happens on freshly decoded non-skip blocks)
+_ZERO_BLOCKS_24 = tuple([0] * 16 for _ in range(24))
 
 
 def vp8_decode_yuv(data: bytes):
@@ -1095,14 +1223,15 @@ def vp8_decode_yuv(data: bytes):
         left_v = [0] * 2
         left_y2 = 0
         td = parts[mb_row % n_parts]
+        row_coeffs = []
         for mb_col in range(mb_cols):
             mb = mbs[mb_row * mb_cols + mb_col]
             dq = seg_dq[mb["seg"]]
             has_y2 = mb["ymode"] != B_PRED
-            ycoeffs = [[0] * 16 for _ in range(16)]
-            ublocks = [[0] * 16 for _ in range(4)]
-            vblocks = [[0] * 16 for _ in range(4)]
             if mb["skip"]:
+                # all 24 blocks are zero: share one read-only row (fed
+                # to np.asarray / the scalar oracle, never mutated)
+                row_coeffs.extend(_ZERO_BLOCKS_24)
                 for i in range(4):
                     above_y[mb_col * 4 + i] = 0
                     left_y[i] = 0
@@ -1133,10 +1262,10 @@ def vp8_decode_yuv(data: bytes):
                         )
                         if has_y2:
                             blk[0] = dcs[k]
-                        ycoeffs[k] = blk
+                        row_coeffs.append(blk)
                         above_y[mb_col * 4 + c] = left_y[r] = nz
-                for blocks, above_c, left_c in (
-                    (ublocks, above_u, left_u), (vblocks, above_v, left_v)
+                for above_c, left_c in (
+                    (above_u, left_u), (above_v, left_v)
                 ):
                     for r in range(2):
                         for c in range(2):
@@ -1145,16 +1274,30 @@ def vp8_decode_yuv(data: bytes):
                                 td, coef_probs[2], 0,
                                 dq["uv"][0], dq["uv"][1], ctx
                             )
-                            blocks[r * 2 + c] = blk
+                            row_coeffs.append(blk)
                             above_c[mb_col * 2 + c] = left_c[r] = nz
-            _reconstruct_mb(
-                yp, up, vp, mb_row, mb_col, mb, ycoeffs, ublocks, vblocks
-            )
-        for py in range(mb_row * 16, mb_row * 16 + 16):
-            yp.pad_row(py)
-        for py in range(mb_row * 8, mb_row * 8 + 8):
-            up.pad_row(py)
-            vp.pad_row(py)
+        # one exact-integer IDCT over every block in the MB row (24 per
+        # MB) — hoisted out of _reconstruct_mb because residuals never
+        # depend on reconstructed pixels; only prediction is sequential
+        if _SCALAR_RECON:
+            for mb_col in range(mb_cols):
+                b = row_coeffs[mb_col * 24:mb_col * 24 + 24]
+                _reconstruct_mb_scalar(
+                    yp, up, vp, mb_row, mb_col,
+                    mbs[mb_row * mb_cols + mb_col],
+                    b[:16], b[16:20], b[20:24],
+                )
+        else:
+            res_row = idct4x4_batch(np.asarray(row_coeffs, dtype=np.int64))
+            for mb_col in range(mb_cols):
+                _reconstruct_mb(
+                    yp, up, vp, mb_row, mb_col,
+                    mbs[mb_row * mb_cols + mb_col],
+                    res_row[mb_col * 24:mb_col * 24 + 24],
+                )
+        yp.pad_rows(mb_row * 16, 16)
+        up.pad_rows(mb_row * 8, 8)
+        vp.pad_rows(mb_row * 8, 8)
     cw, ch = (width + 1) // 2, (height + 1) // 2
     return (width, height,
             _crop_to(yp, width, height),
@@ -1162,14 +1305,118 @@ def vp8_decode_yuv(data: bytes):
 
 
 def _crop_to(plane: _Plane, w: int, h: int) -> bytes:
-    out = bytearray(w * h)
-    for y in range(h):
-        b = plane.idx(y, 0)
-        out[y * w:(y + 1) * w] = plane.data[b:b + w]
-    return bytes(out)
+    return plane.view()[1:h + 1, 1:w + 1].tobytes()
 
 
-def _reconstruct_mb(yp, up, vp, mb_row, mb_col, mb, ycoeffs, ublocks, vblocks):
+def _predict_block_np(v, x, y, size, mode, have_above, have_left):
+    """Vectorized whole-block intra prediction (DC/V/H/TM) over a
+    padded-plane view; returns the (size, size) int prediction, TM
+    pre-clamped exactly like `_pred_tm`. Bit-exact twin of
+    `predict_block` (pinned by the scalar-parity test)."""
+    above = v[y, x + 1:x + 1 + size].astype(np.int64)
+    left = v[y + 1:y + 1 + size, x].astype(np.int64)
+    if mode == DC_PRED:
+        if have_above and have_left:
+            s = int(above.sum() + left.sum())
+            shift = {4: 3, 8: 4, 16: 5}[size]
+        elif have_above:
+            s = int(above.sum())
+            shift = {4: 2, 8: 3, 16: 4}[size]
+        elif have_left:
+            s = int(left.sum())
+            shift = {4: 2, 8: 3, 16: 4}[size]
+        else:
+            return np.full((size, size), 128, dtype=np.int64)
+        dc = (s + (1 << (shift - 1))) >> shift
+        return np.full((size, size), dc, dtype=np.int64)
+    if mode == V_PRED:
+        return np.broadcast_to(above, (size, size))
+    if mode == H_PRED:
+        return np.broadcast_to(left[:, None], (size, size))
+    if mode == TM_PRED:
+        tl = int(v[y, x])
+        return np.clip(left[:, None] + above[None, :] - tl, 0, 255)
+    raise ValueError(f"bad whole-block mode {mode}")
+
+
+def _tile_residuals(res: "np.ndarray", n: int) -> "np.ndarray":
+    """(n², 4, 4) raster-ordered subblock residuals → the (4n, 4n)
+    spatial layout (block k = r·n + c occupies rows 4r.., cols 4c..)."""
+    return res.reshape(n, n, 4, 4).transpose(0, 2, 1, 3).reshape(4 * n, 4 * n)
+
+
+#: test hook — True routes vp8_decode_yuv through the scalar
+#: reconstruction oracle (`_reconstruct_mb_scalar`) so parity tests can
+#: pin the vectorized path bit-for-bit on the SAME streams
+_SCALAR_RECON = False
+
+
+def _reconstruct_mb(yp, up, vp, mb_row, mb_col, mb, res):
+    """Vectorized macroblock reconstruction over precomputed residuals
+    `res` ((24, 4, 4) int64 from idct4x4_batch: 16 luma raster blocks,
+    4 U, 4 V): numpy intra prediction fused with the residual
+    add/clamp, written through the plane buffer views. B_PRED keeps
+    the scalar per-subblock predictor (true sequential dependency
+    inside the MB) but rides the batched IDCT and vector adds.
+    Bit-exact twin of `_reconstruct_mb_scalar` below — the two-stage
+    clamping (TM prediction clamped, then pred+residual clamped) is
+    preserved."""
+    x0, y0 = mb_col * 16, mb_row * 16
+    have_above = mb_row > 0
+    have_left = mb_col > 0
+    vy = yp.view()
+    if mb["skip"] and mb["ymode"] != B_PRED:
+        # all residuals are zero: prediction IS the reconstruction
+        pred = _predict_block_np(vy, x0, y0, 16, mb["ymode"],
+                                 have_above, have_left)
+        vy[y0 + 1:y0 + 17, x0 + 1:x0 + 17] = np.clip(
+            pred, 0, 255).astype(np.uint8)
+        cx0, cy0 = mb_col * 8, mb_row * 8
+        for plane in (up, vp):
+            vv = plane.view()
+            pred = _predict_block_np(vv, cx0, cy0, 8, mb["uvmode"],
+                                     have_above, have_left)
+            vv[cy0 + 1:cy0 + 9, cx0 + 1:cx0 + 9] = np.clip(
+                pred, 0, 255).astype(np.uint8)
+        return
+    if mb["ymode"] == B_PRED:
+        # capture the above-MB's above-right pixels BEFORE this MB's
+        # reconstruction: right-column subblocks below the top row use
+        # these (the spec's stale-above-right rule), not fresh pixels
+        tr_base = yp.idx(y0 - 1, x0 + 16)
+        top_right4 = list(yp.data[tr_base:tr_base + 4])
+        for r in range(4):
+            for c in range(4):
+                k = r * 4 + c
+                sx, sy = x0 + 4 * c, y0 + 4 * r
+                if c == 3 and r > 0:
+                    ar = top_right4
+                else:
+                    b = yp.idx(sy - 1, sx + 4)
+                    ar = list(yp.data[b:b + 4])
+                predict_subblock_plane(yp, sx, sy, mb["bmodes"][k], ar)
+                blk = vy[sy + 1:sy + 5, sx + 1:sx + 5]
+                vy[sy + 1:sy + 5, sx + 1:sx + 5] = np.clip(
+                    blk.astype(np.int64) + res[k], 0, 255).astype(np.uint8)
+    else:
+        pred = _predict_block_np(vy, x0, y0, 16, mb["ymode"],
+                                 have_above, have_left)
+        vy[y0 + 1:y0 + 17, x0 + 1:x0 + 17] = np.clip(
+            pred + _tile_residuals(res[:16], 4), 0, 255).astype(np.uint8)
+    cx0, cy0 = mb_col * 8, mb_row * 8
+    for pi, plane in enumerate((up, vp)):
+        vv = plane.view()
+        pred = _predict_block_np(vv, cx0, cy0, 8, mb["uvmode"],
+                                 have_above, have_left)
+        vv[cy0 + 1:cy0 + 9, cx0 + 1:cx0 + 9] = np.clip(
+            pred + _tile_residuals(res[16 + 4 * pi:20 + 4 * pi], 2),
+            0, 255).astype(np.uint8)
+
+
+def _reconstruct_mb_scalar(yp, up, vp, mb_row, mb_col, mb,
+                           ycoeffs, ublocks, vblocks):
+    """Original scalar reconstruction — kept verbatim as the parity
+    oracle for the vectorized `_reconstruct_mb` (see test_vp8.py)."""
     x0, y0 = mb_col * 16, mb_row * 16
     have_above = mb_row > 0
     have_left = mb_col > 0
@@ -1524,11 +1771,9 @@ def vp8_encode_yuv(y: bytes, u: bytes, v: bytes, width: int, height: int,
                             nz = _encode_coeffs(tok, DEFAULT_COEF_PROBS[2], 0,
                                                 levels[r * 2 + c], ctx)
                             above_c[mb_col * 2 + c] = left_c[r] = nz
-        for py in range(mb_row * 16, mb_row * 16 + 16):
-            yp.pad_row(py)
-        for py in range(mb_row * 8, mb_row * 8 + 8):
-            up.pad_row(py)
-            vp.pad_row(py)
+        yp.pad_rows(mb_row * 16, 16)
+        up.pad_rows(mb_row * 8, 8)
+        vp.pad_rows(mb_row * 8, 8)
 
     part1 = hdr.bytes()
     token_parts = [t.bytes() for t in toks]
@@ -1576,6 +1821,30 @@ def rgb_to_yuv420(rgb: bytes, w: int, h: int):
 
 
 def yuv420_to_rgb(y: bytes, u: bytes, v: bytes, w: int, h: int) -> bytes:
+    """Vectorized BT.601 full-swing YUV420→RGB24; bit-exact twin of
+    `_yuv420_to_rgb_scalar` (numpy int32 `>>` is the same arithmetic
+    shift; clip after shift matches `_clamp255`)."""
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    Y = np.frombuffer(bytes(y), np.uint8).reshape(h, w).astype(np.int32)
+    rows, cols = np.arange(h) // 2, np.arange(w) // 2
+    U = np.frombuffer(bytes(u), np.uint8).reshape(ch, cw).astype(
+        np.int32)[rows][:, cols]
+    V = np.frombuffer(bytes(v), np.uint8).reshape(ch, cw).astype(
+        np.int32)[rows][:, cols]
+    cy = 298 * (Y - 16) + 128
+    d = U - 128
+    e = V - 128
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    out[:, :, 0] = np.clip((cy + 409 * e) >> 8, 0, 255)
+    out[:, :, 1] = np.clip((cy - 100 * d - 208 * e) >> 8, 0, 255)
+    out[:, :, 2] = np.clip((cy + 516 * d) >> 8, 0, 255)
+    return out.tobytes()
+
+
+def _yuv420_to_rgb_scalar(y: bytes, u: bytes, v: bytes,
+                          w: int, h: int) -> bytes:
+    """Original scalar conversion — the parity oracle for
+    `yuv420_to_rgb` (see test_vp8.py)."""
     cw = (w + 1) // 2
     out = bytearray(3 * w * h)
     for yy in range(h):

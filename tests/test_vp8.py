@@ -257,3 +257,71 @@ def test_multi_partition_token_streams_decode_identically():
         assert out == ref
     with pytest.raises(ValueError):
         V.vp8_encode_yuv(y, u, v, w, h, n_partitions=3)
+
+
+# -- round 15: vectorized reconstruction parity ------------------------------
+
+def test_vectorized_reconstruction_bit_parity_with_scalar_oracle():
+    """The numpy reconstruction stage (idct4x4_batch + _predict_block_np
+    + fused residual add/clamp + pad_rows/crop views) must reproduce
+    the original scalar `_reconstruct_mb_scalar` path BIT-FOR-BIT on
+    randomized streams covering whole-block and B_PRED modes, odd
+    dimensions, skip MBs (flat regions at q=60), and all three q tiers
+    — the PNG-wavefront oracle pattern."""
+    rng = random.Random(1315)
+    for _ in range(8):
+        w = rng.choice([4, 16, 33, 48, 64])
+        h = rng.choice([4, 16, 31, 48])
+        flat = rng.random() < 0.3  # flat frames force skip MBs
+        if flat:
+            rgb = bytes([rng.randrange(256)] * (3 * w * h))
+        else:
+            rgb = bytes(rng.randrange(256) for _ in range(3 * w * h))
+        for use_bpred in (False, True):
+            blob = V.vp8_encode(rgb, w, h,
+                                q_index=rng.choice([0, 8, 60]),
+                                use_bpred=use_bpred)
+            fast = V.vp8_decode_yuv(blob)
+            V._SCALAR_RECON = True
+            try:
+                slow = V.vp8_decode_yuv(blob)
+            finally:
+                V._SCALAR_RECON = False
+            assert fast == slow, (w, h, use_bpred, flat)
+
+
+def test_idct4x4_batch_matches_scalar_on_extremes():
+    """Batched IDCT vs the scalar loop on random and extreme
+    (quantizer-cap ±2047·284) coefficient blocks — the int64 headroom
+    and numpy arithmetic-shift-on-negatives claims, pinned."""
+    import numpy as np
+
+    rng = random.Random(77)
+    blocks = [[rng.randint(-2047 * 284, 2047 * 284) for _ in range(16)]
+              for _ in range(64)]
+    blocks.append([2047 * 284] * 16)
+    blocks.append([-2047 * 284] * 16)
+    blocks.append([0] * 16)
+    got = V.idct4x4_batch(np.asarray(blocks, dtype=np.int64))
+    for k, blk in enumerate(blocks):
+        assert got[k].reshape(16).tolist() == V.idct4x4(blk), k
+
+
+def test_yuv420_to_rgb_matches_scalar_oracle():
+    """Vectorized YUV→RGB vs the scalar twin: random planes, odd
+    dimensions (chroma rounding), and the clamp extremes (Y=0/255
+    against saturated chroma)."""
+    rng = random.Random(9)
+    for w, h in ((4, 4), (5, 3), (16, 16), (33, 31), (1, 1)):
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+        y = bytes(rng.randrange(256) for _ in range(w * h))
+        u = bytes(rng.randrange(256) for _ in range(cw * ch))
+        v = bytes(rng.randrange(256) for _ in range(cw * ch))
+        assert V.yuv420_to_rgb(y, u, v, w, h) == \
+            V._yuv420_to_rgb_scalar(y, u, v, w, h), (w, h)
+    for yv in (0, 255):
+        for cv in (0, 255):
+            y = bytes([yv] * 16)
+            c = bytes([cv] * 4)
+            assert V.yuv420_to_rgb(y, c, c, 4, 4) == \
+                V._yuv420_to_rgb_scalar(y, c, c, 4, 4), (yv, cv)
