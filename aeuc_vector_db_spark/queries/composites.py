@@ -122,6 +122,16 @@ _SPECS: dict[str, list[tuple[str, list[str], list[tuple[str, str]]]]] = {
         ("import_dedup", ["label"], [("imported", "int")]),
         ("embedding_normalize", ["vec_id"],
          [("norm", "dbl"), ("unit_norm", "dbl")]),
+        # round 15: ORC and CSV source/sink hops proven against the
+        # parquet-sourced oracle (the format conversion is what's
+        # under test — see queries/core.py)
+        ("orc_roundtrip", ["l_returnflag"],
+         [("n_rows", "int"), ("sum_qty", "dbl"), ("sum_price", "dbl"),
+          ("max_ship_us", "int")]),
+        ("csv_roundtrip", ["event_type"],
+         [("n_rows", "int"), ("sum_ids", "int"), ("max_ts_us", "int"),
+          ("min_value", "dbl"), ("max_value", "dbl"),
+          ("props_chars", "int")]),
     ],
 }
 

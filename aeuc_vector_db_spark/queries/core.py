@@ -621,6 +621,102 @@ FROM events ORDER BY ts ASC, event_id ASC LIMIT 100
 """
 
 
+def _orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink (round 15): write a typed lineitem projection to
+    ORC partitioned by l_returnflag, read it back through a filter that
+    must split into a PartitionFilter (returnflag, directory pruning)
+    plus a PushedFilter (quantity, ORC row-group pruning — plan-gated
+    in tests/test_plans.py), and aggregate. The DuckDB oracle computes
+    the same aggregate from the PARQUET table, so a hash match proves
+    the ORC hop preserved bigints, doubles, strings, and timestamps
+    bit-exactly. Decimal-cast sums per the repo's money-determinism
+    rule. At scale this is the same sink/scan pair a 100 TB pipeline
+    would use for an ORC-standardized lake: partition dirs prune before
+    I/O, predicates reach the ORC reader, no shuffle beyond the final
+    aggregate."""
+    import tempfile
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_shipdate"
+    )
+    path = tempfile.mkdtemp(prefix="aeuc_orc_rt_") + "/li"
+    li.write.mode("overwrite").partitionBy("l_returnflag").orc(path)
+    back = spark.read.orc(path).filter(
+        (F.col("l_returnflag") != "R") & (F.col("l_quantity") > 25)
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+         .cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+         .cast("double").alias("sum_price"),
+        F.max(F.unix_micros("l_shipdate")).alias("max_ship_us"),
+    )
+
+
+_ORC_ROUNDTRIP_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(epoch_us(MAX(CAST(l_shipdate AS TIMESTAMP))) AS BIGINT) AS max_ship_us
+FROM lineitem
+WHERE l_returnflag <> 'R' AND l_quantity > 25
+GROUP BY l_returnflag
+"""
+
+
+def _csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink (round 15): write events to headered CSV with an
+    explicit microsecond timestamp format, read it back under an
+    explicit schema (never inference — schema drift on a 100 TB lake
+    must fail loud, not guess), and aggregate. Hash-matching the
+    parquet-sourced oracle proves the text hop round-trips bigints,
+    timestamps (to the microsecond), quoted JSON strings (comma/quote
+    content), and doubles (Spark writes shortest-repr doubles that
+    reparse exactly; min/max are order-insensitive and bit-exact —
+    deliberately NOT a float sum, which the repo's determinism rule
+    reserves for decimal quantities)."""
+    import tempfile
+
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    path = tempfile.mkdtemp(prefix="aeuc_csv_rt_") + "/ev"
+    (ev.write.mode("overwrite").option("header", True)
+       .option("timestampFormat", fmt).csv(path))
+    back = (
+        spark.read
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+                "event_type STRING, value DOUBLE, props STRING")
+        .option("header", True).option("timestampFormat", fmt)
+        .csv(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("sum_ids"),
+        F.max(F.unix_micros("ts")).alias("max_ts_us"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum(F.length("props")).alias("props_chars"),
+    )
+
+
+_CSV_ROUNDTRIP_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       CAST(epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS BIGINT) AS max_ts_us,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       CAST(SUM(LENGTH(props)) AS BIGINT) AS props_chars
+FROM events
+GROUP BY event_type
+"""
+
+
 def _embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6 hygiene: L2-normalize, report per-row norm before/after."""
     from aeuc_vector_db_spark.functions.vector import l2_norm_col, l2_normalize_col
@@ -935,4 +1031,6 @@ FOLDED = {
     "delete_recompute": (_delete_recompute, _DELETE_RECOMPUTE_ORACLE),
     "export_ordered": (_export_ordered, _EXPORT_ORDERED_ORACLE),
     "embedding_normalize": (_embedding_normalize, _NORMALIZE_ORACLE),
+    "orc_roundtrip": (_orc_roundtrip, _ORC_ROUNDTRIP_ORACLE),
+    "csv_roundtrip": (_csv_roundtrip, _CSV_ROUNDTRIP_ORACLE),
 }

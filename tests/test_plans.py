@@ -610,3 +610,29 @@ def test_global_ranked_topk_plan_and_rank(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     with pytest.raises(ValueError, match="k must be"):
         global_ranked_topk(df, order, 0)
+
+
+def test_orc_roundtrip_prunes_partitions_and_pushes_predicates(spark):
+    """Round 15 ORC sink/scan (io_roundtrip_composite part): the
+    returnflag predicate must prune partition DIRECTORIES (never read),
+    the quantity predicate must reach the ORC reader as a PushedFilter
+    (row-group pruning), and the ReadSchema must project only the three
+    needed data columns — the shapes that make an ORC lake scan cheap
+    at 100 TB."""
+    plan = _plan(spark, "orc_roundtrip")
+    scan = next(ln for ln in plan.splitlines() if "FileScan orc" in ln)
+    part = scan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "l_returnflag" in part and "= R)" in part, part
+    assert "PushedFilters: [IsNotNull(l_quantity), " \
+           "GreaterThan(l_quantity,25.0)]" in scan
+    assert ("ReadSchema: struct<l_quantity:double,"
+            "l_extendedprice:double,l_shipdate:timestamp>") in scan
+
+
+def test_csv_roundtrip_reads_explicit_schema_and_prunes(spark):
+    """CSV read must use the declared schema (no inference job) and
+    prune the unused user_id column from the scan."""
+    plan = _plan(spark, "csv_roundtrip")
+    scan = next(ln for ln in plan.splitlines() if "FileScan csv" in ln)
+    assert "user_id" not in scan.split("ReadSchema:")[-1]
+    assert "event_id:bigint" in scan and "ts:timestamp" in scan
