@@ -694,14 +694,7 @@ def _csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("header", True).option("timestampFormat", fmt)
         .csv(path)
     )
-    return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("event_id").alias("sum_ids"),
-        F.max(F.unix_micros("ts")).alias("max_ts_us"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
-        F.sum(F.length("props")).alias("props_chars"),
-    )
+    return _events_roundtrip_agg(back)
 
 
 _CSV_ROUNDTRIP_ORACLE = """
@@ -715,6 +708,51 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+def _events_roundtrip_agg(back: DataFrame) -> DataFrame:
+    """Shared per-type aggregate for the events format-hop parts (CSV /
+    XML): every column's survival is observable in the hash — exact
+    int sums, microsecond timestamps, order-insensitive double
+    min/max, and string lengths (quoting/escaping proof)."""
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("sum_ids"),
+        F.max(F.unix_micros("ts")).alias("max_ts_us"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum(F.length("props")).alias("props_chars"),
+    )
+
+
+def _xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink (round 15, Spark 4 native StAX source): events
+    through <events><event>…</event></events> documents with explicit
+    microsecond timestamps, read back under an explicit schema. The
+    props column is JSON text whose quotes ride XML escaping — the
+    props_chars hash proves escape/unescape is lossless. Oracle shared
+    with csv_roundtrip (same parquet-sourced aggregate; only the
+    format hop differs). Avro is the one Spark bundled format NOT
+    exercised: the spark-avro connector jar is absent from this
+    sandbox's pyspark distribution (only avro core libs ship), so it
+    stays a documented environment gap, not a code gap."""
+    import tempfile
+
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    path = tempfile.mkdtemp(prefix="aeuc_xml_rt_") + "/ev"
+    (ev.write.mode("overwrite").format("xml")
+       .option("rootTag", "events").option("rowTag", "event")
+       .option("timestampFormat", fmt).save(path))
+    back = (
+        spark.read.format("xml").option("rowTag", "event")
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+                "event_type STRING, value DOUBLE, props STRING")
+        .option("timestampFormat", fmt).load(path)
+    )
+    return _events_roundtrip_agg(back)
 
 
 def _embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1033,4 +1071,7 @@ FOLDED = {
     "embedding_normalize": (_embedding_normalize, _NORMALIZE_ORACLE),
     "orc_roundtrip": (_orc_roundtrip, _ORC_ROUNDTRIP_ORACLE),
     "csv_roundtrip": (_csv_roundtrip, _CSV_ROUNDTRIP_ORACLE),
+    # same oracle as csv_roundtrip on purpose: only the format hop
+    # differs, and each part's hash is tagged by part name in the melt
+    "xml_roundtrip": (_xml_roundtrip, _CSV_ROUNDTRIP_ORACLE),
 }

@@ -629,10 +629,12 @@ def test_orc_roundtrip_prunes_partitions_and_pushes_predicates(spark):
             "l_extendedprice:double,l_shipdate:timestamp>") in scan
 
 
-def test_csv_roundtrip_reads_explicit_schema_and_prunes(spark):
-    """CSV read must use the declared schema (no inference job) and
-    prune the unused user_id column from the scan."""
-    plan = _plan(spark, "csv_roundtrip")
-    scan = next(ln for ln in plan.splitlines() if "FileScan csv" in ln)
-    assert "user_id" not in scan.split("ReadSchema:")[-1]
-    assert "event_id:bigint" in scan and "ts:timestamp" in scan
+def test_csv_xml_roundtrips_read_explicit_schema_and_prune(spark):
+    """CSV and XML reads must use the declared schema (no inference
+    job) and prune the unused user_id column from the scan."""
+    for part, tag in (("csv_roundtrip", "FileScan csv"),
+                      ("xml_roundtrip", "FileScan xml")):
+        plan = _plan(spark, part)
+        scan = next(ln for ln in plan.splitlines() if tag in ln)
+        assert "user_id" not in scan.split("ReadSchema:")[-1], part
+        assert "event_id:bigint" in scan and "ts:timestamp" in scan, part
