@@ -136,6 +136,10 @@ _SPECS: dict[str, list[tuple[str, list[str], list[tuple[str, str]]]]] = {
          [("n_rows", "int"), ("sum_ids", "int"), ("max_ts_us", "int"),
           ("min_value", "dbl"), ("max_value", "dbl"),
           ("props_chars", "int")]),
+        ("pyds_offsetlog_roundtrip", ["event_type"],
+         [("n_rows", "int"), ("sum_ids", "int"), ("max_ts_us", "int"),
+          ("min_value", "dbl"), ("max_value", "dbl"),
+          ("props_chars", "int")]),
     ],
 }
 

@@ -755,6 +755,47 @@ def _xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _events_roundtrip_agg(back)
 
 
+def _pyds_offsetlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python DataSource round trip (round 15, Spark 4 pyspark.sql.
+    datasource): events rows become compact-JSON payloads routed to 4
+    log partitions by event_id, written through the aeuc_offsetlog
+    TWO-PHASE-COMMIT writer (executors stage, the driver appends —
+    dense offsets, index maintained), read back via the chunk-planned
+    batch reader (each task seeks its byte range through the sidecar
+    index), parsed with from_json under the same explicit timestamp
+    format, and aggregated. Oracle shared with csv/xml_roundtrip: the
+    same aggregate from parquet — a hash match proves the custom
+    source/sink pair preserved every value bit-exactly through the
+    JSON hop. See sources/pyds.py for the 100 TB shapes (partition
+    planning, pushdown, exactly-once streaming)."""
+    import tempfile
+
+    from aeuc_vector_db_spark.sources import pyds
+
+    pyds.register(spark)
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    path = tempfile.mkdtemp(prefix="aeuc_pyds_rt_") + "/log"
+    payload = ev.select(
+        (F.col("event_id") % 4).cast("int").alias("partition"),
+        F.to_json(
+            F.struct("event_id", "ts", "user_id", "event_type",
+                     "value", "props"),
+            {"timestampFormat": fmt},
+        ).alias("value"),
+    )
+    (payload.write.format("aeuc_offsetlog").option("path", path)
+            .option("n_partitions", "4").mode("append").save())
+    back = (spark.read.format("aeuc_offsetlog").option("path", path)
+            .option("n_partitions", "4").load())
+    parsed = back.select(
+        F.from_json("value", ev.schema, {"timestampFormat": fmt}).alias("r")
+    ).select("r.*")
+    return _events_roundtrip_agg(parsed)
+
+
 def _embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6 hygiene: L2-normalize, report per-row norm before/after."""
     from aeuc_vector_db_spark.functions.vector import l2_norm_col, l2_normalize_col
@@ -1074,4 +1115,6 @@ FOLDED = {
     # same oracle as csv_roundtrip on purpose: only the format hop
     # differs, and each part's hash is tagged by part name in the melt
     "xml_roundtrip": (_xml_roundtrip, _CSV_ROUNDTRIP_ORACLE),
+    "pyds_offsetlog_roundtrip": (_pyds_offsetlog_roundtrip,
+                                 _CSV_ROUNDTRIP_ORACLE),
 }

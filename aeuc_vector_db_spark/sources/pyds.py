@@ -1,0 +1,361 @@
+"""Spark 4 Python DataSource for the offset log — the engine's
+Kafka-shaped transport as a first-class pluggable format.
+
+`OffsetLogSource` (streaming/offset_source.py) already provides the
+partitioned, offset-addressed, replayable log with O(slice) byte-offset
+index seeks. This module lifts it into Spark's modern extension point
+(`pyspark.sql.datasource`, SPARK-44076) so it composes with the whole
+read/write surface instead of the bespoke `poll` helper:
+
+    spark.dataSource.register(OffsetLogDataSource)
+    spark.read.format("aeuc_offsetlog").option("path", root).load()
+    df.write.format("aeuc_offsetlog").option("path", root).save()
+    spark.readStream.format("aeuc_offsetlog").option("path", root).load()
+
+Scale shapes (the reason to use the API rather than collect-and-
+parallelize):
+
+- **Partition planning**: each log partition is split into
+  `chunk_records` ranges, one Spark task per range; every task seeks
+  straight to its byte range via the sidecar index (two 8-byte reads +
+  one bounded read — never a scan from byte 0). Parallelism is
+  bounded by records, not by the log partition count.
+- **Filter pushdown** (`pushFilters`): predicates on `partition`
+  (EqualTo/In) prune whole log partitions before planning; predicates
+  on `offset` (comparisons/EqualTo) narrow the planned ranges exactly.
+  Both are fully consumed — Spark re-evaluates nothing.
+- **Streaming**: a full `DataSourceStreamReader` (driver plans offset
+  ranges, executors read them) with dense per-partition offsets in the
+  checkpoint — redelivery of a failed epoch re-plans the same
+  [start, end) and `slice_lines` re-serves it identically, which is
+  the exactly-once contract the wire/ingest family already proves at
+  the `poll` level. `max_records_per_batch` rate-limits progression.
+- **Two-phase-commit batch writer**: tasks stage their rows as
+  JSON-normalized lines under `<root>/.staging/`, and the DRIVER
+  appends staged files partition-by-partition in deterministic
+  (partition, task) order at `commit` — preserving the log's
+  single-producer-per-partition append contract (concurrent
+  executor-side appends to one log file would interleave and corrupt
+  offset density). `abort` removes the staged files; the log is
+  untouched until commit. Overwrite mode is refused: the log is
+  append-only by definition.
+
+Reference analog: none — charter extension (the reference has no
+streaming/source surface); the shape is Spark's own DataSourceV2
+partition-planning contract expressed through the Python API.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+
+SCHEMA = "partition INT, offset BIGINT, value STRING"
+
+
+def _opts(options) -> tuple[str, int, int]:
+    root = options.get("path") or options.get("root")
+    if not root:
+        raise ValueError("aeuc_offsetlog requires option 'path'")
+    n_opt = options.get("n_partitions")
+    if n_opt is not None:
+        n = int(n_opt)
+    else:
+        # infer from the on-disk layout (partition-%05d.jsonl)
+        n = 0
+        if os.path.isdir(root):
+            for f in os.listdir(root):
+                if f.startswith("partition-") and f.endswith(".jsonl"):
+                    n = max(n, int(f[len("partition-"):-len(".jsonl")]) + 1)
+        n = n or 4
+    chunk = int(options.get("chunk_records", "100000"))
+    if chunk < 1:
+        raise ValueError("chunk_records must be >= 1")
+    return root, n, chunk
+
+
+class _Range(InputPartition):
+    """One planned (log partition, [lo, hi)) record range."""
+
+    def __init__(self, part: int, lo: int, hi: int) -> None:
+        self.part, self.lo, self.hi = part, lo, hi
+
+
+def _read_range(root: str, n: int, rng: _Range):
+    if rng.hi <= rng.lo:
+        return
+    from aeuc_vector_db_spark.streaming.offset_source import OffsetLogSource
+
+    src = OffsetLogSource(root, n)
+    for i, ln in enumerate(src.slice_lines(rng.part, rng.lo, rng.hi)):
+        yield (rng.part, rng.lo + i, ln.decode("utf-8"))
+
+
+def _chunked(p: int, lo: int, hi: int, chunk: int) -> "list[_Range]":
+    out = []
+    while lo < hi:
+        out.append(_Range(p, lo, min(lo + chunk, hi)))
+        lo += chunk
+    return out
+
+
+class OffsetLogBatchReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.root, self.n, self.chunk = _opts(options)
+        self._parts: "set[int] | None" = None  # None = all
+        self._off_lo = 0
+        self._off_hi: "int | None" = None
+
+    def pushFilters(self, filters):
+        """Consume partition/offset predicates exactly; yield the rest
+        back to Spark. Every consumed filter is FULLY satisfied by the
+        pruned plan (each range carries a single partition value and a
+        contiguous offset span), so over-pruning is impossible and
+        Spark re-evaluates nothing."""
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr == ("partition",) and isinstance(f, EqualTo) \
+                    and isinstance(f.value, int):
+                keep = {f.value}
+                self._parts = keep if self._parts is None \
+                    else self._parts & keep
+            elif attr == ("partition",) and isinstance(f, In) and all(
+                isinstance(v, int) for v in f.values
+            ):
+                keep = set(f.values)
+                self._parts = keep if self._parts is None \
+                    else self._parts & keep
+            elif attr == ("offset",) and isinstance(
+                f, (EqualTo, GreaterThan, GreaterThanOrEqual,
+                    LessThan, LessThanOrEqual)
+            ) and isinstance(f.value, int):
+                v = f.value
+                if isinstance(f, EqualTo):
+                    self._off_lo = max(self._off_lo, v)
+                    self._off_hi = v + 1 if self._off_hi is None \
+                        else min(self._off_hi, v + 1)
+                elif isinstance(f, GreaterThan):
+                    self._off_lo = max(self._off_lo, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self._off_lo = max(self._off_lo, v)
+                elif isinstance(f, LessThan):
+                    self._off_hi = v if self._off_hi is None \
+                        else min(self._off_hi, v)
+                else:  # LessThanOrEqual
+                    self._off_hi = v + 1 if self._off_hi is None \
+                        else min(self._off_hi, v + 1)
+            else:
+                yield f
+
+    def partitions(self):
+        from aeuc_vector_db_spark.streaming.offset_source import (
+            OffsetLogSource,
+        )
+
+        latest = OffsetLogSource(self.root, self.n).latest_offsets()
+        out: "list[_Range]" = []
+        for p in range(self.n):
+            if self._parts is not None and p not in self._parts:
+                continue
+            lo = self._off_lo
+            hi = latest[p] if self._off_hi is None \
+                else min(latest[p], self._off_hi)
+            out.extend(_chunked(p, lo, hi, self.chunk))
+        return out or [_Range(0, 0, 0)]
+
+    def read(self, partition: _Range):
+        return _read_range(self.root, self.n, partition)
+
+
+class OffsetLogStreamReader(DataSourceStreamReader):
+    """Driver plans [start, end) per micro-batch from the checkpointed
+    offset dict; executors slice their ranges through the byte index.
+    Offsets are {str(partition): next_offset} — dense, so replaying a
+    failed epoch re-plans byte-identical slices (exactly-once with an
+    idempotent or transactional sink, Kafka-source semantics)."""
+
+    def __init__(self, options) -> None:
+        self.root, self.n, self.chunk = _opts(options)
+        self.max_per_batch = int(
+            options.get("max_records_per_batch", "0")
+        )  # 0 = unbounded
+        self._prev_end: "dict[str, int] | None" = None
+
+    def initialOffset(self) -> dict:
+        return {str(p): 0 for p in range(self.n)}
+
+    def latestOffset(self) -> dict:
+        from aeuc_vector_db_spark.streaming.offset_source import (
+            OffsetLogSource,
+        )
+
+        latest = OffsetLogSource(self.root, self.n).latest_offsets()
+        out = {str(p): latest[p] for p in range(self.n)}
+        if self.max_per_batch > 0 and self._prev_end is not None:
+            # rate limit only once a known start exists: capping from 0
+            # on a restarted query could place end below the
+            # checkpointed start
+            for k in out:
+                base = self._prev_end.get(k, 0)
+                out[k] = max(base, min(out[k], base + self.max_per_batch))
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        self._prev_end = dict(end)
+        out: "list[_Range]" = []
+        for k in sorted(end, key=int):
+            p = int(k)
+            out.extend(
+                _chunked(p, int(start.get(k, 0)), int(end[k]), self.chunk)
+            )
+        return out or [_Range(0, 0, 0)]
+
+    def read(self, partition: _Range):
+        return _read_range(self.root, self.n, partition)
+
+    def commit(self, end: dict) -> None:
+        # consumer progress lives in the streaming checkpoint; the log
+        # itself retains everything (replayability is the contract)
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+@dataclass
+class _Staged(WriterCommitMessage):
+    task: int
+    files: "list[tuple[int, str, int]]"  # (partition, staged path, count)
+
+
+class OffsetLogWriter(DataSourceWriter):
+    """Two-phase append: executors stage, the driver commits.
+
+    `write` parses every value as JSON (fail-fast, distributed) and
+    stages compact-normalized lines per log partition; `commit` appends
+    staged files in deterministic (partition, task) order through
+    `OffsetLogSource.append` — one producer, dense offsets, index
+    maintained. Note the normalization contract: the log stores
+    compact JSON (`separators=(',', ':')`, insertion-ordered keys), so
+    a value string round-trips byte-identically iff it is already
+    compact — which `F.to_json` output is."""
+
+    def __init__(self, options) -> None:
+        self.root, self.n, _ = _opts(options)
+        self.staging = os.path.join(self.root, ".staging")
+
+    def write(self, iterator) -> _Staged:
+        from pyspark import TaskContext
+
+        os.makedirs(self.staging, exist_ok=True)
+        tid = TaskContext.get().partitionId()
+        handles: "dict[int, tuple[str, object, int]]" = {}
+        counts: "dict[int, int]" = {}
+        for row in iterator:
+            p = row["partition"]
+            if p is None or not (0 <= p < self.n):
+                raise ValueError(
+                    f"partition {p!r} out of range [0, {self.n})"
+                )
+            try:
+                parsed = json.loads(row["value"])
+            except (TypeError, ValueError) as e:
+                raise ValueError(
+                    f"value is not JSON at partition {p}: {e}"
+                ) from e
+            if p not in handles:
+                path = os.path.join(
+                    self.staging, f"task{tid}-p{p}-{uuid.uuid4().hex}.jsonl"
+                )
+                handles[p] = (path, open(path, "w"), 0)
+            path, fh, _ = handles[p]
+            fh.write(json.dumps(parsed, separators=(",", ":")) + "\n")
+            counts[p] = counts.get(p, 0) + 1
+        files = []
+        for p, (path, fh, _) in sorted(handles.items()):
+            fh.flush()
+            os.fsync(fh.fileno())
+            fh.close()
+            files.append((p, path, counts[p]))
+        return _Staged(task=tid, files=files)
+
+    def commit(self, messages) -> None:
+        from aeuc_vector_db_spark.streaming.offset_source import (
+            OffsetLogSource,
+        )
+
+        src = OffsetLogSource(self.root, self.n)
+        staged: "list[tuple[int, int, str]]" = []
+        for m in messages:
+            if m is None:
+                continue
+            for p, path, _ in m.files:
+                staged.append((p, m.task, path))
+        for p, _, path in sorted(staged):
+            with open(path) as fh:
+                values = [json.loads(ln) for ln in fh]
+            if values:
+                src.append(p, values)
+            os.remove(path)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for _, path, _ in m.files:
+                if os.path.exists(path):
+                    os.remove(path)
+
+
+class OffsetLogDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "aeuc_offsetlog"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> OffsetLogBatchReader:
+        return OffsetLogBatchReader(self.options)
+
+    def streamReader(self, schema) -> OffsetLogStreamReader:
+        return OffsetLogStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> OffsetLogWriter:
+        if overwrite:
+            raise ValueError(
+                "aeuc_offsetlog is append-only; overwrite is refused"
+            )
+        names = [f.name for f in schema.fields]
+        for required in ("partition", "value"):
+            if required not in names:
+                raise ValueError(
+                    f"write schema must include '{required}' (got {names})"
+                )
+        return OffsetLogWriter(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the 'aeuc_offsetlog' format. Also
+    enables Python-source filter pushdown (off by default in Spark
+    4.1; a runtime SQL conf) — without it Spark refuses any reader
+    that implements pushFilters()."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(OffsetLogDataSource)
