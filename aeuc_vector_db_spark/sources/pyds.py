@@ -56,6 +56,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     GreaterThan,
@@ -116,9 +117,25 @@ def _chunked(p: int, lo: int, hi: int, chunk: int) -> "list[_Range]":
     return out
 
 
+def _read_committed_opt(options) -> bool:
+    return str(options.get("read_committed", "false")).lower() == "true"
+
+
+def _cap_committed(root: str, latest: "dict[int, int]") -> "dict[int, int]":
+    """Cap end offsets at the epoch ledger's last COMMITTED counts —
+    rows a crashed stream-writer commit could still roll back stay
+    invisible (read-committed isolation). A log without a ledger (not
+    written by the streaming sink) is served as-is."""
+    counts = _EpochLedger(root).committed_counts()
+    if counts is None:
+        return latest
+    return {p: min(hi, counts.get(p, 0)) for p, hi in latest.items()}
+
+
 class OffsetLogBatchReader(DataSourceReader):
     def __init__(self, options) -> None:
         self.root, self.n, self.chunk = _opts(options)
+        self.read_committed = _read_committed_opt(options)
         self._parts: "set[int] | None" = None  # None = all
         self._off_lo = 0
         self._off_hi: "int | None" = None
@@ -170,6 +187,8 @@ class OffsetLogBatchReader(DataSourceReader):
         )
 
         latest = OffsetLogSource(self.root, self.n).latest_offsets()
+        if self.read_committed:
+            latest = _cap_committed(self.root, latest)
         out: "list[_Range]" = []
         for p in range(self.n):
             if self._parts is not None and p not in self._parts:
@@ -196,6 +215,7 @@ class OffsetLogStreamReader(DataSourceStreamReader):
         self.max_per_batch = int(
             options.get("max_records_per_batch", "0")
         )  # 0 = unbounded
+        self.read_committed = _read_committed_opt(options)
         self._prev_end: "dict[str, int] | None" = None
 
     def initialOffset(self) -> dict:
@@ -207,6 +227,8 @@ class OffsetLogStreamReader(DataSourceStreamReader):
         )
 
         latest = OffsetLogSource(self.root, self.n).latest_offsets()
+        if self.read_committed:
+            latest = _cap_committed(self.root, latest)
         out = {str(p): latest[p] for p in range(self.n)}
         if self.max_per_batch > 0 and self._prev_end is not None:
             # rate limit only once a known start exists: capping from 0
@@ -324,6 +346,131 @@ class OffsetLogWriter(DataSourceWriter):
                     os.remove(path)
 
 
+class _EpochLedger:
+    """Sink-side write-ahead ledger making streaming appends to the log
+    EXACTLY-ONCE under Spark's epoch replay, on top of files that
+    cannot be committed atomically with the data:
+
+    commit protocol per micro-batch (single driver = single writer):
+      1. already committed batchId  → discard staged files (replay
+         absorbed — idempotence);
+      2. a PENDING intent exists    → a previous commit attempt
+         crashed mid-append: ROLL BACK by truncating every partition
+         log+index to the intent's recorded byte sizes (append-only
+         files make undo a truncate), then proceed;
+      3. write intent {batchId, per-partition (log_bytes, idx_bytes)}
+         + fsync   (the write-ahead record);
+      4. append the staged data;
+      5. write committed {batchId} + fsync.
+
+    A crash between 3-4, 4-5, or mid-4 is repaired by step 2 on the
+    replayed epoch. Readers that must not observe a tail that could
+    still be rolled back pass read_committed=true — latestOffset is
+    then capped at the last COMMITTED record counts (the ledger's
+    step-5 entries), Kafka's read-committed isolation."""
+
+    def __init__(self, root: str) -> None:
+        self.path = os.path.join(root, "_epochs.jsonl")
+
+    def _entries(self) -> "list[dict]":
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as fh:
+            return [json.loads(ln) for ln in fh if ln.strip()]
+
+    def committed_ids(self) -> "set[int]":
+        return {e["batch_id"] for e in self._entries()
+                if e["kind"] == "committed"}
+
+    def pending_intent(self) -> "dict | None":
+        """The last intent with no matching committed record."""
+        last = None
+        done = set()
+        for e in self._entries():
+            if e["kind"] == "intent":
+                last = e
+            else:
+                done.add(e["batch_id"])
+        if last is not None and last["batch_id"] not in done:
+            return last
+        return None
+
+    def committed_counts(self) -> "dict[int, int] | None":
+        """Per-partition record counts as of the last committed epoch,
+        or None when the ledger is absent (log not written by the
+        streaming sink — no isolation information exists)."""
+        out = None
+        for e in self._entries():
+            if e["kind"] == "committed" and "counts" in e:
+                out = {int(k): v for k, v in e["counts"].items()}
+        return out
+
+    def append(self, record: dict) -> None:
+        with open(self.path, "a") as fh:
+            fh.write(json.dumps(record, separators=(",", ":")) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+
+
+class OffsetLogStreamWriter(OffsetLogWriter, DataSourceStreamWriter):
+    """Streaming sink: stage like the batch writer (inherited write),
+    commit through the epoch ledger (write-ahead intent → append →
+    committed), so a replayed micro-batch appends nothing twice and a
+    crash mid-commit rolls back by truncation on the next attempt.
+    Inherits DataSourceStreamWriter because Spark type-checks the
+    instance before use."""
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        from aeuc_vector_db_spark.streaming.offset_source import (
+            OffsetLogSource,
+        )
+
+        ledger = _EpochLedger(self.root)
+        staged: "list[tuple[int, int, str]]" = []
+        for m in messages:
+            if m is None:
+                continue
+            for p, path, _ in m.files:
+                staged.append((p, m.task, path))
+        if batchId in ledger.committed_ids():
+            for _, _, path in staged:
+                if os.path.exists(path):
+                    os.remove(path)
+            return
+        src = OffsetLogSource(self.root, self.n)
+        pend = ledger.pending_intent()
+        if pend is not None:
+            for k, (log_b, idx_b) in pend["sizes"].items():
+                p = int(k)
+                lp = src._log_path(p)
+                ip = src._idx_path(p)
+                if os.path.exists(lp) and os.path.getsize(lp) > log_b:
+                    os.truncate(lp, log_b)
+                if os.path.exists(ip) and os.path.getsize(ip) > idx_b:
+                    os.truncate(ip, idx_b)
+        sizes = {}
+        for p in range(self.n):
+            lp, ip = src._log_path(p), src._idx_path(p)
+            sizes[str(p)] = [
+                os.path.getsize(lp) if os.path.exists(lp) else 0,
+                os.path.getsize(ip) if os.path.exists(ip) else 0,
+            ]
+        ledger.append({"kind": "intent", "batch_id": batchId,
+                       "sizes": sizes})
+        for p, _, path in sorted(staged):
+            with open(path) as fh:
+                values = [json.loads(ln) for ln in fh]
+            if values:
+                src.append(p, values)
+            os.remove(path)
+        counts = src.latest_offsets()
+        ledger.append({"kind": "committed", "batch_id": batchId,
+                       "counts": {str(p): c for p, c in counts.items()}})
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        OffsetLogWriter.abort(self, messages)
+
+
 class OffsetLogDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -337,6 +484,15 @@ class OffsetLogDataSource(DataSource):
 
     def streamReader(self, schema) -> OffsetLogStreamReader:
         return OffsetLogStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> OffsetLogStreamWriter:
+        names = [f.name for f in schema.fields]
+        for required in ("partition", "value"):
+            if required not in names:
+                raise ValueError(
+                    f"write schema must include '{required}' (got {names})"
+                )
+        return OffsetLogStreamWriter(self.options)
 
     def writer(self, schema, overwrite: bool) -> OffsetLogWriter:
         if overwrite:

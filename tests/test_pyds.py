@@ -151,3 +151,123 @@ def test_staging_dir_left_clean_after_commit(spark, log_root):
     staging = os.path.join(log_root, ".staging")
     assert not os.path.isdir(staging) or os.listdir(staging) == []
     assert OffsetLogSource(log_root, 2).latest_offsets() == {0: 4, 1: 4}
+
+
+# -- streaming sink: epoch-idempotent exactly-once appends -------------------
+
+def _staged_msgs(writer, rows_by_part: dict) -> list:
+    """Stage rows as one synthetic task message (unit-level harness for
+    commit-protocol tests — the real path stages via write())."""
+    import uuid as _uuid
+    os.makedirs(writer.staging, exist_ok=True)
+    files = []
+    for p, values in sorted(rows_by_part.items()):
+        path = os.path.join(writer.staging, f"t0-p{p}-{_uuid.uuid4().hex}.jsonl")
+        with open(path, "w") as fh:
+            for v in values:
+                fh.write(json.dumps(v, separators=(",", ":")) + "\n")
+        files.append((p, path, len(values)))
+    return [pyds._Staged(task=0, files=files)]
+
+
+def test_stream_sink_end_to_end_exactly_once(spark, tmp_path):
+    pyds.register(spark)
+    src_root = str(tmp_path / "srclog")
+    sink_root = str(tmp_path / "sinklog")
+    ckpt = str(tmp_path / "ckpt")
+    src = OffsetLogSource(src_root, n_partitions=2)
+    src.append(0, [{"k": i} for i in range(6)])
+    src.append(1, [{"k": 100 + i} for i in range(4)])
+
+    def start():
+        return (spark.readStream.format("aeuc_offsetlog")
+                .option("path", src_root).option("n_partitions", "2").load()
+                .writeStream.format("aeuc_offsetlog")
+                .option("path", sink_root).option("n_partitions", "2")
+                .option("checkpointLocation", ckpt).start())
+
+    q = start()
+    try:
+        q.processAllAvailable()
+        src.append(0, [{"k": 200}])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q2 = start()  # restart: consumed offsets must not re-append
+    try:
+        q2.processAllAvailable()
+        src.append(1, [{"k": 300}])
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    back = (spark.read.format("aeuc_offsetlog").option("path", sink_root)
+            .option("n_partitions", "2").load().collect())
+    ks = sorted(json.loads(r.value)["k"] for r in back)
+    assert ks == sorted(
+        list(range(6)) + [100, 101, 102, 103, 200, 300]
+    ), ks
+    assert len(back) == len(set(back))
+    led = pyds._EpochLedger(sink_root)
+    assert led.committed_counts() == {0: 7, 1: 5}
+    assert led.pending_intent() is None
+
+
+def test_stream_sink_replayed_epoch_is_idempotent(tmp_path):
+    root = str(tmp_path / "log")
+    w = pyds.OffsetLogStreamWriter({"path": root, "n_partitions": "2"})
+    w.commit(_staged_msgs(w, {0: [{"a": 1}, {"a": 2}], 1: [{"b": 3}]}), 0)
+    src = OffsetLogSource(root, 2)
+    assert src.latest_offsets() == {0: 2, 1: 1}
+    # Spark replays epoch 0 after a driver crash: same batchId, fresh
+    # staged files — nothing may append twice
+    w.commit(_staged_msgs(w, {0: [{"a": 1}, {"a": 2}], 1: [{"b": 3}]}), 0)
+    assert src.latest_offsets() == {0: 2, 1: 1}
+    assert os.listdir(w.staging) == []  # replay's staging discarded
+    w.commit(_staged_msgs(w, {1: [{"b": 4}]}), 1)
+    assert src.latest_offsets() == {0: 2, 1: 2}
+
+
+def test_stream_sink_crash_mid_commit_rolls_back_by_truncation(tmp_path):
+    root = str(tmp_path / "log")
+    w = pyds.OffsetLogStreamWriter({"path": root, "n_partitions": "2"})
+    w.commit(_staged_msgs(w, {0: [{"a": 1}], 1: [{"b": 1}]}), 0)
+    src = OffsetLogSource(root, 2)
+    led = pyds._EpochLedger(root)
+    # simulate a commit of epoch 1 that crashed mid-append: intent
+    # recorded, partition 0 appended, partition 1 and the committed
+    # record never happened
+    sizes = {}
+    for p in range(2):
+        lp, ip = src._log_path(p), src._idx_path(p)
+        sizes[str(p)] = [os.path.getsize(lp), os.path.getsize(ip)]
+    led.append({"kind": "intent", "batch_id": 1, "sizes": sizes})
+    src.append(0, [{"a": 2}])  # the partial append of the dead attempt
+    assert src.latest_offsets() == {0: 2, 1: 1}
+    # the replayed epoch 1 must first truncate the partial rows, then
+    # land exactly its own
+    w.commit(_staged_msgs(w, {0: [{"a": 2}], 1: [{"b": 2}]}), 1)
+    assert src.latest_offsets() == {0: 2, 1: 2}
+    assert [json.loads(ln) for ln in src.slice_lines(0, 0, 2)] == [
+        {"a": 1}, {"a": 2}
+    ]
+    assert led.pending_intent() is None
+
+
+def test_read_committed_hides_rollbackable_tail(spark, tmp_path):
+    pyds.register(spark)
+    root = str(tmp_path / "log")
+    w = pyds.OffsetLogStreamWriter({"path": root, "n_partitions": "2"})
+    w.commit(_staged_msgs(w, {0: [{"a": 1}], 1: [{"b": 1}, {"b": 2}]}), 0)
+    # an in-flight epoch: intent written, rows appended, NOT committed
+    src = OffsetLogSource(root, 2)
+    led = pyds._EpochLedger(root)
+    sizes = {str(p): [os.path.getsize(src._log_path(p)),
+                      os.path.getsize(src._idx_path(p))] for p in range(2)}
+    led.append({"kind": "intent", "batch_id": 1, "sizes": sizes})
+    src.append(0, [{"a": 99}])
+    rd = (spark.read.format("aeuc_offsetlog").option("path", root)
+          .option("n_partitions", "2"))
+    assert rd.load().count() == 4  # read-uncommitted default
+    committed = rd.option("read_committed", "true").load().collect()
+    assert len(committed) == 3
+    assert all(json.loads(r.value) != {"a": 99} for r in committed)
