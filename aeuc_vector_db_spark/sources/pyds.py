@@ -71,10 +71,76 @@ from pyspark.sql.datasource import (
 SCHEMA = "partition INT, offset BIGINT, value STRING"
 
 
+class _WireTransport:
+    """Reader-side transport over the TCP broker (streaming/wire.py):
+    the same planning/read contract as the local files, with METADATA
+    round trips for offsets and pure chunked raw-frame FETCHes per
+    planned range — each Spark task opens its own connection, and a
+    task retry re-fetches its byte-identical slice."""
+
+    def __init__(self, host: str, port: int) -> None:
+        self.host, self.port = host, int(port)
+        from aeuc_vector_db_spark.streaming.wire import _request
+
+        self.n = int(_request(self.host, self.port,
+                              {"op": "meta"})["n_partitions"])
+
+    def latest_offsets(self) -> "dict[int, int]":
+        from aeuc_vector_db_spark.streaming.wire import _request
+
+        meta = _request(self.host, self.port, {"op": "meta"})
+        return {int(p): int(o) for p, o in meta["end_offsets"].items()}
+
+    def slice_values(self, p: int, lo: int, hi: int) -> "list[str]":
+        from aeuc_vector_db_spark.streaming.wire import _fetch_raw
+
+        return [v for v in _fetch_raw(self.host, self.port, p, lo, hi)]
+
+    def append(self, p: int, values: "list[dict]") -> None:
+        from aeuc_vector_db_spark.streaming.wire import _request
+
+        _request(self.host, self.port,
+                 {"op": "append", "partition": p, "values": values})
+
+
+class _LocalTransport:
+    def __init__(self, root: str, n: int) -> None:
+        from aeuc_vector_db_spark.streaming.offset_source import (
+            OffsetLogSource,
+        )
+
+        self.src = OffsetLogSource(root, n)
+        self.n = n
+
+    def latest_offsets(self) -> "dict[int, int]":
+        return self.src.latest_offsets()
+
+    def slice_values(self, p: int, lo: int, hi: int) -> "list[str]":
+        return [ln.decode("utf-8")
+                for ln in self.src.slice_lines(p, lo, hi)]
+
+    def append(self, p: int, values: "list[dict]") -> None:
+        self.src.append(p, values)
+
+
+def _is_wire(options) -> bool:
+    return bool(options.get("host")) and bool(options.get("port"))
+
+
+def _transport(options):
+    if _is_wire(options):
+        return _WireTransport(options["host"], options["port"])
+    root, n, _ = _opts(options)
+    return _LocalTransport(root, n)
+
+
 def _opts(options) -> tuple[str, int, int]:
     root = options.get("path") or options.get("root")
     if not root:
-        raise ValueError("aeuc_offsetlog requires option 'path'")
+        raise ValueError(
+            "aeuc_offsetlog requires option 'path' (local log) or "
+            "'host' + 'port' (wire broker)"
+        )
     n_opt = options.get("n_partitions")
     if n_opt is not None:
         n = int(n_opt)
@@ -99,14 +165,11 @@ class _Range(InputPartition):
         self.part, self.lo, self.hi = part, lo, hi
 
 
-def _read_range(root: str, n: int, rng: _Range):
+def _read_range(tx, rng: _Range):
     if rng.hi <= rng.lo:
         return
-    from aeuc_vector_db_spark.streaming.offset_source import OffsetLogSource
-
-    src = OffsetLogSource(root, n)
-    for i, ln in enumerate(src.slice_lines(rng.part, rng.lo, rng.hi)):
-        yield (rng.part, rng.lo + i, ln.decode("utf-8"))
+    for i, v in enumerate(tx.slice_values(rng.part, rng.lo, rng.hi)):
+        yield (rng.part, rng.lo + i, v)
 
 
 def _chunked(p: int, lo: int, hi: int, chunk: int) -> "list[_Range]":
@@ -134,8 +197,17 @@ def _cap_committed(root: str, latest: "dict[int, int]") -> "dict[int, int]":
 
 class OffsetLogBatchReader(DataSourceReader):
     def __init__(self, options) -> None:
-        self.root, self.n, self.chunk = _opts(options)
+        self.tx = _transport(options)
+        self.chunk = int(options.get("chunk_records", "100000"))
+        if self.chunk < 1:
+            raise ValueError("chunk_records must be >= 1")
         self.read_committed = _read_committed_opt(options)
+        self.root = options.get("path") or options.get("root")
+        if self.read_committed and _is_wire(options):
+            raise ValueError(
+                "read_committed requires the local log: the epoch "
+                "ledger is filesystem-side, not served by the broker"
+            )
         self._parts: "set[int] | None" = None  # None = all
         self._off_lo = 0
         self._off_hi: "int | None" = None
@@ -182,15 +254,11 @@ class OffsetLogBatchReader(DataSourceReader):
                 yield f
 
     def partitions(self):
-        from aeuc_vector_db_spark.streaming.offset_source import (
-            OffsetLogSource,
-        )
-
-        latest = OffsetLogSource(self.root, self.n).latest_offsets()
+        latest = self.tx.latest_offsets()
         if self.read_committed:
             latest = _cap_committed(self.root, latest)
         out: "list[_Range]" = []
-        for p in range(self.n):
+        for p in range(self.tx.n):
             if self._parts is not None and p not in self._parts:
                 continue
             lo = self._off_lo
@@ -200,7 +268,7 @@ class OffsetLogBatchReader(DataSourceReader):
         return out or [_Range(0, 0, 0)]
 
     def read(self, partition: _Range):
-        return _read_range(self.root, self.n, partition)
+        return _read_range(self.tx, partition)
 
 
 class OffsetLogStreamReader(DataSourceStreamReader):
@@ -211,25 +279,28 @@ class OffsetLogStreamReader(DataSourceStreamReader):
     idempotent or transactional sink, Kafka-source semantics)."""
 
     def __init__(self, options) -> None:
-        self.root, self.n, self.chunk = _opts(options)
+        self.tx = _transport(options)
+        self.chunk = int(options.get("chunk_records", "100000"))
         self.max_per_batch = int(
             options.get("max_records_per_batch", "0")
         )  # 0 = unbounded
         self.read_committed = _read_committed_opt(options)
+        self.root = options.get("path") or options.get("root")
+        if self.read_committed and _is_wire(options):
+            raise ValueError(
+                "read_committed requires the local log: the epoch "
+                "ledger is filesystem-side, not served by the broker"
+            )
         self._prev_end: "dict[str, int] | None" = None
 
     def initialOffset(self) -> dict:
-        return {str(p): 0 for p in range(self.n)}
+        return {str(p): 0 for p in range(self.tx.n)}
 
     def latestOffset(self) -> dict:
-        from aeuc_vector_db_spark.streaming.offset_source import (
-            OffsetLogSource,
-        )
-
-        latest = OffsetLogSource(self.root, self.n).latest_offsets()
+        latest = self.tx.latest_offsets()
         if self.read_committed:
             latest = _cap_committed(self.root, latest)
-        out = {str(p): latest[p] for p in range(self.n)}
+        out = {str(p): latest[p] for p in range(self.tx.n)}
         if self.max_per_batch > 0 and self._prev_end is not None:
             # rate limit only once a known start exists: capping from 0
             # on a restarted query could place end below the
@@ -250,7 +321,7 @@ class OffsetLogStreamReader(DataSourceStreamReader):
         return out or [_Range(0, 0, 0)]
 
     def read(self, partition: _Range):
-        return _read_range(self.root, self.n, partition)
+        return _read_range(self.tx, partition)
 
     def commit(self, end: dict) -> None:
         # consumer progress lives in the streaming checkpoint; the log
@@ -486,12 +557,7 @@ class OffsetLogDataSource(DataSource):
         return OffsetLogStreamReader(self.options)
 
     def streamWriter(self, schema, overwrite: bool) -> OffsetLogStreamWriter:
-        names = [f.name for f in schema.fields]
-        for required in ("partition", "value"):
-            if required not in names:
-                raise ValueError(
-                    f"write schema must include '{required}' (got {names})"
-                )
+        self._check_write(schema)
         return OffsetLogStreamWriter(self.options)
 
     def writer(self, schema, overwrite: bool) -> OffsetLogWriter:
@@ -499,13 +565,25 @@ class OffsetLogDataSource(DataSource):
             raise ValueError(
                 "aeuc_offsetlog is append-only; overwrite is refused"
             )
+        self._check_write(schema)
+        return OffsetLogWriter(self.options)
+
+    def _check_write(self, schema) -> None:
+        if _is_wire(self.options):
+            # the two-phase writer needs a filesystem shared between
+            # executors (staging) and driver (commit+ledger); over the
+            # wire, producers talk to the broker's append API directly
+            # (streaming/wire.py RemoteOffsetSource.append)
+            raise ValueError(
+                "aeuc_offsetlog writes require the local log ('path'); "
+                "wire producers use the broker append API"
+            )
         names = [f.name for f in schema.fields]
         for required in ("partition", "value"):
             if required not in names:
                 raise ValueError(
                     f"write schema must include '{required}' (got {names})"
                 )
-        return OffsetLogWriter(self.options)
 
 
 def register(spark) -> None:

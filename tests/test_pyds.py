@@ -271,3 +271,68 @@ def test_read_committed_hides_rollbackable_tail(spark, tmp_path):
     committed = rd.option("read_committed", "true").load().collect()
     assert len(committed) == 3
     assert all(json.loads(r.value) != {"a": 99} for r in committed)
+
+
+# -- wire transport: the broker behind the same reader API -------------------
+
+@pytest.fixture()
+def wire_broker(tmp_path):
+    from aeuc_vector_db_spark.streaming.wire import OffsetWireBroker
+
+    src = OffsetLogSource(str(tmp_path / "wirelog"), n_partitions=3)
+    b = OffsetWireBroker(src).start()
+    try:
+        yield b, src
+    finally:
+        b.stop()
+
+
+def test_wire_batch_read_equals_local(spark, wire_broker, log_root):
+    b, src = wire_broker
+    for p in range(3):
+        src.append(p, [{"p": p, "i": i} for i in range(7)])
+    wire = (spark.read.format("aeuc_offsetlog")
+            .option("host", b.host).option("port", str(b.port))
+            .option("chunk_records", "4").load())
+    local = (spark.read.format("aeuc_offsetlog")
+             .option("path", src.root).load())
+    assert sorted(wire.collect()) == sorted(local.collect())
+    assert wire.rdd.getNumPartitions() == 6  # ceil(7/4) x 3 planned
+    # pushdown prunes over the wire too (fetch ranges, not post-filter)
+    two = wire.filter("partition = 0 AND offset >= 5")
+    assert two.rdd.getNumPartitions() == 1
+    assert sorted(r.offset for r in two.collect()) == [5, 6]
+
+
+def test_wire_streaming_read_exactly_once(spark, wire_broker, tmp_path):
+    b, src = wire_broker
+    src.append(0, [{"k": 1}, {"k": 2}])
+    out = str(tmp_path / "out")
+    q = (spark.readStream.format("aeuc_offsetlog")
+         .option("host", b.host).option("port", str(b.port)).load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        q.processAllAvailable()
+        src.append(1, [{"k": 3}])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    assert sorted(json.loads(r.value)["k"] for r in rows) == [1, 2, 3]
+    assert len(rows) == len(set(rows))
+
+
+def test_wire_write_and_read_committed_refused(spark, wire_broker):
+    b, _ = wire_broker
+    df = spark.createDataFrame(
+        [(0, '{"a":1}')], "partition INT, value STRING"
+    )
+    with pytest.raises(Exception, match="broker append API"):
+        (df.write.format("aeuc_offsetlog")
+           .option("host", b.host).option("port", str(b.port))
+           .mode("append").save())
+    with pytest.raises(Exception, match="read_committed requires"):
+        (spark.read.format("aeuc_offsetlog")
+         .option("host", b.host).option("port", str(b.port))
+         .option("read_committed", "true").load().count())
