@@ -683,6 +683,7 @@ def main() -> None:
         },
         "wire_rows_per_s": wire_stats["wire_rows_per_s"],
         "wire_vs_local": wire_stats["ratio"],
+        "pyds_read_rows_per_s": wire_stats["pyds_read_rows_per_s"],
         "cluster_scale_sec": cluster_scale["sec"],
         "dedup_skew_ratio": dedup_skew["ratio"],
         "cc_chain": {"sec": cc_chain["sec"], "rounds": cc_chain["rounds"],
@@ -966,6 +967,21 @@ def _bench_wire(spark) -> dict:
                 raise RuntimeError(
                     f"wire ingest run {i} committed {got} rows, expected {n}"
                 )
+        # round 15: the same log through the Python DataSource batch
+        # reader (Arrow RecordBatch per planned range) — the pluggable
+        # read path's raw scan rate, warm best-of-3
+        from aeuc_vector_db_spark.sources import pyds as _pyds
+
+        _pyds.register(spark)
+        ds = (spark.read.format("aeuc_offsetlog")
+              .option("path", f"{root}/log").load())
+        assert ds.count() == n
+        pyds_times: list[float] = []
+        for _ in range(3):
+            t0 = time.time()
+            ds.count()
+            pyds_times.append(time.time() - t0)
+
         local_s, wire_s = min(local_times), min(wire_times)
         local_rate = round(n / local_s, 1) if local_s > 0 else 0.0
         wire_rate = round(n / wire_s, 1) if wire_s > 0 else 0.0
@@ -976,6 +992,7 @@ def _bench_wire(spark) -> dict:
             "n": n,
             "local_s_runs": [round(t, 3) for t in local_times],
             "wire_s_runs": [round(t, 3) for t in wire_times],
+            "pyds_read_rows_per_s": round(n / min(pyds_times), 1),
         }
         print(f"# wire_ingest: {_json.dumps(out)}", file=sys.stderr)
         return out
