@@ -1102,6 +1102,77 @@ def _parse_frame_header(data: bytes):
 _ZERO_BLOCKS_24 = tuple([0] * 16 for _ in range(24))
 
 
+def _read_coef_prob_updates(bd: "BoolDecoder", coef_probs) -> None:
+    """The §13.4 coefficient-probability update scan: 4·8·3·11 = 1,056
+    conditional reads (update flag + optional 8-bit literal) — the
+    largest fixed per-frame bool-read cost, so the decoder state is
+    inlined over locals exactly like `_decode_block` (arithmetic
+    verbatim; the pinned round-trip tests cover every path because the
+    encoder always writes all 1,056 no-update flags)."""
+    data = bd.data
+    dpos = bd.pos
+    value = bd.value
+    rng = bd.range
+    bit_count = bd.bit_count
+    dlen = len(data)
+    for t in range(4):
+        cu_t = COEF_UPDATE_PROBS[t]
+        cp_t = coef_probs[t]
+        for b in range(8):
+            cu_b = cu_t[b]
+            cp_b = cp_t[b]
+            for c in range(3):
+                cu = cu_b[c]
+                row = cp_b[c]
+                for n in range(11):
+                    prob = cu[n]
+                    split = 1 + (((rng - 1) * prob) >> 8)
+                    big = split << 8
+                    if value >= big:
+                        bit = 1
+                        rng -= split
+                        value -= big
+                    else:
+                        bit = 0
+                        rng = split
+                    while rng < 128:
+                        value = (value << 1) & 0xFFFF
+                        rng <<= 1
+                        bit_count += 1
+                        if bit_count == 8:
+                            bit_count = 0
+                            if dpos < dlen:
+                                value |= data[dpos]
+                            dpos += 1
+                    if bit:
+                        v = 0
+                        for _ in range(8):
+                            split = 1 + (((rng - 1) * 128) >> 8)
+                            big = split << 8
+                            if value >= big:
+                                lit = 1
+                                rng -= split
+                                value -= big
+                            else:
+                                lit = 0
+                                rng = split
+                            while rng < 128:
+                                value = (value << 1) & 0xFFFF
+                                rng <<= 1
+                                bit_count += 1
+                                if bit_count == 8:
+                                    bit_count = 0
+                                    if dpos < dlen:
+                                        value |= data[dpos]
+                                    dpos += 1
+                            v = (v << 1) | lit
+                        row[n] = v
+    bd.pos = dpos
+    bd.value = value
+    bd.range = rng
+    bd.bit_count = bit_count
+
+
 def vp8_decode_yuv(data: bytes):
     """Decode a VP8 key frame → (width, height, y, u, v) planes
     (bytes; chroma half-resolution, rounded up). Loop filtering is NOT
@@ -1169,12 +1240,7 @@ def vp8_decode_yuv(data: bytes):
     bd.read_literal(1)  # refresh entropy probs
     coef_probs = [[[list(DEFAULT_COEF_PROBS[t][b][c]) for c in range(3)]
                    for b in range(8)] for t in range(4)]
-    for t in range(4):
-        for b in range(8):
-            for c in range(3):
-                for n in range(11):
-                    if bd.read(COEF_UPDATE_PROBS[t][b][c][n]):
-                        coef_probs[t][b][c][n] = bd.read_literal(8)
+    _read_coef_prob_updates(bd, coef_probs)
     mb_skip_enabled = bd.read_literal(1)
     prob_skip = bd.read_literal(8) if mb_skip_enabled else 0
 

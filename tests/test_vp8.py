@@ -325,3 +325,48 @@ def test_yuv420_to_rgb_matches_scalar_oracle():
             c = bytes([cv] * 4)
             assert V.yuv420_to_rgb(y, c, c, 4, 4) == \
                 V._yuv420_to_rgb_scalar(y, c, c, 4, 4), (yv, cv)
+
+
+def test_coef_prob_update_scan_inline_parity():
+    """The inlined §13.4 probability-update scan must match the plain
+    BoolDecoder read/read_literal walk bit-for-bit INCLUDING the
+    update path (flag=1 + 8-bit literal), which encoder-produced
+    streams never take (they write all no-update flags) — so this
+    builds a randomized update stream with the BoolEncoder directly."""
+    import itertools
+
+    rng = random.Random(5)
+    enc = V.BoolEncoder()
+    script = []
+    for t, b, c, n in itertools.product(
+        range(4), range(8), range(3), range(11)
+    ):
+        p = V.COEF_UPDATE_PROBS[t][b][c][n]
+        if rng.random() < 0.25:
+            val = rng.randrange(256)
+            enc.write(1, p)
+            enc.write_literal(val, 8)
+            script.append((t, b, c, n, val))
+        else:
+            enc.write(0, p)
+    data = enc.bytes() + b"\x55" * 4  # trailing bytes: states must align
+
+    def fresh():
+        return [[[list(V.DEFAULT_COEF_PROBS[t][b][c]) for c in range(3)]
+                 for b in range(8)] for t in range(4)]
+
+    bd1 = V.BoolDecoder(data)
+    got = fresh()
+    V._read_coef_prob_updates(bd1, got)
+    bd2 = V.BoolDecoder(data)
+    ref = fresh()
+    for t, b, c, n in itertools.product(
+        range(4), range(8), range(3), range(11)
+    ):
+        if bd2.read(V.COEF_UPDATE_PROBS[t][b][c][n]):
+            ref[t][b][c][n] = bd2.read_literal(8)
+    assert got == ref
+    for t, b, c, n, val in script:
+        assert got[t][b][c][n] == val
+    assert (bd1.pos, bd1.value, bd1.range, bd1.bit_count) == \
+        (bd2.pos, bd2.value, bd2.range, bd2.bit_count)
