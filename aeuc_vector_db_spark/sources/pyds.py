@@ -202,7 +202,11 @@ def _cap_committed(root: str, latest: "dict[int, int]") -> "dict[int, int]":
     """Cap end offsets at the epoch ledger's last COMMITTED counts —
     rows a crashed stream-writer commit could still roll back stay
     invisible (read-committed isolation). A log without a ledger (not
-    written by the streaming sink) is served as-is."""
+    written by the streaming sink) is served as-is. Semantics on a
+    MIXED log (streaming sink + batch/producer appends to the same
+    root): the cap reflects only stream-committed progress, so later
+    non-ledger appends stay hidden under read_committed until the next
+    stream epoch commits past them — conservative, never phantom."""
     counts = _EpochLedger(root).committed_counts()
     if counts is None:
         return latest
@@ -375,26 +379,38 @@ class OffsetLogWriter(DataSourceWriter):
         tid = TaskContext.get().partitionId()
         handles: "dict[int, tuple[str, object, int]]" = {}
         counts: "dict[int, int]" = {}
-        for row in iterator:
-            p = row["partition"]
-            if p is None or not (0 <= p < self.n):
-                raise ValueError(
-                    f"partition {p!r} out of range [0, {self.n})"
-                )
-            try:
-                parsed = json.loads(row["value"])
-            except (TypeError, ValueError) as e:
-                raise ValueError(
-                    f"value is not JSON at partition {p}: {e}"
-                ) from e
-            if p not in handles:
-                path = os.path.join(
-                    self.staging, f"task{tid}-p{p}-{uuid.uuid4().hex}.jsonl"
-                )
-                handles[p] = (path, open(path, "w"), 0)
-            path, fh, _ = handles[p]
-            fh.write(json.dumps(parsed, separators=(",", ":")) + "\n")
-            counts[p] = counts.get(p, 0) + 1
+        try:
+            for row in iterator:
+                p = row["partition"]
+                if p is None or not (0 <= p < self.n):
+                    raise ValueError(
+                        f"partition {p!r} out of range [0, {self.n})"
+                    )
+                try:
+                    parsed = json.loads(row["value"])
+                except (TypeError, ValueError) as e:
+                    raise ValueError(
+                        f"value is not JSON at partition {p}: {e}"
+                    ) from e
+                if p not in handles:
+                    path = os.path.join(
+                        self.staging,
+                        f"task{tid}-p{p}-{uuid.uuid4().hex}.jsonl",
+                    )
+                    handles[p] = (path, open(path, "w"), 0)
+                path, fh, _ = handles[p]
+                fh.write(json.dumps(parsed, separators=(",", ":")) + "\n")
+                counts[p] = counts.get(p, 0) + 1
+        except BaseException:
+            # fail-fast path: close and remove this task's partial
+            # staging so a validation error leaves no orphan files
+            # (the task returns no commit message, so abort() could
+            # never find them)
+            for path, fh, _ in handles.values():
+                fh.close()
+                if os.path.exists(path):
+                    os.remove(path)
+            raise
         files = []
         for p, (path, fh, _) in sorted(handles.items()):
             fh.flush()

@@ -336,3 +336,15 @@ def test_wire_write_and_read_committed_refused(spark, wire_broker):
         (spark.read.format("aeuc_offsetlog")
          .option("host", b.host).option("port", str(b.port))
          .option("read_committed", "true").load().count())
+
+
+def test_failed_write_task_leaves_no_orphan_staging(spark, log_root):
+    bad = spark.createDataFrame(
+        [(0, '{"ok":1}'), (1, "not json")], "partition INT, value STRING"
+    ).coalesce(1)  # one task: the good row stages before the bad one fails
+    with pytest.raises(Exception, match="not JSON"):
+        (bad.write.format("aeuc_offsetlog").option("path", log_root)
+            .option("n_partitions", "2").mode("append").save())
+    staging = os.path.join(log_root, ".staging")
+    leftovers = os.listdir(staging) if os.path.isdir(staging) else []
+    assert leftovers == [], leftovers
