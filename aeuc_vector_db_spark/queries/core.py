@@ -621,6 +621,24 @@ FROM events ORDER BY ts ASC, event_id ASC LIMIT 100
 """
 
 
+def _rt_workdir(kind: str, fresh: bool = False) -> str:
+    """Per-process stable scratch dir for the format round-trip parts:
+    repeated invocations overwrite ONE copy instead of leaking a fresh
+    mkdtemp per call (review r15 — a sweep invokes these parts
+    repeatedly and nothing ever cleaned the copies). `fresh=True`
+    clears the dir first: the append-only offset log would otherwise
+    double-append on re-invocation."""
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"aeuc_rt_{kind}_{os.getpid()}")
+    if fresh and os.path.isdir(d):
+        shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def _orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink (round 15): write a typed lineitem projection to
     ORC partitioned by l_returnflag, read it back through a filter that
@@ -634,13 +652,11 @@ def _orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     would use for an ORC-standardized lake: partition dirs prune before
     I/O, predicates reach the ORC reader, no shuffle beyond the final
     aggregate."""
-    import tempfile
-
     li = load_table(spark, "lineitem", sf_dir).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_returnflag", "l_shipdate"
     )
-    path = tempfile.mkdtemp(prefix="aeuc_orc_rt_") + "/li"
+    path = _rt_workdir("orc") + "/li"
     li.write.mode("overwrite").partitionBy("l_returnflag").orc(path)
     back = spark.read.orc(path).filter(
         (F.col("l_returnflag") != "R") & (F.col("l_quantity") > 25)
@@ -678,13 +694,11 @@ def _csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     reparse exactly; min/max are order-insensitive and bit-exact —
     deliberately NOT a float sum, which the repo's determinism rule
     reserves for decimal quantities)."""
-    import tempfile
-
     fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
     ev = load_table(spark, "events", sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    path = tempfile.mkdtemp(prefix="aeuc_csv_rt_") + "/ev"
+    path = _rt_workdir("csv") + "/ev"
     (ev.write.mode("overwrite").option("header", True)
        .option("timestampFormat", fmt).csv(path))
     back = (
@@ -736,13 +750,11 @@ def _xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised: the spark-avro connector jar is absent from this
     sandbox's pyspark distribution (only avro core libs ship), so it
     stays a documented environment gap, not a code gap."""
-    import tempfile
-
     fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
     ev = load_table(spark, "events", sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    path = tempfile.mkdtemp(prefix="aeuc_xml_rt_") + "/ev"
+    path = _rt_workdir("xml") + "/ev"
     (ev.write.mode("overwrite").format("xml")
        .option("rootTag", "events").option("rowTag", "event")
        .option("timestampFormat", fmt).save(path))
@@ -768,8 +780,6 @@ def _pyds_offsetlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     source/sink pair preserved every value bit-exactly through the
     JSON hop. See sources/pyds.py for the 100 TB shapes (partition
     planning, pushdown, exactly-once streaming)."""
-    import tempfile
-
     from aeuc_vector_db_spark.sources import pyds
 
     pyds.register(spark)
@@ -777,7 +787,7 @@ def _pyds_offsetlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    path = tempfile.mkdtemp(prefix="aeuc_pyds_rt_") + "/log"
+    path = _rt_workdir("pyds", fresh=True) + "/log"
     payload = ev.select(
         (F.col("event_id") % 4).cast("int").alias("partition"),
         F.to_json(

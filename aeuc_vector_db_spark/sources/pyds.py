@@ -127,14 +127,24 @@ def _is_wire(options) -> bool:
     return bool(options.get("host")) and bool(options.get("port"))
 
 
+def _chunk_opt(options) -> int:
+    """The ONE parse point for chunk_records (review r15: a diverged
+    copy in the stream reader skipped validation, and chunk=0 on the
+    wire path made _chunked loop forever)."""
+    chunk = int(options.get("chunk_records", "100000"))
+    if chunk < 1:
+        raise ValueError("chunk_records must be >= 1")
+    return chunk
+
+
 def _transport(options):
     if _is_wire(options):
         return _WireTransport(options["host"], options["port"])
-    root, n, _ = _opts(options)
+    root, n = _opts(options)
     return _LocalTransport(root, n)
 
 
-def _opts(options) -> tuple[str, int, int]:
+def _opts(options) -> tuple[str, int]:
     root = options.get("path") or options.get("root")
     if not root:
         raise ValueError(
@@ -152,10 +162,7 @@ def _opts(options) -> tuple[str, int, int]:
                 if f.startswith("partition-") and f.endswith(".jsonl"):
                     n = max(n, int(f[len("partition-"):-len(".jsonl")]) + 1)
         n = n or 4
-    chunk = int(options.get("chunk_records", "100000"))
-    if chunk < 1:
-        raise ValueError("chunk_records must be >= 1")
-    return root, n, chunk
+    return root, n
 
 
 class _Range(InputPartition):
@@ -198,6 +205,28 @@ def _read_committed_opt(options) -> bool:
     return str(options.get("read_committed", "false")).lower() == "true"
 
 
+def _sweep_stale_staging(staging: str, ttl_s: int) -> None:
+    """Reap staged files older than ttl from killed/speculative task
+    attempts — such attempts never return a commit message, so neither
+    commit() nor abort() can ever see their files and .staging would
+    grow without bound (review r15). Runs on the driver after a
+    successful commit; the TTL (option staging_ttl_seconds, default
+    3600) must exceed the longest stage→commit latency of any LIVE
+    write, which in practice is one micro-batch/job."""
+    import time as _time
+
+    if not os.path.isdir(staging):
+        return
+    cutoff = _time.time() - ttl_s
+    for f in os.listdir(staging):
+        p = os.path.join(staging, f)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                os.remove(p)
+        except OSError:
+            pass  # concurrent removal / in-flight rename: not ours
+
+
 def _cap_committed(root: str, latest: "dict[int, int]") -> "dict[int, int]":
     """Cap end offsets at the epoch ledger's last COMMITTED counts —
     rows a crashed stream-writer commit could still roll back stay
@@ -216,9 +245,7 @@ def _cap_committed(root: str, latest: "dict[int, int]") -> "dict[int, int]":
 class OffsetLogBatchReader(DataSourceReader):
     def __init__(self, options) -> None:
         self.tx = _transport(options)
-        self.chunk = int(options.get("chunk_records", "100000"))
-        if self.chunk < 1:
-            raise ValueError("chunk_records must be >= 1")
+        self.chunk = _chunk_opt(options)
         self.read_committed = _read_committed_opt(options)
         self.root = options.get("path") or options.get("root")
         if self.read_committed and _is_wire(options):
@@ -298,7 +325,7 @@ class OffsetLogStreamReader(DataSourceStreamReader):
 
     def __init__(self, options) -> None:
         self.tx = _transport(options)
-        self.chunk = int(options.get("chunk_records", "100000"))
+        self.chunk = _chunk_opt(options)
         self.max_per_batch = int(
             options.get("max_records_per_batch", "0")
         )  # 0 = unbounded
@@ -369,8 +396,9 @@ class OffsetLogWriter(DataSourceWriter):
     compact — which `F.to_json` output is."""
 
     def __init__(self, options) -> None:
-        self.root, self.n, _ = _opts(options)
+        self.root, self.n = _opts(options)
         self.staging = os.path.join(self.root, ".staging")
+        self.staging_ttl_s = int(options.get("staging_ttl_seconds", "3600"))
 
     def write(self, iterator) -> _Staged:
         from pyspark import TaskContext
@@ -425,6 +453,13 @@ class OffsetLogWriter(DataSourceWriter):
         )
 
         src = OffsetLogSource(self.root, self.n)
+        ledger = _EpochLedger(self.root)
+        if ledger.exists():
+            # a streaming sink has used this root: a crashed stream
+            # commit may have left a pending intent whose replay would
+            # truncate away THIS batch's rows — repair it (and mark it
+            # aborted) before appending (review r15)
+            ledger.resolve_pending(src, ledger.state()[1])
         staged: "list[tuple[int, int, str]]" = []
         for m in messages:
             if m is None:
@@ -437,6 +472,7 @@ class OffsetLogWriter(DataSourceWriter):
             if values:
                 src.append(p, values)
             os.remove(path)
+        _sweep_stale_staging(self.staging, self.staging_ttl_s)
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -473,38 +509,76 @@ class _EpochLedger:
     def __init__(self, root: str) -> None:
         self.path = os.path.join(root, "_epochs.jsonl")
 
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
     def _entries(self) -> "list[dict]":
         if not os.path.exists(self.path):
             return []
         with open(self.path) as fh:
             return [json.loads(ln) for ln in fh if ln.strip()]
 
-    def committed_ids(self) -> "set[int]":
-        return {e["batch_id"] for e in self._entries()
-                if e["kind"] == "committed"}
-
-    def pending_intent(self) -> "dict | None":
-        """The last intent with no matching committed record."""
-        last = None
-        done = set()
+    def state(self) -> "tuple[set[int], dict | None, dict[int, int] | None]":
+        """(committed batchIds, pending intent, last committed counts)
+        derived from ONE pass over the ledger (review r15: commit read
+        and re-parsed the file three times per epoch). An 'aborted'
+        record resolves its intent like a 'committed' one — it marks a
+        rollback already performed by a later commit (stream or
+        batch), so the intent must never be replayed against appends
+        that happened after the repair."""
+        committed: "set[int]" = set()
+        last_intent = None
+        resolved: "set[int]" = set()
+        counts = None
         for e in self._entries():
             if e["kind"] == "intent":
-                last = e
-            else:
-                done.add(e["batch_id"])
-        if last is not None and last["batch_id"] not in done:
-            return last
-        return None
+                last_intent = e
+            elif e["kind"] == "committed":
+                committed.add(e["batch_id"])
+                resolved.add(e["batch_id"])
+                if "counts" in e:
+                    counts = {int(k): v for k, v in e["counts"].items()}
+            elif e["kind"] == "aborted":
+                resolved.add(e["batch_id"])
+        pending = (
+            last_intent
+            if last_intent is not None
+            and last_intent["batch_id"] not in resolved
+            else None
+        )
+        return committed, pending, counts
+
+    def committed_ids(self) -> "set[int]":
+        return self.state()[0]
+
+    def pending_intent(self) -> "dict | None":
+        return self.state()[1]
 
     def committed_counts(self) -> "dict[int, int] | None":
         """Per-partition record counts as of the last committed epoch,
         or None when the ledger is absent (log not written by the
         streaming sink — no isolation information exists)."""
-        out = None
-        for e in self._entries():
-            if e["kind"] == "committed" and "counts" in e:
-                out = {int(k): v for k, v in e["counts"].items()}
-        return out
+        return self.state()[2]
+
+    def resolve_pending(self, src, pending: "dict | None") -> None:
+        """Repair a crashed commit attempt: truncate every partition
+        log+index back to the intent's recorded byte sizes (append-only
+        files make undo a truncate) and mark the intent 'aborted' —
+        REQUIRED before ANY further append to a ledgered log, stream or
+        batch: without the marker, a later stream replay would roll
+        back again and silently destroy appends that landed after this
+        repair (review r15)."""
+        if pending is None:
+            return
+        for k, (log_b, idx_b) in pending["sizes"].items():
+            p = int(k)
+            lp = src._log_path(p)
+            ip = src._idx_path(p)
+            if os.path.exists(lp) and os.path.getsize(lp) > log_b:
+                os.truncate(lp, log_b)
+            if os.path.exists(ip) and os.path.getsize(ip) > idx_b:
+                os.truncate(ip, idx_b)
+        self.append({"kind": "aborted", "batch_id": pending["batch_id"]})
 
     def append(self, record: dict) -> None:
         with open(self.path, "a") as fh:
@@ -527,28 +601,20 @@ class OffsetLogStreamWriter(OffsetLogWriter, DataSourceStreamWriter):
         )
 
         ledger = _EpochLedger(self.root)
+        committed, pend, _ = ledger.state()  # one ledger pass per epoch
         staged: "list[tuple[int, int, str]]" = []
         for m in messages:
             if m is None:
                 continue
             for p, path, _ in m.files:
                 staged.append((p, m.task, path))
-        if batchId in ledger.committed_ids():
+        if batchId in committed:
             for _, _, path in staged:
                 if os.path.exists(path):
                     os.remove(path)
             return
         src = OffsetLogSource(self.root, self.n)
-        pend = ledger.pending_intent()
-        if pend is not None:
-            for k, (log_b, idx_b) in pend["sizes"].items():
-                p = int(k)
-                lp = src._log_path(p)
-                ip = src._idx_path(p)
-                if os.path.exists(lp) and os.path.getsize(lp) > log_b:
-                    os.truncate(lp, log_b)
-                if os.path.exists(ip) and os.path.getsize(ip) > idx_b:
-                    os.truncate(ip, idx_b)
+        ledger.resolve_pending(src, pend)
         sizes = {}
         for p in range(self.n):
             lp, ip = src._log_path(p), src._idx_path(p)
@@ -567,6 +633,7 @@ class OffsetLogStreamWriter(OffsetLogWriter, DataSourceStreamWriter):
         counts = src.latest_offsets()
         ledger.append({"kind": "committed", "batch_id": batchId,
                        "counts": {str(p): c for p, c in counts.items()}})
+        _sweep_stale_staging(self.staging, self.staging_ttl_s)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         OffsetLogWriter.abort(self, messages)
@@ -587,6 +654,14 @@ class OffsetLogDataSource(DataSource):
         return OffsetLogStreamReader(self.options)
 
     def streamWriter(self, schema, overwrite: bool) -> OffsetLogStreamWriter:
+        if overwrite:
+            # complete/truncate output modes would re-append every
+            # key's full state each epoch — the log is append-only and
+            # must refuse, like the batch overwrite path (review r15)
+            raise ValueError(
+                "aeuc_offsetlog is append-only; use outputMode "
+                "'append'/'update', not 'complete'"
+            )
         self._check_write(schema)
         return OffsetLogStreamWriter(self.options)
 

@@ -87,11 +87,19 @@ class CusumProcessor(StatefulProcessor):
             # time: the key closes when the watermark passes
             # last_event + timeout. Each arrival deletes the previous
             # timer (a stale one would close an active key).
+            # Epoch contract (review r15): the runtime hands ts as a
+            # SESSION-TIMEZONE-naive pandas Timestamp while
+            # registerTimer compares against the UTC watermark — so a
+            # naive value is localized to UTC explicitly, which is
+            # only correct under a UTC session (what session.py pins
+            # and every declared query runs under). Non-UTC sessions
+            # must pass tz-aware timestamps or expect shifted timers.
             for t in self.handle.listTimers():
                 self.handle.deleteTimer(t)
-            last_ms = int(
-                pdf[self.ts_col].max().timestamp() * 1000
-            )
+            last = pdf[self.ts_col].max()
+            if last.tzinfo is None:
+                last = last.tz_localize("UTC")
+            last_ms = int(last.timestamp() * 1000)
             self.handle.registerTimer(last_ms + self.idle_timeout_ms)
         yield pd.DataFrame({
             "key": [key[0]], "n_events": [n], "n_alarms": [a],

@@ -348,3 +348,66 @@ def test_failed_write_task_leaves_no_orphan_staging(spark, log_root):
     staging = os.path.join(log_root, ".staging")
     leftovers = os.listdir(staging) if os.path.isdir(staging) else []
     assert leftovers == [], leftovers
+
+
+def test_batch_commit_repairs_pending_intent_before_appending(
+    spark, log_root
+):
+    """Review r15: a crashed stream commit leaves a pending intent; a
+    BATCH write to the same root must first roll back the partial
+    append AND mark the intent aborted — otherwise the later stream
+    replay would truncate away the batch's committed rows."""
+    w = pyds.OffsetLogStreamWriter({"path": log_root, "n_partitions": "2"})
+    w.commit(_staged_msgs(w, {0: [{"a": 1}]}), 0)
+    src = OffsetLogSource(log_root, 2)
+    led = pyds._EpochLedger(log_root)
+    sizes = {str(p): [
+        os.path.getsize(src._log_path(p))
+        if os.path.exists(src._log_path(p)) else 0,
+        os.path.getsize(src._idx_path(p))
+        if os.path.exists(src._idx_path(p)) else 0,
+    ] for p in range(2)}
+    led.append({"kind": "intent", "batch_id": 1, "sizes": sizes})
+    src.append(0, [{"a": "partial"}])  # the dead attempt's partial rows
+    pyds.register(spark)
+    (spark.createDataFrame([(1, '{"b":1}')], "partition INT, value STRING")
+     .write.format("aeuc_offsetlog").option("path", log_root)
+     .option("n_partitions", "2").mode("append").save())
+    # partial rolled back, batch row landed, intent resolved
+    assert src.latest_offsets() == {0: 1, 1: 1}
+    assert led.pending_intent() is None
+    # the replayed stream epoch 1 now appends FRESH without truncating
+    # the batch row away
+    w.commit(_staged_msgs(w, {0: [{"a": 2}]}), 1)
+    assert src.latest_offsets() == {0: 2, 1: 1}
+    assert [json.loads(ln) for ln in src.slice_lines(1, 0, 1)] == [{"b": 1}]
+
+
+def test_stream_writer_refuses_complete_output_mode(spark, log_root):
+    pyds.register(spark)
+    agg = (spark.readStream.format("rate-micro-batch")
+           .option("rowsPerBatch", "1").load()
+           .groupBy().count()
+           .selectExpr("CAST(0 AS INT) AS partition",
+                       "to_json(struct(count)) AS value"))
+    q = (agg.writeStream.format("aeuc_offsetlog")
+            .option("path", log_root).outputMode("complete")
+            .option("checkpointLocation", log_root + "_ck").start())
+    try:
+        # the writer is constructed lazily in the first micro-batch,
+        # so the refusal surfaces as the query's failure
+        with pytest.raises(Exception, match="append-only"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    assert not os.path.exists(
+        os.path.join(log_root, "partition-00000.jsonl")
+    )
+
+
+def test_wire_stream_reader_rejects_zero_chunk(spark, wire_broker):
+    b, _ = wire_broker
+    with pytest.raises(Exception, match="chunk_records"):
+        (spark.read.format("aeuc_offsetlog")
+         .option("host", b.host).option("port", str(b.port))
+         .option("chunk_records", "0").load().count())
