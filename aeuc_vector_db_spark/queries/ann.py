@@ -603,10 +603,16 @@ def _ivf_radius_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle-inequality prune. Trained coarse quantizer (deterministic
     sample-fit Lloyd), threshold 0.2."""
     from aeuc_vector_db_spark.queries.core import _RANGE_THRESHOLD
+    from aeuc_vector_db_spark.sources.tables import ensure_min_parallelism
 
     emb = load_table(spark, "embeddings", sf_dir)
     cent_local = A.fit_centroids_sample_local(emb, k=8, seed=42, iters=10)
-    corpus = emb.join(A.assign_centroids(emb, cent_local), "vec_id")
+    # optimization round 15: the fine scan's interpreted cosine fold ran
+    # on the single-file scan's one task — spread the corpus before the
+    # cell-assignment join (same rows, same fold, same bits)
+    corpus = ensure_min_parallelism(emb).join(
+        A.assign_centroids(emb, cent_local), "vec_id"
+    )
     res = A.ivf_range_search(
         corpus, cent_local, _queries_df(spark, sf_dir),
         threshold=_RANGE_THRESHOLD,

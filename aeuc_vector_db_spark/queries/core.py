@@ -965,8 +965,12 @@ _RANGE_THRESHOLD = 0.2
 
 def _knn_cosine_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aeuc_vector_db_spark.functions.vector import dot_col, l2_norm_col
+    from aeuc_vector_db_spark.sources.tables import ensure_min_parallelism
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    # optimization round 15: the interpreted per-pair dot fold is the
+    # whole query (map-side broadcast cross), and the single-file scan
+    # serialized it on one task — spread the corpus, results unchanged
+    emb = ensure_min_parallelism(load_table(spark, "embeddings", sf_dir))
     # norms precomputed ONCE PER ROW, not per pair: the HOF lambdas are
     # interpreted (not codegen'd), so folding each side's sqnorm inside
     # the pair expression tripled the lambda work (measured 0.46 s →

@@ -75,8 +75,38 @@ def _dk_lang_score(toks: str, lang: str) -> str:
 # ---------------------------------------------------------------------------
 
 def _doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    st = docs.select("doc_id", TX.token_stats_pandas()(F.col("text")).alias("st"))
+    # Optimization round 15: back to JVM expressions, tokens let_col-
+    # bound ONCE. The pandas kernel (token_stats_pandas, kept for its
+    # tests) replaced a pre-let_col HOF form that re-tokenized per
+    # expression (27 s at sf0.1); with the token array bound once the
+    # four folds are linear and stay in the JVM — no ArrowEvalPython
+    # round-trip per collect (~0.2 s fixed on the bench substrate).
+    # Measured 0.30 → 0.11 s hot at sf0.1 with the parallel spread;
+    # integer-exact, so values are bit-identical (oracle-verified).
+    from aeuc_vector_db_spark.sources.tables import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(load_table(spark, "documents", sf_dir))
+
+    def stats(toks: F.Column) -> F.Column:
+        n = F.size(toks)
+        total_len = F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t).cast("long")
+        )
+        est_bpe = F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda a, t: a + F.ceil(F.length(t) / F.lit(4.0)).cast("long"),
+        )
+        return F.struct(
+            n.cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+            total_len.alias("total_len"),
+            est_bpe.alias("est_bpe_tokens"),
+        )
+
+    st = docs.select(
+        "doc_id", TX.let_col(TX.tokens_col("text"), stats).alias("st")
+    )
     return st.select(
         "doc_id",
         F.col("st.n_tokens").alias("n_tokens"),
@@ -320,14 +350,24 @@ FROM corpus GROUP BY sha256(text) HAVING COUNT(*) > 1
 
 
 def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ near-dup copies: doc_id % 10 = 0, last 20 chars cut."""
+    """documents ∪ near-dup copies: doc_id % 10 = 0, last 20 chars cut.
+
+    The corpus is `ensure_min_parallelism`-spread (optimization round
+    15): every consumer of this union runs a compute-heavy map stage
+    over it (shingle hashing, window explode+xxhash64, MinHash
+    signatures), and the single-file fixture scan otherwise serializes
+    that work on 1-2 tasks (doc_substring_dedup measured 5.9 s noop at
+    sf0.1 with the whole window fan-out on one core). Row set is
+    unchanged; at real scale the guard no-ops."""
     docs = load_table(spark, "documents", sf_dir)
     copies = (
         docs.filter(F.col("doc_id") % 10 == 0)
         .withColumn("doc_id", F.col("doc_id") + 100000)
         .withColumn("text", F.expr("substring(text, 1, length(text) - 20)"))
     )
-    return docs.unionByName(copies)
+    from aeuc_vector_db_spark.sources.tables import ensure_min_parallelism
+
+    return ensure_min_parallelism(docs.unionByName(copies))
 
 
 _NEAR_DUP_CORPUS_SQL = """
@@ -1902,7 +1942,9 @@ def _doc_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r9-r12 SQL-HOF form (kept as _doc_winnowing_fp_sql) was the
     # slowest healthy headline at 1.17 s sf0.1 — interpreted lambda
     # evaluation over the shingle arrays was the entire cost.
-    docs = load_table(spark, "documents", sf_dir)
+    from aeuc_vector_db_spark.sources.tables import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(load_table(spark, "documents", sf_dir))
     k, w = _WINNOW_K, _WINNOW_W
 
     def gen(it):
@@ -2010,35 +2052,71 @@ FROM f GROUP BY doc_id
 
 
 def _doc_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    from aeuc_vector_db_spark.sources.tables import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(load_table(spark, "documents", sf_dir))
 
     def stats(toks: F.Column) -> F.Column:
-        counts = F.transform(
-            F.array_distinct(toks),
-            lambda u: F.size(F.filter(toks, lambda x: x == u)),
+        # Sorted-run scan (optimization round 15): the r9-r14 form built
+        # counts = transform(array_distinct(toks), u -> size(filter(toks,
+        # x = u))) — O(n·types) interpreted lambda evaluations per doc,
+        # the measured cost of the query (0.27 s hot at sf0.1, map-only
+        # plan, so the expression IS the query). Sorting the token array
+        # (native, no lambda) and folding run lengths in ONE O(n) pass
+        # computes the same three count statistics the struct consumes:
+        # Σc(c−1) (sum over runs ≡ sum over distinct tokens — integer,
+        # order-free), max run ≡ max count, and #runs ≡ #distinct. All
+        # integer arithmetic, and the final gini/top_share divisions are
+        # the SAME formulas over the SAME integer operands, so every
+        # output bit (incl. the null propagation for null/empty token
+        # arrays) is unchanged — oracle-verified at all three SFs.
+        zero = F.lit(0).cast("long")
+        one = F.lit(1).cast("long")
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            zero.alias("run"),
+            zero.alias("sumc2"),
+            zero.alias("maxc"),
+            zero.alias("types"),
         )
 
-        def fields(cnts: F.Column) -> F.Column:
+        def step(acc: F.Column, x: F.Column) -> F.Column:
+            cont = x == acc["prev"]  # null prev (first token) → new run
+            run = acc["run"]
+            return F.struct(
+                x.alias("prev"),
+                F.when(cont, run + one).otherwise(one).alias("run"),
+                F.when(cont, acc["sumc2"])
+                .otherwise(acc["sumc2"] + run * (run - one))
+                .alias("sumc2"),
+                F.when(cont, acc["maxc"])
+                .otherwise(F.greatest(acc["maxc"], run))
+                .alias("maxc"),
+                F.when(cont, acc["types"])
+                .otherwise(acc["types"] + F.when(run > 0, one).otherwise(zero))
+                .alias("types"),
+            )
+
+        def fin(acc: F.Column) -> F.Column:
             n = F.size(toks)
             nl = n.cast("long")
-            sumc2 = F.aggregate(
-                cnts,
-                F.lit(0).cast("long"),
-                lambda acc, c: acc + c.cast("long") * (c.cast("long") - 1),
-            )
+            run = acc["run"]
+            sumc2 = acc["sumc2"] + run * (run - one)
+            maxc = F.greatest(acc["maxc"], run)
+            types = acc["types"] + F.when(run > 0, one).otherwise(zero)
             denom = (nl * (nl - 1)).cast("double")
             return F.struct(
                 nl.alias("n_tokens"),
-                F.size(cnts).cast("long").alias("n_types"),
+                types.alias("n_types"),
                 F.when(n >= 2, F.lit(1.0) - sumc2.cast("double") / denom)
                 .alias("gini_simpson"),
                 F.when(
                     n >= 1,
-                    F.array_max(cnts).cast("double") / n.cast("double"),
+                    maxc.cast("double") / n.cast("double"),
                 ).alias("top_share"),
             )
 
-        return TX.let_col(counts, fields)
+        return F.aggregate(F.array_sort(toks), init, step, fin)
 
     return docs.select(
         "doc_id", TX.let_col(TX.tokens_col("text"), stats).alias("s")

@@ -69,6 +69,36 @@ def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, Dat
     return {t: load_table(spark, t, sf_dir) for t in TABLES}
 
 
+def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition a scan that is under-parallel for heavy
+    map-side work (optimization round 15, guide §2.5 "input skew" /
+    §6 small-files: the single-file fixture tables scan as ONE task, so
+    a compute-heavy kernel — shingle hashing, window explode+hash,
+    Arrow batch kernels — serializes on 1 of the cores).
+
+    `target` defaults to max(2, defaultParallelism // 4): enough lanes
+    to spread a multi-second kernel, few enough that the per-task cost
+    (Python-runner handshake ~10-30 ms/task on this substrate, JVM task
+    scheduling ~10 ms) does not dominate the near-floor queries. The
+    formula scales with the session's core count (SPARK_GRAFT_CPUS on
+    the bench substrate), never a local[32] constant.
+
+    At cluster scale a 100 TB scan already yields thousands of
+    partitions, so the `< target` guard makes this a NO-OP — we never
+    add a shuffle to an already-parallel scan (same contract as
+    operators/search.py _ensure_parallel). The explicit numbered
+    repartition is deliberately exempt from AQE partition coalescing,
+    and round-robin repartition sorts its input first
+    (spark.sql.execution.sortBeforeRepartition, default on) so task
+    retries reproduce the same row placement. Row-set semantics are
+    unchanged — only physical placement moves."""
+    if target is None:
+        target = max(2, df.sparkSession.sparkContext.defaultParallelism // 4)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every fixture table as a temp view for the SQL entry point."""
     for t in TABLES:

@@ -409,7 +409,14 @@ def test_round9_new_query_plan_shapes(spark):
     # ZERO shuffles, zero explode, no window operator, and exactly one
     # Python eval node — a filter over a pandas_udf would re-evaluate
     # the kernel on both sides (2 ArrowEvalPython, measured 2×).
-    assert "Exchange" not in plan, "winnowing must be map-only"
+    # Optimization round 15: the ONE allowed exchange is the
+    # ensure_min_parallelism round-robin spread of the single-file scan
+    # (the kernel serialized on 1 task otherwise); the computation
+    # itself must still never shuffle — no hash/range partitioning.
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, (
+        "winnowing must not shuffle by key"
+    )
+    assert plan.count("roundrobinpartitioning") <= 1
     assert "Generate explode" not in plan and "posexplode" not in plan
     assert "BatchEvalPython" not in plan
     fn = Q.queries()["doc_winnowing_fingerprint"]
@@ -460,7 +467,13 @@ def test_late_round9_batch2_plan_shapes(spark):
         .executedPlan()
         .toString()
     )
-    assert "Exchange" not in phys, "token diversity must be map-only"
+    # Optimization round 15: one round-robin input spread allowed (the
+    # sorted-run scan otherwise serializes on the single-file scan's one
+    # task); the statistics themselves must never shuffle by key.
+    assert "hashpartitioning" not in phys and "rangepartitioning" not in phys, (
+        "token diversity must not shuffle by key"
+    )
+    assert phys.count("roundrobinpartitioning") <= 1
 
 
 def test_rfm_segments_has_no_unpartitioned_window(spark):
