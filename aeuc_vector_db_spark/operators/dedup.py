@@ -1039,19 +1039,40 @@ def embedding_near_dup(
     """Embedding-cosine near-dup within blocks. Returns
     (block, a_id, b_id, cos). Blocking keeps the pair count at
     Σ nᵢ² instead of N²; at scale the block key is a trained cluster id
-    (operators/ann.py) rather than a label."""
-    from aeuc_vector_db_spark.functions.similarity import cosine_col
-    from aeuc_vector_db_spark.functions.vector import as_double
+    (operators/ann.py) rather than a label.
+
+    Norms are folded ONCE PER ROW before the self-join (optimization
+    round 15 — the same fix knn_cosine_range carries): folding each
+    side's ‖·‖ inside the per-pair expression tripled the interpreted
+    lambda work, and with Σ nᵢ² pairs the norm folds dominated the
+    query (emb_semantic_dedup_keep_one 11.2 → measured win below). The
+    per-row fold is the identical `l2_norm_col` over the identical
+    array, so cos = dot/(na·nb + 1e-12) is bit-for-bit what
+    `cosine_col` produced."""
+    from aeuc_vector_db_spark.functions.vector import (
+        as_double,
+        dot_col,
+        l2_norm_col,
+    )
 
     base = df.select(
         F.col(block_col).alias("block"), F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("n", l2_norm_col("v"))
+    a = base.select(
+        "block", F.col(id_col).alias("a_id"),
+        F.col("v").alias("a_v"), F.col("n").alias("a_n"),
     )
-    a = base.select("block", F.col(id_col).alias("a_id"), F.col("v").alias("a_v"))
-    b = base.select("block", F.col(id_col).alias("b_id"), F.col("v").alias("b_v"))
+    b = base.select(
+        "block", F.col(id_col).alias("b_id"),
+        F.col("v").alias("b_v"), F.col("n").alias("b_n"),
+    )
+    cos = dot_col(F.col("a_v"), F.col("b_v")) / (
+        F.col("a_n") * F.col("b_n") + F.lit(1e-12)
+    )
     return (
         a.join(b, "block")
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("block", "a_id", "b_id", cosine_col(F.col("a_v"), F.col("b_v")).alias("cos"))
+        .select("block", "a_id", "b_id", cos.alias("cos"))
         .filter(F.col("cos") >= F.lit(threshold))
     )
 

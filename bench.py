@@ -429,7 +429,7 @@ def main() -> None:
     # execution with the plan already compiled, which is both how a
     # serving system runs (plan reuse) and what the warm-loop baseline
     # measures.
-    def _headline_pass(tag: str) -> tuple[dict, dict]:
+    def _headline_pass(tag: str) -> tuple[dict, dict, dict]:
         # Warm the JVM/codegen/Arrow/python-worker paths once with real
         # code paths at the smallest sf so the first measured query
         # doesn't pay session bring-up.
@@ -439,6 +439,7 @@ def main() -> None:
                 registry[warm_q](spark, warm_dir).collect()
         hot_q: dict[str, float] = {}
         cold_q: dict[str, float] = {}
+        noop_q: dict[str, float] = {}
         measured = 0
         for name in HEADLINE:
             fn = registry.get(name)
@@ -473,13 +474,25 @@ def main() -> None:
                 hot = min(hot, time.time() - t0)
             hot_q[name] = round(hot, 4)
             cold_q[name] = round(cold, 4)
+            # Noop-sink twin (optimization round 15, guide §1.4): the
+            # hot re-collect reuses AQE-materialized shuffle stages, so
+            # for multi-stage plans it times only the final stage plus
+            # the driver-side row serialization of the result set. The
+            # noop write computes EVERY column of every row from the
+            # parquet inputs with no stage reuse and no py4j transfer —
+            # the query's full recompute cost. ADDED measurement: the
+            # `queries`/hot methodology above is unchanged and remains
+            # the primary/comparable number (see OPTIMIZATION_r15.md).
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            noop_q[name] = round(time.time() - t0, 4)
             print(
                 f"# {tag} {name}: hot {hot:.3f}s / cold {cold:.3f}s "
-                f"({len(rows)} rows)",
+                f"/ noop {noop_q[name]:.3f}s ({len(rows)} rows)",
                 file=sys.stderr,
             )
         spark.stop()
-        return hot_q, cold_q
+        return hot_q, cold_q, noop_q
 
     # The headline block runs TWICE with loop stamps at the pass
     # boundaries (VERDICT r11 #3): single-sample entries produced nine
@@ -493,11 +506,13 @@ def main() -> None:
     headline_stamps = [_loop_stamp()]
     headline_io: list[dict] = []
     passes: list[dict[str, float]] = []
+    noop_passes: list[dict[str, float]] = []
     cold_query: dict[str, float] = {}
     _io_prev = _io_snap()
     for i in range(HEADLINE_TRIES):
-        hot_q, cold_q = _headline_pass(f"bench-headline-p{i}")
+        hot_q, cold_q, noop_q = _headline_pass(f"bench-headline-p{i}")
         passes.append(hot_q)
+        noop_passes.append(noop_q)
         if not cold_query:
             # only the FIRST pass's cold is a true cold (later passes
             # reuse compiled codegen classes across sessions)
@@ -513,11 +528,16 @@ def main() -> None:
         })
         _io_prev = _io_now
     per_query: dict[str, float] = {}
+    noop_query: dict[str, float] = {}
     for name in HEADLINE:
         vals = [p[name] for p in passes if name in p]
         if vals:
             per_query[name] = min(vals)
+        nvals = [p[name] for p in noop_passes if name in p]
+        if nvals:
+            noop_query[name] = min(nvals)
     total = sum(per_query.values())
+    noop_total = sum(noop_query.values())
 
     ingest_rate = results["bench-probe-ingest"]
     knn_scale = results["bench-probe-knn"]
@@ -613,6 +633,9 @@ def main() -> None:
         # where their timings live on)
         "hot_queries": per_query,
         "cold_queries": cold_query,
+        # full-recompute twin (noop sink, guide §1.4): min across
+        # passes; ADDED in round 15 — hot_queries is unchanged
+        "noop_queries": noop_query,
         # per-pass hot maps + the loop stamps bracketing each pass
         # (VERDICT r11 #3): per_query is min across passes; a phantom
         # regression now needs BOTH passes slow with clean stamps
@@ -667,6 +690,10 @@ def main() -> None:
         # stamps rounded for the line — full precision in the detail)
         "headline_tries": HEADLINE_TRIES,
         "headline_stamps": [round(s, 2) for s in headline_stamps],
+        # sum of the per-query noop-sink (full recompute, no stage
+        # reuse, no collect transfer) timings — the ADDED compute-only
+        # twin of `value`; per-query map in BENCH_DETAIL.noop_queries
+        "noop_total": round(noop_total, 3),
         "loadavg_start": load_at_start,
         # compact: [python_loop_1e7_s, numpy_matmul_1024_s] — the box-
         # speed stamp must survive line pruning, so keep it tiny
