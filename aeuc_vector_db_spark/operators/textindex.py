@@ -61,28 +61,41 @@ class TextIndex:
     # -- build / maintain ------------------------------------------------
 
     @staticmethod
-    def _tokenize(
-        docs: DataFrame, text_col: str, id_col: str
-    ) -> "tuple[DataFrame, DataFrame, DataFrame]":
-        tok = docs.select(
+    def _postings_of(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        """(term, doc_id, tf) from one tokenize+explode pass. Spread an
+        under-parallel scan first (optimization round 15): the explode
+        fan-out and regex tokenize are the build's compute, and a
+        single-file corpus otherwise runs them on one task."""
+        from aeuc_vector_db_spark.sources.tables import ensure_min_parallelism
+
+        tok = ensure_min_parallelism(docs).select(
             F.col(id_col).alias("doc_id"),
             F.explode(tokens_col(F.col(text_col))).alias("term"),
         )
-        postings = tok.groupBy("term", "doc_id").agg(
-            F.count(F.lit(1)).alias("tf")
+        return tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+
+    @staticmethod
+    def _dlen_of(postings: DataFrame) -> DataFrame:
+        """doclens derived FROM postings: Σ tf per doc ≡ the token count
+        the retired per-table tokenize computed (exact integers). Lets
+        build/append tokenize the corpus ONCE and derive the other two
+        tables from the already-materialized postings (optimization
+        round 15 — the old build re-ran tokenize+explode per committed
+        table, 3× the corpus passes)."""
+        return postings.groupBy("doc_id").agg(
+            F.sum("tf").cast("long").alias("dlen")
         )
-        dlen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
-        stats = dlen.agg(
+
+    @staticmethod
+    def _stats_of(dlen: DataFrame, n_docs_df: DataFrame) -> DataFrame:
+        return dlen.agg(
             F.sum("dlen").alias("tok_total"),
             F.count(F.lit(1)).alias("docs_with_tokens"),
-        ).crossJoin(
-            F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
-        ).select(
+        ).crossJoin(F.broadcast(n_docs_df)).select(
             F.col("n_docs").cast("long"),
             F.coalesce(F.col("tok_total"), F.lit(0)).cast("long").alias("tok_total"),
             F.col("docs_with_tokens").cast("long"),
         )
-        return postings, dlen, stats
 
     @classmethod
     def build(
@@ -94,15 +107,22 @@ class TextIndex:
         id_col: str = "doc_id",
         n_term_files: int = 8,
     ) -> "TextIndex":
-        """Materialize the index: one tokenize pass over the corpus,
-        postings term-sorted into `n_term_files` files with disjoint
-        term ranges (what makes the per-query pruning bite)."""
+        """Materialize the index: ONE tokenize pass over the corpus
+        (postings), postings term-sorted into `n_term_files` files with
+        disjoint term ranges (what makes the per-query pruning bite);
+        doclens and stats derive from the committed postings files —
+        no second or third corpus pass."""
         idx = cls(root)
-        postings, dlen, stats = cls._tokenize(docs, text_col, id_col)
+        postings = cls._postings_of(docs, text_col, id_col)
         idx.postings.commit_overwrite(postings)
         idx.postings.compact(spark, sort_by=["term"], n_files=n_term_files)
+        committed = idx.postings.read(spark)
+        dlen = cls._dlen_of(committed)
         idx.doclens.commit_overwrite(dlen)
-        idx.stats.commit_overwrite(stats)
+        idx.stats.commit_overwrite(cls._stats_of(
+            idx.doclens.read(spark),
+            docs.agg(F.count(F.lit(1)).alias("n_docs")),
+        ))
         return idx
 
     def append_docs(
@@ -118,12 +138,21 @@ class TextIndex:
         files carry their own term stats/blooms, so pruned queries stay
         pruned across refreshes (term-range overlap between the base
         and delta files costs extra opened files, not correctness —
-        re-compact(sort_by=["term"]) to restore disjoint ranges)."""
-        postings, dlen, delta_stats = self._tokenize(new_docs, text_col, id_col)
+        re-compact(sort_by=["term"]) to restore disjoint ranges).
+        Like build, the delta is tokenized ONCE: the delta postings are
+        eagerly localCheckpoint-ed (bounded — O(new docs) by this
+        method's contract) and doclens/stats derive from that
+        materialization instead of re-tokenizing the delta per table."""
+        postings = self._postings_of(new_docs, text_col, id_col).localCheckpoint(
+            eager=True
+        )
         self.postings.commit_append(postings)
+        dlen = self._dlen_of(postings)
         self.doclens.commit_append(dlen)
         cur = self.stats.read(spark).collect()[0]
-        d = delta_stats.collect()[0]
+        d = self._stats_of(
+            dlen, new_docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        ).collect()[0]
         merged = spark.createDataFrame(
             [(
                 cur["n_docs"] + d["n_docs"],
