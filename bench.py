@@ -22,16 +22,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _io_state() -> tuple[float, int, int]:
-    """(loadavg_1m, iowait_ticks, total_ticks) — ONE shared parser for
-    the disk-contention axis (round-14 forensics: loadavg 14.5 at 96.9%
-    idle CPU), used by both bench stamp sites and
-    tools/check_correctness.py. A drifting iowait-tick index between
-    copies would silently desynchronize the artifacts."""
+def _io_state() -> tuple[float, int, int, int]:
+    """(loadavg_1m, iowait_ticks, total_ticks, steal_ticks) — ONE shared
+    parser for the non-CPU host-noise axes, used by both bench stamp
+    sites and tools/check_correctness.py. iowait: round-14 forensics
+    (loadavg 14.5 at 96.9% idle CPU — D-state disk sleep). steal: round
+    15 forensics — iterative warm-session queries (trade_pagerank 9 s)
+    read 22-30 s in a sweep whose CPU-loop and iowait stamps were BOTH
+    clean; vmstat showed nonzero `st` on this VM, i.e. the hypervisor
+    withholding cycles, which neither the single-thread loop stamp
+    (slowed proportionally, within its own noise) nor iowait can
+    attribute. A drifting tick index between copies would silently
+    desynchronize the artifacts."""
     load1 = float(open("/proc/loadavg").read().split()[0])
     parts = open("/proc/stat").readline().split()
     ticks = [int(x) for x in parts[1:]]
-    return load1, ticks[4], sum(ticks)
+    steal = ticks[7] if len(ticks) > 7 else 0
+    return load1, ticks[4], sum(ticks), steal
 
 
 
@@ -328,6 +335,7 @@ def _calibrated_probe(tag, probe, get_spark, headline):
         att = {"pre": pre, "post": post, "stamp": stamp,
                "loadavg_1m": io1[0],
                "iowait_frac": round((io1[1] - io0[1]) / dt, 4) if dt else 0.0,
+               "steal_frac": round((io1[3] - io0[3]) / dt, 4) if dt else 0.0,
                "result": result}
         attempts.append(att)
         if best is None or headline(result) > headline(best["result"]):
@@ -525,6 +533,7 @@ def main() -> None:
         headline_io.append({
             "loadavg_1m": _io_now[0],
             "iowait_frac": round((_io_now[1] - _io_prev[1]) / _dt, 4) if _dt else 0.0,
+            "steal_frac": round((_io_now[3] - _io_prev[3]) / _dt, 4) if _dt else 0.0,
         })
         _io_prev = _io_now
     per_query: dict[str, float] = {}

@@ -132,15 +132,19 @@ def main() -> int:
     # alone — the r13 sf0.1 sweep embedded a single run-level stamp and
     # its 2-30x tail swings (sql_entry_pricing 30.9 s vs its 1.3 s
     # bit-identical twin) were undecidable without a solo rerun. Each
-    # block carries the loop stamp (CPU), loadavg, and the iowait share
-    # of ALL cpu ticks since the previous block (disk contention).
-    def _block_stamp(n: int, prev: tuple[float, int, int] | None) -> dict:
-        load1, iow, tot = _io_state()
+    # block carries the loop stamp (CPU), loadavg, the iowait share of
+    # ALL cpu ticks since the previous block (disk contention), and the
+    # hypervisor steal share (round 15: warm-session trade_pagerank at
+    # ~9 s read 30.4 s in a sweep whose CPU + iowait stamps were clean;
+    # `st` in vmstat was the only visible axis).
+    def _block_stamp(n: int, prev: "tuple[float, int, int, int] | None") -> dict:
+        load1, iow, tot, steal = _io_state()
         d = {"n_done": n, "python_loop_1e7_s": _loop_stamp(),
              "loadavg_1m": load1}
         if prev is not None:
             dt = tot - prev[2]
             d["iowait_frac"] = round((iow - prev[1]) / dt, 4) if dt else 0.0
+            d["steal_frac"] = round((steal - prev[3]) / dt, 4) if dt else 0.0
         return d
 
     _prev_io = _io_state()
