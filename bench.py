@@ -243,6 +243,11 @@ CAL_OUT_OF_BAND = 1.5
 CAL_MIN_ATTEMPTS = 2
 #: bounded retries per gated probe (every attempt is recorded)
 CAL_MAX_ATTEMPTS = 4
+#: hypervisor-steal share above which an attempt is out-of-band
+#: (round 15: 12% steal halved the knn probe under an in-band CPU
+#: stamp — steal hits 32-way work and the 1-thread stamp alike, so
+#: the stamp alone cannot flag it)
+CAL_STEAL_BAND = 0.02
 
 #: probes whose headline numbers carry a BASELINE.md gate — these get
 #: the calibrated best-of-N treatment; the value extracted by the
@@ -340,13 +345,24 @@ def _calibrated_probe(tag, probe, get_spark, headline):
         attempts.append(att)
         if best is None or headline(result) > headline(best["result"]):
             best = att
-        in_band = stamp <= CAL_REF["python_loop_1e7_s"] * CAL_OUT_OF_BAND
+        # out-of-band = depressed CPU stamp OR hypervisor steal above
+        # CAL_STEAL_BAND across the attempt (round 15: a 12% steal
+        # attempt halved the knn probe while the CPU-loop stamp read
+        # in-band — steal slows the 32-way probe and the 1-thread stamp
+        # proportionally, so the stamp alone cannot flag it). Bounded
+        # retries as before; a chronically stealing host still ends
+        # with best-of-attempts and a self-describing artifact.
+        in_band = (
+            stamp <= CAL_REF["python_loop_1e7_s"] * CAL_OUT_OF_BAND
+            and att["steal_frac"] <= CAL_STEAL_BAND
+        )
         if i + 1 >= CAL_MIN_ATTEMPTS and in_band:
             break
         if not in_band:
             print(
-                f"# {tag}: calibration stamp {stamp:.4f}s out of band "
-                f"(healthy {CAL_REF['python_loop_1e7_s']}s, attempt "
+                f"# {tag}: attempt out of band (stamp {stamp:.4f}s vs "
+                f"healthy {CAL_REF['python_loop_1e7_s']}s, steal_frac "
+                f"{att['steal_frac']:.4f}, attempt "
                 f"{i + 1}/{CAL_MAX_ATTEMPTS}) — retrying probe",
                 file=sys.stderr,
             )

@@ -111,6 +111,18 @@ def test_ensure_min_parallelism_noop_when_already_parallel(spark):
     assert out is df  # no extra exchange inserted
 
 
+def test_io_state_reports_all_three_noise_axes():
+    # loadavg + iowait + total + steal ticks; ticks monotone across reads
+    from bench import _io_state
+
+    a = _io_state()
+    b = _io_state()
+    assert len(a) == 4
+    assert isinstance(a[0], float)
+    assert all(isinstance(x, int) for x in a[1:])
+    assert b[2] >= a[2] and b[1] >= a[1] and b[3] >= a[3]
+
+
 def test_ensure_min_parallelism_default_scales_with_cores(spark):
     # default target derives from the session's core count, never a
     # local[32] constant (the bench substrate re-runs at lower CPUs)
