@@ -61,11 +61,29 @@ def _cpu_cal() -> dict:
 
 
 def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    import decimal
+
     cols = sorted(df.columns)
     df = df[cols].copy()
     for c in cols:
-        # stringify deterministically; floats via repr (shortest round-trip)
-        df[c] = df[c].map(lambda v: repr(v) if isinstance(v, float) else str(v))
+        # stringify deterministically; floats via repr (shortest
+        # round-trip). DECIMAL columns arrive asymmetrically: Spark's
+        # toPandas keeps decimal.Decimal objects, duckdb's fetchdf
+        # degrades DECIMAL to float64 — so a value whose cents digit is
+        # zero stringifies as '…X.30' on one side and '…X.3' on the
+        # other and a VALUE-EQUAL row hashes unequal (first hit:
+        # rel_bloom_semijoin_revenue at sf0.001, sum 20712143.30; the
+        # sf0.01/sf0.1 fixtures never produced a trailing-zero decimal
+        # sum, which is why 14 rounds of sweeps missed it). Normalize
+        # Decimal through float's repr — exact for every DECIMAL(18,2)
+        # magnitude these fixtures can produce (< 2^53) — so both
+        # engines' representations of the same value hash identically;
+        # genuinely different values still differ.
+        df[c] = df[c].map(
+            lambda v: repr(float(v))
+            if isinstance(v, (float, decimal.Decimal))
+            else str(v)
+        )
     rows = sorted(df.itertuples(index=False, name=None))
     h = hashlib.sha256()
     for r in rows:
