@@ -120,6 +120,21 @@ def _candidates_from_sigs(
     information. AQE skew-join (on in session.py) splits the residual
     moderate skew. Default None = exact LSH semantics (oracle-checked
     queries use None; scale pipelines set a cap).
+
+    Optimization round 16 examined and REVERTED a groupBy(band, vals) +
+    collect_list + map-side pair-expansion form here (one evaluation of
+    the upstream signature subtree instead of two): measured
+    interleaved at sf0.1 it was noop-FLAT (the duplicated subtrees run
+    in parallel stages, so wall-clock doesn't shorten) and regressed
+    the hot re-collect 0.11 → 0.38 s — the post-aggregate candidate
+    set's size estimate flips it onto the BROADCAST side of the verify
+    joins, which pushes the corpus shingle kernel onto the streamed
+    final stage where every collect re-runs it. The self-join keeps
+    the candidate subtree streamed atop its materialized exchanges.
+    At 100 TB the answer to the duplicated text pass is not this
+    operator but the persisted (id, sig, sh) index + incremental serve
+    paths (`minhash_doc_index` / `incremental_minhash_near_dup`), which
+    never re-shingle the corpus at all.
     """
     bands = _band_rows(sigs, id_col, k, band_size)
     if max_band_size is not None:

@@ -323,6 +323,28 @@ def cms_build(df: DataFrame, key_col: str = "term") -> DataFrame:
     return cells.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def cms_build_from_counts(
+    counts: DataFrame, key_col: str = "term", count_col: str = "cnt"
+) -> DataFrame:
+    """Build the IDENTICAL sketch from pre-aggregated (key, count) rows
+    (optimization round 16): a cell's count is the number of stream
+    occurrences hashing to it ≡ the sum of the per-key counts of the
+    keys hashing to it — exact integer equality, same bucket columns.
+    A caller that already aggregated the token stream (e.g. for exact
+    heavy-hitter probes) can derive the sketch from that one
+    vocabulary-sized aggregate instead of re-exploding the corpus: the
+    sketch-build input shrinks from occurrences to distinct keys and
+    the extra corpus pass disappears."""
+    cells = counts.select(
+        F.col(count_col),
+        F.posexplode(F.array(*cms_bucket_cols(key_col))).alias("row", "bucket"),
+    )
+    return (
+        cells.groupBy("row", "bucket")
+        .agg(F.sum(count_col).cast("long").alias("cnt"))
+    )
+
+
 def cms_estimate(sketch: DataFrame, probes: DataFrame, key_col: str = "term") -> DataFrame:
     """Point-frequency estimates for each probe key: min over the d
     cells the key hashes to. Output: (key_col, cms_estimate long).

@@ -15,7 +15,7 @@ value arithmetic (no float math at all), so DuckDB mirrors it exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -184,49 +184,80 @@ def cusum_alarms(
     DuckDB oracle that unrolls the same recurrence as a recursive CTE.
 
     This is a genuine sequential recurrence (running max with reset),
-    not window-expressible — the custom-stateful category: an
-    applyInPandas kernel per group, ordered inside the kernel by
-    `order_cols` (callers pass a total order). Scale shape: one
-    shuffle on the group key; groups process independently and in
-    parallel, the recurrence is inherently sequential WITHIN a group
-    (state is O(1), time O(group size)); a hot group costs its length,
-    never more — the same per-key sequential bound as sessionization.
+    not window-expressible — but it IS a left fold, so since
+    optimization round 16 it runs as a pure-JVM `aggregate` HOF over
+    each group's `sort_array(collect_list(...))` instead of an
+    applyInPandas kernel (guide §4.1 — prefer built-ins/HOFs; the
+    kernel paid one Python invocation + pandas frame construction PER
+    GROUP, which at many-small-groups cardinality was ~98% of the
+    query's full-recompute cost, and the whole JVM↔Python boundary
+    disappears with it). Scale shape is unchanged: one shuffle on the
+    group key; groups aggregate independently and in parallel; the
+    fold is inherently sequential WITHIN a group (state is O(1), time
+    O(group size)); a hot group costs its length — and its collected
+    event array, the same whole-group-in-memory bound the pandas
+    kernel had. Exactness: the fold is the SAME integer recurrence
+    step-for-step (longs end to end, struct sort on the caller's total
+    order = the kernel's stable mergesort on it), so results are
+    bit-identical — pinned by tests/test_timeseries.py and the
+    recursive-CTE DuckDB oracle of `events_cusum_alarms`.
 
     Returns (key_col, n_events LONG, n_alarms LONG, first_alarm_id
     LONG?) — one row per group, `first_alarm_id` = `id_col` of the
     first alarming event (NULL when no alarm fired).
     """
+    from aeuc_vector_db_spark.functions.vector import let_col
 
-    def kernel(pdf):
-        import pandas as pd
+    kl = F.lit(int(k)).cast("long")
+    hl = F.lit(int(h)).cast("long")
 
-        pdf = pdf.sort_values(list(order_cols), kind="mergesort")
-        s = 0
-        alarms = 0
-        first = None
-        for v, eid in zip(pdf[value_col], pdf[id_col]):
-            s += int(v) - k
-            if s < 0:
-                s = 0
-            if s >= h:
-                alarms += 1
-                if first is None:
-                    first = int(eid)
-                s = 0
-        return pd.DataFrame(
-            {
-                key_col: [pdf[key_col].iloc[0]],
-                "n_events": [len(pdf)],
-                "n_alarms": [alarms],
-                "first_alarm_id": [first],
-            }
+    ev = F.struct(
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).cast("long").alias("__v__"),
+        F.col(id_col).cast("long").alias("__id__"),
+    )
+
+    def step(acc: Column, e: Column) -> Column:
+        # t = max(0, s + v − k); alarm iff t ≥ h (then s resets to 0).
+        # `t` is let-bound so the greatest() runs once per event.
+        def with_t(t: Column) -> Column:
+            alarm = t >= hl
+            return F.struct(
+                F.when(alarm, F.lit(0).cast("long")).otherwise(t).alias("s"),
+                (acc["a"] + F.when(alarm, 1).otherwise(0).cast("long")).alias("a"),
+                F.coalesce(acc["f"], F.when(alarm, e["__id__"])).alias("f"),
+            )
+
+        return let_col(
+            F.greatest(F.lit(0).cast("long"), acc["s"] + e["__v__"] - kl),
+            with_t,
         )
+
+    zero = F.struct(
+        F.lit(0).cast("long").alias("s"),
+        F.lit(0).cast("long").alias("a"),
+        F.lit(None).cast("long").alias("f"),
+    )
 
     # the key column keeps ITS OWN type in the output (round-12 ADVICE:
     # hardcoding `long` here made any string/decimal group key fail at
     # runtime despite the generic operator signature)
-    key_type = df.schema[key_col].dataType.simpleString()
-    return df.groupBy(key_col).applyInPandas(
-        kernel,
-        f"{key_col} {key_type}, n_events long, n_alarms long, first_alarm_id long",
+    # the fold result struct is aliased in ONE projection and its two
+    # fields extracted in the next (the doc_token_stats shape): the
+    # fold is non-cheap and multi-referenced, so CollapseProject's
+    # cheapness check keeps it evaluated once
+    return (
+        df.groupBy(key_col)
+        .agg(F.sort_array(F.collect_list(ev)).alias("__evs__"))
+        .select(
+            F.col(key_col),
+            F.size("__evs__").cast("long").alias("n_events"),
+            F.aggregate(F.col("__evs__"), zero, step).alias("__fin__"),
+        )
+        .select(
+            key_col,
+            "n_events",
+            F.col("__fin__.a").alias("n_alarms"),
+            F.col("__fin__.f").alias("first_alarm_id"),
+        )
     )

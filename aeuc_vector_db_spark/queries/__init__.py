@@ -79,68 +79,12 @@ for _mod_name in (
 # in-repo between their driver rows. COVERAGE.md maps each query to the
 # round whose CORRECTNESS file holds its green row.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-15 window, positions 1-50 (VERDICT r14 #1 + #2) ---
-    # Positions 1-3: the three slack slots, spent on the NEW
-    # literal-parameter oracle twins (VERDICT r14 #1 — never had a
-    # driver row; each drives the same kernel as its rows-only twin
-    # under integer-derived dyadic literals, with a real DuckDB hash).
-    "ann_pq_adc_apply",
-    "doc_bpe_encode_literal",
-    "emb_cell_assign_literal",
-    # Positions 4-50: the full r12-window set (47 queries, 3 rounds
-    # stale at r15 — the COVERAGE.md schedule's r15 slot; they must
-    # take rows now or they break the ≤3-round freshness discipline).
-    "ann_ivf_recall",
-    "ann_ivfadc_recall",
-    "ann_opq_recall",
-    "ann_pq_recall",
-    "doc_bm25_topk",
-    "doc_clean_corpus_pipeline",
-    "doc_decontaminate",
-    "doc_epoch_shuffle",
-    "doc_heavy_hitters",
-    "doc_hybrid_rrf_topk",
-    "doc_incremental_minhash_bucketed",
-    "doc_leakproof_split",
-    "doc_pii_ccn",
-    "doc_pii_scrub",
-    "doc_repetition_ratio",
-    "doc_sequence_pack",
-    "doc_source_rebalance",
-    "doc_source_token_budget",
-    "doc_stratified_sample",
-    "doc_temperature_mix",
-    "doc_unigram_logprob",
-    "doc_winnowing_fingerprint",
-    "emb_hard_negatives",
-    "emb_pca_project",
-    "emb_quantize_int8",
-    "events_hourly_window",
-    "events_json_props",
-    "ivf_arrow_pruned_search",
-    "knn_cosine_range",
-    "rel_cheapest_part_offer",
-    "rel_disjunctive_promo_revenue",
-    "rel_exists_late_shipment",
-    "rel_fk_violations",
-    "rel_grouping_sets_revenue",
-    "rel_idle_rich_customers",
-    "rel_market_share_customers",
-    "rel_nation_share_by_year",
-    "rel_order_count_distribution",
-    "rel_order_price_drift",
-    "rel_price_quantile_sketch",
-    "rel_rolling_30d_revenue",
-    "rel_small_qty_part_revenue",
-    "rel_top_quarter_supplier",
-    "rel_unpivot_part_metrics",
-    "rel_volume_shipping",
-    "rel_waiting_suppliers",
-    "sql_entry_hll_distinct",
-    # --- positions ≥ 51: everything below stays covered by the
-    # in-repo full sweeps between driver rows. First in line for r16:
-    # the r13-window set (50 queries), then the r14 window (5
-    # composites + unfolded r10-tail + r11 set) again at r17.
+    # --- round-16 window, positions 1-50: the full r13-window set
+    # (50 queries, 3 rounds stale at r16 — the COVERAGE.md schedule's
+    # r16 slot; they must take rows now or they break the ≤3-round
+    # freshness discipline). No new queries this round (optimization
+    # round — the registry is feature-frozen), so no slack slots are
+    # consumed and the rotation is the pure scheduled block shift.
     "knn_dot_topk",
     "knn_euclidean_topk",
     "manifest_bucketed_dv_read",
@@ -191,6 +135,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "manifest_bloom_read",
     "manifest_cdc_read",
     "manifest_dv_read",
+    # --- positions ≥ 51: everything below stays covered by the
+    # in-repo full sweeps between driver rows. First in line for r17:
+    # the r14 window (5 composites carrying all 32 folded singles +
+    # unfolded r10-tail + r11 set); then the r15 window (3 literal
+    # twins + the r12 set) again at r18.
     "rel_agg_composite",
     "manifest_read_composite",
     "cluster_family_composite",
@@ -241,6 +190,58 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_big_volume_customers",
     "rel_bloom_semijoin_revenue",
     "rel_trade_components",
+    # --- the round-15 window (3 literal twins + r12 set), due again
+    # at r18 per the COVERAGE.md schedule.
+    "ann_pq_adc_apply",
+    "doc_bpe_encode_literal",
+    "emb_cell_assign_literal",
+    "ann_ivf_recall",
+    "ann_ivfadc_recall",
+    "ann_opq_recall",
+    "ann_pq_recall",
+    "doc_bm25_topk",
+    "doc_clean_corpus_pipeline",
+    "doc_decontaminate",
+    "doc_epoch_shuffle",
+    "doc_heavy_hitters",
+    "doc_hybrid_rrf_topk",
+    "doc_incremental_minhash_bucketed",
+    "doc_leakproof_split",
+    "doc_pii_ccn",
+    "doc_pii_scrub",
+    "doc_repetition_ratio",
+    "doc_sequence_pack",
+    "doc_source_rebalance",
+    "doc_source_token_budget",
+    "doc_stratified_sample",
+    "doc_temperature_mix",
+    "doc_unigram_logprob",
+    "doc_winnowing_fingerprint",
+    "emb_hard_negatives",
+    "emb_pca_project",
+    "emb_quantize_int8",
+    "events_hourly_window",
+    "events_json_props",
+    "ivf_arrow_pruned_search",
+    "knn_cosine_range",
+    "rel_cheapest_part_offer",
+    "rel_disjunctive_promo_revenue",
+    "rel_exists_late_shipment",
+    "rel_fk_violations",
+    "rel_grouping_sets_revenue",
+    "rel_idle_rich_customers",
+    "rel_market_share_customers",
+    "rel_nation_share_by_year",
+    "rel_order_count_distribution",
+    "rel_order_price_drift",
+    "rel_price_quantile_sketch",
+    "rel_rolling_30d_revenue",
+    "rel_small_qty_part_revenue",
+    "rel_top_quarter_supplier",
+    "rel_unpivot_part_metrics",
+    "rel_volume_shipping",
+    "rel_waiting_suppliers",
+    "sql_entry_hll_distinct",
 )
 
 

@@ -839,25 +839,57 @@ def _maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIGIR) top-k: each 64-dim vector is viewed as 4 × 16-dim subvectors
     (a multi-vector representation); score(q, d) = Σᵢ maxⱼ cos(qᵢ, dⱼ).
     Same plan shape as the flat k-NN family — broadcast query batch,
-    corpus never shuffles, WindowGroupLimit top-k — with a 16-term
-    scoring expression staying entirely JVM-side. The sum is explicit
-    left-to-right and `greatest` is exact, so the DuckDB oracle (same
-    slices, same sequential cosine folds) hash-matches scores."""
-    from aeuc_vector_db_spark.functions.similarity import cosine_col
+    corpus never shuffles by key, WindowGroupLimit top-k — with a
+    16-term scoring expression staying entirely JVM-side. The sum is
+    explicit left-to-right and `greatest` is exact, so the DuckDB
+    oracle (same slices, same sequential cosine folds) hash-matches
+    scores.
 
-    emb = load_table(spark, "embeddings", sf_dir)
-    corpus = emb.select("vec_id", as_double("embedding").alias("cv"))
-    qs = _queries_df(spark, sf_dir).select(
-        "query_id", as_double("query_embedding").alias("qv")
-    )
-    j = corpus.crossJoin(F.broadcast(qs))
+    Optimization round 16 (guide §1.2 per-task work — the same hoist
+    knn_cosine_range and embedding_near_dup carry since r15): each
+    side's 4 subvector norms fold ONCE PER ROW instead of inside every
+    of the 16 per-pair cosine terms — cosine_col(q_i, c_j) expanded to
+    dot + BOTH norm folds per term, 3× the interpreted-lambda work over
+    corpus×queries pairs. The hoisted norm is the same l2 fold over the
+    same slice and the score is dot/(qn_i·cn_j + 1e-12) — identical
+    operands in identical order, so every pair's score is bit-for-bit
+    unchanged (oracle-verified at 3 SFs). The corpus scan is also
+    spread (ensure_min_parallelism): the single-file fixture scan
+    serialized the whole interpreted scorer on one task."""
+    from aeuc_vector_db_spark.functions.vector import dot_col, l2_norm_col
+    from aeuc_vector_db_spark.sources.tables import ensure_min_parallelism
+
+    emb = ensure_min_parallelism(load_table(spark, "embeddings", sf_dir))
 
     def sub(c, i: int):
         return F.slice(c, i * 16 + 1, 16)
 
+    corpus = emb.select("vec_id", as_double("embedding").alias("cv")).select(
+        "vec_id",
+        "cv",
+        *[l2_norm_col(sub(F.col("cv"), jj)).alias(f"cn{jj}")
+          for jj in range(_MAXSIM_SUB)],
+    )
+    qs = _queries_df(spark, sf_dir).select(
+        "query_id", as_double("query_embedding").alias("qv")
+    )
+    qs = qs.select(
+        "query_id",
+        "qv",
+        *[l2_norm_col(sub(F.col("qv"), i)).alias(f"qn{i}")
+          for i in range(_MAXSIM_SUB)],
+    )
+    j = corpus.crossJoin(F.broadcast(qs))
+
+    def term(i: int, jj: int):
+        # == cosine_col(sub(qv, i), sub(cv, jj)) with the norms hoisted:
+        # dot / (norm_q * norm_c + 1e-12), same operand order
+        return dot_col(sub(F.col("qv"), i), sub(F.col("cv"), jj)) / (
+            F.col(f"qn{i}") * F.col(f"cn{jj}") + F.lit(1e-12)
+        )
+
     maxes = [
-        F.greatest(*[cosine_col(sub(F.col("qv"), i), sub(F.col("cv"), jj))
-                     for jj in range(_MAXSIM_SUB)])
+        F.greatest(*[term(i, jj) for jj in range(_MAXSIM_SUB)])
         for i in range(_MAXSIM_SUB)
     ]
     score = maxes[0] + maxes[1] + maxes[2] + maxes[3]

@@ -63,23 +63,44 @@ def _doc_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFra
 
     Scale shape: one Arrow shingle pass + one DISTINCT shuffle to the
     (source, shingle) level — volume is the distinct-shingle vocabulary
-    per source, not the corpus; the self-join keys on the shingle hash
-    (hash join, never cross), and a shingle shared by s sources emits
-    s·(s−1)/2 pairs — bounded by the SOURCE count squared per hash, a
-    constant. The final aggregate has ≤ #sources² groups."""
+    per source, not the corpus; then (optimization round 16) ONE
+    group-by-shingle collecting each hash's sorted source set and a
+    map-side pair expansion — a shingle shared by s sources emits its
+    s·(s−1)/2 pairs from an array expression, bounded by the SOURCE
+    count squared per hash, a constant. The r11-r15 self-join computed
+    the whole shingle subtree TWICE (the duplicated ArrowEvalPython
+    never canonicalizes equal, so ReuseExchange cannot dedupe it — the
+    Arrow kernel ran once per join side, 2× the query's real work) and
+    shuffled both copies; the grouped form runs the kernel once and
+    shuffles once. Pair multiset unchanged: per shingle, the sorted
+    distinct sources expand to exactly the (src_a < src_b) pairs the
+    equi-join + filter produced — oracle hash-green at 3 SFs. The
+    final aggregate has ≤ #sources² groups."""
     from aeuc_vector_db_spark.operators.text import shingle_hashes_pandas
+    from aeuc_vector_db_spark.sources.tables import ensure_min_parallelism
 
-    docs = load_table(spark, "documents", sf_dir)
+    # spread the single-file scan: the Arrow shingle kernel (the
+    # query's map-side cost) otherwise runs on ONE task
+    docs = ensure_min_parallelism(load_table(spark, "documents", sf_dir))
     sh = docs.select(
         "source",
         F.explode(shingle_hashes_pandas(3)(F.col("text"))).alias("sh"),
     ).distinct()
-    a = sh.select(F.col("source").alias("src_a"), "sh")
-    b = sh.select(F.col("source").alias("src_b"), "sh")
+    srcs = F.col("srcs")
+    pairs = F.flatten(
+        F.transform(
+            srcs,
+            lambda x, i: F.transform(
+                F.slice(srcs, i + F.lit(2), F.size(srcs)),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "sh")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
+        sh.groupBy("sh")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
         .orderBy("src_a", "src_b")
     )

@@ -1053,12 +1053,33 @@ WHERE qd * 5 * nq < sq
 def _waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers whose lineitem shipped >90 days after
     the order date in a multi-supplier order where NO other supplier was
-    that late — EXISTS and NOT EXISTS over the same fact, decorrelated
-    to one left-semi plus one left-anti hash join on the order key with
-    the supplier inequality as a join filter. The `late` set is computed
-    once and reused for both the driving rows and the anti probe;
-    supplier (100 rows) broadcasts; top-10 is TakeOrderedAndProject over
-    the (numwait DESC, s_name) total order."""
+    that late. Optimization round 16 (guide §2.3 "aggregate before you
+    shuffle"): the r7-r15 form decorrelated EXISTS/NOT EXISTS into a
+    left-semi join of `late` against the FULL lineitem fact plus a
+    left-anti self-join of `late` — two joins whose probe sides carried
+    every lineitem row across the exchange, and whose `late` subtree
+    executed twice. Both quantifiers are per-ORDER set properties, so
+    they reduce to min/max aggregates with map-side partials:
+
+      EXISTS other supplier on the order
+        ⇔ the order's lineitems span ≥2 distinct suppliers
+        ⇔ min(l_suppkey) ≠ max(l_suppkey) over the order's lineitems
+          (the probing row's supplier is itself among them);
+      NOT EXISTS other LATE supplier
+        ⇔ every late row of the order shares ONE suppkey
+        ⇔ min = max over the order's LATE suppkeys — and that sole
+          suppkey is the probing row's own (it is late too), so the
+          per-order late rowcount IS the supplier's numwait there.
+
+    `late` is now computed ONCE and collapsed to one row per order
+    (min/max/count — exact integers); lineitem collapses likewise. The
+    exchanges carry per-order aggregates instead of lineitem rows, the
+    per-order semi join keys both sides on the same l_orderkey
+    partitioning, supplier (100 rows) broadcasts; top-10 stays
+    TakeOrderedAndProject over the (numwait DESC, s_name) total order.
+    Row-for-row equal to the EXISTS/NOT EXISTS form (oracle-verified at
+    3 SFs): per qualifying order every late row passes both quantifiers
+    and contributes 1 to its (single) supplier's count."""
     sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
     orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
     li = load_table(spark, "lineitem", sf_dir).select(
@@ -1069,28 +1090,30 @@ def _waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )
-    other = li.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    # orders spanning ≥2 distinct suppliers (the EXISTS quantifier)
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("mn"), F.max("l_suppkey").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("l_orderkey")
     )
-    other_late = late.select(
-        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    # per-order late profile: qualifies when exactly one supplier is
+    # late (the NOT EXISTS quantifier); cnt = that supplier's late rows
+    qual = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("lmn"),
+            F.max("l_suppkey").alias("lmx"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("lmn") == F.col("lmx"))
+        .select("l_orderkey", F.col("lmn").alias("l_suppkey"), "cnt")
     )
-    l1 = late.join(
-        other,
-        (late["l_orderkey"] == other["o2_orderkey"])
-        & (late["l_suppkey"] != other["o2_suppkey"]),
-        "left_semi",
-    )
-    l1 = l1.join(
-        other_late,
-        (l1["l_orderkey"] == other_late["o3_orderkey"])
-        & (l1["l_suppkey"] != other_late["o3_suppkey"]),
-        "left_anti",
-    )
+    kept = qual.join(multi, "l_orderkey", "left_semi")
     return (
-        l1.join(F.broadcast(sup), l1["l_suppkey"] == sup["s_suppkey"])
+        kept.join(F.broadcast(sup), kept["l_suppkey"] == sup["s_suppkey"])
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("cnt").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )

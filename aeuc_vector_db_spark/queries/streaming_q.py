@@ -547,11 +547,15 @@ def _events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     `operators/timeseries.py cusum_alarms`): drift allowance k = $50,
     alarm threshold h = $200, values as exact cents, events ordered by
     the total (ts, event_id) order. A sequential recurrence (running
-    max with reset) — NOT window-expressible — run as an exact-integer
-    applyInPandas kernel per user; the DuckDB oracle unrolls the SAME
-    recurrence as a recursive CTE stepping rn → rn+1 per user, so the
-    hash match proves every step of the stateful computation, the same
-    standard the PageRank/components oracles set for iterative ops."""
+    max with reset) — NOT window-expressible — run since round 16 as an
+    exact-integer JVM fold over each user's sorted event array
+    (`operators/timeseries.py cusum_alarms`; the r11-r15 applyInPandas
+    kernel paid one Python call per user — 98% of the query's
+    full-recompute cost at fixture group cardinality); the DuckDB
+    oracle unrolls the SAME recurrence as a recursive CTE stepping
+    rn → rn+1 per user, so the hash match proves every step of the
+    stateful computation, the same standard the PageRank/components
+    oracles set for iterative ops."""
     from aeuc_vector_db_spark.operators.timeseries import cusum_alarms
 
     ev = load_table(spark, "events", sf_dir).select(

@@ -83,6 +83,12 @@ def _doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-trip per collect (~0.2 s fixed on the bench substrate).
     # Measured 0.30 → 0.11 s hot at sf0.1 with the parallel spread;
     # integer-exact, so values are bit-identical (oracle-verified).
+    # NULL-text semantics (ADVICE r15): this JVM form null-propagates
+    # (size(NULL)=NULL, aggregate over NULL=NULL) — DELIBERATELY, to
+    # match the DuckDB oracle's NULL propagation. token_stats_pandas
+    # (the kept kernel twin) returns zeros for null text instead; the
+    # fixtures carry no null text, so the two agree on every fixture
+    # row but differ on dirty corpora — prefer this form.
     from aeuc_vector_db_spark.sources.tables import ensure_min_parallelism
 
     docs = ensure_min_parallelism(load_table(spark, "documents", sf_dir))
@@ -1675,21 +1681,29 @@ _VOCAB_OVERLAP_ORACLE = _vocab_overlap_oracle()
 
 def _doc_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count–min frequency estimates for the exact heavy-hitter terms
-    (count ≥ 200): the sketch build folds the whole token stream into
-    ≤ d·w = 4096 cells (map-side partial counts — the shuffle is sketch-
-    sized, not vocabulary-sized), then the finished sketch broadcasts
-    against the probe terms. CMS guarantees estimate ≥ exact; the oracle
-    pins the exact overshoot cell-for-cell."""
+    (count ≥ 200). Optimization round 16 (guide §1.2 — don't compute
+    things twice): the r7-r15 form tokenized the corpus THREE times
+    (sketch stream, candidate nomination, exact probe counts — 6
+    parquet scans in the before-plan). Both outputs derive from ONE
+    exact term-count aggregate: the probes are `counts ≥ 200` verbatim,
+    and the sketch builds from the counts (a cell's occupancy is the
+    sum of the per-term counts hashing to it — identical integers, see
+    `cms_build_from_counts`), so the corpus tokenizes ONCE, the only
+    corpus-sized shuffle is the map-side-partial term aggregate, and
+    the sketch-build input shrinks from token occurrences to the
+    distinct vocabulary. The two consumers share the term exchange
+    (ReusedExchange). CMS guarantees estimate ≥ exact; the oracle pins
+    the exact overshoot cell-for-cell (hash-green at 3 SFs)."""
     from aeuc_vector_db_spark.operators.sketch import (
-        cms_build,
+        cms_build_from_counts,
         cms_estimate,
-        heavy_hitter_terms,
     )
 
     docs = load_table(spark, "documents", sf_dir)
     tok = docs.select(F.explode(TX.tokens_col(F.col("text"))).alias("term"))
-    sketch = cms_build(tok, "term")
-    probes = heavy_hitter_terms(docs, min_count=200)
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("term_count"))
+    sketch = cms_build_from_counts(counts, "term", "term_count")
+    probes = counts.filter(F.col("term_count") >= F.lit(200))
     est = cms_estimate(sketch, probes.select("term"), "term")
     return probes.join(est, "term").select(
         "term",

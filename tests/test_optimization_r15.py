@@ -14,7 +14,6 @@ import collections
 import os
 import struct
 
-import pytest
 from pyspark.sql import functions as F
 
 from aeuc_vector_db_spark.operators import text as TX

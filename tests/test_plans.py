@@ -416,7 +416,10 @@ def test_round9_new_query_plan_shapes(spark):
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, (
         "winnowing must not shuffle by key"
     )
-    assert plan.count("roundrobinpartitioning") <= 1
+    # plan strings print 'RoundRobinPartitioning' capitalized (it is not
+    # an Expression, so no lowercase prettyName) — count case-
+    # insensitively or the cap is never enforced (ADVICE r15)
+    assert plan.lower().count("roundrobinpartitioning") <= 1
     assert "Generate explode" not in plan and "posexplode" not in plan
     assert "BatchEvalPython" not in plan
     fn = Q.queries()["doc_winnowing_fingerprint"]
@@ -473,7 +476,9 @@ def test_late_round9_batch2_plan_shapes(spark):
     assert "hashpartitioning" not in phys and "rangepartitioning" not in phys, (
         "token diversity must not shuffle by key"
     )
-    assert phys.count("roundrobinpartitioning") <= 1
+    # case-insensitive: executed plans print 'RoundRobinPartitioning'
+    # capitalized (ADVICE r15 — the lowercase count was always 0)
+    assert phys.lower().count("roundrobinpartitioning") <= 1
 
 
 def test_rfm_segments_has_no_unpartitioned_window(spark):

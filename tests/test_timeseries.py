@@ -147,8 +147,10 @@ def test_cusum_alarms_hand_computed_and_plan(spark):
     semantics — k=10, h=25, sequence v = [15, 20, 5, 40, 12, 9]:
       s: 5, 15, 10, 40→alarm(reset), 2, 1  ⇒ 1 alarm at the 4th event;
     second user drifts below k throughout ⇒ no alarm (filtered-out
-    shape verified via the full output). Plan: one exchange on the
-    group key feeding FlatMapGroupsInPandas."""
+    shape verified via the full output). Plan (optimization round 16):
+    one exchange on the group key feeding a JVM collect_list aggregate
+    + sorted-array fold — ZERO Python eval nodes (the r11-r15
+    applyInPandas kernel paid one Python invocation per group)."""
     from aeuc_vector_db_spark.operators.timeseries import cusum_alarms
 
     rows = [
@@ -162,7 +164,11 @@ def test_cusum_alarms_hand_computed_and_plan(spark):
            for r in out.collect()}
     assert got == {1: (6, 1, 3), 2: (4, 0, None)}
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan
+    # round 16: the recurrence folds JVM-side over the group's sorted
+    # event array — the Python boundary is gone from the plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "ObjectHashAggregate" in plan, plan
     # every shuffle keys on the group column only (AQE repeats the plan
     # text in Final/Initial sections, so count keys, not Exchange nodes)
     import re

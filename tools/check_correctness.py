@@ -79,11 +79,22 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
         # magnitude these fixtures can produce (< 2^53) — so both
         # engines' representations of the same value hash identically;
         # genuinely different values still differ.
-        df[c] = df[c].map(
-            lambda v: repr(float(v))
-            if isinstance(v, (float, decimal.Decimal))
-            else str(v)
-        )
+        def _canon_value(v):
+            if isinstance(v, decimal.Decimal):
+                # Guard the degradation (ADVICE r15): float round-trips
+                # integers exactly only below 2^53. If a future fixture
+                # or query ever emits a wider decimal, fail LOUDLY here
+                # instead of hashing two sub-ulp-distinct values equal.
+                assert abs(v) < decimal.Decimal(2) ** 53, (
+                    f"DECIMAL {v} exceeds float's exact range; "
+                    "canon would degrade it lossily"
+                )
+                return repr(float(v))
+            if isinstance(v, float):
+                return repr(v)
+            return str(v)
+
+        df[c] = df[c].map(_canon_value)
     rows = sorted(df.itertuples(index=False, name=None))
     h = hashlib.sha256()
     for r in rows:
