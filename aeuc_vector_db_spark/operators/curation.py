@@ -900,9 +900,11 @@ def hard_negatives_within_buckets(
     # folds). A corpus big enough to matter already arrives in many
     # partitions, so this round-robin widen only ever fires on small
     # inputs; results are partitioning-invariant (soak-asserted).
-    target = emb.sparkSession.sparkContext.defaultParallelism
-    if emb.rdd.getNumPartitions() < target:
-        emb = emb.repartition(target)
+    from aeuc_vector_db_spark.sources.tables import ensure_min_parallelism
+
+    emb = ensure_min_parallelism(
+        emb, target=emb.sparkSession.sparkContext.defaultParallelism
+    )
     planes = lsh_hyperplanes(n_planes, dim)
     v = as_double(vec_col)
     bucket = None
@@ -911,21 +913,26 @@ def hard_negatives_within_buckets(
             dot_col(v, F.array(*[F.lit(x) for x in h])) > 0, F.lit(1 << i)
         ).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
+    # norms fold ONCE PER ROW, not per pair (optimization round 16 —
+    # the knn_cosine_range/maxsim hoist): the interpreted sq_norm fold
+    # otherwise ran twice inside every of the Σnᵢ² pair expressions.
+    # sqrt(sq_norm(v)) over the same array is the same double, and
+    # cos = dot/(na·nn + 1e-12) multiplies the same operands in the
+    # same order — every pair's cos is bit-for-bit unchanged
+    # (oracle-verified at 3 SFs).
     base = emb.select(
         F.col(id_col), F.col(label_col).alias("__lbl__"), v.alias("__v__"),
         bucket.alias("__bkt__"),
-    )
+    ).withColumn("__n__", F.sqrt(sq_norm_col("__v__")))
     a = base.select(
         F.col(id_col).alias("a_id"), F.col("__lbl__").alias("a_lbl"),
-        F.col("__v__").alias("av"), "__bkt__",
+        F.col("__v__").alias("av"), F.col("__n__").alias("an"), "__bkt__",
     )
     c = base.select(
         F.col(id_col).alias("neg_id"), F.col("__lbl__").alias("n_lbl"),
-        F.col("__v__").alias("nv"), "__bkt__",
+        F.col("__v__").alias("nv"), F.col("__n__").alias("nn"), "__bkt__",
     )
-    cos = dot_col("av", "nv") / (
-        F.sqrt(sq_norm_col("av")) * F.sqrt(sq_norm_col("nv")) + F.lit(1e-12)
-    )
+    cos = dot_col("av", "nv") / (F.col("an") * F.col("nn") + F.lit(1e-12))
     pairs = (
         a.join(c, "__bkt__")
         .filter(

@@ -471,8 +471,12 @@ _BINARY_R = 50
 
 def _emb_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aeuc_vector_db_spark.operators.binary import binary_search_rerank
+    from aeuc_vector_db_spark.sources.tables import ensure_min_parallelism
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    # optimization round 16: spread the single-file corpus scan — the
+    # sign-pack + per-pair Hamming stage (corpus × queries) otherwise
+    # runs on one task (row placement only; results unchanged)
+    emb = ensure_min_parallelism(load_table(spark, "embeddings", sf_dir))
     res = binary_search_rerank(
         emb, _queries_df(spark, sf_dir), dim=_BINARY_DIM, top_k=10, refine_r=_BINARY_R
     )

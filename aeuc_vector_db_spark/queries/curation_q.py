@@ -33,9 +33,16 @@ def _doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (docs where doc_id % 97 = 5 stand in for an eval benchmark —
     they live in the corpus, so they flag themselves plus any true
     overlaps, which is exactly what decontamination must catch)."""
+    from aeuc_vector_db_spark.sources.tables import ensure_min_parallelism
+
     docs = load_table(spark, "documents", sf_dir)
     bench = docs.filter(F.col("doc_id") % 97 == 5).select("text")
-    out = CU.contaminated_docs(docs, bench, shingle_n=3, min_overlap=2)
+    # optimization round 16: spread the single-file corpus scan — the
+    # corpus-side Arrow shingle kernel otherwise runs on one task (the
+    # benchmark side stays unspread: it is the tiny filtered slice)
+    out = CU.contaminated_docs(
+        ensure_min_parallelism(docs), bench, shingle_n=3, min_overlap=2
+    )
     return out.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
 
 

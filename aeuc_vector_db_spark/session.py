@@ -41,6 +41,23 @@ def get_spark(
         # Broadcast threshold: dim tables / query batches / centroid sets
         # are all tiny relative to the corpus — make sure they broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Scan split size (optimization round 16, guide §6): the input
+        # split is the scan-parallelism lever. The fixture tables are
+        # ONE parquet file each (lineitem 10.8 MB at sf0.1), so the
+        # 128 MB default scans them as one task and every scan-bound
+        # aggregate serializes on 1 of the cores; 8 MB splits the big
+        # fixtures across cores (measured interleaved at sf0.1: Q1-shape
+        # pricing_summary 1.39→1.25, late_order_priority 1.27→1.03,
+        # rfm_segments 1.61→0.99, binary_hamming 1.58→1.29, ivf_pruned
+        # 1.23→1.00; finer than 8 MB adds nothing). Scale-dependent and
+        # therefore env-parameterised: on a real cluster scanning TB
+        # inputs, RAISE it (512 MB–1 GB per guide §9 — fewer, larger map
+        # tasks feeding each shuffle); the local default only matters
+        # for single-file fixture scans.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
         # Fixture parquet stores TIMESTAMP(NANOS); Spark has no nanos type.
         # Read them as epoch-nanos longs; sources.tables converts to
         # TimestampType (values are µs-granular, so the cast is lossless).

@@ -2112,12 +2112,29 @@ class ManifestTable:
     def delete_where(self, spark: SparkSession, condition) -> int:
         """Keep rows NOT matching `condition` (a Column) as a new version.
         Rewrites the snapshot — O(table); see `delete_where_dv` for the
-        O(matching files) form."""
+        O(matching files) form.
+
+        Output file sizing (optimization round 16, guide §6): the
+        rewrite must not inherit the SCAN's split count — under a small
+        spark.sql.files.maxPartitionBytes (the session default is 8 MB
+        locally) a 2 GB snapshot would otherwise shatter into hundreds
+        of split-sized files that the next compact_small sweeps as
+        small-file debt. The parent snapshot's REAL byte size (known
+        from the manifest) sizes the output at ~128 MB per file;
+        coalesce (no shuffle) merges the scan splits back at write
+        while keeping the scan itself parallel."""
+        import math as _math
+
         parent = self.latest_version()
         if parent is None:
             raise FileNotFoundError(f"no committed version at {self.root!r}")
+        m = self.manifest(parent)
+        total = sum(
+            os.path.getsize(os.path.join(self.root, f)) for f in m["files"]
+        )
+        n_out = max(1, _math.ceil(total / (128 * 1024 * 1024)))
         kept = self.read(spark, parent).filter(~condition)
-        files, n = self._write_data_dir(kept)
+        files, n = self._write_data_dir(kept.coalesce(n_out))
         return self._commit(
             "delete", files, n, keep_parent_files=False, expected_parent=parent
         )

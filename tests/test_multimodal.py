@@ -1314,10 +1314,15 @@ def test_png_scalar_unfilter_matches_wavefront(monkeypatch):
 def test_png_decode_batch_group_stage_quarantine(monkeypatch):
     """A grouped-wavefront-stage failure must quarantine per item in
     capture mode (items recover through the gated single path), and
-    propagate in raise mode — not fail the whole batch (ADVICE r14)."""
+    propagate in raise mode — not fail the whole batch (ADVICE r14).
+    Round 16: the native unfilter lane bypasses the wavefront entirely,
+    so pin it OFF — this test is the Python fallback path's contract."""
     import numpy as np
 
+    from aeuc_vector_db_spark.sources import codec_native as CN
     from aeuc_vector_db_spark.sources import multimodal as MM
+
+    monkeypatch.setattr(CN, "available", lambda: False)
 
     rng = np.random.default_rng(4)
     imgs = [rng.integers(0, 255, (16, 16, 3)).astype(np.uint8) for _ in range(3)]
