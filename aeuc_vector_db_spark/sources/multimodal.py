@@ -101,6 +101,17 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
     derive blob_id from the path and keep length/mtime as typed meta.
     """
     raw = spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    # Scan fan-out cap (optimization round 16): binaryFile charges each
+    # file spark.sql.files.openCostInBytes when packing splits, so a
+    # small session maxPartitionBytes (8 MB locally since round 16)
+    # fans a small-blob corpus into ~2 files per task — and each task
+    # of the downstream mapInPandas decode kernels then pays the
+    # per-execution Python-runner handshake, which dominates the decode
+    # (measured 2.1 → 5.6 s on multimodal_transform_stats at sf0.1).
+    # coalesce to the core count: no shuffle, a no-op when the scan
+    # already has ≤ cores partitions, and at cluster scale one decode
+    # lane per core is the right kernel granularity anyway.
+    raw = raw.coalesce(spark.sparkContext.defaultParallelism)
     ext = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
     modality = (
         F.when(
